@@ -1,0 +1,314 @@
+"""Transaction-log actions.
+
+The action algebra and JSON wire format follow the Delta protocol
+(reference: PROTOCOL.md "Actions"; spark/.../actions/actions.scala:215
+for the sealed trait, :900 AddFile, :1171 RemoveFile, :1264 Metadata,
+:232 Protocol, :675 SetTransaction, :1233 AddCDCFile, :693
+DomainMetadata, :1415 CommitInfo). Field names match the protocol
+exactly so our logs are structurally recognizable; replay semantics are
+implemented in delta_spark.snapshot (InMemoryLogReplay.scala:37-56).
+
+Each commit file `_delta_log/<version 020d>.json` is JSON-lines, one
+action per line, wrapped in a single-key envelope:
+{"add": {...}} | {"remove": {...}} | {"metaData": {...}} |
+{"protocol": {...}} | {"txn": {...}} | {"cdc": {...}} |
+{"commitInfo": {...}} | {"domainMetadata": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass, field, asdict
+from typing import Any, Optional
+
+
+def _drop_none(d: dict) -> dict:
+    return {k: v for k, v in d.items() if v is not None}
+
+
+@dataclass
+class Protocol:
+    """Client gating (actions.scala:232). We implement reader v1 / writer v2
+    semantics (append + invariants); table features are carried through."""
+
+    minReaderVersion: int = 1
+    minWriterVersion: int = 2
+    readerFeatures: Optional[list[str]] = None
+    writerFeatures: Optional[list[str]] = None
+
+    def to_json(self) -> dict:
+        return {"protocol": _drop_none(asdict(self))}
+
+
+@dataclass
+class Format:
+    provider: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Metadata:
+    """Table schema + partitioning + configuration (actions.scala:1264).
+
+    ``schemaString`` is a Spark StructType JSON (SURVEY §1.2) — identical
+    by construction since we run on Spark.
+    """
+
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+    name: Optional[str] = None
+    description: Optional[str] = None
+    format: Format = field(default_factory=Format)
+    schemaString: str = "{}"
+    partitionColumns: list[str] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+    createdTime: Optional[int] = None
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        return {"metaData": _drop_none(d)}
+
+    @staticmethod
+    def from_json(d: dict) -> "Metadata":
+        fmt = d.get("format") or {}
+        return Metadata(
+            id=d.get("id", ""),
+            name=d.get("name"),
+            description=d.get("description"),
+            format=Format(provider=fmt.get("provider", "parquet"), options=fmt.get("options", {}) or {}),
+            schemaString=d.get("schemaString", "{}"),
+            partitionColumns=list(d.get("partitionColumns", []) or []),
+            configuration=dict(d.get("configuration", {}) or {}),
+            createdTime=d.get("createdTime"),
+        )
+
+
+@dataclass
+class AddFile:
+    """A data file in the table (actions.scala:900). ``path`` is relative
+    to the table root (URL-encoded per protocol) or an absolute URI
+    (shallow clones). ``stats`` is the per-file JSON stats blob
+    (stats/StatisticsCollection.scala:85-111)."""
+
+    path: str
+    partitionValues: dict[str, Optional[str]] = field(default_factory=dict)
+    size: int = 0
+    modificationTime: int = 0
+    dataChange: bool = True
+    stats: Optional[str] = None
+    tags: Optional[dict[str, str]] = None
+    baseRowId: Optional[int] = None
+    defaultRowCommitVersion: Optional[int] = None
+    clusteringProvider: Optional[str] = None
+
+    def to_json(self) -> dict:
+        return {"add": _drop_none(asdict(self))}
+
+    @staticmethod
+    def from_json(d: dict) -> "AddFile":
+        return AddFile(
+            path=d["path"],
+            partitionValues=dict(d.get("partitionValues", {}) or {}),
+            size=int(d.get("size", 0) or 0),
+            modificationTime=int(d.get("modificationTime", 0) or 0),
+            dataChange=bool(d.get("dataChange", True)),
+            stats=d.get("stats"),
+            tags=d.get("tags"),
+            baseRowId=d.get("baseRowId"),
+            defaultRowCommitVersion=d.get("defaultRowCommitVersion"),
+            clusteringProvider=d.get("clusteringProvider"),
+        )
+
+    def remove(self, data_change: bool = True, timestamp: Optional[int] = None) -> "RemoveFile":
+        return RemoveFile(
+            path=self.path,
+            deletionTimestamp=timestamp if timestamp is not None else int(time.time() * 1000),
+            dataChange=data_change,
+            partitionValues=dict(self.partitionValues),
+            size=self.size,
+        )
+
+    @property
+    def parsed_stats(self) -> Optional[dict]:
+        if not self.stats:
+            return None
+        try:
+            return json.loads(self.stats)
+        except (ValueError, TypeError):
+            return None
+
+    @property
+    def num_records(self) -> Optional[int]:
+        st = self.parsed_stats
+        if st is None:
+            return None
+        return st.get("numRecords")
+
+
+@dataclass
+class RemoveFile:
+    """Tombstone cancelling a prior AddFile (actions.scala:1171); retained
+    until the retention window expires so VACUUM and streaming readers
+    can see it."""
+
+    path: str
+    deletionTimestamp: Optional[int] = None
+    dataChange: bool = True
+    extendedFileMetadata: Optional[bool] = None
+    partitionValues: Optional[dict[str, Optional[str]]] = None
+    size: Optional[int] = None
+
+    def to_json(self) -> dict:
+        return {"remove": _drop_none(asdict(self))}
+
+    @staticmethod
+    def from_json(d: dict) -> "RemoveFile":
+        return RemoveFile(
+            path=d["path"],
+            deletionTimestamp=d.get("deletionTimestamp"),
+            dataChange=bool(d.get("dataChange", True)),
+            extendedFileMetadata=d.get("extendedFileMetadata"),
+            partitionValues=d.get("partitionValues"),
+            size=d.get("size"),
+        )
+
+
+@dataclass
+class AddCDCFile:
+    """Change-data file for CDF readers (actions.scala:1233). CDC files
+    live under ``_change_data/`` and are invisible to normal scans."""
+
+    path: str
+    partitionValues: dict[str, Optional[str]] = field(default_factory=dict)
+    size: int = 0
+    tags: Optional[dict[str, str]] = None
+
+    def to_json(self) -> dict:
+        return {"cdc": _drop_none(asdict(self))}
+
+    @staticmethod
+    def from_json(d: dict) -> "AddCDCFile":
+        return AddCDCFile(
+            path=d["path"],
+            partitionValues=dict(d.get("partitionValues", {}) or {}),
+            size=int(d.get("size", 0) or 0),
+            tags=d.get("tags"),
+        )
+
+
+@dataclass
+class SetTransaction:
+    """Idempotent-writer watermark (actions.scala:675) — the streaming
+    sink's exactly-once mechanism: (appId, version) skips replayed
+    microbatches."""
+
+    appId: str
+    version: int
+    lastUpdated: Optional[int] = None
+
+    def to_json(self) -> dict:
+        return {"txn": _drop_none(asdict(self))}
+
+    @staticmethod
+    def from_json(d: dict) -> "SetTransaction":
+        return SetTransaction(appId=d["appId"], version=int(d["version"]), lastUpdated=d.get("lastUpdated"))
+
+
+@dataclass
+class DomainMetadata:
+    """Named configuration domain (actions.scala:693); used e.g. for
+    clustered-table metadata (clustering/ClusteringMetadataDomain.scala)."""
+
+    domain: str
+    configuration: str = "{}"
+    removed: bool = False
+
+    def to_json(self) -> dict:
+        return {"domainMetadata": asdict(self)}
+
+    @staticmethod
+    def from_json(d: dict) -> "DomainMetadata":
+        return DomainMetadata(
+            domain=d["domain"], configuration=d.get("configuration", "{}"), removed=bool(d.get("removed", False))
+        )
+
+
+@dataclass
+class CommitInfo:
+    """Operation provenance (actions.scala:1415); surfaced by DESCRIBE
+    HISTORY (commands/DescribeDeltaHistoryCommand.scala:61)."""
+
+    timestamp: int = field(default_factory=lambda: int(time.time() * 1000))
+    operation: str = "WRITE"
+    operationParameters: dict[str, Any] = field(default_factory=dict)
+    readVersion: Optional[int] = None
+    isolationLevel: Optional[str] = None
+    isBlindAppend: Optional[bool] = None
+    operationMetrics: dict[str, Any] = field(default_factory=dict)
+    userMetadata: Optional[str] = None
+    engineInfo: str = "delta_spark/0.1.0"
+    txnId: str = field(default_factory=lambda: str(uuid.uuid4()))
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        # protocol serializes operationParameters values as JSON strings
+        d["operationParameters"] = {k: v if isinstance(v, str) else json.dumps(v)
+                                    for k, v in self.operationParameters.items()}
+        return {"commitInfo": _drop_none(d)}
+
+    @staticmethod
+    def from_json(d: dict) -> "CommitInfo":
+        return CommitInfo(
+            timestamp=int(d.get("timestamp", 0) or 0),
+            operation=d.get("operation", "UNKNOWN"),
+            operationParameters=d.get("operationParameters", {}) or {},
+            readVersion=d.get("readVersion"),
+            isolationLevel=d.get("isolationLevel"),
+            isBlindAppend=d.get("isBlindAppend"),
+            operationMetrics=d.get("operationMetrics", {}) or {},
+            userMetadata=d.get("userMetadata"),
+            engineInfo=d.get("engineInfo", ""),
+            txnId=d.get("txnId", ""),
+        )
+
+
+Action = Any  # union of the dataclasses above
+
+
+def action_to_json_line(action: Action) -> str:
+    return json.dumps(action.to_json(), separators=(",", ":"))
+
+
+def parse_action_line(line: str) -> tuple[str, Any]:
+    """Parse one JSON-lines action → (kind, action object).
+
+    kind ∈ {add, remove, metaData, protocol, txn, cdc, commitInfo,
+    domainMetadata, unknown}. Unknown keys are preserved as raw dicts so
+    a newer writer's log doesn't crash us (forward compatibility,
+    mirroring SingleAction's one-of tolerance, actions.scala:1879).
+    """
+    d = json.loads(line)
+    if "add" in d:
+        return "add", AddFile.from_json(d["add"])
+    if "remove" in d:
+        return "remove", RemoveFile.from_json(d["remove"])
+    if "metaData" in d:
+        return "metaData", Metadata.from_json(d["metaData"])
+    if "protocol" in d:
+        p = d["protocol"]
+        return "protocol", Protocol(
+            minReaderVersion=p.get("minReaderVersion", 1),
+            minWriterVersion=p.get("minWriterVersion", 2),
+            readerFeatures=p.get("readerFeatures"),
+            writerFeatures=p.get("writerFeatures"),
+        )
+    if "txn" in d:
+        return "txn", SetTransaction.from_json(d["txn"])
+    if "cdc" in d:
+        return "cdc", AddCDCFile.from_json(d["cdc"])
+    if "commitInfo" in d:
+        return "commitInfo", CommitInfo.from_json(d["commitInfo"])
+    if "domainMetadata" in d:
+        return "domainMetadata", DomainMetadata.from_json(d["domainMetadata"])
+    return "unknown", d

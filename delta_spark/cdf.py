@@ -1,0 +1,94 @@
+"""Change Data Feed batch reads (reference commands/cdc/CDCReader.scala:59-79,
+changesToDF :230; TVFs table_changes/table_changes_by_path
+DeltaTableValueFunctions.scala:47).
+
+Per commit in [start, end]:
+  * commits carrying AddCDCFile actions → read those files as-is (they
+    already contain `_change_type` incl. update_preimage/postimage)
+  * otherwise AddFiles with dataChange=true → synthesized
+    `_change_type='insert'`; RemoveFiles with dataChange=true → read
+    the (still-present) removed files as `_change_type='delete'`
+  * dataChange=false commits (OPTIMIZE) produce no changes
+Every row gets `_commit_version` + `_commit_timestamp`.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from delta_spark.actions import AddFile
+from delta_spark.log import DeltaLog
+from delta_spark.reader import read_files_df
+
+CDF_COLUMNS = ["_change_type", "_commit_version", "_commit_timestamp"]
+
+
+def _cdf_disabled_versions(cfg: dict) -> bool:
+    return str(cfg.get("delta.enableChangeDataFeed", "false")).lower() != "true"
+
+
+def table_changes(spark: SparkSession, log: DeltaLog,
+                  starting_version: Optional[int] = None,
+                  ending_version: Optional[int] = None,
+                  starting_timestamp_ms: Optional[int] = None,
+                  ending_timestamp_ms: Optional[int] = None) -> DataFrame:
+    latest = log.latest_version()
+    if starting_version is None:
+        if starting_timestamp_ms is None:
+            raise ValueError("CDF read requires startingVersion or startingTimestamp")
+        starting_version = log.version_at_timestamp(starting_timestamp_ms)
+    if ending_version is None:
+        ending_version = (log.version_at_timestamp(ending_timestamp_ms)
+                          if ending_timestamp_ms is not None else latest)
+    ending_version = min(ending_version, latest)
+
+    snapshot = log.update()
+    schema = snapshot.schema
+    dfs: list[DataFrame] = []
+    for v in range(starting_version, ending_version + 1):
+        actions = log.read_commit_actions(v)
+        ts = _dt.datetime.utcfromtimestamp(log._commit_timestamp(v) / 1000.0)
+        cdc_files = [a for k, a in actions if k == "cdc"]
+        adds = [a for k, a in actions if k == "add" and a.dataChange]
+        removes = [a for k, a in actions if k == "remove" and a.dataChange]
+        snap_v = None
+        if cdc_files:
+            cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])
+            paths = [os.path.join(log.table_path, c.path) for c in cdc_files]
+            df = spark.read.schema(cdc_schema).parquet(*paths)
+            dfs.append(_stamp(df, v, ts))
+            continue
+        if adds:
+            snap_v = snap_v or log.snapshot_at(v)
+            df = (read_files_df(spark, snap_v, adds)
+                  .withColumn("_change_type", F.lit("insert")))
+            dfs.append(_stamp(df, v, ts))
+        if removes:
+            snap_prev = log.snapshot_at(v - 1) if v > 0 else None
+            if snap_prev is not None:
+                victims = [snap_prev.active[r.path] for r in removes if r.path in snap_prev.active]
+                if victims:
+                    df = (read_files_df(spark, snap_prev, victims)
+                          .withColumn("_change_type", F.lit("delete")))
+                    dfs.append(_stamp(df, v, ts))
+    if not dfs:
+        empty_schema = T.StructType(
+            schema.fields + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ])
+        return spark.createDataFrame([], empty_schema)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _stamp(df: DataFrame, version: int, ts) -> DataFrame:
+    return (df.withColumn("_commit_version", F.lit(version).cast("long"))
+              .withColumn("_commit_timestamp", F.lit(ts).cast("timestamp")))

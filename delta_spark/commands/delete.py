@@ -1,0 +1,147 @@
+"""DELETE FROM t WHERE p (reference commands/DeleteCommand.scala).
+
+Three execution cases, cheapest first:
+  1. no condition → drop every active file (metadata-only truncate)
+  2. partition-only predicate → drop whole files whose partition values
+     make the predicate provably TRUE (metadata-only, no data job)
+  3. general predicate → (a) stats/partition pruning narrows candidate
+     files, (b) one distributed job finds files with ≥1 matching row
+     (input_file_name aggregation, same trick as
+     ClassicMergeExecutor.findTouchedFiles), (c) one distributed job
+     rewrites ONLY those files keeping rows where the predicate is not
+     TRUE. Untouched files are never read or written.
+
+CDF: when delta.enableChangeDataFeed=true, the matching rows are also
+written under _change_data/ with _change_type='delete'
+(commands/cdc/CDCReader.scala write-side contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from delta_spark import predicates as P
+from delta_spark.actions import AddFile, RemoveFile
+from delta_spark.log import DeltaLog
+from delta_spark.reader import read_files_df
+from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+from delta_spark.transaction import OptimisticTransaction
+from delta_spark.writer import write_cdc_files, write_files
+
+
+def cdf_enabled(cfg: dict) -> bool:
+    return str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+
+
+def match_files_by_name(files: list[AddFile], spark_file_uris: list[str]) -> list[AddFile]:
+    """Map input_file_name() URIs back to AddFiles. Part-file names
+    embed a job UUID, so basenames are unique within a table."""
+    by_base = {os.path.basename(f.path): f for f in files}
+    out = []
+    for uri in spark_file_uris:
+        base = os.path.basename(uri)
+        if base in by_base:
+            out.append(by_base[base])
+    return out
+
+
+def find_touched_files(spark: SparkSession, snapshot, candidates: list[AddFile],
+                       condition: str) -> list[AddFile]:
+    """Distributed scan for files containing ≥1 row matching the
+    condition. Only file names travel back to the driver."""
+    if not candidates:
+        return []
+    df = read_files_df(spark, snapshot, candidates)
+    touched = (df.filter(condition)
+                 .select(F.input_file_name().alias("f"))
+                 .distinct()
+                 .collect())
+    return match_files_by_name(candidates, [r["f"] for r in touched])
+
+
+def split_delete_files(spark: SparkSession, txn: OptimisticTransaction,
+                       condition: Optional[str], cfg: dict,
+                       ) -> tuple[list[RemoveFile], list[AddFile]]:
+    """Compute (removes, rewritten adds) for deleting rows matching
+    `condition`; shared by DELETE and replaceWhere overwrite."""
+    removes, adds, _cdc, _m = delete_core(spark, txn, condition, cfg, with_cdf=cdf_enabled(cfg))
+    return removes, adds
+
+
+def delete_core(spark: SparkSession, txn: OptimisticTransaction,
+                condition: Optional[str], cfg: dict, with_cdf: bool,
+                ) -> tuple[list[RemoveFile], list[AddFile], list, dict]:
+    snapshot = txn.snapshot
+    part_cols = set(snapshot.partition_columns)
+    num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
+
+    # case 1: full truncate
+    if condition is None or condition.strip() == "" or condition.strip().lower() == "true":
+        txn.read_whole_table()
+        removes = [f.remove() for f in snapshot.all_files]
+        metrics = {"numRemovedFiles": str(len(removes))}
+        cdc = []
+        if with_cdf and removes:
+            all_df = read_files_df(spark, snapshot).withColumn("_change_type", F.lit("delete"))
+            cdc = write_cdc_files(all_df, snapshot.table_path)
+        return removes, [], cdc, metrics
+
+    # case 2: metadata-only partition delete
+    ast = None
+    try:
+        ast = P.parse_predicate(condition)
+    except P.UnsupportedPredicate:
+        pass
+    if ast is not None and P.references(ast) and P.references(ast) <= part_cols:
+        txn.read_predicates.append(condition)
+        removes = []
+        kept_files = []
+        for f in snapshot.all_files:
+            r = P.eval_partition(ast, snapshot.typed_partition_values(f))
+            if r is True:
+                removes.append(f.remove())
+                txn.read_files.add(f.path)
+        cdc = []
+        if with_cdf and removes:
+            victims = [snapshot.active[r.path] for r in removes]
+            df = read_files_df(spark, snapshot, victims).withColumn("_change_type", F.lit("delete"))
+            cdc = write_cdc_files(df, snapshot.table_path)
+        metrics = {"numRemovedFiles": str(len(removes))}
+        return removes, [], cdc, metrics
+
+    # case 3: scan + rewrite
+    candidates = txn.files_for_scan(condition)
+    touched = find_touched_files(spark, snapshot, candidates, condition)
+    txn.read_files.update(f.path for f in touched)
+    if not touched:
+        return [], [], [], {"numRemovedFiles": "0", "numAddedFiles": "0"}
+    touched_df = read_files_df(spark, snapshot, touched)
+    keep_df = touched_df.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+    adds = write_files(keep_df, snapshot.table_path, snapshot.partition_columns,
+                       num_indexed_cols=num_indexed)
+    removes = [f.remove() for f in touched]
+    cdc = []
+    if with_cdf:
+        deleted_df = touched_df.filter(condition).withColumn("_change_type", F.lit("delete"))
+        cdc = write_cdc_files(deleted_df, snapshot.table_path)
+    removed_rows = sum(f.num_records or 0 for f in touched)
+    copied_rows = sum(a.num_records or 0 for a in adds)
+    metrics = {
+        "numRemovedFiles": str(len(removes)),
+        "numAddedFiles": str(len(adds)),
+        "numCopiedRows": str(copied_rows),
+        "numDeletedRows": str(max(removed_rows - copied_rows, 0)),
+    }
+    return removes, adds, cdc, metrics
+
+
+def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str]) -> int:
+    txn = OptimisticTransaction(log)
+    cfg = txn.snapshot.configuration
+    removes, adds, cdc, metrics = delete_core(spark, txn, condition, cfg, with_cdf=cdf_enabled(cfg))
+    params = {"predicate": json.dumps([condition] if condition else [])}
+    return txn.commit(list(adds) + list(removes) + list(cdc), "DELETE", params, metrics)

@@ -1,0 +1,262 @@
+"""VACUUM, RESTORE, SHALLOW CLONE, CONVERT TO DELTA, TRUNCATE,
+GENERATE symlink manifests.
+
+Reference: commands/VacuumCommand.scala:137-205 (gc :147),
+commands/RestoreTableCommand.scala, commands/CloneTableCommand.scala,
+commands/ConvertToDeltaCommand.scala,
+commands/TruncateDeltaTableCommand.scala,
+hooks/GenerateSymlinkManifest.scala:50.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import SparkSession, functions as F
+
+from delta_spark.actions import AddFile, Metadata, RemoveFile
+from delta_spark.log import DeltaLog
+from delta_spark.stats import collect_stats_parallel, file_mtime_ms
+from delta_spark.transaction import OptimisticTransaction
+from delta_spark.util import (
+    HIVE_DEFAULT_PARTITION,
+    current_time_millis,
+    schema_to_json,
+    unescape_partition_value,
+)
+
+# ------------------------------------------------------------- VACUUM ----
+
+def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] = None,
+           dry_run: bool = False) -> list[str]:
+    """Delete unreferenced data files older than the retention window
+    (VacuumCommand.gc). Hidden dirs (`_delta_log`, `_change_data`,
+    staging) are protected by the underscore/dot rule, like the
+    reference. Returns the deleted (or would-delete) absolute paths."""
+    snapshot = log.update()
+    retention_ms = (int(retention_hours * 3600 * 1000)
+                    if retention_hours is not None else log.deleted_file_retention_ms())
+    if retention_hours is not None and retention_ms < 0:
+        raise ValueError("retention must be >= 0")
+    cutoff = current_time_millis() - retention_ms
+
+    valid: set[str] = set()
+    for f in snapshot.all_files:
+        valid.add(os.path.normpath(_abs(log.table_path, f.path)))
+    for r in snapshot.tombstones.values():
+        # tombstones still inside the retention window are protected;
+        # older ones are exactly what VACUUM reclaims
+        if (r.deletionTimestamp or 0) >= cutoff:
+            valid.add(os.path.normpath(_abs(log.table_path, r.path)))
+
+    candidates: list[str] = []
+    for root, dirs, files in os.walk(log.table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            p = os.path.normpath(os.path.join(root, name))
+            if p in valid:
+                continue
+            try:
+                mtime = int(os.stat(p).st_mtime * 1000)
+            except OSError:
+                continue
+            if mtime < cutoff:
+                candidates.append(p)
+
+    if dry_run:
+        return candidates
+
+    txn = OptimisticTransaction(log)
+    txn.commit([], "VACUUM START",
+               {"retentionCheckEnabled": "true",
+                "specifiedRetentionMillis": str(retention_ms)},
+               {"numFilesToDelete": str(len(candidates))})
+    deleted = 0
+    for p in candidates:
+        try:
+            os.remove(p)
+            deleted += 1
+        except OSError:
+            pass
+    _remove_empty_dirs(log.table_path)
+    txn2 = OptimisticTransaction(log)
+    txn2.commit([], "VACUUM END", {"status": "COMPLETED"},
+                {"numDeletedFiles": str(deleted)})
+    return candidates
+
+
+def _remove_empty_dirs(root: str) -> None:
+    for dirpath, dirs, files in os.walk(root, topdown=False):
+        if dirpath == root or os.path.basename(dirpath).startswith(("_", ".")):
+            continue
+        try:
+            os.rmdir(dirpath)  # only succeeds when empty
+        except OSError:
+            pass
+
+
+def _abs(table_path: str, p: str) -> str:
+    if p.startswith("/") or "://" in p:
+        return p
+    return os.path.join(table_path, p)
+
+
+# ------------------------------------------------------------ RESTORE ----
+
+def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
+            timestamp_ms: Optional[int] = None) -> dict:
+    """Set-diff the target snapshot against the current one and commit
+    the difference (RestoreTableCommand algorithm block)."""
+    if version is None:
+        if timestamp_ms is None:
+            raise ValueError("restore needs a version or timestamp")
+        version = log.version_at_timestamp(timestamp_ms)
+    target = log.snapshot_at(version)
+    txn = OptimisticTransaction(log)
+    current = txn.snapshot
+    txn.read_whole_table()
+
+    target_paths = set(target.active.keys())
+    current_paths = set(current.active.keys())
+    adds = []
+    missing = []
+    for p in target_paths - current_paths:
+        f = target.active[p]
+        if not os.path.exists(_abs(log.table_path, f.path)):
+            missing.append(f.path)
+            continue
+        adds.append(AddFile(path=f.path, partitionValues=f.partitionValues, size=f.size,
+                            modificationTime=f.modificationTime, dataChange=True, stats=f.stats))
+    if missing and not spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true":
+        raise FileNotFoundError(
+            f"{len(missing)} files of version {version} were vacuumed "
+            f"(e.g. {missing[0]}); set spark.sql.files.ignoreMissingFiles=true to restore anyway")
+    removes = [current.active[p].remove() for p in current_paths - target_paths]
+    actions: list = []
+    if target.metadata is not None and (current.metadata is None
+                                        or target.metadata != current.metadata):
+        actions.append(target.metadata)
+    actions += adds + removes
+    metrics = {
+        "tableSizeAfterRestore": str(target.size_in_bytes),
+        "numRestoredFiles": str(len(adds)),
+        "numRemovedFiles": str(len(removes)),
+    }
+    v = txn.commit(actions, "RESTORE", {"version": str(version)}, metrics)
+    return {"version": v, **metrics}
+
+
+# -------------------------------------------------------------- CLONE ----
+
+def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
+                  version: Optional[int] = None) -> dict:
+    """New table whose AddFiles point (absolute paths) at the source's
+    files (CloneTableCommand; SHALLOW CLONE grammar DeltaSqlBase.g4:103)."""
+    src = log.snapshot_at(version) if version is not None else log.update()
+    if src.metadata is None:
+        raise ValueError("cannot clone: source table has no metadata")
+    target_log = DeltaLog.for_table(target_path)
+    txn = OptimisticTransaction(target_log)
+    if txn.read_version >= 0:
+        raise ValueError(f"clone target already exists: {target_path}")
+    meta = Metadata(
+        name=src.metadata.name, description=src.metadata.description,
+        format=src.metadata.format, schemaString=src.metadata.schemaString,
+        partitionColumns=src.metadata.partitionColumns,
+        configuration=src.metadata.configuration, createdTime=current_time_millis())
+    adds = [AddFile(path=os.path.abspath(_abs(log.table_path, f.path)),
+                    partitionValues=f.partitionValues, size=f.size,
+                    modificationTime=f.modificationTime, dataChange=True, stats=f.stats)
+            for f in src.all_files]
+    metrics = {"sourceTableSize": str(src.size_in_bytes), "numCopiedFiles": "0",
+               "sourceNumOfFiles": str(src.num_files)}
+    v = txn.commit([meta] + adds, "CLONE",
+                   {"source": log.table_path, "sourceVersion": str(src.version),
+                    "isShallow": "true"}, metrics)
+    return {"version": v, **metrics}
+
+
+# ------------------------------------------------------------ CONVERT ----
+
+def convert_to_delta(spark: SparkSession, path: str,
+                     partition_schema: Optional[str] = None) -> DeltaLog:
+    """Parquet directory → delta table in place
+    (ConvertToDeltaCommandBase): list files, infer schema (Spark does it
+    distributed), collect footer stats, commit version 0."""
+    log = DeltaLog.for_table(path)
+    if log.table_exists():
+        return log  # idempotent, like the reference
+
+    part_cols: list[str] = []
+    if partition_schema:
+        # "col1 string, col2 int" — names only matter for layout parsing
+        part_cols = [c.strip().split()[0] for c in partition_schema.split(",") if c.strip()]
+
+    df = spark.read.option("basePath", path).parquet(path) if part_cols else spark.read.parquet(path)
+    schema = df.schema
+
+    data_files: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                data_files.append(os.path.join(root, name))
+    stats_map = collect_stats_parallel(data_files)
+    adds = []
+    for p in data_files:
+        rel = os.path.relpath(p, path).replace(os.sep, "/")
+        pvals: dict[str, Optional[str]] = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" in comp:
+                k, v = comp.split("=", 1)
+                pvals[unescape_partition_value(k)] = (
+                    None if v == HIVE_DEFAULT_PARTITION else unescape_partition_value(v))
+        adds.append(AddFile(path=rel, partitionValues={c: pvals.get(c) for c in part_cols},
+                            size=os.path.getsize(p), modificationTime=file_mtime_ms(p),
+                            dataChange=True, stats=stats_map.get(p)))
+    meta = Metadata(schemaString=schema_to_json(schema), partitionColumns=part_cols,
+                    createdTime=current_time_millis())
+    txn = OptimisticTransaction(log)
+    txn.commit([meta] + adds, "CONVERT",
+               {"numFiles": str(len(adds)), "partitionedBy": json.dumps(part_cols)},
+               {"numConvertedFiles": str(len(adds))})
+    return log
+
+
+# ----------------------------------------------------------- TRUNCATE ----
+
+def truncate(spark: SparkSession, log: DeltaLog) -> int:
+    """Remove every active file (TruncateDeltaTableCommand)."""
+    txn = OptimisticTransaction(log)
+    txn.read_whole_table()
+    removes = [f.remove() for f in txn.snapshot.all_files]
+    return txn.commit(removes, "TRUNCATE", {}, {"numRemovedFiles": str(len(removes))})
+
+
+# ----------------------------------------------------------- GENERATE ----
+
+def generate_symlink_manifest(spark: SparkSession, log: DeltaLog) -> str:
+    """GENERATE symlink_format_manifest (GenerateSymlinkManifest.scala:50):
+    per partition dir a `manifest` text file listing the active files."""
+    snapshot = log.update()
+    base = os.path.join(log.table_path, "_symlink_format_manifest")
+    by_dir: dict[str, list[str]] = {}
+    for f in snapshot.all_files:
+        abs_p = _abs(log.table_path, f.path)
+        rel_dir = os.path.dirname(f.path) if not f.path.startswith("/") else ""
+        by_dir.setdefault(rel_dir, []).append("file://" + os.path.abspath(abs_p))
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    for rel_dir, uris in by_dir.items():
+        d = os.path.join(base, rel_dir) if rel_dir else base
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "manifest"), "w") as fh:
+            fh.write("\n".join(sorted(uris)) + "\n")
+    return base

@@ -1,0 +1,310 @@
+"""MERGE INTO (reference: catalyst plan nodes deltaMerge.scala:123-311,
+two-phase execution ClassicMergeExecutor.scala:37-63, insert-only fast
+path InsertOnlyMergeExecutor.scala:59, duplicate-match detection
+MergeIntoCommandBase.scala, source materialization
+MergeIntoMaterializeSource.scala).
+
+Full ANSI clause surface:
+  WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
+  WHEN NOT MATCHED [AND cond] THEN INSERT ...
+  WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE
+Clauses of a category evaluate in declaration order, first match wins
+(deltaMerge semantics).
+
+Execution (Spark-first):
+  0. source is materialized via localCheckpoint() so the two phases see
+     identical rows (MergeIntoMaterializeSource determinism contract).
+  1. insert-only merges: LEFT ANTI join source→target, append
+     (no target files rewritten).
+  2. otherwise phase 1: INNER join target(+input_file_name)⇄source on
+     the merge condition → distinct touched files + per-target-row
+     match counts (duplicate-match error) in ONE distributed job.
+     phase 2: FULL OUTER (or LEFT OUTER when no insert clause) join of
+     ONLY the touched files' rows against the source, with a
+     first-matching-clause CASE projection per output column; rows
+     from untouched files are never read or written.
+Metrics are collected with df.observe() — zero extra passes.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from delta_spark.actions import AddFile
+from delta_spark.commands.delete import cdf_enabled, match_files_by_name
+from delta_spark.log import DeltaLog
+from delta_spark.reader import read_files_df
+from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+from delta_spark.transaction import OptimisticTransaction
+from delta_spark.writer import write_cdc_files, write_files
+
+
+class MergeError(Exception):
+    pass
+
+
+class _Clause:
+    __slots__ = ("kind", "condition", "values")
+
+    def __init__(self, kind: str, condition: Optional[str], values: Optional[dict[str, str]]):
+        self.kind = kind          # update | delete | insert
+        self.condition = condition
+        self.values = values or {}
+
+
+class MergeBuilder:
+    """Python mirror of io.delta.tables.DeltaMergeBuilder
+    (python/delta/tables.py:39-1695 API contract)."""
+
+    def __init__(self, spark: SparkSession, log: DeltaLog, source: DataFrame,
+                 condition: str, source_alias: str = "source", target_alias: str = "target"):
+        self.spark = spark
+        self.log = log
+        self.source = source
+        self.condition = condition
+        self.src = source_alias
+        self.tgt = target_alias
+        self.matched: list[_Clause] = []
+        self.not_matched: list[_Clause] = []
+        self.not_matched_by_source: list[_Clause] = []
+
+    # -- builder surface --------------------------------------------------
+
+    def whenMatchedUpdate(self, set: dict[str, str], condition: Optional[str] = None) -> "MergeBuilder":
+        self.matched.append(_Clause("update", condition, set))
+        return self
+
+    def whenMatchedUpdateAll(self, condition: Optional[str] = None) -> "MergeBuilder":
+        self.matched.append(_Clause("update", condition, {"*": "*"}))
+        return self
+
+    def whenMatchedDelete(self, condition: Optional[str] = None) -> "MergeBuilder":
+        self.matched.append(_Clause("delete", condition, None))
+        return self
+
+    def whenNotMatchedInsert(self, values: dict[str, str], condition: Optional[str] = None) -> "MergeBuilder":
+        self.not_matched.append(_Clause("insert", condition, values))
+        return self
+
+    def whenNotMatchedInsertAll(self, condition: Optional[str] = None) -> "MergeBuilder":
+        self.not_matched.append(_Clause("insert", condition, {"*": "*"}))
+        return self
+
+    def whenNotMatchedBySourceUpdate(self, set: dict[str, str],
+                                     condition: Optional[str] = None) -> "MergeBuilder":
+        self.not_matched_by_source.append(_Clause("update", condition, set))
+        return self
+
+    def whenNotMatchedBySourceDelete(self, condition: Optional[str] = None) -> "MergeBuilder":
+        self.not_matched_by_source.append(_Clause("delete", condition, None))
+        return self
+
+    # -- execution --------------------------------------------------------
+
+    def _expand_star(self, clause: _Clause, cols: list[str]) -> dict[str, str]:
+        if clause.values.get("*") == "*":
+            return {c: f"{self.src}.{c}" for c in cols}
+        return clause.values
+
+    def execute(self) -> int:
+        txn = OptimisticTransaction(self.log)
+        snapshot = txn.snapshot
+        if snapshot.metadata is None:
+            raise MergeError("target delta table does not exist")
+        cfg = snapshot.configuration
+        num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
+        cols = [f.name for f in snapshot.schema.fields]
+        source = self.source.localCheckpoint(eager=True)
+
+        if not self.matched and not self.not_matched_by_source and self.not_matched:
+            return self._insert_only(txn, source, cols, num_indexed, cfg)
+
+        # ---- phase 1: find touched files + duplicate detection ----
+        txn.read_whole_table()
+        target_all = (read_files_df(self.spark, snapshot)
+                      .withColumn("__delta_file", F.input_file_name())
+                      .withColumn("__t_rowid", F.monotonically_increasing_id()))
+        joined1 = (target_all.alias(self.tgt)
+                   .join(source.alias(self.src), F.expr(self.condition), "inner"))
+        per_row = (joined1.groupBy("__t_rowid")
+                   .agg(F.count(F.lit(1)).alias("__n"), F.first("__delta_file").alias("__f")))
+        summary = per_row.agg(
+            F.max("__n").alias("max_matches"),
+            F.collect_set("__f").alias("files"),
+        ).collect()[0]
+        touched_names = list(summary["files"] or [])
+        max_matches = summary["max_matches"] or 0
+        if max_matches > 1 and self.matched:
+            raise MergeError(
+                "MERGE cannot update/delete a target row matched by multiple source rows "
+                "(non-deterministic); deduplicate the source first")
+        touched = match_files_by_name(snapshot.all_files, touched_names)
+        txn.read_files.update(f.path for f in touched)
+
+        need_target_only = bool(self.not_matched_by_source)
+        if need_target_only:
+            # not-matched-by-source clauses touch every file
+            touched_paths = {f.path for f in touched}
+            touched = touched + [f for f in snapshot.all_files if f.path not in touched_paths]
+
+        if not touched and not self.not_matched:
+            return txn.commit([], "MERGE", self._op_params(), {"numTargetRowsUpdated": "0"})
+
+        # ---- phase 2: joint rewrite ----
+        join_type = "full_outer" if self.not_matched else "left_outer"
+        touched_df = (read_files_df(self.spark, snapshot, touched)
+                      .withColumn("__t_exists", F.lit(True)))
+        src_df = source.withColumn("__s_exists", F.lit(True))
+        joined = (touched_df.alias(self.tgt)
+                  .join(src_df.alias(self.src), F.expr(self.condition), join_type))
+
+        is_matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
+        is_src_only = F.col("__t_exists").isNull()
+        action = self._action_column(is_matched, is_src_only)
+        obs = Observation("merge_metrics")
+        joined = joined.withColumn("__action", action).observe(
+            obs,
+            F.sum(F.when(F.col("__action").startswith("u"), 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(F.col("__action").startswith("d"), 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("__action").startswith("i"), 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when(F.col("__action") == "copy", 1).otherwise(0)).alias("copied"),
+        )
+
+        out_cols = [self._value_column(c, snapshot).alias(c) for c in cols]
+        keep = ~F.col("__action").isin("drop") & ~F.col("__action").startswith("d")
+        result = joined.filter(keep).select(*out_cols)
+
+        with_cdf = cdf_enabled(cfg)
+        cdc_actions = []
+        if with_cdf:
+            cdc_actions = self._write_cdf(joined, cols, snapshot)
+
+        adds = write_files(result, snapshot.table_path, snapshot.partition_columns,
+                           num_indexed_cols=num_indexed)
+        removes = [f.remove() for f in touched]
+        try:
+            m = obs.get
+            metrics = {
+                "numTargetRowsUpdated": str(m.get("updated") or 0),
+                "numTargetRowsDeleted": str(m.get("deleted") or 0),
+                "numTargetRowsInserted": str(m.get("inserted") or 0),
+                "numTargetRowsCopied": str(m.get("copied") or 0),
+            }
+        except Exception:
+            metrics = {}
+        metrics["numTargetFilesRemoved"] = str(len(removes))
+        metrics["numTargetFilesAdded"] = str(len(adds))
+        return txn.commit(list(adds) + list(removes) + list(cdc_actions),
+                          "MERGE", self._op_params(), metrics)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _insert_only(self, txn, source: DataFrame, cols: list[str],
+                     num_indexed: int, cfg: dict) -> int:
+        """LEFT ANTI fast path (InsertOnlyMergeExecutor.scala:59):
+        no target file is rewritten; Catalyst broadcast-joins when the
+        target key projection is small."""
+        snapshot = txn.snapshot
+        txn.read_whole_table()
+        target = read_files_df(self.spark, snapshot)
+        new_rows = (source.alias(self.src)
+                    .join(target.alias(self.tgt), F.expr(self.condition), "left_anti"))
+        parts = []
+        remaining = new_rows
+        for cl in self.not_matched:
+            vals = self._expand_star(cl, cols)
+            subset = remaining.filter(cl.condition) if cl.condition else remaining
+            parts.append(subset.select(*[
+                (F.expr(vals[c]) if c in vals else F.lit(None)).cast(snapshot.schema[c].dataType).alias(c)
+                for c in cols]))
+            if cl.condition:
+                remaining = remaining.filter(~F.coalesce(F.expr(cl.condition), F.lit(False)))
+            else:
+                remaining = remaining.limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        cdc_actions = []
+        if cdf_enabled(cfg):
+            cdc_actions = write_cdc_files(out.withColumn("_change_type", F.lit("insert")),
+                                          snapshot.table_path)
+        adds = write_files(out, snapshot.table_path, snapshot.partition_columns,
+                           num_indexed_cols=num_indexed)
+        metrics = {"numTargetRowsInserted": str(sum(a.num_records or 0 for a in adds)),
+                   "numTargetFilesAdded": str(len(adds))}
+        return txn.commit(list(adds) + list(cdc_actions), "MERGE", self._op_params(), metrics)
+
+    def _action_column(self, is_matched, is_src_only):
+        """First-matching-clause resolution within each row category."""
+        def cascade(clauses: list[_Clause], prefix: str, default: str):
+            expr = F.lit(default)
+            for i in reversed(range(len(clauses))):
+                cl = clauses[i]
+                tag = F.lit(f"{cl.kind[0]}{prefix}{i}")
+                cond = F.coalesce(F.expr(cl.condition), F.lit(False)) if cl.condition else F.lit(True)
+                expr = F.when(cond, tag).otherwise(expr)
+            return expr
+
+        matched_expr = cascade(self.matched, "m", "copy")
+        insert_expr = cascade(self.not_matched, "i", "drop")
+        nbs_expr = cascade(self.not_matched_by_source, "s", "copy")
+        return (F.when(is_matched, matched_expr)
+                 .when(is_src_only, insert_expr)
+                 .otherwise(nbs_expr))
+
+    def _value_column(self, col: str, snapshot):
+        """Output value for one column as a CASE over __action."""
+        dt = snapshot.schema[col].dataType
+        expr = F.expr(f"{self.tgt}.{col}")  # copy default
+        all_clauses = (
+            [(f"{c.kind[0]}m{i}", c) for i, c in enumerate(self.matched)]
+            + [(f"{c.kind[0]}i{i}", c) for i, c in enumerate(self.not_matched)]
+            + [(f"{c.kind[0]}s{i}", c) for i, c in enumerate(self.not_matched_by_source)]
+        )
+        cols = [f.name for f in snapshot.schema.fields]
+        for tag, cl in all_clauses:
+            if cl.kind == "delete":
+                continue
+            vals = self._expand_star(cl, cols)
+            if cl.kind == "insert":
+                v = F.expr(vals[col]) if col in vals else F.lit(None)
+            else:  # update
+                target = {k.split(".")[-1]: v for k, v in vals.items()}
+                v = F.expr(target[col]) if col in target else F.expr(f"{self.tgt}.{col}")
+            expr = F.when(F.col("__action") == tag, v.cast(dt)).otherwise(expr)
+        return expr.cast(dt)
+
+    def _write_cdf(self, joined, cols: list[str], snapshot):
+        """Emit CDF rows: update_preimage/update_postimage, delete,
+        insert (MergeOutputGeneration CDF projection)."""
+        pre = (joined.filter(F.col("__action").startswith("u"))
+               .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
+               .withColumn("_change_type", F.lit("update_preimage")))
+        post = (joined.filter(F.col("__action").startswith("u"))
+                .select(*[self._value_column(c, snapshot).alias(c) for c in cols])
+                .withColumn("_change_type", F.lit("update_postimage")))
+        dels = (joined.filter(F.col("__action").startswith("d"))
+                .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
+                .withColumn("_change_type", F.lit("delete")))
+        ins = (joined.filter(F.col("__action").startswith("i"))
+               .select(*[self._value_column(c, snapshot).alias(c) for c in cols])
+               .withColumn("_change_type", F.lit("insert")))
+        cdf_df = pre.unionByName(post).unionByName(dels).unionByName(ins)
+        return write_cdc_files(cdf_df, snapshot.table_path)
+
+    def _op_params(self) -> dict:
+        return {
+            "predicate": self.condition,
+            "matchedPredicates": json.dumps(
+                [{"actionType": c.kind, **({"predicate": c.condition} if c.condition else {})}
+                 for c in self.matched]),
+            "notMatchedPredicates": json.dumps(
+                [{"actionType": c.kind, **({"predicate": c.condition} if c.condition else {})}
+                 for c in self.not_matched]),
+            "notMatchedBySourcePredicates": json.dumps(
+                [{"actionType": c.kind, **({"predicate": c.condition} if c.condition else {})}
+                 for c in self.not_matched_by_source]),
+        }

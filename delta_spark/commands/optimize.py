@@ -1,0 +1,221 @@
+"""OPTIMIZE: bin-packing compaction + Z-ORDER multi-dimensional
+clustering (reference commands/OptimizeTableCommand.scala:216-341,
+groupFilesIntoBins :407; skipping/MultiDimClustering.scala,
+MultiDimClusteringFunctions.scala:41 range_partition_id,
+:58 interleave_bits; expressions/InterleaveBits.scala:40).
+
+Compaction: per partition, greedily pack files smaller than
+min_file_size into bins of ≤ max_file_size, rewrite each partition's
+bins in ONE distributed job (`repartition(n_bins)`), commit
+Add(dataChange=false) + Remove. Readers are unaffected (snapshot
+isolation; conflict-free with appends since dataChange=false commits
+take SnapshotIsolation).
+
+Z-ORDER (scale design): per clustering column, compute ~`num_ranges`
+range boundaries with a distributed sampled quantile pass
+(approxQuantile — the PySpark analogue of RangePartitionId's sampling
+partitioner), map each row to its range id with a codegen'd
+aggregate-over-boundary-array expression (no UDF, no global window —
+a global ntile() would serialize through one partition at 100 TB),
+interleave the range-id bits into a single long z-key with shift/or
+arithmetic, then repartitionByRange(z-key) + sortWithinPartitions so
+each output file covers a tight z-curve segment → tight min/max stats
+→ effective data skipping on all clustered dimensions.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from delta_spark.actions import AddFile
+from delta_spark.log import DeltaLog
+from delta_spark.reader import read_files_df
+from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+from delta_spark.transaction import OptimisticTransaction
+from delta_spark.writer import write_files
+
+DEFAULT_MAX_FILE_SIZE = 256 * 1024 * 1024   # reference default 1 GiB; smaller
+DEFAULT_MIN_FILE_SIZE = 128 * 1024 * 1024   # suits local bench scale
+DEFAULT_ZORDER_NUM_RANGES = 256              # reference default 1000
+
+
+class OptimizeBuilder:
+    def __init__(self, spark: SparkSession, log: DeltaLog,
+                 partition_filter: Optional[str] = None):
+        self.spark = spark
+        self.log = log
+        self.partition_filter = partition_filter
+
+    def where(self, partition_filter: str) -> "OptimizeBuilder":
+        self.partition_filter = partition_filter
+        return self
+
+    def executeCompaction(self, max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+                          min_file_size: Optional[int] = None) -> dict:
+        return _compact(self.spark, self.log, self.partition_filter,
+                        max_file_size, min_file_size or max_file_size // 2)
+
+    def executeZOrderBy(self, *cols: str,
+                        max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+                        num_ranges: int = DEFAULT_ZORDER_NUM_RANGES) -> dict:
+        return _zorder(self.spark, self.log, list(cols), self.partition_filter,
+                       max_file_size, num_ranges)
+
+
+def _select_partitions(txn: OptimisticTransaction, partition_filter: Optional[str]):
+    """Group candidate files by partition tuple, honoring the optional
+    partition predicate (OPTIMIZE ... WHERE only allows partition cols)."""
+    from delta_spark import predicates as P
+
+    snapshot = txn.snapshot
+    part_cols = snapshot.partition_columns
+    files = snapshot.all_files
+    if partition_filter:
+        ast = P.parse_predicate(partition_filter)
+        refs = P.references(ast)
+        if not refs <= set(part_cols):
+            raise ValueError("OPTIMIZE WHERE supports partition columns only")
+        files = [f for f in files
+                 if P.eval_partition(ast, snapshot.typed_partition_values(f)) is True]
+        txn.read_predicates.append(partition_filter)
+    groups: dict[tuple, list[AddFile]] = {}
+    for f in files:
+        key = tuple(sorted((k, v) for k, v in f.partitionValues.items()))
+        groups.setdefault(key, []).append(f)
+    return groups
+
+
+def _compact(spark: SparkSession, log: DeltaLog, partition_filter: Optional[str],
+             max_file_size: int, min_file_size: int) -> dict:
+    txn = OptimisticTransaction(log)
+    snapshot = txn.snapshot
+    adds: list[AddFile] = []
+    removes = []
+    n_bins = 0
+    for _key, files in _select_partitions(txn, partition_filter).items():
+        small = [f for f in files if f.size < min_file_size]
+        if len(small) < 2:
+            continue
+        total = sum(f.size for f in small)
+        bins = max(1, math.ceil(total / max_file_size))
+        if bins >= len(small):
+            continue  # repacking wouldn't reduce file count
+        df = read_files_df(spark, snapshot, small)
+        new = write_files(df.repartition(bins), snapshot.table_path,
+                          snapshot.partition_columns, data_change=False)
+        adds.extend(new)
+        removes.extend(f.remove(data_change=False) for f in small)
+        txn.read_files.update(f.path for f in small)
+        n_bins += bins
+    metrics = {
+        "numRemovedFiles": str(len(removes)),
+        "numAddedFiles": str(len(adds)),
+        "numBatches": str(n_bins),
+    }
+    if not adds and not removes:
+        return {"version": txn.read_version, **metrics}
+    v = txn.commit(list(adds) + list(removes), "OPTIMIZE",
+                   {"predicate": json.dumps([partition_filter] if partition_filter else [])},
+                   metrics)
+    return {"version": v, **metrics}
+
+
+def range_id_column(col: str, boundaries: list) -> Column:
+    """Distributed range-id assignment: id = #boundaries ≤ value, via a
+    codegen'd fold over the (small, literal) boundary array — the
+    PySpark analogue of range_partition_id
+    (MultiDimClusteringFunctions.scala:41) without a sort or UDF."""
+    from delta_spark.util import sql_literal
+
+    if not boundaries:
+        return F.lit(0)
+    arr = "array(" + ",".join(sql_literal(b) for b in boundaries) + ")"
+    return F.expr(
+        f"aggregate({arr}, 0, (acc, b) -> acc + IF(`{col}` >= b, 1, 0))"
+    )
+
+
+def interleave_bits(range_ids: list[Column], bits_per_col: int) -> Column:
+    """Interleave the low `bits_per_col` bits of each range id into one
+    long (expressions/InterleaveBits.scala:40) with pure shift/or
+    arithmetic — stays inside whole-stage codegen."""
+    k = len(range_ids)
+    terms = None
+    for b in range(bits_per_col):
+        for i, rid in enumerate(range_ids):
+            bit = F.shiftright(rid.cast("long"), b).bitwiseAND(F.lit(1))
+            placed = F.shiftleft(bit, b * k + (k - 1 - i))
+            terms = placed if terms is None else terms.bitwiseOR(placed)
+    return terms if terms is not None else F.lit(0)
+
+
+def zorder_key(df: DataFrame, cols: list[str], num_ranges: int) -> tuple[DataFrame, str]:
+    """Attach a __zkey column; boundaries from a sampled distributed
+    quantile pass (relativeError 0.01 → tiny driver footprint)."""
+    bits = max(1, math.ceil(math.log2(num_ranges)))
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    rids = []
+    for c in cols:
+        dt = df.schema[c].dataType.typeName()
+        if dt in ("string",):
+            # strings: range ids over a numeric surrogate (xxhash) keeps
+            # the quantile pass numeric; clustering quality equals
+            # hash-range clustering for strings
+            num = F.xxhash64(F.col(c)).cast("double")
+            tmp = df.select(num.alias("__v"))
+            bounds = tmp.approxQuantile("__v", probs, 0.01)
+            rids.append(range_id_column_from(num, bounds))
+        else:
+            bounds = df.approxQuantile(c, probs, 0.01)
+            rids.append(range_id_column(c, bounds))
+    key = interleave_bits(rids, bits)
+    return df.withColumn("__zkey", key), "__zkey"
+
+
+def range_id_column_from(value: Column, boundaries: list) -> Column:
+    if not boundaries:
+        return F.lit(0)
+    expr = F.lit(0)
+    for b in boundaries:
+        expr = expr + F.when(value >= F.lit(b), 1).otherwise(0)
+    return expr
+
+
+def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
+            partition_filter: Optional[str], max_file_size: int, num_ranges: int) -> dict:
+    txn = OptimisticTransaction(log)
+    snapshot = txn.snapshot
+    if not cols:
+        raise ValueError("ZORDER BY requires at least one column")
+    part_cols = set(snapshot.partition_columns)
+    for c in cols:
+        if c in part_cols:
+            raise ValueError(f"cannot Z-ORDER BY partition column {c}")
+        if c not in [f.name for f in snapshot.schema.fields]:
+            raise ValueError(f"unknown Z-ORDER column {c}")
+    adds: list[AddFile] = []
+    removes = []
+    for _key, files in _select_partitions(txn, partition_filter).items():
+        total = sum(f.size for f in files)
+        n_out = max(1, math.ceil(total / max_file_size))
+        df = read_files_df(spark, snapshot, files)
+        zdf, zcol = zorder_key(df, cols, num_ranges)
+        clustered = (zdf.repartitionByRange(n_out, F.col(zcol))
+                     .sortWithinPartitions(zcol)
+                     .drop(zcol))
+        new = write_files(clustered, snapshot.table_path, snapshot.partition_columns,
+                          data_change=False)
+        adds.extend(new)
+        removes.extend(f.remove(data_change=False) for f in files)
+        txn.read_files.update(f.path for f in files)
+    metrics = {"numRemovedFiles": str(len(removes)), "numAddedFiles": str(len(adds))}
+    if not adds:
+        return {"version": txn.read_version, **metrics}
+    v = txn.commit(list(adds) + list(removes), "OPTIMIZE",
+                   {"zOrderBy": json.dumps(cols)}, metrics)
+    return {"version": v, **metrics}

@@ -1,0 +1,110 @@
+"""Write-path invariant enforcement: NOT NULL + CHECK constraints +
+generated/default/identity column handling.
+
+Reference: constraints/Constraints.scala:56-80 (CHECK constraints are
+stored as `delta.constraints.<name>` table properties),
+constraints/DeltaInvariantCheckerExec.scala:44 (row-level enforcement
+node), GeneratedColumn.scala:92-157, IdentityColumn.scala:53-164.
+
+Enforcement stays distributed and JVM-side: each constraint becomes a
+`CASE WHEN NOT coalesce(expr, false) THEN raise_error(...) END` column
+appended for the duration of the write — the write job itself fails on
+the first violating row, with no extra pass over the data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from delta_spark.schema import generation_expressions, identity_info
+
+CONSTRAINT_PROP_PREFIX = "delta.constraints."
+
+
+class ConstraintViolation(Exception):
+    pass
+
+
+def check_constraints(configuration: dict[str, str]) -> dict[str, str]:
+    """table configuration → {constraint_name: sql_expr}."""
+    out = {}
+    for k, v in (configuration or {}).items():
+        if k.startswith(CONSTRAINT_PROP_PREFIX):
+            out[k[len(CONSTRAINT_PROP_PREFIX):]] = v
+    return out
+
+
+def enforce_invariants(df: DataFrame, schema: T.StructType, configuration: dict[str, str]) -> DataFrame:
+    """Invariant enforcement that survives column pruning: guards are
+    folded into a single always-true filter wrapping raise_error."""
+    conds = []
+    for f in schema.fields:
+        if not f.nullable and f.name in df.columns:
+            conds.append(
+                F.when(F.col(f.name).isNull(),
+                       F.raise_error(F.lit(f"NOT NULL constraint violated for column: {f.name}"))
+                       .cast("boolean"))
+                .otherwise(F.lit(True)))
+    for name, expr in check_constraints(configuration).items():
+        conds.append(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)),
+                   F.raise_error(F.lit(f"CHECK constraint {name} ({expr}) violated")).cast("boolean"))
+            .otherwise(F.lit(True)))
+    out = df
+    for c in conds:
+        out = out.filter(c)
+    return out
+
+
+def apply_generated_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Compute GENERATED ALWAYS AS columns that the writer didn't
+    provide (GeneratedColumn.scala:92: computed on write; validated when
+    explicitly provided — we recompute-or-fail via enforce step)."""
+    gens = generation_expressions(schema)
+    out = df
+    for col, expr in gens.items():
+        if col not in df.columns:
+            out = out.withColumn(col, F.expr(expr))
+        else:
+            # validate provided values match the generation expression
+            out = out.filter(
+                F.when(~(F.col(col).eqNullSafe(F.expr(expr))),
+                       F.raise_error(F.lit(
+                           f"Provided value for generated column {col} does not match "
+                           f"generation expression {expr}")).cast("boolean"))
+                .otherwise(F.lit(True)))
+    return out
+
+
+def apply_identity_columns(df: DataFrame, schema: T.StructType) -> tuple[DataFrame, dict[str, int], bool]:
+    """Fill missing identity columns. Returns (df, new_watermarks,
+    any_generated). Values are unique and respect start/step but are not
+    contiguous (same contract as IdentityColumn.scala — uses
+    monotonically_increasing_id under the hood)."""
+    infos = identity_info(schema)
+    if not infos:
+        return df, {}, False
+    out = df
+    watermarks: dict[str, int] = {}
+    generated = False
+    for col, info in infos.items():
+        if col in df.columns:
+            if not info["allowExplicitInsert"]:
+                raise ConstraintViolation(
+                    f"cannot write explicit values to GENERATED ALWAYS AS IDENTITY column {col}")
+            continue
+        start, step = info["start"], info["step"]
+        hwm = info["highWaterMark"]
+        base = int(hwm) + step if hwm is not None else start
+        # monotonically_increasing_id: unique, non-contiguous 64-bit ids;
+        # scale-safe (no shuffle, no window) at the cost of gaps — the
+        # reference makes the same tradeoff (IdentityColumn.scala:53).
+        out = out.withColumn(col, (F.lit(base) + F.monotonically_increasing_id() * F.lit(step)).cast("long"))
+        # new watermark must bound all generated values: mid ids are
+        # bounded by (maxPartitionId << 33) + rowsPerPartition; computing
+        # exactly needs an agg — do it lazily at commit time instead.
+        watermarks[col] = base  # placeholder, fixed up by writer post-agg
+        generated = True
+    return out, watermarks, generated

@@ -1,0 +1,203 @@
+"""WriteIntoDelta: the batch write command behind
+`df.write.format("delta")` (reference commands/WriteIntoDelta.scala:81-141,
+options DeltaOptions.scala:294-329).
+
+Modes: append / overwrite / ignore / error; `replace_where` for
+predicate-scoped overwrite; dynamic partition overwrite; mergeSchema /
+overwriteSchema evolution; txnAppId/txnVersion idempotent writes.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from delta_spark import predicates as P
+from delta_spark.actions import AddFile, Metadata, RemoveFile, SetTransaction
+from delta_spark.constraints import (
+    apply_generated_columns,
+    apply_identity_columns,
+    enforce_invariants,
+)
+from delta_spark.log import DeltaLog
+from delta_spark.schema import (
+    is_same_schema,
+    merge_schemas,
+    with_identity_watermark,
+)
+from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+from delta_spark.transaction import OptimisticTransaction
+from delta_spark.util import current_time_millis, schema_from_json, schema_to_json
+from delta_spark.writer import normalize_df, write_files
+
+
+class DeltaWriteError(Exception):
+    pass
+
+
+def _num_indexed_cols(configuration: dict[str, str]) -> int:
+    try:
+        return int(configuration.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
+    except (TypeError, ValueError):
+        return DEFAULT_NUM_INDEXED_COLS
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: Optional[list[str]] = None,
+    replace_where: Optional[str] = None,
+    merge_schema: bool = False,
+    overwrite_schema: bool = False,
+    partition_overwrite_mode: str = "static",
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
+    configuration: Optional[dict[str, str]] = None,
+    user_metadata: Optional[str] = None,
+    operation: Optional[str] = None,
+) -> Optional[int]:
+    """Run one transactional write; returns the committed version (None
+    when skipped: mode=ignore on existing table, or replayed txn)."""
+    mode = mode.lower()
+    if mode not in ("append", "overwrite", "ignore", "error", "errorifexists"):
+        raise ValueError(f"unknown write mode {mode!r}")
+    log = DeltaLog.for_table(path)
+    txn = OptimisticTransaction(log)
+    exists = txn.read_version >= 0 and txn.metadata is not None
+
+    if exists and mode == "ignore":
+        return None
+    if exists and mode in ("error", "errorifexists"):
+        raise DeltaWriteError(f"delta table already exists at {path}")
+
+    # idempotent writes (DeltaOptions txnAppId/txnVersion)
+    if txn_app_id is not None and txn_version is not None:
+        last = txn.txn_version(txn_app_id)
+        if last is not None and last >= txn_version:
+            return None
+
+    actions: list = []
+    spark = df.sparkSession
+
+    if not exists:
+        schema = df.schema
+        part_cols = list(partition_by or [])
+        for c in part_cols:
+            if c not in [f.name for f in schema.fields]:
+                raise DeltaWriteError(f"partition column {c!r} not in data")
+        metadata = Metadata(
+            schemaString=schema_to_json(schema),
+            partitionColumns=part_cols,
+            configuration=dict(configuration or {}),
+            createdTime=current_time_millis(),
+        )
+        actions.append(metadata)
+        table_schema = schema
+    else:
+        metadata = txn.metadata
+        part_cols = list(metadata.partitionColumns)
+        if partition_by and list(partition_by) != part_cols:
+            raise DeltaWriteError(
+                f"partitioning {partition_by} does not match table partitioning {part_cols}")
+        table_schema = schema_from_json(metadata.schemaString)
+        if mode == "overwrite" and overwrite_schema:
+            table_schema = df.schema
+            metadata = Metadata(
+                id=metadata.id, name=metadata.name, description=metadata.description,
+                format=metadata.format, schemaString=schema_to_json(table_schema),
+                partitionColumns=list(partition_by or part_cols),
+                configuration=metadata.configuration, createdTime=metadata.createdTime)
+            part_cols = list(metadata.partitionColumns)
+            actions.append(metadata)
+        elif merge_schema:
+            merged = merge_schemas(table_schema, df.schema)
+            if not is_same_schema(merged, table_schema):
+                table_schema = merged
+                metadata = Metadata(
+                    id=metadata.id, name=metadata.name, description=metadata.description,
+                    format=metadata.format, schemaString=schema_to_json(merged),
+                    partitionColumns=part_cols, configuration=metadata.configuration,
+                    createdTime=metadata.createdTime)
+                actions.append(metadata)
+
+    cfg = dict(configuration or {}) if not exists else dict(txn.metadata.configuration)
+
+    # ---- normalize + governance (generated/identity/invariants) ----
+    out_df = apply_generated_columns(df, table_schema)
+    out_df, id_watermarks, id_generated = apply_identity_columns(out_df, table_schema)
+    out_df = normalize_df(out_df, table_schema, allow_missing_nullable=merge_schema or not exists)
+    out_df = enforce_invariants(out_df, table_schema, cfg)
+    if replace_where:
+        # new rows must satisfy the replaceWhere predicate
+        out_df = out_df.filter(
+            F.when(~F.coalesce(F.expr(replace_where), F.lit(False)),
+                   F.raise_error(F.lit(f"written data violates replaceWhere {replace_where!r}"))
+                   .cast("boolean")).otherwise(F.lit(True)))
+
+    if id_generated:
+        # identity watermark must bound generated values → needs a max agg.
+        # Materialize so the ids the agg sees are the ids written.
+        out_df = out_df.localCheckpoint(eager=True)
+        new_schema = table_schema
+        for col, _ in id_watermarks.items():
+            mx = out_df.agg(F.max(F.col(col)).alias("m")).collect()[0]["m"]
+            if mx is not None:
+                new_schema = with_identity_watermark(new_schema, col, int(mx))
+        if actions and isinstance(actions[0], Metadata):
+            actions[0].schemaString = schema_to_json(new_schema)
+        else:
+            m = txn.metadata
+            actions.append(Metadata(
+                id=m.id, name=m.name, description=m.description, format=m.format,
+                schemaString=schema_to_json(new_schema), partitionColumns=part_cols,
+                configuration=m.configuration, createdTime=m.createdTime))
+
+    adds = write_files(out_df, log.table_path, part_cols,
+                       num_indexed_cols=_num_indexed_cols(cfg))
+
+    removes: list[RemoveFile] = []
+    if mode == "overwrite" and exists:
+        if replace_where:
+            removes, extra_adds = _replace_where_removes(spark, txn, replace_where, cfg)
+            adds += extra_adds
+        elif partition_overwrite_mode.lower() == "dynamic":
+            written_parts = {tuple(sorted(a.partitionValues.items())) for a in adds}
+            for f in txn.snapshot.all_files:
+                if tuple(sorted(f.partitionValues.items())) in written_parts:
+                    removes.append(f.remove())
+            txn.read_whole_table()
+        else:
+            removes = [f.remove() for f in txn.snapshot.all_files]
+            txn.read_whole_table()
+
+    num_rows = sum(a.num_records or 0 for a in adds)
+    metrics = {
+        "numFiles": str(len(adds)),
+        "numOutputRows": str(num_rows),
+        "numOutputBytes": str(sum(a.size for a in adds)),
+        "numRemovedFiles": str(len(removes)),
+    }
+    actions.extend(adds)
+    actions.extend(removes)
+    if txn_app_id is not None and txn_version is not None:
+        actions.append(SetTransaction(appId=txn_app_id, version=txn_version,
+                                      lastUpdated=current_time_millis()))
+    op = operation or ("CREATE TABLE AS SELECT" if not exists else "WRITE")
+    params = {"mode": mode.capitalize(), "partitionBy": json.dumps(part_cols)}
+    if replace_where:
+        params["predicate"] = replace_where
+    return txn.commit(actions, op, params, metrics, user_metadata=user_metadata)
+
+
+def _replace_where_removes(spark: SparkSession, txn: OptimisticTransaction,
+                           predicate: str, cfg: dict) -> tuple[list[RemoveFile], list[AddFile]]:
+    """Delete rows matching the replaceWhere predicate: whole-file drop
+    when the file provably only contains matching rows (partition
+    predicate), else rewrite keeping non-matching rows."""
+    from delta_spark.commands.delete import split_delete_files
+
+    removes, rewritten = split_delete_files(spark, txn, predicate, cfg)
+    return removes, rewritten

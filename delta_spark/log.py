@@ -1,0 +1,433 @@
+"""DeltaLog: the transaction log of one table.
+
+Responsibilities (mirroring reference DeltaLog.scala +
+SnapshotManagement.scala + Checkpoints.scala):
+  * list `_delta_log/` → (checkpoints, json commits) → LogSegment
+  * build/advance Snapshots by replay (SnapshotManagement.update :1073)
+  * serve historical snapshots for time travel (getSnapshotAt :1531)
+  * write/read Parquet checkpoints + `_last_checkpoint` pointer
+    (Checkpoints.scala:267,670; PROTOCOL.md "Checkpoints")
+  * atomic put-if-absent commit-file writes (storage/LogStore.java:100,
+    :140 — local FS implementation via hard-link exclusivity)
+  * commit history for DESCRIBE HISTORY / timestamp time travel
+    (DeltaHistoryManager.scala:230 getActiveCommitAtTime)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+import threading
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from delta_spark.actions import (
+    AddFile,
+    CommitInfo,
+    DomainMetadata,
+    Format,
+    Metadata,
+    Protocol,
+    RemoveFile,
+    SetTransaction,
+    parse_action_line,
+)
+from delta_spark.snapshot import Snapshot
+from delta_spark.util import current_time_millis
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+DEFAULT_CHECKPOINT_INTERVAL = 10
+DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta.deletedFileRetentionDuration
+DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
+
+
+class ConcurrentModificationException(Exception):
+    """A concurrent writer committed the version we tried to write."""
+
+
+# --------------------------------------------------------- LogStore ----
+
+class LocalLogStore:
+    """Atomic put-if-absent on a local/posix filesystem.
+
+    Contract is the reference's LogStore.java:100 `write(path,
+    overwrite=false)`: the commit file must appear atomically and
+    creation must fail if it already exists. Local FS: write a temp
+    file in the same directory, then `os.link` it into place —
+    hard-link creation is atomic and fails with EEXIST. Object stores
+    would plug in here with their conditional-put primitive.
+    """
+
+    def write_atomic(self, path: str, content: str) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_commit_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise ConcurrentModificationException(path)
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def read(self, path: str) -> str:
+        with open(path, "r") as f:
+            return f.read()
+
+    def list_dir(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+
+# -------------------------------------------------- checkpoint schema ----
+
+def _checkpoint_arrow_schema() -> pa.Schema:
+    smap = pa.map_(pa.string(), pa.string())
+    add = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", smap),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    remove = pa.struct([
+        ("path", pa.string()),
+        ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("partitionValues", smap),
+        ("size", pa.int64()),
+    ])
+    metadata = pa.struct([
+        ("id", pa.string()),
+        ("name", pa.string()),
+        ("description", pa.string()),
+        ("format", pa.struct([("provider", pa.string()), ("options", smap)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", smap),
+        ("createdTime", pa.int64()),
+    ])
+    protocol = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    txn = pa.struct([("appId", pa.string()), ("version", pa.int64()), ("lastUpdated", pa.int64())])
+    domain = pa.struct([("domain", pa.string()), ("configuration", pa.string()), ("removed", pa.bool_())])
+    return pa.schema([
+        ("add", add), ("remove", remove), ("metaData", metadata),
+        ("protocol", protocol), ("txn", txn), ("domainMetadata", domain),
+    ])
+
+
+def _tuples_to_dict(v):
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+class DeltaLog:
+    """One per table path; cached process-wide (DeltaLog.scala:850)."""
+
+    _cache: dict[str, "DeltaLog"] = {}
+    _cache_lock = threading.Lock()
+
+    def __init__(self, table_path: str):
+        self.table_path = os.path.abspath(table_path)
+        self.log_path = os.path.join(self.table_path, "_delta_log")
+        self.store = LocalLogStore()
+        self._snapshot: Optional[Snapshot] = None
+        self._lock = threading.Lock()
+        self.checkpoint_interval = DEFAULT_CHECKPOINT_INTERVAL
+
+    # ------------------------------------------------------- factory ----
+
+    @classmethod
+    def for_table(cls, table_path: str) -> "DeltaLog":
+        key = os.path.abspath(table_path)
+        with cls._cache_lock:
+            if key not in cls._cache:
+                cls._cache[key] = cls(key)
+            return cls._cache[key]
+
+    @classmethod
+    def clear_cache(cls) -> None:
+        with cls._cache_lock:
+            cls._cache.clear()
+
+    def table_exists(self) -> bool:
+        return self.list_commit_versions() != []
+
+    # ------------------------------------------------------- listing ----
+
+    def list_commit_versions(self) -> list[int]:
+        out = []
+        for name in self.store.list_dir(self.log_path):
+            m = _COMMIT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def list_checkpoint_versions(self) -> list[int]:
+        out = []
+        for name in self.store.list_dir(self.log_path):
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self.list_commit_versions()
+        return versions[-1] if versions else -1
+
+    def commit_file(self, version: int) -> str:
+        return os.path.join(self.log_path, "%020d.json" % version)
+
+    def checkpoint_file(self, version: int) -> str:
+        return os.path.join(self.log_path, "%020d.checkpoint.parquet" % version)
+
+    def read_commit_actions(self, version: int):
+        path = self.commit_file(version)
+        content = self.store.read(path)
+        return [parse_action_line(line) for line in content.splitlines() if line.strip()]
+
+    # ------------------------------------------------------ snapshots ----
+
+    def update(self) -> Snapshot:
+        """List new log files and advance the cached snapshot
+        (SnapshotManagement.update)."""
+        with self._lock:
+            latest = self.latest_version()
+            if latest < 0:
+                self._snapshot = Snapshot(self.table_path, -1)
+                return self._snapshot
+            if self._snapshot is not None and self._snapshot.version == latest:
+                return self._snapshot
+            if self._snapshot is not None and self._snapshot.version < latest:
+                # incremental: apply only the new commits
+                snap = self._snapshot.clone_state()
+                for v in range(snap.version + 1, latest + 1):
+                    snap.apply_actions(self.read_commit_actions(v))
+                    snap.version = v
+                snap.timestamp = self._commit_timestamp(latest)
+                self._snapshot = snap
+                return snap
+            self._snapshot = self._build_snapshot(latest)
+            return self._snapshot
+
+    @property
+    def snapshot(self) -> Snapshot:
+        return self.update()
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Time travel (SnapshotManagement.getSnapshotAt)."""
+        latest = self.latest_version()
+        if version > latest or version < 0:
+            raise ValueError(
+                f"Cannot time travel to version {version}; latest is {latest}")
+        return self._build_snapshot(version)
+
+    def _build_snapshot(self, version: int) -> Snapshot:
+        snap = Snapshot(self.table_path, version)
+        start = 0
+        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
+        if ckpts:
+            ck = ckpts[-1]
+            self._apply_checkpoint(snap, ck)
+            start = ck + 1
+        commits = set(self.list_commit_versions())
+        for v in range(start, version + 1):
+            if v not in commits:
+                raise ValueError(f"missing commit file version {v} in {self.log_path}")
+            snap.apply_actions(self.read_commit_actions(v))
+        snap.version = version
+        snap.timestamp = self._commit_timestamp(version)
+        return snap
+
+    def _commit_timestamp(self, version: int) -> int:
+        try:
+            return int(os.stat(self.commit_file(version)).st_mtime * 1000)
+        except OSError:
+            return 0
+
+    # ----------------------------------------------------- checkpoint ----
+
+    def write_checkpoint(self, snap: Optional[Snapshot] = None) -> None:
+        """Classic single-file V1 checkpoint: one Parquet of SingleAction
+        rows + `_last_checkpoint` pointer (Checkpoints.scala:670)."""
+        snap = snap or self.update()
+        if snap.version < 0:
+            return
+        rows: list[dict] = []
+        rows.append({"protocol": {"minReaderVersion": snap.protocol.minReaderVersion,
+                                  "minWriterVersion": snap.protocol.minWriterVersion}})
+        if snap.metadata is not None:
+            m = snap.metadata
+            rows.append({"metaData": {
+                "id": m.id, "name": m.name, "description": m.description,
+                "format": {"provider": m.format.provider, "options": m.format.options or {}},
+                "schemaString": m.schemaString,
+                "partitionColumns": m.partitionColumns,
+                "configuration": m.configuration or {},
+                "createdTime": m.createdTime,
+            }})
+        for t in snap.set_transactions.values():
+            rows.append({"txn": {"appId": t.appId, "version": t.version, "lastUpdated": t.lastUpdated}})
+        for dm in snap.domain_metadata.values():
+            rows.append({"domainMetadata": {"domain": dm.domain, "configuration": dm.configuration,
+                                            "removed": dm.removed}})
+        for f in snap.active.values():
+            rows.append({"add": {
+                "path": f.path, "partitionValues": f.partitionValues or {},
+                "size": f.size, "modificationTime": f.modificationTime,
+                "dataChange": False if f.dataChange is None else bool(f.dataChange),
+                "stats": f.stats,
+            }})
+        for r in snap.tombstones.values():
+            rows.append({"remove": {
+                "path": r.path, "deletionTimestamp": r.deletionTimestamp,
+                "dataChange": bool(r.dataChange), "partitionValues": r.partitionValues or {},
+                "size": r.size,
+            }})
+        schema = _checkpoint_arrow_schema()
+        cols = {name: [row.get(name) for row in rows] for name in schema.names}
+        table = pa.Table.from_pydict(cols, schema=schema)
+        path = self.checkpoint_file(snap.version)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        last = {"version": snap.version, "size": len(rows)}
+        lc = os.path.join(self.log_path, "_last_checkpoint")
+        with open(lc + ".tmp", "w") as f:
+            f.write(json.dumps(last))
+        os.replace(lc + ".tmp", lc)
+
+    def _apply_checkpoint(self, snap: Snapshot, version: int) -> None:
+        table = pq.read_table(self.checkpoint_file(version))
+        for row in table.to_pylist():
+            if row.get("protocol"):
+                p = row["protocol"]
+                snap.protocol = Protocol(minReaderVersion=p["minReaderVersion"] or 1,
+                                         minWriterVersion=p["minWriterVersion"] or 2)
+            elif row.get("metaData"):
+                m = row["metaData"]
+                fmt = m.get("format") or {}
+                snap.metadata = Metadata(
+                    id=m.get("id") or "",
+                    name=m.get("name"),
+                    description=m.get("description"),
+                    format=Format(provider=(fmt.get("provider") or "parquet"),
+                                  options=_tuples_to_dict(fmt.get("options"))),
+                    schemaString=m.get("schemaString") or "{}",
+                    partitionColumns=list(m.get("partitionColumns") or []),
+                    configuration=_tuples_to_dict(m.get("configuration")),
+                    createdTime=m.get("createdTime"),
+                )
+            elif row.get("txn"):
+                t = row["txn"]
+                snap.set_transactions[t["appId"]] = SetTransaction(
+                    appId=t["appId"], version=t["version"], lastUpdated=t.get("lastUpdated"))
+            elif row.get("domainMetadata"):
+                d = row["domainMetadata"]
+                snap.domain_metadata[d["domain"]] = DomainMetadata(
+                    domain=d["domain"], configuration=d.get("configuration") or "{}",
+                    removed=bool(d.get("removed")))
+            elif row.get("add"):
+                a = row["add"]
+                f = AddFile(
+                    path=a["path"], partitionValues=_tuples_to_dict(a.get("partitionValues")),
+                    size=a.get("size") or 0, modificationTime=a.get("modificationTime") or 0,
+                    dataChange=bool(a.get("dataChange")), stats=a.get("stats"))
+                snap.active[f.path] = f
+            elif row.get("remove"):
+                r = row["remove"]
+                snap.tombstones[r["path"]] = RemoveFile(
+                    path=r["path"], deletionTimestamp=r.get("deletionTimestamp"),
+                    dataChange=bool(r.get("dataChange")),
+                    partitionValues=_tuples_to_dict(r.get("partitionValues")),
+                    size=r.get("size"))
+        snap.version = version
+
+    # -------------------------------------------------------- history ----
+
+    def history(self, limit: Optional[int] = None) -> list[dict]:
+        """Commit history, newest first (DESCRIBE HISTORY)."""
+        out = []
+        for v in reversed(self.list_commit_versions()):
+            ci: Optional[CommitInfo] = None
+            for kind, a in self.read_commit_actions(v):
+                if kind == "commitInfo":
+                    ci = a
+                    break
+            ts = self._commit_timestamp(v)
+            row = {
+                "version": v,
+                "timestamp": ci.timestamp if ci and ci.timestamp else ts,
+                "operation": ci.operation if ci else "UNKNOWN",
+                "operationParameters": ci.operationParameters if ci else {},
+                "operationMetrics": ci.operationMetrics if ci else {},
+                "readVersion": ci.readVersion if ci else None,
+                "isolationLevel": ci.isolationLevel if ci else None,
+                "isBlindAppend": ci.isBlindAppend if ci else None,
+                "engineInfo": ci.engineInfo if ci else None,
+                "userMetadata": ci.userMetadata if ci else None,
+            }
+            out.append(row)
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
+    def version_at_timestamp(self, ts_millis: int) -> int:
+        """Latest commit with timestamp <= ts
+        (DeltaHistoryManager.getActiveCommitAtTime)."""
+        best = None
+        for v in self.list_commit_versions():
+            if self._commit_timestamp(v) <= ts_millis:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(f"No commit at or before timestamp {ts_millis}")
+        return best
+
+    # ------------------------------------------------------- retention ----
+
+    def deleted_file_retention_ms(self) -> int:
+        snap = self.update()
+        cfg = snap.configuration.get("delta.deletedFileRetentionDuration")
+        if cfg:
+            ms = parse_interval_ms(cfg)
+            if ms is not None:
+                return ms
+        return DEFAULT_DELETED_FILE_RETENTION_MS
+
+    def invalidate(self) -> None:
+        with self._lock:
+            self._snapshot = None
+
+
+def parse_interval_ms(s: str) -> Optional[int]:
+    """Parse 'interval 7 days' / 'interval 1 hours' style durations."""
+    m = re.fullmatch(r"\s*(?:interval\s+)?(\d+)\s*(millisecond|second|minute|hour|day|week)s?\s*",
+                     s, re.IGNORECASE)
+    if not m:
+        return None
+    n = int(m.group(1))
+    unit = m.group(2).lower()
+    mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000, "week": 7 * 86_400_000}[unit]
+    return n * mult

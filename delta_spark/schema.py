@@ -1,0 +1,140 @@
+"""Schema merging / evolution + column-metadata-driven features.
+
+Reference: schema/SchemaMergingUtils.scala + SchemaUtils.scala
+(mergeSchema/overwriteSchema options DeltaOptions.scala:317-319),
+TypeWidening.scala for the safe-widening matrix, GeneratedColumn.scala
+and IdentityColumn.scala for the column metadata keys (which we keep
+byte-compatible: `delta.generationExpression`, `delta.identity.start`,
+`delta.identity.step`, `delta.identity.highWaterMark`,
+`delta.identity.allowExplicitInsert`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import types as T
+
+GENERATION_EXPRESSION_KEY = "delta.generationExpression"
+IDENTITY_START_KEY = "delta.identity.start"
+IDENTITY_STEP_KEY = "delta.identity.step"
+IDENTITY_HIGH_WATERMARK_KEY = "delta.identity.highWaterMark"
+IDENTITY_ALLOW_EXPLICIT_KEY = "delta.identity.allowExplicitInsert"
+
+# safe widenings (TypeWidening.scala): byte→short→int→long; float→double;
+# int types → double is lossy-ish but Spark allows for decimals — keep strict
+_WIDEN = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+class SchemaEvolutionError(Exception):
+    pass
+
+
+def can_widen(frm: T.DataType, to: T.DataType) -> bool:
+    return (frm.typeName(), to.typeName()) in _WIDEN
+
+
+def merge_schemas(current: T.StructType, incoming: T.StructType,
+                  allow_widening: bool = True) -> T.StructType:
+    """Merge incoming into current: new columns append; same-name columns
+    must be equal or safely widenable; nested structs merge recursively."""
+    cur_by_name = {f.name.lower(): f for f in current.fields}
+    out = []
+    for f in current.fields:
+        inc = _find(incoming, f.name)
+        if inc is None:
+            out.append(f)
+            continue
+        out.append(T.StructField(f.name, _merge_types(f.dataType, inc.dataType, allow_widening, f.name),
+                                 f.nullable or inc.nullable, f.metadata))
+    for f in incoming.fields:
+        if f.name.lower() not in cur_by_name:
+            # evolved columns must be nullable (old files lack them)
+            out.append(T.StructField(f.name, f.dataType, True, f.metadata))
+    return T.StructType(out)
+
+
+def _find(schema: T.StructType, name: str) -> Optional[T.StructField]:
+    for f in schema.fields:
+        if f.name.lower() == name.lower():
+            return f
+    return None
+
+
+def _merge_types(cur: T.DataType, inc: T.DataType, allow_widening: bool, path: str) -> T.DataType:
+    if cur == inc:
+        return cur
+    if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
+        return merge_schemas(cur, inc, allow_widening)
+    if isinstance(cur, T.ArrayType) and isinstance(inc, T.ArrayType):
+        return T.ArrayType(_merge_types(cur.elementType, inc.elementType, allow_widening, path + ".element"),
+                           cur.containsNull or inc.containsNull)
+    if isinstance(cur, T.MapType) and isinstance(inc, T.MapType):
+        return T.MapType(
+            _merge_types(cur.keyType, inc.keyType, allow_widening, path + ".key"),
+            _merge_types(cur.valueType, inc.valueType, allow_widening, path + ".value"),
+            cur.valueContainsNull or inc.valueContainsNull)
+    if allow_widening and can_widen(inc, cur):
+        return cur  # incoming narrower than table — table type wins
+    if allow_widening and can_widen(cur, inc):
+        return inc  # widen the table column
+    raise SchemaEvolutionError(
+        f"cannot merge column {path!r}: {cur.simpleString()} vs {inc.simpleString()}")
+
+
+def is_same_schema(a: T.StructType, b: T.StructType) -> bool:
+    """Name/type/nullability equality ignoring metadata."""
+    if len(a.fields) != len(b.fields):
+        return False
+    for fa, fb in zip(a.fields, b.fields):
+        if fa.name != fb.name or fa.nullable != fb.nullable:
+            return False
+        ta, tb = fa.dataType, fb.dataType
+        if isinstance(ta, T.StructType) and isinstance(tb, T.StructType):
+            if not is_same_schema(ta, tb):
+                return False
+        elif ta != tb:
+            return False
+    return True
+
+
+def generation_expressions(schema: T.StructType) -> dict[str, str]:
+    """column → SQL generation expression (GENERATED ALWAYS AS)."""
+    out = {}
+    for f in schema.fields:
+        if f.metadata and GENERATION_EXPRESSION_KEY in f.metadata:
+            out[f.name] = f.metadata[GENERATION_EXPRESSION_KEY]
+    return out
+
+
+def identity_info(schema: T.StructType) -> dict[str, dict]:
+    """column → {start, step, highWaterMark, allowExplicitInsert}."""
+    out = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if IDENTITY_START_KEY in md or IDENTITY_STEP_KEY in md:
+            out[f.name] = {
+                "start": int(md.get(IDENTITY_START_KEY, 1)),
+                "step": int(md.get(IDENTITY_STEP_KEY, 1)),
+                "highWaterMark": md.get(IDENTITY_HIGH_WATERMARK_KEY),
+                "allowExplicitInsert": bool(md.get(IDENTITY_ALLOW_EXPLICIT_KEY, False)),
+            }
+    return out
+
+
+def with_identity_watermark(schema: T.StructType, column: str, watermark: int) -> T.StructType:
+    fields = []
+    for f in schema.fields:
+        if f.name == column:
+            md = dict(f.metadata or {})
+            md[IDENTITY_HIGH_WATERMARK_KEY] = watermark
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        else:
+            fields.append(f)
+    return T.StructType(fields)

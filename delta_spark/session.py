@@ -1,0 +1,41 @@
+"""SparkSession helpers tuned for this engine.
+
+Defaults are scale-minded: AQE on (runtime coalesce + skew-join),
+shuffle partitions sized to the local core count (on a real cluster
+you'd size to ~2-3× total cores or rely on AQE coalesce), Arrow enabled
+for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def configure_spark(builder: "SparkSession.Builder", shuffle_partitions: int | None = None) -> "SparkSession.Builder":
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sp = shuffle_partitions or cpus
+    return (
+        builder
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # our readers pass explicit file lists; ignore spurious dir junk
+        .config("spark.sql.sources.ignoreDataLocality.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+
+
+def get_spark(app_name: str = "delta_spark", master: str | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    builder = configure_spark(builder)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,233 @@
+"""Snapshot: materialized table state at a version, via action replay.
+
+Replay rules follow the reference's InMemoryLogReplay
+(actions/InMemoryLogReplay.scala:37-56): most recent AddFile per path
+wins; RemoveFile cancels the matching AddFile and is retained as a
+tombstone until retention expiry; most recent Metadata/Protocol win;
+most recent SetTransaction per appId wins.
+
+State is held as plain Python structures. Scale note (mirrors
+Snapshot.scala:598's distributed stateReconstruction): a 100 TB table
+has O(10^5-10^6) active files — tens to hundreds of MB of AddFile
+structs — which comfortably fits the driver, exactly like the
+reference's driver-cached DataFrame state; checkpoints keep replay
+O(recent commits) instead of O(history).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import types as T
+
+from delta_spark import predicates as P
+from delta_spark.actions import (
+    AddCDCFile,
+    AddFile,
+    CommitInfo,
+    DomainMetadata,
+    Metadata,
+    Protocol,
+    RemoveFile,
+    SetTransaction,
+)
+from delta_spark.stats import parse_stats_view
+from delta_spark.util import deserialize_partition_value, schema_from_json
+
+
+class Snapshot:
+    def __init__(self, table_path: str, version: int = -1):
+        self.table_path = table_path
+        self.version = version
+        self.protocol: Protocol = Protocol()
+        self.metadata: Optional[Metadata] = None
+        self.active: dict[str, AddFile] = {}
+        self.tombstones: dict[str, RemoveFile] = {}
+        self.set_transactions: dict[str, SetTransaction] = {}
+        self.domain_metadata: dict[str, DomainMetadata] = {}
+        self.timestamp: int = 0  # commit-file mtime of `version`
+
+    # ------------------------------------------------------- replay ----
+
+    def apply_actions(self, actions: Iterable[tuple[str, Any]]) -> None:
+        """Apply one commit's (kind, action) pairs in order."""
+        for kind, a in actions:
+            if kind == "add":
+                self.tombstones.pop(a.path, None)
+                self.active[a.path] = a
+            elif kind == "remove":
+                self.active.pop(a.path, None)
+                self.tombstones[a.path] = a
+            elif kind == "metaData":
+                self.metadata = a
+            elif kind == "protocol":
+                self.protocol = a
+            elif kind == "txn":
+                self.set_transactions[a.appId] = a
+            elif kind == "domainMetadata":
+                if a.removed:
+                    self.domain_metadata.pop(a.domain, None)
+                else:
+                    self.domain_metadata[a.domain] = a
+            # cdc / commitInfo don't affect table state
+
+    def expire_tombstones(self, min_retention_ts: int) -> None:
+        """Drop tombstones older than the retention watermark (replay
+        keeps them only until minFileRetentionTimestamp)."""
+        self.tombstones = {
+            p: r for p, r in self.tombstones.items()
+            if (r.deletionTimestamp or 0) >= min_retention_ts
+        }
+
+    # ------------------------------------------------------ accessors ----
+
+    @property
+    def schema(self) -> T.StructType:
+        if self.metadata is None:
+            return T.StructType([])
+        return schema_from_json(self.metadata.schemaString)
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.partitionColumns) if self.metadata else []
+
+    @property
+    def data_schema(self) -> T.StructType:
+        """Schema minus partition columns (what's physically in files)."""
+        pc = set(self.partition_columns)
+        return T.StructType([f for f in self.schema.fields if f.name not in pc])
+
+    @property
+    def all_files(self) -> list[AddFile]:
+        return list(self.active.values())
+
+    @property
+    def num_files(self) -> int:
+        return len(self.active)
+
+    @property
+    def size_in_bytes(self) -> int:
+        return sum(f.size for f in self.active.values())
+
+    @property
+    def configuration(self) -> dict[str, str]:
+        return dict(self.metadata.configuration) if self.metadata else {}
+
+    def txn_version(self, app_id: str) -> Optional[int]:
+        t = self.set_transactions.get(app_id)
+        return t.version if t else None
+
+    # ------------------------------------------- skipping / pruning ----
+
+    def _partition_types(self) -> dict[str, T.DataType]:
+        sch = self.schema
+        return {f.name: f.dataType for f in sch.fields if f.name in set(self.partition_columns)}
+
+    def typed_partition_values(self, f: AddFile) -> dict[str, Any]:
+        ptypes = self._partition_types()
+        return {
+            c: deserialize_partition_value(f.partitionValues.get(c), dt)
+            for c, dt in ptypes.items()
+        }
+
+    def files_for_scan(self, predicate: Optional[str] = None,
+                       limit: Optional[int] = None) -> list[AddFile]:
+        """The data-skipping entry point (DataSkippingReader.scala:656
+        filesForScan): partition pruning + stats-based file skipping,
+        with optional LIMIT pushdown at file granularity (:831).
+
+        Sound fallback: any predicate outside the supported subset
+        returns all files — Spark still applies the real filter.
+        """
+        files = self.all_files
+        if predicate:
+            try:
+                ast = P.parse_predicate(predicate)
+            except P.UnsupportedPredicate:
+                ast = None
+            if ast is not None:
+                part_cols = set(self.partition_columns)
+                refs = P.references(ast)
+                schema = self.data_schema
+                kept = []
+                for f in files:
+                    # partition pruning: exact three-valued eval when the
+                    # predicate touches only partition columns
+                    if refs and refs <= part_cols:
+                        try:
+                            r = P.eval_partition(ast, self.typed_partition_values(f))
+                            if r is False:
+                                continue
+                            kept.append(f)
+                            continue
+                        except (P.UnsupportedPredicate, KeyError):
+                            pass
+                    st = parse_stats_view(f.stats, schema)
+                    # merge partition values into the stats view as
+                    # point intervals so mixed predicates prune too
+                    if part_cols:
+                        tv = self.typed_partition_values(f)
+                        for c, v in tv.items():
+                            if v is None:
+                                st.null_count[c] = st.num_records if st.num_records is not None else 1
+                                if st.num_records is not None:
+                                    pass
+                            else:
+                                st.min_values[c] = v
+                                st.max_values[c] = v
+                                st.null_count[c] = 0
+                    try:
+                        if P.might_contain(ast, st):
+                            kept.append(f)
+                    except P.UnsupportedPredicate:
+                        kept.append(f)
+                files = kept
+        if limit is not None:
+            picked, seen = [], 0
+            for f in files:
+                picked.append(f)
+                n = f.num_records
+                seen += n if n is not None else 0
+                if n is not None and seen >= limit:
+                    break
+            files = picked
+        return files
+
+    # ------------------------------------------- metadata-only aggs ----
+
+    def metadata_aggregates(self, columns: Optional[list[str]] = None) -> Optional[dict]:
+        """COUNT(*) / per-column MIN/MAX answered purely from log stats
+        (perf/OptimizeMetadataOnlyDeltaQuery.scala:36). Returns None if
+        any file lacks stats (preconditions :38-46)."""
+        total = 0
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        schema = self.data_schema
+        for f in self.active.values():
+            st = parse_stats_view(f.stats, schema)
+            if st.num_records is None:
+                return None
+            total += st.num_records
+            for c, v in st.min_values.items():
+                if c not in mins or P.cmp_values(v, mins[c]) == -1:
+                    mins[c] = v
+            for c, v in st.max_values.items():
+                if c not in maxs or P.cmp_values(v, maxs[c]) == 1:
+                    maxs[c] = v
+        out = {"numRecords": total, "minValues": mins, "maxValues": maxs}
+        if columns:
+            out["minValues"] = {c: mins.get(c) for c in columns}
+            out["maxValues"] = {c: maxs.get(c) for c in columns}
+        return out
+
+    def clone_state(self) -> "Snapshot":
+        s = Snapshot(self.table_path, self.version)
+        s.protocol = self.protocol
+        s.metadata = self.metadata
+        s.active = dict(self.active)
+        s.tombstones = dict(self.tombstones)
+        s.set_transactions = dict(self.set_transactions)
+        s.domain_metadata = dict(self.domain_metadata)
+        s.timestamp = self.timestamp
+        return s

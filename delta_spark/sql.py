@@ -1,0 +1,152 @@
+"""Delta SQL statement dispatcher.
+
+The reference extends Spark's parser via ANTLR
+(spark/src/main/antlr4/io/delta/sql/parser/DeltaSqlBase.g4:74-107);
+from Python we cannot inject a parser, so the Delta-specific verbs are
+matched with anchored regexes against `delta.`<path>`` table refs and
+routed to the command implementations; anything else falls through to
+``spark.sql`` untouched. DML on delta tables (DELETE/UPDATE) is also
+handled here since Spark's analyzer can't resolve our tables.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_spark.table import DeltaTable
+
+_PATH = r"delta\.`(?P<path>[^`]+)`|'(?P<qpath>[^']+)'|\"(?P<dpath>[^\"]+)\""
+
+
+def _path_of(m: re.Match) -> str:
+    return m.group("path") or m.group("qpath") or m.group("dpath")
+
+
+def delta_sql(spark: SparkSession, statement: str) -> Any:
+    """Execute one statement; Delta verbs handled natively, everything
+    else → spark.sql."""
+    s = statement.strip().rstrip(";")
+
+    m = re.fullmatch(rf"(?is)\s*VACUUM\s+(?:{_PATH})(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS)?"
+                     rf"(?P<dry>\s+DRY\s+RUN)?\s*", s)
+    if m:
+        dt = DeltaTable.forPath(spark, _path_of(m))
+        hours = float(m.group("hours")) if m.group("hours") else None
+        paths = dt.vacuum(hours, dry_run=bool(m.group("dry")))
+        return spark.createDataFrame([(p,) for p in paths] or [], "path: string")
+
+    m = re.fullmatch(rf"(?is)\s*OPTIMIZE\s+(?:{_PATH})(?:\s+WHERE\s+(?P<where>.+?))?"
+                     rf"(?:\s+ZORDER\s+BY\s+\((?P<zcols>[^)]+)\))?\s*", s)
+    if m:
+        dt = DeltaTable.forPath(spark, _path_of(m))
+        b = dt.optimize()
+        if m.group("where"):
+            b = b.where(m.group("where").strip())
+        if m.group("zcols"):
+            cols = [c.strip().strip("`") for c in m.group("zcols").split(",")]
+            res = b.executeZOrderBy(*cols)
+        else:
+            res = b.executeCompaction()
+        return spark.createDataFrame([(str(res),)], "metrics: string")
+
+    m = re.fullmatch(rf"(?is)\s*DESCRIBE\s+HISTORY\s+(?:{_PATH})(?:\s+LIMIT\s+(?P<limit>\d+))?\s*", s)
+    if m:
+        dt = DeltaTable.forPath(spark, _path_of(m))
+        return dt.history(int(m.group("limit")) if m.group("limit") else None)
+
+    m = re.fullmatch(rf"(?is)\s*DESCRIBE\s+DETAIL\s+(?:{_PATH})\s*", s)
+    if m:
+        return DeltaTable.forPath(spark, _path_of(m)).detail()
+
+    m = re.fullmatch(rf"(?is)\s*RESTORE\s+(?:TABLE\s+)?(?:{_PATH})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*", s)
+    if m:
+        res = DeltaTable.forPath(spark, _path_of(m)).restoreToVersion(int(m.group("v")))
+        return spark.createDataFrame([(str(res),)], "metrics: string")
+
+    m = re.fullmatch(rf"(?is)\s*RESTORE\s+(?:TABLE\s+)?(?:{_PATH})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'\s*", s)
+    if m:
+        res = DeltaTable.forPath(spark, _path_of(m)).restoreToTimestamp(m.group("ts"))
+        return spark.createDataFrame([(str(res),)], "metrics: string")
+
+    m = re.fullmatch(rf"(?is)\s*DELETE\s+FROM\s+(?:{_PATH})(?:\s+WHERE\s+(?P<where>.+?))?\s*", s)
+    if m:
+        v = DeltaTable.forPath(spark, _path_of(m)).delete(m.group("where"))
+        return spark.createDataFrame([(v,)], "version: long")
+
+    m = re.fullmatch(rf"(?is)\s*UPDATE\s+(?:{_PATH})\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+?))?\s*", s)
+    if m:
+        sets = {}
+        for part in _split_top_level(m.group("sets")):
+            k, v = part.split("=", 1)
+            sets[k.strip().strip("`")] = v.strip()
+        ver = DeltaTable.forPath(spark, _path_of(m)).update(sets, m.group("where"))
+        return spark.createDataFrame([(ver,)], "version: long")
+
+    m = re.fullmatch(rf"(?is)\s*TRUNCATE\s+TABLE\s+(?:{_PATH})\s*", s)
+    if m:
+        v = DeltaTable.forPath(spark, _path_of(m)).truncate()
+        return spark.createDataFrame([(v,)], "version: long")
+
+    m = re.fullmatch(rf"(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(?:{_PATH})\s*", s)
+    if m:
+        p = DeltaTable.forPath(spark, _path_of(m)).generate()
+        return spark.createDataFrame([(p,)], "path: string")
+
+    m = re.fullmatch(rf"(?is)\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\.)?(?:{_PATH})"
+                     rf"(?:\s+PARTITIONED\s+BY\s+\((?P<pcols>[^)]+)\))?\s*", s)
+    if m:
+        DeltaTable.convertToDelta(spark, _path_of(m), m.group("pcols"))
+        return spark.createDataFrame([(True,)], "converted: boolean")
+
+    m = re.fullmatch(rf"(?is)\s*SHOW\s+PARTITIONS\s+(?:{_PATH})\s*", s)
+    if m:
+        return DeltaTable.forPath(spark, _path_of(m)).show_partitions()
+
+    m = re.fullmatch(rf"(?is)\s*SELECT\s+.+?\s+FROM\s+delta\.`(?P<path>[^`]+)`"
+                     rf"\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*(?P<rest>.*)", s)
+    if m:
+        dt = DeltaTable.forPath(spark, m.group("path"))
+        dt.asOfVersion(int(m.group("v"))).createOrReplaceTempView("__delta_tt")
+        rewritten = re.sub(r"delta\.`[^`]+`\s+VERSION\s+AS\s+OF\s+\d+", "__delta_tt", s,
+                           flags=re.IGNORECASE)
+        return spark.sql(rewritten)
+
+    # plain SELECT over a delta path: register a temp view and delegate
+    m = re.search(r"(?is)delta\.`(?P<path>[^`]+)`", s)
+    if m:
+        dt = DeltaTable.forPath(spark, m.group("path"))
+        dt.toDF().createOrReplaceTempView("__delta_t")
+        return spark.sql(re.sub(r"delta\.`[^`]+`", "__delta_t", s))
+
+    return spark.sql(s)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parens/quotes (SET a=1, b=f(x,y))."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

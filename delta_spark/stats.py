@@ -1,0 +1,201 @@
+"""Per-file statistics collection (the table's "index").
+
+Mirrors the stats schema of the reference
+(stats/StatisticsCollection.scala:85-111): per file a JSON blob
+{"numRecords": N, "minValues": {...}, "maxValues": {...},
+ "nullCount": {...}} over the first ``num_indexed_cols`` leaf columns
+(`delta.dataSkippingNumIndexedCols` semantics).
+
+Collection strategy: read Parquet *footers* (row-group column
+statistics) with pyarrow — no data pages are touched, so cost is
+O(files), not O(rows). The reference instead hooks Spark's
+WriteTaskStatsTracker (stats/DataSkippingStatsTracker.scala); footer
+reads are the engine-agnostic equivalent and parallelize trivially
+(thread pool here; a mapInPandas job over file paths at cluster scale).
+
+String min/max are truncated to 32 chars; the truncated *max* has its
+last char incremented so it stays an upper bound (the reference's
+truncateMaxStringAgg trick).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Optional
+
+import pyarrow.parquet as pq
+from pyspark.sql import types as T
+
+from delta_spark.predicates import FileStatsView
+
+DEFAULT_NUM_INDEXED_COLS = 32
+STRING_PREFIX_LEN = 32
+
+_SKIPPING_TYPES = (
+    "int8", "int16", "int32", "int64", "float", "double",
+    "string", "large_string", "bool", "date32", "date64",
+)
+
+
+def _truncate_min(s: str) -> str:
+    return s[:STRING_PREFIX_LEN]
+
+
+def _truncate_max(s: str) -> Optional[str]:
+    if len(s) <= STRING_PREFIX_LEN:
+        return s
+    t = s[:STRING_PREFIX_LEN]
+    # increment the last incrementable char so t stays >= s
+    for i in range(len(t) - 1, -1, -1):
+        if ord(t[i]) < 0x10FFFF:
+            return t[:i] + chr(ord(t[i]) + 1)
+    return None  # cannot form an upper bound
+
+
+def _json_safe(v: Any) -> Any:
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%dT%H:%M:%S")
+        if v.microsecond:
+            s += ".%06d" % v.microsecond
+        return s + ("Z" if v.tzinfo is not None else "")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None  # binary min/max not indexed
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def collect_file_stats(file_path: str, indexed_cols: Optional[list[str]] = None,
+                       num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS) -> str:
+    """Read one Parquet footer → stats JSON string."""
+    md = pq.ParquetFile(file_path).metadata
+    schema = md.schema.to_arrow_schema()
+    names = [f.name for f in schema]
+    if indexed_cols is not None:
+        target = [n for n in names if n in set(indexed_cols)]
+    else:
+        target = names[:num_indexed_cols]
+    target_set = set(target)
+
+    num_records = md.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    has_stats: dict[str, bool] = {n: True for n in target}
+
+    col_index = {md.schema.column(i).path: i for i in range(md.num_columns)}
+
+    for name in target:
+        ci = col_index.get(name)
+        if ci is None:
+            has_stats[name] = False
+            continue
+        for rg in range(md.num_row_groups):
+            cc = md.row_group(rg).column(ci)
+            st = cc.statistics
+            if st is None or not st.has_null_count:
+                has_stats[name] = False
+                break
+            nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if name in mins:
+                    mins[name] = mn if _lt(mn, mins[name]) else mins[name]
+                    maxs[name] = mx if _lt(maxs[name], mx) else maxs[name]
+                else:
+                    mins[name], maxs[name] = mn, mx
+            elif num_records - nulls.get(name, 0) > 0:
+                # non-null values exist but no min/max → can't bound
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                has_stats[name] = False
+                break
+
+    out_min: dict[str, Any] = {}
+    out_max: dict[str, Any] = {}
+    out_null: dict[str, int] = {}
+    for name in target:
+        if not has_stats.get(name, False):
+            continue
+        out_null[name] = nulls.get(name, 0)
+        if name in mins:
+            mn = _json_safe(mins[name])
+            mx = _json_safe(maxs[name])
+            if isinstance(mn, str):
+                mn = _truncate_min(mn)
+            if isinstance(mx, str):
+                mx = _truncate_max(mx)
+            if mn is not None:
+                out_min[name] = mn
+            if mx is not None:
+                out_max[name] = mx
+    return json.dumps(
+        {"numRecords": num_records, "minValues": out_min, "maxValues": out_max, "nullCount": out_null},
+        separators=(",", ":"), default=str,
+    )
+
+
+def _lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def collect_stats_parallel(paths: list[str], indexed_cols: Optional[list[str]] = None,
+                           num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS) -> dict[str, str]:
+    """path → stats JSON, footers read in parallel."""
+    if not paths:
+        return {}
+    workers = min(32, max(4, len(paths)))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        results = ex.map(lambda p: collect_file_stats(p, indexed_cols, num_indexed_cols), paths)
+    return dict(zip(paths, results))
+
+
+def parse_stats_view(stats_json: Optional[str], schema: Optional[T.StructType] = None) -> FileStatsView:
+    """Stats JSON blob → FileStatsView with values coerced for
+    comparison (timestamps back to datetime)."""
+    if not stats_json:
+        return FileStatsView(None, {}, {}, {})
+    try:
+        d = json.loads(stats_json)
+    except (ValueError, TypeError):
+        return FileStatsView(None, {}, {}, {})
+    types: dict[str, T.DataType] = {}
+    if schema is not None:
+        types = {f.name: f.dataType for f in schema.fields}
+
+    def conv(m: Optional[dict]) -> dict:
+        if not m:
+            return {}
+        out = {}
+        for k, v in m.items():
+            dt = types.get(k)
+            if isinstance(v, str) and isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                try:
+                    out[k] = _dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+                    continue
+                except ValueError:
+                    pass
+            if isinstance(v, str) and isinstance(dt, T.DateType):
+                try:
+                    out[k] = _dt.date.fromisoformat(v)
+                    continue
+                except ValueError:
+                    pass
+            out[k] = v
+        return out
+
+    return FileStatsView(d.get("numRecords"), conv(d.get("minValues")), conv(d.get("maxValues")),
+                         d.get("nullCount") or {})
+
+
+def file_mtime_ms(path: str) -> int:
+    return int(os.stat(path).st_mtime * 1000)

@@ -1,0 +1,408 @@
+"""DeltaTable: the user-facing API (mirrors the reference's Python
+contract, python/delta/tables.py:39-1695, which is itself the public
+surface of the Scala commands in spark/sql/delta/commands/).
+
+Everything here delegates to the command modules; the SQL verbs
+(VACUUM/OPTIMIZE/DESCRIBE HISTORY/...) route here from
+delta_spark.sql's statement dispatcher.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import Any, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from delta_spark.actions import Metadata, Protocol
+from delta_spark.cdf import table_changes as _table_changes
+from delta_spark.commands.delete import execute_delete
+from delta_spark.commands.maintenance import (
+    convert_to_delta,
+    generate_symlink_manifest,
+    restore,
+    shallow_clone,
+    truncate,
+    vacuum,
+)
+from delta_spark.commands.merge import MergeBuilder
+from delta_spark.commands.optimize import OptimizeBuilder
+from delta_spark.commands.update import execute_update
+from delta_spark.constraints import CONSTRAINT_PROP_PREFIX
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.reader import read_snapshot
+from delta_spark.schema import GENERATION_EXPRESSION_KEY
+from delta_spark.transaction import OptimisticTransaction
+from delta_spark.util import current_time_millis, schema_from_json, schema_to_json
+
+
+def _cond_to_sql(condition: Union[str, Column, None]) -> Optional[str]:
+    if condition is None or isinstance(condition, str):
+        return condition
+    # classic-mode Column → SQL text of the underlying expression
+    try:
+        return condition._jc.expr().sql()
+    except Exception as e:  # pragma: no cover
+        raise ValueError("pass conditions as SQL strings") from e
+
+
+class DeltaTable:
+    def __init__(self, spark: SparkSession, log: DeltaLog):
+        self.spark = spark
+        self.log = log
+
+    # ------------------------------------------------------ factories ----
+
+    @classmethod
+    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        log = DeltaLog.for_table(path)
+        if not log.table_exists():
+            raise ValueError(f"{path} is not a delta table")
+        return cls(spark, log)
+
+    @classmethod
+    def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
+        return DeltaLog.for_table(path).table_exists()
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, mode="create")
+
+    @classmethod
+    def createIfNotExists(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, mode="createIfNotExists")
+
+    @classmethod
+    def replace(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, mode="replace")
+
+    @classmethod
+    def createOrReplace(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, mode="createOrReplace")
+
+    @classmethod
+    def convertToDelta(cls, spark: SparkSession, path: str,
+                       partition_schema: Optional[str] = None) -> "DeltaTable":
+        return cls(spark, convert_to_delta(spark, path, partition_schema))
+
+    # ----------------------------------------------------------- reads ----
+
+    def toDF(self, predicate: Optional[str] = None, limit: Optional[int] = None) -> DataFrame:
+        return read_snapshot(self.spark, self.log.update(), predicate, limit)
+
+    def asOfVersion(self, version: int) -> DataFrame:
+        """Time travel read (VERSION AS OF)."""
+        return read_snapshot(self.spark, self.log.snapshot_at(version))
+
+    def asOfTimestamp(self, ts: Union[str, _dt.datetime, int]) -> DataFrame:
+        """Time travel read (TIMESTAMP AS OF)."""
+        ms = _to_millis(ts)
+        return read_snapshot(self.spark, self.log.snapshot_at(self.log.version_at_timestamp(ms)))
+
+    def table_changes(self, starting_version: Optional[int] = None,
+                      ending_version: Optional[int] = None,
+                      starting_timestamp: Union[str, _dt.datetime, int, None] = None,
+                      ending_timestamp: Union[str, _dt.datetime, int, None] = None) -> DataFrame:
+        """CDF batch read (option('readChangeFeed') / table_changes TVF)."""
+        return _table_changes(
+            self.spark, self.log, starting_version, ending_version,
+            _to_millis(starting_timestamp) if starting_timestamp is not None else None,
+            _to_millis(ending_timestamp) if ending_timestamp is not None else None)
+
+    @property
+    def version(self) -> int:
+        return self.log.update().version
+
+    # ------------------------------------------------------------- DML ----
+
+    def delete(self, condition: Union[str, Column, None] = None) -> int:
+        return execute_delete(self.spark, self.log, _cond_to_sql(condition))
+
+    def update(self, set: dict[str, Union[str, Column]],
+               condition: Union[str, Column, None] = None) -> int:
+        set_sql = {k: (v if isinstance(v, str) else _cond_to_sql(v)) for k, v in set.items()}
+        return execute_update(self.spark, self.log, set_sql, _cond_to_sql(condition))
+
+    def merge(self, source: DataFrame, condition: Union[str, Column],
+              source_alias: str = "source", target_alias: str = "target") -> MergeBuilder:
+        return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),
+                            source_alias, target_alias)
+
+    def alias(self, alias: str) -> "AliasedDeltaTable":
+        return AliasedDeltaTable(self.spark, self.log, alias)
+
+    # --------------------------------------------------------- utility ----
+
+    def history(self, limit: Optional[int] = None) -> DataFrame:
+        rows = self.log.history(limit)
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("operationParameters", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("operationMetrics", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("readVersion", T.LongType()),
+            T.StructField("isolationLevel", T.StringType()),
+            T.StructField("isBlindAppend", T.BooleanType()),
+            T.StructField("engineInfo", T.StringType()),
+            T.StructField("userMetadata", T.StringType()),
+        ])
+        data = [(r["version"], _dt.datetime.utcfromtimestamp(r["timestamp"] / 1000.0),
+                 r["operation"],
+                 {k: str(v) for k, v in (r["operationParameters"] or {}).items()},
+                 {k: str(v) for k, v in (r["operationMetrics"] or {}).items()},
+                 r["readVersion"], r["isolationLevel"], r["isBlindAppend"],
+                 r["engineInfo"], r["userMetadata"]) for r in rows]
+        return self.spark.createDataFrame(data, schema)
+
+    def detail(self) -> DataFrame:
+        snap = self.log.update()
+        m = snap.metadata
+        schema = T.StructType([
+            T.StructField("format", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("createdAt", T.TimestampType()),
+            T.StructField("lastModified", T.TimestampType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("numFiles", T.LongType()),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+        ])
+        row = (
+            "delta", m.id if m else None, m.name if m else None,
+            m.description if m else None, self.log.table_path,
+            _dt.datetime.utcfromtimestamp((m.createdTime or 0) / 1000.0) if m and m.createdTime else None,
+            _dt.datetime.utcfromtimestamp(snap.timestamp / 1000.0) if snap.timestamp else None,
+            list(m.partitionColumns) if m else [], snap.num_files, snap.size_in_bytes,
+            dict(m.configuration) if m else {},
+            snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+        )
+        return self.spark.createDataFrame([row], schema)
+
+    def show_partitions(self) -> DataFrame:
+        snap = self.log.update()
+        pcols = snap.partition_columns
+        if not pcols:
+            raise ValueError("table is not partitioned")
+        ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in set(pcols)}
+        from delta_spark.util import deserialize_partition_value
+
+        seen = {tuple(f.partitionValues.get(c) for c in pcols) for f in snap.all_files}
+        rows = [tuple(deserialize_partition_value(v, ptypes[c]) for c, v in zip(pcols, key))
+                for key in seen]
+        return self.spark.createDataFrame(rows, T.StructType(
+            [T.StructField(c, ptypes[c]) for c in pcols]))
+
+    def optimize(self) -> OptimizeBuilder:
+        return OptimizeBuilder(self.spark, self.log)
+
+    def vacuum(self, retention_hours: Optional[float] = None, dry_run: bool = False) -> list[str]:
+        return vacuum(self.spark, self.log, retention_hours, dry_run)
+
+    def restoreToVersion(self, version: int) -> dict:
+        return restore(self.spark, self.log, version=version)
+
+    def restoreToTimestamp(self, ts: Union[str, _dt.datetime, int]) -> dict:
+        return restore(self.spark, self.log, timestamp_ms=_to_millis(ts))
+
+    def clone(self, target_path: str, version: Optional[int] = None) -> "DeltaTable":
+        shallow_clone(self.spark, self.log, target_path, version)
+        return DeltaTable.forPath(self.spark, target_path)
+
+    def truncate(self) -> int:
+        return truncate(self.spark, self.log)
+
+    def generate(self, mode: str = "symlink_format_manifest") -> str:
+        if mode != "symlink_format_manifest":
+            raise ValueError(f"unsupported generate mode {mode!r}")
+        return generate_symlink_manifest(self.spark, self.log)
+
+    # --------------------------------------------------- table evolution ----
+
+    def upgradeTableProtocol(self, reader_version: int, writer_version: int) -> int:
+        txn = OptimisticTransaction(self.log)
+        p = txn.snapshot.protocol
+        if reader_version < p.minReaderVersion or writer_version < p.minWriterVersion:
+            raise ValueError("protocol cannot be downgraded")
+        return txn.commit([Protocol(reader_version, writer_version)], "UPGRADE PROTOCOL",
+                          {"newProtocol": json.dumps({"minReaderVersion": reader_version,
+                                                      "minWriterVersion": writer_version})})
+
+    def setProperties(self, props: dict[str, str]) -> int:
+        return self._update_metadata(lambda m: {**m.configuration, **props},
+                                     "SET TBLPROPERTIES", {"properties": json.dumps(props)})
+
+    def unsetProperties(self, keys: list[str]) -> int:
+        return self._update_metadata(
+            lambda m: {k: v for k, v in m.configuration.items() if k not in set(keys)},
+            "UNSET TBLPROPERTIES", {"properties": json.dumps(keys)})
+
+    def addCheckConstraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Constraints.scala:66). Verifies
+        existing rows satisfy the constraint first, like the reference."""
+        viol = self.toDF().filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).count()
+        if viol:
+            raise ValueError(f"existing rows violate CHECK constraint {name}: {expr}")
+        return self._update_metadata(
+            lambda m: {**m.configuration, CONSTRAINT_PROP_PREFIX + name.lower(): expr},
+            "ADD CONSTRAINT", {"name": name, "expr": expr})
+
+    def dropCheckConstraint(self, name: str) -> int:
+        key = CONSTRAINT_PROP_PREFIX + name.lower()
+        return self._update_metadata(
+            lambda m: {k: v for k, v in m.configuration.items() if k != key},
+            "DROP CONSTRAINT", {"name": name})
+
+    def addColumns(self, fields: list[T.StructField]) -> int:
+        """ALTER TABLE ADD COLUMNS (alterDeltaTableCommands.scala:113) —
+        metadata-only; old files read the new columns as null."""
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            names = {fl.name.lower() for fl in schema.fields}
+            for fl in fields:
+                if fl.name.lower() in names:
+                    raise ValueError(f"column {fl.name} already exists")
+            return T.StructType(schema.fields + [
+                T.StructField(fl.name, fl.dataType, True, fl.metadata) for fl in fields])
+        return self._update_schema(f, "ADD COLUMNS",
+                                   {"columns": json.dumps([fl.name for fl in fields])})
+
+    def _update_metadata(self, config_fn, op: str, params: dict) -> int:
+        txn = OptimisticTransaction(self.log)
+        m = txn.metadata
+        if m is None:
+            raise ValueError("table does not exist")
+        new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
+                       schemaString=m.schemaString, partitionColumns=m.partitionColumns,
+                       configuration=config_fn(m), createdTime=m.createdTime)
+        return txn.commit([new], op, params)
+
+    def _update_schema(self, schema_fn, op: str, params: dict) -> int:
+        txn = OptimisticTransaction(self.log)
+        m = txn.metadata
+        if m is None:
+            raise ValueError("table does not exist")
+        new_schema = schema_fn(m)
+        new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
+                       schemaString=schema_to_json(new_schema),
+                       partitionColumns=m.partitionColumns,
+                       configuration=m.configuration, createdTime=m.createdTime)
+        return txn.commit([new], op, params)
+
+
+class AliasedDeltaTable(DeltaTable):
+    """`dt.alias("t").merge(src.alias-less, cond)` convenience matching
+    the reference Python API's aliasing flow."""
+
+    def __init__(self, spark: SparkSession, log: DeltaLog, alias_name: str):
+        super().__init__(spark, log)
+        self._alias = alias_name
+
+    def merge(self, source: DataFrame, condition: Union[str, Column],
+              source_alias: str = "source", target_alias: Optional[str] = None) -> MergeBuilder:
+        return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),
+                            source_alias, target_alias or self._alias)
+
+
+class DeltaTableBuilder:
+    """CREATE/REPLACE TABLE builder (io/delta/tables/DeltaTableBuilder.scala;
+    python tables.py:1290-1623): columns, partitioning, properties,
+    comments, GENERATED ALWAYS AS — commit 0 carries Protocol+Metadata."""
+
+    def __init__(self, spark: SparkSession, mode: str):
+        self.spark = spark
+        self.mode = mode
+        self._location: Optional[str] = None
+        self._name: Optional[str] = None
+        self._comment: Optional[str] = None
+        self._fields: list[T.StructField] = []
+        self._partition_cols: list[str] = []
+        self._properties: dict[str, str] = {}
+
+    def tableName(self, name: str) -> "DeltaTableBuilder":
+        self._name = name
+        return self
+
+    def location(self, path: str) -> "DeltaTableBuilder":
+        self._location = path
+        return self
+
+    def comment(self, comment: str) -> "DeltaTableBuilder":
+        self._comment = comment
+        return self
+
+    def addColumn(self, name: str, dataType: Union[str, T.DataType],
+                  nullable: bool = True, generatedAlwaysAs: Optional[str] = None,
+                  comment: Optional[str] = None) -> "DeltaTableBuilder":
+        if isinstance(dataType, str):
+            dataType = _parse_type(dataType)
+        md = {}
+        if generatedAlwaysAs is not None:
+            md[GENERATION_EXPRESSION_KEY] = generatedAlwaysAs
+        if comment is not None:
+            md["comment"] = comment
+        self._fields.append(T.StructField(name, dataType, nullable, md))
+        return self
+
+    def addColumns(self, schema: T.StructType) -> "DeltaTableBuilder":
+        self._fields.extend(schema.fields)
+        return self
+
+    def partitionedBy(self, *cols: str) -> "DeltaTableBuilder":
+        self._partition_cols = list(cols)
+        return self
+
+    def property(self, key: str, value: str) -> "DeltaTableBuilder":
+        self._properties[key] = value
+        return self
+
+    def execute(self) -> DeltaTable:
+        if not self._location:
+            raise ValueError("location() is required (catalog-less engine is path-based)")
+        log = DeltaLog.for_table(self._location)
+        exists = log.table_exists()
+        if exists and self.mode == "create":
+            raise ValueError(f"table already exists at {self._location}")
+        if exists and self.mode == "createIfNotExists":
+            return DeltaTable(self.spark, log)
+        if not exists and self.mode == "replace":
+            raise ValueError(f"cannot replace: no table at {self._location}")
+        schema = T.StructType(self._fields)
+        meta = Metadata(
+            name=self._name, description=self._comment,
+            schemaString=schema_to_json(schema),
+            partitionColumns=self._partition_cols,
+            configuration=dict(self._properties),
+            createdTime=current_time_millis())
+        txn = OptimisticTransaction(log)
+        actions: list = [meta]
+        if exists:  # replace: drop existing data
+            txn.read_whole_table()
+            actions += [f.remove() for f in txn.snapshot.all_files]
+            meta.id = txn.metadata.id if txn.metadata else meta.id
+            op = "REPLACE TABLE"
+        else:
+            op = "CREATE TABLE"
+        txn.commit(actions, op, {"partitionBy": json.dumps(self._partition_cols),
+                                 "properties": json.dumps(self._properties)})
+        return DeltaTable(self.spark, log)
+
+
+def _parse_type(s: str) -> T.DataType:
+    return T._parse_datatype_string(s)
+
+
+def _to_millis(ts: Union[str, _dt.datetime, int]) -> int:
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    return int(ts.timestamp() * 1000)

@@ -1,0 +1,258 @@
+"""Optimistic concurrency: read → act → atomically commit → on
+collision, classify conflicts and retry.
+
+Mirrors the reference's OptimisticTransaction.scala (commit :1729,
+doCommitRetryIteratively :2761, checkForConflicts :3230 →
+ConflictChecker.scala:245) and the three isolation levels
+(isolationLevels.scala:27,37,54): Serializable, WriteSerializable
+(default), SnapshotIsolation.
+
+Conflict classification against each winning commit:
+  * protocol change            → ProtocolChangedException
+  * metadata change            → MetadataChangedException
+  * files added that match our read predicates (and we are not a blind
+    append)                    → ConcurrentAppendException
+  * files removed that we read → ConcurrentDeleteReadException
+  * files removed that we also remove → ConcurrentDeleteDeleteException
+  * same SetTransaction appId  → ConcurrentTransactionException
+  * same DomainMetadata domain → ConcurrentDomainMetadataException
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Optional
+
+from delta_spark import predicates as P
+from delta_spark.actions import (
+    AddCDCFile,
+    AddFile,
+    CommitInfo,
+    DomainMetadata,
+    Metadata,
+    Protocol,
+    RemoveFile,
+    SetTransaction,
+    action_to_json_line,
+)
+from delta_spark.log import ConcurrentModificationException, DeltaLog
+from delta_spark.snapshot import Snapshot
+from delta_spark.stats import parse_stats_view
+from delta_spark.util import current_time_millis
+
+SERIALIZABLE = "Serializable"
+WRITE_SERIALIZABLE = "WriteSerializable"
+SNAPSHOT_ISOLATION = "SnapshotIsolation"
+
+
+class DeltaConcurrentException(Exception):
+    pass
+
+
+class ProtocolChangedException(DeltaConcurrentException):
+    pass
+
+
+class MetadataChangedException(DeltaConcurrentException):
+    pass
+
+
+class ConcurrentAppendException(DeltaConcurrentException):
+    pass
+
+
+class ConcurrentDeleteReadException(DeltaConcurrentException):
+    pass
+
+
+class ConcurrentDeleteDeleteException(DeltaConcurrentException):
+    pass
+
+
+class ConcurrentTransactionException(DeltaConcurrentException):
+    pass
+
+
+MAX_RETRIES = 10
+
+
+class OptimisticTransaction:
+    def __init__(self, log: DeltaLog, snapshot: Optional[Snapshot] = None):
+        self.log = log
+        self.snapshot = snapshot if snapshot is not None else log.update()
+        self.read_version = self.snapshot.version
+        # what we read, for conflict detection
+        self.read_predicates: list[str] = []   # SQL predicate strings
+        self.read_files: set[str] = set()      # paths we depend on
+        self.read_whole_table_flag = False
+        self._committed = False
+
+    # ------------------------------------------------------ recording ----
+
+    def files_for_scan(self, predicate: Optional[str] = None, limit: Optional[int] = None) -> list[AddFile]:
+        files = self.snapshot.files_for_scan(predicate, limit)
+        if predicate:
+            self.read_predicates.append(predicate)
+        else:
+            self.read_whole_table_flag = True
+        self.read_files.update(f.path for f in files)
+        return files
+
+    def read_whole_table(self) -> None:
+        self.read_whole_table_flag = True
+        self.read_files.update(self.snapshot.active.keys())
+
+    def txn_version(self, app_id: str) -> Optional[int]:
+        return self.snapshot.txn_version(app_id)
+
+    @property
+    def metadata(self) -> Optional[Metadata]:
+        return self.snapshot.metadata
+
+    # -------------------------------------------------------- commit ----
+
+    def commit(self, actions: list[Any], operation: str,
+               operation_parameters: Optional[dict] = None,
+               operation_metrics: Optional[dict] = None,
+               isolation_level: Optional[str] = None,
+               user_metadata: Optional[str] = None) -> int:
+        """Write the next version file; retry through conflicts.
+        Returns the committed version."""
+        if self._committed:
+            raise RuntimeError("transaction already committed")
+        actions = list(actions)
+        self._validate(actions)
+
+        is_blind_append = (
+            not self.read_files
+            and not self.read_whole_table_flag
+            and all(isinstance(a, (AddFile, SetTransaction, CommitInfo, AddCDCFile)) for a in actions)
+            and all(a.dataChange for a in actions if isinstance(a, AddFile))
+        )
+        data_change = any(
+            (isinstance(a, (AddFile, RemoveFile)) and a.dataChange) for a in actions
+        )
+        if isolation_level is None:
+            # dataChange=false commits (OPTIMIZE) only rearrange data →
+            # SnapshotIsolation suffices (isolationLevels.scala:70)
+            has_file_actions = any(isinstance(a, (AddFile, RemoveFile)) for a in actions)
+            isolation_level = (
+                SNAPSHOT_ISOLATION if (has_file_actions and not data_change) else WRITE_SERIALIZABLE
+            )
+
+        commit_info = CommitInfo(
+            timestamp=current_time_millis(),
+            operation=operation,
+            operationParameters=operation_parameters or {},
+            readVersion=self.read_version if self.read_version >= 0 else None,
+            isolationLevel=isolation_level,
+            isBlindAppend=is_blind_append,
+            operationMetrics=operation_metrics or {},
+            userMetadata=user_metadata,
+        )
+        full = [commit_info] + actions
+
+        attempt_version = self.read_version + 1
+        for attempt in range(MAX_RETRIES + 1):
+            payload = "\n".join(action_to_json_line(a) for a in full) + "\n"
+            try:
+                self.log.store.write_atomic(self.log.commit_file(attempt_version), payload)
+                self._committed = True
+                self._post_commit(attempt_version, actions)
+                return attempt_version
+            except ConcurrentModificationException:
+                # a winner took this version — classify and maybe retry
+                winning = self.log.read_commit_actions(attempt_version)
+                self._check_conflicts(winning, actions, isolation_level, is_blind_append)
+                attempt_version += 1
+        raise DeltaConcurrentException(f"exceeded {MAX_RETRIES} commit retries")
+
+    def _validate(self, actions: list[Any]) -> None:
+        metadatas = [a for a in actions if isinstance(a, Metadata)]
+        if self.read_version < 0:
+            # first commit must establish protocol+metadata (prepareCommit)
+            if not metadatas:
+                raise ValueError("first table commit must include Metadata")
+            if not any(isinstance(a, Protocol) for a in actions):
+                actions.insert(0, Protocol())
+        if len(metadatas) > 1:
+            raise ValueError("at most one Metadata action per commit")
+
+    # ---------------------------------------------------- conflicts ----
+
+    def _check_conflicts(self, winning: list[tuple[str, Any]], ours: list[Any],
+                         isolation_level: str, is_blind_append: bool) -> None:
+        win_adds = [a for k, a in winning if k == "add"]
+        win_removes = [a for k, a in winning if k == "remove"]
+        win_meta = [a for k, a in winning if k == "metaData"]
+        win_protocol = [a for k, a in winning if k == "protocol"]
+        win_txns = [a for k, a in winning if k == "txn"]
+        win_domains = [a for k, a in winning if k == "domainMetadata"]
+
+        if win_protocol:
+            raise ProtocolChangedException("concurrent protocol update")
+        if win_meta:
+            raise MetadataChangedException("concurrent metadata update")
+
+        # SetTransaction conflicts (idempotent writers)
+        our_txn_ids = {a.appId for a in ours if isinstance(a, SetTransaction)}
+        if our_txn_ids & {t.appId for t in win_txns}:
+            raise ConcurrentTransactionException("concurrent SetTransaction for same appId")
+
+        our_domains = {a.domain for a in ours if isinstance(a, DomainMetadata)}
+        if our_domains & {d.domain for d in win_domains}:
+            raise DeltaConcurrentException("concurrent DomainMetadata for same domain")
+
+        # Added files vs our reads (ConflictChecker.scala:643).
+        # Under WriteSerializable a blind append by the winner doesn't
+        # invalidate us unless we're Serializable.
+        win_commit_info = [a for k, a in winning if k == "commitInfo"]
+        winner_blind = bool(win_commit_info and win_commit_info[0].isBlindAppend)
+        check_appends = not (
+            isolation_level == SNAPSHOT_ISOLATION
+            or (isolation_level == WRITE_SERIALIZABLE and winner_blind)
+        )
+        if check_appends and win_adds and (self.read_whole_table_flag or self.read_predicates):
+            if self.read_whole_table_flag:
+                raise ConcurrentAppendException("files added by concurrent writer; whole table was read")
+            schema = self.snapshot.data_schema
+            part_cols = set(self.snapshot.partition_columns)
+            for pred in self.read_predicates:
+                try:
+                    ast = P.parse_predicate(pred)
+                except P.UnsupportedPredicate:
+                    raise ConcurrentAppendException("files added; unverifiable read predicate")
+                for f in win_adds:
+                    st = parse_stats_view(f.stats, schema)
+                    for c in part_cols:
+                        v = self.snapshot.typed_partition_values(f).get(c) if f.partitionValues else None
+                        if v is not None:
+                            st.min_values[c] = v
+                            st.max_values[c] = v
+                            st.null_count[c] = 0
+                    if P.might_contain(ast, st):
+                        raise ConcurrentAppendException(f"concurrently added file matches read predicate {pred!r}")
+
+        # Removed files vs our reads / removes (ConflictChecker.scala:677)
+        win_removed_paths = {r.path for r in win_removes}
+        if win_removed_paths & self.read_files:
+            raise ConcurrentDeleteReadException("a file we read was concurrently deleted")
+        our_removed = {a.path for a in ours if isinstance(a, RemoveFile)}
+        if win_removed_paths & our_removed:
+            raise ConcurrentDeleteDeleteException("a file we delete was concurrently deleted")
+
+        # no conflict → absorb winner and retry on top of it
+        self.snapshot.apply_actions(winning)
+
+    # -------------------------------------------------- post-commit ----
+
+    def _post_commit(self, version: int, actions: list[Any]) -> None:
+        self.log.invalidate()
+        snap = self.log.update()
+        if version > 0 and version % self.log.checkpoint_interval == 0:
+            try:
+                self.log.write_checkpoint(snap)
+            except Exception:
+                # checkpointing is best-effort (CheckpointHook semantics)
+                pass

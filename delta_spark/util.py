@@ -1,0 +1,132 @@
+"""Shared helpers: partition-value serialization, Hive-style partition
+paths, schema JSON round-trips.
+
+Partition values are stored as *strings* in AddFile.partitionValues and
+parsed back to typed literals on read (reference actions.scala:119
+normalizePartitionValues; PROTOCOL.md "Partition Value Serialization").
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+import urllib.parse
+from typing import Any, Optional
+
+from pyspark.sql import types as T
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# characters Hive escapes in partition directory names
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def escape_partition_value(v: str) -> str:
+    out = []
+    for ch in v:
+        if ch in _ESCAPE_CHARS:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def unescape_partition_value(v: str) -> str:
+    return urllib.parse.unquote(v)
+
+
+def serialize_partition_value(value: Any, dtype: T.DataType) -> Optional[str]:
+    """Typed literal → protocol string form (PROTOCOL.md Partition Value
+    Serialization). None → None (JSON null in the log)."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.BooleanType):
+        return "true" if value else "false"
+    if isinstance(dtype, T.DateType):
+        if isinstance(value, _dt.date):
+            return value.isoformat()
+        return str(value)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(value, _dt.datetime):
+            s = value.strftime("%Y-%m-%d %H:%M:%S")
+            if value.microsecond:
+                s += ".%06d" % value.microsecond
+            return s
+        return str(value)
+    if isinstance(dtype, T.BinaryType):
+        return bytes(value).decode("latin-1")
+    if isinstance(dtype, T.DoubleType) or isinstance(dtype, T.FloatType):
+        if isinstance(value, float) and math.isnan(value):
+            return "NaN"
+        return repr(float(value))
+    return str(value)
+
+
+def deserialize_partition_value(s: Optional[str], dtype: T.DataType) -> Any:
+    """Protocol string → typed Python literal."""
+    if s is None or s == HIVE_DEFAULT_PARTITION:
+        return None
+    if isinstance(dtype, T.StringType):
+        return s
+    if isinstance(dtype, T.BooleanType):
+        return s.lower() == "true"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(s)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(s)
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(s)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        try:
+            return _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(dtype, T.BinaryType):
+        return s.encode("latin-1")
+    return s
+
+
+def partition_path(partition_values: dict[str, Optional[str]], partition_columns: list[str]) -> str:
+    """Hive-style relative directory prefix: ``col=val/col2=val2/``."""
+    parts = []
+    for c in partition_columns:
+        v = partition_values.get(c)
+        sv = HIVE_DEFAULT_PARTITION if v is None else escape_partition_value(v)
+        parts.append(f"{escape_partition_value(c)}={sv}")
+    return "/".join(parts)
+
+
+def schema_to_json(schema: T.StructType) -> str:
+    return schema.json()
+
+
+def schema_from_json(s: str) -> T.StructType:
+    import json
+
+    return T.StructType.fromJson(json.loads(s))
+
+
+def current_time_millis() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+def sql_literal(value: Any) -> str:
+    """Render a Python value as a Spark SQL literal (for building
+    predicate strings, e.g. metadata-only DELETE of partitions)."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float, decimal.Decimal)):
+        return str(value)
+    if isinstance(value, _dt.datetime):
+        return "TIMESTAMP '%s'" % value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(value, _dt.date):
+        return "DATE '%s'" % value.isoformat()
+    s = str(value).replace("'", "''")
+    return f"'{s}'"

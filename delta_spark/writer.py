@@ -1,0 +1,141 @@
+"""Transactional Parquet writing (reference
+files/TransactionalWrite.scala:406 writeFiles).
+
+Strategy: write the DataFrame with Spark's native Parquet writer into a
+hidden staging directory inside the table (underscore-prefixed → both
+invisible to our scans and protected from VACUUM, like `_delta_log`),
+then hard-move the part files into their final Hive-style locations and
+emit AddFile actions with footer-collected stats. Spark's part-file
+names embed a per-job UUID, so names never collide across commits.
+
+The data path stays fully distributed and codegen'd (it IS
+`df.write.parquet`); only the O(#files) rename + footer pass runs on
+the driver — the same asymptotics as the reference's driver-side
+commit work.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from delta_spark.actions import AddFile
+from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS, collect_stats_parallel, file_mtime_ms
+from delta_spark.util import (
+    HIVE_DEFAULT_PARTITION,
+    unescape_partition_value,
+)
+
+
+class SchemaMismatchError(Exception):
+    pass
+
+
+def normalize_df(df: DataFrame, schema: T.StructType, allow_missing_nullable: bool = False) -> DataFrame:
+    """Project/cast the incoming DataFrame to the table schema
+    (column-name resolution + implicit safe casts, the role of
+    schema/ImplicitMetadataOperation + DeltaInsertCastSupport)."""
+    by_name = {f.name.lower(): f for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        src = by_name.get(field.name.lower())
+        if src is None:
+            if allow_missing_nullable and field.nullable:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+                continue
+            raise SchemaMismatchError(
+                f"column {field.name!r} missing from written data; "
+                f"data columns: {[f.name for f in df.schema.fields]}")
+        c = F.col(src.name)
+        if src.dataType != field.dataType:
+            c = c.cast(field.dataType)
+        cols.append(c.alias(field.name))
+    extra = {f.name.lower() for f in df.schema.fields} - {f.name.lower() for f in schema.fields}
+    if extra:
+        raise SchemaMismatchError(
+            f"data contains columns not in table schema: {sorted(extra)} "
+            f"(use mergeSchema=True to evolve)")
+    return df.select(*cols)
+
+
+def write_files(
+    df: DataFrame,
+    table_path: str,
+    partition_columns: list[str],
+    indexed_cols: Optional[list[str]] = None,
+    num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS,
+    data_change: bool = True,
+    target_file_rows: Optional[int] = None,
+) -> list[AddFile]:
+    """Write df's rows as new Parquet files under table_path; return
+    AddFile actions (not yet committed)."""
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_columns:
+        writer = writer.partitionBy(*partition_columns)
+    writer.parquet(staging)
+
+    adds: list[AddFile] = []
+    moved: list[tuple[str, dict]] = []  # (final_abs_path, partitionValues)
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            pvals: dict[str, Optional[str]] = {}
+            if rel_dir:
+                for comp in rel_dir.split(os.sep):
+                    if "=" not in comp:
+                        continue
+                    k, v = comp.split("=", 1)
+                    k = unescape_partition_value(k)
+                    pvals[k] = None if v == HIVE_DEFAULT_PARTITION else unescape_partition_value(v)
+            final_dir = os.path.join(table_path, rel_dir) if rel_dir else table_path
+            os.makedirs(final_dir, exist_ok=True)
+            dst = os.path.join(final_dir, name)
+            os.rename(src, dst)
+            moved.append((dst, pvals))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    stats_map = collect_stats_parallel([p for p, _ in moved], indexed_cols, num_indexed_cols)
+    for abs_path, pvals in moved:
+        rel = os.path.relpath(abs_path, table_path).replace(os.sep, "/")
+        adds.append(AddFile(
+            path=rel,
+            partitionValues={c: pvals.get(c) for c in partition_columns},
+            size=os.path.getsize(abs_path),
+            modificationTime=file_mtime_ms(abs_path),
+            dataChange=data_change,
+            stats=stats_map.get(abs_path),
+        ))
+    return adds
+
+
+def write_cdc_files(df: DataFrame, table_path: str) -> list:
+    """Write change-data rows (including the `_change_type` column) as
+    CDC files under `_change_data/` (reference AddCDCFile; CDF files are
+    invisible to normal scans — commands/cdc/CDCReader.scala:59)."""
+    from delta_spark.actions import AddCDCFile
+
+    staging = os.path.join(table_path, f"_staging_cdc_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    cdc_dir = os.path.join(table_path, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    out = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            dst = os.path.join(cdc_dir, name)
+            os.rename(src, dst)
+            rel = os.path.relpath(dst, table_path).replace(os.sep, "/")
+            out.append(AddCDCFile(path=rel, partitionValues={}, size=os.path.getsize(dst)))
+    shutil.rmtree(staging, ignore_errors=True)
+    return out

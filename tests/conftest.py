@@ -1,0 +1,29 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from delta_spark.log import DeltaLog
+from delta_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("delta_spark_tests", master="local[4]")
+    yield s
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    DeltaLog.clear_cache()
+    p = str(tmp_path / "tbl")
+    yield p
+    DeltaLog.clear_cache()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,223 @@
+"""End-to-end slice: create → append → read → delete/update/merge →
+time travel → checkpoint, verified against DuckDB where cheap."""
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.table import DeltaTable
+
+
+def _li(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_create_append_read_roundtrip(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    v = write_delta(df, tmp_table, mode="append")
+    assert v == 0
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == df.count()
+    # second append
+    write_delta(df.limit(100), tmp_table, mode="append")
+    assert dt.toDF().count() == df.count() + 100
+
+
+def test_overwrite(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table)
+    write_delta(df.limit(10), tmp_table, mode="overwrite")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 10
+    assert dt.version == 1
+
+
+def test_q6_vs_duckdb(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    got = (dt.toDF()
+           .filter("l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND "
+                   "l_shipdate < TIMESTAMP '1995-01-01 00:00:00' AND "
+                   "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
+           .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+           ).collect()[0]["revenue"]
+    want = duckdb.sql(f"""
+        SELECT sum(l_extendedprice * l_discount) AS revenue
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """).fetchone()[0]
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_partitioned_write_and_pruning(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, partition_by=["l_returnflag"])
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    all_files = snap.all_files
+    pruned = snap.files_for_scan("l_returnflag = 'A'")
+    assert 0 < len(pruned) < len(all_files)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF("l_returnflag = 'A'").count() == df.filter("l_returnflag = 'A'").count()
+
+
+def test_stats_skipping(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    # write ordered by orderkey in several files → min/max ranges disjoint
+    write_delta(df.repartitionByRange(8, "l_orderkey"), tmp_table)
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert len(snap.all_files) >= 4
+    pruned = snap.files_for_scan("l_orderkey = 1")
+    assert len(pruned) < len(snap.all_files)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF("l_orderkey = 1").count() == df.filter("l_orderkey = 1").count()
+
+
+def test_delete(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 30")
+    assert dt.toDF().count() == df.filter("l_quantity <= 30 OR l_quantity IS NULL").count()
+    assert dt.toDF().filter("l_quantity > 30").count() == 0
+
+
+def test_delete_partition_metadata_only(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, partition_by=["l_returnflag"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before_files = set(DeltaLog.for_table(tmp_table).update().active)
+    dt.delete("l_returnflag = 'A'")
+    after = DeltaLog.for_table(tmp_table).update()
+    assert set(after.active) < before_files  # no rewrites, only drops
+    assert dt.toDF().filter("l_returnflag = 'A'").count() == 0
+
+
+def test_update(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update({"l_discount": "l_discount + 0.01"}, "l_quantity < 10")
+    got = dt.toDF().agg(F.sum("l_discount")).collect()[0][0]
+    want = (df.withColumn("l_discount",
+                          F.when(F.col("l_quantity") < 10, F.col("l_discount") + 0.01)
+                          .otherwise(F.col("l_discount")))
+            .agg(F.sum("l_discount")).collect()[0][0])
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_merge_upsert(spark, tmp_table, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    write_delta(orders, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = (orders.limit(200)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .withColumn("o_orderkey",
+                       F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey"))
+                       .otherwise(F.col("o_orderkey") + 10_000_000)))
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdateAll()
+       .whenNotMatchedInsertAll()
+       .execute())
+    out = dt.toDF()
+    n_new = src.join(orders, "o_orderkey", "left_anti").count()
+    assert out.count() == orders.count() + n_new
+    # matched rows got doubled price
+    joined = out.alias("t").join(src.alias("s"), "o_orderkey").filter("t.o_totalprice <> s.o_totalprice")
+    assert joined.count() == 0
+
+
+def test_merge_delete_clause(spark, tmp_table, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    write_delta(orders, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = orders.select("o_orderkey").limit(100)
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedDelete()
+       .execute())
+    assert dt.toDF().count() == orders.count() - 100
+
+
+def test_time_travel_and_history(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df.limit(100), tmp_table)
+    write_delta(df.limit(50), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 0")
+    assert dt.asOfVersion(0).count() == 100
+    assert dt.asOfVersion(1).count() == 150
+    assert dt.toDF().count() == df.limit(150).filter("l_quantity <= 0").count()
+    h = dt.history().collect()
+    assert [r["operation"] for r in h] == ["DELETE", "WRITE", "CREATE TABLE AS SELECT"]
+
+
+def test_checkpoint_roundtrip(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir).limit(500)
+    write_delta(df, tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    for i in range(11):
+        write_delta(df.limit(5), tmp_table, mode="append")
+    assert log.list_checkpoint_versions() != []
+    # force full rebuild from checkpoint
+    log.invalidate()
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(tmp_table)
+    snap = log2.update()
+    assert snap.version == 11
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 500 + 55
+
+
+def test_restore(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df.limit(100), tmp_table)
+    write_delta(df.limit(70), tmp_table, mode="overwrite")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.restoreToVersion(0)
+    assert dt.toDF().count() == 100
+
+
+def test_optimize_compaction(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    for i in range(5):
+        write_delta(df.limit(200), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before = DeltaLog.for_table(tmp_table).update().num_files
+    res = dt.optimize().executeCompaction()
+    after = DeltaLog.for_table(tmp_table).update().num_files
+    assert after < before
+    assert dt.toDF().count() == 1000
+
+
+def test_vacuum(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir)
+    write_delta(df.limit(100), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    write_delta(df.limit(10), tmp_table, mode="overwrite")
+    # retention 0 → old files deletable
+    victims = dt.vacuum(0, dry_run=True)
+    assert victims
+    dt.vacuum(0)
+    assert dt.toDF().count() == 10  # current version unharmed
+    with pytest.raises(Exception):
+        dt.asOfVersion(0).count()  # vacuumed data gone
+
+
+def test_cdf(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir).limit(100)
+    write_delta(df, tmp_table, configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    n_deleted = df.filter("l_quantity > 40").count()
+    ch = dt.table_changes(starting_version=1)
+    dels = ch.filter("_change_type = 'delete'").count()
+    assert dels == n_deleted
+    ch0 = dt.table_changes(starting_version=0)
+    assert ch0.filter("_change_type = 'insert'").count() == 100
