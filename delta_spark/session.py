@@ -25,6 +25,9 @@ def configure_spark(builder: "SparkSession.Builder", shuffle_partitions: int | N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
+        # reader rejects; read as long + convert (see datasets.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # our readers pass explicit file lists; ignore spurious dir junk
         .config("spark.sql.sources.ignoreDataLocality.enabled", "true")
         .config("spark.ui.enabled", "false")

