@@ -1,0 +1,154 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes:
+  * exact — one hash-groupBy (map-side partial agg; no window, no skew)
+  * jaccard_pairs — shingle-explode → equi-join on shingle → per-pair
+    count; frequent-shingle skew is capped with a document-frequency
+    cutoff (a shingle present in >df_cut docs carries no dedup signal
+    but quadratic join cost). This is the *exact* algorithm; at 100 TB
+    it's the verifier stage after LSH candidate generation.
+  * minhash_lsh_pairs — k md5-derived min-hashes per doc (one groupBy),
+    banded into b buckets → bucket equi-join → candidates → exact
+    jaccard verification. The classic shingle→minhash→band→bucket-join
+    pipeline; join keys are band hashes, so the shuffle is O(docs·b).
+  * simhash — per-word md5-derived 32-bit hashes; bit-majority sign
+    aggregation in one groupBy, hamming-close pairs via band join.
+
+All hashes derive from md5 (first 15 hex chars → bigint) so results
+are engine-independent and DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# md5-derived 60-bit hash, identical in Spark and DuckDB:
+#   spark : CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
+#   duckdb: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+
+
+def md5_hash64(col: Column, salt: str = "") -> Column:
+    s = F.concat(col, F.lit("#" + salt)) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative row per identical text: a
+    single hash-groupBy with min_by (map-side partial agg, no window,
+    no self-join — one shuffle keyed on the content hash)."""
+    cols = df.columns
+    h = F.md5(F.col(text_col))
+    rep = (df.withColumn("__h", h)
+             .groupBy("__h")
+             .agg(F.expr(f"min_by(struct({', '.join(cols)}), {id_col})").alias("__r"))
+             .select(*[F.col(f"__r.{c}").alias(c) for c in cols]))
+    return rep
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return (df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+              .distinct())
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.5,
+                  df_cut: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = shingles(df, text_col, id_col, n).cache()
+    if df_cut is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= df_cut)
+        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+    card = sh.groupBy(id_col).agg(F.count("*").alias("card"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    ca = card.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"))
+    out = (common.join(ca, "id_a").join(cb, "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per document: one shingle
+    explode, k min-aggregations in a single groupBy (map-side combine;
+    signature costs k·md5 per shingle, all JVM-side)."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [F.min(md5_hash64(F.col("shingle"), str(i))).alias(f"mh_{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, k: int = 32, bands: int = 16,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash→LSH candidate pairs, exactly verified: band the k-row
+    signature into `bands` buckets, equi-join on (band, bucket-hash),
+    then compute TRUE jaccard on the candidates only. Output matches
+    jaccard_pairs wherever LSH recall reaches (r = k/bands rows/band →
+    P(candidate) = 1-(1-s^r)^bands)."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("_", *parts)).alias("bucket")))
+    banded = (sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")))
+    l = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    rgt = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (l.join(rgt, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    # exact verification restricted to candidates
+    sh = shingles(df, text_col, id_col, n)
+    card = sh.groupBy(id_col).agg(F.count("*").alias("card"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b2 = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (a.join(b2, "shingle")
+              .join(cands, ["id_a", "id_b"], "left_semi")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    ca = card.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"))
+    return (common.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word unigrams: each distinct word
+    contributes ±1 per bit position from its md5-derived hash; the
+    signature takes the sign of each bit-sum. One explode + one groupBy
+    with `bits` conditional sums."""
+    words = (df.select(F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+             .distinct()
+             .withColumn("h", md5_hash64(F.col("w"))))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = words.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))

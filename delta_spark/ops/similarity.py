@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+  * knn_brute_force — exact cosine top-k: broadcast the (small) query
+    set, JVM-side zip_with/aggregate dot products over the corpus, one
+    window per query id for top-k. The baseline and the verifier.
+  * ivf_topk — IVF-style scale path: k-means centroids fitted on a
+    driver-side sample (numpy), assignment JVM-side via the same
+    codegen'd dot products, candidate search restricted to the nprobe
+    nearest centroid buckets. At 100 TB the bucket assignment is a
+    narrow map and the probe join touches ~nprobe/C of the corpus.
+  * embedding_near_dups — all-pairs cosine ≥ τ (exact; block-join),
+    the embedding-space analogue of jaccard_pairs.
+
+Dot products are computed in double precision, sequential fold order,
+so a DuckDB oracle (list arithmetic) reproduces values bit-for-bit —
+outputs round to 6 decimals for hash-stable comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_brute_force(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, sim, rank). The query
+    side is broadcast (no shuffle of the corpus); ranking windows
+    partition by query id (bounded cardinality → no skew)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    scored = joined.withColumn(
+        "sim", F.round(cosine_similarity_col(F.col(vec_col), F.col("__qv")), 6))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "sim", "rank"))
+
+
+def fit_centroids_sample(corpus: DataFrame, vec_col: str = "embedding",
+                         n_centroids: int = 16, sample_fraction: float = 0.2,
+                         iters: int = 10, seed: int = 42):
+    """k-means on a driver-side sample (numpy). Returns list of
+    centroid vectors. Sampling keeps the driver footprint constant
+    regardless of corpus size — the standard IVF training recipe."""
+    import numpy as np
+
+    rows = (corpus.select(vec_col).sample(fraction=sample_fraction, seed=seed)
+            .limit(50_000).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    # spherical k-means: cosine neighborhoods live on the unit sphere
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(1)
+        for c in range(len(cent)):
+            pts = X[assign == c]
+            if len(pts):
+                m = pts.mean(0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [c.tolist() for c in cent]
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmax of dot(vec, unit-centroid) — cosine bucket assignment as
+    a codegen'd expression chain (C is small; no UDF; the row norm is a
+    constant factor and drops out of the argmax)."""
+    best_idx = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = _dot(vec, arr)
+        if best_d is None:
+            best_d, best_idx = d, F.lit(i)
+        else:
+            cond = d > best_d
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_idx
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_centroids: int = 16,
+             nprobe: int = 4, centroids: Optional[list] = None) -> DataFrame:
+    """IVF approximate top-k: bucket corpus by nearest centroid, search
+    only the query's nprobe closest buckets."""
+    from pyspark.sql import Window
+
+    cents = centroids or fit_centroids_sample(corpus, vec_col, n_centroids)
+    bucketed = corpus.withColumn("__bucket", _nearest_centroid(F.col(vec_col), cents))
+
+    # query → its nprobe nearest buckets (small side, computed the same way)
+    import numpy as np
+
+    qrows = queries.collect()
+    C = np.array(cents)
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        sims = C @ (qv / max(np.linalg.norm(qv), 1e-12))
+        for b in (-sims).argsort()[:nprobe]:
+            probe_rows.append((r[query_id_col], int(b), [float(x) for x in qv]))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, f"{query_id_col} long, __bucket int, __qv array<double>")
+
+    joined = bucketed.join(F.broadcast(probes), "__bucket")
+    scored = joined.withColumn(
+        "sim", F.round(cosine_similarity_col(F.col(vec_col), F.col("__qv")), 6))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "sim", "rank"))
+
+
+def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine ≥ τ → (id_a, id_b, sim), id_a < id_b.
+    At scale, run after an LSH/IVF candidate stage; the pair join here
+    is the exact verifier."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("sim", F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))

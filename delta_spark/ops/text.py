@@ -1,0 +1,89 @@
+"""Text analysis operators: token/character statistics, quality
+scoring, n-gram-heuristic language ID, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions — one narrow projection,
+no shuffle, no Python in the hot path; at 100 TB these run at parquet
+scan speed. Every function is deterministic and definable in ANSI SQL,
+so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "para", "que", "con"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "这", "他"],
+}
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character/word/token statistics. `n_tokens_bpe_ish` counts
+    maximal alnum runs plus isolated punctuation — a cheap proxy for a
+    BPE pre-tokenizer's word-split pass."""
+    t = F.col(text_col)
+    return df.withColumns({
+        "n_chars_calc": F.length(t),
+        "n_words": F.size(F.split(F.trim(t), r"\s+")),
+        "n_alpha": F.regexp_count(t, F.lit(r"[A-Za-z]")),
+        "n_digit": F.regexp_count(t, F.lit(r"[0-9]")),
+        "n_punct": F.regexp_count(t, F.lit(r"[.,;:!?]")),
+        "n_tokens_bpe_ish": F.regexp_count(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    stopword presence − punctuation excess (the usual pretraining-corpus
+    filters: length/punct/stopword ratios)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha_ratio = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double") / F.greatest(n, F.lit(1.0))
+    punct_ratio = F.regexp_count(t, F.lit(r"[.,;:!?]")).cast("double") / F.greatest(n, F.lit(1.0))
+    stop_hits = F.regexp_count(F.lower(t), F.lit(_marker_pattern(LANG_MARKERS["en"]))).cast("double")
+    words = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    stop_ratio = stop_hits / F.greatest(words, F.lit(1.0))
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    score = (F.lit(0.25) * length_term
+             + F.lit(0.35) * F.least(alpha_ratio * F.lit(1.25), F.lit(1.0))
+             + F.lit(0.25) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+             + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))))
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: count per-language marker hits and
+    take the argmax (ties → lexicographically first language, 'und' if
+    nothing matches). One projection; no shuffle."""
+    t = F.lower(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    hits = {lang: F.regexp_count(t, F.lit(_marker_pattern(LANG_MARKERS[lang])))
+            for lang in langs}
+    # explicit priority CASE chain (first language in sorted order wins
+    # ties) — trivially replicated as ANSI SQL for the oracle
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = (hits[lang] > 0)
+        for other in langs:
+            if other != lang and (other < lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn("lang_pred", expr)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-invariant document fingerprint: md5 over the
+    lowercased text with all non-alphanumerics squeezed out. Identical
+    semantics in any engine with md5 → exact oracle."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", "")
+    return df.withColumn("fingerprint", F.md5(norm))
