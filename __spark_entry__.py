@@ -1,38 +1,834 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the implemented operator surface of delta_spark
+(SURVEY.md §2): every entry builds/uses a real delta table (transaction
+log + snapshot reads + DML) or runs a pipeline operator, and returns a
+DataFrame whose value-hash must match `oracle_sql()` run by DuckDB over
+the raw parquet views.
+
+Cross-engine determinism rules used throughout:
+  * money/ratio aggregates go through DECIMAL casts (exact sums) and
+    only convert to DOUBLE at the end — parallel summation order can
+    never change the result;
+  * similarity scores use integer-quantized embeddings (exact int64
+    dot products; sqrt/div of identical doubles is IEEE-deterministic);
+  * every hash is md5-derived (identical in Spark and DuckDB);
+  * event timestamps are nanos in parquet: Spark reads them as long +
+    converts to microseconds, so queries only return date_trunc'd or
+    aggregated time values.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from delta_spark.datasets import load_table
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.table import DeltaTable
+
+# ---------------------------------------------------------------------------
+# delta-table fixtures: built once per (key, sf_dir) in a temp dir
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _table(spark: SparkSession, sf_dir: str, key: str,
+           build: Callable[[SparkSession, str, str], None]) -> str:
+    ck = (key, sf_dir)
+    path = _CACHE.get(ck)
+    if path and os.path.isdir(os.path.join(path, "_delta_log")):
+        return path
+    path = tempfile.mkdtemp(prefix=f"dsq_{key}_")
+    shutil.rmtree(path, ignore_errors=True)
+    DeltaLog.clear_cache()
+    build(spark, sf_dir, path)
+    _CACHE[ck] = path
+    return path
+
+
+def _dt(spark: SparkSession, path: str) -> DeltaTable:
+    return DeltaTable.forPath(spark, path)
+
+
+def _build_plain(table: str):
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, table), path)
+    return b
+
+
+# decimal-exact revenue term, same text in Spark SQL and DuckDB
+_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_delta_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write → snapshot read roundtrip (WriteIntoDelta + scan)."""
+    p = _table(spark, sf_dir, "li", _build_plain("lineitem"))
+    _dt(spark, p).toDF().createOrReplaceTempView("dli")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM dli GROUP BY l_returnflag, l_linestatus""")
+
+
+def q_delta_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through log-level file skipping + parquet pushdown."""
+    p = _table(spark, sf_dir, "li", _build_plain("lineitem"))
+    df = _dt(spark, p).toDF(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+        "l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND "
+        "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")
+    return df.selectExpr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS r"
+    ).agg(F.expr("CAST(sum(r) AS DOUBLE)").alias("revenue"),
+          F.count(F.lit(1)).alias("n"))
+
+
+def q_delta_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE with a non-partition predicate (file rewrite path)."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path)
+        DeltaTable.forPath(spark, path).delete("l_quantity > 30")
+    p = _table(spark, sf_dir, "li_del", b)
+    return (_dt(spark, p).toDF().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+
+def q_delta_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DELETE on a partition predicate (no rewrite)."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path, partition_by=["l_returnflag"])
+        DeltaTable.forPath(spark, path).delete("l_returnflag = 'A'")
+    p = _table(spark, sf_dir, "li_delpart", b)
+    return (_dt(spark, p).toDF().groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with conditional projection rewrite."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path)
+        DeltaTable.forPath(spark, path).update(
+            {"l_discount": "l_discount + CAST(0.01 AS DOUBLE)"}, "l_quantity < 10")
+    p = _table(spark, sf_dir, "li_upd", b)
+    return (_dt(spark, p).toDF().groupBy("l_returnflag")
+            .agg(F.expr("CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)").alias("disc"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.filter("o_orderkey % 7 = 0")
+            .selectExpr(
+                "o_orderkey + CASE WHEN o_orderkey % 2 = 1 THEN 20000000 ELSE 0 END AS o_orderkey",
+                "o_custkey", "o_orderstatus",
+                "o_totalprice * 2 AS o_totalprice", "o_orderdate", "o_orderpriority"))
+
+
+def q_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE: WHEN MATCHED UPDATE ALL + WHEN NOT MATCHED INSERT ALL."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "orders"), path)
+        (DeltaTable.forPath(spark, path)
+         .merge(_merge_source(spark, sf_dir), "target.o_orderkey = source.o_orderkey")
+         .whenMatchedUpdateAll()
+         .whenNotMatchedInsertAll()
+         .execute())
+    p = _table(spark, sf_dir, "ord_merge", b)
+    return _dt(spark, p).toDF().selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_orderpriority")
+
+
+def q_delta_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with matched-DELETE and conditional matched-UPDATE clauses."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "orders"), path)
+        src = load_table(spark, sf_dir, "orders").filter("o_orderkey % 5 = 0") \
+            .select("o_orderkey", "o_totalprice")
+        (DeltaTable.forPath(spark, path)
+         .merge(src, "target.o_orderkey = source.o_orderkey")
+         .whenMatchedDelete("source.o_totalprice > 100000")
+         .whenMatchedUpdate({"o_orderpriority": "'RETOUCHED'"})
+         .execute())
+    p = _table(spark, sf_dir, "ord_mergedel", b)
+    return (_dt(spark, p).toDF().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF read after later DML must see the old snapshot."""
+    def b(spark, sf_dir, path):
+        li = load_table(spark, sf_dir, "lineitem")
+        write_delta(li.filter("l_orderkey % 2 = 0"), path)
+        write_delta(li.filter("l_orderkey % 2 = 1"), path, mode="append")
+        DeltaTable.forPath(spark, path).delete("l_quantity > 10")
+    p = _table(spark, sf_dir, "li_tt", b)
+    return (_dt(spark, p).asOfVersion(1).groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias("price")))
+
+
+def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION AS OF 0 after a destructive overwrite."""
+    def b(spark, sf_dir, path):
+        ords = load_table(spark, sf_dir, "orders")
+        write_delta(ords, path)
+        write_delta(ords.filter("o_orderkey % 13 = 0"), path, mode="overwrite")
+        DeltaTable.forPath(spark, path).restoreToVersion(0)
+    p = _table(spark, sf_dir, "ord_restore", b)
+    return (_dt(spark, p).toDF().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total")))
+
+
+def q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE then read the clone."""
+    def b(spark, sf_dir, path):
+        src = tempfile.mkdtemp(prefix="dsq_clone_src_")
+        shutil.rmtree(src, ignore_errors=True)
+        write_delta(load_table(spark, sf_dir, "customer"), src)
+        DeltaTable.forPath(spark, src).clone(path)
+    p = _table(spark, sf_dir, "cust_clone", b)
+    return (_dt(spark, p).toDF().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+
+
+def q_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA over a plain parquet directory."""
+    def b(spark, sf_dir, path):
+        os.makedirs(path, exist_ok=True)
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").parquet(path)
+        DeltaTable.convertToDelta(spark, path)
+    p = _table(spark, sf_dir, "supp_convert", b)
+    return (_dt(spark, p).toDF()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+
+
+def q_delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing preserves table contents exactly."""
+    def b(spark, sf_dir, path):
+        li = load_table(spark, sf_dir, "lineitem")
+        for i in range(4):
+            write_delta(li.filter(f"l_orderkey % 4 = {i}"), path,
+                        mode="append" if i else "append")
+        DeltaTable.forPath(spark, path).optimize().executeCompaction()
+    p = _table(spark, sf_dir, "li_opt", b)
+    return (_dt(spark, p).toDF().groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+
+def q_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY — clustering rewrite preserves content; the
+    filtered read afterwards exercises the tightened file stats."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path)
+        DeltaTable.forPath(spark, path).optimize().executeZOrderBy(
+            "l_orderkey", "l_partkey", max_file_size=2 * 1024 * 1024)
+    p = _table(spark, sf_dir, "li_z", b)
+    df = _dt(spark, p).toDF("l_orderkey <= 1000 AND l_partkey <= 500")
+    return df.agg(F.count(F.lit(1)).alias("n"),
+                  F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias("price"))
+
+
+def q_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped overwrite (replaceWhere)."""
+    def b(spark, sf_dir, path):
+        li = load_table(spark, sf_dir, "lineitem")
+        write_delta(li, path, partition_by=["l_returnflag"])
+        repl = (li.filter("l_returnflag = 'N'")
+                .withColumn("l_quantity", F.expr("CAST(l_quantity + 100 AS DOUBLE)")))
+        write_delta(repl, path, mode="overwrite", replace_where="l_returnflag = 'N'")
+    p = _table(spark, sf_dir, "li_rw", b)
+    return (_dt(spark, p).toDF().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+
+def q_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema append adds a column; old rows read it as NULL."""
+    def b(spark, sf_dir, path):
+        ords = load_table(spark, sf_dir, "orders")
+        write_delta(ords.filter("o_orderkey % 2 = 0"), path)
+        evolved = (ords.filter("o_orderkey % 2 = 1")
+                   .withColumn("o_channel", F.expr("CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END")))
+        write_delta(evolved, path, mode="append", merge_schema=True)
+    p = _table(spark, sf_dir, "ord_evo", b)
+    return (_dt(spark, p).toDF().groupBy("o_channel")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed: per-version change-type row counts."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path,
+                    configuration={"delta.enableChangeDataFeed": "true"})
+        dt = DeltaTable.forPath(spark, path)
+        dt.delete("l_quantity > 45")
+        dt.update({"l_tax": "l_tax + CAST(0.01 AS DOUBLE)"}, "l_quantity < 5")
+    p = _table(spark, sf_dir, "li_cdf", b)
+    ch = _dt(spark, p).table_changes(starting_version=1)
+    return ch.groupBy("_change_type", "_commit_version").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_delta_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS column computed on write."""
+    def b(spark, sf_dir, path):
+        (DeltaTable.create(spark).location(path)
+         .addColumn("o_orderkey", "long", nullable=False)
+         .addColumn("o_totalprice", "double")
+         .addColumn("o_orderdate", "timestamp")
+         .addColumn("o_year", "int", generatedAlwaysAs="year(o_orderdate)")
+         .execute())
+        write_delta(load_table(spark, sf_dir, "orders")
+                    .select("o_orderkey", "o_totalprice", "o_orderdate"), path, mode="append")
+    p = _table(spark, sf_dir, "ord_gen", b)
+    return (_dt(spark, p).toDF().groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total")))
+
+
+def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (delta-specific — rows-only check)."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "supplier"), path)
+        dt = DeltaTable.forPath(spark, path)
+        dt.delete("s_acctbal < 0")
+        dt.optimize().executeCompaction()
+    p = _table(spark, sf_dir, "supp_hist", b)
+    return _dt(spark, p).history().select("version", "operation")
+
+
+# ---- analytics over delta tables (TPC-H-ish) ------------------------------
+
+def _tpch_db(spark: SparkSession, sf_dir: str) -> str:
+    def b(spark, sf_dir, path):
+        os.makedirs(path, exist_ok=True)
+        for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+            write_delta(load_table(spark, sf_dir, t), os.path.join(path, t))
+    return _table(spark, sf_dir, "tpchdb", b)
+
+
+def _register_tpch(spark: SparkSession, sf_dir: str) -> None:
+    base = _tpch_db(spark, sf_dir)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+        DeltaTable.forPath(spark, os.path.join(base, t)).toDF().createOrReplaceTempView(f"d_{t}")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_tpch(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM d_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_tpch(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_orderkey,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate
+        FROM d_customer JOIN d_orders ON c_custkey = o_custkey
+                        JOIN d_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate""")
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_tpch(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n_name, CAST(sum({_REV}) AS DOUBLE) AS revenue
+        FROM d_customer
+          JOIN d_orders   ON c_custkey = o_custkey
+          JOIN d_lineitem ON l_orderkey = o_orderkey
+          JOIN d_supplier ON l_suppkey = s_suppkey
+          JOIN d_nation   ON s_nationkey = n_nationkey
+          JOIN d_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""")
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (window function surface)."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM d_orders) WHERE rnk <= 3""")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style windowed aggregation run as batch over the
+    events delta table."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT date_trunc('HOUR', ts) AS hour, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM d_events GROUP BY 1, 2""")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag window + cumulative flag)."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+          FROM d_events)
+        SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id""")
+
+
+# ---- pipeline operators ----------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _table(spark, sf_dir, "docs", _build_plain("documents"))
+    return _dt(spark, p).toDF()
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _table(spark, sf_dir, "emb", _build_plain("embeddings"))
+    return _dt(spark, p).toDF()
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_spark.ops.text import text_stats
+    return text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_calc", "n_words", "n_alpha", "n_digit", "n_punct", "n_tokens_bpe_ish")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_spark.ops.text import quality_score
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_spark.ops.text import language_id
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_spark.ops.text import fingerprint
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ planted duplicates (shifted ids)."""
+    from delta_spark.ops.dedup import dedup_exact
+    docs = _docs(spark, sf_dir)
+    planted = docs.filter("doc_id % 5 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
+    return dedup_exact(docs.unionByName(planted)).select("doc_id", "n_chars")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_spark.ops.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exactly verified — deterministic
+    md5-permutations; at these similarity levels band recall is 1."""
+    from delta_spark.ops.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, k=32, bands=16)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_spark.ops.dedup import simhash
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    return df.selectExpr("vec_id", "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e")
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (int-quantized →
+    engine-exact)."""
+    emb = _quantized(_emb(spark, sf_dir))
+    q = emb.filter("vec_id < 10").selectExpr("vec_id AS query_id", "e AS qe")
+    scored = emb.crossJoin(F.broadcast(q)).selectExpr(
+        "query_id", "vec_id",
+        "round(aggregate(zip_with(e, qe, (x, y) -> x * y), 0L, (acc, x) -> acc + x) /"
+        " (sqrt(aggregate(e, 0L, (acc, x) -> acc + x * x)) *"
+        "  sqrt(aggregate(qe, 0L, (acc, x) -> acc + x * x))), 6) AS sim")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter("rnk <= 5").select("query_id", "vec_id", "sim", "rnk"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.3 over quantized embeddings."""
+    emb = _quantized(_emb(spark, sf_dir))
+    a = emb.selectExpr("vec_id AS id_a", "e AS ea")
+    b = emb.selectExpr("vec_id AS id_b", "e AS eb")
+    return (a.crossJoin(b).filter("id_a < id_b").selectExpr(
+        "id_a", "id_b",
+        "round(aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) /"
+        " (sqrt(aggregate(ea, 0L, (acc, x) -> acc + x * x)) *"
+        "  sqrt(aggregate(eb, 0L, (acc, x) -> acc + x * x))), 6) AS sim")
+        .filter("sim >= 0.3"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (approximate by design — rows-only check)."""
+    from delta_spark.ops.similarity import ivf_topk
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, q, k=10, n_centroids=8, nprobe=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte stats via Arrow-batched
+    mapInPandas."""
+    from delta_spark.ops.multimodal import documents_as_media, extract_features
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "format", "n_bytes", "header_hex")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transactional write + DML + snapshot-pruned analytics
+    on sf0.001."""
+    return q_delta_write_read(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "delta_write_read": q_delta_write_read,
+        "delta_filter_pushdown": q_delta_filter_pushdown,
+        "delta_delete_rewrite": q_delta_delete_rewrite,
+        "delta_delete_partition": q_delta_delete_partition,
+        "delta_update": q_delta_update,
+        "delta_merge_upsert": q_delta_merge_upsert,
+        "delta_merge_delete": q_delta_merge_delete,
+        "delta_time_travel": q_delta_time_travel,
+        "delta_restore": q_delta_restore,
+        "delta_clone": q_delta_clone,
+        "delta_convert": q_delta_convert,
+        "delta_optimize_compact": q_delta_optimize_compact,
+        "delta_zorder": q_delta_zorder,
+        "delta_replace_where": q_delta_replace_where,
+        "delta_schema_evolution": q_delta_schema_evolution,
+        "delta_cdf": q_delta_cdf,
+        "delta_generated_column": q_delta_generated_column,
+        "delta_history": q_delta_history,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "window_topk": q_window_topk,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_cosine": q_knn_cosine,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the raw parquet views)
+# ---------------------------------------------------------------------------
+
+_JACCARD_CTE = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+FROM pairs JOIN card ca ON ca.doc_id = ia JOIN card cb ON cb.doc_id = ib
+WHERE common * 1.0 / (ca.c + cb.c - common) >= {tau}
+"""
+
+
+def _langid_oracle() -> str:
+    from delta_spark.ops.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_exprs = ", ".join(
+        "len(regexp_extract_all(lower(text), '\\b(" + "|".join(LANG_MARKERS[l]) + ")\\b')) AS h_" + l
+        for l in langs)
+    case = "CASE "
+    for lang in langs:
+        conds = [f"h_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"h_{lang} {op} h_{other}")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END AS lang_pred"
+    return f"WITH h AS (SELECT doc_id, {hit_exprs} FROM documents) SELECT doc_id, {case} FROM h"
+
+
+def _quality_oracle() -> str:
+    stop = "|".join(["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"])
+    return rf"""
+SELECT doc_id, round(
+    0.25 * least(length(text) / 500.0, 1.0)
+  + 0.35 * least((len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1)) * 1.25, 1.0)
+  + 0.25 * least((len(regexp_extract_all(lower(text), '\b({stop})\b')) * 1.0
+                  / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 4.0, 1.0)
+  + 0.15 * (1.0 - least((len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)) * 5.0, 1.0))
+, 6) AS quality FROM documents"""
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits))
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return rf"""
+WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {assemble} AS simhash FROM s"""
+
+
+_QCOS = ("round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+         " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+         " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
+
+_REV_D = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+_MERGE_SRC = """
+src AS (
+  SELECT o_orderkey + CASE WHEN o_orderkey % 2 = 1 THEN 20000000 ELSE 0 END AS o_orderkey,
+         o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "delta_write_read": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum({_REV_D}) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "delta_filter_pushdown": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "delta_delete_rewrite": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
+            GROUP BY l_returnflag""",
+        "delta_delete_partition": """
+            SELECT l_linestatus, count(*) AS n
+            FROM lineitem WHERE l_returnflag <> 'A' GROUP BY l_linestatus""",
+        "delta_update": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(CASE WHEN l_quantity < 10 THEN l_discount + CAST(0.01 AS DOUBLE)
+                                      ELSE l_discount END AS DECIMAL(18,4))) AS DOUBLE) AS disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
+        "delta_merge_upsert": f"""
+            WITH {_MERGE_SRC}
+            SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+                   coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                   CAST(CAST(coalesce(s.o_totalprice, t.o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+                   CAST(coalesce(s.o_orderdate, t.o_orderdate) AS DATE) AS o_orderdate,
+                   coalesce(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+            FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey""",
+        "delta_merge_delete": """
+            SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'RETOUCHED' ELSE o_orderpriority END AS o_orderpriority,
+                   count(*) AS n
+            FROM orders WHERE NOT (o_orderkey % 5 = 0 AND o_totalprice > 100000)
+            GROUP BY 1""",
+        "delta_time_travel": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+            FROM lineitem GROUP BY l_returnflag""",
+        "delta_restore": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY o_orderstatus""",
+        "delta_clone": """
+            SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM customer GROUP BY c_mktsegment""",
+        "delta_convert": """
+            SELECT count(*) AS n, CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM supplier""",
+        "delta_optimize_compact": """
+            SELECT l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY l_linestatus""",
+        "delta_zorder": """
+            SELECT count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+            FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 500""",
+        "delta_replace_where": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
+                                      ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY l_returnflag""",
+        "delta_schema_evolution": """
+            SELECT CASE WHEN o_orderkey % 2 = 1
+                        THEN CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+                        ELSE NULL END AS o_channel,
+                   count(*) AS n
+            FROM orders GROUP BY 1""",
+        "delta_cdf": """
+            WITH base AS (SELECT * FROM lineitem)
+            SELECT 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version, count(*) AS n
+            FROM base WHERE l_quantity > 45
+            UNION ALL
+            SELECT 'update_preimage', 2, count(*) FROM base WHERE NOT coalesce(l_quantity > 45, false) AND l_quantity < 5
+            UNION ALL
+            SELECT 'update_postimage', 2, count(*) FROM base WHERE NOT coalesce(l_quantity > 45, false) AND l_quantity < 5""",
+        "delta_generated_column": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY 1""",
+        # delta_history: delta-specific — rows-only check (no oracle)
+        "tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum({_REV_D}) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": f"""
+            SELECT l_orderkey, CAST(sum({_REV_D}) AS DOUBLE) AS revenue,
+                   CAST(o_orderdate AS DATE) AS orderdate
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY l_orderkey, o_orderdate""",
+        "tpch_q5": f"""
+            SELECT n_name, CAST(sum({_REV_D}) AS DOUBLE) AS revenue
+            FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name""",
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders) WHERE rnk <= 3""",
+        "events_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events)
+            SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id""",
+        "text_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   len(string_split_regex(trim(text), '\s+')) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe_ish
+            FROM documents""",
+        "text_quality": _quality_oracle(),
+        "text_langid": _langid_oracle(),
+        "text_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+            FROM documents""",
+        "dedup_exact": """
+            SELECT doc_id, n_chars FROM documents""",
+        "dedup_jaccard": _JACCARD_CTE.format(tau=0.2),
+        "dedup_minhash_lsh": _JACCARD_CTE.format(tau=0.5),
+        "dedup_simhash": _simhash_oracle(32),
+        "knn_cosine": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id, {_QCOS.format(a='e.e', b='q.qe')} AS sim
+              FROM e CROSS JOIN q),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rnk
+                       FROM scored)
+            SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5""",
+        "embedding_near_dups": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS.format(a='a.e', b='b.e')} AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_QCOS.format(a='a.e', b='b.e')} >= 0.3""",
+        # ann_ivf: approximate by design — rows-only check (no oracle)
+        "multimodal_features": """
+            SELECT doc_id AS media_id, 'unknown' AS format,
+                   octet_length(encode(text)) AS n_bytes,
+                   lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+            FROM documents""",
+    }

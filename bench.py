@@ -1,0 +1,177 @@
+"""Benchmark harness: headline delta_spark queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "total_wall_sec", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Workload mix mirrors the reference's benchmark suites
+(benchmarks/TPCDSBenchmark.scala power run + MergeBenchmark cases):
+data load into the table format, scan-heavy analytics (Q1/Q3/Q5/Q6),
+DML (delete / merge-upsert), layout optimization (zorder + pruned
+read), plus the pipeline operators (minhash dedup, knn, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from delta_spark.datasets import load_table
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.session import get_spark
+from delta_spark.table import DeltaTable
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+def main() -> None:
+    spark = get_spark("delta_spark_bench")
+    base = tempfile.mkdtemp(prefix="ds_bench_")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            out = fn()
+            timings[name] = round(time.time() - t0, 3)
+            return out
+        return deco
+
+    # ---- data load: parquet → delta (the reference's DataLoad bench) ----
+    @timed("load_delta")
+    def _load():
+        for t in TABLES:
+            write_delta(load_table(spark, SF_DIR, t), os.path.join(base, t))
+
+    def dt(t):
+        return DeltaTable.forPath(spark, os.path.join(base, t))
+
+    for t in TABLES:
+        dt(t).toDF().createOrReplaceTempView(f"d_{t}")
+
+    @timed("q1_agg")
+    def _q1():
+        return spark.sql(f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS n
+            FROM d_lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""").collect()
+
+    @timed("q3_join")
+    def _q3():
+        return spark.sql(f"""
+            SELECT l_orderkey, CAST(sum({_REV}) AS DOUBLE) AS revenue
+            FROM d_customer JOIN d_orders ON c_custkey = o_custkey
+                            JOIN d_lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+            GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10""").collect()
+
+    @timed("q5_join5")
+    def _q5():
+        return spark.sql(f"""
+            SELECT n_name, CAST(sum({_REV}) AS DOUBLE) AS revenue
+            FROM d_customer JOIN d_orders ON c_custkey = o_custkey
+              JOIN d_lineitem ON l_orderkey = o_orderkey
+              JOIN d_supplier ON l_suppkey = s_suppkey
+              JOIN d_nation ON s_nationkey = n_nationkey
+              JOIN d_region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name""").collect()
+
+    @timed("q6_filter")
+    def _q6():
+        # predicate hits the log-level skipping AND parquet pushdown
+        return (dt("lineitem").toDF(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND "
+            "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")
+            .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+            .collect())
+
+    @timed("merge_upsert")
+    def _merge():
+        src = (load_table(spark, SF_DIR, "orders").filter("o_orderkey % 10 = 0")
+               .selectExpr("o_orderkey + CASE WHEN o_orderkey % 2 = 1 THEN 900000000 ELSE 0 END AS o_orderkey",
+                           "o_custkey", "o_orderstatus", "o_totalprice * 2 AS o_totalprice",
+                           "o_orderdate", "o_orderpriority"))
+        (dt("orders").merge(src, "target.o_orderkey = source.o_orderkey")
+         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+
+    @timed("delete_scan")
+    def _delete():
+        dt("part").delete("p_size > 40")
+        return dt("part").toDF().count()
+
+    @timed("zorder")
+    def _zorder():
+        dt("lineitem").optimize().executeZOrderBy("l_orderkey", "l_partkey",
+                                                  max_file_size=64 * 1024 * 1024)
+
+    @timed("zorder_pruned_read")
+    def _zread():
+        return (dt("lineitem").toDF("l_orderkey <= 5000 AND l_partkey <= 2000")
+                .agg(F.count(F.lit(1))).collect())
+
+    @timed("dedup_minhash")
+    def _mh():
+        from delta_spark.ops.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(dt("documents").toDF(), threshold=0.5).count()
+
+    @timed("knn")
+    def _knn():
+        from delta_spark.ops.similarity import knn_brute_force
+        emb = dt("embeddings").toDF()
+        q = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+        return knn_brute_force(emb, q, k=10).count()
+
+    @timed("text_pipeline")
+    def _text():
+        from delta_spark.ops.text import fingerprint, language_id, quality_score, text_stats
+        d = dt("documents").toDF()
+        out = fingerprint(language_id(quality_score(text_stats(d))))
+        return out.agg(F.count(F.lit(1)), F.sum("quality"),
+                       F.countDistinct("fingerprint")).collect()
+
+    @timed("events_hourly")
+    def _events():
+        return spark.sql("""
+            SELECT date_trunc('HOUR', ts) AS h, event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM d_events GROUP BY 1, 2""").count()
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+    print(json.dumps({"metric": "total_wall_sec", "value": total, "unit": "sec",
+                      "queries": timings, "sf": sf}))
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

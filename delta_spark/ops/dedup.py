@@ -83,12 +83,29 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n: int = 3, k: int = 32) -> DataFrame:
+                       n: int = 3, k: int = 32, _shingles: DataFrame | None = None) -> DataFrame:
     """k-permutation MinHash signature per document: one shingle
     explode, k min-aggregations in a single groupBy (map-side combine;
     signature costs k·md5 per shingle, all JVM-side)."""
-    sh = shingles(df, text_col, id_col, n)
-    aggs = [F.min(md5_hash64(F.col("shingle"), str(i))).alias(f"mh_{i}") for i in range(k)]
+    # k permutations from TWO independent md5 base hashes:
+    # h_i = (a_i·h0 + b_i·h1 + c_i) mod 2^61-1 — a pairwise-independent
+    # family (affine combos of a single base are correlated and cost
+    # LSH recall). Bases are reduced mod 2^31-1 so products stay < 2^62
+    # (ANSI-safe). 2 md5 + k multiply-adds per shingle vs k md5s.
+    m31 = (1 << 31) - 1
+    base = _shingles if _shingles is not None else shingles(df, text_col, id_col, n)
+    sh = (base
+          .withColumn("__h0", F.pmod(md5_hash64(F.col("shingle")), F.lit(m31)))
+          .withColumn("__h1", F.pmod(md5_hash64(F.col("shingle"), "perm"), F.lit(m31))))
+    p = (1 << 61) - 1
+    rng_a = [((2 * i + 1) * 0x9E3779B9) % (1 << 29) | 1 for i in range(k)]
+    rng_b = [((i + 7) * 0xC2B2AE3D) % (1 << 29) | 1 for i in range(k)]
+    rng_c = [(i * 0x165667B1 + 0x27D4EB2F) % m31 for i in range(k)]
+    aggs = [
+        F.min(F.pmod(F.col("__h0") * F.lit(rng_a[i]) + F.col("__h1") * F.lit(rng_b[i])
+                     + F.lit(rng_c[i]), F.lit(p))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -102,7 +119,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     P(candidate) = 1-(1-s^r)^bands)."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    sh_cached = shingles(df, text_col, id_col, n).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, k, _shingles=sh_cached)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
@@ -115,14 +133,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     cands = (l.join(rgt, ["band", "bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    # exact verification restricted to candidates
-    sh = shingles(df, text_col, id_col, n)
+    # exact verification on candidate pairs ONLY: expand each pair by
+    # the left doc's shingles, equi-join the right side on (id, shingle)
+    # — cost is O(candidate_pairs · shingles/doc), independent of the
+    # corpus-wide shingle co-occurrence volume (unlike a full self-join,
+    # which would re-do the exact-jaccard work LSH exists to avoid)
+    sh = sh_cached
     card = sh.groupBy(id_col).agg(F.count("*").alias("card"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b2 = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (a.join(b2, "shingle")
-              .join(cands, ["id_a", "id_b"], "left_semi")
-              .filter(F.col("id_a") < F.col("id_b"))
+    common = (cands.join(a, "id_a")
+              .join(b2, ["id_b", "shingle"])
               .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
     ca = card.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"))
     cb = card.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"))
