@@ -1,0 +1,243 @@
+"""Schema governance + concurrency: constraints, generated/identity
+columns, schema evolution, ALTER surface, conflict checking
+(reference: Invariants/Constraints suites, GeneratedColumnSuite,
+IdentityColumnSuite, OptimisticTransactionSuite)."""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.schema import (
+    IDENTITY_START_KEY,
+    IDENTITY_STEP_KEY,
+    SchemaEvolutionError,
+    merge_schemas,
+)
+from delta_spark.table import DeltaTable
+from delta_spark.transaction import (
+    ConcurrentAppendException,
+    ConcurrentDeleteDeleteException,
+    MetadataChangedException,
+    OptimisticTransaction,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+# ----------------------------------------------------------- constraints ----
+
+def test_not_null_enforced(spark, tmp_table):
+    dt = (DeltaTable.create(spark).location(tmp_table)
+          .addColumn("id", "long", nullable=False)
+          .addColumn("v", "double").execute())
+    ok = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
+    write_delta(ok, tmp_table, mode="append")
+    bad = spark.createDataFrame([(None, 3.0)], "id long, v double")
+    with pytest.raises(Exception, match="NOT NULL"):
+        write_delta(bad, tmp_table, mode="append")
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 2
+
+
+def test_check_constraint(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(100), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addCheckConstraint("positive_price", "o_totalprice > 0")
+    bad = _orders(spark, sf_dir).limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(Exception, match="CHECK constraint positive_price"):
+        write_delta(bad, tmp_table, mode="append")
+    # constraint rejected on existing violations
+    with pytest.raises(ValueError, match="existing rows violate"):
+        dt.addCheckConstraint("impossible", "o_totalprice > 1e12")
+    dt.dropCheckConstraint("positive_price")
+    write_delta(bad, tmp_table, mode="append")  # now allowed
+    assert dt.toDF().filter("o_totalprice < 0").count() == 5
+
+
+def test_generated_column_validation(spark, tmp_table, sf_dir):
+    (DeltaTable.create(spark).location(tmp_table)
+     .addColumn("o_orderkey", "long")
+     .addColumn("o_orderdate", "timestamp")
+     .addColumn("o_year", "int", generatedAlwaysAs="year(o_orderdate)")
+     .execute())
+    src = _orders(spark, sf_dir).limit(50).select("o_orderkey", "o_orderdate")
+    write_delta(src, tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().filter("o_year <> year(o_orderdate)").count() == 0
+    # explicitly provided wrong values must fail
+    bad = src.limit(3).withColumn("o_year", F.lit(1900))
+    with pytest.raises(Exception, match="generated column"):
+        write_delta(bad, tmp_table, mode="append")
+
+
+def test_identity_column(spark, tmp_table, sf_dir):
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), True,
+                      {IDENTITY_START_KEY: 100, IDENTITY_STEP_KEY: 10}),
+        T.StructField("name", T.StringType(), True),
+    ])
+    (DeltaTable.create(spark).location(tmp_table).addColumns(schema).execute())
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+    write_delta(df, tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    vals = [r["rid"] for r in dt.toDF().select("rid").collect()]
+    assert len(set(vals)) == 3
+    assert all(v >= 100 and (v - 100) % 10 == 0 for v in vals)
+    # second write continues past the watermark — no collisions
+    write_delta(df, tmp_table, mode="append")
+    vals2 = [r["rid"] for r in dt.toDF().select("rid").collect()]
+    assert len(set(vals2)) == 6
+
+
+# ------------------------------------------------------ schema evolution ----
+
+def test_merge_schemas_widening_and_errors():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("z", T.DoubleType())])
+    m = merge_schemas(a, b)
+    assert dict((f.name, f.dataType.typeName()) for f in m.fields) == {
+        "x": "long", "y": "string", "z": "double"}
+    with pytest.raises(SchemaEvolutionError):
+        merge_schemas(T.StructType([T.StructField("x", T.StringType())]),
+                      T.StructType([T.StructField("x", T.DoubleType())]))
+
+
+def test_append_without_merge_schema_rejects_new_columns(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(10), tmp_table)
+    evolved = _orders(spark, sf_dir).limit(5).withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="mergeSchema"):
+        write_delta(evolved, tmp_table, mode="append")
+
+
+def test_add_columns_alter(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(10), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addColumns([T.StructField("note", T.StringType())])
+    out = dt.toDF()
+    assert "note" in out.columns
+    assert out.filter("note IS NOT NULL").count() == 0
+    # writes can now fill it
+    write_delta(_orders(spark, sf_dir).limit(3).withColumn("note", F.lit("n")),
+                tmp_table, mode="append")
+    assert dt.toDF().filter("note = 'n'").count() == 3
+
+
+def test_properties_roundtrip(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(5), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.deletedFileRetentionDuration": "interval 1 days", "team": "data"})
+    props = dt.detail().collect()[0]["properties"]
+    assert props["team"] == "data"
+    assert DeltaLog.for_table(tmp_table).deleted_file_retention_ms() == 86_400_000
+    dt.unsetProperties(["team"])
+    assert "team" not in dt.detail().collect()[0]["properties"]
+
+
+# ---------------------------------------------------------- concurrency ----
+
+def test_concurrent_blind_appends_both_win(spark, tmp_table, sf_dir):
+    """Two writers race the same version; the loser retries onto the
+    next version (blind appends never conflict)."""
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(10), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+
+    t1 = OptimisticTransaction(log)
+    t2 = OptimisticTransaction(log)
+    from delta_spark.writer import write_files
+    adds1 = write_files(orders.limit(5), log.table_path, [])
+    adds2 = write_files(orders.limit(7), log.table_path, [])
+    v1 = t1.commit(list(adds1), "WRITE")
+    v2 = t2.commit(list(adds2), "WRITE")  # collides on v1+0 → retries
+    assert {v1, v2} == {1, 2}
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 22
+
+
+def test_concurrent_delete_delete_conflict(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(100), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    t1 = OptimisticTransaction(log)
+    t2 = OptimisticTransaction(log)
+    victim = t1.snapshot.all_files[0]
+    v = t1.commit([victim.remove()], "DELETE")
+    assert v == 1
+    with pytest.raises(ConcurrentDeleteDeleteException):
+        t2.commit([victim.remove()], "DELETE")
+
+
+def test_concurrent_metadata_change_conflict(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(10), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    t1 = OptimisticTransaction(log)
+    t2 = OptimisticTransaction(log)
+    from delta_spark.actions import Metadata
+    m = t1.metadata
+    new_meta = Metadata(id=m.id, schemaString=m.schemaString,
+                        partitionColumns=m.partitionColumns,
+                        configuration={**m.configuration, "k": "v"})
+    t1.commit([new_meta], "SET TBLPROPERTIES")
+    t2.read_whole_table()
+    with pytest.raises(MetadataChangedException):
+        t2.commit([t2.snapshot.all_files[0].remove()], "DELETE")
+
+
+def test_concurrent_append_vs_predicate_read(spark, tmp_table, sf_dir):
+    """A writer that scanned with a predicate conflicts with appends
+    matching that predicate, but not with disjoint appends."""
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(100), tmp_table, partition_by=["o_orderstatus"])
+    log = DeltaLog.for_table(tmp_table)
+
+    # disjoint: reader scanned status='F', winner appends status='O'
+    t1 = OptimisticTransaction(log)
+    t1.files_for_scan("o_orderstatus = 'F'")
+    from delta_spark.writer import write_files
+    w = OptimisticTransaction(log)
+    adds = write_files(orders.filter("o_orderstatus = 'O'").limit(5),
+                       log.table_path, ["o_orderstatus"])
+    w.commit(list(adds), "WRITE")
+    # t1's serializable commit must survive (disjoint partition)
+    v = t1.commit([], "DELETE", isolation_level="Serializable")
+    assert v == 2
+
+    # overlapping: reader scanned status='O', winner appends status='O'
+    t3 = OptimisticTransaction(log)
+    t3.files_for_scan("o_orderstatus = 'O'")
+    w2 = OptimisticTransaction(log)
+    adds2 = write_files(orders.filter("o_orderstatus = 'O'").limit(5),
+                        log.table_path, ["o_orderstatus"])
+    w2.commit(list(adds2), "WRITE")
+    with pytest.raises(ConcurrentAppendException):
+        t3.commit([], "DELETE", isolation_level="Serializable")
+
+
+def test_many_threads_append(spark, tmp_table, sf_dir):
+    """Thread fuzz: 8 concurrent appends all land, totals correct."""
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(1), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    from delta_spark.writer import write_files
+
+    errs = []
+
+    def worker(i):
+        try:
+            txn = OptimisticTransaction(log)
+            adds = write_files(orders.limit(3), log.table_path, [])
+            txn.commit(list(adds), "WRITE")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 1 + 8 * 3
+    assert DeltaLog.for_table(tmp_table).latest_version() == 8

@@ -1,0 +1,103 @@
+"""Lifecycle/utility commands: truncate, clone, convert, manifests,
+partitions listing, protocol, SQL dispatcher routing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_spark.datasets import load_table
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.sql import delta_sql
+from delta_spark.table import DeltaTable
+
+
+def test_truncate(spark, tmp_table, sf_dir):
+    write_delta(load_table(spark, sf_dir, "orders").limit(50), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.truncate()
+    assert dt.toDF().count() == 0
+    assert dt.asOfVersion(0).count() == 50  # still time-travelable
+
+
+def test_shallow_clone_and_independence(spark, tmp_table, tmp_path, sf_dir):
+    write_delta(load_table(spark, sf_dir, "customer"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    clone_path = str(tmp_path / "clone")
+    clone = dt.clone(clone_path)
+    assert clone.toDF().count() == dt.toDF().count()
+    # writes to the clone don't touch the source
+    clone.delete("c_acctbal < 0")
+    assert dt.toDF().count() == load_table(spark, sf_dir, "customer").count()
+
+
+def test_convert_partitioned(spark, tmp_path, sf_dir):
+    p = str(tmp_path / "plain")
+    load_table(spark, sf_dir, "lineitem").write.partitionBy("l_returnflag").parquet(p)
+    dt = DeltaTable.convertToDelta(spark, p, "l_returnflag string")
+    assert dt.toDF().count() == load_table(spark, sf_dir, "lineitem").count()
+    snap = DeltaLog.for_table(p).update()
+    assert snap.partition_columns == ["l_returnflag"]
+    # converted stats enable pruning
+    assert len(snap.files_for_scan("l_returnflag = 'A'")) < snap.num_files
+
+
+def test_symlink_manifest(spark, tmp_table, sf_dir):
+    write_delta(load_table(spark, sf_dir, "supplier"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    base = dt.generate()
+    manifest = os.path.join(base, "manifest")
+    assert os.path.exists(manifest)
+    uris = open(manifest).read().strip().splitlines()
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert len(uris) == snap.num_files
+
+
+def test_show_partitions(spark, tmp_table, sf_dir):
+    write_delta(load_table(spark, sf_dir, "lineitem"), tmp_table,
+                partition_by=["l_returnflag", "l_linestatus"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    rows = {(r["l_returnflag"], r["l_linestatus"]) for r in dt.show_partitions().collect()}
+    truth = {(r["l_returnflag"], r["l_linestatus"])
+             for r in load_table(spark, sf_dir, "lineitem")
+             .select("l_returnflag", "l_linestatus").distinct().collect()}
+    assert rows == truth
+
+
+def test_protocol_upgrade(spark, tmp_table, sf_dir):
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.upgradeTableProtocol(2, 5)
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert (snap.protocol.minReaderVersion, snap.protocol.minWriterVersion) == (2, 5)
+    with pytest.raises(ValueError, match="downgraded"):
+        dt.upgradeTableProtocol(1, 2)
+
+
+def test_sql_dispatcher_surface(spark, tmp_table, sf_dir):
+    write_delta(load_table(spark, sf_dir, "orders").limit(100), tmp_table)
+    t = f"delta.`{tmp_table}`"
+    assert delta_sql(spark, f"DESCRIBE DETAIL {t}").collect()[0]["numFiles"] >= 1
+    delta_sql(spark, f"DELETE FROM {t} WHERE o_totalprice < 0")
+    h = delta_sql(spark, f"DESCRIBE HISTORY {t} LIMIT 2").collect()
+    assert h[0]["operation"] == "DELETE"
+    out = delta_sql(spark, f"SELECT count(*) AS n FROM {t}")
+    assert out.collect()[0]["n"] == 100
+    tt = delta_sql(spark, f"SELECT count(*) AS n FROM {t} VERSION AS OF 0")
+    assert tt.collect()[0]["n"] == 100
+    delta_sql(spark, f"OPTIMIZE {t}")
+    res = delta_sql(spark, f"VACUUM {t} RETAIN 0 HOURS DRY RUN")
+    assert res.columns == ["path"]
+
+
+def test_checkpoint_plus_vacuumed_history_error(spark, tmp_table, sf_dir):
+    """After vacuum removes old files, time travel to them errors
+    cleanly rather than returning wrong data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    write_delta(li.limit(100), tmp_table)
+    write_delta(li.limit(10), tmp_table, mode="overwrite")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.vacuum(0)
+    with pytest.raises(Exception):
+        dt.asOfVersion(0).count()
