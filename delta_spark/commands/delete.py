@@ -30,22 +30,38 @@ from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction
-from delta_spark.writer import write_cdc_files, write_files
+from delta_spark.writer import write_cdc_files, write_files, write_table_files
 
 
 def cdf_enabled(cfg: dict) -> bool:
     return str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
 
 
-def match_files_by_name(files: list[AddFile], spark_file_uris: list[str]) -> list[AddFile]:
-    """Map input_file_name() URIs back to AddFiles. Part-file names
-    embed a job UUID, so basenames are unique within a table."""
-    by_base = {os.path.basename(f.path): f for f in files}
+def match_files_by_name(files: list[AddFile], spark_file_uris: list[str],
+                        table_path: str = "") -> list[AddFile]:
+    """Map input_file_name() URIs back to AddFiles by FULL normalized
+    path. (Basenames are NOT unique: a partitioned write emits the same
+    part-00000-<uuid> name into every partition directory.)"""
+    import urllib.parse
+
+    def norm(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return os.path.normpath(p)
+
+    by_path: dict[str, AddFile] = {}
+    for f in files:
+        abs_p = f.path if (f.path.startswith("/") or "://" in f.path) \
+            else os.path.join(table_path, f.path)
+        by_path[norm(abs_p)] = f
     out = []
     for uri in spark_file_uris:
-        base = os.path.basename(uri)
-        if base in by_base:
-            out.append(by_base[base])
+        f = by_path.get(norm(uri))
+        if f is not None:
+            out.append(f)
     return out
 
 
@@ -60,7 +76,7 @@ def find_touched_files(spark: SparkSession, snapshot, candidates: list[AddFile],
                  .select(F.input_file_name().alias("f"))
                  .distinct()
                  .collect())
-    return match_files_by_name(candidates, [r["f"] for r in touched])
+    return match_files_by_name(candidates, [r["f"] for r in touched], snapshot.table_path)
 
 
 def split_delete_files(spark: SparkSession, txn: OptimisticTransaction,
@@ -121,8 +137,7 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
         return [], [], [], {"numRemovedFiles": "0", "numAddedFiles": "0"}
     touched_df = read_files_df(spark, snapshot, touched)
     keep_df = touched_df.filter(~F.coalesce(F.expr(condition), F.lit(False)))
-    adds = write_files(keep_df, snapshot.table_path, snapshot.partition_columns,
-                       num_indexed_cols=num_indexed)
+    adds = write_table_files(keep_df, snapshot)
     removes = [f.remove() for f in touched]
     cdc = []
     if with_cdf:

@@ -39,7 +39,7 @@ from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction
-from delta_spark.writer import write_cdc_files, write_files
+from delta_spark.writer import write_cdc_files, write_table_files
 
 
 class MergeError(Exception):
@@ -141,7 +141,7 @@ class MergeBuilder:
             raise MergeError(
                 "MERGE cannot update/delete a target row matched by multiple source rows "
                 "(non-deterministic); deduplicate the source first")
-        touched = match_files_by_name(snapshot.all_files, touched_names)
+        touched = match_files_by_name(snapshot.all_files, touched_names, snapshot.table_path)
         txn.read_files.update(f.path for f in touched)
 
         need_target_only = bool(self.not_matched_by_source)
@@ -182,8 +182,7 @@ class MergeBuilder:
         if with_cdf:
             cdc_actions = self._write_cdf(joined, cols, snapshot)
 
-        adds = write_files(result, snapshot.table_path, snapshot.partition_columns,
-                           num_indexed_cols=num_indexed)
+        adds = write_table_files(result, snapshot)
         removes = [f.remove() for f in touched]
         try:
             m = obs.get
@@ -231,8 +230,7 @@ class MergeBuilder:
         if cdf_enabled(cfg):
             cdc_actions = write_cdc_files(out.withColumn("_change_type", F.lit("insert")),
                                           snapshot.table_path)
-        adds = write_files(out, snapshot.table_path, snapshot.partition_columns,
-                           num_indexed_cols=num_indexed)
+        adds = write_table_files(out, snapshot)
         metrics = {"numTargetRowsInserted": str(sum(a.num_records or 0 for a in adds)),
                    "numTargetFilesAdded": str(len(adds))}
         return txn.commit(list(adds) + list(cdc_actions), "MERGE", self._op_params(), metrics)

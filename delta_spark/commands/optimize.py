@@ -37,7 +37,7 @@ from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction
-from delta_spark.writer import write_files
+from delta_spark.writer import write_table_files
 
 DEFAULT_MAX_FILE_SIZE = 256 * 1024 * 1024   # reference default 1 GiB; smaller
 DEFAULT_MIN_FILE_SIZE = 128 * 1024 * 1024   # suits local bench scale
@@ -106,8 +106,7 @@ def _compact(spark: SparkSession, log: DeltaLog, partition_filter: Optional[str]
         if bins >= len(small):
             continue  # repacking wouldn't reduce file count
         df = read_files_df(spark, snapshot, small)
-        new = write_files(df.repartition(bins), snapshot.table_path,
-                          snapshot.partition_columns, data_change=False)
+        new = write_table_files(df.repartition(bins), snapshot, data_change=False)
         adds.extend(new)
         removes.extend(f.remove(data_change=False) for f in small)
         txn.read_files.update(f.path for f in small)
@@ -235,8 +234,7 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
         clustered = (zdf.repartitionByRange(n_out, F.col(zcol))
                      .sortWithinPartitions(zcol)
                      .drop(zcol))
-        new = write_files(clustered, snapshot.table_path, snapshot.partition_columns,
-                          data_change=False)
+        new = write_table_files(clustered, snapshot, data_change=False)
         adds.extend(new)
         removes.extend(f.remove(data_change=False) for f in files)
         txn.read_files.update(f.path for f in files)

@@ -22,7 +22,7 @@ from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction
-from delta_spark.writer import write_cdc_files, write_files
+from delta_spark.writer import write_cdc_files, write_table_files
 
 
 def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str],
@@ -59,8 +59,7 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
           .otherwise(F.col(c))).alias(c) if c in set_exprs else F.col(c)
         for c in schema_cols
     ])
-    adds = write_files(projected, snapshot.table_path, snapshot.partition_columns,
-                       num_indexed_cols=num_indexed)
+    adds = write_table_files(projected, snapshot)
     removes = [f.remove() for f in touched]
 
     cdc = []

@@ -155,7 +155,34 @@ def write_delta(
                 schemaString=schema_to_json(new_schema), partitionColumns=part_cols,
                 configuration=m.configuration, createdTime=m.createdTime))
 
-    adds = write_files(out_df, log.table_path, part_cols,
+    from delta_spark.schema import (
+        assign_physical_names,
+        column_mapping_mode,
+        logical_to_physical,
+    )
+
+    write_part_cols = part_cols
+    if exists and column_mapping_mode(cfg) == "name":
+        # evolved columns need physical identities before writing
+        ids = [f.metadata.get("delta.columnMapping.id", 0) for f in table_schema.fields
+               if f.metadata]
+        mapped_schema, _ = assign_physical_names(table_schema, start_id=max(ids or [0]))
+        if mapped_schema != table_schema:
+            table_schema = mapped_schema
+            m = actions[0] if actions and isinstance(actions[0], Metadata) else txn.metadata
+            new_meta = Metadata(
+                id=m.id, name=m.name, description=m.description, format=m.format,
+                schemaString=schema_to_json(mapped_schema), partitionColumns=part_cols,
+                configuration=m.configuration, createdTime=m.createdTime)
+            if actions and isinstance(actions[0], Metadata):
+                actions[0] = new_meta
+            else:
+                actions.insert(0, new_meta)
+        l2p = logical_to_physical(table_schema)
+        out_df = out_df.select(*[F.col(c).alias(l2p.get(c, c)) for c in out_df.columns])
+        write_part_cols = [l2p.get(c, c) for c in part_cols]
+
+    adds = write_files(out_df, log.table_path, write_part_cols,
                        num_indexed_cols=_num_indexed_cols(cfg))
 
     removes: list[RemoveFile] = []

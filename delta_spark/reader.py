@@ -36,10 +36,20 @@ def read_files_df(
     """Build a DataFrame over the given AddFiles (defaults to the whole
     snapshot)."""
     files = snapshot.all_files if files is None else files
-    schema = snapshot.schema
-    part_cols = snapshot.partition_columns
+    logical_schema = snapshot.schema
     if not files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], logical_schema)
+    mapped = snapshot.column_mapping_enabled
+    if mapped:
+        # files store physical names: read physically, alias back
+        from delta_spark.schema import physical_schema as _phys
+
+        schema = _phys(logical_schema)
+        l2p = snapshot.physical_map()
+        part_cols = [l2p.get(c, c) for c in snapshot.partition_columns]
+    else:
+        schema = logical_schema
+        part_cols = snapshot.partition_columns
 
     rel_files = [f for f in files if not (f.path.startswith("/") or "://" in f.path)]
     abs_files = [f for f in files if f.path.startswith("/") or "://" in f.path]
@@ -56,8 +66,9 @@ def read_files_df(
     if abs_files:
         # absolute paths (shallow clones): attach partition values as
         # typed literals per distinct partition tuple
-        data_schema = snapshot.data_schema
-        ptypes = {f.name: f.dataType for f in schema.fields if f.name in set(part_cols)}
+        pset = set(part_cols)
+        data_schema = T.StructType([f for f in schema.fields if f.name not in pset])
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pset}
         groups: dict[tuple, list[AddFile]] = {}
         for f in abs_files:
             key = tuple(f.partitionValues.get(c) for c in part_cols)
@@ -72,6 +83,11 @@ def read_files_df(
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    if mapped:
+        # physical → logical projection
+        out = out.select(*[
+            F.col(p.name).alias(l.name)
+            for p, l in zip(schema.fields, logical_schema.fields)])
     return out
 
 

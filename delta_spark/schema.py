@@ -16,6 +16,10 @@ from typing import Optional
 from pyspark.sql import types as T
 
 GENERATION_EXPRESSION_KEY = "delta.generationExpression"
+COLUMN_MAPPING_MODE_KEY = "delta.columnMapping.mode"
+COLUMN_MAPPING_PHYSICAL_KEY = "delta.columnMapping.physicalName"
+COLUMN_MAPPING_ID_KEY = "delta.columnMapping.id"
+COLUMN_MAPPING_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
 IDENTITY_START_KEY = "delta.identity.start"
 IDENTITY_STEP_KEY = "delta.identity.step"
 IDENTITY_HIGH_WATERMARK_KEY = "delta.identity.highWaterMark"
@@ -126,6 +130,54 @@ def identity_info(schema: T.StructType) -> dict[str, dict]:
                 "allowExplicitInsert": bool(md.get(IDENTITY_ALLOW_EXPLICIT_KEY, False)),
             }
     return out
+
+
+# ------------------------------------------------------ column mapping ----
+# NameMapping mode (DeltaColumnMapping.scala:107; PROTOCOL.md "Column
+# Mapping"): logical names decouple from the physical Parquet column
+# names via per-field schema metadata. Upgrading an existing table
+# assigns physicalName = current name (no file rewrite); RENAME then
+# only changes the logical name, DROP only removes the field.
+
+def column_mapping_mode(configuration: dict) -> str:
+    return (configuration or {}).get(COLUMN_MAPPING_MODE_KEY, "none")
+
+
+def physical_name(field: T.StructField) -> str:
+    md = field.metadata or {}
+    return md.get(COLUMN_MAPPING_PHYSICAL_KEY, field.name)
+
+
+def logical_to_physical(schema: T.StructType) -> dict[str, str]:
+    return {f.name: physical_name(f) for f in schema.fields}
+
+
+def physical_to_logical(schema: T.StructType) -> dict[str, str]:
+    return {physical_name(f): f.name for f in schema.fields}
+
+
+def physical_schema(schema: T.StructType) -> T.StructType:
+    """Schema with physical field names (what Parquet files contain)."""
+    return T.StructType([
+        T.StructField(physical_name(f), f.dataType, f.nullable, f.metadata)
+        for f in schema.fields])
+
+
+def assign_physical_names(schema: T.StructType, start_id: int = 0) -> tuple[T.StructType, int]:
+    """Upgrade helper: give every field an id + physicalName (existing
+    fields keep their current name as the physical name, so no data
+    rewrite is needed — the reference's upgrade semantics)."""
+    fields = []
+    next_id = start_id
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if COLUMN_MAPPING_PHYSICAL_KEY not in md:
+            md[COLUMN_MAPPING_PHYSICAL_KEY] = f.name
+        if COLUMN_MAPPING_ID_KEY not in md:
+            next_id += 1
+            md[COLUMN_MAPPING_ID_KEY] = next_id
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields), next_id
 
 
 def with_identity_watermark(schema: T.StructType, column: str, watermark: int) -> T.StructType:

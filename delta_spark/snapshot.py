@@ -120,14 +120,29 @@ class Snapshot:
 
     # ------------------------------------------- skipping / pruning ----
 
+    @property
+    def column_mapping_enabled(self) -> bool:
+        from delta_spark.schema import column_mapping_mode
+
+        return column_mapping_mode(self.configuration) == "name"
+
+    def physical_map(self) -> dict[str, str]:
+        """logical → physical column names (identity when mapping off)."""
+        from delta_spark.schema import logical_to_physical
+
+        return logical_to_physical(self.schema)
+
     def _partition_types(self) -> dict[str, T.DataType]:
         sch = self.schema
         return {f.name: f.dataType for f in sch.fields if f.name in set(self.partition_columns)}
 
     def typed_partition_values(self, f: AddFile) -> dict[str, Any]:
+        """Partition values keyed by LOGICAL column name (AddFile keys
+        are physical under column mapping)."""
         ptypes = self._partition_types()
+        l2p = self.physical_map()
         return {
-            c: deserialize_partition_value(f.partitionValues.get(c), dt)
+            c: deserialize_partition_value(f.partitionValues.get(l2p.get(c, c)), dt)
             for c, dt in ptypes.items()
         }
 
@@ -163,7 +178,7 @@ class Snapshot:
                             continue
                         except (P.UnsupportedPredicate, KeyError):
                             pass
-                    st = parse_stats_view(f.stats, schema)
+                    st = self._logical_stats_view(f, schema)
                     # merge partition values into the stats view as
                     # point intervals so mixed predicates prune too
                     if part_cols:
@@ -194,6 +209,27 @@ class Snapshot:
             files = picked
         return files
 
+    def _logical_stats_view(self, f: AddFile, logical_schema: T.StructType):
+        """Stats blobs key on PHYSICAL column names (they come from the
+        Parquet footers); remap to logical for predicate evaluation."""
+        from delta_spark.schema import physical_to_logical
+
+        st = parse_stats_view(f.stats, self._physical_typed_schema(logical_schema))
+        if not self.column_mapping_enabled:
+            return st
+        p2l = physical_to_logical(self.schema)
+        st.min_values = {p2l.get(k, k): v for k, v in st.min_values.items()}
+        st.max_values = {p2l.get(k, k): v for k, v in st.max_values.items()}
+        st.null_count = {p2l.get(k, k): v for k, v in st.null_count.items()}
+        return st
+
+    def _physical_typed_schema(self, logical_schema: T.StructType) -> T.StructType:
+        if not self.column_mapping_enabled:
+            return logical_schema
+        from delta_spark.schema import physical_schema
+
+        return physical_schema(logical_schema)
+
     # ------------------------------------------- metadata-only aggs ----
 
     def metadata_aggregates(self, columns: Optional[list[str]] = None) -> Optional[dict]:
@@ -205,7 +241,7 @@ class Snapshot:
         maxs: dict[str, Any] = {}
         schema = self.data_schema
         for f in self.active.values():
-            st = parse_stats_view(f.stats, schema)
+            st = self._logical_stats_view(f, schema)
             if st.num_records is None:
                 return None
             total += st.num_records

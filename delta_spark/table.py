@@ -195,7 +195,8 @@ class DeltaTable:
         ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in set(pcols)}
         from delta_spark.util import deserialize_partition_value
 
-        seen = {tuple(f.partitionValues.get(c) for c in pcols) for f in snap.all_files}
+        l2p = snap.physical_map()
+        seen = {tuple(f.partitionValues.get(l2p.get(c, c)) for c in pcols) for f in snap.all_files}
         rows = [tuple(deserialize_partition_value(v, ptypes[c]) for c, v in zip(pcols, key))
                 for key in seen]
         return self.spark.createDataFrame(rows, T.StructType(
@@ -274,6 +275,75 @@ class DeltaTable:
                 T.StructField(fl.name, fl.dataType, True, fl.metadata) for fl in fields])
         return self._update_schema(f, "ADD COLUMNS",
                                    {"columns": json.dumps([fl.name for fl in fields])})
+
+    def enableColumnMapping(self) -> int:
+        """Switch to NameMapping mode (DeltaColumnMapping.scala:107):
+        every field gets a stable physical name = its current name, so
+        no data files are rewritten."""
+        from delta_spark.schema import (
+            COLUMN_MAPPING_MODE_KEY,
+            assign_physical_names,
+        )
+
+        txn = OptimisticTransaction(self.log)
+        m = txn.metadata
+        if m is None:
+            raise ValueError("table does not exist")
+        schema, max_id = assign_physical_names(schema_from_json(m.schemaString))
+        cfg = {**m.configuration, COLUMN_MAPPING_MODE_KEY: "name",
+               "delta.columnMapping.maxColumnId": str(max_id)}
+        new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
+                       schemaString=schema_to_json(schema),
+                       partitionColumns=m.partitionColumns,
+                       configuration=cfg, createdTime=m.createdTime)
+        p = txn.snapshot.protocol
+        from delta_spark.actions import Protocol as _Protocol
+        proto = _Protocol(max(p.minReaderVersion, 2), max(p.minWriterVersion, 5),
+                          p.readerFeatures, p.writerFeatures)
+        return txn.commit([proto, new], "SET TBLPROPERTIES",
+                          {"properties": json.dumps({COLUMN_MAPPING_MODE_KEY: "name"})})
+
+    def renameColumn(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only under column
+        mapping (auto-enabled on first use)."""
+        from delta_spark.schema import column_mapping_mode
+
+        if column_mapping_mode(self.log.update().configuration) != "name":
+            self.enableColumnMapping()
+
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            names = [fl.name for fl in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            return T.StructType([
+                T.StructField(new if fl.name == old else fl.name, fl.dataType,
+                              fl.nullable, fl.metadata)
+                for fl in schema.fields])
+        return self._update_schema(f, "RENAME COLUMN", {"from": old, "to": new})
+
+    def dropColumn(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only under column mapping
+        (data remains in files; unreadable until REORG/PURGE rewrites)."""
+        from delta_spark.schema import column_mapping_mode
+
+        if column_mapping_mode(self.log.update().configuration) != "name":
+            self.enableColumnMapping()
+        snap = self.log.update()
+        if name in snap.partition_columns:
+            raise ValueError("cannot drop a partition column")
+
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            if name not in [fl.name for fl in schema.fields]:
+                raise ValueError(f"no such column {name!r}")
+            remaining = [fl for fl in schema.fields if fl.name != name]
+            if not remaining:
+                raise ValueError("cannot drop the last column")
+            return T.StructType(remaining)
+        return self._update_schema(f, "DROP COLUMNS", {"columns": json.dumps([name])})
 
     def _update_metadata(self, config_fn, op: str, params: dict) -> int:
         txn = OptimisticTransaction(self.log)

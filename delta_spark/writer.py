@@ -117,6 +117,27 @@ def write_files(
     return adds
 
 
+def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list[AddFile]:
+    """Snapshot-aware write: applies column-mapping physical renames
+    and partition-column translation, plus the table's stats config.
+    All DML rewrite paths route through here."""
+    from delta_spark.schema import logical_to_physical
+    from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+
+    cfg = snapshot.configuration
+    try:
+        num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
+    except (TypeError, ValueError):
+        num_indexed = DEFAULT_NUM_INDEXED_COLS
+    part_cols = snapshot.partition_columns
+    if snapshot.column_mapping_enabled:
+        l2p = logical_to_physical(snapshot.schema)
+        df = df.select(*[F.col(c).alias(l2p.get(c, c)) for c in df.columns])
+        part_cols = [l2p.get(c, c) for c in part_cols]
+    return write_files(df, snapshot.table_path, part_cols,
+                       num_indexed_cols=num_indexed, data_change=data_change)
+
+
 def write_cdc_files(df: DataFrame, table_path: str) -> list:
     """Write change-data rows (including the `_change_type` column) as
     CDC files under `_change_data/` (reference AddCDCFile; CDF files are

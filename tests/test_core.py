@@ -221,3 +221,33 @@ def test_cdf(spark, tmp_table, sf_dir):
     assert dels == n_deleted
     ch0 = dt.table_changes(starting_version=0)
     assert ch0.filter("_change_type = 'insert'").count() == 100
+
+
+def test_delete_rewrite_partitioned(spark, tmp_table, sf_dir):
+    """Non-partition predicate on a partitioned table: part-file
+    basenames collide across partition dirs (one job writes
+    part-00000-<uuid> into each) — regression for full-path touched-file
+    matching."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, partition_by=["l_returnflag"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 30")
+    want = df.filter("NOT coalesce(l_quantity > 30, false)").count()
+    assert dt.toDF().count() == want
+    assert dt.toDF().filter("l_quantity > 30").count() == 0
+
+
+def test_merge_partitioned(spark, tmp_table, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    write_delta(orders, tmp_table, partition_by=["o_orderstatus"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = (orders.limit(100)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdateAll()
+       .whenNotMatchedInsertAll()
+       .execute())
+    assert dt.toDF().count() == orders.count()
+    bumped = dt.toDF().alias("t").join(src.alias("s"), "o_orderkey") \
+        .filter("t.o_totalprice <> s.o_totalprice").count()
+    assert bumped == 0

@@ -241,3 +241,51 @@ def test_many_threads_append(spark, tmp_table, sf_dir):
     assert not errs
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 1 + 8 * 3
     assert DeltaLog.for_table(tmp_table).latest_version() == 8
+
+
+# -------------------------------------------------------- column mapping ----
+
+def test_rename_column_metadata_only(spark, tmp_table, sf_dir):
+    orders = _orders(spark, sf_dir).limit(200)
+    write_delta(orders, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    files_before = set(DeltaLog.for_table(tmp_table).update().active)
+    dt.renameColumn("o_totalprice", "price")
+    files_after = set(DeltaLog.for_table(tmp_table).update().active)
+    assert files_before == files_after  # no data rewrite
+    out = dt.toDF()
+    assert "price" in out.columns and "o_totalprice" not in out.columns
+    want = orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert out.agg(F.sum("price")).collect()[0][0] == pytest.approx(want)
+    # stats skipping works against the renamed logical name
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.files_for_scan("price < 0") == []
+    # appends after the rename land under the new logical name
+    write_delta(out.limit(10), tmp_table, mode="append")
+    assert dt.toDF().count() == 210
+
+
+def test_drop_column_metadata_only(spark, tmp_table, sf_dir):
+    orders = _orders(spark, sf_dir).limit(50)
+    write_delta(orders, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.dropColumn("o_orderpriority")
+    out = dt.toDF()
+    assert "o_orderpriority" not in out.columns
+    assert out.count() == 50
+    with pytest.raises(ValueError, match="no such column"):
+        dt.dropColumn("o_orderpriority")
+
+
+def test_rename_then_dml(spark, tmp_table, sf_dir):
+    orders = _orders(spark, sf_dir).limit(100)
+    write_delta(orders, tmp_table, partition_by=["o_orderstatus"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.renameColumn("o_totalprice", "price")
+    dt.delete("price > 200000")
+    want = orders.filter("NOT coalesce(o_totalprice > 200000, false)").count()
+    assert dt.toDF().count() == want
+    dt.update({"price": "price * 2"}, "price < 1000")
+    # partition pruning still intact after rename
+    assert dt.toDF("o_orderstatus = 'F'").count() == \
+        dt.toDF().filter("o_orderstatus = 'F'").count()
