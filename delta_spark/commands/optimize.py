@@ -57,8 +57,25 @@ class OptimizeBuilder:
 
     def executeCompaction(self, max_file_size: int = DEFAULT_MAX_FILE_SIZE,
                           min_file_size: Optional[int] = None) -> dict:
+        # clustered tables: OPTIMIZE re-clusters on the clustering
+        # columns (OptimizeTableStrategy clustering branch)
+        cols = self._clustering_columns()
+        if cols:
+            return _zorder(self.spark, self.log, cols, self.partition_filter,
+                           max_file_size, DEFAULT_ZORDER_NUM_RANGES)
         return _compact(self.spark, self.log, self.partition_filter,
                         max_file_size, min_file_size or max_file_size // 2)
+
+    def _clustering_columns(self) -> list[str]:
+        import json as _json
+
+        dm = self.log.update().domain_metadata.get("delta.clustering")
+        if dm is None:
+            return []
+        try:
+            return list(_json.loads(dm.configuration).get("clusteringColumns", []))
+        except (ValueError, TypeError):
+            return []
 
     def executeZOrderBy(self, *cols: str,
                         max_file_size: int = DEFAULT_MAX_FILE_SIZE,

@@ -18,7 +18,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from delta_spark.schema import generation_expressions, identity_info
+from delta_spark.schema import default_values, generation_expressions, identity_info
 
 CONSTRAINT_PROP_PREFIX = "delta.constraints."
 
@@ -108,3 +108,14 @@ def apply_identity_columns(df: DataFrame, schema: T.StructType) -> tuple[DataFra
         watermarks[col] = base  # placeholder, fixed up by writer post-agg
         generated = True
     return out, watermarks, generated
+
+
+def apply_default_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Fill columns the writer omitted with their DEFAULT expressions
+    (DeltaColumnDefaults; evaluated per write, like the reference)."""
+    defaults = default_values(schema)
+    out = df
+    for col, expr in defaults.items():
+        if col not in df.columns:
+            out = out.withColumn(col, F.expr(expr))
+    return out

@@ -125,8 +125,11 @@ def write_delta(
 
     cfg = dict(configuration or {}) if not exists else dict(txn.metadata.configuration)
 
-    # ---- normalize + governance (generated/identity/invariants) ----
-    out_df = apply_generated_columns(df, table_schema)
+    # ---- normalize + governance (defaults/generated/identity/invariants) ----
+    from delta_spark.constraints import apply_default_columns
+
+    out_df = apply_default_columns(df, table_schema)
+    out_df = apply_generated_columns(out_df, table_schema)
     out_df, id_watermarks, id_generated = apply_identity_columns(out_df, table_schema)
     out_df = normalize_df(out_df, table_schema, allow_missing_nullable=merge_schema or not exists)
     out_df = enforce_invariants(out_df, table_schema, cfg)
@@ -182,6 +185,13 @@ def write_delta(
         out_df = out_df.select(*[F.col(c).alias(l2p.get(c, c)) for c in out_df.columns])
         write_part_cols = [l2p.get(c, c) for c in part_cols]
 
+    if str(cfg.get("delta.autoOptimize.optimizeWrite", "false")).lower() == "true" \
+            and write_part_cols:
+        # optimized write (perf/DeltaOptimizedWriterExec.scala approx):
+        # co-locate rows of one partition into one task so a write emits
+        # one file per partition instead of one per task per partition
+        out_df = out_df.repartition(*[F.col(c) for c in write_part_cols])
+
     adds = write_files(out_df, log.table_path, write_part_cols,
                        num_indexed_cols=_num_indexed_cols(cfg))
 
@@ -216,7 +226,34 @@ def write_delta(
     params = {"mode": mode.capitalize(), "partitionBy": json.dumps(part_cols)}
     if replace_where:
         params["predicate"] = replace_where
-    return txn.commit(actions, op, params, metrics, user_metadata=user_metadata)
+    version = txn.commit(actions, op, params, metrics, user_metadata=user_metadata)
+    _maybe_auto_compact(spark, log, cfg)
+    return version
+
+
+def _maybe_auto_compact(spark, log: DeltaLog, cfg: dict,
+                        min_files: int = 16) -> None:
+    """Post-commit auto compaction (hooks/AutoCompact.scala:117): when
+    enabled and some partition accumulated > min_files small files, run
+    a bounded compaction (half the normal target size, like the
+    reference)."""
+    if str(cfg.get("delta.autoOptimize.autoCompact", "false")).lower() != "true":
+        return
+    from delta_spark.commands.optimize import DEFAULT_MAX_FILE_SIZE, OptimizeBuilder
+
+    snap = log.update()
+    by_part: dict = {}
+    small_cutoff = DEFAULT_MAX_FILE_SIZE // 8
+    for f in snap.all_files:
+        if f.size < small_cutoff:
+            key = tuple(sorted(f.partitionValues.items()))
+            by_part[key] = by_part.get(key, 0) + 1
+    if any(n >= min_files for n in by_part.values()):
+        try:
+            OptimizeBuilder(spark, log).executeCompaction(
+                max_file_size=DEFAULT_MAX_FILE_SIZE // 2)
+        except Exception:
+            pass  # best-effort, like the reference's hook
 
 
 def _replace_where_removes(spark: SparkSession, txn: OptimisticTransaction,

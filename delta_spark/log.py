@@ -406,6 +406,47 @@ class DeltaLog:
 
     # ------------------------------------------------------- retention ----
 
+    def log_retention_ms(self) -> int:
+        cfg = self.update().configuration.get("delta.logRetentionDuration")
+        if cfg:
+            ms = parse_interval_ms(cfg)
+            if ms is not None:
+                return ms
+        return DEFAULT_LOG_RETENTION_MS
+
+    def cleanup_expired_logs(self, now_ms: Optional[int] = None) -> int:
+        """MetadataCleanup: delete commit json + checkpoint files older
+        than the log retention window, provided a newer checkpoint can
+        serve every remaining version. Returns #files deleted."""
+        now = now_ms if now_ms is not None else current_time_millis()
+        cutoff = now - self.log_retention_ms()
+        checkpoints = self.list_checkpoint_versions()
+        if not checkpoints:
+            return 0
+        ceiling = checkpoints[-1]  # never delete at/after the newest checkpoint
+        deleted = 0
+        for v in self.list_commit_versions():
+            if v >= ceiling:
+                break
+            path = self.commit_file(v)
+            try:
+                if os.stat(path).st_mtime * 1000 < cutoff:
+                    os.remove(path)
+                    deleted += 1
+            except OSError:
+                pass
+        for c in checkpoints[:-1]:
+            path = self.checkpoint_file(c)
+            try:
+                if os.stat(path).st_mtime * 1000 < cutoff:
+                    os.remove(path)
+                    deleted += 1
+            except OSError:
+                pass
+        if deleted:
+            self.invalidate()
+        return deleted
+
     def deleted_file_retention_ms(self) -> int:
         snap = self.update()
         cfg = snap.configuration.get("delta.deletedFileRetentionDuration")

@@ -16,6 +16,7 @@ from typing import Optional
 from pyspark.sql import types as T
 
 GENERATION_EXPRESSION_KEY = "delta.generationExpression"
+DEFAULT_VALUE_KEY = "CURRENT_DEFAULT"  # Spark ResolveDefaultColumns key
 COLUMN_MAPPING_MODE_KEY = "delta.columnMapping.mode"
 COLUMN_MAPPING_PHYSICAL_KEY = "delta.columnMapping.physicalName"
 COLUMN_MAPPING_ID_KEY = "delta.columnMapping.id"
@@ -190,3 +191,13 @@ def with_identity_watermark(schema: T.StructType, column: str, watermark: int) -
         else:
             fields.append(f)
     return T.StructType(fields)
+
+
+def default_values(schema: T.StructType) -> dict[str, str]:
+    """column → SQL default expression (DEFAULT columns,
+    PROTOCOL.md "Default Columns")."""
+    out = {}
+    for f in schema.fields:
+        if f.metadata and DEFAULT_VALUE_KEY in f.metadata:
+            out[f.name] = f.metadata[DEFAULT_VALUE_KEY]
+    return out

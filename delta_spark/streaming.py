@@ -68,7 +68,11 @@ def write_stream(df: DataFrame, path: str, checkpoint_location: str,
 @dataclass
 class _FilePartition(InputPartition):
     file_path: str
-    partition_values: str  # JSON {col: raw-string}
+    partition_values: str      # JSON {col: raw-string}
+    is_cdf: bool = False       # emit CDF columns
+    change_type: str = ""      # '' → _change_type column is in the file
+    version: int = -1
+    ts_ms: int = 0
 
 
 def _offset(version: int, index: int, snapshot: bool) -> dict:
@@ -84,6 +88,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self.skip_change_commits = str(options.get("skipchangecommits", "false")).lower() == "true"
         starting_version = options.get("startingversion")
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self._log = None
         snap = self.log.update()
         self._schema_json = snap.metadata.schemaString
@@ -118,6 +123,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         actions = self.log.read_commit_actions(version)
         removes = [a for k, a in actions if k == "remove" and a.dataChange]
         adds = [a for k, a in actions if k == "add" and a.dataChange]
+        if getattr(self, "cdf", False) and any(k == "cdc" for k, _ in actions):
+            # CDF mode: change files carry the row-level changes; the
+            # add/remove pair is not an append-contract violation
+            return adds
         if removes:
             if self.skip_change_commits:
                 return []
@@ -143,8 +152,10 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         files: list[AddFile] = []
+        files_versions: list[tuple[AddFile, int]] = []
         sv, si, ssnap = start["version"], start["index"], start["isInitialSnapshot"]
         ev, ei, esnap = end["version"], end["index"], end["isInitialSnapshot"]
+        start_snapshot_v = sv if ssnap else -1
         if ssnap:
             # files of the initial snapshot at sv, from index si+1
             snap_files = self._snapshot_files(sv)
@@ -152,45 +163,106 @@ class DeltaStreamReader(DataSourceStreamReader):
             for idx, f in enumerate(snap_files):
                 if si < idx <= hi:
                     files.append(f)
-        elif si < (1 << 62):
+                    files_versions.append((f, sv))
+        commit_versions: list[int] = []
+        if not ssnap and si < (1 << 62):
             # unfinished tail of commit sv
+            commit_versions.append(sv)
             adds = self._commit_adds(sv)
             hi = ei if ev == sv else (1 << 62)
             for idx, f in enumerate(adds):
                 if si < idx <= hi:
                     files.append(f)
+                    files_versions.append((f, sv))
         # whole commits strictly after sv up to ev (end offsets produced
         # by latestOffset always cover the full end commit)
         for v in range(sv + 1, ev + 1):
+            commit_versions.append(v)
             adds = self._commit_adds(v)
             hi = ei if (v == ev and not esnap) else (1 << 62)
             for idx, f in enumerate(adds):
                 if idx <= hi:
                     files.append(f)
-        return [
-            _FilePartition(
+                    files_versions.append((f, v))
+        if not self.cdf:
+            return [
+                _FilePartition(
+                    file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                    partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+                )
+                for f in files
+            ]
+        # CDF mode (DeltaSourceCDCSupport): change rows instead of data
+        # rows. Initial-snapshot files synthesize inserts; each commit
+        # either streams its AddCDCFiles (covers delete-only commits
+        # with zero adds) or synthesizes inserts from its AddFiles.
+        out: list[_FilePartition] = []
+        for f, v in files_versions:
+            if v != start_snapshot_v:
+                continue
+            ts = self.log._commit_timestamp(max(v, 0))
+            out.append(_FilePartition(
                 file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
                 partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
-            )
-            for f in files
-        ]
+                is_cdf=True, change_type="insert", version=max(v, 0), ts_ms=ts))
+        for v in commit_versions:
+            actions = self.log.read_commit_actions(v)
+            cdc_files = [a for k, a in actions if k == "cdc"]
+            ts = self.log._commit_timestamp(v)
+            if cdc_files:
+                for c in cdc_files:
+                    out.append(_FilePartition(
+                        file_path=os.path.join(self.path, c.path),
+                        partition_values="{}", is_cdf=True, change_type="",
+                        version=v, ts_ms=ts))
+                continue
+            for f in self._commit_adds(v):
+                out.append(_FilePartition(
+                    file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                    partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+                    is_cdf=True, change_type="insert", version=v, ts_ms=ts))
+        return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         """Executor-side: vectorized pyarrow read + constant partition
-        columns, emitted as Arrow batches."""
+        columns (+ CDF columns in readChangeFeed mode), emitted as
+        Arrow batches."""
+        import datetime as _dt
+
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql import types as T
         from pyspark.sql.pandas.types import to_arrow_schema
 
         schema = schema_from_json(self._schema_json)
-        target = to_arrow_schema(schema)
+        is_cdf = getattr(partition, "is_cdf", False)
+        if is_cdf:
+            out_schema = T.StructType(schema.fields + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ])
+        else:
+            out_schema = schema
+        target = to_arrow_schema(out_schema)
         pvals = json.loads(partition.partition_values)
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in set(self._part_cols)}
         table = pq.read_table(partition.file_path)
         n = table.num_rows
+        ts = _dt.datetime.fromtimestamp(partition.ts_ms / 1000.0, tz=_dt.timezone.utc) \
+            if is_cdf else None
         cols = []
         for field in target:
-            if field.name in pvals or field.name in ptypes:
+            if field.name == "_change_type":
+                if partition.change_type:
+                    cols.append(pa.array([partition.change_type] * n).cast(field.type))
+                else:
+                    cols.append(table.column("_change_type").cast(field.type))
+            elif field.name == "_commit_version":
+                cols.append(pa.array([partition.version] * n).cast(field.type))
+            elif field.name == "_commit_timestamp":
+                cols.append(pa.array([ts] * n).cast(field.type))
+            elif field.name in pvals or field.name in ptypes:
                 val = deserialize_partition_value(pvals.get(field.name), ptypes[field.name])
                 cols.append(pa.array([val] * n).cast(field.type))
             else:
@@ -235,8 +307,17 @@ class DeltaPyDataSource(DataSource):
         return "delta_py"
 
     def schema(self):
+        from pyspark.sql import types as T
+
         log = DeltaLog.for_table(self.options["path"])
-        return schema_from_json(log.update().metadata.schemaString)
+        base = schema_from_json(log.update().metadata.schemaString)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return T.StructType(base.fields + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ])
+        return base
 
     def streamReader(self, schema):
         return DeltaStreamReader(schema, self.options)

@@ -88,6 +88,24 @@ class DeltaTable:
                        partition_schema: Optional[str] = None) -> "DeltaTable":
         return cls(spark, convert_to_delta(spark, path, partition_schema))
 
+    @classmethod
+    def createLike(cls, spark: SparkSession, source_path: str, target_path: str) -> "DeltaTable":
+        """CREATE TABLE LIKE (commands/CreateDeltaTableLike.scala): new
+        empty table copying the source's schema/partitioning/properties."""
+        src = DeltaLog.for_table(source_path).update()
+        if src.metadata is None:
+            raise ValueError(f"{source_path} is not a delta table")
+        log = DeltaLog.for_table(target_path)
+        txn = OptimisticTransaction(log)
+        if txn.read_version >= 0:
+            raise ValueError(f"table already exists at {target_path}")
+        m = src.metadata
+        meta = Metadata(name=m.name, description=m.description, format=m.format,
+                        schemaString=m.schemaString, partitionColumns=m.partitionColumns,
+                        configuration=m.configuration, createdTime=current_time_millis())
+        txn.commit([meta], "CREATE TABLE LIKE", {"source": source_path})
+        return cls(spark, log)
+
     # ----------------------------------------------------------- reads ----
 
     def toDF(self, predicate: Optional[str] = None, limit: Optional[int] = None) -> DataFrame:
@@ -395,6 +413,7 @@ class DeltaTableBuilder:
         self._comment: Optional[str] = None
         self._fields: list[T.StructField] = []
         self._partition_cols: list[str] = []
+        self._cluster_cols: list[str] = []
         self._properties: dict[str, str] = {}
 
     def tableName(self, name: str) -> "DeltaTableBuilder":
@@ -411,15 +430,25 @@ class DeltaTableBuilder:
 
     def addColumn(self, name: str, dataType: Union[str, T.DataType],
                   nullable: bool = True, generatedAlwaysAs: Optional[str] = None,
-                  comment: Optional[str] = None) -> "DeltaTableBuilder":
+                  comment: Optional[str] = None, default: Optional[str] = None) -> "DeltaTableBuilder":
         if isinstance(dataType, str):
             dataType = _parse_type(dataType)
         md = {}
         if generatedAlwaysAs is not None:
             md[GENERATION_EXPRESSION_KEY] = generatedAlwaysAs
+        if default is not None:
+            from delta_spark.schema import DEFAULT_VALUE_KEY
+            md[DEFAULT_VALUE_KEY] = default
         if comment is not None:
             md["comment"] = comment
         self._fields.append(T.StructField(name, dataType, nullable, md))
+        return self
+
+    def clusterBy(self, *cols: str) -> "DeltaTableBuilder":
+        """Clustered (liquid) table: clustering columns live in a
+        metadata domain (clustering/ClusteringMetadataDomain.scala:1-42);
+        OPTIMIZE uses them as Z-order dimensions."""
+        self._cluster_cols = list(cols)
         return self
 
     def addColumns(self, schema: T.StructType) -> "DeltaTableBuilder":
@@ -454,6 +483,11 @@ class DeltaTableBuilder:
             createdTime=current_time_millis())
         txn = OptimisticTransaction(log)
         actions: list = [meta]
+        if self._cluster_cols:
+            from delta_spark.actions import DomainMetadata
+            actions.append(DomainMetadata(
+                domain="delta.clustering",
+                configuration=json.dumps({"clusteringColumns": self._cluster_cols})))
         if exists:  # replace: drop existing data
             txn.read_whole_table()
             actions += [f.remove() for f in txn.snapshot.all_files]

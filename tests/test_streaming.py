@@ -75,3 +75,49 @@ def test_end_to_end_stream_pipeline(spark, tmp_table, sf_dir, tmp_path):
     dt = DeltaTable.forPath(spark, out_tbl)
     want = events.groupBy("event_type").count().count()
     assert dt.toDF().count() == want
+
+
+def test_streaming_cdf_source(spark, tmp_table, sf_dir, tmp_path):
+    """readChangeFeed streaming: inserts from the initial snapshot plus
+    change rows (incl. delete-only commits) from later versions."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(50), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    sink_tbl = str(tmp_path / "cdf_sink")
+    stream = read_stream(spark, tmp_table, readChangeFeed="true")
+    q = write_stream(stream, sink_tbl, str(tmp_path / "cdfck"), query_id="cdfq")
+    q.awaitTermination(120)
+    out = DeltaTable.forPath(spark, sink_tbl)
+    assert out.toDF().filter("_change_type = 'insert'").count() == 50
+
+    # delete-only commit → delete change rows on resume
+    n_del = dt.toDF().filter("value > 50").count()
+    dt.delete("value > 50")
+    stream2 = read_stream(spark, tmp_table, readChangeFeed="true")
+    q2 = write_stream(stream2, sink_tbl, str(tmp_path / "cdfck"), query_id="cdfq")
+    q2.awaitTermination(120)
+    dels = out.toDF().filter("_change_type = 'delete'") \
+        .agg(F.count(F.lit(1)).alias("c"), F.max("_commit_version").alias("v")).collect()[0]
+    assert dels["c"] == n_del and dels["v"] == 1
+
+
+def test_default_and_cluster_by(spark, tmp_table, sf_dir, tmp_path):
+    from delta_spark.table import DeltaTable as DT
+    (DT.create(spark).location(tmp_table)
+     .addColumn("k", "long")
+     .addColumn("status", "string", default="'new'")
+     .clusterBy("k")
+     .execute())
+    df = spark.range(100).selectExpr("id AS k")
+    write_delta(df, tmp_table, mode="append")
+    dt = DT.forPath(spark, tmp_table)
+    assert dt.toDF().filter("status = 'new'").count() == 100
+    # OPTIMIZE on a clustered table re-clusters on the clustering cols
+    res = dt.optimize().executeCompaction()
+    assert dt.toDF().count() == 100
+    # CREATE TABLE LIKE copies schema incl. default
+    like_path = str(tmp_path / "like")
+    dt2 = DT.createLike(spark, tmp_table, like_path)
+    write_delta(spark.range(5).selectExpr("id AS k"), like_path, mode="append")
+    assert dt2.toDF().filter("status = 'new'").count() == 5
