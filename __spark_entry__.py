@@ -113,6 +113,19 @@ def q_delta_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
 
 
+def q_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via deletion vectors: rows masked by row-index sets, no
+    file rewrite; read filters through the DV anti-join."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path,
+                    configuration={"delta.enableDeletionVectors": "true"})
+        DeltaTable.forPath(spark, path).delete("l_quantity > 30")
+    p = _table(spark, sf_dir, "li_dv", b)
+    return (_dt(spark, p).toDF().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+
 def q_delta_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only DELETE on a partition predicate (no rewrite)."""
     def b(spark, sf_dir, path):
@@ -538,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_write_read": q_delta_write_read,
         "delta_filter_pushdown": q_delta_filter_pushdown,
         "delta_delete_rewrite": q_delta_delete_rewrite,
+        "delta_dv_delete": q_delta_dv_delete,
         "delta_delete_partition": q_delta_delete_partition,
         "delta_update": q_delta_update,
         "delta_merge_upsert": q_delta_merge_upsert,
@@ -668,6 +682,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
         "delta_delete_rewrite": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
+            GROUP BY l_returnflag""",
+        "delta_dv_delete": """
             SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
             FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)

@@ -98,6 +98,11 @@ class AddFile:
     dataChange: bool = True
     stats: Optional[str] = None
     tags: Optional[dict[str, str]] = None
+    # deletion vector descriptor (DeletionVectorDescriptor.scala;
+    # PROTOCOL.md:1025). Our storageType 'q' = parquet row-index set
+    # under _deletion_vectors/ (engine-native encoding; the protocol's
+    # RoaringBitmap formats are 'u'/'i'/'p')
+    deletionVector: Optional[dict] = None
     baseRowId: Optional[int] = None
     defaultRowCommitVersion: Optional[int] = None
     clusteringProvider: Optional[str] = None
@@ -115,10 +120,15 @@ class AddFile:
             dataChange=bool(d.get("dataChange", True)),
             stats=d.get("stats"),
             tags=d.get("tags"),
+            deletionVector=d.get("deletionVector"),
             baseRowId=d.get("baseRowId"),
             defaultRowCommitVersion=d.get("defaultRowCommitVersion"),
             clusteringProvider=d.get("clusteringProvider"),
         )
+
+    @property
+    def dv_cardinality(self) -> int:
+        return int(self.deletionVector.get("cardinality", 0)) if self.deletionVector else 0
 
     def remove(self, data_change: bool = True, timestamp: Optional[int] = None) -> "RemoveFile":
         return RemoveFile(

@@ -129,6 +129,11 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
         metrics = {"numRemovedFiles": str(len(removes))}
         return removes, [], cdc, metrics
 
+    # case 3a: deletion-vector write (delta.enableDeletionVectors=true):
+    # mark rows deleted WITHOUT rewriting the parquet files
+    if str(cfg.get("delta.enableDeletionVectors", "false")).lower() == "true":
+        return _dv_delete(spark, txn, condition, with_cdf)
+
     # case 3: scan + rewrite
     candidates = txn.files_for_scan(condition)
     touched = find_touched_files(spark, snapshot, candidates, condition)
@@ -152,6 +157,103 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
         "numDeletedRows": str(max(removed_rows - copied_rows, 0)),
     }
     return removes, adds, cdc, metrics
+
+
+def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
+               with_cdf: bool):
+    """Deletion-vector DELETE (commands/DMLWithDeletionVectorsHelper.scala):
+    one job finds touched files + writes the (file, row_index) sets of
+    the newly-deleted rows; touched AddFiles are re-committed with a DV
+    descriptor pointing at the set. Fully-deleted files become plain
+    removes. The new DV always unions the file's previous DV, so older
+    sets are subsets (read path relies on this)."""
+    import uuid
+
+    from delta_spark.reader import read_files_with_index
+
+    snapshot = txn.snapshot
+    candidates = txn.files_for_scan(condition)
+    if not candidates:
+        return [], [], [], {"numRemovedFiles": "0"}
+    visible = read_files_with_index(spark, snapshot, candidates)
+    matched = (visible.filter(condition)
+               .select(F.col("__file_base").alias("file_base"),
+                       F.col("__row_idx").alias("row_index")))
+
+    # union with existing DV rows of candidate files (per-file subsets)
+    dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in candidates if f.deletionVector})
+    all_rows = matched
+    if dv_dirs:
+        for d in dv_dirs:
+            old = spark.read.parquet(os.path.join(snapshot.table_path, d))
+            all_rows = all_rows.unionByName(old)
+        all_rows = all_rows.distinct()
+
+    dv_rel = f"_deletion_vectors/dv_{uuid.uuid4().hex}"
+    dv_abs = os.path.join(snapshot.table_path, dv_rel)
+    all_rows.write.mode("overwrite").parquet(dv_abs)
+
+    counts = {r["file_base"]: r["n"] for r in (
+        spark.read.parquet(dv_abs)
+        .groupBy("file_base").agg(F.count(F.lit(1)).alias("n"))
+        .collect())}
+
+    adds: list[AddFile] = []
+    removes: list[RemoveFile] = []
+    deleted_rows = 0
+    for f in candidates:
+        base = os.path.basename(f.path)
+        if base not in counts:
+            continue
+        card = counts[base]
+        newly = card - f.dv_cardinality  # previous DV is a subset
+        deleted_rows += max(newly, 0)
+        if newly <= 0:
+            continue  # no new deletions in this file
+        txn.read_files.add(f.path)
+        total = f.num_records
+        if total is not None and card >= total:
+            removes.append(f.remove())  # fully deleted
+            continue
+        adds.append(AddFile(
+            path=f.path, partitionValues=f.partitionValues, size=f.size,
+            modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
+            deletionVector={"storageType": "q", "pathOrInlineDv": dv_rel,
+                            "cardinality": int(card)}))
+
+    cdc = []
+    if with_cdf:
+        schema_cols = [fl.name for fl in snapshot.schema.fields]
+        deleted_df = (visible.filter(condition).select(*schema_cols)
+                      .withColumn("_change_type", F.lit("delete")))
+        cdc = write_cdc_files(deleted_df, snapshot.table_path)
+    metrics = {
+        "numRemovedFiles": str(len(removes)),
+        "numDeletionVectorsAdded": str(len(adds)),
+        "numDeletedRows": str(deleted_rows),
+    }
+    return removes, adds, cdc, metrics
+
+
+def purge_deletion_vectors(spark: SparkSession, log: DeltaLog) -> dict:
+    """REORG TABLE ... APPLY (PURGE) (commands/DeltaReorgTableCommand.scala):
+    rewrite DV-carrying files into plain files."""
+    from delta_spark.reader import read_files_with_index
+    from delta_spark.writer import write_table_files
+
+    txn = OptimisticTransaction(log)
+    snapshot = txn.snapshot
+    dv_files = [f for f in snapshot.all_files if f.deletionVector]
+    if not dv_files:
+        return {"numRewrittenFiles": "0"}
+    visible = read_files_with_index(spark, snapshot, dv_files) \
+        .drop("__file_base", "__row_idx")
+    adds = write_table_files(visible, snapshot, data_change=False)
+    removes = [f.remove(data_change=False) for f in dv_files]
+    txn.read_files.update(f.path for f in dv_files)
+    metrics = {"numRewrittenFiles": str(len(removes)), "numAddedFiles": str(len(adds))}
+    txn.commit(list(adds) + list(removes), "REORG", {"applyPurge": "true"}, metrics)
+    return metrics
 
 
 def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str]) -> int:

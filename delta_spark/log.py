@@ -98,6 +98,13 @@ class LocalLogStore:
 
 def _checkpoint_arrow_schema() -> pa.Schema:
     smap = pa.map_(pa.string(), pa.string())
+    dv = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int64()),
+        ("sizeInBytes", pa.int64()),
+        ("cardinality", pa.int64()),
+    ])
     add = pa.struct([
         ("path", pa.string()),
         ("partitionValues", smap),
@@ -105,6 +112,7 @@ def _checkpoint_arrow_schema() -> pa.Schema:
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
+        ("deletionVector", dv),
     ])
     remove = pa.struct([
         ("path", pa.string()),
@@ -296,6 +304,7 @@ class DeltaLog:
                 "size": f.size, "modificationTime": f.modificationTime,
                 "dataChange": False if f.dataChange is None else bool(f.dataChange),
                 "stats": f.stats,
+                "deletionVector": f.deletionVector,
             }})
         for r in snap.tombstones.values():
             rows.append({"remove": {
@@ -348,10 +357,14 @@ class DeltaLog:
                     removed=bool(d.get("removed")))
             elif row.get("add"):
                 a = row["add"]
+                dv = a.get("deletionVector")
+                if dv is not None and dv.get("pathOrInlineDv") is None:
+                    dv = None  # all-null struct → absent
                 f = AddFile(
                     path=a["path"], partitionValues=_tuples_to_dict(a.get("partitionValues")),
                     size=a.get("size") or 0, modificationTime=a.get("modificationTime") or 0,
-                    dataChange=bool(a.get("dataChange")), stats=a.get("stats"))
+                    dataChange=bool(a.get("dataChange")), stats=a.get("stats"),
+                    deletionVector={k: v for k, v in dv.items() if v is not None} if dv else None)
                 snap.active[f.path] = f
             elif row.get("remove"):
                 r = row["remove"]

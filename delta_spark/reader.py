@@ -51,8 +51,10 @@ def read_files_df(
         schema = logical_schema
         part_cols = snapshot.partition_columns
 
-    rel_files = [f for f in files if not (f.path.startswith("/") or "://" in f.path)]
-    abs_files = [f for f in files if f.path.startswith("/") or "://" in f.path]
+    dv_files = [f for f in files if f.deletionVector]
+    plain = [f for f in files if not f.deletionVector]
+    rel_files = [f for f in plain if not (f.path.startswith("/") or "://" in f.path)]
+    abs_files = [f for f in plain if f.path.startswith("/") or "://" in f.path]
 
     dfs = []
     if rel_files:
@@ -63,6 +65,8 @@ def read_files_df(
         else:
             df = spark.read.schema(schema).parquet(*paths)
         dfs.append(df.select(*[f.name for f in schema.fields]))
+    if dv_files:
+        dfs.append(_read_dv_files(spark, snapshot, dv_files, schema, part_cols))
     if abs_files:
         # absolute paths (shallow clones): attach partition values as
         # typed literals per distinct partition tuple
@@ -89,6 +93,74 @@ def read_files_df(
             F.col(p.name).alias(l.name)
             for p, l in zip(schema.fields, logical_schema.fields)])
     return out
+
+
+def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -> DataFrame:
+    """Scan files that carry deletion vectors: rows are dropped by a
+    LEFT ANTI join on (file name, `_metadata.row_index`) against the DV
+    row-index sets (the DataFrame analogue of
+    DeltaParquetFileFormat.scala:194's IS_ROW_DELETED filter — fully
+    distributed, no Python in the row path). Sound across DV
+    generations because every rewrite of a file's DV unions its
+    predecessor (a stale set is always a subset)."""
+    import os as _os
+
+    paths = [_abs_path(snapshot.table_path, f) for f in dv_files]
+    reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
+    df = (reader.schema(schema).parquet(*paths)
+          .withColumn("__dv_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+          .withColumn("__dv_idx", F.col("_metadata.row_index")))
+    dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in dv_files})
+    dv = None
+    for d in dv_dirs:
+        part = spark.read.parquet(_os.path.join(snapshot.table_path, d))
+        dv = part if dv is None else dv.unionByName(part)
+    dropped = df.join(
+        F.broadcast(dv) if dv_total_small(dv_files) else dv,
+        (df["__dv_file"] == dv["file_base"]) & (df["__dv_idx"] == dv["row_index"]),
+        "left_anti")
+    return dropped.select(*[f.name for f in schema.fields])
+
+
+def dv_total_small(dv_files, threshold: int = 2_000_000) -> bool:
+    return sum(f.dv_cardinality for f in dv_files) <= threshold
+
+
+def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
+    """Visible rows of the given files plus bookkeeping columns
+    `__file_base` / `__row_idx` (used by the DV write path). Rows
+    already masked by an existing deletion vector are excluded."""
+    import os as _os
+
+    schema = snapshot.schema
+    part_cols = snapshot.partition_columns
+    if snapshot.column_mapping_enabled:
+        from delta_spark.schema import physical_schema as _phys
+
+        l2p = snapshot.physical_map()
+        phys = _phys(schema)
+        read_schema = phys
+        part_cols = [l2p.get(c, c) for c in part_cols]
+    else:
+        read_schema = schema
+    paths = [_abs_path(snapshot.table_path, f) for f in files]
+    reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
+    df = (reader.schema(read_schema).parquet(*paths)
+          .withColumn("__file_base", F.element_at(F.split(F.input_file_name(), "/"), -1))
+          .withColumn("__row_idx", F.col("_metadata.row_index")))
+    if snapshot.column_mapping_enabled:
+        df = df.select(*([F.col(p.name).alias(l.name)
+                          for p, l in zip(read_schema.fields, schema.fields)]
+                         + [F.col("__file_base"), F.col("__row_idx")]))
+    dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in files if f.deletionVector})
+    if dv_dirs:
+        dv = None
+        for d in dv_dirs:
+            part = spark.read.parquet(_os.path.join(snapshot.table_path, d))
+            dv = part if dv is None else dv.unionByName(part)
+        df = df.join(dv, (df["__file_base"] == dv["file_base"]) &
+                     (df["__row_idx"] == dv["row_index"]), "left_anti")
+    return df
 
 
 def read_snapshot(

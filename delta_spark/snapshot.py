@@ -241,6 +241,8 @@ class Snapshot:
         maxs: dict[str, Any] = {}
         schema = self.data_schema
         for f in self.active.values():
+            if f.deletionVector:
+                return None  # stats are not tight bounds under DVs
             st = self._logical_stats_view(f, schema)
             if st.num_records is None:
                 return None

@@ -123,6 +123,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         actions = self.log.read_commit_actions(version)
         removes = [a for k, a in actions if k == "remove" and a.dataChange]
         adds = [a for k, a in actions if k == "add" and a.dataChange]
+        # a DV-carrying add is a row-level change, not an append
+        # (reference treats it under the same ignoreChanges contract)
+        if any(a.deletionVector for a in adds):
+            removes = removes or [True]
         if getattr(self, "cdf", False) and any(k == "cdc" for k, _ in actions):
             # CDF mode: change files carry the row-level changes; the
             # add/remove pair is not an append-contract violation

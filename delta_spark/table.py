@@ -239,6 +239,13 @@ class DeltaTable:
     def truncate(self) -> int:
         return truncate(self.spark, self.log)
 
+    def reorgPurge(self) -> dict:
+        """REORG TABLE ... APPLY (PURGE): materialize deletion vectors
+        by rewriting the affected files."""
+        from delta_spark.commands.delete import purge_deletion_vectors
+
+        return purge_deletion_vectors(self.spark, self.log)
+
     def generate(self, mode: str = "symlink_format_manifest") -> str:
         if mode != "symlink_format_manifest":
             raise ValueError(f"unsupported generate mode {mode!r}")

@@ -251,3 +251,62 @@ def test_merge_partitioned(spark, tmp_table, sf_dir):
     bumped = dt.toDF().alias("t").join(src.alias("s"), "o_orderkey") \
         .filter("t.o_totalprice <> s.o_totalprice").count()
     assert bumped == 0
+
+
+def test_deletion_vectors(spark, tmp_table, sf_dir):
+    """DV path: DELETE marks rows without rewriting files; reads filter
+    via row-index anti-join; second delete unions the DV; REORG PURGE
+    materializes."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    data_paths_before = {f.path for f in DeltaLog.for_table(tmp_table).update().all_files}
+    dt.delete("l_quantity > 40")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert {f.path for f in snap.all_files} == data_paths_before  # no rewrite
+    assert any(f.deletionVector for f in snap.all_files)
+    want1 = df.filter("NOT coalesce(l_quantity > 40, false)")
+    assert dt.toDF().count() == want1.count()
+    assert dt.toDF().filter("l_quantity > 40").count() == 0
+    # second delete unions into a fresh DV
+    dt.delete("l_discount > 0.08")
+    want2 = want1.filter("NOT coalesce(l_discount > 0.08, false)")
+    assert dt.toDF().count() == want2.count()
+    # time travel still sees the intermediate state
+    assert dt.asOfVersion(1).count() == want1.count()
+    # aggregates/joins over the DV table are correct
+    got = dt.toDF().agg(F.sum("l_quantity")).collect()[0][0]
+    assert got == pytest.approx(want2.agg(F.sum("l_quantity")).collect()[0][0])
+    # purge rewrites to plain files
+    dt.reorgPurge()
+    snap3 = DeltaLog.for_table(tmp_table).update()
+    assert not any(f.deletionVector for f in snap3.all_files)
+    assert dt.toDF().count() == want2.count()
+
+
+def test_deletion_vectors_cdf(spark, tmp_table, sf_dir):
+    df = _li(spark, sf_dir).limit(200)
+    write_delta(df, tmp_table, configuration={
+        "delta.enableDeletionVectors": "true",
+        "delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    n = df.filter("l_quantity > 40").count()
+    ch = dt.table_changes(starting_version=1)
+    assert ch.filter("_change_type = 'delete'").count() == n
+
+
+def test_deletion_vectors_checkpoint(spark, tmp_table, sf_dir):
+    """DV descriptors must survive checkpoint replay."""
+    df = _li(spark, sf_dir).limit(300)
+    write_delta(df, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    log = DeltaLog.for_table(tmp_table)
+    log.write_checkpoint()
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(tmp_table)
+    snap = log2.update()
+    assert any(f.deletionVector for f in snap.all_files)
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == want
