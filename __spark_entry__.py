@@ -429,6 +429,69 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g GROUP BY user_id""")
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over the delta lineitem table."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM d_lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM d_orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS over delta tables."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT
+          (SELECT count(*) FROM d_customer c
+           WHERE EXISTS (SELECT 1 FROM d_orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+          (SELECT count(*) FROM d_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM d_orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""")
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar function sampler over delta part+orders."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               substring(p_name, 1, 5) AS name5,
+               length(p_type) AS type_len,
+               replace(p_type, ' ', '_') AS type_u,
+               round(p_retailprice * 1.1, 2) AS marked_up,
+               abs(p_size - 25) AS size_dev,
+               md5(p_name) AS name_hash
+        FROM d_part""")
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               count(*) AS n,
+               count(DISTINCT o_custkey) AS custs
+        FROM d_orders GROUP BY 1, 2""")
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_tpch(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag,
+               sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big,
+               sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS discounted,
+               count(DISTINCT l_suppkey) AS supps
+        FROM d_lineitem GROUP BY l_returnflag""")
+
+
 # ---- pipeline operators ----------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "semi_anti_join": q_semi_anti_join,
+        "scalar_functions": q_scalar_functions,
+        "date_functions": q_date_functions,
+        "conditional_agg": q_conditional_agg,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -809,6 +878,42 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "semi_anti_join": """
+            SELECT
+              (SELECT count(*) FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+              (SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""",
+        "scalar_functions": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_u,
+                   substring(p_name, 1, 5) AS name5,
+                   length(p_type) AS type_len,
+                   replace(p_type, ' ', '_') AS type_u,
+                   round(p_retailprice * 1.1, 2) AS marked_up,
+                   abs(p_size - 25) AS size_dev,
+                   md5(p_name) AS name_hash
+            FROM part""",
+        "date_functions": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   count(*) AS n,
+                   count(DISTINCT o_custkey) AS custs
+            FROM orders GROUP BY 1, 2""",
+        "conditional_agg": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big,
+                   sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS discounted,
+                   count(DISTINCT l_suppkey) AS supps
+            FROM lineitem GROUP BY l_returnflag""",
         "text_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars_calc,
