@@ -55,10 +55,16 @@ def main() -> None:
         return deco
 
     # ---- data load: parquet → delta (the reference's DataLoad bench) ----
+    # tables load concurrently (Spark's scheduler is thread-safe; this
+    # is how a real ingest would submit independent table loads)
     @timed("load_delta")
     def _load():
-        for t in TABLES:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(t):
             write_delta(load_table(spark, SF_DIR, t), os.path.join(base, t))
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(one, TABLES))
 
     def dt(t):
         return DeltaTable.forPath(spark, os.path.join(base, t))

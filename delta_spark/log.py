@@ -267,10 +267,26 @@ class DeltaLog:
         return snap
 
     def _commit_timestamp(self, version: int) -> int:
+        if self._ict_enabled():
+            # in-commit timestamps: CommitInfo.timestamp is authoritative
+            # and monotonic (PROTOCOL.md:1979)
+            try:
+                for kind, a in self.read_commit_actions(version):
+                    if kind == "commitInfo" and a.timestamp:
+                        return a.timestamp
+            except OSError:
+                pass
         try:
             return int(os.stat(self.commit_file(version)).st_mtime * 1000)
         except OSError:
             return 0
+
+    def _ict_enabled(self) -> bool:
+        snap = self._snapshot
+        if snap is None or snap.metadata is None:
+            return False
+        return str(snap.configuration.get(
+            "delta.enableInCommitTimestamps", "false")).lower() == "true"
 
     # ----------------------------------------------------- checkpoint ----
 

@@ -141,8 +141,15 @@ class OptimisticTransaction:
                 SNAPSHOT_ISOLATION if (has_file_actions and not data_change) else WRITE_SERIALIZABLE
             )
 
+        # in-commit timestamps (PROTOCOL.md:1979): when enabled, the
+        # commit timestamp is CommitInfo.timestamp, forced monotonic
+        # w.r.t. the previous commit (clock skew cannot reorder history)
+        ts = current_time_millis()
+        if str(self.snapshot.configuration.get(
+                "delta.enableInCommitTimestamps", "false")).lower() == "true":
+            ts = max(ts, (self.snapshot.timestamp or 0) + 1)
         commit_info = CommitInfo(
-            timestamp=current_time_millis(),
+            timestamp=ts,
             operation=operation,
             operationParameters=operation_parameters or {},
             readVersion=self.read_version if self.read_version >= 0 else None,

@@ -101,3 +101,19 @@ def test_checkpoint_plus_vacuumed_history_error(spark, tmp_table, sf_dir):
     dt.vacuum(0)
     with pytest.raises(Exception):
         dt.asOfVersion(0).count()
+
+
+def test_in_commit_timestamps_monotonic(spark, tmp_table, sf_dir):
+    import time
+
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table,
+                configuration={"delta.enableInCommitTimestamps": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    for i in range(3):
+        write_delta(load_table(spark, sf_dir, "region"), tmp_table, mode="append")
+    h = dt.history().collect()
+    ts = [r["timestamp"] for r in reversed(h)]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)  # strictly monotonic
+    # timestamp time travel uses commit timestamps
+    v1_ts = [r for r in h if r["version"] == 1][0]["timestamp"]
+    assert dt.asOfTimestamp(v1_ts).count() == 10
