@@ -69,6 +69,26 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
             if mtime < cutoff:
                 candidates.append(p)
 
+    # stale deletion-vector directories: reclaim DV dirs no active (or
+    # retention-protected tombstoned) descriptor references
+    live_dv_dirs = {f.deletionVector["pathOrInlineDv"]
+                    for f in snapshot.all_files if f.deletionVector}
+    dv_root = os.path.join(log.table_path, "_deletion_vectors")
+    if os.path.isdir(dv_root):
+        for name in os.listdir(dv_root):
+            rel = f"_deletion_vectors/{name}"
+            if rel in live_dv_dirs:
+                continue
+            d = os.path.join(dv_root, name)
+            try:
+                mtime = int(os.stat(d).st_mtime * 1000)
+            except OSError:
+                continue
+            if mtime < cutoff:
+                for sub_root, _sd, sub_files in os.walk(d):
+                    for fn in sub_files:
+                        candidates.append(os.path.normpath(os.path.join(sub_root, fn)))
+
     if dry_run:
         return candidates
 
@@ -92,8 +112,13 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
 
 
 def _remove_empty_dirs(root: str) -> None:
+    dv_root = os.path.join(root, "_deletion_vectors")
     for dirpath, dirs, files in os.walk(root, topdown=False):
-        if dirpath == root or os.path.basename(dirpath).startswith(("_", ".")):
+        if dirpath == root:
+            continue
+        base = os.path.basename(dirpath)
+        under_dv = dirpath.startswith(dv_root + os.sep)
+        if base.startswith(("_", ".")) and not under_dv:
             continue
         try:
             os.rmdir(dirpath)  # only succeeds when empty

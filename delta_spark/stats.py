@@ -148,15 +148,53 @@ def _lt(a, b) -> bool:
         return False
 
 
+DISTRIBUTED_STATS_THRESHOLD = 2000
+
+
 def collect_stats_parallel(paths: list[str], indexed_cols: Optional[list[str]] = None,
                            num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS) -> dict[str, str]:
-    """path → stats JSON, footers read in parallel."""
+    """path → stats JSON. Footers read driver-side through a thread
+    pool for normal commits; commits touching thousands of files (bulk
+    CONVERT of a huge table) shard the footer pass across executors as
+    a mapInPandas job — same asymptotics as the reference's
+    write-task-attached stats trackers."""
     if not paths:
         return {}
+    if len(paths) > DISTRIBUTED_STATS_THRESHOLD:
+        try:
+            return _collect_stats_distributed(paths, indexed_cols, num_indexed_cols)
+        except Exception:
+            pass  # fall back to the driver pool
     workers = min(32, max(4, len(paths)))
     with ThreadPoolExecutor(max_workers=workers) as ex:
         results = ex.map(lambda p: collect_file_stats(p, indexed_cols, num_indexed_cols), paths)
     return dict(zip(paths, results))
+
+
+def _collect_stats_distributed(paths: list[str], indexed_cols: Optional[list[str]],
+                               num_indexed_cols: int) -> dict[str, str]:
+    """Executor-side footer pass: ship the path list, read footers where
+    the tasks run, return (path, stats-json) pairs."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active session")
+
+    cols = list(indexed_cols) if indexed_cols else None
+    k = num_indexed_cols
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = [collect_file_stats(p, cols, k) for p in pdf["path"]]
+            yield pd.DataFrame({"path": pdf["path"], "stats": out})
+
+    df = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(max(2, len(paths) // 200))
+    rows = df.mapInPandas(kernel, "path string, stats string").collect()
+    return {r["path"]: r["stats"] for r in rows}
 
 
 def parse_stats_view(stats_json: Optional[str], schema: Optional[T.StructType] = None) -> FileStatsView:

@@ -310,3 +310,32 @@ def test_deletion_vectors_checkpoint(spark, tmp_table, sf_dir):
     assert any(f.deletionVector for f in snap.all_files)
     want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == want
+
+
+def test_vacuum_reclaims_stale_dv_dirs(spark, tmp_table, sf_dir):
+    import os as _os
+
+    df = _li(spark, sf_dir).limit(300)
+    write_delta(df, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")   # dv dir 1
+    dt.delete("l_discount > 0.08")  # dv dir 2 (dir 1 now stale)
+    dv_root = _os.path.join(tmp_table, "_deletion_vectors")
+    assert len(_os.listdir(dv_root)) == 2
+    want = dt.toDF().count()
+    dt.vacuum(0)
+    assert len(_os.listdir(dv_root)) == 1  # stale dir reclaimed
+    assert dt.toDF().count() == want      # live DV untouched
+
+
+def test_distributed_stats_path(spark, tmp_table, sf_dir, monkeypatch):
+    """Force the executor-side footer pass and check stats parity."""
+    import delta_spark.stats as S
+
+    monkeypatch.setattr(S, "DISTRIBUTED_STATS_THRESHOLD", 1)
+    write_delta(_li(spark, sf_dir).repartition(4), tmp_table)
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.num_files >= 2
+    for f in snap.all_files:
+        assert f.stats and f.num_records > 0
+    assert snap.metadata_aggregates(["l_orderkey"]) is not None
