@@ -70,6 +70,7 @@ class MergeBuilder:
         self.matched: list[_Clause] = []
         self.not_matched: list[_Clause] = []
         self.not_matched_by_source: list[_Clause] = []
+        self._evolve_schema = False
 
     # -- builder surface --------------------------------------------------
 
@@ -102,6 +103,13 @@ class MergeBuilder:
         self.not_matched_by_source.append(_Clause("delete", condition, None))
         return self
 
+    def withSchemaEvolution(self) -> "MergeBuilder":
+        """Evolve the target schema with the source's extra columns
+        (ResolveDeltaMergeInto schema-evolution path; also enabled by
+        the table property delta.schema.autoMerge.enabled)."""
+        self._evolve_schema = True
+        return self
+
     # -- execution --------------------------------------------------------
 
     def _expand_star(self, clause: _Clause, cols: list[str]) -> dict[str, str]:
@@ -116,8 +124,31 @@ class MergeBuilder:
             raise MergeError("target delta table does not exist")
         cfg = snapshot.configuration
         num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
-        cols = [f.name for f in snapshot.schema.fields]
         source = self.source.localCheckpoint(eager=True)
+
+        # schema evolution: UpdateAll/InsertAll pull the source's extra
+        # columns into the target schema (new columns nullable)
+        self._schema = snapshot.schema
+        self._target_cols = {f.name for f in snapshot.schema.fields}
+        self._evolution_meta = None
+        auto = self._evolve_schema or str(
+            cfg.get("delta.schema.autoMerge.enabled", "false")).lower() == "true"
+        has_star = any(c.values.get("*") == "*" for c in self.matched + self.not_matched)
+        if auto and has_star:
+            from delta_spark.actions import Metadata as _Metadata
+            from delta_spark.schema import is_same_schema, merge_schemas
+            from delta_spark.util import schema_to_json
+
+            merged = merge_schemas(snapshot.schema, source.schema)
+            if not is_same_schema(merged, snapshot.schema):
+                self._schema = merged
+                m = snapshot.metadata
+                self._evolution_meta = _Metadata(
+                    id=m.id, name=m.name, description=m.description, format=m.format,
+                    schemaString=schema_to_json(merged),
+                    partitionColumns=m.partitionColumns,
+                    configuration=m.configuration, createdTime=m.createdTime)
+        cols = [f.name for f in self._schema.fields]
 
         if not self.matched and not self.not_matched_by_source and self.not_matched:
             return self._insert_only(txn, source, cols, num_indexed, cfg)
@@ -196,7 +227,8 @@ class MergeBuilder:
             metrics = {}
         metrics["numTargetFilesRemoved"] = str(len(removes))
         metrics["numTargetFilesAdded"] = str(len(adds))
-        return txn.commit(list(adds) + list(removes) + list(cdc_actions),
+        evo = [self._evolution_meta] if self._evolution_meta is not None else []
+        return txn.commit(evo + list(adds) + list(removes) + list(cdc_actions),
                           "MERGE", self._op_params(), metrics)
 
     # -- helpers ----------------------------------------------------------
@@ -216,8 +248,9 @@ class MergeBuilder:
         for cl in self.not_matched:
             vals = self._expand_star(cl, cols)
             subset = remaining.filter(cl.condition) if cl.condition else remaining
+            schema = getattr(self, "_schema", None) or snapshot.schema
             parts.append(subset.select(*[
-                (F.expr(vals[c]) if c in vals else F.lit(None)).cast(snapshot.schema[c].dataType).alias(c)
+                (F.expr(vals[c]) if c in vals else F.lit(None)).cast(schema[c].dataType).alias(c)
                 for c in cols]))
             if cl.condition:
                 remaining = remaining.filter(~F.coalesce(F.expr(cl.condition), F.lit(False)))
@@ -233,7 +266,9 @@ class MergeBuilder:
         adds = write_table_files(out, snapshot)
         metrics = {"numTargetRowsInserted": str(sum(a.num_records or 0 for a in adds)),
                    "numTargetFilesAdded": str(len(adds))}
-        return txn.commit(list(adds) + list(cdc_actions), "MERGE", self._op_params(), metrics)
+        evo = [getattr(self, "_evolution_meta", None)]
+        evo = [e for e in evo if e is not None]
+        return txn.commit(evo + list(adds) + list(cdc_actions), "MERGE", self._op_params(), metrics)
 
     def _action_column(self, is_matched, is_src_only):
         """First-matching-clause resolution within each row category."""
@@ -255,18 +290,22 @@ class MergeBuilder:
 
     def _value_column(self, col: str, snapshot):
         """Output value for one column as a CASE over __action."""
-        dt = snapshot.schema[col].dataType
-        expr = F.expr(f"{self.tgt}.{col}")  # copy default
+        schema = getattr(self, "_schema", None) or snapshot.schema
+        dt = schema[col].dataType
+        if col in getattr(self, "_target_cols", {f.name for f in snapshot.schema.fields}):
+            expr = F.expr(f"{self.tgt}.{col}")  # copy default
+        else:
+            expr = F.lit(None).cast(dt)  # evolved column: target rows have no value
         all_clauses = (
             [(f"{c.kind[0]}m{i}", c) for i, c in enumerate(self.matched)]
             + [(f"{c.kind[0]}i{i}", c) for i, c in enumerate(self.not_matched)]
             + [(f"{c.kind[0]}s{i}", c) for i, c in enumerate(self.not_matched_by_source)]
         )
-        cols = [f.name for f in snapshot.schema.fields]
+        schema_cols = [f.name for f in schema.fields]
         for tag, cl in all_clauses:
             if cl.kind == "delete":
                 continue
-            vals = self._expand_star(cl, cols)
+            vals = self._expand_star(cl, schema_cols)
             if cl.kind == "insert":
                 v = F.expr(vals[col]) if col in vals else F.lit(None)
             else:  # update

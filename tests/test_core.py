@@ -339,3 +339,33 @@ def test_distributed_stats_path(spark, tmp_table, sf_dir, monkeypatch):
     for f in snap.all_files:
         assert f.stats and f.num_records > 0
     assert snap.metadata_aggregates(["l_orderkey"]) is not None
+
+
+def test_merge_schema_evolution(spark, tmp_table, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    write_delta(orders.limit(100), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = (orders.limit(40)
+           .withColumn("o_channel", F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("store"))
+           .withColumn("o_orderkey",
+                       F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey"))
+                       .otherwise(F.col("o_orderkey") + 5_000_000)))
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdateAll()
+       .whenNotMatchedInsertAll()
+       .withSchemaEvolution()
+       .execute())
+    out = dt.toDF()
+    assert "o_channel" in out.columns
+    n_new = src.join(orders.limit(100), "o_orderkey", "left_anti").count()
+    assert out.count() == 100 + n_new
+    # rows from the source carry the new column; untouched rows are null
+    assert out.filter("o_channel IS NOT NULL").count() == src.count()
+    # without evolution, `*` expands to TARGET columns only: extra
+    # source columns are ignored (ResolveDeltaMergeInto star semantics)
+    before_cols = set(dt.toDF().columns)
+    src2 = src.withColumn("o_extra", F.lit(1)) \
+        .withColumn("o_orderkey", F.col("o_orderkey") + 90_000_000)
+    (dt.merge(src2, "target.o_orderkey = source.o_orderkey")
+       .whenNotMatchedInsertAll().execute())
+    assert set(dt.toDF().columns) == before_cols  # no o_extra
