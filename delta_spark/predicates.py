@@ -317,6 +317,89 @@ def parse_predicate(sql: str):
     return node
 
 
+# ------------------------------ generated-column filter derivation ----
+# (GeneratedColumn.scala:512-591 / optimizablePartitionExpressions):
+# when a partition column g is GENERATED ALWAYS AS f(x) for a monotonic
+# non-decreasing f, data predicates on x imply partition predicates on
+# g:  x >= L ⇒ g >= f(L);  x <= U ⇒ g <= f(U);  x = v ⇒ g = f(v);
+# strict bounds weaken to non-strict (f collapses ranges).
+
+_GEN_FNS = {
+    "year": lambda v: v.year,
+    "month": lambda v: v.month,
+    "day": lambda v: v.day,
+    "dayofmonth": lambda v: v.day,
+    "hour": lambda v: v.hour if isinstance(v, _dt.datetime) else 0,
+    "to_date": lambda v: v.date() if isinstance(v, _dt.datetime) else v,
+    "date": lambda v: v.date() if isinstance(v, _dt.datetime) else v,
+}
+
+
+def parse_generation_expr(expr: str):
+    """Recognize `fn(col)` / `CAST(col AS DATE)` generation expressions.
+    Returns (mapper, base_col) or None."""
+    m = re.fullmatch(r"\s*(\w+)\s*\(\s*`?(\w+)`?\s*\)\s*", expr)
+    if m and m.group(1).lower() in _GEN_FNS:
+        return _GEN_FNS[m.group(1).lower()], m.group(2)
+    m = re.fullmatch(r"\s*CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)\s*", expr, re.IGNORECASE)
+    if m:
+        return _GEN_FNS["date"], m.group(1)
+    m = re.fullmatch(r"\s*date_trunc\s*\(\s*'(\w+)'\s*,\s*`?(\w+)`?\s*\)\s*", expr, re.IGNORECASE)
+    if m and m.group(1).upper() in ("DAY", "DD"):
+        return (lambda v: _dt.datetime(v.year, v.month, v.day)), m.group(2)
+    return None
+
+
+def derive_generated_conjuncts(node, gen_map: dict):
+    """gen_map: partition_col → (mapper, base_col). Returns extra AND
+    conjuncts on the partition columns implied by top-level comparisons
+    on the base columns."""
+    by_base = {}
+    for g, (fn, base) in gen_map.items():
+        by_base.setdefault(base, []).append((g, fn))
+    out = []
+
+    def conjuncts(n):
+        if isinstance(n, And):
+            yield from conjuncts(n.left)
+            yield from conjuncts(n.right)
+        else:
+            yield n
+
+    for c in conjuncts(node):
+        if isinstance(c, Cmp) and isinstance(c.left, Col) and isinstance(c.right, Lit):
+            base, lit = c.left.name, c.right.value
+            if base not in by_base or lit is None:
+                continue
+            v = _parse_dtish(lit) if isinstance(lit, str) else lit
+            if not isinstance(v, (_dt.date, _dt.datetime)):
+                continue
+            for g, fn in by_base[base]:
+                try:
+                    mapped = fn(v if isinstance(v, _dt.datetime) else _dt.datetime(v.year, v.month, v.day))
+                except Exception:
+                    continue
+                op = {"<": "<=", ">": ">=", "=": "=", "<=": "<=", ">=": ">="}.get(c.op)
+                if op:
+                    out.append(Cmp(op, Col(g), Lit(mapped)))
+        elif isinstance(c, In) and isinstance(c.child, Col) and not c.negated:
+            base = c.child.name
+            if base not in by_base:
+                continue
+            vals = [(_parse_dtish(x) if isinstance(x, str) else x) for x in c.values]
+            if not all(isinstance(v, (_dt.date, _dt.datetime)) for v in vals if v is not None):
+                continue
+            for g, fn in by_base[base]:
+                try:
+                    mapped = [fn(v if isinstance(v, _dt.datetime)
+                                 else _dt.datetime(v.year, v.month, v.day))
+                              for v in vals if v is not None]
+                except Exception:
+                    continue
+                out.append(In(Col(g), sorted(set(mapped), key=str)))
+    return out
+
+
 def references(node) -> set[str]:
     """Column names referenced by the AST."""
     if isinstance(node, Col):

@@ -162,6 +162,14 @@ class Snapshot:
             except P.UnsupportedPredicate:
                 ast = None
             if ast is not None:
+                # derive partition predicates from generated partition
+                # columns (GeneratedColumn.scala:512 partition-filter
+                # derivation): g GENERATED AS f(x) + predicate on x
+                gen_map = self._generated_partition_map()
+                if gen_map:
+                    for extra in P.derive_generated_conjuncts(ast, gen_map):
+                        ast = P.And(ast, extra)
+            if ast is not None:
                 part_cols = set(self.partition_columns)
                 refs = P.references(ast)
                 schema = self.data_schema
@@ -208,6 +216,21 @@ class Snapshot:
                     break
             files = picked
         return files
+
+    def _generated_partition_map(self) -> dict:
+        """partition_col → (mapper, base_col) for recognizable
+        generation expressions."""
+        from delta_spark.schema import generation_expressions
+
+        out = {}
+        pcols = set(self.partition_columns)
+        for col, expr in generation_expressions(self.schema).items():
+            if col not in pcols:
+                continue
+            parsed = P.parse_generation_expr(expr)
+            if parsed:
+                out[col] = parsed
+        return out
 
     def _logical_stats_view(self, f: AddFile, logical_schema: T.StructType):
         """Stats blobs key on PHYSICAL column names (they come from the

@@ -84,3 +84,36 @@ def test_metadata_only_aggregates(spark, tmp_table, sf_dir):
     assert aggs["numRecords"] == truth[0]
     assert aggs["minValues"]["l_orderkey"] == truth[1]
     assert aggs["maxValues"]["l_orderkey"] == truth[2]
+
+
+def test_generated_partition_filter_derivation(spark, tmp_table, sf_dir):
+    """Partition col GENERATED AS year(ts): predicates on the base
+    timestamp prune partitions even with no file stats (the derivation
+    path, not min/max skipping)."""
+    from delta_spark.table import DeltaTable
+
+    (DeltaTable.create(spark).location(tmp_table)
+     .addColumn("o_orderkey", "long")
+     .addColumn("o_orderdate", "timestamp")
+     .addColumn("o_year", "int", generatedAlwaysAs="year(o_orderdate)")
+     .partitionedBy("o_year")
+     .execute())
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    write_delta(orders, tmp_table, mode="append")
+    from delta_spark.log import DeltaLog
+
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert len({f.partitionValues.get("o_year") for f in snap.all_files}) > 3
+    # strip stats → only the derived partition conjunct can prune
+    bare = snap.clone_state()
+    for f in list(bare.active.values()):
+        f.stats = None
+    pred = ("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+    pruned = bare.files_for_scan(pred)
+    kept_years = {f.partitionValues.get("o_year") for f in pruned}
+    assert kept_years <= {"1997", "1998"}  # 1998 kept: year(U)=1998 non-strict
+    assert len(pruned) < len(bare.all_files)
+    # results still correct end-to-end
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF(pred).count() == orders.filter(pred).count()
