@@ -256,9 +256,21 @@ def purge_deletion_vectors(spark: SparkSession, log: DeltaLog) -> dict:
     return metrics
 
 
-def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str]) -> int:
+def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str],
+                   txn_app_id: Optional[str] = None,
+                   txn_version: Optional[int] = None) -> Optional[int]:
     txn = OptimisticTransaction(log)
+    if txn_app_id is not None and txn_version is not None:
+        last = txn.txn_version(txn_app_id)
+        if last is not None and last >= txn_version:
+            return None  # replayed idempotent DML (DeltaOptions txn opts)
     cfg = txn.snapshot.configuration
     removes, adds, cdc, metrics = delete_core(spark, txn, condition, cfg, with_cdf=cdf_enabled(cfg))
     params = {"predicate": json.dumps([condition] if condition else [])}
-    return txn.commit(list(adds) + list(removes) + list(cdc), "DELETE", params, metrics)
+    extra = []
+    if txn_app_id is not None and txn_version is not None:
+        from delta_spark.actions import SetTransaction
+        from delta_spark.util import current_time_millis
+
+        extra.append(SetTransaction(txn_app_id, txn_version, current_time_millis()))
+    return txn.commit(list(adds) + list(removes) + list(cdc) + extra, "DELETE", params, metrics)

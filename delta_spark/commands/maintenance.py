@@ -31,6 +31,36 @@ from delta_spark.util import (
 
 # ------------------------------------------------------------- VACUUM ----
 
+def vacuum_lite(spark: SparkSession, log: DeltaLog,
+                retention_hours: Optional[float] = None,
+                dry_run: bool = False) -> list[str]:
+    """VACUUM LITE (DeltaSqlBase.g4:75): reclaim using the log's own
+    tombstones instead of listing the table tree — O(tombstones), for
+    object stores where recursive listing is the dominant cost."""
+    snapshot = log.update()
+    retention_ms = (int(retention_hours * 3600 * 1000)
+                    if retention_hours is not None else log.deleted_file_retention_ms())
+    cutoff = current_time_millis() - retention_ms
+    active = {os.path.normpath(_abs(log.table_path, f.path)) for f in snapshot.all_files}
+    victims = []
+    for r in snapshot.tombstones.values():
+        if (r.deletionTimestamp or 0) >= cutoff:
+            continue
+        p = os.path.normpath(_abs(log.table_path, r.path))
+        if p in active or not os.path.exists(p):
+            continue
+        victims.append(p)
+    if dry_run:
+        return victims
+    for p in victims:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    _remove_empty_dirs(log.table_path)
+    return victims
+
+
 def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] = None,
            dry_run: bool = False) -> list[str]:
     """Delete unreferenced data files older than the retention window

@@ -85,6 +85,19 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         ver = DeltaTable.forPath(spark, _path_of(m)).update(sets, m.group("where"))
         return spark.createDataFrame([(ver,)], "version: long")
 
+    m = re.match(rf"(?is)\s*MERGE\s+INTO\s+(?:{_PATH})(?:\s+AS)?\s+(?P<talias>\w+)\s+"
+                 rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?:\s+AS)?\s+(?P<salias>\w+)\s+"
+                 rf"ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s.+)$", s)
+    if m:
+        dt = DeltaTable.forPath(spark, _path_of(m))
+        src_sql = m.group("src")
+        source = spark.sql(src_sql[1:-1]) if src_sql.startswith("(") else spark.table(src_sql)
+        b = dt.merge(source, m.group("on"),
+                     source_alias=m.group("salias"), target_alias=m.group("talias"))
+        _apply_merge_clauses(b, m.group("clauses"))
+        v = b.execute()
+        return spark.createDataFrame([(v,)], "version: long")
+
     m = re.fullmatch(rf"(?is)\s*TRUNCATE\s+TABLE\s+(?:{_PATH})\s*", s)
     if m:
         v = DeltaTable.forPath(spark, _path_of(m)).truncate()
@@ -122,6 +135,60 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         return spark.sql(re.sub(r"delta\.`[^`]+`", "__delta_t", s))
 
     return spark.sql(s)
+
+
+def _apply_merge_clauses(builder, clauses_sql: str) -> None:
+    """Parse the WHEN ... THEN ... clause list of an ANSI MERGE
+    (grammar mirror of deltaMerge.scala's clause surface)."""
+    parts = re.split(r"(?i)\bWHEN\b", clauses_sql)
+    for part in parts:
+        part = part.strip().rstrip(";").strip()
+        if not part:
+            continue
+        m = re.match(r"(?is)^(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
+                     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+(?P<act>.+)$", part)
+        if not m:
+            raise ValueError(f"cannot parse MERGE clause: WHEN {part[:80]}")
+        kind = re.sub(r"\s+", " ", m.group(1).upper())
+        cond = m.group("cond")
+        act = m.group("act").strip()
+        au = act.upper()
+        if kind == "MATCHED":
+            if au.startswith("DELETE"):
+                builder.whenMatchedDelete(cond)
+            elif re.match(r"UPDATE\s+SET\s+\*", au):
+                builder.whenMatchedUpdateAll(cond)
+            elif au.startswith("UPDATE"):
+                sets = _parse_set_list(re.sub(r"(?is)^UPDATE\s+SET\s+", "", act))
+                builder.whenMatchedUpdate(sets, cond)
+            else:
+                raise ValueError(f"unsupported MATCHED action: {act[:50]}")
+        elif kind in ("NOT MATCHED", "NOT MATCHED BY TARGET"):
+            if re.match(r"INSERT\s+\*", au):
+                builder.whenNotMatchedInsertAll(cond)
+            else:
+                mi = re.match(r"(?is)^INSERT\s*\((?P<cols>[^)]+)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$", act)
+                if not mi:
+                    raise ValueError(f"unsupported NOT MATCHED action: {act[:50]}")
+                cols = [c.strip().strip("`") for c in mi.group("cols").split(",")]
+                vals = _split_top_level(mi.group("vals"))
+                builder.whenNotMatchedInsert(dict(zip(cols, [v.strip() for v in vals])), cond)
+        else:  # NOT MATCHED BY SOURCE
+            if au.startswith("DELETE"):
+                builder.whenNotMatchedBySourceDelete(cond)
+            elif au.startswith("UPDATE"):
+                sets = _parse_set_list(re.sub(r"(?is)^UPDATE\s+SET\s+", "", act))
+                builder.whenNotMatchedBySourceUpdate(sets, cond)
+            else:
+                raise ValueError(f"unsupported NOT MATCHED BY SOURCE action: {act[:50]}")
+
+
+def _parse_set_list(s: str) -> dict[str, str]:
+    out = {}
+    for part in _split_top_level(s):
+        k, v = part.split("=", 1)
+        out[k.strip().strip("`")] = v.strip()
+    return out
 
 
 def _split_top_level(s: str) -> list[str]:

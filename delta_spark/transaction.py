@@ -257,6 +257,23 @@ class OptimisticTransaction:
     def _post_commit(self, version: int, actions: list[Any]) -> None:
         self.log.invalidate()
         snap = self.log.update()
+        # checksum hook (Checksum.scala / ChecksumHook): per-version
+        # .crc with aggregate state for fast detail() + validation
+        try:
+            import json as _json
+            import os as _os
+
+            crc = {
+                "tableSizeBytes": snap.size_in_bytes,
+                "numFiles": snap.num_files,
+                "numMetadata": 1,
+                "numProtocol": 1,
+            }
+            crc_path = _os.path.join(self.log.log_path, "%020d.crc" % version)
+            with open(crc_path, "w") as fh:
+                fh.write(_json.dumps(crc))
+        except OSError:
+            pass
         if version > 0 and version % self.log.checkpoint_interval == 0:
             try:
                 self.log.write_checkpoint(snap)

@@ -117,3 +117,69 @@ def test_in_commit_timestamps_monotonic(spark, tmp_table, sf_dir):
     # timestamp time travel uses commit timestamps
     v1_ts = [r for r in h if r["version"] == 1][0]["timestamp"]
     assert dt.asOfTimestamp(v1_ts).count() == 10
+
+
+def test_merge_sql_statement(spark, tmp_table, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    write_delta(orders.limit(100), tmp_table)
+    src = (orders.limit(30)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+           .withColumn("o_orderkey",
+                       F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey"))
+                       .otherwise(F.col("o_orderkey") + 7_000_000)))
+    src.createOrReplaceTempView("merge_src")
+    delta_sql(spark, f"""
+        MERGE INTO delta.`{tmp_table}` AS t
+        USING merge_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice > 100 THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    n_new = src.join(orders.limit(100), "o_orderkey", "left_anti").count()
+    assert dt.toDF().count() >= 100 + n_new - 30  # updates/deletes applied
+    # updated rows carry tripled price
+    tripled = dt.toDF().alias("t").join(src.alias("s"), "o_orderkey") \
+        .filter("t.o_totalprice = s.o_totalprice").count()
+    assert tripled > 0
+
+
+def test_vacuum_lite(spark, tmp_table, sf_dir):
+    from delta_spark.commands.maintenance import vacuum_lite
+
+    li = load_table(spark, sf_dir, "lineitem")
+    write_delta(li.limit(100), tmp_table)
+    write_delta(li.limit(10), tmp_table, mode="overwrite")
+    log = DeltaLog.for_table(tmp_table)
+    victims = vacuum_lite(spark, log, retention_hours=0, dry_run=True)
+    assert victims
+    vacuum_lite(spark, log, retention_hours=0)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 10
+
+
+def test_crc_written(spark, tmp_table, sf_dir):
+    import json as _json
+    import os as _os
+
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table)
+    crc = _os.path.join(tmp_table, "_delta_log", "%020d.crc" % 0)
+    assert _os.path.exists(crc)
+    d = _json.loads(open(crc).read())
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert d["numFiles"] == snap.num_files
+    assert d["tableSizeBytes"] == snap.size_in_bytes
+
+
+def test_idempotent_delete(spark, tmp_table, sf_dir):
+    from delta_spark.commands.delete import execute_delete
+
+    write_delta(load_table(spark, sf_dir, "orders").limit(100), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    v1 = execute_delete(spark, log, "o_totalprice > 100000", "app1", 1)
+    assert v1 is not None
+    n_after = DeltaTable.forPath(spark, tmp_table).toDF().count()
+    # replay of the same (app, version) is a no-op
+    assert execute_delete(spark, log, "o_totalprice > 0", "app1", 1) is None
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == n_after
