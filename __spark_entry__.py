@@ -335,6 +335,40 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dt(spark, p).history().select("version", "operation")
 
 
+def q_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME COLUMN via column mapping; old files read
+    under the new logical name."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "customer"), path)
+        dt = DeltaTable.forPath(spark, path)
+        dt.renameColumn("c_acctbal", "balance")
+        dt.delete("balance < 0")
+    p = _table(spark, sf_dir, "cust_rename", b)
+    return (_dt(spark, p).toDF().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+
+
+def q_delta_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution: source's extra column joins the
+    target schema; untouched rows read it as NULL."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "orders"), path)
+        src = (load_table(spark, sf_dir, "orders").filter("o_orderkey % 9 = 0")
+               .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_totalprice", "o_orderdate", "o_orderpriority",
+                           "CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel"))
+        (DeltaTable.forPath(spark, path)
+         .merge(src, "target.o_orderkey = source.o_orderkey")
+         .whenMatchedUpdateAll()
+         .whenNotMatchedInsertAll()
+         .withSchemaEvolution()
+         .execute())
+    p = _table(spark, sf_dir, "ord_mergevo", b)
+    return (_dt(spark, p).toDF().groupBy("o_channel")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # ---- analytics over delta tables (TPC-H-ish) ------------------------------
 
 def _tpch_db(spark: SparkSession, sf_dir: str) -> str:
@@ -629,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_schema_evolution": q_delta_schema_evolution,
         "delta_cdf": q_delta_cdf,
         "delta_generated_column": q_delta_generated_column,
+        "delta_rename_column": q_delta_rename_column,
+        "delta_merge_evolution": q_delta_merge_evolution,
         "delta_history": q_delta_history,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -828,6 +864,17 @@ def oracle_sql() -> dict[str, str]:
         "delta_generated_column": """
             SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY 1""",
+        "delta_rename_column": """
+            SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM customer WHERE NOT coalesce(c_acctbal < 0, false)
+            GROUP BY c_mktsegment""",
+        "delta_merge_evolution": """
+            SELECT CASE WHEN o_orderkey % 9 = 0
+                        THEN CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+                        ELSE NULL END AS o_channel,
+                   count(*) AS n
             FROM orders GROUP BY 1""",
         # delta_history: delta-specific — rows-only check (no oracle)
         "tpch_q1": f"""
