@@ -335,6 +335,51 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dt(spark, p).history().select("version", "operation")
 
 
+def q_delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED IDENTITY column: unique values for every inserted row
+    (values themselves are allocation-dependent; the oracle checks
+    cardinalities)."""
+    def b(spark, sf_dir, path):
+        from pyspark.sql import types as T
+
+        from delta_spark.schema import IDENTITY_START_KEY, IDENTITY_STEP_KEY
+        schema = T.StructType([
+            T.StructField("sk", T.LongType(), True,
+                          {IDENTITY_START_KEY: 1, IDENTITY_STEP_KEY: 1}),
+            T.StructField("s_name", T.StringType(), True),
+            T.StructField("s_acctbal", T.DoubleType(), True),
+        ])
+        DeltaTable.create(spark).location(path).addColumns(schema).execute()
+        src = load_table(spark, sf_dir, "supplier").select("s_name", "s_acctbal")
+        write_delta(src, path, mode="append")
+        write_delta(src, path, mode="append")
+    p = _table(spark, sf_dir, "supp_ident", b)
+    return (_dt(spark, p).toDF()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("sk").alias("n_ids"),
+                 F.expr("CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+
+
+def q_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraint enforced on write: the violating batch is
+    rejected atomically, the valid batch lands."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "part"), path)
+        dt = DeltaTable.forPath(spark, path)
+        dt.addCheckConstraint("size_pos", "p_size > 0")
+        bad = load_table(spark, sf_dir, "part").limit(5)             .withColumn("p_size", F.lit(-1))
+        try:
+            write_delta(bad, path, mode="append")
+        except Exception:
+            pass  # rejected, as required
+        good = load_table(spark, sf_dir, "part").limit(7)             .withColumn("p_partkey", F.col("p_partkey") + 1000000)
+        write_delta(good, path, mode="append")
+    p = _table(spark, sf_dir, "part_constr", b)
+    return (_dt(spark, p).toDF()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("p_size").alias("min_size")))
+
+
 def q_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only RENAME COLUMN via column mapping; old files read
     under the new logical name."""
@@ -663,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_schema_evolution": q_delta_schema_evolution,
         "delta_cdf": q_delta_cdf,
         "delta_generated_column": q_delta_generated_column,
+        "delta_identity_column": q_delta_identity_column,
+        "delta_constraints": q_delta_constraints,
         "delta_rename_column": q_delta_rename_column,
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_history": q_delta_history,
@@ -865,6 +912,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM orders GROUP BY 1""",
+        "delta_identity_column": """
+            SELECT CAST(2 * count(*) AS BIGINT) AS n,
+                   CAST(2 * count(*) AS BIGINT) AS n_ids,
+                   CAST(2 * sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM supplier""",
+        "delta_constraints": """
+            SELECT count(*) + 7 AS n, min(p_size) AS min_size FROM part""",
         "delta_rename_column": """
             SELECT c_mktsegment, count(*) AS n,
                    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal

@@ -184,3 +184,27 @@ def with_file_name(df: DataFrame) -> DataFrame:
     """Tag rows with their source file (MERGE/DML touched-file
     discovery uses input_file_name(), ClassicMergeExecutor.scala:72)."""
     return df.withColumn("__delta_file", F.input_file_name())
+
+
+def read_with_row_ids(spark: SparkSession, snapshot) -> DataFrame:
+    """Rows + their stable `_row_id` (row tracking, RowId.scala:
+    baseRowId + position-in-file). Requires delta.enableRowTracking;
+    ids survive OPTIMIZE only via materialization (not implemented) —
+    like the reference's non-materialized fresh-id behavior, ids are
+    stable across reads of the same file set."""
+    files = snapshot.all_files
+    schema = snapshot.schema
+    if not files:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType(
+            schema.fields + [T.StructField("_row_id", T.LongType())]))
+    base_map = {os.path.basename(f.path): f.baseRowId or 0 for f in files}
+    part_cols = snapshot.partition_columns
+    paths = [_abs_path(snapshot.table_path, f) for f in files]
+    reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
+    df = (reader.schema(schema).parquet(*paths)
+          .withColumn("__fb", F.element_at(F.split(F.input_file_name(), "/"), -1)))
+    mapping = F.create_map(*[x for k, v in base_map.items() for x in (F.lit(k), F.lit(v))])
+    return (df.withColumn("_row_id", mapping[F.col("__fb")] + F.col("_metadata.row_index"))
+            .drop("__fb"))

@@ -158,6 +158,20 @@ class OptimisticTransaction:
             operationMetrics=operation_metrics or {},
             userMetadata=user_metadata,
         )
+        # row tracking (RowId.scala / PROTOCOL.md:1638): when enabled,
+        # every committed AddFile gets a fresh baseRowId range; a row's
+        # stable id is baseRowId + its position in the file
+        commit_meta = next((a for a in actions if isinstance(a, Metadata)), None)
+        effective_cfg = (commit_meta.configuration if commit_meta is not None
+                         else self.snapshot.configuration)
+        if str((effective_cfg or {}).get(
+                "delta.enableRowTracking", "false")).lower() == "true":
+            hwm = self._row_id_high_watermark()
+            for a in actions:
+                if isinstance(a, AddFile) and a.baseRowId is None:
+                    a.baseRowId = hwm + 1
+                    hwm += max(a.num_records or 0, 1)
+
         full = [commit_info] + actions
 
         attempt_version = self.read_version + 1
@@ -174,6 +188,13 @@ class OptimisticTransaction:
                 self._check_conflicts(winning, actions, isolation_level, is_blind_append)
                 attempt_version += 1
         raise DeltaConcurrentException(f"exceeded {MAX_RETRIES} commit retries")
+
+    def _row_id_high_watermark(self) -> int:
+        hwm = -1
+        for f in self.snapshot.active.values():
+            if f.baseRowId is not None:
+                hwm = max(hwm, f.baseRowId + max(f.num_records or 0, 1) - 1)
+        return hwm
 
     def _validate(self, actions: list[Any]) -> None:
         metadatas = [a for a in actions if isinstance(a, Metadata)]

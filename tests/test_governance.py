@@ -289,3 +289,21 @@ def test_rename_then_dml(spark, tmp_table, sf_dir):
     # partition pruning still intact after rename
     assert dt.toDF("o_orderstatus = 'F'").count() == \
         dt.toDF().filter("o_orderstatus = 'F'").count()
+
+
+def test_row_tracking(spark, tmp_table, sf_dir):
+    from delta_spark.reader import read_with_row_ids
+
+    write_delta(_orders(spark, sf_dir).limit(50), tmp_table,
+                configuration={"delta.enableRowTracking": "true"})
+    write_delta(_orders(spark, sf_dir).limit(30), tmp_table, mode="append")
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    assert all(f.baseRowId is not None for f in snap.all_files)
+    df = read_with_row_ids(spark, snap)
+    rows = df.select("_row_id").collect()
+    ids = [r["_row_id"] for r in rows]
+    assert len(ids) == 80 and len(set(ids)) == 80  # unique stable ids
+    # stable across reads
+    ids2 = [r["_row_id"] for r in read_with_row_ids(spark, log.update()).select("_row_id").collect()]
+    assert sorted(ids) == sorted(ids2)
