@@ -118,6 +118,26 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
     if m:
         return DeltaTable.forPath(spark, _path_of(m)).show_partitions()
 
+    m = re.fullmatch(rf"(?is)\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:{_PATH})\s+"
+                     rf"(?P<q>(?:SELECT|VALUES|WITH)\s.+)", s)
+    if m:
+        from delta_spark.io import write_delta
+
+        df = spark.sql(m.group("q"))
+        v = write_delta(df, _path_of(m),
+                        mode="append" if m.group("mode").upper() == "INTO" else "overwrite")
+        return spark.createDataFrame([(v,)], "version: long")
+
+    m = re.fullmatch(rf"(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:{_PATH})"
+                     rf"(?:\s+USING\s+delta)?\s+AS\s+(?P<q>(?:SELECT|WITH)\s.+)", s)
+    if m:
+        from delta_spark.io import write_delta
+
+        df = spark.sql(m.group("q"))
+        replace = "REPLACE" in s.upper().split("TABLE")[0]
+        v = write_delta(df, _path_of(m), mode="overwrite" if replace else "error")
+        return spark.createDataFrame([(v if v is not None else -1,)], "version: long")
+
     m = re.fullmatch(rf"(?is)\s*SELECT\s+.+?\s+FROM\s+delta\.`(?P<path>[^`]+)`"
                      rf"\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*(?P<rest>.*)", s)
     if m:

@@ -183,3 +183,20 @@ def test_idempotent_delete(spark, tmp_table, sf_dir):
     # replay of the same (app, version) is a no-op
     assert execute_delete(spark, log, "o_totalprice > 0", "app1", 1) is None
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == n_after
+
+
+def test_insert_and_ctas_sql(spark, tmp_path, sf_dir):
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supp_v")
+    t = str(tmp_path / "ctas")
+    delta_sql(spark, f"CREATE TABLE delta.`{t}` USING delta AS SELECT * FROM supp_v")
+    dt = DeltaTable.forPath(spark, t)
+    n = dt.toDF().count()
+    assert n == load_table(spark, sf_dir, "supplier").count()
+    delta_sql(spark, f"INSERT INTO delta.`{t}` SELECT * FROM supp_v WHERE s_acctbal > 0")
+    assert dt.toDF().count() > n
+    delta_sql(spark, f"INSERT OVERWRITE delta.`{t}` SELECT * FROM supp_v LIMIT 3")
+    assert dt.toDF().count() == 3
+    with pytest.raises(Exception):
+        delta_sql(spark, f"CREATE TABLE delta.`{t}` AS SELECT * FROM supp_v")
+    delta_sql(spark, f"CREATE OR REPLACE TABLE delta.`{t}` AS SELECT * FROM supp_v LIMIT 5")
+    assert dt.toDF().count() == 5
