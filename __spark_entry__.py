@@ -688,8 +688,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_delta_write_read(spark, "/root/testdata/sf0.001")
 
 
+def _utc(fn: Callable) -> Callable:
+    """The oracle (DuckDB) is timezone-naive; pin the session to UTC so
+    timestamp→date casts and date_trunc render identically regardless
+    of the driver session's local timezone."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+        return fn(spark, sf_dir)
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _utc(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_write_read": q_delta_write_read,
         "delta_filter_pushdown": q_delta_filter_pushdown,
         "delta_delete_rewrite": q_delta_delete_rewrite,
@@ -737,7 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
-    }
+}
 
 
 # ---------------------------------------------------------------------------
