@@ -14,6 +14,7 @@ the transaction log is pure Python over the local filesystem
 (LogStore abstraction mirrors reference storage/LogStore.java:83).
 """
 
+from delta_spark.io import write_delta
 from delta_spark.log import DeltaLog
 from delta_spark.table import DeltaTable
 from delta_spark.session import get_spark, configure_spark
@@ -24,6 +25,7 @@ __version__ = "0.1.0"
 __all__ = [
     "DeltaLog",
     "DeltaTable",
+    "write_delta",
     "get_spark",
     "configure_spark",
     "delta_sql",

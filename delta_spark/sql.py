@@ -147,6 +147,20 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                            flags=re.IGNORECASE)
         return spark.sql(rewritten)
 
+    # table_changes TVF (DeltaTableValueFunctions.scala:47):
+    # SELECT ... FROM table_changes_by_path('path', start [, end])
+    m = re.search(r"(?is)table_changes(?:_by_path)?\s*\(\s*'(?P<path>[^']+)'\s*,\s*"
+                  r"(?P<start>\d+)(?:\s*,\s*(?P<end>\d+))?\s*\)", s)
+    if m:
+        dt = DeltaTable.forPath(spark, m.group("path"))
+        ch = dt.table_changes(
+            starting_version=int(m.group("start")),
+            ending_version=int(m.group("end")) if m.group("end") else None)
+        ch.createOrReplaceTempView("__delta_changes")
+        rewritten = re.sub(r"(?is)table_changes(?:_by_path)?\s*\([^)]*\)",
+                           "__delta_changes", s)
+        return spark.sql(rewritten)
+
     # plain SELECT over a delta path: register a temp view and delegate
     m = re.search(r"(?is)delta\.`(?P<path>[^`]+)`", s)
     if m:

@@ -200,3 +200,14 @@ def test_insert_and_ctas_sql(spark, tmp_path, sf_dir):
         delta_sql(spark, f"CREATE TABLE delta.`{t}` AS SELECT * FROM supp_v")
     delta_sql(spark, f"CREATE OR REPLACE TABLE delta.`{t}` AS SELECT * FROM supp_v LIMIT 5")
     assert dt.toDF().count() == 5
+
+
+def test_table_changes_tvf(spark, tmp_table, sf_dir):
+    write_delta(load_table(spark, sf_dir, "supplier"), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    DeltaTable.forPath(spark, tmp_table).delete("s_acctbal < 0")
+    out = delta_sql(spark, f"SELECT _change_type, count(*) AS n "
+                           f"FROM table_changes_by_path('{tmp_table}', 1) GROUP BY 1")
+    rows = {r["_change_type"]: r["n"] for r in out.collect()}
+    want = load_table(spark, sf_dir, "supplier").filter("s_acctbal < 0").count()
+    assert rows.get("delete", 0) == want
