@@ -29,6 +29,7 @@ Metrics are collected with df.observe() — zero extra passes.
 from __future__ import annotations
 
 import json
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
@@ -150,6 +151,13 @@ class MergeBuilder:
                     configuration=m.configuration, createdTime=m.createdTime)
         cols = [f.name for f in self._schema.fields]
 
+        for cl in self.not_matched_by_source:
+            if cl.condition:
+                cl.condition = self._qualify_target(cl.condition, snapshot)
+            if cl.values:
+                cl.values = {k: self._qualify_target(v, snapshot)
+                             for k, v in cl.values.items()}
+
         if not self.matched and not self.not_matched_by_source and self.not_matched:
             return self._insert_only(txn, source, cols, num_indexed, cfg)
 
@@ -269,6 +277,41 @@ class MergeBuilder:
         evo = [getattr(self, "_evolution_meta", None)]
         evo = [e for e in evo if e is not None]
         return txn.commit(evo + list(adds) + list(cdc_actions), "MERGE", self._op_params(), metrics)
+
+    def _qualify_target(self, expr: str, snapshot) -> str:
+        """NOT MATCHED BY SOURCE clauses resolve unqualified names
+        against the TARGET only (source columns are out of scope, per
+        deltaMerge's resolution rules) — qualify bare target-column
+        identifiers so the joined frame isn't ambiguous."""
+        cols = {f.name for f in snapshot.schema.fields}
+        out = []
+        i, n = 0, len(expr)
+        while i < n:
+            ch = expr[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if expr[j] == "'" and not (j + 1 < n and expr[j + 1] == "'"):
+                        break
+                    j += 2 if expr[j] == "'" else 1
+                out.append(expr[i:j + 1])
+                i = j + 1
+                continue
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", expr[i:])
+            if m:
+                word = m.group(0)
+                prev = expr[i - 1] if i > 0 else ""
+                nxt_i = i + len(word)
+                nxt = expr[nxt_i:nxt_i + 1]
+                if word in cols and prev != "." and nxt != "(":
+                    out.append(f"{self.tgt}.{word}")
+                else:
+                    out.append(word)
+                i = nxt_i
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     def _action_column(self, is_matched, is_src_only):
         """First-matching-clause resolution within each row category."""

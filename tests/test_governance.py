@@ -307,3 +307,52 @@ def test_row_tracking(spark, tmp_table, sf_dir):
     # stable across reads
     ids2 = [r["_row_id"] for r in read_with_row_ids(spark, log.update()).select("_row_id").collect()]
     assert sorted(ids) == sorted(ids2)
+
+
+def test_optimize_does_not_conflict_with_append(spark, tmp_table, sf_dir):
+    """dataChange=false commits take SnapshotIsolation: a concurrent
+    append between OPTIMIZE's read and commit must not abort it
+    (isolationLevels.scala:70 semantics)."""
+    from delta_spark.commands.optimize import OptimizeBuilder
+    from delta_spark.io import write_delta as wd
+
+    orders = _orders(spark, sf_dir)
+    for i in range(4):
+        wd(orders.limit(50), tmp_table, mode="append")
+    log = DeltaLog.for_table(tmp_table)
+
+    # interleave: capture optimize's txn snapshot, append, then commit
+    from delta_spark.transaction import OptimisticTransaction
+    from delta_spark.reader import read_files_df
+    from delta_spark.writer import write_table_files
+
+    txn = OptimisticTransaction(log)
+    snap = txn.snapshot
+    small = snap.all_files
+    df = read_files_df(spark, snap, small)
+    new = write_table_files(df.repartition(1), snap, data_change=False)
+    wd(orders.limit(5), tmp_table, mode="append")  # concurrent append wins v4
+    v = txn.commit(list(new) + [f.remove(data_change=False) for f in small], "OPTIMIZE")
+    assert v == 5  # retried past the append, no conflict
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 205  # both effects present
+
+
+def test_merge_not_matched_by_source(spark, tmp_table, sf_dir):
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(100), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = orders.limit(30).select("o_orderkey", "o_totalprice")
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdate({"o_orderpriority": "'KEPT'"})
+       .whenNotMatchedBySourceDelete("o_totalprice < 50000")
+       .whenNotMatchedBySourceUpdate({"o_orderpriority": "'STALE'"})
+       .execute())
+    out = dt.toDF()
+    # rows matched by source → KEPT; unmatched cheap rows deleted;
+    # unmatched remaining rows → STALE
+    assert out.filter("o_orderpriority = 'KEPT'").count() == 30
+    survivors = orders.limit(100).join(src, "o_orderkey", "left_anti") \
+        .filter("NOT coalesce(o_totalprice < 50000, false)").count()
+    assert out.filter("o_orderpriority = 'STALE'").count() == survivors
+    assert out.count() == 30 + survivors
