@@ -20,7 +20,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from delta_spark.actions import AddFile
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 

@@ -22,7 +22,7 @@ import json
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from delta_spark import predicates as P
 from delta_spark.actions import AddFile, RemoveFile
@@ -30,7 +30,7 @@ from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction
-from delta_spark.writer import write_cdc_files, write_files, write_table_files
+from delta_spark.writer import write_cdc_files, write_table_files
 
 
 def cdf_enabled(cfg: dict) -> bool:

@@ -10,15 +10,13 @@ hooks/GenerateSymlinkManifest.scala:50.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import time
 from typing import Optional
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
-from delta_spark.actions import AddFile, Metadata, RemoveFile
+from delta_spark.actions import AddFile, Metadata
 from delta_spark.log import DeltaLog
 from delta_spark.stats import collect_stats_parallel, file_mtime_ms
 from delta_spark.transaction import OptimisticTransaction

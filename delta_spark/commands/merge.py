@@ -34,7 +34,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from delta_spark.actions import AddFile
 from delta_spark.commands.delete import cdf_enabled, match_files_by_name
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df

@@ -25,7 +25,6 @@ each output file covers a tight z-curve segment → tight min/max stats
 
 from __future__ import annotations
 
-import functools
 import json
 import math
 from typing import Optional
@@ -35,7 +34,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from delta_spark.actions import AddFile
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
-from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction
 from delta_spark.writer import write_table_files
 

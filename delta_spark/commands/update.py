@@ -12,7 +12,6 @@ CDF emits update_preimage/update_postimage row pairs for matched rows
 
 from __future__ import annotations
 
-import json
 from typing import Optional
 
 from pyspark.sql import SparkSession, functions as F

@@ -14,7 +14,6 @@ the first violating row, with no extra pass over the data.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F, types as T
 

@@ -12,9 +12,8 @@ from __future__ import annotations
 import json
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from delta_spark import predicates as P
 from delta_spark.actions import AddFile, Metadata, RemoveFile, SetTransaction
 from delta_spark.constraints import (
     apply_generated_columns,

@@ -9,7 +9,7 @@ so each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # tiny per-language stopword seeds for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {

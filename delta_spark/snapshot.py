@@ -16,7 +16,6 @@ O(recent commits) instead of O(history).
 
 from __future__ import annotations
 
-import json
 from typing import Any, Iterable, Optional
 
 from pyspark.sql import types as T

@@ -12,9 +12,9 @@ handled here since Spark's analyzer can't resolve our tables.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from delta_spark.table import DeltaTable
 

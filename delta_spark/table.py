@@ -11,8 +11,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
-import os
-from typing import Any, Optional, Union
+from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 

@@ -20,8 +20,6 @@ Conflict classification against each winning commit:
 
 from __future__ import annotations
 
-import json
-import time
 from typing import Any, Optional
 
 from delta_spark import predicates as P
