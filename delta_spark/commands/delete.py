@@ -79,15 +79,6 @@ def find_touched_files(spark: SparkSession, snapshot, candidates: list[AddFile],
     return match_files_by_name(candidates, [r["f"] for r in touched], snapshot.table_path)
 
 
-def split_delete_files(spark: SparkSession, txn: OptimisticTransaction,
-                       condition: Optional[str], cfg: dict,
-                       ) -> tuple[list[RemoveFile], list[AddFile]]:
-    """Compute (removes, rewritten adds) for deleting rows matching
-    `condition`; shared by DELETE and replaceWhere overwrite."""
-    removes, adds, _cdc, _m = delete_core(spark, txn, condition, cfg, with_cdf=cdf_enabled(cfg))
-    return removes, adds
-
-
 def delete_core(spark: SparkSession, txn: OptimisticTransaction,
                 condition: Optional[str], cfg: dict, with_cdf: bool,
                 ) -> tuple[list[RemoveFile], list[AddFile], list, dict]:
@@ -198,11 +189,13 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
         .groupBy("file_base").agg(F.count(F.lit(1)).alias("n"))
         .collect())}
 
+    from delta_spark.reader import file_key_of
+
     adds: list[AddFile] = []
     removes: list[RemoveFile] = []
     deleted_rows = 0
     for f in candidates:
-        base = os.path.basename(f.path)
+        base = file_key_of(snapshot.table_path, f)
         if base not in counts:
             continue
         card = counts[base]

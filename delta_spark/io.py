@@ -195,10 +195,23 @@ def write_delta(
                        num_indexed_cols=_num_indexed_cols(cfg))
 
     removes: list[RemoveFile] = []
+    cdc_actions: list = []
     if mode == "overwrite" and exists:
         if replace_where:
-            removes, extra_adds = _replace_where_removes(spark, txn, replace_where, cfg)
+            from delta_spark.commands.delete import cdf_enabled, delete_core
+
+            cdf_on = cdf_enabled(cfg)
+            removes, extra_adds, cdc_actions, _m = delete_core(
+                spark, txn, replace_where, cfg, with_cdf=cdf_on)
             adds += extra_adds
+            if cdf_on:
+                # the commit carries CDC files, so ALL its changes must
+                # be in them: tag the newly-written rows as inserts
+                # (copied rows of rewritten files are NOT changes)
+                from delta_spark.writer import write_cdc_files
+
+                cdc_actions = list(cdc_actions) + write_cdc_files(
+                    out_df.withColumn("_change_type", F.lit("insert")), log.table_path)
         elif partition_overwrite_mode.lower() == "dynamic":
             written_parts = {tuple(sorted(a.partitionValues.items())) for a in adds}
             for f in txn.snapshot.all_files:
@@ -218,6 +231,7 @@ def write_delta(
     }
     actions.extend(adds)
     actions.extend(removes)
+    actions.extend(cdc_actions)
     if txn_app_id is not None and txn_version is not None:
         actions.append(SetTransaction(appId=txn_app_id, version=txn_version,
                                       lastUpdated=current_time_millis()))
@@ -254,13 +268,3 @@ def _maybe_auto_compact(spark, log: DeltaLog, cfg: dict,
         except Exception:
             pass  # best-effort, like the reference's hook
 
-
-def _replace_where_removes(spark: SparkSession, txn: OptimisticTransaction,
-                           predicate: str, cfg: dict) -> tuple[list[RemoveFile], list[AddFile]]:
-    """Delete rows matching the replaceWhere predicate: whole-file drop
-    when the file provably only contains matching rows (partition
-    predicate), else rewrite keeping non-matching rows."""
-    from delta_spark.commands.delete import split_delete_files
-
-    removes, rewritten = split_delete_files(spark, txn, predicate, cfg)
-    return removes, rewritten

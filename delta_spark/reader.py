@@ -28,6 +28,17 @@ def _abs_path(table_path: str, f: AddFile) -> str:
     return os.path.join(table_path, f.path)
 
 
+def file_key_col():
+    """Stable per-file key for row-level bookkeeping (DVs, row ids):
+    the full decoded path. Basenames are NOT unique — a partitioned
+    write emits the same part-file name into every partition dir."""
+    return F.regexp_replace(F.url_decode(F.input_file_name()), "^file:/*", "/")
+
+
+def file_key_of(table_path: str, f: AddFile) -> str:
+    return os.path.normpath(_abs_path(table_path, f))
+
+
 def read_files_df(
     spark: SparkSession,
     snapshot: Snapshot,
@@ -108,7 +119,7 @@ def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -
     paths = [_abs_path(snapshot.table_path, f) for f in dv_files]
     reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
     df = (reader.schema(schema).parquet(*paths)
-          .withColumn("__dv_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+          .withColumn("__dv_file", file_key_col())
           .withColumn("__dv_idx", F.col("_metadata.row_index")))
     dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in dv_files})
     dv = None
@@ -146,7 +157,7 @@ def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
     paths = [_abs_path(snapshot.table_path, f) for f in files]
     reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
     df = (reader.schema(read_schema).parquet(*paths)
-          .withColumn("__file_base", F.element_at(F.split(F.input_file_name(), "/"), -1))
+          .withColumn("__file_base", file_key_col())
           .withColumn("__row_idx", F.col("_metadata.row_index")))
     if snapshot.column_mapping_enabled:
         df = df.select(*([F.col(p.name).alias(l.name)
@@ -199,12 +210,12 @@ def read_with_row_ids(spark: SparkSession, snapshot) -> DataFrame:
 
         return spark.createDataFrame([], T.StructType(
             schema.fields + [T.StructField("_row_id", T.LongType())]))
-    base_map = {os.path.basename(f.path): f.baseRowId or 0 for f in files}
+    base_map = {file_key_of(snapshot.table_path, f): f.baseRowId or 0 for f in files}
     part_cols = snapshot.partition_columns
     paths = [_abs_path(snapshot.table_path, f) for f in files]
     reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
     df = (reader.schema(schema).parquet(*paths)
-          .withColumn("__fb", F.element_at(F.split(F.input_file_name(), "/"), -1)))
+          .withColumn("__fb", file_key_col()))
     mapping = F.create_map(*[x for k, v in base_map.items() for x in (F.lit(k), F.lit(v))])
     return (df.withColumn("_row_id", mapping[F.col("__fb")] + F.col("_metadata.row_index"))
             .drop("__fb"))

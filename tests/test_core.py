@@ -369,3 +369,48 @@ def test_merge_schema_evolution(spark, tmp_table, sf_dir):
     (dt.merge(src2, "target.o_orderkey = source.o_orderkey")
        .whenNotMatchedInsertAll().execute())
     assert set(dt.toDF().columns) == before_cols  # no o_extra
+
+
+def test_deletion_vectors_partitioned(spark, tmp_table, sf_dir):
+    """Partitioned DV delete: DV row-index sets must key on full file
+    paths — part-file basenames collide across partition dirs
+    (regression: basename keys over-deleted sibling partitions)."""
+    df = _li(spark, sf_dir).limit(300)
+    write_delta(df, tmp_table, partition_by=["l_returnflag"],
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt.toDF().count() == want
+    per_flag = {r["l_returnflag"]: r["n"] for r in
+                dt.toDF().groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    truth = {r["l_returnflag"]: r["n"] for r in
+             df.filter("NOT coalesce(l_quantity > 40, false)")
+             .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_flag == truth
+
+
+def test_row_tracking_partitioned(spark, tmp_table, sf_dir):
+    from delta_spark.reader import read_with_row_ids
+
+    df = _li(spark, sf_dir).limit(200)
+    write_delta(df, tmp_table, partition_by=["l_returnflag"],
+                configuration={"delta.enableRowTracking": "true"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    ids = [r["_row_id"] for r in read_with_row_ids(spark, snap).select("_row_id").collect()]
+    assert len(ids) == 200 and len(set(ids)) == 200
+
+
+def test_cdf_replace_where_exact_changes(spark, tmp_table, sf_dir):
+    """replaceWhere commits carry complete CDC files: copied rows of
+    rewritten files must NOT appear as changes (regression: add/remove
+    synthesis over-reported the whole rewritten file)."""
+    li = _li(spark, sf_dir).limit(300)
+    write_delta(li, tmp_table, configuration={"delta.enableChangeDataFeed": "true"})
+    repl = li.filter("l_quantity > 40").withColumn("l_extendedprice", F.lit(1.0))
+    write_delta(repl, tmp_table, mode="overwrite", replace_where="l_quantity > 40")
+    ch = DeltaTable.forPath(spark, tmp_table).table_changes(starting_version=1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    true_changes = li.filter("l_quantity > 40").count()
+    assert counts == {"delete": true_changes, "insert": true_changes}
