@@ -92,7 +92,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._log = None
         snap = self.log.update()
         self._schema_json = snap.metadata.schemaString
+        l2p = snap.physical_map()
         self._part_cols = snap.partition_columns
+        self._part_keys = {c: l2p.get(c, c) for c in snap.partition_columns}
         if starting_version is not None:
             v = int(starting_version)
             self._initial = _offset(v - 1, 1 << 62, False)  # everything from v onward
@@ -192,7 +194,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             return [
                 _FilePartition(
                     file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
-                    partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+                    partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                 )
                 for f in files
             ]
@@ -207,7 +209,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             ts = self.log._commit_timestamp(max(v, 0))
             out.append(_FilePartition(
                 file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
-                partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+                partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                 is_cdf=True, change_type="insert", version=max(v, 0), ts_ms=ts))
         for v in commit_versions:
             actions = self.log.read_commit_actions(v)
@@ -223,7 +225,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             for f in self._commit_adds(v):
                 out.append(_FilePartition(
                     file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
-                    partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+                    partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                     is_cdf=True, change_type="insert", version=v, ts_ms=ts))
         return out
 
@@ -238,7 +240,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         from pyspark.sql import types as T
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from delta_spark.schema import logical_to_physical
+
         schema = schema_from_json(self._schema_json)
+        _phys_names = logical_to_physical(schema)
         is_cdf = getattr(partition, "is_cdf", False)
         if is_cdf:
             out_schema = T.StructType(schema.fields + [
@@ -270,7 +275,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 val = deserialize_partition_value(pvals.get(field.name), ptypes[field.name])
                 cols.append(pa.array([val] * n).cast(field.type))
             else:
-                cols.append(table.column(field.name).cast(field.type))
+                # column mapping: files store PHYSICAL names
+                phys = _phys_names.get(field.name, field.name)
+                src_name = phys if phys in table.column_names else field.name
+                cols.append(table.column(src_name).cast(field.type))
         out = pa.Table.from_arrays(cols, schema=target)
         yield from out.to_batches(max_chunksize=65536)
 
@@ -287,11 +295,13 @@ class DeltaBatchReader(DataSourceReader):
         log = DeltaLog.for_table(self.path)
         snap = log.update()
         self._schema_json = snap.metadata.schemaString
+        l2p = snap.physical_map()
         self._part_cols = snap.partition_columns
+        self._part_keys = {c: l2p.get(c, c) for c in snap.partition_columns}
         self._files = [
             _FilePartition(
                 file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
-                partition_values=json.dumps({c: f.partitionValues.get(c) for c in self._part_cols}),
+                partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
             )
             for f in snap.all_files
         ]

@@ -121,3 +121,23 @@ def test_default_and_cluster_by(spark, tmp_table, sf_dir, tmp_path):
     dt2 = DT.createLike(spark, tmp_table, like_path)
     write_delta(spark.range(5).selectExpr("id AS k"), like_path, mode="append")
     assert dt2.toDF().filter("status = 'new'").count() == 5
+
+
+def test_streaming_source_after_rename(spark, tmp_table, sf_dir, tmp_path):
+    """Streaming read of a column-mapped table: files store physical
+    names; the stream must emit logical ones."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(40), tmp_table)
+    DeltaTable.forPath(spark, tmp_table).renameColumn("value", "amount")
+    write_delta(events.limit(10).withColumnRenamed("value", "amount"),
+                tmp_table, mode="append")
+    stream = read_stream(spark, tmp_table)
+    q = (stream.writeStream.format("memory").queryName("m_ren")
+         .option("checkpointLocation", str(tmp_path / "ckren"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT count(*) c, sum(amount) s FROM m_ren").collect()[0]
+    want = events.limit(40).union(events.limit(10)).agg(
+        F.count(F.lit(1)), F.sum("value")).collect()[0]
+    assert out["c"] == want[0]
+    assert abs(out["s"] - want[1]) < 1e-6
