@@ -185,7 +185,8 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
             missing.append(f.path)
             continue
         adds.append(AddFile(path=f.path, partitionValues=f.partitionValues, size=f.size,
-                            modificationTime=f.modificationTime, dataChange=True, stats=f.stats))
+                            modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
+                            deletionVector=f.deletionVector))
     if missing and not spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true":
         raise FileNotFoundError(
             f"{len(missing)} files of version {version} were vacuumed "
@@ -223,9 +224,19 @@ def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
         format=src.metadata.format, schemaString=src.metadata.schemaString,
         partitionColumns=src.metadata.partitionColumns,
         configuration=src.metadata.configuration, createdTime=current_time_millis())
+    def _clone_dv(f):
+        if not f.deletionVector:
+            return None
+        # DV sets live in the SOURCE table: absolutize the reference
+        dv = dict(f.deletionVector)
+        dv["pathOrInlineDv"] = os.path.abspath(
+            os.path.join(log.table_path, dv["pathOrInlineDv"]))
+        return dv
+
     adds = [AddFile(path=os.path.abspath(_abs(log.table_path, f.path)),
                     partitionValues=f.partitionValues, size=f.size,
-                    modificationTime=f.modificationTime, dataChange=True, stats=f.stats)
+                    modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
+                    deletionVector=_clone_dv(f))
             for f in src.all_files]
     metrics = {"sourceTableSize": str(src.size_in_bytes), "numCopiedFiles": "0",
                "sourceNumOfFiles": str(src.num_files)}

@@ -117,7 +117,19 @@ def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -
     import os as _os
 
     paths = [_abs_path(snapshot.table_path, f) for f in dv_files]
-    reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
+    if part_cols:
+        # cloned tables point at absolute paths under the SOURCE root —
+        # basePath must be the files' common root for partition parsing
+        if any(f.path.startswith("/") or "://" in f.path for f in dv_files):
+            base = _os.path.commonpath([_os.path.dirname(p) for p in paths])
+            for _ in range(len(part_cols)):
+                if "=" in _os.path.basename(base):
+                    base = _os.path.dirname(base)
+            reader = spark.read.option("basePath", base)
+        else:
+            reader = spark.read.option("basePath", snapshot.table_path)
+    else:
+        reader = spark.read
     df = (reader.schema(schema).parquet(*paths)
           .withColumn("__dv_file", file_key_col())
           .withColumn("__dv_idx", F.col("_metadata.row_index")))

@@ -414,3 +414,19 @@ def test_cdf_replace_where_exact_changes(spark, tmp_table, sf_dir):
               ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     true_changes = li.filter("l_quantity > 40").count()
     assert counts == {"delete": true_changes, "insert": true_changes}
+
+
+def test_clone_and_restore_preserve_deletion_vectors(spark, tmp_table, tmp_path, sf_dir):
+    """Shallow clones and restores must carry DV descriptors — dropping
+    them silently resurrects deleted rows."""
+    li = _li(spark, sf_dir).limit(300)
+    write_delta(li, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    want = dt.toDF().count()
+    clone = dt.clone(str(tmp_path / "dvclone"))
+    assert clone.toDF().count() == want
+    # restore back onto the DV version after an overwrite removed it
+    write_delta(li.limit(5), tmp_table, mode="overwrite")
+    dt.restoreToVersion(1)
+    assert dt.toDF().count() == want
