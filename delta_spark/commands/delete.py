@@ -68,12 +68,16 @@ def match_files_by_name(files: list[AddFile], spark_file_uris: list[str],
 def find_touched_files(spark: SparkSession, snapshot, candidates: list[AddFile],
                        condition: str) -> list[AddFile]:
     """Distributed scan for files containing ≥1 row matching the
-    condition. Only file names travel back to the driver."""
+    condition. Only file names travel back to the driver. File keys are
+    captured BEFORE any DV anti-join (input_file_name() cannot be
+    applied after a join — multiple sources)."""
+    from delta_spark.reader import read_files_with_index
+
     if not candidates:
         return []
-    df = read_files_df(spark, snapshot, candidates)
+    df = read_files_with_index(spark, snapshot, candidates)
     touched = (df.filter(condition)
-                 .select(F.input_file_name().alias("f"))
+                 .select(F.col("__file_base").alias("f"))
                  .distinct()
                  .collect())
     return match_files_by_name(candidates, [r["f"] for r in touched], snapshot.table_path)

@@ -161,9 +161,15 @@ class MergeBuilder:
             return self._insert_only(txn, source, cols, num_indexed, cfg)
 
         # ---- phase 1: find touched files + duplicate detection ----
+        # (file keys captured pre-join via read_files_with_index: DV
+        # tables anti-join their masks, after which input_file_name()
+        # would be ambiguous)
+        from delta_spark.reader import read_files_with_index
+
         txn.read_whole_table()
-        target_all = (read_files_df(self.spark, snapshot)
-                      .withColumn("__delta_file", F.input_file_name())
+        target_all = (read_files_with_index(self.spark, snapshot, snapshot.all_files)
+                      .withColumnRenamed("__file_base", "__delta_file")
+                      .drop("__row_idx")
                       .withColumn("__t_rowid", F.monotonically_increasing_id()))
         joined1 = (target_all.alias(self.tgt)
                    .join(source.alias(self.src), F.expr(self.condition), "inner"))

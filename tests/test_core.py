@@ -430,3 +430,29 @@ def test_clone_and_restore_preserve_deletion_vectors(spark, tmp_table, tmp_path,
     write_delta(li.limit(5), tmp_table, mode="overwrite")
     dt.restoreToVersion(1)
     assert dt.toDF().count() == want
+
+
+def test_update_and_merge_on_dv_table(spark, tmp_table, sf_dir):
+    """UPDATE/MERGE on tables carrying deletion vectors: touched-file
+    discovery must capture file keys before the DV anti-join
+    (regression: input_file_name() after a join is rejected), and
+    masked rows must not resurrect through the rewrite."""
+    li = _li(spark, sf_dir).limit(300)
+    write_delta(li, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    n = dt.toDF().count()
+    dt.update({"l_tax": "l_tax + CAST(1.0 AS DOUBLE)"}, "l_quantity < 5")
+    assert dt.toDF().count() == n
+    assert dt.toDF().filter("l_quantity > 40").count() == 0
+    src = li.limit(50).withColumn("l_quantity", F.lit(7.0))
+    (dt.merge(src, "target.l_orderkey = source.l_orderkey AND "
+                   "target.l_linenumber = source.l_linenumber AND "
+                   "target.l_partkey = source.l_partkey")
+       .whenMatchedUpdate({"l_quantity": "source.l_quantity"})
+       .execute())
+    assert dt.toDF().filter("l_quantity > 40").count() == 0
+    assert dt.toDF().count() == n
+    # compaction on the DV table materializes without changing contents
+    dt.optimize().executeCompaction()
+    assert dt.toDF().count() == n
