@@ -126,6 +126,21 @@ def q_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
 
 
+def q_delta_dv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via PROTOCOL-format deletion vectors (RoaringBitmapArray
+    'u' descriptors in deletion_vector_<uuid>.bin blobs, delta_spark/dv.py):
+    same semantics as delta_dv_delete with the interoperable encoding."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "lineitem"), path,
+                    configuration={"delta.enableDeletionVectors": "true",
+                                   "delta_spark.dv.portable": "true"})
+        DeltaTable.forPath(spark, path).delete("l_quantity > 30")
+    p = _table(spark, sf_dir, "li_dv_portable", b)
+    return (_dt(spark, p).toDF().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+
 def q_delta_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only DELETE on a partition predicate (no rewrite)."""
     def b(spark, sf_dir, path):
@@ -711,6 +726,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_filter_pushdown": q_delta_filter_pushdown,
         "delta_delete_rewrite": q_delta_delete_rewrite,
         "delta_dv_delete": q_delta_dv_delete,
+        "delta_dv_portable": q_delta_dv_portable,
         "delta_delete_partition": q_delta_delete_partition,
         "delta_update": q_delta_update,
         "delta_merge_upsert": q_delta_merge_upsert,
@@ -856,6 +872,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
             GROUP BY l_returnflag""",
         "delta_dv_delete": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
+            GROUP BY l_returnflag""",
+        "delta_dv_portable": """
             SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
             FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)

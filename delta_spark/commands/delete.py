@@ -176,24 +176,56 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
                        F.col("__row_idx").alias("row_index")))
 
     # union with existing DV rows of candidate files (per-file subsets)
-    dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in candidates if f.deletionVector})
+    from delta_spark.reader import deleted_rows_df, file_key_of
+
+    old_rows = deleted_rows_df(
+        spark, snapshot, [f for f in candidates if f.deletionVector])
     all_rows = matched
-    if dv_dirs:
-        for d in dv_dirs:
-            old = spark.read.parquet(os.path.join(snapshot.table_path, d))
-            all_rows = all_rows.unionByName(old)
-        all_rows = all_rows.distinct()
+    if old_rows is not None:
+        all_rows = all_rows.unionByName(old_rows).distinct()
 
-    dv_rel = f"_deletion_vectors/dv_{uuid.uuid4().hex}"
-    dv_abs = os.path.join(snapshot.table_path, dv_rel)
-    all_rows.write.mode("overwrite").parquet(dv_abs)
+    portable = str(snapshot.configuration.get(
+        "delta_spark.dv.portable", "false")).lower() == "true"
+    desc_by_base: dict[str, dict] = {}
+    if portable:
+        # protocol RoaringBitmapArray format: each file's bitmap is
+        # serialized executor-side (applyInPandas — only the compact
+        # roaring blobs, not row indexes, cross to the driver), then
+        # assembled into one deletion_vector_<uuid>.bin
+        # (DeletionVectorStore.scala:217 layout).
+        from delta_spark import dv as _dv
 
-    counts = {r["file_base"]: r["n"] for r in (
-        spark.read.parquet(dv_abs)
-        .groupBy("file_base").agg(F.count(F.lit(1)).alias("n"))
-        .collect())}
+        def _ser(pdf):
+            import pandas as _pd
 
-    from delta_spark.reader import file_key_of
+            from delta_spark.dv import serialize_rbm_array
+
+            return _pd.DataFrame({
+                "file_base": [pdf["file_base"].iloc[0]],
+                "data": [serialize_rbm_array(pdf["row_index"].to_numpy())],
+                "cardinality": [len(pdf)]})
+
+        blobs = (all_rows.groupBy("file_base")
+                 .applyInPandas(_ser, "file_base string, data binary, cardinality long")
+                 .collect())
+        uid = uuid.uuid4()
+        path = os.path.join(snapshot.table_path, _dv.dv_file_name(uid))
+        ranges = _dv.write_dv_file(path, [r["data"] for r in blobs])
+        counts = {}
+        for r, (off, size, _) in zip(blobs, ranges):
+            counts[r["file_base"]] = r["cardinality"]
+            desc_by_base[r["file_base"]] = {
+                "storageType": "u", "pathOrInlineDv": _dv.encode_uuid(uid),
+                "offset": off, "sizeInBytes": size,
+                "cardinality": int(r["cardinality"])}
+    else:
+        dv_rel = f"_deletion_vectors/dv_{uuid.uuid4().hex}"
+        dv_abs = os.path.join(snapshot.table_path, dv_rel)
+        all_rows.write.mode("overwrite").parquet(dv_abs)
+        counts = {r["file_base"]: r["n"] for r in (
+            spark.read.parquet(dv_abs)
+            .groupBy("file_base").agg(F.count(F.lit(1)).alias("n"))
+            .collect())}
 
     adds: list[AddFile] = []
     removes: list[RemoveFile] = []
@@ -212,11 +244,13 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
         if total is not None and card >= total:
             removes.append(f.remove())  # fully deleted
             continue
+        descriptor = desc_by_base[base] if portable else {
+            "storageType": "q", "pathOrInlineDv": dv_rel,
+            "cardinality": int(card)}
         adds.append(AddFile(
             path=f.path, partitionValues=f.partitionValues, size=f.size,
             modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
-            deletionVector={"storageType": "q", "pathOrInlineDv": dv_rel,
-                            "cardinality": int(card)}))
+            deletionVector=descriptor))
 
     cdc = []
     if with_cdf:

@@ -75,6 +75,13 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
     valid: set[str] = set()
     for f in snapshot.all_files:
         valid.add(os.path.normpath(_abs(log.table_path, f.path)))
+        d = f.deletionVector
+        if d and d["storageType"] in ("u", "p"):
+            # live protocol-format DV blob files sit in the table root
+            # (not underscore-protected) — never reclaim them
+            from delta_spark.dv import absolute_dv_path
+
+            valid.add(os.path.normpath(absolute_dv_path(log.table_path, d)))
     for r in snapshot.tombstones.values():
         # tombstones still inside the retention window are protected;
         # older ones are exactly what VACUUM reclaims
@@ -227,8 +234,22 @@ def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
     def _clone_dv(f):
         if not f.deletionVector:
             return None
-        # DV sets live in the SOURCE table: absolutize the reference
+        # DV sets live in the SOURCE table: absolutize the reference.
+        # 'u' (uuid-relative blob) becomes a 'p' absolute-path
+        # descriptor, exactly how the reference clones DV tables
+        # (DeletionVectorDescriptor.onDiskWithAbsolutePath); inline
+        # 'i' needs no change.
         dv = dict(f.deletionVector)
+        st = dv["storageType"]
+        if st == "i":
+            return dv
+        if st == "u":
+            from delta_spark.dv import absolute_dv_path
+
+            dv["pathOrInlineDv"] = os.path.abspath(
+                absolute_dv_path(log.table_path, dv))
+            dv["storageType"] = "p"
+            return dv
         dv["pathOrInlineDv"] = os.path.abspath(
             os.path.join(log.table_path, dv["pathOrInlineDv"]))
         return dv

@@ -106,6 +106,62 @@ def read_files_df(
     return out
 
 
+def deleted_rows_df(spark: SparkSession, snapshot, files) -> Optional[DataFrame]:
+    """DataFrame(file_base string, row_index long) of every
+    DV-masked row across the given files, whatever the DV encoding:
+
+    - ``q`` (engine-native): parquet row-index sets, read directly —
+      already distributed.
+    - ``u``/``i``/``p`` (protocol RoaringBitmapArray, PROTOCOL.md
+      §Deletion Vectors): descriptors are exploded executor-side via
+      ``mapInPandas`` — each task decodes its files' compact roaring
+      blobs into row indexes, so the (potentially billions-of-rows)
+      expansion never lands on the driver.
+    """
+    import os as _os
+
+    import pandas as pd  # noqa: F401 (imported for the worker closure)
+
+    dfs = []
+    q_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in files
+                     if f.deletionVector and f.deletionVector["storageType"] == "q"})
+    for d in q_dirs:
+        dfs.append(spark.read.parquet(_os.path.join(snapshot.table_path, d)))
+    proto = [(file_key_of(snapshot.table_path, f), f.deletionVector)
+             for f in files
+             if f.deletionVector and f.deletionVector["storageType"] in ("u", "i", "p")]
+    if proto:
+        table_path = snapshot.table_path
+        desc_df = spark.createDataFrame(
+            [(base, d["storageType"], d["pathOrInlineDv"],
+              int(d.get("offset") or 0), int(d["sizeInBytes"]))
+             for base, d in proto],
+            "file_base string, st string, pod string, offset long, size long")
+
+        def _explode(batches):
+            import pandas as _pd
+
+            from delta_spark import dv as _dv
+
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    idx = _dv.descriptor_row_indexes(
+                        table_path, {"storageType": r.st, "pathOrInlineDv": r.pod,
+                                     "offset": r.offset, "sizeInBytes": r.size})
+                    yield _pd.DataFrame({"file_base": r.file_base,
+                                         "row_index": idx.astype("int64")})
+
+        n = min(len(proto), spark.sparkContext.defaultParallelism)
+        dfs.append(desc_df.repartition(n).mapInPandas(
+            _explode, "file_base string, row_index long"))
+    if not dfs:
+        return None
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -> DataFrame:
     """Scan files that carry deletion vectors: rows are dropped by a
     LEFT ANTI join on (file name, `_metadata.row_index`) against the DV
@@ -133,11 +189,7 @@ def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -
     df = (reader.schema(schema).parquet(*paths)
           .withColumn("__dv_file", file_key_col())
           .withColumn("__dv_idx", F.col("_metadata.row_index")))
-    dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in dv_files})
-    dv = None
-    for d in dv_dirs:
-        part = spark.read.parquet(_os.path.join(snapshot.table_path, d))
-        dv = part if dv is None else dv.unionByName(part)
+    dv = deleted_rows_df(spark, snapshot, dv_files)
     dropped = df.join(
         F.broadcast(dv) if dv_total_small(dv_files) else dv,
         (df["__dv_file"] == dv["file_base"]) & (df["__dv_idx"] == dv["row_index"]),
@@ -175,12 +227,8 @@ def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
         df = df.select(*([F.col(p.name).alias(l.name)
                           for p, l in zip(read_schema.fields, schema.fields)]
                          + [F.col("__file_base"), F.col("__row_idx")]))
-    dv_dirs = sorted({f.deletionVector["pathOrInlineDv"] for f in files if f.deletionVector})
-    if dv_dirs:
-        dv = None
-        for d in dv_dirs:
-            part = spark.read.parquet(_os.path.join(snapshot.table_path, d))
-            dv = part if dv is None else dv.unionByName(part)
+    dv = deleted_rows_df(spark, snapshot, files)
+    if dv is not None:
         df = df.join(dv, (df["__file_base"] == dv["file_base"]) &
                      (df["__row_idx"] == dv["row_index"]), "left_anti")
     return df

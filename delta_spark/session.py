@@ -16,8 +16,20 @@ from pyspark.sql import SparkSession
 def configure_spark(builder: "SparkSession.Builder", shuffle_partitions: int | None = None) -> "SparkSession.Builder":
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sp = shuffle_partitions or cpus
+    # Python workers (pandas UDFs, mapInPandas, DataSource streaming)
+    # run in separate processes and must be able to import delta_spark
+    # even when the driver only put it on sys.path — export the package
+    # root on the executors' PYTHONPATH.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        py_path = pkg_root + (os.pathsep + py_path if py_path else "")
+        # local mode: workers fork from the driver-spawned JVM, which
+        # inherits THIS process env — must be set before getOrCreate
+        os.environ["PYTHONPATH"] = py_path
     return (
         builder
+        .config("spark.executorEnv.PYTHONPATH", py_path)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
