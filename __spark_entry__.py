@@ -141,6 +141,22 @@ def q_delta_dv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
 
 
+def q_delta_coordinated_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML through a commit coordinator (coordinated-commits preview):
+    commits are staged + registered + backfilled instead of relying on
+    filesystem put-if-absent (delta_spark/coordinator.py)."""
+    def b(spark, sf_dir, path):
+        from delta_spark.coordinator import COORDINATOR_PROP
+
+        write_delta(load_table(spark, sf_dir, "lineitem"), path,
+                    configuration={COORDINATOR_PROP: "filesystem"})
+        DeltaTable.forPath(spark, path).delete("l_quantity > 30")
+    p = _table(spark, sf_dir, "li_coord", b)
+    return (_dt(spark, p).toDF().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+
 def q_delta_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only DELETE on a partition predicate (no rewrite)."""
     def b(spark, sf_dir, path):
@@ -727,6 +743,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_delete_rewrite": q_delta_delete_rewrite,
         "delta_dv_delete": q_delta_dv_delete,
         "delta_dv_portable": q_delta_dv_portable,
+        "delta_coordinated_commits": q_delta_coordinated_commits,
         "delta_delete_partition": q_delta_delete_partition,
         "delta_update": q_delta_update,
         "delta_merge_upsert": q_delta_merge_upsert,
@@ -877,6 +894,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
             GROUP BY l_returnflag""",
         "delta_dv_portable": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
+            GROUP BY l_returnflag""",
+        "delta_coordinated_commits": """
             SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
             FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)

@@ -1,0 +1,149 @@
+"""Coordinated commits: a commit coordinator owns the unbackfilled
+tail of the log instead of filesystem put-if-absent.
+
+Parity target (behavior, not code): the reference's coordinated-commits
+preview — ``CommitCoordinatorClient`` (spark
+``coordinatedcommits/CommitCoordinatorClient.scala``) with an
+in-memory implementation (``InMemoryCommitCoordinator``) used by its
+test suites. Flow (TableCommitCoordinatorClient.commit):
+
+1. the writer stages the commit payload under
+   ``_delta_log/_staged_commits/<version>.<uuid>.json`` (never racy —
+   uuid-unique),
+2. registers ``(version → staged file)`` with the coordinator, which
+   *linearizes* writers: exactly one registration per version wins,
+   the rest get a retryable conflict,
+3. the winner backfills the staged content into the classic
+   ``<version>.json`` so plain readers and checkpointing keep working.
+
+Readers merge the coordinator's unbackfilled tail on top of the
+backfilled listing (``DeltaLog.update`` does the merge), so a commit is
+visible the moment registration succeeds — even if the writer crashed
+before backfilling (the crash window a pure-listing reader would miss).
+
+Opt-in via table property
+``delta.coordinatedCommits.commitCoordinator-preview`` = a name in
+:data:`COORDINATORS` (``in-memory`` — process-wide singleton, or
+``filesystem`` — registration through atomic marker files in
+``_delta_log/_commits/``, durable across processes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass
+from typing import Optional
+
+COORDINATOR_PROP = "delta.coordinatedCommits.commitCoordinator-preview"
+STAGED_DIR = "_staged_commits"
+MARKER_DIR = "_commits"
+
+
+@dataclass
+class Commit:
+    version: int
+    file_path: str  # absolute path of the file holding the commit's actions
+    timestamp: int
+
+
+class CommitConflictException(Exception):
+    """Another writer registered this version first (retryable)."""
+
+
+class CommitCoordinatorClient:
+    """Interface: linearized registration + tail discovery."""
+
+    def commit(self, log_path: str, version: int, staged_path: str,
+               timestamp: int) -> Commit:
+        raise NotImplementedError
+
+    def get_commits(self, log_path: str, start_version: int = 0) -> list[Commit]:
+        """Registered commits >= start_version that may not be
+        backfilled yet, ascending."""
+        raise NotImplementedError
+
+
+class InMemoryCommitCoordinator(CommitCoordinatorClient):
+    """Process-wide coordinator (reference InMemoryCommitCoordinator):
+    a lock-guarded per-table map. Models an external coordination
+    service for single-process / test use."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._tables: dict[str, dict[int, Commit]] = {}
+
+    def commit(self, log_path, version, staged_path, timestamp):
+        with self._lock:
+            table = self._tables.setdefault(log_path, {})
+            if version in table:
+                raise CommitConflictException(f"version {version} already committed")
+            c = Commit(version, staged_path, timestamp)
+            table[version] = c
+            return c
+
+    def get_commits(self, log_path, start_version=0):
+        with self._lock:
+            table = self._tables.get(log_path, {})
+            return [table[v] for v in sorted(table) if v >= start_version]
+
+
+class FileSystemCommitCoordinator(CommitCoordinatorClient):
+    """Durable coordinator for multi-process single-filesystem use:
+    registration = atomic creation of ``_delta_log/_commits/<v>.json``
+    (same put-if-absent primitive the classic path uses, but the
+    marker is tiny and fixed-size — the coordinator, not LIST of the
+    whole log, serves the tail)."""
+
+    def _marker(self, log_path: str, version: int) -> str:
+        return os.path.join(log_path, MARKER_DIR, "%020d.json" % version)
+
+    def commit(self, log_path, version, staged_path, timestamp):
+        from delta_spark.log import ConcurrentModificationException, LocalLogStore
+
+        payload = json.dumps({"stagedFile": os.path.basename(staged_path),
+                              "timestamp": timestamp})
+        try:
+            LocalLogStore().write_atomic(self._marker(log_path, version), payload)
+        except ConcurrentModificationException as e:
+            raise CommitConflictException(str(e))
+        return Commit(version, staged_path, timestamp)
+
+    def get_commits(self, log_path, start_version=0):
+        d = os.path.join(log_path, MARKER_DIR)
+        try:
+            names = sorted(os.listdir(d))
+        except FileNotFoundError:
+            return []
+        out = []
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            v = int(name.split(".")[0])
+            if v < start_version:
+                continue
+            with open(os.path.join(d, name)) as f:
+                rec = json.load(f)
+            out.append(Commit(
+                v, os.path.join(log_path, STAGED_DIR, rec["stagedFile"]),
+                int(rec["timestamp"])))
+        return out
+
+
+_IN_MEMORY = InMemoryCommitCoordinator()
+COORDINATORS: dict[str, CommitCoordinatorClient] = {
+    "in-memory": _IN_MEMORY,
+    "filesystem": FileSystemCommitCoordinator(),
+}
+
+
+def coordinator_for(configuration: Optional[dict]) -> Optional[CommitCoordinatorClient]:
+    name = (configuration or {}).get(COORDINATOR_PROP)
+    if not name:
+        return None
+    try:
+        return COORDINATORS[str(name)]
+    except KeyError:
+        raise ValueError(f"unknown commit coordinator {name!r}; "
+                         f"known: {sorted(COORDINATORS)}")

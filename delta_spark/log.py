@@ -161,6 +161,9 @@ class DeltaLog:
         self._snapshot: Optional[Snapshot] = None
         self._lock = threading.Lock()
         self.checkpoint_interval = DEFAULT_CHECKPOINT_INTERVAL
+        # version -> staged file path of coordinated commits that are
+        # registered but not yet backfilled (coordinator.py)
+        self._tail: dict[int, str] = {}
 
     # ------------------------------------------------------- factory ----
 
@@ -183,12 +186,24 @@ class DeltaLog:
     # ------------------------------------------------------- listing ----
 
     def list_commit_versions(self) -> list[int]:
-        out = []
+        """Backfilled commit files merged with the coordinated-commit
+        tail: a registered-but-not-backfilled commit (crash window, or
+        backfill still in flight) is already table state — the
+        coordinator, not LIST, is authoritative for the tip."""
+        from delta_spark import coordinator as C
+
+        fs = set()
         for name in self.store.list_dir(self.log_path):
             m = _COMMIT_RE.match(name)
             if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+                fs.add(int(m.group(1)))
+        tail: dict[int, str] = {}
+        for coord in C.COORDINATORS.values():
+            for c in coord.get_commits(self.log_path):
+                if c.version not in fs and os.path.exists(c.file_path):
+                    tail[c.version] = c.file_path
+        self._tail = tail
+        return sorted(fs | set(tail))
 
     def list_checkpoint_versions(self) -> list[int]:
         out = []
@@ -208,9 +223,18 @@ class DeltaLog:
     def checkpoint_file(self, version: int) -> str:
         return os.path.join(self.log_path, "%020d.checkpoint.parquet" % version)
 
-    def read_commit_actions(self, version: int):
+    def commit_source(self, version: int) -> str:
+        """Backing file for a version: the backfilled ``<v>.json`` or,
+        for an unbackfilled coordinated commit, its staged file."""
         path = self.commit_file(version)
-        content = self.store.read(path)
+        if os.path.exists(path):
+            return path
+        if version not in self._tail:
+            self.list_commit_versions()  # refresh the tail once
+        return self._tail.get(version, path)
+
+    def read_commit_actions(self, version: int):
+        content = self.store.read(self.commit_source(version))
         return [parse_action_line(line) for line in content.splitlines() if line.strip()]
 
     # ------------------------------------------------------ snapshots ----
@@ -277,7 +301,7 @@ class DeltaLog:
             except OSError:
                 pass
         try:
-            return int(os.stat(self.commit_file(version)).st_mtime * 1000)
+            return int(os.stat(self.commit_source(version)).st_mtime * 1000)
         except OSError:
             return 0
 

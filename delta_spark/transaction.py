@@ -20,6 +20,7 @@ Conflict classification against each winning commit:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 from delta_spark import predicates as P
@@ -172,11 +173,17 @@ class OptimisticTransaction:
 
         full = [commit_info] + actions
 
+        from delta_spark.coordinator import coordinator_for
+
+        coordinator = coordinator_for(effective_cfg)
         attempt_version = self.read_version + 1
         for attempt in range(MAX_RETRIES + 1):
             payload = "\n".join(action_to_json_line(a) for a in full) + "\n"
             try:
-                self.log.store.write_atomic(self.log.commit_file(attempt_version), payload)
+                if coordinator is None:
+                    self.log.store.write_atomic(self.log.commit_file(attempt_version), payload)
+                else:
+                    self._coordinated_write(coordinator, attempt_version, payload, ts)
                 self._committed = True
                 self._post_commit(attempt_version, actions)
                 return attempt_version
@@ -186,6 +193,33 @@ class OptimisticTransaction:
                 self._check_conflicts(winning, actions, isolation_level, is_blind_append)
                 attempt_version += 1
         raise DeltaConcurrentException(f"exceeded {MAX_RETRIES} commit retries")
+
+    def _coordinated_write(self, coordinator, version: int, payload: str,
+                           ts: int) -> None:
+        """Coordinated-commit write (coordinator.py module docstring):
+        stage under a uuid name (race-free), register with the
+        coordinator (linearization point — losers get a conflict and
+        re-enter the normal retry/conflict-check path), then backfill
+        the classic numbered file for plain readers + checkpoints."""
+        import uuid as _uuid
+
+        from delta_spark import coordinator as C
+
+        staged = os.path.join(self.log.log_path, C.STAGED_DIR,
+                              f"{version:020d}.{_uuid.uuid4().hex}.json")
+        self.log.store.write_atomic(staged, payload)
+        try:
+            coordinator.commit(self.log.log_path, version, staged, ts)
+        except C.CommitConflictException as e:
+            try:
+                os.unlink(staged)
+            except OSError:
+                pass
+            raise ConcurrentModificationException(str(e))
+        try:
+            self.log.store.write_atomic(self.log.commit_file(version), payload)
+        except ConcurrentModificationException:
+            pass  # a concurrent reader/writer already backfilled it
 
     def _row_id_high_watermark(self) -> int:
         hwm = -1
