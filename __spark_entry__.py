@@ -366,6 +366,23 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dt(spark, p).history().select("version", "operation")
 
 
+def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm: Iceberg metadata generated on commit; record counts read
+    back through the Avro manifests must equal the table row count."""
+    def b(spark, sf_dir, path):
+        src = load_table(spark, sf_dir, "supplier")
+        write_delta(src.filter("s_acctbal >= 0"), path)
+        DeltaTable.forPath(spark, path).setProperties({
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableIcebergCompatV2": "true"})
+        write_delta(src.filter("NOT s_acctbal >= 0"), path, mode="append")
+    p = _table(spark, sf_dir, "supp_uniform", b)
+    from delta_spark import uniform as _uniform
+    files = _uniform.read_iceberg_files(p)
+    total = sum(e["record_count"] for e in files)
+    return spark.createDataFrame([(total,)], "total_records long")
+
+
 def q_delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATED IDENTITY column: unique values for every inserted row
     (values themselves are allocation-dependent; the oracle checks
@@ -763,6 +780,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_rename_column": q_delta_rename_column,
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_history": q_delta_history,
+        "delta_uniform": q_delta_uniform,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -991,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders GROUP BY 1""",
         # delta_history: delta-specific — rows-only check (no oracle)
+        "delta_uniform":
+            "SELECT CAST(count(*) AS BIGINT) AS total_records FROM supplier",
         "tpch_q1": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

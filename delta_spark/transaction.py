@@ -238,6 +238,12 @@ class OptimisticTransaction:
                 actions.insert(0, Protocol())
         if len(metadatas) > 1:
             raise ValueError("at most one Metadata action per commit")
+        if metadatas:
+            # IcebergCompat.scala: reject invalid UniForm property combos
+            # before the commit becomes durable
+            from . import uniform
+
+            uniform.validate_uniform_config(metadatas[0].configuration)
 
     # ---------------------------------------------------- conflicts ----
 
@@ -326,6 +332,14 @@ class OptimisticTransaction:
             with open(crc_path, "w") as fh:
                 fh.write(_json.dumps(crc))
         except OSError:
+            pass
+        # UniForm hook (IcebergConverter async convert role): best-effort,
+        # a conversion failure never fails the Delta commit
+        try:
+            from . import uniform
+
+            uniform.maybe_convert(self.log, snap)
+        except Exception:
             pass
         if version > 0 and version % self.log.checkpoint_interval == 0:
             try:

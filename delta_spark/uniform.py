@@ -1,0 +1,828 @@
+"""UniForm: Iceberg metadata generation over the Delta table.
+
+Role model: the reference's metadata-only conversion
+(iceberg/src/main/scala/org/apache/spark/sql/delta/icebergShaded/
+IcebergConverter.scala, IcebergConversionTransaction.scala,
+IcebergSchemaUtils.scala).  A UniForm table stays a normal Delta table;
+after each commit we (best-effort, like the reference's async convert)
+materialize Iceberg v2 table metadata under ``<table>/metadata/`` so an
+Iceberg filesystem-table reader (HadoopTables layout: ``vN.metadata.json``
++ ``version-hint.text``) sees the same data files.
+
+What we compute (matching the reference, re-expressed in Python):
+
+* schema conversion with stable field ids taken from Delta column-mapping
+  ids (IcebergSchemaUtils.IcebergSchemaUtilsIdMapping); tables without
+  column mapping fall back to sequentially assigned "name mapping" ids
+  (IcebergSchemaUtilsNameMapping) and we publish
+  ``schema.name-mapping.default`` so Iceberg readers can resolve parquet
+  columns written without field ids.
+* ``delta-version`` / ``delta-timestamp`` snapshot properties for
+  conversion tracking (IcebergConverter.scala:60-72).
+* incremental conversion: append-only commit ranges become a new
+  manifest appended to the previous manifest list; anything else
+  (removes, metadata/protocol changes) triggers a full rewrite —
+  IcebergConversionTransaction's append vs rewrite txn types.
+* validation mirroring IcebergCompat.scala: deletion vectors must not
+  be in play for converted snapshots.
+
+Manifests and manifest lists are Avro object-container files written by
+the self-contained codec below (no third-party Avro dependency; the
+binary encoding follows the Avro 1.11 spec directly).
+
+Scale note: conversion is metadata-only — cost is O(#files changed)
+JSON/Avro encoding on the driver, never a data scan or shuffle.  At
+100 TB the per-commit append path touches only the newly added files;
+full rewrites happen only on schema change / deletes, same as the
+reference.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import time
+import uuid
+from typing import Any, Optional
+
+import pyspark.sql.types as T
+
+from .actions import AddFile, Metadata
+from .schema import (
+    COLUMN_MAPPING_ID_KEY,
+    COLUMN_MAPPING_MAX_ID_KEY,
+    column_mapping_mode,
+    physical_name,
+)
+
+UNIFORM_FORMATS_KEY = "delta.universalFormat.enabledFormats"
+ICEBERG_COMPAT_V2_KEY = "delta.enableIcebergCompatV2"
+DV_ENABLED_KEY = "delta.enableDeletionVectors"
+
+
+class UniFormValidationError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Minimal Avro object-container codec (spec: https://avro.apache.org/docs/)
+# --------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _AvroEncoder:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def long(self, n: int) -> None:
+        self.buf += _zigzag(int(n))
+
+    def bytes_(self, b: bytes) -> None:
+        self.long(len(b))
+        self.buf += b
+
+    def string(self, s: str) -> None:
+        self.bytes_(s.encode("utf-8"))
+
+    def boolean(self, v: bool) -> None:
+        self.buf.append(1 if v else 0)
+
+    def float_(self, v: float) -> None:
+        self.buf += struct.pack("<f", v)
+
+    def double(self, v: float) -> None:
+        self.buf += struct.pack("<d", v)
+
+    def write_datum(self, schema: Any, value: Any) -> None:
+        """Encode ``value`` against an Avro ``schema`` (parsed JSON form)."""
+        if isinstance(schema, list):  # union — branch index, then datum
+            if value is None and "null" in schema:
+                self.long(schema.index("null"))
+                return
+            for i, branch in enumerate(schema):
+                if branch != "null":
+                    self.long(i)
+                    self.write_datum(branch, value)
+                    return
+            raise ValueError(f"no union branch for {value!r} in {schema}")
+        if isinstance(schema, dict):
+            t = schema["type"]
+            if t == "record":
+                for f in schema["fields"]:
+                    self.write_datum(f["type"], (value or {}).get(f["name"]))
+                return
+            if t == "array":
+                items = value or []
+                if items:
+                    self.long(len(items))
+                    for it in items:
+                        self.write_datum(schema["items"], it)
+                self.long(0)
+                return
+            if t == "map":
+                entries = value or {}
+                if entries:
+                    self.long(len(entries))
+                    for k, v in entries.items():
+                        self.string(k)
+                        self.write_datum(schema["values"], v)
+                self.long(0)
+                return
+            if t == "fixed":
+                assert len(value) == schema["size"]
+                self.buf += value
+                return
+            # primitive carrying a logicalType annotation
+            self.write_datum(t, value)
+            return
+        if schema in ("long", "int"):
+            self.long(value)
+        elif schema == "string":
+            self.string(value)
+        elif schema == "bytes":
+            self.bytes_(value)
+        elif schema == "boolean":
+            self.boolean(value)
+        elif schema == "double":
+            self.double(value)
+        elif schema == "float":
+            self.float_(value)
+        elif schema == "null":
+            pass
+        else:
+            raise ValueError(f"unsupported avro type {schema!r}")
+
+
+class _AvroDecoder:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def bytes_(self) -> bytes:
+        n = self.long()
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def read_datum(self, schema: Any) -> Any:
+        if isinstance(schema, list):
+            return self.read_datum(schema[self.long()])
+        if isinstance(schema, dict):
+            t = schema["type"]
+            if t == "record":
+                return {f["name"]: self.read_datum(f["type"])
+                        for f in schema["fields"]}
+            if t == "array":
+                out = []
+                while True:
+                    n = self.long()
+                    if n == 0:
+                        return out
+                    if n < 0:  # block with byte-size prefix
+                        self.long()
+                        n = -n
+                    out.extend(self.read_datum(schema["items"])
+                               for _ in range(n))
+            if t == "map":
+                out = {}
+                while True:
+                    n = self.long()
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        self.long()
+                        n = -n
+                    for _ in range(n):
+                        k = self.string()
+                        out[k] = self.read_datum(schema["values"])
+            if t == "fixed":
+                out = self.data[self.pos:self.pos + schema["size"]]
+                self.pos += schema["size"]
+                return out
+            return self.read_datum(t)
+        if schema in ("long", "int"):
+            return self.long()
+        if schema == "string":
+            return self.string()
+        if schema == "bytes":
+            return self.bytes_()
+        if schema == "boolean":
+            b = self.data[self.pos]
+            self.pos += 1
+            return bool(b)
+        if schema == "double":
+            v = struct.unpack_from("<d", self.data, self.pos)[0]
+            self.pos += 8
+            return v
+        if schema == "float":
+            v = struct.unpack_from("<f", self.data, self.pos)[0]
+            self.pos += 4
+            return v
+        if schema == "null":
+            return None
+        raise ValueError(f"unsupported avro type {schema!r}")
+
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def write_avro_file(path: str, schema: dict, records: list[dict],
+                    metadata: Optional[dict[str, str]] = None) -> int:
+    """Write an Avro object-container file (null codec); returns byte size."""
+    schema_json = json.dumps(schema)
+    sync = uuid.uuid4().bytes
+    header = _AvroEncoder()
+    header.buf += _AVRO_MAGIC
+    meta = {"avro.schema": schema_json, "avro.codec": "null"}
+    for k, v in (metadata or {}).items():
+        meta[k] = v
+    header.long(len(meta))
+    for k, v in meta.items():
+        header.string(k)
+        header.bytes_(v.encode("utf-8"))
+    header.long(0)
+    header.buf += sync
+
+    body = _AvroEncoder()
+    for rec in records:
+        body.write_datum(schema, rec)
+
+    out = bytes(header.buf)
+    if records:
+        block = _AvroEncoder()
+        block.long(len(records))
+        block.long(len(body.buf))
+        out += bytes(block.buf) + bytes(body.buf) + sync
+    with open(path, "wb") as fh:
+        fh.write(out)
+    return len(out)
+
+
+def read_avro_file(path: str) -> tuple[dict, list[dict]]:
+    """Read back an Avro container file written by any null/deflate writer."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:4] == _AVRO_MAGIC, "not an avro file"
+    dec = _AvroDecoder(data)
+    dec.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = dec.long()
+        if n == 0:
+            break
+        if n < 0:
+            dec.long()
+            n = -n
+        for _ in range(n):
+            k = dec.string()
+            meta[k] = dec.bytes_()
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = data[dec.pos:dec.pos + 16]
+    dec.pos += 16
+    records: list[dict] = []
+    while dec.pos < len(data):
+        count = dec.long()
+        size = dec.long()
+        block = data[dec.pos:dec.pos + size]
+        dec.pos += size
+        assert data[dec.pos:dec.pos + 16] == sync, "sync marker mismatch"
+        dec.pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bdec = _AvroDecoder(block)
+        for _ in range(count):
+            records.append(bdec.read_datum(schema))
+    return schema, records
+
+
+# --------------------------------------------------------------------------
+# Delta schema -> Iceberg schema JSON (IcebergSchemaUtils.scala role)
+# --------------------------------------------------------------------------
+
+
+class _FieldIdAllocator:
+    """Ids for nested pseudo-fields (list element / map key / value /
+    nested struct members) above the column-mapping high-watermark; for
+    un-mapped tables every field gets a sequential "name mapping" id."""
+
+    def __init__(self, start: int) -> None:
+        self.next_id = start
+
+    def alloc(self) -> int:
+        self.next_id += 1
+        return self.next_id
+
+
+def _iceberg_primitive(dt: T.DataType) -> str:
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if hasattr(T, "VariantType") and isinstance(dt, T.VariantType):
+        return "variant"
+    raise UniFormValidationError(f"cannot convert Delta type {dt} to Iceberg")
+
+
+def _convert_type(dt: T.DataType, alloc: _FieldIdAllocator,
+                  field_ids: bool) -> Any:
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = _field_id(f, alloc, field_ids)
+            fields.append({
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _convert_type(f.dataType, alloc, field_ids),
+            })
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": alloc.alloc(),
+            "element": _convert_type(dt.elementType, alloc, field_ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": alloc.alloc(),
+            "key": _convert_type(dt.keyType, alloc, field_ids),
+            "value-id": alloc.alloc(),
+            "value": _convert_type(dt.valueType, alloc, field_ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    return _iceberg_primitive(dt)
+
+
+def _field_id(f: T.StructField, alloc: _FieldIdAllocator,
+              field_ids: bool) -> int:
+    md = f.metadata or {}
+    if field_ids and COLUMN_MAPPING_ID_KEY in md:
+        return int(md[COLUMN_MAPPING_ID_KEY])
+    return alloc.alloc()
+
+
+def convert_schema(metadata: Metadata,
+                   schema: T.StructType) -> tuple[dict, int, list[dict]]:
+    """Returns (iceberg schema JSON, last-column-id, name-mapping list)."""
+    mode = column_mapping_mode(metadata.configuration)
+    id_mapping = mode != "none"
+    max_id = int(metadata.configuration.get(COLUMN_MAPPING_MAX_ID_KEY, "0"))
+    alloc = _FieldIdAllocator(max_id if id_mapping else 0)
+    struct = _convert_type(schema, alloc, id_mapping)
+    struct["schema-id"] = 0
+    struct["identifier-field-ids"] = []
+    name_mapping = []
+    for f, ice in zip(schema.fields, struct["fields"]):
+        names = [physical_name(f)]
+        if f.name not in names:
+            names.append(f.name)
+        name_mapping.append({"field-id": ice["id"], "names": names})
+    return struct, alloc.next_id, name_mapping
+
+
+# --------------------------------------------------------------------------
+# Partition values: Delta string partitionValues -> typed Avro datums
+# --------------------------------------------------------------------------
+
+
+def _avro_partition_type(dt: T.DataType) -> Any:
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros",
+                "adjust-to-utc": True}
+    if isinstance(dt, T.DecimalType):
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
+    return "string"
+
+
+def _avro_partition_value(dt: T.DataType, raw: Optional[str]) -> Any:
+    if raw is None:
+        return None
+    import datetime
+    import decimal
+
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType, T.LongType)):
+        return int(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dt, T.DateType):
+        return (datetime.date.fromisoformat(raw)
+                - datetime.date(1970, 1, 1)).days
+    if isinstance(dt, T.TimestampType):
+        ts = datetime.datetime.fromisoformat(raw)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    if isinstance(dt, T.DecimalType):
+        unscaled = int(decimal.Decimal(raw).scaleb(dt.scale))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    return raw
+
+
+# --------------------------------------------------------------------------
+# Manifest / manifest-list schemas (Iceberg spec, v2 format)
+# --------------------------------------------------------------------------
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": partition_fields}},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ]}},
+        ]}
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ]}
+
+
+# --------------------------------------------------------------------------
+# Converter
+# --------------------------------------------------------------------------
+
+
+def uniform_iceberg_enabled(configuration: dict[str, str]) -> bool:
+    formats = (configuration or {}).get(UNIFORM_FORMATS_KEY, "")
+    return "iceberg" in [f.strip() for f in formats.split(",")]
+
+
+def validate_uniform_config(configuration: dict[str, str]) -> None:
+    """IcebergCompat.scala checks: DVs are incompatible with UniForm."""
+    if not uniform_iceberg_enabled(configuration):
+        return
+    if (configuration.get(DV_ENABLED_KEY, "false").lower() == "true"):
+        raise UniFormValidationError(
+            "UniForm (iceberg) requires deletion vectors to be disabled "
+            "(IcebergCompat: icebergCompatDeletionVectorsShouldBeDisabled)")
+
+
+def metadata_dir(table_path: str) -> str:
+    return os.path.join(table_path, "metadata")
+
+
+def read_current_metadata(table_path: str) -> Optional[dict]:
+    mdir = metadata_dir(table_path)
+    hint = os.path.join(mdir, "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    path = os.path.join(mdir, f"v{v}.metadata.json")
+    with open(path) as fh:
+        out = json.loads(fh.read())
+    out["_metadata_version"] = v
+    return out
+
+
+def last_converted_delta_version(table_path: str) -> Optional[int]:
+    meta = read_current_metadata(table_path)
+    if meta is None:
+        return None
+    v = meta.get("properties", {}).get("delta-version")
+    return int(v) if v is not None else None
+
+
+def _num_records(f: AddFile) -> int:
+    if f.stats:
+        try:
+            return int(json.loads(f.stats).get("numRecords") or 0)
+        except (ValueError, TypeError):
+            return 0
+    return 0
+
+
+def _append_only_range(log, start: int, end: int) -> Optional[list[AddFile]]:
+    """AddFiles for commits (start..end] iff the range is append-only:
+    no removes, no metadata/protocol changes, no deletion vectors."""
+    added: list[AddFile] = []
+    for v in range(start, end + 1):
+        try:
+            actions = log.read_commit_actions(v)
+        except (OSError, FileNotFoundError):
+            return None
+        for kind, a in actions:
+            if kind in ("remove", "metaData", "protocol"):
+                return None
+            if kind == "add":
+                if a.deletionVector is not None:
+                    return None
+                added.append(a)
+    return added
+
+
+def convert_snapshot(log, snap=None) -> Optional[str]:
+    """Convert a Delta snapshot to Iceberg metadata.  Returns the path of
+    the new ``vN.metadata.json`` (None if already up to date)."""
+    snap = snap or log.update()
+    config = snap.configuration
+    validate_uniform_config(config)
+    table_path = log.table_path
+    mdir = metadata_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+
+    prev = read_current_metadata(table_path)
+    prev_delta_v = (int(prev["properties"]["delta-version"])
+                    if prev and "delta-version" in prev.get("properties", {})
+                    else None)
+    if prev_delta_v is not None and prev_delta_v >= snap.version:
+        return None  # already converted
+
+    schema_json, last_column_id, name_mapping = convert_schema(
+        Metadata(configuration=config), snap.schema)
+
+    # identity partition spec over the table's partition columns
+    part_cols = snap.partition_columns
+    field_by_name = {f["name"]: f for f in schema_json["fields"]}
+    spec_fields = []
+    for i, c in enumerate(part_cols):
+        spec_fields.append({
+            "name": c, "transform": "identity",
+            "source-id": field_by_name[c]["id"], "field-id": 1000 + i})
+    part_types = {f.name: f.dataType for f in snap.schema.fields}
+    avro_part_fields = [
+        {"name": c, "type": ["null", _avro_partition_type(part_types[c])],
+         "default": None, "field-id": 1000 + i}
+        for i, c in enumerate(part_cols)]
+
+    snapshot_id = snap.version  # stable delta-version <-> snapshot-id map
+    seq = (prev.get("last-sequence-number", 0) + 1) if prev else 1
+    now_ms = int(time.time() * 1000)
+    entry_schema = _manifest_entry_schema(avro_part_fields)
+
+    def write_manifest(files: list[AddFile], status: int) -> dict:
+        mpath = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+        recs = []
+        rows = 0
+        for f in files:
+            if f.deletionVector is not None:
+                raise UniFormValidationError(
+                    "cannot convert a snapshot containing deletion vectors "
+                    "to Iceberg (IcebergCompat)")
+            nrec = _num_records(f)
+            rows += nrec
+            part = {c: _avro_partition_value(part_types[c],
+                                             (f.partitionValues or {}).get(c))
+                    for c in part_cols}
+            recs.append({
+                "status": status,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the manifest
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(table_path, f.path),
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": nrec,
+                    "file_size_in_bytes": f.size,
+                }})
+        size = write_avro_file(
+            mpath, entry_schema, recs,
+            metadata={"schema": json.dumps(schema_json),
+                      "partition-spec": json.dumps(spec_fields),
+                      "partition-spec-id": "0",
+                      "format-version": "2",
+                      "content": "data"})
+        return {
+            "manifest_path": mpath, "manifest_length": size,
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(files) if status == 1 else 0,
+            "existing_files_count": len(files) if status == 0 else 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows if status == 1 else 0,
+            "existing_rows_count": rows if status == 0 else 0,
+            "deleted_rows_count": 0,
+        }
+
+    operation = "overwrite"
+    manifests: list[dict] = []
+    incremental = None
+    if prev is not None and prev_delta_v is not None:
+        incremental = _append_only_range(log, prev_delta_v + 1, snap.version)
+    if incremental is not None:
+        # append txn: reuse previous manifest-list entries, add one manifest
+        operation = "append"
+        prev_snap = next((s for s in prev.get("snapshots", [])
+                          if s["snapshot-id"] == prev["current-snapshot-id"]),
+                         None)
+        if prev_snap:
+            _, old = read_avro_file(prev_snap["manifest-list"])
+            manifests.extend(old)
+        if incremental:
+            manifests.append(write_manifest(incremental, status=1))
+        added_files, added_rows = (len(incremental),
+                                   sum(_num_records(f) for f in incremental))
+        total_files = sum(m["added_files_count"] + m["existing_files_count"]
+                          for m in manifests)
+        total_rows = sum(m["added_rows_count"] + m["existing_rows_count"]
+                         for m in manifests)
+    else:
+        live = snap.all_files
+        if live:
+            manifests.append(write_manifest(live, status=1))
+        added_files = total_files = len(live)
+        added_rows = total_rows = sum(_num_records(f) for f in live)
+
+    mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
+    write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, manifests,
+                    metadata={"snapshot-id": str(snapshot_id),
+                              "sequence-number": str(seq),
+                              "parent-snapshot-id":
+                                  str(prev["current-snapshot-id"])
+                                  if prev else "null",
+                              "format-version": "2"})
+
+    snapshot_entry = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": operation,
+            "added-data-files": str(added_files),
+            "added-records": str(added_rows),
+            "total-data-files": str(total_files),
+            "total-records": str(total_rows),
+        },
+        "schema-id": 0,
+    }
+    if prev:
+        snapshot_entry["parent-snapshot-id"] = prev["current-snapshot-id"]
+
+    snapshots = [s for s in (prev.get("snapshots", []) if prev else [])]
+    snapshots.append(snapshot_entry)
+    snapshot_log = [s for s in (prev.get("snapshot-log", []) if prev else [])]
+    snapshot_log.append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+
+    meta_version = (prev["_metadata_version"] + 1) if prev else 1
+    table_uuid = (prev["table-uuid"] if prev
+                  else str(uuid.uuid5(uuid.NAMESPACE_URL, snap.metadata.id)))
+    properties = {
+        "delta-version": str(snap.version),
+        "delta-timestamp": str(now_ms),
+        "schema.name-mapping.default": json.dumps(name_mapping),
+        "write.format.default": "parquet",
+    }
+    if prev_delta_v is not None:
+        properties["base-delta-version"] = str(prev_delta_v)
+
+    metadata_json = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields
+        else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log[-50:],
+        "metadata-log": ([{"timestamp-ms": now_ms,
+                           "metadata-file": os.path.join(
+                               mdir, f"v{prev['_metadata_version']}"
+                                     ".metadata.json")}]
+                         if prev else []),
+    }
+    out_path = os.path.join(mdir, f"v{meta_version}.metadata.json")
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(metadata_json, indent=2))
+    os.replace(tmp, out_path)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(meta_version))
+    return out_path
+
+
+def maybe_convert(log, snap) -> None:
+    """Post-commit hook entry: convert when UniForm iceberg is enabled."""
+    if uniform_iceberg_enabled(snap.configuration):
+        convert_snapshot(log, snap)
+
+
+def read_iceberg_files(table_path: str) -> list[dict]:
+    """All live data-file entries per the current Iceberg metadata (test
+    helper; mirrors the reference's UniFormIcebergVerifier)."""
+    meta = read_current_metadata(table_path)
+    if meta is None:
+        return []
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, manifests = read_avro_file(cur["manifest-list"])
+    out = []
+    for m in manifests:
+        _, entries = read_avro_file(m["manifest_path"])
+        out.extend(e["data_file"] for e in entries
+                   if e["status"] in (0, 1))
+    return out

@@ -1,0 +1,160 @@
+"""UniForm Iceberg metadata generation (reference: iceberg/ module,
+UniFormE2EIcebergSuite / UniFormIcebergVerifier / IcebergCompat suites)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_spark import uniform
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.table import DeltaTable
+from delta_spark.uniform import (
+    UniFormValidationError,
+    read_avro_file,
+    read_current_metadata,
+    read_iceberg_files,
+    write_avro_file,
+)
+
+UNIFORM_PROPS = {
+    "delta.universalFormat.enabledFormats": "iceberg",
+    "delta.enableIcebergCompatV2": "true",
+}
+
+
+# ------------------------------------------------------------ avro codec ----
+
+def test_avro_roundtrip(tmp_path):
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "int"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+        ]}
+    recs = [
+        {"a": -(2 ** 40), "s": "héllo", "opt": None, "arr": [1, 2, 3],
+         "m": {"k": "v"}, "d": 1.5, "b": True, "raw": b"\x00\xff"},
+        {"a": 7, "s": "", "opt": -42, "arr": [], "m": {}, "d": -0.25,
+         "b": False, "raw": b""},
+    ]
+    p = str(tmp_path / "t.avro")
+    write_avro_file(p, schema, recs)
+    got_schema, got = read_avro_file(p)
+    assert got == recs
+    assert got_schema["fields"][0]["name"] == "a"
+
+
+# ------------------------------------------------------------ conversion ----
+
+def _mk_uniform_table(spark, path, partitioned=False):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"))
+    write_delta(df, path,
+                partition_by=["bucket"] if partitioned else None)
+    dt = DeltaTable.forPath(spark, path)
+    dt.setProperties(UNIFORM_PROPS)
+    return dt
+
+
+def test_convert_creates_metadata(spark, tmp_table):
+    _mk_uniform_table(spark, tmp_table)
+    meta = read_current_metadata(tmp_table)
+    assert meta is not None
+    assert meta["format-version"] == 2
+    assert meta["properties"]["delta-version"] == str(
+        DeltaLog.for_table(tmp_table).update().version)
+    # schema carries ids for every column
+    fields = meta["schemas"][0]["fields"]
+    assert [f["name"] for f in fields] == ["id", "bucket", "val"]
+    assert len({f["id"] for f in fields}) == 3
+    # data files in iceberg metadata == live delta files
+    snap = DeltaLog.for_table(tmp_table).update()
+    delta_paths = {os.path.join(tmp_table, f.path) for f in snap.all_files}
+    ice = read_iceberg_files(tmp_table)
+    assert {e["file_path"] for e in ice} == delta_paths
+    assert sum(e["record_count"] for e in ice) == 100
+
+
+def test_incremental_append_adds_manifest(spark, tmp_table):
+    _mk_uniform_table(spark, tmp_table)
+    v1_meta = read_current_metadata(tmp_table)
+    df2 = spark.range(100, 150).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"))
+    write_delta(df2, tmp_table, mode="append")
+    meta = read_current_metadata(tmp_table)
+    assert meta["_metadata_version"] == v1_meta["_metadata_version"] + 1
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert cur["summary"]["operation"] == "append"
+    assert cur.get("parent-snapshot-id") == v1_meta["current-snapshot-id"]
+    # append reuses the previous manifests and adds exactly one
+    _, manifests = read_avro_file(cur["manifest-list"])
+    _, prev_manifests = read_avro_file(
+        next(s for s in v1_meta["snapshots"]
+             if s["snapshot-id"] == v1_meta["current-snapshot-id"]
+             )["manifest-list"])
+    assert len(manifests) == len(prev_manifests) + 1
+    assert sum(e["record_count"] for e in read_iceberg_files(tmp_table)) == 150
+
+
+def test_delete_triggers_rewrite(spark, tmp_table):
+    dt = _mk_uniform_table(spark, tmp_table)
+    write_delta(spark.range(100, 150).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("val")),
+        tmp_table, mode="append")
+    dt.delete("id >= 100")
+    meta = read_current_metadata(tmp_table)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert cur["summary"]["operation"] == "overwrite"
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert ({e["file_path"] for e in read_iceberg_files(tmp_table)}
+            == {os.path.join(tmp_table, f.path) for f in snap.all_files})
+    assert sum(e["record_count"] for e in read_iceberg_files(tmp_table)) == 100
+
+
+def test_partitioned_table_partition_values(spark, tmp_table):
+    _mk_uniform_table(spark, tmp_table, partitioned=True)
+    meta = read_current_metadata(tmp_table)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["bucket"]
+    assert spec[0]["transform"] == "identity"
+    ice = read_iceberg_files(tmp_table)
+    buckets = {e["partition"]["bucket"] for e in ice}
+    assert buckets == {0, 1, 2, 3}
+
+
+def test_column_mapping_ids_flow_through(spark, tmp_table):
+    dt = _mk_uniform_table(spark, tmp_table)
+    dt.enableColumnMapping()
+    dt.renameColumn("val", "renamed")
+    meta = read_current_metadata(tmp_table)
+    fields = meta["schemas"][0]["fields"]
+    assert "renamed" in [f["name"] for f in fields]
+    # name mapping resolves physical parquet names to the same ids
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    by_id = {e["field-id"]: e["names"] for e in nm}
+    renamed = next(f for f in fields if f["name"] == "renamed")
+    assert "val" in by_id[renamed["id"]]  # physical name preserved
+
+
+def test_dv_blocked_with_uniform(spark, tmp_table):
+    dt = _mk_uniform_table(spark, tmp_table)
+    with pytest.raises(UniFormValidationError):
+        dt.setProperties({"delta.enableDeletionVectors": "true"})
+
+
+def test_noop_when_disabled(spark, tmp_table):
+    write_delta(spark.range(10).toDF("id"), tmp_table)
+    assert read_current_metadata(tmp_table) is None
