@@ -383,6 +383,26 @@ def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(total,)], "total_records long")
 
 
+def q_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant column: JSON payloads stored as VARIANT, queried with
+    variant_get (variantType table feature end-to-end)."""
+    def b(spark, sf_dir, path):
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.parse_json(F.to_json(F.struct(
+                F.col("o_orderpriority").alias("p"),
+                F.col("o_totalprice").alias("t")))).alias("v"))
+        write_delta(src, path)
+    p = _table(spark, sf_dir, "ord_variant", b)
+    return (_dt(spark, p).toDF()
+            .select(F.variant_get("v", "$.p", "string").alias("p"),
+                    F.variant_get("v", "$.t", "double").alias("t"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(t AS DECIMAL(18,2))) AS DOUBLE)")
+                 .alias("total")))
+
+
 def q_delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATED IDENTITY column: unique values for every inserted row
     (values themselves are allocation-dependent; the oracle checks
@@ -781,6 +801,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_history": q_delta_history,
         "delta_uniform": q_delta_uniform,
+        "delta_variant": q_delta_variant,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1011,6 +1032,11 @@ def oracle_sql() -> dict[str, str]:
         # delta_history: delta-specific — rows-only check (no oracle)
         "delta_uniform":
             "SELECT CAST(count(*) AS BIGINT) AS total_records FROM supplier",
+        "delta_variant": """
+            SELECT o_orderpriority AS p, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+            FROM orders GROUP BY 1""",
         "tpch_q1": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -71,10 +71,121 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
+def _footer_num_rows(file_path: str) -> int:
+    """Extract FileMetaData.num_rows by raw Thrift-compact scanning.
+
+    Fallback for footers pyarrow cannot parse (logical types newer than
+    the linked parquet-cpp, e.g. VARIANT): thrift *skipping* never
+    interprets logical types, so this works for any footer."""
+    with open(file_path, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{file_path}: not a parquet file")
+        flen = int.from_bytes(tail[:4], "little")
+        fh.seek(-8 - flen, os.SEEK_END)
+        buf = fh.read(flen)
+
+    pos = 0
+
+    def varint() -> int:
+        nonlocal pos
+        shift = acc = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return acc
+            shift += 7
+
+    def skip(ftype: int) -> None:
+        nonlocal pos
+        if ftype in (1, 2):       # bool packed in header elsewhere; in
+            pass                   # containers it's 1 byte, handled below
+        elif ftype == 3:
+            pos += 1
+        elif ftype in (4, 5, 6):
+            varint()
+        elif ftype == 7:
+            pos += 8
+        elif ftype == 8:
+            n = varint()  # NB: varint() must run before touching pos
+            pos += n
+        elif ftype in (9, 10):
+            head = buf[pos]
+            pos += 1
+            size = head >> 4
+            if size == 15:
+                size = varint()
+            etype = head & 0x0F
+            for _ in range(size):
+                if etype in (1, 2):
+                    pos += 1
+                else:
+                    skip(etype)
+        elif ftype == 11:
+            size = varint()
+            if size:
+                kv = buf[pos]
+                pos += 1
+                for _ in range(size):
+                    skip(kv >> 4)
+                    skip(kv & 0x0F)
+        elif ftype == 12:
+            skip_struct()
+        else:
+            raise ValueError(f"unknown thrift compact type {ftype}")
+
+    def skip_struct() -> None:
+        nonlocal pos
+        fid = 0
+        while True:
+            head = buf[pos]
+            pos += 1
+            if head == 0:
+                return
+            delta = head >> 4
+            ftype = head & 0x0F
+            if delta:
+                fid += delta
+            else:
+                z = varint()
+                fid = (z >> 1) ^ -(z & 1)
+            skip(ftype)
+
+    # walk FileMetaData's top-level fields; num_rows is field 3 (i64)
+    fid = 0
+    while pos < len(buf):
+        head = buf[pos]
+        pos += 1
+        if head == 0:
+            break
+        delta = head >> 4
+        ftype = head & 0x0F
+        if delta:
+            fid += delta
+        else:
+            z = varint()
+            fid = (z >> 1) ^ -(z & 1)
+        if fid == 3 and ftype == 6:
+            z = varint()
+            return (z >> 1) ^ -(z & 1)
+        skip(ftype)
+    raise ValueError(f"{file_path}: num_rows not found in footer")
+
+
 def collect_file_stats(file_path: str, indexed_cols: Optional[list[str]] = None,
                        num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS) -> str:
     """Read one Parquet footer → stats JSON string."""
-    md = pq.ParquetFile(file_path).metadata
+    try:
+        md = pq.ParquetFile(file_path).metadata
+    except OSError:
+        # footer uses a logical type this pyarrow can't parse (VARIANT
+        # etc.) — degrade to numRecords-only stats via raw thrift scan;
+        # data skipping is disabled for the file, correctness unaffected
+        return json.dumps({"numRecords": _footer_num_rows(file_path),
+                           "tightBounds": False})
     schema = md.schema.to_arrow_schema()
     names = [f.name for f in schema]
     if indexed_cols is not None:

@@ -244,6 +244,52 @@ class OptimisticTransaction:
             from . import uniform
 
             uniform.validate_uniform_config(metadatas[0].configuration)
+            self._auto_enable_features(actions, metadatas[0])
+
+    def _auto_enable_features(self, actions: list[Any], meta: Metadata) -> None:
+        """Automatically-enabled table features (TableFeature.scala
+        metadataRequiredFeatures role): committing a Metadata whose schema
+        or configuration needs a feature upgrades the Protocol in the
+        same commit."""
+        reader_feats: set[str] = set()
+        writer_feats: set[str] = set()
+        schema_str = meta.schemaString or ""
+        cfg = meta.configuration or {}
+        if '"variant"' in schema_str:
+            reader_feats.add("variantType")
+            writer_feats.add("variantType")
+        if '"timestamp_ntz"' in schema_str:
+            reader_feats.add("timestampNtz")
+            writer_feats.add("timestampNtz")
+        if cfg.get("delta.enableDeletionVectors", "").lower() == "true":
+            reader_feats.add("deletionVectors")
+            writer_feats.add("deletionVectors")
+        if cfg.get("delta.enableRowTracking", "").lower() == "true":
+            writer_feats.add("rowTracking")
+        if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
+            writer_feats.add("inCommitTimestamp")
+        if cfg.get("delta.enableIcebergCompatV2", "").lower() == "true":
+            writer_feats.add("icebergCompatV2")
+        if not reader_feats and not writer_feats:
+            return
+        cur = (next((a for a in actions if isinstance(a, Protocol)), None)
+               or self.snapshot.protocol or Protocol())
+        have_r = set(cur.readerFeatures or [])
+        have_w = set(cur.writerFeatures or [])
+        if reader_feats <= have_r and writer_feats <= have_w:
+            return
+        new = Protocol(
+            minReaderVersion=max(cur.minReaderVersion,
+                                 3 if reader_feats else cur.minReaderVersion),
+            minWriterVersion=max(cur.minWriterVersion, 7),
+            readerFeatures=sorted(have_r | reader_feats) or None,
+            writerFeatures=sorted(have_w | writer_feats) or None,
+        )
+        for i, a in enumerate(actions):
+            if isinstance(a, Protocol):
+                actions[i] = new
+                return
+        actions.insert(0, new)
 
     # ---------------------------------------------------- conflicts ----
 
