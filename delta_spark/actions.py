@@ -108,7 +108,12 @@ class AddFile:
     clusteringProvider: Optional[str] = None
 
     def to_json(self) -> dict:
-        return {"add": _drop_none(asdict(self))}
+        d = _drop_none(asdict(self))
+        # maxRowIndex is an in-memory validation field only — it must
+        # never reach the log (actions.scala:1077-1081)
+        if "deletionVector" in d and isinstance(d["deletionVector"], dict):
+            d["deletionVector"].pop("maxRowIndex", None)
+        return {"add": d}
 
     @staticmethod
     def from_json(d: dict) -> "AddFile":

@@ -203,17 +203,21 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
             return _pd.DataFrame({
                 "file_base": [pdf["file_base"].iloc[0]],
                 "data": [serialize_rbm_array(pdf["row_index"].to_numpy())],
-                "cardinality": [len(pdf)]})
+                "cardinality": [len(pdf)],
+                "max_row_index": [int(pdf["row_index"].max())]})
 
         blobs = (all_rows.groupBy("file_base")
-                 .applyInPandas(_ser, "file_base string, data binary, cardinality long")
+                 .applyInPandas(_ser, "file_base string, data binary, "
+                                      "cardinality long, max_row_index long")
                  .collect())
         uid = uuid.uuid4()
         path = os.path.join(snapshot.table_path, _dv.dv_file_name(uid))
         ranges = _dv.write_dv_file(path, [r["data"] for r in blobs])
         counts = {}
+        max_row_idx = {}
         for r, (off, size, _) in zip(blobs, ranges):
             counts[r["file_base"]] = r["cardinality"]
+            max_row_idx[r["file_base"]] = r["max_row_index"]
             desc_by_base[r["file_base"]] = {
                 "storageType": "u", "pathOrInlineDv": _dv.encode_uuid(uid),
                 "offset": off, "sizeInBytes": size,
@@ -222,10 +226,13 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
         dv_rel = f"_deletion_vectors/dv_{uuid.uuid4().hex}"
         dv_abs = os.path.join(snapshot.table_path, dv_rel)
         all_rows.write.mode("overwrite").parquet(dv_abs)
-        counts = {r["file_base"]: r["n"] for r in (
-            spark.read.parquet(dv_abs)
-            .groupBy("file_base").agg(F.count(F.lit(1)).alias("n"))
-            .collect())}
+        agg = (spark.read.parquet(dv_abs)
+               .groupBy("file_base")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.max("row_index").alias("mri"))
+               .collect())
+        counts = {r["file_base"]: r["n"] for r in agg}
+        max_row_idx = {r["file_base"]: r["mri"] for r in agg}
 
     adds: list[AddFile] = []
     removes: list[RemoveFile] = []
@@ -241,6 +248,15 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
             continue  # no new deletions in this file
         txn.read_files.add(f.path)
         total = f.num_records
+        # maxRowIndex validation (actions.scala:956-963): a DV row index
+        # beyond the file's physical record count means the DV is
+        # corrupt — fail the command, never commit it.  maxRowIndex is
+        # transient and never serialized into the descriptor.
+        mri = max_row_idx.get(base)
+        if total is not None and mri is not None and mri + 1 > total:
+            raise ValueError(
+                f"deletion vector for {f.path} contains invalid row index "
+                f"{mri} (file has {total} rows)")
         if total is not None and card >= total:
             removes.append(f.remove())  # fully deleted
             continue

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 COORDINATOR_PROP = "delta.coordinatedCommits.commitCoordinator-preview"
+BATCH_SIZE_PROP = "delta.coordinatedCommits.batchSize-preview"
 STAGED_DIR = "_staged_commits"
 MARKER_DIR = "_commits"
 
@@ -64,6 +65,13 @@ class CommitCoordinatorClient:
         backfilled yet, ascending."""
         raise NotImplementedError
 
+    def register_backfill(self, log_path: str, version: int) -> None:
+        """All commits <= ``version`` are now backfilled — the
+        coordinator may drop them from its tracked tail (reference
+        ``registerBackfill`` callback; keeps coordinator state bounded
+        by the unbackfilled window, not table history)."""
+        raise NotImplementedError
+
 
 class InMemoryCommitCoordinator(CommitCoordinatorClient):
     """Process-wide coordinator (reference InMemoryCommitCoordinator):
@@ -73,11 +81,12 @@ class InMemoryCommitCoordinator(CommitCoordinatorClient):
     def __init__(self):
         self._lock = threading.Lock()
         self._tables: dict[str, dict[int, Commit]] = {}
+        self._backfilled: dict[str, int] = {}
 
     def commit(self, log_path, version, staged_path, timestamp):
         with self._lock:
             table = self._tables.setdefault(log_path, {})
-            if version in table:
+            if version in table or version <= self._backfilled.get(log_path, -1):
                 raise CommitConflictException(f"version {version} already committed")
             c = Commit(version, staged_path, timestamp)
             table[version] = c
@@ -87,6 +96,17 @@ class InMemoryCommitCoordinator(CommitCoordinatorClient):
         with self._lock:
             table = self._tables.get(log_path, {})
             return [table[v] for v in sorted(table) if v >= start_version]
+
+    def register_backfill(self, log_path, version):
+        with self._lock:
+            table = self._tables.get(log_path, {})
+            for v in [v for v in table if v <= version]:
+                del table[v]
+            # watermark: versions <= this can never be registered again
+            # (without it, draining the tail would let a lagging writer
+            # reuse an already-backfilled version number)
+            self._backfilled[log_path] = max(
+                self._backfilled.get(log_path, -1), version)
 
 
 class FileSystemCommitCoordinator(CommitCoordinatorClient):
@@ -102,6 +122,11 @@ class FileSystemCommitCoordinator(CommitCoordinatorClient):
     def commit(self, log_path, version, staged_path, timestamp):
         from delta_spark.log import ConcurrentModificationException, LocalLogStore
 
+        # a version whose classic file already exists was backfilled
+        # (its marker is gone) — registration must still conflict
+        if os.path.exists(os.path.join(log_path, "%020d.json" % version)):
+            raise CommitConflictException(
+                f"version {version} already backfilled")
         payload = json.dumps({"stagedFile": os.path.basename(staged_path),
                               "timestamp": timestamp})
         try:
@@ -130,12 +155,69 @@ class FileSystemCommitCoordinator(CommitCoordinatorClient):
                 int(rec["timestamp"])))
         return out
 
+    def register_backfill(self, log_path, version):
+        d = os.path.join(log_path, MARKER_DIR)
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            if int(name.split(".")[0]) <= version:
+                try:
+                    os.unlink(os.path.join(d, name))
+                except OSError:
+                    pass
+
 
 _IN_MEMORY = InMemoryCommitCoordinator()
 COORDINATORS: dict[str, CommitCoordinatorClient] = {
     "in-memory": _IN_MEMORY,
     "filesystem": FileSystemCommitCoordinator(),
 }
+
+
+def batch_size(configuration: Optional[dict]) -> int:
+    """Backfill batch size (AbstractBatchBackfillingCommitCoordinatorClient):
+    every commit with version % batchSize == 0 triggers a batch backfill;
+    1 (default) backfills every commit immediately."""
+    try:
+        return max(1, int((configuration or {}).get(BATCH_SIZE_PROP, "1")))
+    except (TypeError, ValueError):
+        return 1
+
+
+def backfill_to(log, coordinator: CommitCoordinatorClient,
+                upto: Optional[int] = None) -> int:
+    """Backfill every registered-but-unbackfilled commit <= ``upto``
+    (all of them when None) into classic ``<v>.json`` files, then tell
+    the coordinator.  Returns the number of files written.  Used by the
+    batch-backfill trigger and by the checkpoint hook — a checkpoint
+    must only cover a fully-backfilled prefix of the log (the
+    coordinator "owns" checkpointing under coordinated commits)."""
+    from delta_spark.log import ConcurrentModificationException
+
+    written = 0
+    highest = None
+    for c in coordinator.get_commits(log.log_path):
+        if upto is not None and c.version > upto:
+            continue
+        target = log.commit_file(c.version)
+        if not os.path.exists(target):
+            try:
+                with open(c.file_path) as fh:
+                    payload = fh.read()
+                log.store.write_atomic(target, payload)
+                written += 1
+            except ConcurrentModificationException:
+                pass  # another writer backfilled it concurrently
+            except OSError:
+                continue  # staged file unreadable — leave it tracked
+        highest = c.version if highest is None else max(highest, c.version)
+    if highest is not None:
+        coordinator.register_backfill(log.log_path, highest)
+    return written
 
 
 def coordinator_for(configuration: Optional[dict]) -> Optional[CommitCoordinatorClient]:

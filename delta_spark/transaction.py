@@ -183,7 +183,8 @@ class OptimisticTransaction:
                 if coordinator is None:
                     self.log.store.write_atomic(self.log.commit_file(attempt_version), payload)
                 else:
-                    self._coordinated_write(coordinator, attempt_version, payload, ts)
+                    self._coordinated_write(coordinator, attempt_version,
+                                            payload, ts, effective_cfg)
                 self._committed = True
                 self._post_commit(attempt_version, actions)
                 return attempt_version
@@ -195,12 +196,15 @@ class OptimisticTransaction:
         raise DeltaConcurrentException(f"exceeded {MAX_RETRIES} commit retries")
 
     def _coordinated_write(self, coordinator, version: int, payload: str,
-                           ts: int) -> None:
+                           ts: int, cfg: Optional[dict] = None) -> None:
         """Coordinated-commit write (coordinator.py module docstring):
         stage under a uuid name (race-free), register with the
         coordinator (linearization point — losers get a conflict and
         re-enter the normal retry/conflict-check path), then backfill
-        the classic numbered file for plain readers + checkpoints."""
+        per the batch policy: batchSize 1 backfills the classic numbered
+        file immediately; larger batches leave the tail with the
+        coordinator and backfill every batchSize-th commit
+        (AbstractBatchBackfillingCommitCoordinatorClient)."""
         import uuid as _uuid
 
         from delta_spark import coordinator as C
@@ -216,10 +220,15 @@ class OptimisticTransaction:
             except OSError:
                 pass
             raise ConcurrentModificationException(str(e))
-        try:
-            self.log.store.write_atomic(self.log.commit_file(version), payload)
-        except ConcurrentModificationException:
-            pass  # a concurrent reader/writer already backfilled it
+        bs = C.batch_size(cfg)
+        if bs <= 1:
+            try:
+                self.log.store.write_atomic(self.log.commit_file(version), payload)
+            except ConcurrentModificationException:
+                pass  # a concurrent reader/writer already backfilled it
+            coordinator.register_backfill(self.log.log_path, version)
+        elif version % bs == 0:
+            C.backfill_to(self.log, coordinator, version)
 
     def _row_id_high_watermark(self) -> int:
         hwm = -1
@@ -389,6 +398,14 @@ class OptimisticTransaction:
             pass
         if version > 0 and version % self.log.checkpoint_interval == 0:
             try:
+                # coordinator-owned checkpoints: a checkpoint may only
+                # cover a fully-backfilled prefix of the log, so drain
+                # the coordinator's tail first
+                from delta_spark import coordinator as C
+
+                coord = C.coordinator_for(snap.configuration)
+                if coord is not None:
+                    C.backfill_to(self.log, coord, version)
                 self.log.write_checkpoint(snap)
             except Exception:
                 # checkpointing is best-effort (CheckpointHook semantics)

@@ -121,3 +121,44 @@ def test_inline_dv_descriptor_read(spark, tmp_table, sf_dir):
                         dataChange=True, stats=f.stats, deletionVector=inline)],
                "DELETE", {}, {})
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == df.count() - 3
+
+
+def test_max_row_index_validation(spark, tmp_table, sf_dir):
+    """maxRowIndex guard (actions.scala:956-963): a DV claiming a row
+    index beyond the file's record count fails the command; valid DVs
+    never serialize maxRowIndex into the log."""
+    import json
+
+    df = _li(spark, sf_dir).limit(50).coalesce(1)
+    write_delta(df, tmp_table, configuration=CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    # corrupt the file's recorded stats so every DV row index looks
+    # out of range, then a DV delete must refuse to commit
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    (f,) = snap.all_files
+    from delta_spark.actions import AddFile
+    from delta_spark.transaction import OptimisticTransaction
+
+    bad_stats = json.dumps({**json.loads(f.stats), "numRecords": 1})
+    txn = OptimisticTransaction(log)
+    txn.commit([AddFile(path=f.path, partitionValues=f.partitionValues,
+                        size=f.size, modificationTime=f.modificationTime,
+                        dataChange=False, stats=bad_stats)],
+               "COMPUTE STATS", {}, {})
+    with pytest.raises(ValueError, match="invalid row index"):
+        dt.delete("l_linenumber >= 2")
+
+    # restore truthful stats: delete succeeds and the logged descriptor
+    # carries no maxRowIndex field
+    txn = OptimisticTransaction(log)
+    txn.commit([AddFile(path=f.path, partitionValues=f.partitionValues,
+                        size=f.size, modificationTime=f.modificationTime,
+                        dataChange=False, stats=f.stats)],
+               "COMPUTE STATS", {}, {})
+    dt.delete("l_linenumber >= 2")
+    with open(log.commit_file(log.update().version)) as fh:
+        for line in fh:
+            d = json.loads(line)
+            if "add" in d and d["add"].get("deletionVector"):
+                assert "maxRowIndex" not in d["add"]["deletionVector"]
