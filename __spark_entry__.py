@@ -403,6 +403,25 @@ def q_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total")))
 
 
+def q_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only int→bigint widening: narrow files from before the
+    ALTER are read through the widened schema alongside post-ALTER rows
+    that exceed int range."""
+    def b(spark, sf_dir, path):
+        src = load_table(spark, sf_dir, "orders")
+        write_delta(src.select(F.col("o_orderkey").cast("int").alias("k")),
+                    path,
+                    configuration={"delta.enableTypeWidening": "true"})
+        DeltaTable.forPath(spark, path).changeColumnType("k", "bigint")
+        write_delta(
+            src.select((F.col("o_orderkey") + F.lit(2 ** 33)).alias("k")),
+            path, mode="append")
+    p = _table(spark, sf_dir, "ord_widen", b)
+    return (_dt(spark, p).toDF()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(k) AS BIGINT)").alias("s")))
+
+
 def q_delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATED IDENTITY column: unique values for every inserted row
     (values themselves are allocation-dependent; the oracle checks
@@ -802,6 +821,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_history": q_delta_history,
         "delta_uniform": q_delta_uniform,
         "delta_variant": q_delta_variant,
+        "delta_type_widening": q_delta_type_widening,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1037,6 +1057,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                        AS total
             FROM orders GROUP BY 1""",
+        "delta_type_widening": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS s
+            FROM (SELECT o_orderkey AS k FROM orders
+                  UNION ALL
+                  SELECT o_orderkey + 8589934592 FROM orders)""",
         "tpch_q1": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

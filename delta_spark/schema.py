@@ -37,12 +37,60 @@ _WIDEN = {
 }
 
 
+TYPE_CHANGES_KEY = "delta.typeChanges"
+TYPE_WIDENING_PROP = "delta.enableTypeWidening"
+
+# integral types as decimals, for integral→decimal widening checks
+_INT_AS_DECIMAL = {"byte": (3, 0), "short": (5, 0),
+                   "integer": (10, 0), "long": (20, 0)}
+
+
 class SchemaEvolutionError(Exception):
     pass
 
 
 def can_widen(frm: T.DataType, to: T.DataType) -> bool:
     return (frm.typeName(), to.typeName()) in _WIDEN
+
+
+def _decimal_wider_than(to: T.DecimalType, p: int, s: int) -> bool:
+    return to.precision - to.scale >= p - s and to.scale >= s
+
+
+def is_widening_supported(frm: T.DataType, to: T.DataType) -> bool:
+    """ALTER TABLE type-change matrix (TypeWidening.scala:82-98): every
+    change a wider Parquet read can serve without rewriting files."""
+    f, t = frm.typeName(), to.typeName()
+    if f == t and not isinstance(frm, T.DecimalType):
+        return False  # no-op is not a change
+    ints = ("byte", "short", "integer", "long")
+    if f in ints and t in ints:
+        return ints.index(f) < ints.index(t)
+    if (f, t) == ("float", "double"):
+        return True
+    if (f, t) == ("date", "timestamp_ntz"):
+        return True
+    if f in ("byte", "short", "integer") and t == "double":
+        return True
+    if isinstance(to, T.DecimalType):
+        if isinstance(frm, T.DecimalType):
+            return ((to.precision, to.scale) != (frm.precision, frm.scale)
+                    and _decimal_wider_than(to, frm.precision, frm.scale))
+        if f in _INT_AS_DECIMAL:
+            return _decimal_wider_than(to, *_INT_AS_DECIMAL[f])
+    return False
+
+
+def record_type_change(field: T.StructField,
+                       new_type: T.DataType) -> T.StructField:
+    """Field widened to ``new_type`` with a ``delta.typeChanges`` entry
+    appended (TypeWideningMetadata.scala:39-64)."""
+    md = dict(field.metadata or {})
+    changes = list(md.get(TYPE_CHANGES_KEY, []))
+    changes.append({"fromType": field.dataType.simpleString(),
+                    "toType": new_type.simpleString()})
+    md[TYPE_CHANGES_KEY] = changes
+    return T.StructField(field.name, new_type, field.nullable, md)
 
 
 def merge_schemas(current: T.StructType, incoming: T.StructType,

@@ -215,7 +215,15 @@ def collect_file_stats(file_path: str, indexed_cols: Optional[list[str]] = None,
                 break
             nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow can't materialize stats for some types
+                    # (e.g. decimals) — degrade to no bounds for the col
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    has_stats[name] = False
+                    break
                 if name in mins:
                     mins[name] = mn if _lt(mn, mins[name]) else mins[name]
                     maxs[name] = mx if _lt(maxs[name], mx) else maxs[name]

@@ -261,6 +261,127 @@ class DeltaTable:
                           {"newProtocol": json.dumps({"minReaderVersion": reader_version,
                                                       "minWriterVersion": writer_version})})
 
+    _DROPPABLE_READER_WRITER = {"deletionVectors", "typeWidening",
+                                "variantType"}
+    _DROPPABLE_WRITER = {"rowTracking", "inCommitTimestamp",
+                         "icebergCompatV2"}
+
+    def dropFeature(self, name: str, truncate_history: bool = False) -> int:
+        """ALTER TABLE DROP FEATURE (AlterTableDropFeatureDeltaCommand):
+        feature-specific cleanup (purge DVs / rewrite narrow files /
+        refuse while variant columns remain), then protocol downgrade.
+        Reader+writer features additionally need history protection —
+        older versions still reference the feature — so they require
+        ``truncate_history=True``, which checkpoints the current version
+        and truncates the log behind it (the reference's two-phase
+        TRUNCATE HISTORY flow, compressed: we truncate immediately
+        instead of enforcing the 24 h wait)."""
+        from delta_spark.util import current_time_millis
+
+        p = self.log.update().protocol
+        if (name not in (p.readerFeatures or [])
+                and name not in (p.writerFeatures or [])):
+            raise ValueError(f"feature {name!r} is not enabled on this table")
+        if name == "deletionVectors":
+            self.setProperties({"delta.enableDeletionVectors": "false"})
+            self.reorgPurge()
+        elif name == "typeWidening":
+            self.unsetProperties(["delta.enableTypeWidening"])
+            self._rewrite_all_files("DROP FEATURE typeWidening")
+            self._strip_type_changes()
+        elif name == "variantType":
+            if '"variant"' in self.log.update().metadata.schemaString:
+                raise ValueError("cannot drop variantType: the table "
+                                 "still contains variant columns")
+        elif name == "rowTracking":
+            self.unsetProperties(["delta.enableRowTracking"])
+        elif name == "inCommitTimestamp":
+            self.unsetProperties(["delta.enableInCommitTimestamps"])
+        elif name == "icebergCompatV2":
+            self.unsetProperties(["delta.enableIcebergCompatV2"])
+        else:
+            raise ValueError(f"dropping feature {name!r} is not supported")
+
+        if name in self._DROPPABLE_READER_WRITER:
+            if not truncate_history:
+                raise ValueError(
+                    f"dropping reader+writer feature {name!r} requires "
+                    "truncate_history=True: historical versions still "
+                    "reference it")
+            snap = self.log.update()
+            self.log.write_checkpoint(snap)
+            # push the cutoff past every pre-drop commit
+            self.log.cleanup_expired_logs(
+                now_ms=current_time_millis()
+                + self.log.log_retention_ms() + 60_000)
+
+        txn = OptimisticTransaction(self.log)
+        p = txn.snapshot.protocol
+        rf = [f for f in (p.readerFeatures or []) if f != name] or None
+        wf = [f for f in (p.writerFeatures or []) if f != name] or None
+        if rf is None and wf is None:
+            mr, mw = self._legacy_protocol_versions(txn.snapshot)
+        else:
+            mr, mw = p.minReaderVersion, p.minWriterVersion
+        return txn.commit([Protocol(mr, mw, rf, wf)], "DROP FEATURE",
+                          {"featureName": name})
+
+    def _legacy_protocol_versions(self, snap) -> tuple[int, int]:
+        """Minimal legacy protocol once no table features remain."""
+        from delta_spark.schema import (
+            column_mapping_mode,
+            generation_expressions,
+            identity_info,
+        )
+
+        schema = snap.schema
+        cfg = snap.configuration
+        mr, mw = 1, 2
+        if any(k.startswith(CONSTRAINT_PROP_PREFIX) for k in cfg):
+            mw = max(mw, 3)
+        if generation_expressions(schema):
+            mw = max(mw, 4)
+        if column_mapping_mode(cfg) != "none":
+            mr, mw = max(mr, 2), max(mw, 5)
+        if identity_info(schema):
+            mw = max(mw, 6)
+        return mr, mw
+
+    def _rewrite_all_files(self, operation: str) -> None:
+        """Rewrite every data file at the current schema (REORG role):
+        after this no file depends on widened-type up-casts."""
+        from delta_spark.reader import read_files_with_index
+        from delta_spark.writer import write_table_files
+
+        txn = OptimisticTransaction(self.log)
+        snap = txn.snapshot
+        files = snap.all_files
+        if not files:
+            return
+        df = (read_files_with_index(self.spark, snap, files)
+              .drop("__file_base", "__row_idx"))
+        adds = write_table_files(df, snap, data_change=False)
+        removes = [f.remove(data_change=False) for f in files]
+        txn.read_files.update(f.path for f in files)
+        txn.commit(list(adds) + list(removes), operation,
+                   {"rewriteAll": "true"},
+                   {"numRewrittenFiles": str(len(removes))})
+
+    def _strip_type_changes(self) -> int:
+        from delta_spark.schema import TYPE_CHANGES_KEY
+
+        def f(m):
+            schema = schema_from_json(m.schemaString)
+            fields = []
+            for fl in schema.fields:
+                md = {k: v for k, v in (fl.metadata or {}).items()
+                      if k != TYPE_CHANGES_KEY}
+                fields.append(T.StructField(fl.name, fl.dataType,
+                                            fl.nullable, md))
+            return T.StructType(fields)
+
+        return self._update_schema(f, "UPDATE SCHEMA METADATA", {})
+
     def setProperties(self, props: dict[str, str]) -> int:
         return self._update_metadata(lambda m: {**m.configuration, **props},
                                      "SET TBLPROPERTIES", {"properties": json.dumps(props)})
@@ -347,6 +468,51 @@ class DeltaTable:
                               fl.nullable, fl.metadata)
                 for fl in schema.fields])
         return self._update_schema(f, "RENAME COLUMN", {"from": old, "to": new})
+
+    def changeColumnType(self, name: str, new_type) -> int:
+        """ALTER TABLE CHANGE COLUMN ... TYPE — metadata-only type
+        widening (TypeWidening.scala): old narrow Parquet files are
+        served by Spark's widened-read support, no rewrite.  Requires
+        ``delta.enableTypeWidening=true``."""
+        from delta_spark.schema import (
+            TYPE_WIDENING_PROP,
+            is_widening_supported,
+            record_type_change,
+        )
+
+        if isinstance(new_type, str):
+            new_type = T._parse_datatype_string(new_type)
+        snap = self.log.update()
+        cfg = snap.configuration
+        if str(cfg.get(TYPE_WIDENING_PROP, "false")).lower() != "true":
+            raise ValueError(
+                f"type widening requires {TYPE_WIDENING_PROP}=true")
+        if name in snap.partition_columns:
+            raise ValueError("cannot change the type of a partition column")
+
+        def f(m):
+            schema = schema_from_json(m.schemaString)
+            fields = []
+            found = False
+            for fl in schema.fields:
+                if fl.name == name:
+                    found = True
+                    if not is_widening_supported(fl.dataType, new_type):
+                        raise ValueError(
+                            f"unsupported type change for {name!r}: "
+                            f"{fl.dataType.simpleString()} -> "
+                            f"{new_type.simpleString()} (only widening "
+                            "changes are allowed)")
+                    fields.append(record_type_change(fl, new_type))
+                else:
+                    fields.append(fl)
+            if not found:
+                raise ValueError(f"no such column: {name}")
+            return T.StructType(fields)
+
+        return self._update_schema(
+            f, "CHANGE COLUMN",
+            {"column": name, "toType": new_type.simpleString()})
 
     def dropColumn(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping

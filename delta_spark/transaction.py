@@ -239,6 +239,18 @@ class OptimisticTransaction:
 
     def _validate(self, actions: list[Any]) -> None:
         metadatas = [a for a in actions if isinstance(a, Metadata)]
+        # delta.appendOnly (DeltaConfigs.IS_APPEND_ONLY): deleting or
+        # changing data is forbidden; rearrangement (dataChange=false,
+        # e.g. OPTIMIZE) is fine
+        cfg = (metadatas[0].configuration if metadatas
+               else self.snapshot.configuration) or {}
+        if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+            if any(isinstance(a, RemoveFile) and a.dataChange
+                   for a in actions):
+                raise ValueError(
+                    "This table is configured to only allow appends "
+                    "(delta.appendOnly=true); DELETE/UPDATE/MERGE/"
+                    "overwrite are not permitted")
         if self.read_version < 0:
             # first commit must establish protocol+metadata (prepareCommit)
             if not metadatas:
@@ -270,6 +282,9 @@ class OptimisticTransaction:
         if '"timestamp_ntz"' in schema_str:
             reader_feats.add("timestampNtz")
             writer_feats.add("timestampNtz")
+        if '"delta.typeChanges"' in schema_str:
+            reader_feats.add("typeWidening")
+            writer_feats.add("typeWidening")
         if cfg.get("delta.enableDeletionVectors", "").lower() == "true":
             reader_feats.add("deletionVectors")
             writer_feats.add("deletionVectors")

@@ -356,3 +356,24 @@ def test_merge_not_matched_by_source(spark, tmp_table, sf_dir):
         .filter("NOT coalesce(o_totalprice < 50000, false)").count()
     assert out.filter("o_orderpriority = 'STALE'").count() == survivors
     assert out.count() == 30 + survivors
+
+
+def test_append_only_table(spark, tmp_table, sf_dir):
+    """delta.appendOnly (DeltaConfigs.IS_APPEND_ONLY): appends and
+    dataChange=false rearrangement allowed; DML rejected."""
+    df = _orders(spark, sf_dir).limit(200)
+    write_delta(df, tmp_table, configuration={"delta.appendOnly": "true"})
+    write_delta(df.limit(50), tmp_table, mode="append")  # allowed
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 250
+    with pytest.raises(ValueError, match="only allow appends"):
+        dt.delete("o_orderkey % 2 = 0")
+    with pytest.raises(ValueError, match="only allow appends"):
+        dt.update({"o_totalprice": "o_totalprice * 2"}, "o_orderkey = 1")
+    # OPTIMIZE rearranges without dataChange → allowed
+    dt.optimize().executeCompaction()
+    assert dt.toDF().count() == 250
+    # unsetting the property re-enables DML
+    dt.unsetProperties(["delta.appendOnly"])
+    dt.delete("o_orderkey % 2 = 0")
+    assert dt.toDF().count() < 250
