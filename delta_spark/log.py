@@ -41,6 +41,9 @@ from delta_spark.util import current_time_millis
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# classic multi-part checkpoints (Checkpoints.scala checkpointFileWithParts):
+# <v>.checkpoint.<part>.<parts>.parquet, 1-based part numbering
+_MULTIPART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 DEFAULT_CHECKPOINT_INTERVAL = 10
 DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta.deletedFileRetentionDuration
@@ -113,6 +116,10 @@ def _checkpoint_arrow_schema() -> pa.Schema:
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
         ("deletionVector", dv),
+        ("tags", smap),
+        ("baseRowId", pa.int64()),
+        ("defaultRowCommitVersion", pa.int64()),
+        ("clusteringProvider", pa.string()),
     ])
     remove = pa.struct([
         ("path", pa.string()),
@@ -131,7 +138,10 @@ def _checkpoint_arrow_schema() -> pa.Schema:
         ("configuration", smap),
         ("createdTime", pa.int64()),
     ])
-    protocol = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    protocol = pa.struct([("minReaderVersion", pa.int32()),
+                          ("minWriterVersion", pa.int32()),
+                          ("readerFeatures", pa.list_(pa.string())),
+                          ("writerFeatures", pa.list_(pa.string()))])
     txn = pa.struct([("appId", pa.string()), ("version", pa.int64()), ("lastUpdated", pa.int64())])
     domain = pa.struct([("domain", pa.string()), ("configuration", pa.string()), ("removed", pa.bool_())])
     return pa.schema([
@@ -181,7 +191,8 @@ class DeltaLog:
             cls._cache.clear()
 
     def table_exists(self) -> bool:
-        return self.list_commit_versions() != []
+        return (self.list_commit_versions() != []
+                or self.list_checkpoint_versions() != [])
 
     # ------------------------------------------------------- listing ----
 
@@ -207,21 +218,57 @@ class DeltaLog:
 
     def list_checkpoint_versions(self) -> list[int]:
         out = []
+        multipart: dict[int, tuple[set[int], int]] = {}
         for name in self.store.list_dir(self.log_path):
             m = _CHECKPOINT_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
-        return sorted(out)
+                continue
+            m = _MULTIPART_RE.match(name)
+            if m:
+                v, part, parts = (int(m.group(1)), int(m.group(2)),
+                                  int(m.group(3)))
+                seen, _ = multipart.setdefault(v, (set(), parts))
+                seen.add(part)
+        for v, (seen, parts) in multipart.items():
+            if len(seen) == parts:  # only complete sets are usable
+                out.append(v)
+        return sorted(set(out))
 
     def latest_version(self) -> int:
         versions = self.list_commit_versions()
-        return versions[-1] if versions else -1
+        latest = versions[-1] if versions else -1
+        # a checkpoint can be the only surviving record of its version
+        # (aggressive log cleanup): the table is still readable from it
+        ckpts = self.list_checkpoint_versions()
+        if ckpts and ckpts[-1] > latest:
+            return ckpts[-1]
+        return latest
 
     def commit_file(self, version: int) -> str:
         return os.path.join(self.log_path, "%020d.json" % version)
 
     def checkpoint_file(self, version: int) -> str:
         return os.path.join(self.log_path, "%020d.checkpoint.parquet" % version)
+
+    def checkpoint_part_file(self, version: int, part: int, parts: int) -> str:
+        return os.path.join(
+            self.log_path,
+            "%020d.checkpoint.%010d.%010d.parquet" % (version, part, parts))
+
+    def checkpoint_paths(self, version: int) -> list[str]:
+        """Backing parquet file(s) of a checkpoint: the single classic
+        file, or every part of a complete multi-part set."""
+        single = self.checkpoint_file(version)
+        if os.path.exists(single):
+            return [single]
+        parts = []
+        for name in self.store.list_dir(self.log_path):
+            m = _MULTIPART_RE.match(name)
+            if m and int(m.group(1)) == version:
+                parts.append((int(m.group(2)),
+                              os.path.join(self.log_path, name)))
+        return [p for _, p in sorted(parts)]
 
     def commit_source(self, version: int) -> str:
         """Backing file for a version: the backfilled ``<v>.json`` or,
@@ -315,14 +362,24 @@ class DeltaLog:
     # ----------------------------------------------------- checkpoint ----
 
     def write_checkpoint(self, snap: Optional[Snapshot] = None) -> None:
-        """Classic single-file V1 checkpoint: one Parquet of SingleAction
-        rows + `_last_checkpoint` pointer (Checkpoints.scala:670)."""
+        """Classic V1 checkpoint: Parquet of SingleAction rows +
+        `_last_checkpoint` pointer (Checkpoints.scala:670).  When the
+        action count exceeds ``delta.checkpoint.partSize`` the file is
+        split into `<v>.checkpoint.<part>.<parts>.parquet` (classic
+        multi-part, Checkpoints.scala checkpointFileWithParts) — at
+        100 TB a table has millions of AddFiles and a single checkpoint
+        parquet becomes both a write bottleneck and an
+        un-parallelizable read; parts let executors scan the log state
+        in parallel."""
         snap = snap or self.update()
         if snap.version < 0:
             return
         rows: list[dict] = []
-        rows.append({"protocol": {"minReaderVersion": snap.protocol.minReaderVersion,
-                                  "minWriterVersion": snap.protocol.minWriterVersion}})
+        rows.append({"protocol": {
+            "minReaderVersion": snap.protocol.minReaderVersion,
+            "minWriterVersion": snap.protocol.minWriterVersion,
+            "readerFeatures": snap.protocol.readerFeatures,
+            "writerFeatures": snap.protocol.writerFeatures}})
         if snap.metadata is not None:
             m = snap.metadata
             rows.append({"metaData": {
@@ -345,6 +402,10 @@ class DeltaLog:
                 "dataChange": False if f.dataChange is None else bool(f.dataChange),
                 "stats": f.stats,
                 "deletionVector": f.deletionVector,
+                "tags": f.tags,
+                "baseRowId": f.baseRowId,
+                "defaultRowCommitVersion": f.defaultRowCommitVersion,
+                "clusteringProvider": f.clusteringProvider,
             }})
         for r in snap.tombstones.values():
             rows.append({"remove": {
@@ -353,25 +414,54 @@ class DeltaLog:
                 "size": r.size,
             }})
         schema = _checkpoint_arrow_schema()
-        cols = {name: [row.get(name) for row in rows] for name in schema.names}
-        table = pa.Table.from_pydict(cols, schema=schema)
-        path = self.checkpoint_file(snap.version)
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
-        last = {"version": snap.version, "size": len(rows)}
+        part_size = None
+        try:
+            part_size = int(snap.configuration.get(
+                "delta.checkpoint.partSize", "0")) or None
+        except (TypeError, ValueError):
+            pass
+        if part_size and len(rows) > part_size:
+            parts = -(-len(rows) // part_size)
+            for i in range(parts):
+                chunk = rows[i * part_size:(i + 1) * part_size]
+                cols = {name: [row.get(name) for row in chunk]
+                        for name in schema.names}
+                path = self.checkpoint_part_file(snap.version, i + 1, parts)
+                tmp = path + ".tmp"
+                pq.write_table(pa.Table.from_pydict(cols, schema=schema), tmp)
+                os.replace(tmp, path)
+            last = {"version": snap.version, "size": len(rows),
+                    "parts": parts}
+        else:
+            cols = {name: [row.get(name) for row in rows]
+                    for name in schema.names}
+            table = pa.Table.from_pydict(cols, schema=schema)
+            path = self.checkpoint_file(snap.version)
+            tmp = path + ".tmp"
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
+            last = {"version": snap.version, "size": len(rows)}
         lc = os.path.join(self.log_path, "_last_checkpoint")
         with open(lc + ".tmp", "w") as f:
             f.write(json.dumps(last))
         os.replace(lc + ".tmp", lc)
 
     def _apply_checkpoint(self, snap: Snapshot, version: int) -> None:
-        table = pq.read_table(self.checkpoint_file(version))
-        for row in table.to_pylist():
+        rows: list[dict] = []
+        for path in self.checkpoint_paths(version):
+            rows.extend(pq.read_table(path).to_pylist())
+        for row in rows:
             if row.get("protocol"):
                 p = row["protocol"]
-                snap.protocol = Protocol(minReaderVersion=p["minReaderVersion"] or 1,
-                                         minWriterVersion=p["minWriterVersion"] or 2)
+                snap.protocol = Protocol(
+                    minReaderVersion=p["minReaderVersion"] or 1,
+                    minWriterVersion=p["minWriterVersion"] or 2,
+                    readerFeatures=(list(p["readerFeatures"])
+                                    if p.get("readerFeatures") is not None
+                                    else None),
+                    writerFeatures=(list(p["writerFeatures"])
+                                    if p.get("writerFeatures") is not None
+                                    else None))
             elif row.get("metaData"):
                 m = row["metaData"]
                 fmt = m.get("format") or {}
@@ -404,7 +494,11 @@ class DeltaLog:
                     path=a["path"], partitionValues=_tuples_to_dict(a.get("partitionValues")),
                     size=a.get("size") or 0, modificationTime=a.get("modificationTime") or 0,
                     dataChange=bool(a.get("dataChange")), stats=a.get("stats"),
-                    deletionVector={k: v for k, v in dv.items() if v is not None} if dv else None)
+                    deletionVector={k: v for k, v in dv.items() if v is not None} if dv else None,
+                    tags=_tuples_to_dict(a.get("tags")) or None,
+                    baseRowId=a.get("baseRowId"),
+                    defaultRowCommitVersion=a.get("defaultRowCommitVersion"),
+                    clusteringProvider=a.get("clusteringProvider"))
                 snap.active[f.path] = f
             elif row.get("remove"):
                 r = row["remove"]
@@ -489,13 +583,13 @@ class DeltaLog:
             except OSError:
                 pass
         for c in checkpoints[:-1]:
-            path = self.checkpoint_file(c)
-            try:
-                if os.stat(path).st_mtime * 1000 < cutoff:
-                    os.remove(path)
-                    deleted += 1
-            except OSError:
-                pass
+            for path in self.checkpoint_paths(c):
+                try:
+                    if os.stat(path).st_mtime * 1000 < cutoff:
+                        os.remove(path)
+                        deleted += 1
+                except OSError:
+                    pass
         if deleted:
             self.invalidate()
         return deleted

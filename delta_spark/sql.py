@@ -71,6 +71,64 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         res = DeltaTable.forPath(spark, _path_of(m)).restoreToTimestamp(m.group("ts"))
         return spark.createDataFrame([(str(res),)], "metrics: string")
 
+    # ------------------------------------------------ ALTER TABLE verbs ----
+    m = re.fullmatch(rf"(?is)\s*ALTER\s+TABLE\s+(?:{_PATH})\s+(?P<rest>.+?)\s*", s)
+    if m:
+        dt = DeltaTable.forPath(spark, _path_of(m))
+        rest = m.group("rest").strip()
+
+        am = re.fullmatch(r"(?is)ADD\s+COLUMNS?\s*\((?P<cols>.+)\)", rest)
+        if am:
+            from pyspark.sql import types as T
+
+            fields = []
+            for part in _split_top_level(am.group("cols")):
+                cm = re.match(r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)\s*$", part)
+                fields.append(T.StructField(
+                    cm.group("n"), T._parse_datatype_string(cm.group("t"))))
+            return dt.addColumns(fields)
+
+        am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?", rest)
+        if am:
+            return dt.renameColumn(am.group("a"), am.group("b"))
+
+        am = re.fullmatch(r"(?is)DROP\s+COLUMN\s+`?(?P<c>\w+)`?", rest)
+        if am:
+            return dt.dropColumn(am.group("c"))
+
+        am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+TYPE\s+(?P<t>.+)", rest)
+        if am:
+            return dt.changeColumnType(am.group("c"), am.group("t").strip())
+
+        am = re.fullmatch(r"(?is)SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)", rest)
+        if am:
+            props = {}
+            for part in _split_top_level(am.group("kv")):
+                k, v = part.split("=", 1)
+                props[k.strip().strip("'\"` ")] = v.strip().strip("'\"` ")
+            return dt.setProperties(props)
+
+        am = re.fullmatch(r"(?is)UNSET\s+TBLPROPERTIES\s*\((?P<ks>.+)\)", rest)
+        if am:
+            return dt.unsetProperties(
+                [k.strip().strip("'\"` ") for k in
+                 _split_top_level(am.group("ks"))])
+
+        am = re.fullmatch(r"(?is)ADD\s+CONSTRAINT\s+`?(?P<n>\w+)`?\s+CHECK\s*\((?P<e>.+)\)", rest)
+        if am:
+            return dt.addCheckConstraint(am.group("n"), am.group("e"))
+
+        am = re.fullmatch(r"(?is)DROP\s+CONSTRAINT\s+`?(?P<n>\w+)`?", rest)
+        if am:
+            return dt.dropCheckConstraint(am.group("n"))
+
+        am = re.fullmatch(r"(?is)DROP\s+FEATURE\s+`?(?P<f>\w+)`?(?P<tr>\s+TRUNCATE\s+HISTORY)?", rest)
+        if am:
+            return dt.dropFeature(am.group("f"),
+                                  truncate_history=bool(am.group("tr")))
+
+        raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
     m = re.fullmatch(rf"(?is)\s*DELETE\s+FROM\s+(?:{_PATH})(?:\s+WHERE\s+(?P<where>.+?))?\s*", s)
     if m:
         v = DeltaTable.forPath(spark, _path_of(m)).delete(m.group("where"))

@@ -211,3 +211,77 @@ def test_table_changes_tvf(spark, tmp_table, sf_dir):
     rows = {r["_change_type"]: r["n"] for r in out.collect()}
     want = load_table(spark, sf_dir, "supplier").filter("s_acctbal < 0").count()
     assert rows.get("delete", 0) == want
+
+
+def test_sql_alter_table_surface(spark, tmp_table, sf_dir):
+    """ALTER TABLE verbs through the SQL dispatcher (DeltaSqlBase.g4
+    AlterTable* rules)."""
+    from delta_spark.sql import delta_sql
+    from delta_spark.datasets import load_table
+
+    src = (load_table(spark, sf_dir, "supplier").limit(100)
+           .withColumn("s_suppkey", F.col("s_suppkey").cast("int")))
+    write_delta(src, tmp_table,
+                configuration={"delta.enableTypeWidening": "true"})
+    t = f"delta.`{tmp_table}`"
+    delta_sql(spark, f"ALTER TABLE {t} ADD COLUMNS (extra double, note string)")
+    delta_sql(spark, f"ALTER TABLE {t} SET TBLPROPERTIES ('delta.appendOnly' = 'false', 'custom.tag' = 'x')")
+    delta_sql(spark, f"ALTER TABLE {t} CHANGE COLUMN s_suppkey TYPE bigint")
+    delta_sql(spark, f"ALTER TABLE {t} RENAME COLUMN note TO note2")
+    delta_sql(spark, f"ALTER TABLE {t} ADD CONSTRAINT pos CHECK (s_acctbal > -1e9)")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    sch = dt.toDF().schema
+    assert "extra" in sch.names and "note2" in sch.names
+    assert sch["s_suppkey"].dataType.typeName() == "long"
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.configuration["custom.tag"] == "x"
+    assert "delta.constraints.pos" in snap.configuration
+    delta_sql(spark, f"ALTER TABLE {t} DROP CONSTRAINT pos")
+    delta_sql(spark, f"ALTER TABLE {t} DROP COLUMN extra")
+    delta_sql(spark, f"ALTER TABLE {t} UNSET TBLPROPERTIES ('custom.tag')")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert "custom.tag" not in snap.configuration
+    assert "extra" not in dt.toDF().schema.names
+    delta_sql(spark, f"ALTER TABLE {t} DROP FEATURE typeWidening TRUNCATE HISTORY")
+    p = DeltaLog.for_table(tmp_table).update().protocol
+    assert "typeWidening" not in (p.readerFeatures or [])
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_table, sf_dir):
+    """Classic multi-part checkpoints (<v>.checkpoint.<p>.<parts>.parquet):
+    written when actions exceed delta.checkpoint.partSize, replayed from
+    all parts; partial sets are ignored."""
+    import glob as _glob
+
+    src = load_table(spark, sf_dir, "supplier").limit(120)
+    write_delta(src.repartition(8), tmp_table,
+                configuration={"delta.checkpoint.partSize": "5",
+                               "delta.enableRowTracking": "true"})
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    log.write_checkpoint(snap)
+    parts = _glob.glob(os.path.join(tmp_table, "_delta_log",
+                                    "*.checkpoint.*.*.parquet"))
+    assert len(parts) >= 2
+    assert not os.path.exists(log.checkpoint_file(snap.version))
+    assert snap.version in log.list_checkpoint_versions()
+
+    # replay through the multi-part checkpoint only (drop the jsons)
+    for v in log.list_commit_versions():
+        os.unlink(log.commit_file(v))
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(tmp_table)
+    snap2 = log2.update()
+    assert snap2.version == snap.version
+    assert snap2.num_files == snap.num_files
+    # protocol features and row-tracking ids survive the replay
+    assert "rowTracking" in (snap2.protocol.writerFeatures or [])
+    assert all(f.baseRowId is not None for f in snap2.all_files)
+    assert (DeltaTable.forPath(spark, tmp_table).toDF().count()
+            == src.count())
+
+    # an incomplete part set must not be listed as usable
+    os.unlink(sorted(parts)[0])
+    DeltaLog.clear_cache()
+    assert (snap.version
+            not in DeltaLog.for_table(tmp_table).list_checkpoint_versions())
