@@ -63,8 +63,14 @@ def main() -> None:
 
         def one(t):
             write_delta(load_table(spark, SF_DIR, t), os.path.join(base, t))
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            list(ex.map(one, TABLES))
+        # longest-first so the big loads (lineitem, orders, events) are
+        # never the idle-pool tail
+        order = sorted(
+            TABLES,
+            key=lambda t: -os.path.getsize(
+                os.path.join(SF_DIR, f"{t}.parquet")))
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            list(ex.map(one, order))
 
     def dt(t):
         return DeltaTable.forPath(spark, os.path.join(base, t))

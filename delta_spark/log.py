@@ -44,6 +44,14 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 # classic multi-part checkpoints (Checkpoints.scala checkpointFileWithParts):
 # <v>.checkpoint.<part>.<parts>.parquet, 1-based part numbering
 _MULTIPART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# V2 checkpoints (PROTOCOL.md V2 spec): <v>.checkpoint.<uuid>.parquet
+# referencing sidecar parquets under _delta_log/_sidecars/
+_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.parquet$")
+SIDECAR_DIR = "_sidecars"
+# minor log compactions (DeltaLogMinorCompactionSuite /
+# ContiguousVersionIterator): <start>.<end>.compacted.json aggregates
+# the actions of commits [start, end]
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 
 DEFAULT_CHECKPOINT_INTERVAL = 10
 DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta.deletedFileRetentionDuration
@@ -144,9 +152,13 @@ def _checkpoint_arrow_schema() -> pa.Schema:
                           ("writerFeatures", pa.list_(pa.string()))])
     txn = pa.struct([("appId", pa.string()), ("version", pa.int64()), ("lastUpdated", pa.int64())])
     domain = pa.struct([("domain", pa.string()), ("configuration", pa.string()), ("removed", pa.bool_())])
+    ckpt_meta = pa.struct([("version", pa.int64()), ("tags", smap)])
+    sidecar = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64()),
+                         ("modificationTime", pa.int64()), ("tags", smap)])
     return pa.schema([
         ("add", add), ("remove", remove), ("metaData", metadata),
         ("protocol", protocol), ("txn", txn), ("domainMetadata", domain),
+        ("checkpointMetadata", ckpt_meta), ("sidecar", sidecar),
     ])
 
 
@@ -224,6 +236,10 @@ class DeltaLog:
             if m:
                 out.append(int(m.group(1)))
                 continue
+            m = _V2_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+                continue
             m = _MULTIPART_RE.match(name)
             if m:
                 v, part, parts = (int(m.group(1)), int(m.group(2)),
@@ -257,13 +273,17 @@ class DeltaLog:
             "%020d.checkpoint.%010d.%010d.parquet" % (version, part, parts))
 
     def checkpoint_paths(self, version: int) -> list[str]:
-        """Backing parquet file(s) of a checkpoint: the single classic
-        file, or every part of a complete multi-part set."""
+        """Backing top-level parquet file(s) of a checkpoint: the single
+        classic file, a V2 uuid file, or every part of a complete
+        multi-part set (V2 sidecars are resolved at apply time)."""
         single = self.checkpoint_file(version)
         if os.path.exists(single):
             return [single]
         parts = []
         for name in self.store.list_dir(self.log_path):
+            m = _V2_RE.match(name)
+            if m and int(m.group(1)) == version:
+                return [os.path.join(self.log_path, name)]
             m = _MULTIPART_RE.match(name)
             if m and int(m.group(1)) == version:
                 parts.append((int(m.group(2)),
@@ -284,6 +304,100 @@ class DeltaLog:
         content = self.store.read(self.commit_source(version))
         return [parse_action_line(line) for line in content.splitlines() if line.strip()]
 
+    # ------------------------------------------- minor log compaction ----
+
+    def _replay_plan(self, start: int, end: int) -> list[tuple[int, int, Optional[str]]]:
+        """Files to replay for commits [start, end]: per-version commit
+        jsons, with a contiguous run substituted by a
+        ``<x>.<y>.compacted.json`` when fully contained in the range
+        (ContiguousVersionIterator role). Returns (from, to, path)
+        where path is None for a plain commit."""
+        compacted: dict[int, tuple[int, str]] = {}
+        for name in self.store.list_dir(self.log_path):
+            m = _COMPACTED_RE.match(name)
+            if m:
+                s, e = int(m.group(1)), int(m.group(2))
+                if start <= s and e <= end and e >= compacted.get(s, (-1, ""))[0]:
+                    compacted[s] = (e, os.path.join(self.log_path, name))
+        plan: list[tuple[int, int, Optional[str]]] = []
+        v = start
+        while v <= end:
+            if v in compacted:
+                e, p = compacted[v]
+                plan.append((v, e, p))
+                v = e + 1
+            else:
+                plan.append((v, v, None))
+                v += 1
+        return plan
+
+    def _apply_commit_range(self, snap: Snapshot, start: int, end: int) -> None:
+        commits = None
+        for s, e, path in self._replay_plan(start, end):
+            if path is None:
+                if commits is None:
+                    commits = set(self.list_commit_versions())
+                if s not in commits:
+                    raise ValueError(
+                        f"missing commit file version {s} in {self.log_path}")
+                snap.apply_actions(self.read_commit_actions(s))
+            else:
+                content = self.store.read(path)
+                snap.apply_actions([parse_action_line(line)
+                                    for line in content.splitlines()
+                                    if line.strip()])
+            snap.version = e
+
+    def compact_log(self, start: int, end: int) -> str:
+        """Write ``<start>.<end>.compacted.json``: the partial replay of
+        commits [start, end] — last file action per path wins, latest
+        Metadata/Protocol, latest txn per appId, latest domainMetadata
+        per domain; commitInfo is dropped (history still reads the
+        per-version jsons). At scale this turns a LIST+read of N small
+        jsons into one sequential read for cold snapshot construction
+        between checkpoints."""
+        if start > end:
+            raise ValueError(f"invalid compaction range [{start}, {end}]")
+        file_state: dict[str, dict] = {}   # path -> last {"add"|"remove": ...}
+        meta = proto = None
+        txns: dict[str, dict] = {}
+        domains: dict[str, dict] = {}
+        for v in range(start, end + 1):
+            content = self.store.read(self.commit_source(v))
+            for line in content.splitlines():
+                if not line.strip():
+                    continue
+                raw = json.loads(line)
+                if "add" in raw:
+                    file_state[raw["add"]["path"]] = {"add": raw["add"]}
+                elif "remove" in raw:
+                    file_state[raw["remove"]["path"]] = {"remove": raw["remove"]}
+                elif "metaData" in raw:
+                    meta = raw
+                elif "protocol" in raw:
+                    proto = raw
+                elif "txn" in raw:
+                    txns[raw["txn"]["appId"]] = raw
+                elif "domainMetadata" in raw:
+                    domains[raw["domainMetadata"]["domain"]] = raw
+        out = []
+        if proto:
+            out.append(proto)
+        if meta:
+            out.append(meta)
+        out.extend(txns.values())
+        out.extend(domains.values())
+        out.extend(file_state.values())
+        path = os.path.join(self.log_path,
+                            "%020d.%020d.compacted.json" % (start, end))
+        try:
+            self.store.write_atomic(
+                path,
+                "\n".join(json.dumps(r, separators=(",", ":")) for r in out))
+        except ConcurrentModificationException:
+            pass  # deterministic content — an existing file is identical
+        return path
+
     # ------------------------------------------------------ snapshots ----
 
     def update(self) -> Snapshot:
@@ -299,9 +413,7 @@ class DeltaLog:
             if self._snapshot is not None and self._snapshot.version < latest:
                 # incremental: apply only the new commits
                 snap = self._snapshot.clone_state()
-                for v in range(snap.version + 1, latest + 1):
-                    snap.apply_actions(self.read_commit_actions(v))
-                    snap.version = v
+                self._apply_commit_range(snap, snap.version + 1, latest)
                 snap.timestamp = self._commit_timestamp(latest)
                 self._snapshot = snap
                 return snap
@@ -328,11 +440,7 @@ class DeltaLog:
             ck = ckpts[-1]
             self._apply_checkpoint(snap, ck)
             start = ck + 1
-        commits = set(self.list_commit_versions())
-        for v in range(start, version + 1):
-            if v not in commits:
-                raise ValueError(f"missing commit file version {v} in {self.log_path}")
-            snap.apply_actions(self.read_commit_actions(v))
+        self._apply_commit_range(snap, start, version)
         snap.version = version
         snap.timestamp = self._commit_timestamp(version)
         return snap
@@ -420,6 +528,11 @@ class DeltaLog:
                 "delta.checkpoint.partSize", "0")) or None
         except (TypeError, ValueError):
             pass
+        policy = str(snap.configuration.get(
+            "delta.checkpointPolicy", "classic")).lower()
+        if policy == "v2":
+            self._write_v2_checkpoint(snap, rows, schema, part_size)
+            return
         if part_size and len(rows) > part_size:
             parts = -(-len(rows) // part_size)
             for i in range(parts):
@@ -446,10 +559,63 @@ class DeltaLog:
             f.write(json.dumps(last))
         os.replace(lc + ".tmp", lc)
 
+    def _write_v2_checkpoint(self, snap: Snapshot, rows: list[dict],
+                             schema, part_size: Optional[int]) -> None:
+        """V2 checkpoint (PROTOCOL.md V2 spec): file actions go to
+        uniquely-named sidecar parquets under ``_delta_log/_sidecars/``;
+        the uuid-named top-level checkpoint holds the non-file actions
+        plus ``checkpointMetadata`` and one ``sidecar`` pointer per
+        sidecar.  Readers list one small top file and can fan sidecar
+        scans out across executors — at millions of files this is what
+        keeps snapshot construction parallel."""
+        import uuid as _uuid
+
+        file_rows = [r for r in rows if "add" in r or "remove" in r]
+        top_rows = [r for r in rows if "add" not in r and "remove" not in r]
+        side_dir = os.path.join(self.log_path, SIDECAR_DIR)
+        os.makedirs(side_dir, exist_ok=True)
+        chunk = part_size or max(len(file_rows), 1)
+        sidecar_rows = []
+        for i in range(0, max(len(file_rows), 1), chunk):
+            piece = file_rows[i:i + chunk]
+            name = f"{_uuid.uuid4()}.parquet"
+            spath = os.path.join(side_dir, name)
+            cols = {n: [row.get(n) for row in piece] for n in schema.names}
+            pq.write_table(pa.Table.from_pydict(cols, schema=schema),
+                           spath + ".tmp")
+            os.replace(spath + ".tmp", spath)
+            st = os.stat(spath)
+            sidecar_rows.append({"sidecar": {
+                "path": name, "sizeInBytes": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000)}})
+        top = (top_rows
+               + [{"checkpointMetadata": {"version": snap.version}}]
+               + sidecar_rows)
+        cols = {n: [row.get(n) for row in top] for n in schema.names}
+        path = os.path.join(
+            self.log_path,
+            "%020d.checkpoint.%s.parquet" % (snap.version, _uuid.uuid4()))
+        pq.write_table(pa.Table.from_pydict(cols, schema=schema),
+                       path + ".tmp")
+        os.replace(path + ".tmp", path)
+        last = {"version": snap.version, "size": len(rows),
+                "checkpointSchema": None}
+        lc = os.path.join(self.log_path, "_last_checkpoint")
+        with open(lc + ".tmp", "w") as f:
+            f.write(json.dumps({k: v for k, v in last.items()
+                                if v is not None}))
+        os.replace(lc + ".tmp", lc)
+
     def _apply_checkpoint(self, snap: Snapshot, version: int) -> None:
         rows: list[dict] = []
         for path in self.checkpoint_paths(version):
             rows.extend(pq.read_table(path).to_pylist())
+        # V2: pull file actions in from the referenced sidecars
+        for row in list(rows):
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                spath = os.path.join(self.log_path, SIDECAR_DIR, sc["path"])
+                rows.extend(pq.read_table(spath).to_pylist())
         for row in rows:
             if row.get("protocol"):
                 p = row["protocol"]
@@ -582,10 +748,35 @@ class DeltaLog:
                     deleted += 1
             except OSError:
                 pass
+        for name in self.store.list_dir(self.log_path):
+            m = _COMPACTED_RE.match(name)
+            if not m or int(m.group(2)) >= ceiling:
+                continue
+            path = os.path.join(self.log_path, name)
+            try:
+                if os.stat(path).st_mtime * 1000 < cutoff:
+                    os.remove(path)
+                    deleted += 1
+            except OSError:
+                pass
         for c in checkpoints[:-1]:
             for path in self.checkpoint_paths(c):
                 try:
                     if os.stat(path).st_mtime * 1000 < cutoff:
+                        # v2 checkpoints own their sidecars (we never
+                        # share sidecars between checkpoints)
+                        if _V2_RE.match(os.path.basename(path)):
+                            for row in pq.read_table(
+                                    path, columns=["sidecar"]).to_pylist():
+                                sc = row.get("sidecar")
+                                if sc and sc.get("path"):
+                                    try:
+                                        os.remove(os.path.join(
+                                            self.log_path, SIDECAR_DIR,
+                                            sc["path"]))
+                                        deleted += 1
+                                    except OSError:
+                                        pass
                         os.remove(path)
                         deleted += 1
                 except OSError:

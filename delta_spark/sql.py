@@ -71,6 +71,19 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         res = DeltaTable.forPath(spark, _path_of(m)).restoreToTimestamp(m.group("ts"))
         return spark.createDataFrame([(str(res),)], "metrics: string")
 
+    m = re.fullmatch(rf"(?is)\s*REORG\s+TABLE\s+(?:{_PATH})\s+APPLY\s*\(\s*PURGE\s*\)\s*", s)
+    if m:
+        res = DeltaTable.forPath(spark, _path_of(m)).reorgPurge()
+        return spark.createDataFrame([(str(res),)], "metrics: string")
+
+    m = re.fullmatch(rf"(?is)\s*CREATE\s+TABLE\s+delta\.`(?P<dst>[^`]+)`\s+SHALLOW\s+CLONE\s+"
+                     rf"(?:{_PATH})(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*", s)
+    if m:
+        src = DeltaTable.forPath(spark, _path_of(m))
+        version = int(m.group("v")) if m.group("v") else None
+        src.clone(m.group("dst"), version=version)
+        return spark.createDataFrame([(m.group("dst"),)], "path: string")
+
     # ------------------------------------------------ ALTER TABLE verbs ----
     m = re.fullmatch(rf"(?is)\s*ALTER\s+TABLE\s+(?:{_PATH})\s+(?P<rest>.+?)\s*", s)
     if m:

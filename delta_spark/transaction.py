@@ -294,6 +294,9 @@ class OptimisticTransaction:
             writer_feats.add("inCommitTimestamp")
         if cfg.get("delta.enableIcebergCompatV2", "").lower() == "true":
             writer_feats.add("icebergCompatV2")
+        if cfg.get("delta.checkpointPolicy", "").lower() == "v2":
+            reader_feats.add("v2Checkpoint")
+            writer_feats.add("v2Checkpoint")
         if not reader_feats and not writer_feats:
             return
         cur = (next((a for a in actions if isinstance(a, Protocol)), None)

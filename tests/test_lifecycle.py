@@ -285,3 +285,112 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_table, sf_dir):
     DeltaLog.clear_cache()
     assert (snap.version
             not in DeltaLog.for_table(tmp_table).list_checkpoint_versions())
+
+
+def test_sql_reorg_and_clone(spark, tmp_table, tmp_path, sf_dir):
+    write_delta(load_table(spark, sf_dir, "part").limit(200), tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    t = f"delta.`{tmp_table}`"
+    delta_sql(spark, f"DELETE FROM {t} WHERE p_size > 30")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert any(f.deletionVector for f in snap.all_files)
+    delta_sql(spark, f"REORG TABLE {t} APPLY (PURGE)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert not any(f.deletionVector for f in snap.all_files)
+
+    dst = str(tmp_path / "cl")
+    delta_sql(spark, f"CREATE TABLE delta.`{dst}` SHALLOW CLONE {t} VERSION AS OF 0")
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 200
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_table, sf_dir):
+    """V2 checkpoints: uuid top-level file + _sidecars/ parquets,
+    replayed transparently; cleanup reclaims sidecars."""
+    import glob as _glob
+
+    src = load_table(spark, sf_dir, "lineitem").limit(500)
+    n = src.count()
+    write_delta(src.repartition(6), tmp_table,
+                configuration={"delta.checkpointPolicy": "v2",
+                               "delta.checkpoint.partSize": "3"})
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    assert "v2Checkpoint" in (snap.protocol.readerFeatures or [])
+    log.write_checkpoint(snap)
+    tops = _glob.glob(os.path.join(tmp_table, "_delta_log",
+                                   "*.checkpoint.*-*.parquet"))
+    sidecars = _glob.glob(os.path.join(tmp_table, "_delta_log",
+                                       "_sidecars", "*.parquet"))
+    assert len(tops) == 1 and len(sidecars) >= 2
+    assert snap.version in log.list_checkpoint_versions()
+
+    # replay exclusively through the v2 checkpoint
+    for v in log.list_commit_versions():
+        os.unlink(log.commit_file(v))
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == n
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    assert snap2.num_files == snap.num_files
+
+    # a later checkpoint + cleanup reclaims the old sidecars
+    write_delta(src.limit(10), tmp_table, mode="append")
+    log2 = DeltaLog.for_table(tmp_table)
+    log2.write_checkpoint(log2.update())
+    from delta_spark.util import current_time_millis
+    log2.cleanup_expired_logs(
+        now_ms=current_time_millis() + log2.log_retention_ms() + 60_000)
+    remaining_tops = _glob.glob(os.path.join(
+        tmp_table, "_delta_log", "*.checkpoint.*-*.parquet"))
+    assert len(remaining_tops) == 1
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == n + 10
+
+
+def test_minor_log_compaction(spark, tmp_table, sf_dir):
+    """<start>.<end>.compacted.json substitutes the per-version jsons
+    during replay; cleanup reclaims expired compactions."""
+    import glob as _glob
+
+    write_delta(load_table(spark, sf_dir, "customer").limit(100), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    for lo in (0, 200, 400):  # v1..v3 appends
+        write_delta(load_table(spark, sf_dir, "customer")
+                    .filter(f"c_custkey > {lo}").limit(40),
+                    tmp_table, mode="append")
+    dt.delete("c_custkey % 7 = 0")  # v4
+    log = DeltaLog.for_table(tmp_table)
+    expect = dt.toDF().count()
+    snap = log.update()
+    assert snap.version == 4
+
+    cpath = log.compact_log(1, 4)
+    assert os.path.basename(cpath).endswith(".compacted.json")
+    # idempotent re-run
+    assert log.compact_log(1, 4) == cpath
+
+    # drop the interior jsons (keep the tip for listing/timestamps):
+    # replay must go through the compaction or hit missing-commit errors
+    for v in range(1, 4):
+        os.unlink(log.commit_file(v))
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(tmp_table)
+    snap2 = log2.update()
+    assert snap2.version == 4
+    assert snap2.num_files == snap.num_files
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == expect
+    # incremental advance (update() path) across a compacted boundary
+    DeltaLog.clear_cache()
+    log3 = DeltaLog.for_table(tmp_table)
+    log3.snapshot_at(0)
+    assert log3.update().version == 4
+
+    # checkpoint later, then cleanup reclaims the expired compaction
+    write_delta(load_table(spark, sf_dir, "customer").limit(5),
+                tmp_table, mode="append")
+    log3.write_checkpoint(log3.update())
+    from delta_spark.util import current_time_millis
+    log3.cleanup_expired_logs(
+        now_ms=current_time_millis() + log3.log_retention_ms() + 60_000)
+    assert not _glob.glob(os.path.join(tmp_table, "_delta_log",
+                                       "*.compacted.json"))
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == expect + 5
