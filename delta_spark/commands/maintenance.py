@@ -60,11 +60,17 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
 
 
 def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] = None,
-           dry_run: bool = False) -> list[str]:
+           dry_run: bool = False, inventory=None) -> list[str]:
     """Delete unreferenced data files older than the retention window
     (VacuumCommand.gc). Hidden dirs (`_delta_log`, `_change_data`,
     staging) are protected by the underscore/dot rule, like the
-    reference. Returns the deleted (or would-delete) absolute paths."""
+    reference. Returns the deleted (or would-delete) absolute paths.
+
+    ``inventory``: optional DataFrame (path, length, isDir,
+    modificationTime) — the reference's VACUUM ... USING INVENTORY.
+    At 100 TB the recursive table listing dominates VACUUM cost; an
+    externally-maintained inventory (e.g. S3 Inventory) replaces it,
+    and the unreferenced-file anti-join runs distributed."""
     snapshot = log.update()
     retention_ms = (int(retention_hours * 3600 * 1000)
                     if retention_hours is not None else log.deleted_file_retention_ms())
@@ -89,20 +95,23 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
             valid.add(os.path.normpath(_abs(log.table_path, r.path)))
 
     candidates: list[str] = []
-    for root, dirs, files in os.walk(log.table_path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for name in files:
-            if name.startswith(("_", ".")):
-                continue
-            p = os.path.normpath(os.path.join(root, name))
-            if p in valid:
-                continue
-            try:
-                mtime = int(os.stat(p).st_mtime * 1000)
-            except OSError:
-                continue
-            if mtime < cutoff:
-                candidates.append(p)
+    if inventory is not None:
+        candidates = _inventory_candidates(spark, log, inventory, valid, cutoff)
+    else:
+        for root, dirs, files in os.walk(log.table_path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                p = os.path.normpath(os.path.join(root, name))
+                if p in valid:
+                    continue
+                try:
+                    mtime = int(os.stat(p).st_mtime * 1000)
+                except OSError:
+                    continue
+                if mtime < cutoff:
+                    candidates.append(p)
 
     # stale deletion-vector directories: reclaim DV dirs no active (or
     # retention-protected tombstoned) descriptor references
@@ -144,6 +153,40 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
     txn2.commit([], "VACUUM END", {"status": "COMPLETED"},
                 {"numDeletedFiles": str(deleted)})
     return candidates
+
+
+def _inventory_candidates(spark: SparkSession, log: DeltaLog, inventory,
+                          valid: set[str], cutoff: int) -> list[str]:
+    """Unreferenced-file selection from a user-supplied inventory
+    (VacuumCommand USING INVENTORY): normalize paths, drop dirs and
+    hidden (underscore/dot-segment) paths, anti-join the referenced set
+    distributed, collect only the victims."""
+    from pyspark.sql import functions as F
+
+    need = {"path", "length", "isDir", "modificationTime"}
+    if not need <= set(inventory.columns):
+        raise ValueError(
+            f"inventory needs columns {sorted(need)}, got {inventory.columns}")
+    root = os.path.normpath(log.table_path)
+    # absolutize relative paths against the table root, then require
+    # membership under it (the inventory may span many tables)
+    abs_path = F.when(
+        F.col("path").startswith("/") | F.col("path").contains("://"),
+        F.col("path")).otherwise(F.concat(F.lit(root + os.sep), F.col("path")))
+    cand = (inventory
+            .filter(~F.col("isDir"))
+            .filter(F.col("modificationTime") < F.lit(cutoff))
+            .select(abs_path.alias("p"))
+            .filter(F.col("p").startswith(root + os.sep))
+            # hidden rule: no path segment under the root starts with _ or .
+            .filter(~F.substring(F.col("p"), len(root) + 2, 10**6)
+                    .rlike(r"(^|/)[._]")))
+    valid_df = spark.createDataFrame([(v,) for v in sorted(valid)] or [("",)],
+                                     "p: string")
+    victims = (cand.join(F.broadcast(valid_df) if len(valid) < 500_000
+                         else valid_df, on="p", how="left_anti")
+               .collect())
+    return [os.path.normpath(r["p"]) for r in victims]
 
 
 def _remove_empty_dirs(root: str) -> None:

@@ -40,6 +40,12 @@ from delta_spark.writer import write_table_files
 DEFAULT_MAX_FILE_SIZE = 256 * 1024 * 1024   # reference default 1 GiB; smaller
 DEFAULT_MIN_FILE_SIZE = 128 * 1024 * 1024   # suits local bench scale
 DEFAULT_ZORDER_NUM_RANGES = 256              # reference default 1000
+# files produced by a clustering OPTIMIZE are stamped with the cube
+# they belong to (zorder/ZCubeInfo.scala ZCUBE_ID tag); a later
+# incremental OPTIMIZE only touches files outside any cube — at 100 TB
+# this is the difference between clustering the day's ingest and
+# rewriting the whole table every run
+ZCUBE_ID_TAG = "ZCUBE_ID"
 
 
 class OptimizeBuilder:
@@ -54,15 +60,23 @@ class OptimizeBuilder:
         return self
 
     def executeCompaction(self, max_file_size: int = DEFAULT_MAX_FILE_SIZE,
-                          min_file_size: Optional[int] = None) -> dict:
+                          min_file_size: Optional[int] = None,
+                          full: bool = False) -> dict:
         # clustered tables: OPTIMIZE re-clusters on the clustering
-        # columns (OptimizeTableStrategy clustering branch)
+        # columns (OptimizeTableStrategy clustering branch) —
+        # incrementally (only files not yet in a ZCube) unless FULL
         cols = self._clustering_columns()
         if cols:
             return _zorder(self.spark, self.log, cols, self.partition_filter,
-                           max_file_size, DEFAULT_ZORDER_NUM_RANGES)
+                           max_file_size, DEFAULT_ZORDER_NUM_RANGES,
+                           clustering=True, full=full)
         return _compact(self.spark, self.log, self.partition_filter,
                         max_file_size, min_file_size or max_file_size // 2)
+
+    def executeFull(self, max_file_size: int = DEFAULT_MAX_FILE_SIZE) -> dict:
+        """OPTIMIZE ... FULL: re-cluster every file of a clustered table,
+        including files already inside a ZCube."""
+        return self.executeCompaction(max_file_size=max_file_size, full=True)
 
     def _clustering_columns(self) -> list[str]:
         import json as _json
@@ -105,31 +119,67 @@ def _select_partitions(txn: OptimisticTransaction, partition_filter: Optional[st
     return groups
 
 
+def _dv_ratio(f: AddFile) -> float:
+    """Deleted-rows fraction of a file, from its DV cardinality and
+    numRecords stats (OptimizeTableCommand maxDeletedRowsRatio)."""
+    dv = f.deletionVector
+    if not dv or not dv.get("cardinality"):
+        return 0.0
+    try:
+        n = json.loads(f.stats or "{}").get("numRecords")
+    except (TypeError, ValueError):
+        n = None
+    if not n:
+        return 1.0  # DV present but no stats: assume worth rewriting
+    return float(dv["cardinality"]) / float(n)
+
+
 def _compact(spark: SparkSession, log: DeltaLog, partition_filter: Optional[str],
              max_file_size: int, min_file_size: int) -> dict:
     txn = OptimisticTransaction(log)
     snapshot = txn.snapshot
+    try:
+        max_dv_ratio = float(snapshot.configuration.get(
+            "delta.optimize.maxDeletedRowsRatio", "0.05"))
+    except (TypeError, ValueError):
+        max_dv_ratio = 0.05
     adds: list[AddFile] = []
     removes = []
     n_bins = 0
+    n_dv_purged = 0
     for _key, files in _select_partitions(txn, partition_filter).items():
-        small = [f for f in files if f.size < min_file_size]
-        if len(small) < 2:
-            continue
-        total = sum(f.size for f in small)
-        bins = max(1, math.ceil(total / max_file_size))
-        if bins >= len(small):
-            continue  # repacking wouldn't reduce file count
-        df = read_files_df(spark, snapshot, small)
+        # candidates: small files + files whose DV deletes exceed the
+        # ratio (their rewrite also materializes the DV — rows drop out
+        # in read_files_df, so the new files carry no DV)
+        dv_heavy = [f for f in files if _dv_ratio(f) > max_dv_ratio]
+        small = {f.path: f for f in files if f.size < min_file_size}
+        for f in dv_heavy:
+            small[f.path] = f
+        chosen = list(small.values())
+        if not dv_heavy:
+            if len(chosen) < 2:
+                continue
+            total = sum(f.size for f in chosen)
+            bins = max(1, math.ceil(total / max_file_size))
+            if bins >= len(chosen):
+                continue  # repacking wouldn't reduce file count
+        else:
+            if not chosen:
+                continue
+            total = sum(f.size for f in chosen)
+            bins = max(1, math.ceil(total / max_file_size))
+        df = read_files_df(spark, snapshot, chosen)
         new = write_table_files(df.repartition(bins), snapshot, data_change=False)
         adds.extend(new)
-        removes.extend(f.remove(data_change=False) for f in small)
-        txn.read_files.update(f.path for f in small)
+        removes.extend(f.remove(data_change=False) for f in chosen)
+        txn.read_files.update(f.path for f in chosen)
         n_bins += bins
+        n_dv_purged += sum(1 for f in chosen if f.deletionVector)
     metrics = {
         "numRemovedFiles": str(len(removes)),
         "numAddedFiles": str(len(adds)),
         "numBatches": str(n_bins),
+        "numDeletionVectorsRemoved": str(n_dv_purged),
     }
     if not adds and not removes:
         return {"version": txn.read_version, **metrics}
@@ -228,7 +278,11 @@ def range_id_column_from(value: Column, boundaries: list) -> Column:
 
 
 def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
-            partition_filter: Optional[str], max_file_size: int, num_ranges: int) -> dict:
+            partition_filter: Optional[str], max_file_size: int,
+            num_ranges: int, clustering: bool = False,
+            full: bool = True) -> dict:
+    import uuid as _uuid
+
     txn = OptimisticTransaction(log)
     snapshot = txn.snapshot
     if not cols:
@@ -242,6 +296,12 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
     adds: list[AddFile] = []
     removes = []
     for _key, files in _select_partitions(txn, partition_filter).items():
+        if clustering and not full:
+            # incremental: only files not yet in a cube (new ingest,
+            # DML rewrites); files with a ZCUBE_ID are already ordered
+            files = [f for f in files if not (f.tags or {}).get(ZCUBE_ID_TAG)]
+            if len(files) < 2:
+                continue
         total = sum(f.size for f in files)
         n_out = max(1, math.ceil(total / max_file_size))
         df = read_files_df(spark, snapshot, files)
@@ -250,6 +310,11 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
                      .sortWithinPartitions(zcol)
                      .drop(zcol))
         new = write_table_files(clustered, snapshot, data_change=False)
+        if clustering:
+            cube = str(_uuid.uuid4())
+            for a in new:
+                a.tags = dict(a.tags or {})
+                a.tags[ZCUBE_ID_TAG] = cube
         adds.extend(new)
         removes.extend(f.remove(data_change=False) for f in files)
         txn.read_files.update(f.path for f in files)
@@ -257,5 +322,8 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
     if not adds:
         return {"version": txn.read_version, **metrics}
     v = txn.commit(list(adds) + list(removes), "OPTIMIZE",
-                   {"zOrderBy": json.dumps(cols)}, metrics)
+                   {"zOrderBy": json.dumps(cols),
+                    **({"clusterBy": json.dumps(cols)} if clustering else {}),
+                    **({"isFull": "true"} if clustering and full else {})},
+                   metrics)
     return {"version": v, **metrics}

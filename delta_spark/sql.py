@@ -30,15 +30,20 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
     else → spark.sql."""
     s = statement.strip().rstrip(";")
 
-    m = re.fullmatch(rf"(?is)\s*VACUUM\s+(?:{_PATH})(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS)?"
+    m = re.fullmatch(rf"(?is)\s*VACUUM\s+(?:{_PATH})"
+                     rf"(?:\s+USING\s+INVENTORY\s+delta\.`(?P<inv>[^`]+)`)?"
+                     rf"(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS)?"
                      rf"(?P<dry>\s+DRY\s+RUN)?\s*", s)
     if m:
         dt = DeltaTable.forPath(spark, _path_of(m))
         hours = float(m.group("hours")) if m.group("hours") else None
-        paths = dt.vacuum(hours, dry_run=bool(m.group("dry")))
+        inv = (DeltaTable.forPath(spark, m.group("inv")).toDF()
+               if m.group("inv") else None)
+        paths = dt.vacuum(hours, dry_run=bool(m.group("dry")), inventory=inv)
         return spark.createDataFrame([(p,) for p in paths] or [], "path: string")
 
-    m = re.fullmatch(rf"(?is)\s*OPTIMIZE\s+(?:{_PATH})(?:\s+WHERE\s+(?P<where>.+?))?"
+    m = re.fullmatch(rf"(?is)\s*OPTIMIZE\s+(?:{_PATH})(?P<full>\s+FULL)?"
+                     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
                      rf"(?:\s+ZORDER\s+BY\s+\((?P<zcols>[^)]+)\))?\s*", s)
     if m:
         dt = DeltaTable.forPath(spark, _path_of(m))
@@ -48,6 +53,8 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         if m.group("zcols"):
             cols = [c.strip().strip("`") for c in m.group("zcols").split(",")]
             res = b.executeZOrderBy(*cols)
+        elif m.group("full"):
+            res = b.executeFull()
         else:
             res = b.executeCompaction()
         return spark.createDataFrame([(str(res),)], "metrics: string")
@@ -135,6 +142,16 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         if am:
             return dt.dropCheckConstraint(am.group("n"))
 
+        am = re.fullmatch(r"(?is)SYNC\s+IDENTITY", rest)
+        if am:
+            return dt.syncIdentity()
+        am = re.fullmatch(r"(?is)CLUSTER\s+BY\s+NONE", rest)
+        if am:
+            return dt.alterClusterBy(None)
+        am = re.fullmatch(r"(?is)CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)", rest)
+        if am:
+            cols = [c.strip().strip("`") for c in am.group("cols").split(",")]
+            return dt.alterClusterBy(cols)
         am = re.fullmatch(r"(?is)DROP\s+FEATURE\s+`?(?P<f>\w+)`?(?P<tr>\s+TRUNCATE\s+HISTORY)?", rest)
         if am:
             return dt.dropFeature(am.group("f"),

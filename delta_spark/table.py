@@ -222,8 +222,10 @@ class DeltaTable:
     def optimize(self) -> OptimizeBuilder:
         return OptimizeBuilder(self.spark, self.log)
 
-    def vacuum(self, retention_hours: Optional[float] = None, dry_run: bool = False) -> list[str]:
-        return vacuum(self.spark, self.log, retention_hours, dry_run)
+    def vacuum(self, retention_hours: Optional[float] = None, dry_run: bool = False,
+               inventory: Optional[DataFrame] = None) -> list[str]:
+        return vacuum(self.spark, self.log, retention_hours, dry_run,
+                      inventory=inventory)
 
     def restoreToVersion(self, version: int) -> dict:
         return restore(self.spark, self.log, version=version)
@@ -534,6 +536,66 @@ class DeltaTable:
                 raise ValueError("cannot drop the last column")
             return T.StructType(remaining)
         return self._update_schema(f, "DROP COLUMNS", {"columns": json.dumps([name])})
+
+    def syncIdentity(self) -> int:
+        """ALTER TABLE ... SYNC IDENTITY (IdentityColumn.scala:53,
+        grammar DeltaSqlBase.g4:94): advance each identity column's high
+        watermark to the max value present in the table, so generation
+        resumes past explicitly-inserted values. One metadata-only
+        commit; the max is a stats-friendly distributed agg."""
+        from delta_spark.schema import (
+            IDENTITY_HIGH_WATERMARK_KEY,
+            identity_info,
+        )
+
+        snap = self.log.update()
+        info = identity_info(snap.schema)
+        if not info:
+            raise ValueError("table has no identity columns")
+        row = self.toDF().agg(
+            *[F.max(c).alias(c) for c in info]).collect()[0].asDict()
+
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            fields = []
+            for fl in schema.fields:
+                if fl.name in info and row.get(fl.name) is not None:
+                    md = dict(fl.metadata or {})
+                    step = info[fl.name]["step"]
+                    cur = md.get(IDENTITY_HIGH_WATERMARK_KEY)
+                    new_hwm = int(row[fl.name])
+                    # the watermark only ever advances in step direction
+                    if cur is None or (new_hwm - int(cur)) * step > 0:
+                        md[IDENTITY_HIGH_WATERMARK_KEY] = new_hwm
+                    fields.append(T.StructField(fl.name, fl.dataType,
+                                                fl.nullable, md))
+                else:
+                    fields.append(fl)
+            return T.StructType(fields)
+
+        return self._update_schema(f, "SYNC IDENTITY",
+                                   {"columns": json.dumps(sorted(info))})
+
+    def alterClusterBy(self, cols: Optional[list[str]]) -> int:
+        """ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE
+        (alterDeltaTableCommands.scala clustering branch): swap the
+        clustering columns in the `delta.clustering` metadata domain.
+        Metadata-only; data is re-clustered by the next OPTIMIZE."""
+        from delta_spark.actions import DomainMetadata
+
+        txn = OptimisticTransaction(self.log)
+        if txn.metadata is None:
+            raise ValueError("table does not exist")
+        names = {f.name for f in txn.snapshot.schema.fields}
+        for c in cols or []:
+            if c not in names:
+                raise ValueError(f"unknown clustering column {c!r}")
+        dm = DomainMetadata(
+            domain="delta.clustering",
+            configuration=json.dumps({"clusteringColumns": list(cols or [])}),
+            removed=False)
+        return txn.commit([dm], "CLUSTER BY",
+                          {"clusterBy": json.dumps(list(cols or []))})
 
     def _update_metadata(self, config_fn, op: str, params: dict) -> int:
         txn = OptimisticTransaction(self.log)

@@ -428,3 +428,16 @@ class OptimisticTransaction:
             except Exception:
                 # checkpointing is best-effort (CheckpointHook semantics)
                 pass
+        # minor log compaction hook (opt-in): every N commits, collapse
+        # the trailing N jsons into one <s>.<e>.compacted.json so cold
+        # replay between checkpoints is one read instead of N
+        try:
+            interval = int(snap.configuration.get(
+                "delta_spark.logCompaction.interval", "0"))
+        except (TypeError, ValueError):
+            interval = 0
+        if interval > 1 and version > 0 and (version + 1) % interval == 0:
+            try:
+                self.log.compact_log(version - interval + 1, version)
+            except Exception:
+                pass  # best-effort, like checkpointing

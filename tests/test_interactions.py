@@ -115,3 +115,162 @@ def test_v2_checkpoint_time_travel_and_restore(spark, tmp_table, sf_dir):
     dt.restoreToVersion(1)
     n1 = dt.toDF().count()
     assert n1 == part.filter("NOT coalesce(p_size > 25, false)").count()
+
+
+def test_auto_log_compaction_hook(spark, tmp_table, sf_dir):
+    """delta_spark.logCompaction.interval=N writes a compaction every N
+    commits from the post-commit hook."""
+    cust = load_table(spark, sf_dir, "customer").limit(60)
+    write_delta(cust, tmp_table,
+                configuration={"delta_spark.logCompaction.interval": "3"})
+    for _ in range(5):                   # v1..v5
+        write_delta(cust.limit(5), tmp_table, mode="append")
+    compacted = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(tmp_table, "_delta_log", "*.compacted.json")))
+    assert compacted == [
+        "%020d.%020d.compacted.json" % (0, 2),
+        "%020d.%020d.compacted.json" % (3, 5),
+    ]
+    # interior jsons are substitutable immediately
+    os.unlink(DeltaLog.for_table(tmp_table).commit_file(4))
+    DeltaLog.clear_cache()
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 60 + 25
+
+
+def test_incremental_clustering_and_optimize_full(spark, tmp_table, sf_dir):
+    """Clustered-table OPTIMIZE is incremental: files already stamped
+    with a ZCUBE_ID are left alone; OPTIMIZE FULL rewrites everything."""
+    from delta_spark.commands.optimize import ZCUBE_ID_TAG
+    from delta_spark.sql import delta_sql
+    from delta_spark.table import DeltaTable as DT
+
+    (DT.create(spark).location(tmp_table).addColumn("k", "long")
+     .addColumn("v", "double").clusterBy("k").execute())
+    write_delta(spark.range(2000).selectExpr("id AS k", "rand(1) AS v")
+                .repartition(4), tmp_table, mode="append")
+    dt = DT.forPath(spark, tmp_table)
+    dt.optimize().executeCompaction()
+    snap = DeltaLog.for_table(tmp_table).update()
+    cubes = {(f.tags or {}).get(ZCUBE_ID_TAG) for f in snap.all_files}
+    assert None not in cubes and len(cubes) == 1
+
+    # new ingest lands un-cubed; incremental OPTIMIZE only touches it
+    write_delta(spark.range(2000, 3000).selectExpr("id AS k", "rand(2) AS v")
+                .repartition(3), tmp_table, mode="append")
+    res = dt.optimize().executeCompaction()
+    assert int(res["numRemovedFiles"]) == 3  # only the fresh files
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert len({(f.tags or {}).get(ZCUBE_ID_TAG) for f in snap.all_files}) == 2
+
+    # FULL (via SQL) merges everything into one new cube
+    delta_sql(spark, f"OPTIMIZE delta.`{tmp_table}` FULL")
+    snap = DeltaLog.for_table(tmp_table).update()
+    cubes = {(f.tags or {}).get(ZCUBE_ID_TAG) for f in snap.all_files}
+    assert None not in cubes and len(cubes) == 1
+    assert dt.toDF().count() == 3000
+
+    # ALTER TABLE ... CLUSTER BY swaps the clustering columns
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` CLUSTER BY (v)")
+    import json as _json
+    dm = DeltaLog.for_table(tmp_table).update().domain_metadata["delta.clustering"]
+    assert _json.loads(dm.configuration)["clusteringColumns"] == ["v"]
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` CLUSTER BY NONE")
+    dm = DeltaLog.for_table(tmp_table).update().domain_metadata["delta.clustering"]
+    assert _json.loads(dm.configuration)["clusteringColumns"] == []
+
+
+def test_sync_identity(spark, tmp_table, sf_dir):
+    """ALTER TABLE ... SYNC IDENTITY advances the watermark past
+    explicitly-inserted values so generation doesn't collide."""
+    from pyspark.sql import types as T
+    from delta_spark.schema import (
+        IDENTITY_ALLOW_EXPLICIT_KEY,
+        IDENTITY_HIGH_WATERMARK_KEY,
+        IDENTITY_START_KEY,
+        IDENTITY_STEP_KEY,
+        identity_info,
+    )
+    from delta_spark.sql import delta_sql
+    from delta_spark.table import DeltaTable as DT
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), True,
+                      {IDENTITY_START_KEY: 1, IDENTITY_STEP_KEY: 1,
+                       IDENTITY_ALLOW_EXPLICIT_KEY: True}),
+        T.StructField("name", T.StringType(), True),
+    ])
+    DT.create(spark).location(tmp_table).addColumns(schema).execute()
+    # explicit insert far past the generator's position
+    write_delta(spark.createDataFrame([(5000, "x"), (7000, "y")],
+                                      "rid long, name string"),
+                tmp_table, mode="append")
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` SYNC IDENTITY")
+    info = identity_info(DeltaLog.for_table(tmp_table).update().schema)
+    assert info["rid"]["highWaterMark"] == 7000
+    # generated values now continue past 7000
+    write_delta(spark.createDataFrame([("a",), ("b",)], "name string"),
+                tmp_table, mode="append")
+    vals = [r["rid"] for r in DT.forPath(spark, tmp_table).toDF()
+            .select("rid").collect()]
+    assert len(set(vals)) == 4 and min(set(vals) - {5000, 7000}) > 7000
+
+
+def test_vacuum_using_inventory(spark, tmp_table, sf_dir):
+    """VACUUM ... USING INVENTORY: candidates come from the supplied
+    (path,length,isDir,modificationTime) DataFrame, not a tree walk."""
+    cust = load_table(spark, sf_dir, "customer").limit(100)
+    write_delta(cust, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("c_custkey % 2 = 0")       # rewrite → tombstoned originals
+    # an orphan the log never saw
+    orphan = os.path.join(tmp_table, "orphan-file.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    old = current_time_millis() - 10 * 24 * 3600 * 1000
+
+    def inv_rows():
+        rows = []
+        for root, dirs, files in os.walk(tmp_table):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in files:
+                p = os.path.join(root, name)
+                rows.append((p, os.path.getsize(p), False, old))
+        return rows
+
+    inv = spark.createDataFrame(
+        inv_rows(), "path string, length long, isDir boolean, modificationTime long")
+    victims = dt.vacuum(0.0, dry_run=True, inventory=inv)
+    assert orphan in victims
+    tombs = {os.path.join(tmp_table, r.path) for r in
+             DeltaLog.for_table(tmp_table).update().tombstones.values()}
+    assert tombs and tombs <= set(victims)
+    # active files never appear
+    active = {os.path.join(tmp_table, f.path) for f in
+              DeltaLog.for_table(tmp_table).update().all_files}
+    assert not (active & set(victims))
+    # real deletion via SQL still reads fine
+    from delta_spark.sql import delta_sql
+    write_delta(inv, tmp_table + "_inv")
+    delta_sql(spark, f"VACUUM delta.`{tmp_table}` USING INVENTORY "
+                     f"delta.`{tmp_table}_inv` RETAIN 0 HOURS")
+    assert not os.path.exists(orphan)
+    assert dt.toDF().count() == cust.filter("c_custkey % 2 != 0").count()
+
+
+def test_optimize_purges_dv_heavy_files(spark, tmp_table, sf_dir):
+    """Compaction also rewrites files whose deleted-rows ratio exceeds
+    delta.optimize.maxDeletedRowsRatio, materializing their DVs."""
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    write_delta(li.repartition(1), tmp_table,
+                configuration={"delta.enableDeletionVectors": "true",
+                               "delta.optimize.maxDeletedRowsRatio": "0.05"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 25")         # well over 5% of rows via DV
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert any(f.deletionVector for f in snap.all_files)
+    expect = dt.toDF().count()
+    res = dt.optimize().executeCompaction()
+    assert int(res["numDeletionVectorsRemoved"]) >= 1
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    assert not any(f.deletionVector for f in snap2.all_files)
+    assert dt.toDF().count() == expect
