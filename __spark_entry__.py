@@ -259,6 +259,67 @@ def q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
 
 
+def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 (sidecar) checkpoints: after DELETE + checkpoint, the commit
+    jsons are removed so state replays exclusively from the uuid-named
+    top file + `_delta_log/_sidecars/` parquets (PROTOCOL.md V2)."""
+    def b(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "supplier"), path,
+                    configuration={"delta.checkpointPolicy": "v2",
+                                   "delta.checkpoint.partSize": "8"})
+        DeltaTable.forPath(spark, path).delete("s_acctbal < 0")
+        log = DeltaLog.for_table(path)
+        log.write_checkpoint(log.update())
+        for v in log.list_commit_versions():
+            os.unlink(log.commit_file(v))
+        DeltaLog.clear_cache()
+    p = _table(spark, sf_dir, "supp_v2ckpt", b)
+    return (_dt(spark, p).toDF()
+            .groupBy((F.col("s_nationkey") % 5).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+
+
+def q_delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor log compaction: a `<s>.<e>.compacted.json` replaces the
+    interior commit jsons during replay (they are deleted here to prove
+    the compaction is what serves the read)."""
+    def b(spark, sf_dir, path):
+        cust = load_table(spark, sf_dir, "customer")
+        write_delta(cust.filter("c_custkey % 3 = 0"), path)
+        write_delta(cust.filter("c_custkey % 3 = 1"), path, mode="append")
+        write_delta(cust.filter("c_custkey % 3 = 2"), path, mode="append")
+        DeltaTable.forPath(spark, path).delete("c_acctbal < 0")
+        log = DeltaLog.for_table(path)
+        log.compact_log(1, 3)
+        for v in (1, 2):
+            os.unlink(log.commit_file(v))
+        DeltaLog.clear_cache()
+    p = _table(spark, sf_dir, "cust_logcompact", b)
+    return (_dt(spark, p).toDF().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+
+
+def q_delta_clustered_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-table lifecycle: ALTER CLUSTER BY, an incremental
+    OPTIMIZE (new files only, ZCUBE_ID-tagged), then OPTIMIZE FULL —
+    all content-preserving."""
+    def b(spark, sf_dir, path):
+        part = load_table(spark, sf_dir, "part")
+        write_delta(part.filter("p_partkey % 2 = 0"), path)
+        dtt = DeltaTable.forPath(spark, path)
+        dtt.alterClusterBy(["p_size", "p_partkey"])
+        dtt.optimize().executeCompaction()
+        write_delta(part.filter("p_partkey % 2 = 1"), path, mode="append")
+        dtt.optimize().executeCompaction()   # incremental: only new files
+        dtt.optimize().executeFull()
+    p = _table(spark, sf_dir, "part_clustered", b)
+    return (_dt(spark, p).toDF().groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)").alias("price")))
+
+
 def q_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERT TO DELTA over a plain parquet directory."""
     def b(spark, sf_dir, path):
@@ -808,6 +869,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_restore": q_delta_restore,
         "delta_clone": q_delta_clone,
         "delta_convert": q_delta_convert,
+        "delta_v2_checkpoint": q_delta_v2_checkpoint,
+        "delta_log_compaction": q_delta_log_compaction,
+        "delta_clustered_optimize": q_delta_clustered_optimize,
         "delta_optimize_compact": q_delta_optimize_compact,
         "delta_zorder": q_delta_zorder,
         "delta_replace_where": q_delta_replace_where,
@@ -1000,6 +1064,20 @@ def oracle_sql() -> dict[str, str]:
         "delta_convert": """
             SELECT count(*) AS n, CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
             FROM supplier""",
+        "delta_v2_checkpoint": """
+            SELECT s_nationkey % 5 AS g, count(*) AS n,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM supplier WHERE NOT coalesce(s_acctbal < 0, false)
+            GROUP BY s_nationkey % 5""",
+        "delta_log_compaction": """
+            SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM customer WHERE NOT coalesce(c_acctbal < 0, false)
+            GROUP BY c_mktsegment""",
+        "delta_clustered_optimize": """
+            SELECT p_brand, count(*) AS n,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+            FROM part GROUP BY p_brand""",
         "delta_optimize_compact": """
             SELECT l_linestatus, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
