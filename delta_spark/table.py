@@ -48,6 +48,19 @@ def _cond_to_sql(condition: Union[str, Column, None]) -> Optional[str]:
         raise ValueError("pass conditions as SQL strings") from e
 
 
+def _df_alias(df: DataFrame) -> Optional[str]:
+    """Top-level alias of `df.alias("s")`, so
+    `target.alias("t").merge(source.alias("s"), "t.k = s.k")` resolves
+    like the reference API, where aliases ride on the DataFrames."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "SubqueryAlias":
+            return str(plan.identifier().name())
+    except Exception:
+        pass
+    return None
+
+
 class DeltaTable:
     def __init__(self, spark: SparkSession, log: DeltaLog):
         self.spark = spark
@@ -145,6 +158,8 @@ class DeltaTable:
 
     def merge(self, source: DataFrame, condition: Union[str, Column],
               source_alias: str = "source", target_alias: str = "target") -> MergeBuilder:
+        if source_alias == "source":
+            source_alias = _df_alias(source) or "source"
         return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),
                             source_alias, target_alias)
 
@@ -630,6 +645,8 @@ class AliasedDeltaTable(DeltaTable):
 
     def merge(self, source: DataFrame, condition: Union[str, Column],
               source_alias: str = "source", target_alias: Optional[str] = None) -> MergeBuilder:
+        if source_alias == "source":
+            source_alias = _df_alias(source) or "source"
         return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),
                             source_alias, target_alias or self._alias)
 

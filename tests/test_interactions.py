@@ -274,3 +274,21 @@ def test_optimize_purges_dv_heavy_files(spark, tmp_table, sf_dir):
     snap2 = DeltaLog.for_table(tmp_table).update()
     assert not any(f.deletionVector for f in snap2.all_files)
     assert dt.toDF().count() == expect
+
+
+def test_merge_source_dataframe_alias(spark, tmp_table, sf_dir):
+    """Reference-API aliasing: `target.alias("t").merge(src.alias("s"),
+    "t.k = s.k")` — the source alias rides on the DataFrame."""
+    ords = load_table(spark, sf_dir, "orders").limit(200)
+    write_delta(ords, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = (ords.filter("o_orderkey % 2 = 0")
+           .selectExpr("o_orderkey", "o_totalprice * 2 AS newprice").alias("s"))
+    (dt.alias("t").merge(src, "t.o_orderkey = s.o_orderkey")
+     .whenMatchedUpdate({"o_totalprice": "s.newprice"})
+     .execute())
+    got = dt.toDF().filter("o_orderkey % 2 = 0") \
+        .agg(F.sum("o_totalprice")).collect()[0][0]
+    want = ords.filter("o_orderkey % 2 = 0") \
+        .agg(F.sum(F.col("o_totalprice") * 2)).collect()[0][0]
+    assert got == pytest.approx(want)
