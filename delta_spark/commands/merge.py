@@ -46,6 +46,30 @@ class MergeError(Exception):
     pass
 
 
+def _sqlify(x):
+    """Column → SQL text (reference API accepts Column or str)."""
+    if x is None or isinstance(x, str):
+        return x
+    try:
+        spark = SparkSession.getActiveSession()
+        return str(spark._jsparkSession.expression(x._jc).sql())
+    except Exception as e:
+        raise MergeError("pass expressions as SQL strings or Columns") from e
+
+
+def _set_and_cond(a, b):
+    """Accept BOTH argument orders: ours is (set, condition); the
+    reference Python API (tables.py whenMatchedUpdate, ...) is
+    (condition, set). The dict is unambiguous, so dispatch on it."""
+    if isinstance(a, dict):
+        d, c = a, b
+    elif isinstance(b, dict):
+        d, c = b, a
+    else:
+        raise MergeError("a {column: expression} dict is required")
+    return {k: _sqlify(v) for k, v in d.items()}, _sqlify(c)
+
+
 class _Clause:
     __slots__ = ("kind", "condition", "values")
 
@@ -74,33 +98,35 @@ class MergeBuilder:
 
     # -- builder surface --------------------------------------------------
 
-    def whenMatchedUpdate(self, set: dict[str, str], condition: Optional[str] = None) -> "MergeBuilder":
+    def whenMatchedUpdate(self, set=None, condition=None) -> "MergeBuilder":
+        set, condition = _set_and_cond(set, condition)
         self.matched.append(_Clause("update", condition, set))
         return self
 
-    def whenMatchedUpdateAll(self, condition: Optional[str] = None) -> "MergeBuilder":
-        self.matched.append(_Clause("update", condition, {"*": "*"}))
+    def whenMatchedUpdateAll(self, condition=None) -> "MergeBuilder":
+        self.matched.append(_Clause("update", _sqlify(condition), {"*": "*"}))
         return self
 
-    def whenMatchedDelete(self, condition: Optional[str] = None) -> "MergeBuilder":
-        self.matched.append(_Clause("delete", condition, None))
+    def whenMatchedDelete(self, condition=None) -> "MergeBuilder":
+        self.matched.append(_Clause("delete", _sqlify(condition), None))
         return self
 
-    def whenNotMatchedInsert(self, values: dict[str, str], condition: Optional[str] = None) -> "MergeBuilder":
+    def whenNotMatchedInsert(self, values=None, condition=None) -> "MergeBuilder":
+        values, condition = _set_and_cond(values, condition)
         self.not_matched.append(_Clause("insert", condition, values))
         return self
 
-    def whenNotMatchedInsertAll(self, condition: Optional[str] = None) -> "MergeBuilder":
-        self.not_matched.append(_Clause("insert", condition, {"*": "*"}))
+    def whenNotMatchedInsertAll(self, condition=None) -> "MergeBuilder":
+        self.not_matched.append(_Clause("insert", _sqlify(condition), {"*": "*"}))
         return self
 
-    def whenNotMatchedBySourceUpdate(self, set: dict[str, str],
-                                     condition: Optional[str] = None) -> "MergeBuilder":
+    def whenNotMatchedBySourceUpdate(self, set=None, condition=None) -> "MergeBuilder":
+        set, condition = _set_and_cond(set, condition)
         self.not_matched_by_source.append(_Clause("update", condition, set))
         return self
 
-    def whenNotMatchedBySourceDelete(self, condition: Optional[str] = None) -> "MergeBuilder":
-        self.not_matched_by_source.append(_Clause("delete", condition, None))
+    def whenNotMatchedBySourceDelete(self, condition=None) -> "MergeBuilder":
+        self.not_matched_by_source.append(_Clause("delete", _sqlify(condition), None))
         return self
 
     def withSchemaEvolution(self) -> "MergeBuilder":

@@ -41,11 +41,26 @@ from delta_spark.util import current_time_millis, schema_from_json, schema_to_js
 def _cond_to_sql(condition: Union[str, Column, None]) -> Optional[str]:
     if condition is None or isinstance(condition, str):
         return condition
-    # classic-mode Column → SQL text of the underlying expression
+    # classic-mode Column → SQL text of the underlying expression.
+    # Spark 4's java Column has no .expr(); the session-side converter
+    # (SparkSession.expression) yields SQL the parser round-trips.
     try:
-        return condition._jc.expr().sql()
+        spark = SparkSession.getActiveSession()
+        return str(spark._jsparkSession.expression(condition._jc).sql())
     except Exception as e:  # pragma: no cover
         raise ValueError("pass conditions as SQL strings") from e
+
+
+def _set_and_cond(a, b):
+    """Accept BOTH argument orders for update-style calls: ours is
+    (set, condition); the reference Python API (tables.py `update`,
+    `whenMatchedUpdate`, ...) is (condition, set). The dict is
+    unambiguous, so dispatch on it."""
+    if isinstance(a, dict):
+        return a, b
+    if isinstance(b, dict):
+        return b, a
+    raise ValueError("a {column: expression} dict is required")
 
 
 def _df_alias(df: DataFrame) -> Optional[str]:
@@ -151,8 +166,9 @@ class DeltaTable:
     def delete(self, condition: Union[str, Column, None] = None) -> int:
         return execute_delete(self.spark, self.log, _cond_to_sql(condition))
 
-    def update(self, set: dict[str, Union[str, Column]],
-               condition: Union[str, Column, None] = None) -> int:
+    def update(self, set: Union[dict, str, Column, None] = None,
+               condition: Union[str, Column, dict, None] = None) -> int:
+        set, condition = _set_and_cond(set, condition)
         set_sql = {k: (v if isinstance(v, str) else _cond_to_sql(v)) for k, v in set.items()}
         return execute_update(self.spark, self.log, set_sql, _cond_to_sql(condition))
 
@@ -282,6 +298,38 @@ class DeltaTable:
                                 "variantType"}
     _DROPPABLE_WRITER = {"rowTracking", "inCommitTimestamp",
                          "icebergCompatV2"}
+
+    # feature registry (TableFeature.scala): which protocol leg carries
+    # each supported feature
+    _READER_WRITER_FEATURES = {"deletionVectors", "typeWidening",
+                               "variantType", "columnMapping",
+                               "timestampNtz", "v2Checkpoint"}
+    _WRITER_FEATURES = {"appendOnly", "invariants", "checkConstraints",
+                        "generatedColumns", "changeDataFeed",
+                        "identityColumns", "rowTracking",
+                        "domainMetadata", "icebergCompatV2",
+                        "inCommitTimestamp", "clustering"}
+
+    def addFeatureSupport(self, feature_name: str) -> int:
+        """io.delta.tables addFeatureSupport (python tables.py:608):
+        upgrade to the table-features protocol and mark the named
+        feature supported. Metadata-only commit."""
+        if feature_name in self._READER_WRITER_FEATURES:
+            r_feats, w_feats = {feature_name}, {feature_name}
+        elif feature_name in self._WRITER_FEATURES:
+            r_feats, w_feats = set(), {feature_name}
+        else:
+            raise ValueError(f"unknown table feature {feature_name!r}")
+        txn = OptimisticTransaction(self.log)
+        p = txn.snapshot.protocol or Protocol()
+        new = Protocol(
+            minReaderVersion=max(p.minReaderVersion, 3 if r_feats else
+                                 p.minReaderVersion),
+            minWriterVersion=max(p.minWriterVersion, 7),
+            readerFeatures=sorted(set(p.readerFeatures or []) | r_feats) or None,
+            writerFeatures=sorted(set(p.writerFeatures or []) | w_feats) or None)
+        return txn.commit([new], "ADD FEATURE SUPPORT",
+                          {"feature": feature_name})
 
     def dropFeature(self, name: str, truncate_history: bool = False) -> int:
         """ALTER TABLE DROP FEATURE (AlterTableDropFeatureDeltaCommand):

@@ -292,3 +292,46 @@ def test_merge_source_dataframe_alias(spark, tmp_table, sf_dir):
     want = ords.filter("o_orderkey % 2 = 0") \
         .agg(F.sum(F.col("o_totalprice") * 2)).collect()[0][0]
     assert got == pytest.approx(want)
+
+
+def test_reference_argument_orders(spark, tmp_table, sf_dir):
+    """The reference Python API passes (condition, set) and accepts
+    Column expressions; both must work alongside our (set, condition)."""
+    ords = load_table(spark, sf_dir, "orders").limit(100)
+    write_delta(ords, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    # reference order: update(condition, set), Column condition
+    dt.update(F.expr("o_orderkey % 2 = 0"), {"o_totalprice": "0.0"})
+    assert dt.toDF().filter("o_orderkey % 2 = 0 AND o_totalprice != 0").count() == 0
+    # reference order in merge clauses, Column values
+    src = ords.filter("o_orderkey % 3 = 0") \
+        .selectExpr("o_orderkey", "o_totalprice AS tp").alias("s")
+    (dt.alias("t").merge(src, "t.o_orderkey = s.o_orderkey")
+     .whenMatchedUpdate("s.tp > 0", {"o_totalprice": F.expr("s.tp * 10")})
+     .execute())
+    got = dt.toDF().filter("o_orderkey % 3 = 0 AND o_orderkey % 2 = 1") \
+        .agg(F.sum("o_totalprice")).collect()[0][0]
+    want = ords.filter("o_orderkey % 3 = 0 AND o_orderkey % 2 = 1") \
+        .agg(F.sum(F.col("o_totalprice") * 10)).collect()[0][0]
+    assert got == pytest.approx(want)
+
+
+def test_add_feature_support(spark, tmp_table, sf_dir):
+    """DeltaTable.addFeatureSupport upgrades to the table-features
+    protocol and marks the feature supported."""
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addFeatureSupport("deletionVectors")
+    p = DeltaLog.for_table(tmp_table).update().protocol
+    assert p.minReaderVersion == 3 and p.minWriterVersion == 7
+    assert "deletionVectors" in (p.readerFeatures or [])
+    assert "deletionVectors" in (p.writerFeatures or [])
+    dt.addFeatureSupport("appendOnly")   # writer-only
+    p = DeltaLog.for_table(tmp_table).update().protocol
+    assert "appendOnly" in (p.writerFeatures or [])
+    assert "appendOnly" not in (p.readerFeatures or [])
+    with pytest.raises(ValueError, match="unknown table feature"):
+        dt.addFeatureSupport("nope")
+    # table still read/writable after the upgrade
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table, mode="append")
+    assert dt.toDF().count() == 2 * load_table(spark, sf_dir, "region").count()
