@@ -233,33 +233,38 @@ def interleave_bits(range_ids: list[Column], bits_per_col: int) -> Column:
 
 
 def zorder_key(df: DataFrame, cols: list[str], num_ranges: int) -> tuple[DataFrame, str]:
-    """Attach a __zkey column; boundaries from a sampled distributed
-    quantile pass (relativeError 0.01 → tiny driver footprint).
+    """Attach a __zkey column; boundaries from ONE sampled distributed
+    quantile pass over every clustering column at once (approxQuantile
+    accepts a column list — N columns cost one scan, not N; relative
+    error 0.01 keeps the driver footprint tiny).
 
     Range ids are materialized as real columns BEFORE bit interleaving:
     interleave_bits references each id `bits` times, and inlining the
     boundary-fold expression there would blow up codegen by bits×."""
     bits = max(1, math.ceil(math.log2(num_ranges)))
     probs = [i / num_ranges for i in range(1, num_ranges)]
-    out = df
-    rid_cols = []
-    for idx, c in enumerate(cols):
+
+    def _numeric(c: str) -> Column:
         dt = df.schema[c].dataType.typeName()
         if dt in ("string", "binary"):
             # strings: range ids over a numeric surrogate (xxhash) keeps
             # the quantile pass numeric; clustering quality equals
             # hash-range clustering for strings
-            num = F.xxhash64(F.col(c)).cast("double")
-        elif dt in ("timestamp", "timestamp_ntz"):
-            num = F.unix_micros(F.col(c)).cast("double")
-        elif dt == "date":
-            num = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
-        else:
-            num = F.col(c).cast("double")
-        bounds = df.select(num.alias("__v")).approxQuantile("__v", probs, 0.01)
-        rid = range_id_column_from(num, bounds)
+            return F.xxhash64(F.col(c)).cast("double")
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c)).cast("double")
+        if dt == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
+    nums = [_numeric(c) for c in cols]
+    all_bounds = df.select(*[n.alias(f"__v_{i}") for i, n in enumerate(nums)]) \
+        .approxQuantile([f"__v_{i}" for i in range(len(cols))], probs, 0.01)
+    out = df
+    rid_cols = []
+    for idx, (num, bounds) in enumerate(zip(nums, all_bounds)):
         name = f"__rid_{idx}"
-        out = out.withColumn(name, rid)
+        out = out.withColumn(name, range_id_column_from(num, bounds))
         rid_cols.append(name)
     key = interleave_bits([F.col(n) for n in rid_cols], bits)
     return out.withColumn("__zkey", key).drop(*rid_cols), "__zkey"
