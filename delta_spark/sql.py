@@ -196,6 +196,13 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         p = DeltaTable.forPath(spark, _path_of(m)).generate()
         return spark.createDataFrame([(p,)], "path: string")
 
+    m = re.fullmatch(rf"(?is)\s*CONVERT\s+TO\s+DELTA\s+iceberg\.`(?P<ice>[^`]+)`\s*", s)
+    if m:
+        from delta_spark.uniform import convert_iceberg_to_delta
+
+        convert_iceberg_to_delta(spark, m.group("ice"))
+        return spark.createDataFrame([(True,)], "converted: boolean")
+
     m = re.fullmatch(rf"(?is)\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\.)?(?:{_PATH})"
                      rf"(?:\s+PARTITIONED\s+BY\s+\((?P<pcols>[^)]+)\))?\s*", s)
     if m:

@@ -42,6 +42,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -826,3 +827,142 @@ def read_iceberg_files(table_path: str) -> list[dict]:
         out.extend(e["data_file"] for e in entries
                    if e["status"] in (0, 1))
     return out
+
+
+# --------------------------------------------------------------------------
+# CONVERT TO DELTA from an Iceberg filesystem table
+# (ConvertToDeltaCommand iceberg input, commands/convert/IcebergTable.scala
+# role: schema + partition spec from vN.metadata.json, file list from the
+# current snapshot's manifests — no data rewrite, no directory listing)
+# --------------------------------------------------------------------------
+
+
+def _spark_type_from_iceberg(t: Any) -> T.DataType:
+    """Inverse of _convert_type for the types our writer emits."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return T.StructType([
+                T.StructField(f["name"], _spark_type_from_iceberg(f["type"]),
+                              not f.get("required", False))
+                for f in t["fields"]])
+        if k == "list":
+            return T.ArrayType(_spark_type_from_iceberg(t["element"]),
+                               not t.get("element-required", False))
+        if k == "map":
+            return T.MapType(_spark_type_from_iceberg(t["key"]),
+                             _spark_type_from_iceberg(t["value"]),
+                             not t.get("value-required", False))
+        raise UniFormValidationError(f"unsupported Iceberg type {t!r}")
+    m = {"boolean": T.BooleanType, "int": T.IntegerType, "long": T.LongType,
+         "float": T.FloatType, "double": T.DoubleType, "date": T.DateType,
+         "timestamptz": T.TimestampType, "timestamp": T.TimestampNTZType,
+         "string": T.StringType, "binary": T.BinaryType}
+    if t in m:
+        return m[t]()
+    dm = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if dm:
+        return T.DecimalType(int(dm.group(1)), int(dm.group(2)))
+    if t == "variant" and hasattr(T, "VariantType"):
+        return T.VariantType()
+    raise UniFormValidationError(f"unsupported Iceberg type {t!r}")
+
+
+def _delta_partition_string(dt: T.DataType, v: Any) -> Optional[str]:
+    """Typed Iceberg partition datum → Delta partitionValues string
+    (inverse of _avro_partition_value)."""
+    import datetime
+    import decimal as _dec
+
+    if v is None:
+        return None
+    if isinstance(dt, T.DateType):
+        return (datetime.date(1970, 1, 1)
+                + datetime.timedelta(days=int(v))).isoformat()
+    if isinstance(dt, T.TimestampType):
+        ts = (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+              + datetime.timedelta(microseconds=int(v)))
+        return ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, T.DecimalType):
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return str(_dec.Decimal(unscaled).scaleb(-dt.scale))
+    return str(v)
+
+
+def convert_iceberg_to_delta(spark, iceberg_path: str,
+                             delta_path: Optional[str] = None):
+    """CONVERT TO DELTA over an Iceberg filesystem table: the current
+    ``vN.metadata.json`` supplies schema + identity partition spec, the
+    current snapshot's manifest list supplies the live files (with
+    record counts → numRecords stats). Commit 0 references the data
+    files in place — nothing is rewritten, nothing is listed; at 100 TB
+    this is a metadata-only operation like the reference's
+    ConvertToDeltaCommand iceberg path."""
+    from delta_spark.actions import Format, Protocol
+    from delta_spark.log import DeltaLog
+    from delta_spark.transaction import OptimisticTransaction
+    from delta_spark.util import current_time_millis, schema_to_json
+
+    meta = read_current_metadata(iceberg_path)
+    if meta is None:
+        raise UniFormValidationError(
+            f"no Iceberg metadata (metadata/version-hint.text) under {iceberg_path}")
+    ice_schema = next((s for s in meta.get("schemas", [])
+                       if s.get("schema-id") == meta.get("current-schema-id")),
+                      meta.get("schema"))
+    schema = _spark_type_from_iceberg(
+        {"type": "struct", "fields": ice_schema["fields"]})
+    field_by_id = {f["id"]: f for f in ice_schema["fields"]}
+
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id")),
+                {"fields": []})
+    part_cols: list[str] = []
+    part_types: list[T.DataType] = []
+    for pf in spec.get("fields", []):
+        if pf.get("transform", "identity") != "identity":
+            raise UniFormValidationError(
+                f"unsupported partition transform {pf['transform']!r} "
+                "(only identity)")
+        src = field_by_id[pf["source-id"]]
+        part_cols.append(src["name"])
+        part_types.append(_spark_type_from_iceberg(src["type"]))
+
+    target = delta_path or iceberg_path
+    log = DeltaLog.for_table(target)
+    if log.table_exists():
+        raise UniFormValidationError(f"delta table already exists at {target}")
+    root = os.path.normpath(iceberg_path)
+    adds = []
+    for df_entry in read_iceberg_files(iceberg_path):
+        p = df_entry["file_path"]
+        ap = os.path.normpath(p)
+        rel = (os.path.relpath(ap, os.path.normpath(target))
+               if ap.startswith(root + os.sep) and target == iceberg_path
+               else ap)
+        pvals = {}
+        part = df_entry.get("partition") or {}
+        for c, dt in zip(part_cols, part_types):
+            pvals[c] = _delta_partition_string(dt, part.get(c))
+        try:
+            size = os.path.getsize(ap)
+        except OSError:
+            size = int(df_entry.get("file_size_in_bytes") or 0)
+        adds.append(AddFile(
+            path=rel, partitionValues=pvals, size=size,
+            modificationTime=current_time_millis(), dataChange=True,
+            stats=json.dumps({"numRecords": int(df_entry["record_count"])})))
+
+    metadata = Metadata(
+        format=Format(), schemaString=schema_to_json(schema),
+        partitionColumns=part_cols, configuration={},
+        createdTime=current_time_millis())
+    txn = OptimisticTransaction(log)
+    txn.commit([Protocol(), metadata] + adds, "CONVERT",
+               {"sourceFormat": "iceberg",
+                "numFiles": str(len(adds)),
+                "partitionedBy": json.dumps(part_cols)})
+    from delta_spark.table import DeltaTable
+    return DeltaTable.forPath(spark, target)

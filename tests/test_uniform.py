@@ -158,3 +158,39 @@ def test_dv_blocked_with_uniform(spark, tmp_table):
 def test_noop_when_disabled(spark, tmp_table):
     write_delta(spark.range(10).toDF("id"), tmp_table)
     assert read_current_metadata(tmp_table) is None
+
+
+def test_convert_iceberg_to_delta_roundtrip(spark, tmp_table, tmp_path, sf_dir):
+    """Delta → UniForm Iceberg metadata → CONVERT TO DELTA again: the
+    converted table reads identical content through the Iceberg
+    manifests alone (schema, identity partitions, numRecords stats)."""
+    from delta_spark.datasets import load_table
+    from delta_spark.sql import delta_sql
+    from delta_spark.uniform import convert_iceberg_to_delta
+
+    ords = load_table(spark, sf_dir, "orders").limit(300)
+    write_delta(ords, tmp_table, partition_by=["o_orderstatus"],
+                configuration={"delta.enableIcebergCompatV2": "true",
+                               "delta.universalFormat.enabledFormats": "iceberg"})
+    write_delta(ords.limit(50), tmp_table, mode="append")
+
+    dst = str(tmp_path / "from_ice")
+    dt2 = convert_iceberg_to_delta(spark, tmp_table, dst)
+    src_df = DeltaTable.forPath(spark, tmp_table).toDF()
+    assert dt2.toDF().count() == src_df.count()
+    assert set(dt2.toDF().columns) == set(src_df.columns)
+    a = dt2.toDF().groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    b = src_df.groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    assert a == b
+    # partition pruning works on the converted table
+    from delta_spark.log import DeltaLog
+    snap = DeltaLog.for_table(dst).update()
+    assert snap.partition_columns == ["o_orderstatus"]
+    assert len(snap.files_for_scan("o_orderstatus = 'F'")) < snap.num_files
+    # metadata-only COUNT uses the record_count-derived stats
+    assert snap.metadata_aggregates(["o_orderkey"]) is not None
+    # converting onto an existing delta table refuses (the UniForm
+    # source is itself a delta table — SQL in-place form covers fresh
+    # iceberg-only dirs)
+    with pytest.raises(Exception, match="already exists"):
+        convert_iceberg_to_delta(spark, tmp_table)
