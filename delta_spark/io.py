@@ -26,7 +26,7 @@ from delta_spark.schema import (
     merge_schemas,
     with_identity_watermark,
 )
-from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS, stats_columns
 from delta_spark.transaction import OptimisticTransaction
 from delta_spark.util import current_time_millis, schema_from_json, schema_to_json
 from delta_spark.writer import normalize_df, write_files
@@ -192,6 +192,7 @@ def write_delta(
         out_df = out_df.repartition(*[F.col(c) for c in write_part_cols])
 
     adds = write_files(out_df, log.table_path, write_part_cols,
+                       indexed_cols=stats_columns(cfg),
                        num_indexed_cols=_num_indexed_cols(cfg))
 
     removes: list[RemoveFile] = []

@@ -35,6 +35,21 @@ from delta_spark.predicates import FileStatsView
 DEFAULT_NUM_INDEXED_COLS = 32
 STRING_PREFIX_LEN = 32
 
+STATS_COLUMNS_PROP = "delta.dataSkippingStatsColumns"
+
+
+def stats_columns(configuration: dict) -> "Optional[list[str]]":
+    """Explicit stats-column list (`delta.dataSkippingStatsColumns`,
+    DeltaConfigs.DATA_SKIPPING_STATS_COLUMNS): when set, stats are
+    collected ONLY for these columns, overriding the first-N rule. At
+    100 TB this is how wide tables keep footer-stats collection and
+    checkpoint size proportional to the columns queries actually
+    filter on."""
+    raw = (configuration or {}).get(STATS_COLUMNS_PROP)
+    if not raw or not str(raw).strip():
+        return None
+    return [c.strip().strip("`") for c in str(raw).split(",") if c.strip()]
+
 _SKIPPING_TYPES = (
     "int8", "int16", "int32", "int64", "float", "double",
     "string", "large_string", "bool", "date32", "date64",

@@ -122,19 +122,23 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
     and partition-column translation, plus the table's stats config.
     All DML rewrite paths route through here."""
     from delta_spark.schema import logical_to_physical
-    from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
+    from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS, stats_columns
 
     cfg = snapshot.configuration
     try:
         num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
     except (TypeError, ValueError):
         num_indexed = DEFAULT_NUM_INDEXED_COLS
+    indexed_cols = stats_columns(cfg)
     part_cols = snapshot.partition_columns
     if snapshot.column_mapping_enabled:
         l2p = logical_to_physical(snapshot.schema)
         df = df.select(*[F.col(c).alias(l2p.get(c, c)) for c in df.columns])
         part_cols = [l2p.get(c, c) for c in part_cols]
+        if indexed_cols is not None:
+            indexed_cols = [l2p.get(c, c) for c in indexed_cols]
     return write_files(df, snapshot.table_path, part_cols,
+                       indexed_cols=indexed_cols,
                        num_indexed_cols=num_indexed, data_change=data_change)
 
 

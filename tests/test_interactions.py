@@ -335,3 +335,27 @@ def test_add_feature_support(spark, tmp_table, sf_dir):
     # table still read/writable after the upgrade
     write_delta(load_table(spark, sf_dir, "region"), tmp_table, mode="append")
     assert dt.toDF().count() == 2 * load_table(spark, sf_dir, "region").count()
+
+
+def test_data_skipping_stats_columns(spark, tmp_table, sf_dir):
+    """delta.dataSkippingStatsColumns restricts stats to the listed
+    columns; skipping fires there and stays conservative elsewhere."""
+    import json as _json
+
+    write_delta(load_table(spark, sf_dir, "orders").limit(300), tmp_table,
+                configuration={
+                    "delta.dataSkippingStatsColumns": "o_orderkey,o_totalprice"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    st = _json.loads(snap.all_files[0].stats)
+    assert set(st["minValues"]) == {"o_orderkey", "o_totalprice"}
+    assert "o_custkey" not in st.get("nullCount", {})
+    # skipping works on a listed column...
+    assert snap.files_for_scan("o_orderkey < 0") == []
+    # ...and is conservative (keeps files) on an unlisted one
+    assert len(snap.files_for_scan("o_custkey < 0")) == snap.num_files
+    # DML rewrites preserve the restriction
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update({"o_totalprice": "o_totalprice + 1"}, "o_orderkey % 5 = 0")
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    for f in snap2.all_files:
+        assert set(_json.loads(f.stats)["minValues"]) <= {"o_orderkey", "o_totalprice"}
