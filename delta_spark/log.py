@@ -498,7 +498,21 @@ class DeltaLog:
                 "configuration": m.configuration or {},
                 "createdTime": m.createdTime,
             }})
+        # delta.setTransactionRetentionDuration (DeltaConfigs
+        # TRANSACTION_ID_RETENTION_DURATION / InMemoryLogReplay
+        # minSetTransactionRetentionTimestamp): expire idempotent-write
+        # markers at checkpoint time so long-lived tables don't carry
+        # every app id forever
+        txn_cutoff = None
+        ret = snap.configuration.get("delta.setTransactionRetentionDuration")
+        if ret:
+            ms = parse_interval_ms(ret)
+            if ms is not None:
+                txn_cutoff = current_time_millis() - ms
         for t in snap.set_transactions.values():
+            if (txn_cutoff is not None and t.lastUpdated is not None
+                    and t.lastUpdated < txn_cutoff):
+                continue
             rows.append({"txn": {"appId": t.appId, "version": t.version, "lastUpdated": t.lastUpdated}})
         for dm in snap.domain_metadata.values():
             rows.append({"domainMetadata": {"domain": dm.domain, "configuration": dm.configuration,

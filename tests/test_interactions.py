@@ -359,3 +359,29 @@ def test_data_skipping_stats_columns(spark, tmp_table, sf_dir):
     snap2 = DeltaLog.for_table(tmp_table).update()
     for f in snap2.all_files:
         assert set(_json.loads(f.stats)["minValues"]) <= {"o_orderkey", "o_totalprice"}
+
+
+def test_set_transaction_retention(spark, tmp_table, sf_dir):
+    """delta.setTransactionRetentionDuration expires idempotent-write
+    markers at checkpoint time; fresh ones survive."""
+    from delta_spark.util import current_time_millis
+
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table,
+                configuration={
+                    "delta.setTransactionRetentionDuration": "interval 1 hours"})
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table,
+                mode="append", txn_app_id="old_app", txn_version=1)
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table,
+                mode="append", txn_app_id="fresh_app", txn_version=1)
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    # age the old marker beyond retention, then checkpoint that state
+    snap.set_transactions["old_app"].lastUpdated = \
+        current_time_millis() - 2 * 3600 * 1000
+    log.write_checkpoint(snap)
+    for v in log.list_commit_versions():
+        os.unlink(log.commit_file(v))
+    DeltaLog.clear_cache()
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    assert "fresh_app" in snap2.set_transactions
+    assert "old_app" not in snap2.set_transactions
