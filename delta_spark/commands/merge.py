@@ -70,6 +70,53 @@ def _set_and_cond(a, b):
     return {k: _sqlify(v) for k, v in d.items()}, _sqlify(c)
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+# words that may appear unqualified in a condition without being column
+# references (predicate grammar subset of predicates.py + common SQL)
+_SQL_WORDS = {
+    "and", "or", "not", "in", "is", "null", "like", "between", "true",
+    "false", "case", "when", "then", "else", "end", "cast", "as",
+    "distinct", "interval", "date", "timestamp", "escape",
+}
+
+
+def _split_top_and(expr: str) -> list[str]:
+    """Split a SQL boolean expression into its top-level AND conjuncts
+    (paren- and string-literal-aware)."""
+    parts: list[str] = []
+    depth = 0
+    i, n, start = 0, len(expr), 0
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and expr[i:i + 3].upper() == "AND":
+            prev = expr[i - 1] if i > 0 else " "
+            nxt = expr[i + 3:i + 4] or " "
+            if not (prev.isalnum() or prev in "_.") and not (nxt.isalnum() or nxt in "_."):
+                parts.append(expr[start:i])
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 class _Clause:
     __slots__ = ("kind", "condition", "values")
 
@@ -190,10 +237,24 @@ class MergeBuilder:
         # (file keys captured pre-join via read_files_with_index: DV
         # tables anti-join their masks, after which input_file_name()
         # would be ambiguous)
+        # Candidates are pruned with the condition's target-only
+        # conjuncts (findTouchedFiles data-skipping): a merge keyed on
+        # a partition/date column scans only the matching files, not
+        # the whole table.
         from delta_spark.reader import read_files_with_index
 
-        txn.read_whole_table()
-        target_all = (read_files_with_index(self.spark, snapshot, snapshot.all_files)
+        prune_pred = self._target_pruning_predicate(snapshot)
+        if self.not_matched_by_source:
+            # every target row is examined → whole-table read
+            txn.read_whole_table()
+            candidates = (snapshot.files_for_scan(prune_pred) if prune_pred
+                          else snapshot.all_files)
+        elif prune_pred is not None:
+            candidates = txn.files_for_scan(prune_pred)
+        else:
+            txn.read_whole_table()
+            candidates = snapshot.all_files
+        target_all = (read_files_with_index(self.spark, snapshot, candidates)
                       .withColumnRenamed("__file_base", "__delta_file")
                       .drop("__row_idx")
                       .withColumn("__t_rowid", F.monotonically_increasing_id()))
@@ -211,7 +272,7 @@ class MergeBuilder:
             raise MergeError(
                 "MERGE cannot update/delete a target row matched by multiple source rows "
                 "(non-deterministic); deduplicate the source first")
-        touched = match_files_by_name(snapshot.all_files, touched_names, snapshot.table_path)
+        touched = match_files_by_name(candidates, touched_names, snapshot.table_path)
         txn.read_files.update(f.path for f in touched)
 
         need_target_only = bool(self.not_matched_by_source)
@@ -272,14 +333,81 @@ class MergeBuilder:
 
     # -- helpers ----------------------------------------------------------
 
+    def _target_only_conjunct(self, conjunct: str, target_cols: set,
+                              source_cols: set) -> Optional[str]:
+        """If the conjunct references only TARGET columns, return it
+        rewritten with the target alias stripped (usable against the
+        bare table schema for file skipping); else None."""
+        out = []
+        i, n = 0, len(conjunct)
+        while i < n:
+            ch = conjunct[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if conjunct[j] == "'":
+                        if j + 1 < n and conjunct[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(conjunct[i:j + 1])
+                i = j + 1
+                continue
+            m = _IDENT_RE.match(conjunct, i)
+            if m:
+                word = m.group(0)
+                j = m.end()
+                if j < n and conjunct[j] == ".":
+                    m2 = _IDENT_RE.match(conjunct, j + 1)
+                    if m2:
+                        if word == self.tgt:
+                            out.append(m2.group(0))
+                            i = m2.end()
+                            continue
+                        return None  # source- (or unknown-alias-) qualified
+                nxt = conjunct[j:j + 1]
+                if nxt == "(" or word.lower() in _SQL_WORDS:
+                    out.append(word)  # function call / keyword
+                elif word in source_cols:
+                    return None  # unqualified source (or ambiguous) ref
+                else:
+                    out.append(word)
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def _target_pruning_predicate(self, snapshot) -> Optional[str]:
+        """Target-only conjuncts of the merge condition, for phase-1
+        file skipping (ClassicMergeExecutor.scala:72-185
+        findTouchedFiles data-skips on the merge condition first).
+        Sound: a file no row of which can satisfy these conjuncts
+        cannot contain a matched row."""
+        target_cols = {f.name for f in snapshot.schema.fields}
+        source_cols = set(self.source.columns)
+        kept = []
+        for c in _split_top_and(self.condition):
+            r = self._target_only_conjunct(c, target_cols, source_cols)
+            if r is not None and r.strip():
+                kept.append(f"({r.strip()})")
+        return " AND ".join(kept) if kept else None
+
     def _insert_only(self, txn, source: DataFrame, cols: list[str],
                      num_indexed: int, cfg: dict) -> int:
         """LEFT ANTI fast path (InsertOnlyMergeExecutor.scala:59):
         no target file is rewritten; Catalyst broadcast-joins when the
         target key projection is small."""
         snapshot = txn.snapshot
-        txn.read_whole_table()
-        target = read_files_df(self.spark, snapshot)
+        prune_pred = self._target_pruning_predicate(snapshot)
+        if prune_pred is not None:
+            # anti-join only needs files that could contain a match
+            candidates = txn.files_for_scan(prune_pred)
+            target = read_files_df(self.spark, snapshot, candidates)
+        else:
+            txn.read_whole_table()
+            target = read_files_df(self.spark, snapshot)
         new_rows = (source.alias(self.src)
                     .join(target.alias(self.tgt), F.expr(self.condition), "left_anti"))
         parts = []
@@ -384,7 +512,15 @@ class MergeBuilder:
                 v = F.expr(vals[col]) if col in vals else F.lit(None)
             else:  # update
                 target = {k.split(".")[-1]: v for k, v in vals.items()}
-                v = F.expr(target[col]) if col in target else F.expr(f"{self.tgt}.{col}")
+                if col in target:
+                    v = F.expr(target[col])
+                elif col in getattr(self, "_target_cols",
+                                    {f.name for f in snapshot.schema.fields}):
+                    v = F.expr(f"{self.tgt}.{col}")
+                else:
+                    # schema-evolved column absent from this UPDATE SET:
+                    # target rows have no pre-image value for it
+                    v = F.lit(None)
             expr = F.when(F.col("__action") == tag, v.cast(dt)).otherwise(expr)
         return expr.cast(dt)
 

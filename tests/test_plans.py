@@ -117,3 +117,77 @@ def test_generated_partition_filter_derivation(spark, tmp_table, sf_dir):
     # results still correct end-to-end
     dt = DeltaTable.forPath(spark, tmp_table)
     assert dt.toDF(pred).count() == orders.filter(pred).count()
+
+
+def test_merge_phase1_prunes_with_target_only_conjuncts(spark, tmp_table, sf_dir,
+                                                        monkeypatch):
+    """A merge whose condition carries a target-only conjunct on the
+    partition column must scan ONLY that partition's files in phase 1
+    (ClassicMergeExecutor.findTouchedFiles data-skipping), not the
+    whole table."""
+    import delta_spark.reader as R
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").limit(2000)
+    write_delta(li, tmp_table, partition_by=["l_returnflag"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+
+    captured = {}
+    orig = R.read_files_with_index
+
+    def spy(spark_, snapshot, files):
+        captured.setdefault("files", files)
+        return orig(spark_, snapshot, files)
+
+    monkeypatch.setattr(R, "read_files_with_index", spy)
+
+    src = (dt.toDF().filter("l_returnflag = 'A' AND l_orderkey % 7 = 0")
+           .groupBy(F.col("l_orderkey").alias("okey"),
+                    F.col("l_linenumber").alias("lno"))
+           .agg((F.max("l_quantity") + 1).alias("q"))
+           .localCheckpoint(eager=True))
+    (dt.merge(src, "target.l_orderkey = source.okey AND "
+                   "target.l_linenumber = source.lno AND target.l_returnflag = 'A'")
+       .whenMatchedUpdate(set={"l_quantity": "source.q"})
+       .execute())
+
+    scanned = captured["files"]
+    snap = dt.log.update()
+    assert scanned, "phase 1 scanned no files"
+    assert all(f.partitionValues.get("l_returnflag") == "A" for f in scanned)
+    assert len(scanned) < len(snap.all_files)
+    # and the merge actually updated the rows
+    got = dt.toDF().filter("l_returnflag = 'A'").alias("t").join(
+        src, (F.col("t.l_orderkey") == F.col("okey"))
+        & (F.col("t.l_linenumber") == F.col("lno"))).filter(
+        "t.l_quantity <> q").count()
+    assert got == 0
+
+
+def test_merge_pruning_predicate_extraction(spark, tmp_table, sf_dir):
+    from delta_spark.commands.merge import MergeBuilder, _split_top_and
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    write_delta(li.limit(100), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = dt.log.update()
+    src = li.limit(5).selectExpr("l_orderkey AS okey", "l_quantity AS q")
+
+    def pred_of(cond):
+        return MergeBuilder(spark, dt.log, src, cond)._target_pruning_predicate(snap)
+
+    assert _split_top_and("a = 1 AND (b = 2 OR c = 3) AND d LIKE '%AND%'") == \
+        ["a = 1", "(b = 2 OR c = 3)", "d LIKE '%AND%'"]
+    # pure join key → nothing target-only
+    assert pred_of("target.l_orderkey = source.okey") is None
+    # mixed: the partition conjunct survives, alias-stripped
+    assert pred_of("target.l_orderkey = source.okey AND target.l_returnflag = 'A'") \
+        == "(l_returnflag = 'A')"
+    # unqualified target column works; unqualified source column rejects
+    assert pred_of("target.l_orderkey = source.okey AND l_returnflag = 'A'") \
+        == "(l_returnflag = 'A')"
+    assert pred_of("target.l_orderkey = okey AND target.l_returnflag IN ('A','N')") \
+        == "(l_returnflag IN ('A','N'))"
+    # OR across source+target inside one conjunct → rejected whole
+    assert pred_of("target.l_orderkey = source.okey OR target.l_returnflag = 'A'") is None
