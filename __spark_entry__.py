@@ -572,10 +572,16 @@ def _tpch_db(spark: SparkSession, sf_dir: str) -> str:
     return _table(spark, sf_dir, "tpchdb", b)
 
 
+_TPCH_VIEWS: set[str] = set()
+
+
 def _register_tpch(spark: SparkSession, sf_dir: str) -> None:
     base = _tpch_db(spark, sf_dir)
+    if base in _TPCH_VIEWS:
+        return  # fixture tables are immutable once built — views stay valid
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
         DeltaTable.forPath(spark, os.path.join(base, t)).toDF().createOrReplaceTempView(f"d_{t}")
+    _TPCH_VIEWS.add(base)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,10 +717,14 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_tpch(spark, sf_dir)
+    # CASTs pin the cross-engine types: Spark sum(int)->BIGINT vs DuckDB
+    # sum->HUGEINT, and the discount comparison is done in DECIMAL so the
+    # double literal 0.05 cannot straddle the boundary differently
     return spark.sql("""
         SELECT l_returnflag,
-               sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big,
-               sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS discounted,
+               CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+               CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(4,2)) >= 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
                count(DISTINCT l_suppkey) AS supps
         FROM d_lineitem GROUP BY l_returnflag""")
 
@@ -863,6 +873,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_coordinated_commits": q_delta_coordinated_commits,
         "delta_delete_partition": q_delta_delete_partition,
         "delta_update": q_delta_update,
+        # pipeline ops that were never reached when the driver's gate
+        # truncated on time — run them early so they always get a row
+        "dedup_simhash": q_dedup_simhash,
+        "knn_cosine": q_knn_cosine,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_features": q_multimodal_features,
         "delta_merge_upsert": q_delta_merge_upsert,
         "delta_merge_delete": q_delta_merge_delete,
         "delta_time_travel": q_delta_time_travel,
@@ -905,11 +922,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "knn_cosine": q_knn_cosine,
-        "embedding_near_dups": q_embedding_near_dups,
-        "ann_ivf": q_ann_ivf,
-        "multimodal_features": q_multimodal_features,
 }
 
 
@@ -1221,8 +1233,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2""",
         "conditional_agg": """
             SELECT l_returnflag,
-                   sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big,
-                   sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS discounted,
+                   CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+                   CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(4,2)) >= 0.05
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
                    count(DISTINCT l_suppkey) AS supps
             FROM lineitem GROUP BY l_returnflag""",
         "text_stats": r"""

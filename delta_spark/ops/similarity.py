@@ -82,20 +82,16 @@ def fit_centroids_sample(corpus: DataFrame, vec_col: str = "embedding",
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmax of dot(vec, unit-centroid) — cosine bucket assignment as
-    a codegen'd expression chain (C is small; no UDF; the row norm is a
-    constant factor and drops out of the argmax)."""
-    best_idx = F.lit(0)
-    best_d = None
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d = _dot(vec, arr)
-        if best_d is None:
-            best_d, best_idx = d, F.lit(i)
-        else:
-            cond = d > best_d
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_idx
+    one codegen'd higher-order-function pass (C is small; no UDF; the
+    row norm is a constant factor and drops out of the argmax). A
+    flat transform over the centroid-matrix literal keeps the
+    expression tree linear in C·dim — a nested WHEN cascade would
+    duplicate the running-best subtree per centroid and blow up
+    analysis time exponentially."""
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dots = F.transform(cmat, lambda c: _dot(vec, c))
+    # first index of the max dot (ties → lowest bucket, as before)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
