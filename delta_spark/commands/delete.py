@@ -184,8 +184,14 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
     if old_rows is not None:
         all_rows = all_rows.unionByName(old_rows).distinct()
 
+    # Default is the PROTOCOL-conformant RoaringBitmapArray 'u' encoding
+    # (PROTOCOL.md: valid storageTypes are u/i/p) so external readers
+    # can consume the table. The legacy parquet-sidecar 'q' encoding is
+    # opt-OUT only (delta_spark.dv.portable=false) and declares a
+    # non-standard feature instead of deletionVectors (fail-closed for
+    # foreign readers rather than misread).
     portable = str(snapshot.configuration.get(
-        "delta_spark.dv.portable", "false")).lower() == "true"
+        "delta_spark.dv.portable", "true")).lower() != "false"
     desc_by_base: dict[str, dict] = {}
     if portable:
         # protocol RoaringBitmapArray format: each file's bitmap is

@@ -286,8 +286,15 @@ class OptimisticTransaction:
             reader_feats.add("typeWidening")
             writer_feats.add("typeWidening")
         if cfg.get("delta.enableDeletionVectors", "").lower() == "true":
-            reader_feats.add("deletionVectors")
-            writer_feats.add("deletionVectors")
+            if cfg.get("delta_spark.dv.portable", "true").lower() == "false":
+                # legacy parquet-sidecar DVs ('q' storageType) are NOT
+                # protocol-valid — declare a non-standard feature so
+                # external readers fail closed instead of misreading
+                reader_feats.add("delta-spark.dvParquetSidecar")
+                writer_feats.add("delta-spark.dvParquetSidecar")
+            else:
+                reader_feats.add("deletionVectors")
+                writer_feats.add("deletionVectors")
         if cfg.get("delta.enableRowTracking", "").lower() == "true":
             writer_feats.add("rowTracking")
         if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":

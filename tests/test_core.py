@@ -316,7 +316,9 @@ def test_vacuum_reclaims_stale_dv_dirs(spark, tmp_table, sf_dir):
     import os as _os
 
     df = _li(spark, sf_dir).limit(300)
-    write_delta(df, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    # legacy parquet-sidecar encoding (portable 'u' is the default now)
+    write_delta(df, tmp_table, configuration={"delta.enableDeletionVectors": "true",
+                                              "delta_spark.dv.portable": "false"})
     dt = DeltaTable.forPath(spark, tmp_table)
     dt.delete("l_quantity > 40")   # dv dir 1
     dt.delete("l_discount > 0.08")  # dv dir 2 (dir 1 now stale)

@@ -162,3 +162,39 @@ def test_max_row_index_validation(spark, tmp_table, sf_dir):
             d = json.loads(line)
             if "add" in d and d["add"].get("deletionVector"):
                 assert "maxRowIndex" not in d["add"]["deletionVector"]
+
+
+def test_default_dv_encoding_is_portable(spark, tmp_table, sf_dir):
+    """With only delta.enableDeletionVectors=true (no portable flag),
+    DELETE must write protocol-valid descriptors (storageType u/i/p)
+    and declare the standard deletionVectors feature."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    snap = DeltaLog.for_table(tmp_table).update()
+    descs = [f.deletionVector for f in snap.all_files if f.deletionVector]
+    assert descs and all(d["storageType"] in ("u", "i", "p") for d in descs)
+    assert "deletionVectors" in (snap.protocol.readerFeatures or [])
+    assert dt.toDF().filter("l_quantity > 40").count() == 0
+
+
+def test_legacy_q_encoding_is_opt_out_with_nonstandard_feature(spark, tmp_table, sf_dir):
+    """delta_spark.dv.portable=false keeps the parquet-sidecar 'q'
+    encoding but must NOT declare the standard deletionVectors feature
+    (external readers fail closed on the non-standard name instead of
+    misreading 'q' descriptors)."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true",
+                               "delta_spark.dv.portable": "false"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    snap = DeltaLog.for_table(tmp_table).update()
+    descs = [f.deletionVector for f in snap.all_files if f.deletionVector]
+    assert descs and all(d["storageType"] == "q" for d in descs)
+    rf = snap.protocol.readerFeatures or []
+    assert "deletionVectors" not in rf
+    assert "delta-spark.dvParquetSidecar" in rf
+    assert dt.toDF().filter("l_quantity > 40").count() == 0
