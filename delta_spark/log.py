@@ -412,11 +412,16 @@ class DeltaLog:
                 return self._snapshot
             if self._snapshot is not None and self._snapshot.version < latest:
                 # incremental: apply only the new commits
-                snap = self._snapshot.clone_state()
-                self._apply_commit_range(snap, snap.version + 1, latest)
-                snap.timestamp = self._commit_timestamp(latest)
-                self._snapshot = snap
-                return snap
+                try:
+                    snap = self._snapshot.clone_state()
+                    self._apply_commit_range(snap, snap.version + 1, latest)
+                    snap.timestamp = self._commit_timestamp(latest)
+                    self._snapshot = snap
+                    return snap
+                except ValueError:
+                    # a commit json in the gap was removed by log cleanup
+                    # (only a checkpoint covers it) → full rebuild below
+                    pass
             self._snapshot = self._build_snapshot(latest)
             return self._snapshot
 

@@ -140,45 +140,53 @@ class OptimisticTransaction:
                 SNAPSHOT_ISOLATION if (has_file_actions and not data_change) else WRITE_SERIALIZABLE
             )
 
-        # in-commit timestamps (PROTOCOL.md:1979): when enabled, the
-        # commit timestamp is CommitInfo.timestamp, forced monotonic
-        # w.r.t. the previous commit (clock skew cannot reorder history)
-        ts = current_time_millis()
-        if str(self.snapshot.configuration.get(
-                "delta.enableInCommitTimestamps", "false")).lower() == "true":
-            ts = max(ts, (self.snapshot.timestamp or 0) + 1)
-        commit_info = CommitInfo(
-            timestamp=ts,
-            operation=operation,
-            operationParameters=operation_parameters or {},
-            readVersion=self.read_version if self.read_version >= 0 else None,
-            isolationLevel=isolation_level,
-            isBlindAppend=is_blind_append,
-            operationMetrics=operation_metrics or {},
-            userMetadata=user_metadata,
-        )
-        # row tracking (RowId.scala / PROTOCOL.md:1638): when enabled,
-        # every committed AddFile gets a fresh baseRowId range; a row's
-        # stable id is baseRowId + its position in the file
         commit_meta = next((a for a in actions if isinstance(a, Metadata)), None)
         effective_cfg = (commit_meta.configuration if commit_meta is not None
                          else self.snapshot.configuration)
-        if str((effective_cfg or {}).get(
-                "delta.enableRowTracking", "false")).lower() == "true":
-            hwm = self._row_id_high_watermark()
-            for a in actions:
-                if isinstance(a, AddFile) and a.baseRowId is None:
-                    a.baseRowId = hwm + 1
-                    hwm += max(a.num_records or 0, 1)
-
-        full = [commit_info] + actions
 
         from delta_spark.coordinator import coordinator_for
 
         coordinator = coordinator_for(effective_cfg)
         attempt_version = self.read_version + 1
+        # AddFiles whose baseRowId WE assigned: must be re-assigned on a
+        # retry, because an absorbed winner may have claimed the range
+        auto_rowid: set[int] = set()
         for attempt in range(MAX_RETRIES + 1):
-            payload = "\n".join(action_to_json_line(a) for a in full) + "\n"
+            # in-commit timestamps (PROTOCOL.md:1979): when enabled, the
+            # commit timestamp is CommitInfo.timestamp, forced monotonic
+            # w.r.t. the previous commit (clock skew cannot reorder
+            # history). Recomputed per attempt: an absorbed winner's
+            # timestamp moves the floor.
+            ts = current_time_millis()
+            if str(self.snapshot.configuration.get(
+                    "delta.enableInCommitTimestamps", "false")).lower() == "true":
+                ts = max(ts, (self.snapshot.timestamp or 0) + 1)
+            commit_info = CommitInfo(
+                timestamp=ts,
+                operation=operation,
+                operationParameters=operation_parameters or {},
+                readVersion=self.read_version if self.read_version >= 0 else None,
+                isolationLevel=isolation_level,
+                isBlindAppend=is_blind_append,
+                operationMetrics=operation_metrics or {},
+                userMetadata=user_metadata,
+            )
+            # row tracking (RowId.scala / PROTOCOL.md:1638): when
+            # enabled, every committed AddFile gets a fresh baseRowId
+            # range; recomputed per attempt so ranges never collide with
+            # an absorbed winner's files
+            if str((effective_cfg or {}).get(
+                    "delta.enableRowTracking", "false")).lower() == "true":
+                hwm = self._row_id_high_watermark()
+                for a in actions:
+                    if isinstance(a, AddFile) and (a.baseRowId is None
+                                                   or id(a) in auto_rowid):
+                        auto_rowid.add(id(a))
+                        a.baseRowId = hwm + 1
+                        hwm += max(a.num_records or 0, 1)
+
+            payload = "\n".join(action_to_json_line(a)
+                                for a in [commit_info] + actions) + "\n"
             try:
                 if coordinator is None:
                     self.log.store.write_atomic(self.log.commit_file(attempt_version), payload)
@@ -388,8 +396,18 @@ class OptimisticTransaction:
         if win_removed_paths & our_removed:
             raise ConcurrentDeleteDeleteException("a file we delete was concurrently deleted")
 
-        # no conflict → absorb winner and retry on top of it
-        self.snapshot.apply_actions(winning)
+        # no conflict → absorb winner and retry on top of it. Work on a
+        # CLONE: the current snapshot object may be the log's shared
+        # cached snapshot — mutating it in place would leak the winner's
+        # state into concurrent in-process readers of OUR read version
+        # (snapshot-isolation violation).
+        absorbed = self.snapshot.clone_state()
+        absorbed.apply_actions(winning)
+        if win_commit_info and win_commit_info[0].timestamp:
+            # ICT monotonicity floor must include the absorbed winner
+            absorbed.timestamp = max(absorbed.timestamp or 0,
+                                     win_commit_info[0].timestamp)
+        self.snapshot = absorbed
 
     # -------------------------------------------------- post-commit ----
 

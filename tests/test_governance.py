@@ -377,3 +377,85 @@ def test_append_only_table(spark, tmp_table, sf_dir):
     dt.unsetProperties(["delta.appendOnly"])
     dt.delete("o_orderkey % 2 = 0")
     assert dt.toDF().count() < 250
+
+
+def test_conflict_absorption_does_not_mutate_shared_snapshot(spark, tmp_table, sf_dir):
+    """Retrying through a conflict absorbs the winner into the txn's
+    snapshot — but on a CLONE: the log's cached snapshot (shared with
+    in-process readers at our read version) must not change."""
+    from delta_spark.writer import write_files
+
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(10), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+
+    reader_snap = log.update()            # shared cached snapshot @ v0
+    files_v0 = set(reader_snap.active.keys())
+
+    t1 = OptimisticTransaction(log)       # holds the same object
+    assert t1.snapshot is reader_snap
+    w = OptimisticTransaction(log)
+    w.commit(list(write_files(orders.limit(5), log.table_path, [])), "WRITE")
+    t1.commit(list(write_files(orders.limit(3), log.table_path, [])), "WRITE")
+
+    # the reader's handle still sees exactly the v0 state
+    assert set(reader_snap.active.keys()) == files_v0
+    assert reader_snap.version == 0
+    # and the table converged to all three writes
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 18
+
+
+def test_retry_recomputes_ict_and_row_ids(spark, tmp_table, sf_dir):
+    """After absorbing a winner, a retried commit must re-derive its
+    in-commit timestamp (monotonic past the winner's) and its
+    baseRowId ranges (no overlap with the winner's files)."""
+    from delta_spark.writer import write_files
+
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(10), tmp_table,
+                configuration={"delta.enableRowTracking": "true",
+                               "delta.enableInCommitTimestamps": "true"})
+    log = DeltaLog.for_table(tmp_table)
+
+    t1 = OptimisticTransaction(log)
+    w = OptimisticTransaction(log)
+    w.commit(list(write_files(orders.limit(5), log.table_path, [])), "WRITE")
+    t1.commit(list(write_files(orders.limit(3), log.table_path, [])), "WRITE")
+
+    snap = log.update()
+    ranges = sorted(
+        (f.baseRowId, f.baseRowId + max(f.num_records or 0, 1) - 1)
+        for f in snap.all_files if f.baseRowId is not None)
+    assert ranges, "row tracking assigned no baseRowIds"
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert s2 > e1, f"overlapping baseRowId ranges {(s1, e1)} / {(s2, e2)}"
+    ts = [log._commit_timestamp(v) for v in range(log.latest_version() + 1)]
+    assert all(a < b for a, b in zip(ts, ts[1:])), f"non-monotonic ICT {ts}"
+
+
+def test_incremental_update_falls_back_to_checkpoint(spark, tmp_table, sf_dir):
+    """A long-lived DeltaLog whose cached snapshot predates log cleanup
+    must rebuild from the checkpoint instead of failing on the missing
+    commit json (SnapshotManagement checkpoint fallback)."""
+    import os as _os
+
+    from delta_spark.writer import write_files
+
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(5), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    snap0 = log.update()
+    assert snap0.version == 0
+
+    for _ in range(3):
+        txn = OptimisticTransaction(log)
+        txn.commit(list(write_files(orders.limit(2), log.table_path, [])), "WRITE")
+    log.write_checkpoint(log.update())
+
+    # log cleanup removed v1's json (the checkpoint covers it); rewind
+    # the cache to simulate a handle that last updated at v0
+    _os.remove(_os.path.join(tmp_table, "_delta_log", "%020d.json" % 1))
+    log._snapshot = snap0
+    snap = log.update()
+    assert snap.version == 3
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 11
