@@ -79,12 +79,44 @@ def _offset(version: int, index: int, snapshot: bool) -> dict:
     return {"version": version, "index": index, "isInitialSnapshot": snapshot}
 
 
+def _parse_byte_size(s) -> int:
+    """'10g' / '512m' / plain int → bytes (DeltaOptions byte-size opts)."""
+    s = str(s).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suf + "b"):
+            s, mult = s[:-2], m
+            break
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    if s.endswith("b"):
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_py source requires a path")
-        self.max_files = int(options.get("maxfilespertrigger", 1000))
+        # Admission control (reference sources/limits.scala:25,
+        # DeltaSource.scala:244): maxFilesPerTrigger defaults to 1000
+        # like the reference. The Python DataSource API has no
+        # SupportsAdmissionControl hook, so the cap is applied per
+        # latestOffset() call relative to the last planned offset;
+        # Trigger.AvailableNow snapshots latestOffset ONCE through
+        # Spark's wrapper, so an available-now run would drain at most
+        # one capped batch — pass .option("availableNow", "true") to
+        # lift the cap for such runs (they then drain fully, matching
+        # the old behavior).
+        self.available_now = str(options.get("availablenow", "false")).lower() == "true"
+        mf = options.get("maxfilespertrigger", 1000)
+        self.max_files = None if self.available_now else max(int(mf), 1)
+        mb = options.get("maxbytespertrigger")
+        self.max_bytes = None if (mb is None or self.available_now) \
+            else max(_parse_byte_size(mb), 1)
+        self._pos = None  # last planned/committed end offset (admission base)
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self.skip_change_commits = str(options.get("skipchangecommits", "false")).lower() == "true"
         starting_version = options.get("startingversion")
@@ -115,6 +147,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         return d
 
     def initialOffset(self) -> dict:
+        # only called for a brand-new query → a safe admission base
+        self._pos = dict(self._initial)
         return self._initial
 
     def _snapshot_files(self, version: int) -> list[AddFile]:
@@ -143,20 +177,61 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"ignoreChanges to re-emit rewritten files.")
         return sorted(adds, key=lambda f: f.path)
 
+    def _pending_after(self, pos: dict, latest: int):
+        """(version, index, size, is_snapshot) for every unplanned file
+        after `pos`, in offset order."""
+        v, i, snap = pos["version"], pos["index"], pos["isInitialSnapshot"]
+        if snap:
+            sf = self._snapshot_files(v)
+            for idx in range(max(i + 1, 0), len(sf)):
+                yield (v, idx, sf[idx].size or 0, True)
+        elif i < (1 << 62):
+            adds = self._commit_adds(v)
+            for idx in range(i + 1, len(adds)):
+                yield (v, idx, adds[idx].size or 0, False)
+        for cv in range(v + 1, latest + 1):
+            adds = self._commit_adds(cv)
+            for idx in range(len(adds)):
+                yield (cv, idx, adds[idx].size or 0, False)
+
     def latestOffset(self) -> dict:
-        """Report everything available. NOTE: the reference rate-limits
-        here via ReadLimit/SupportsAdmissionControl
-        (sources/limits.scala:25); Spark's Python DataSource API exposes
-        no admission-control hook, and under-reporting latestOffset
-        silently truncates Trigger.AvailableNow runs — so
-        maxFilesPerTrigger is accepted but not enforced."""
+        """Report the next microbatch's end offset, capped by
+        maxFilesPerTrigger / maxBytesPerTrigger relative to the last
+        planned offset (the reference's ReadLimit admission control,
+        re-expressed per-call because the Python DataSource API has no
+        SupportsAdmissionControl hook). With no admission base (process
+        restarted mid-stream) or no limits, reports everything."""
         latest = self.log.latest_version()
         v0 = self._initial["version"]
-        if self._initial["isInitialSnapshot"] and latest == v0:
-            return _offset(v0, 1 << 62, True)
-        return _offset(latest, 1 << 62, False)
+        full = (_offset(v0, 1 << 62, True)
+                if self._initial["isInitialSnapshot"] and latest == v0
+                else _offset(latest, 1 << 62, False))
+        pos = self._pos
+        if pos is None or (self.max_files is None and self.max_bytes is None):
+            return full
+        taken, nbytes, end, capped = 0, 0, None, False
+        for (v, idx, sz, is_snap) in self._pending_after(pos, latest):
+            if (self.max_files is not None and taken + 1 > self.max_files) or \
+               (self.max_bytes is not None and taken >= 1
+                    and nbytes + sz > self.max_bytes):
+                capped = True
+                break
+            taken += 1
+            nbytes += sz
+            end = (v, idx, is_snap)
+        if end is None:
+            return full if pos["version"] >= latest else dict(pos)
+        if not capped:
+            # whole backlog admitted → report the full offset so empty
+            # trailing commits (metadata-only) are covered too
+            return full
+        return _offset(*end)
 
     def partitions(self, start: dict, end: dict):
+        # planned through `end` — the admission base for the next
+        # latestOffset (also re-seeds it after a mid-stream restart,
+        # where Spark replans from the checkpointed offsets)
+        self._pos = dict(end)
         files: list[AddFile] = []
         files_versions: list[tuple[AddFile, int]] = []
         sv, si, ssnap = start["version"], start["index"], start["isInitialSnapshot"]
@@ -283,7 +358,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=65536)
 
     def commit(self, end: dict) -> None:
-        pass
+        if self._pos is None:
+            self._pos = dict(end)
 
 
 class DeltaBatchReader(DataSourceReader):
