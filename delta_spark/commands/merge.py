@@ -83,9 +83,14 @@ _SQL_WORDS = {
 
 def _split_top_and(expr: str) -> list[str]:
     """Split a SQL boolean expression into its top-level AND conjuncts
-    (paren- and string-literal-aware)."""
+    (paren- and string-literal-aware). The AND that pairs with a
+    pending BETWEEN, or that lives inside CASE..END, is an operand,
+    not a conjunction — splitting there would produce junk conjuncts
+    like '(x BETWEEN 5) AND (10)'."""
     parts: list[str] = []
-    depth = 0
+    depth = 0            # ( ) nesting
+    case_depth = 0       # CASE .. END nesting (at paren depth 0)
+    pending_between = 0  # BETWEENs awaiting their pairing AND
     i, n, start = 0, len(expr), 0
     while i < n:
         ch = expr[i]
@@ -102,16 +107,31 @@ def _split_top_and(expr: str) -> list[str]:
             continue
         if ch == "(":
             depth += 1
-        elif ch == ")":
+            i += 1
+            continue
+        if ch == ")":
             depth -= 1
-        elif depth == 0 and expr[i:i + 3].upper() == "AND":
-            prev = expr[i - 1] if i > 0 else " "
-            nxt = expr[i + 3:i + 4] or " "
-            if not (prev.isalnum() or prev in "_.") and not (nxt.isalnum() or nxt in "_."):
-                parts.append(expr[start:i])
-                start = i + 3
-                i += 3
-                continue
+            i += 1
+            continue
+        m = _IDENT_RE.match(expr, i)
+        prev = expr[i - 1] if i > 0 else " "
+        if m and not (prev.isalnum() or prev in "_.$"):
+            word = m.group(0).upper()
+            if depth == 0:
+                if word == "CASE":
+                    case_depth += 1
+                elif word == "END" and case_depth:
+                    case_depth -= 1
+                elif word == "BETWEEN" and case_depth == 0:
+                    pending_between += 1
+                elif word == "AND" and case_depth == 0:
+                    if pending_between:
+                        pending_between -= 1
+                    else:
+                        parts.append(expr[start:i])
+                        start = m.end()
+            i = m.end()
+            continue
         i += 1
     parts.append(expr[start:])
     return [p.strip() for p in parts if p.strip()]
@@ -369,8 +389,12 @@ class MergeBuilder:
                 nxt = conjunct[j:j + 1]
                 if nxt == "(" or word.lower() in _SQL_WORDS:
                     out.append(word)  # function call / keyword
-                elif word in source_cols:
-                    return None  # unqualified source (or ambiguous) ref
+                elif word in source_cols or word not in target_cols:
+                    # unqualified source ref, ambiguous ref, or an
+                    # identifier that is no column of the target at
+                    # all (outer-scope reference / typo) — not a
+                    # sound pruning conjunct
+                    return None
                 else:
                     out.append(word)
                 i = j
@@ -385,13 +409,22 @@ class MergeBuilder:
         findTouchedFiles data-skips on the merge condition first).
         Sound: a file no row of which can satisfy these conjuncts
         cannot contain a matched row."""
+        from delta_spark import predicates as P
         target_cols = {f.name for f in snapshot.schema.fields}
         source_cols = set(self.source.columns)
         kept = []
         for c in _split_top_and(self.condition):
             r = self._target_only_conjunct(c, target_cols, source_cols)
-            if r is not None and r.strip():
-                kept.append(f"({r.strip()})")
+            if r is None or not r.strip():
+                continue
+            try:
+                # a kept conjunct becomes the transaction's recorded
+                # read predicate; an unparseable one would defeat both
+                # file skipping and concurrent-append verification
+                P.parse_predicate(r)
+            except Exception:
+                continue
+            kept.append(f"({r.strip()})")
         return " AND ".join(kept) if kept else None
 
     def _insert_only(self, txn, source: DataFrame, cols: list[str],

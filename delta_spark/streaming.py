@@ -94,25 +94,26 @@ def _parse_byte_size(s) -> int:
         s = s[:-1]
     return int(float(s) * mult)
 
-
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_py source requires a path")
         # Admission control (reference sources/limits.scala:25,
-        # DeltaSource.scala:244): maxFilesPerTrigger defaults to 1000
-        # like the reference. The Python DataSource API has no
-        # SupportsAdmissionControl hook, so the cap is applied per
-        # latestOffset() call relative to the last planned offset;
-        # Trigger.AvailableNow snapshots latestOffset ONCE through
-        # Spark's wrapper, so an available-now run would drain at most
-        # one capped batch — pass .option("availableNow", "true") to
-        # lift the cap for such runs (they then drain fully, matching
-        # the old behavior).
+        # DeltaSource.scala:244). Deviation from the reference's
+        # default maxFilesPerTrigger=1000: caps apply ONLY when the
+        # user sets maxFilesPerTrigger / maxBytesPerTrigger. The
+        # Python DataSource API has no SupportsAdmissionControl hook,
+        # so the cap is re-derived per latestOffset() call relative to
+        # the last planned offset; an implicit default cap would make
+        # batch sizing depend on that bookkeeping surviving restarts,
+        # so default-uncapped is the safe choice here.
+        # .option("availableNow", "true") lifts explicit caps too for
+        # drain-everything runs.
         self.available_now = str(options.get("availablenow", "false")).lower() == "true"
-        mf = options.get("maxfilespertrigger", 1000)
-        self.max_files = None if self.available_now else max(int(mf), 1)
+        mf = options.get("maxfilespertrigger")
+        self.max_files = None if (mf is None or self.available_now) \
+            else max(int(mf), 1)
         mb = options.get("maxbytespertrigger")
         self.max_bytes = None if (mb is None or self.available_now) \
             else max(_parse_byte_size(mb), 1)
@@ -199,16 +200,23 @@ class DeltaStreamReader(DataSourceStreamReader):
         maxFilesPerTrigger / maxBytesPerTrigger relative to the last
         planned offset (the reference's ReadLimit admission control,
         re-expressed per-call because the Python DataSource API has no
-        SupportsAdmissionControl hook). With no admission base (process
-        restarted mid-stream) or no limits, reports everything."""
+        SupportsAdmissionControl hook). With no limits, reports
+        everything. An unset admission base means a brand-new query
+        (Spark calls latestOffset BEFORE initialOffset on fresh
+        queries; on restarts it re-plans the last offset-log batch via
+        partitions() first, which re-seeds the base), so seeding from
+        the initial offset is safe and lets the cap govern the very
+        first microbatch too — the reference's backlog-drain shape."""
         latest = self.log.latest_version()
         v0 = self._initial["version"]
         full = (_offset(v0, 1 << 62, True)
                 if self._initial["isInitialSnapshot"] and latest == v0
                 else _offset(latest, 1 << 62, False))
-        pos = self._pos
-        if pos is None or (self.max_files is None and self.max_bytes is None):
+        if self.max_files is None and self.max_bytes is None:
             return full
+        pos = self._pos
+        if pos is None:
+            pos = self._pos = dict(self._initial)
         taken, nbytes, end, capped = 0, 0, None, False
         for (v, idx, sz, is_snap) in self._pending_after(pos, latest):
             if (self.max_files is not None and taken + 1 > self.max_files) or \
@@ -225,6 +233,16 @@ class DeltaStreamReader(DataSourceStreamReader):
             # whole backlog admitted → report the full offset so empty
             # trailing commits (metadata-only) are covered too
             return full
+        ev, eidx, esnap = end
+        if self.cdf and not esnap:
+            # Never split a commit in CDF mode: the CDF emission path
+            # streams whole commits (AddCDCFiles carry the row-level
+            # changes with no per-file offset order), so a mid-commit
+            # cap would land the commit in two consecutive batches and
+            # duplicate change rows. Round the end up to the commit
+            # boundary (may overshoot the cap by part of one commit,
+            # same as the reference's per-commit CDC batching).
+            return _offset(ev, 1 << 62, False)
         return _offset(*end)
 
     def partitions(self, start: dict, end: dict):

@@ -191,3 +191,22 @@ def test_merge_pruning_predicate_extraction(spark, tmp_table, sf_dir):
         == "(l_returnflag IN ('A','N'))"
     # OR across source+target inside one conjunct → rejected whole
     assert pred_of("target.l_orderkey = source.okey OR target.l_returnflag = 'A'") is None
+    # BETWEEN's pairing AND is an operand, not a conjunction
+    assert _split_top_and("l_quantity BETWEEN 5 AND 10 AND l_returnflag = 'A'") == \
+        ["l_quantity BETWEEN 5 AND 10", "l_returnflag = 'A'"]
+    # the AND inside CASE..END never splits
+    assert _split_top_and(
+        "CASE WHEN a = 1 AND b = 2 THEN 1 ELSE 0 END = 1 AND c = 3") == \
+        ["CASE WHEN a = 1 AND b = 2 THEN 1 ELSE 0 END = 1", "c = 3"]
+    assert pred_of("target.l_orderkey = source.okey AND "
+                   "target.l_quantity BETWEEN 5 AND 10") \
+        == "(l_quantity BETWEEN 5 AND 10)"
+    # an identifier that is neither a source nor a target column
+    # (outer-scope ref / typo) must not become a pruning predicate
+    assert pred_of("target.l_orderkey = source.okey AND l_returnflg = 'A'") is None
+    # conjuncts outside the skipping-parser subset are dropped, not kept
+    # as unverifiable read predicates
+    assert pred_of("target.l_orderkey = source.okey AND "
+                   "target.l_returnflag = 'A' AND "
+                   "xxhash64(target.l_returnflag) % 2 = 0") \
+        == "(l_returnflag = 'A')"

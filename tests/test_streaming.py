@@ -30,7 +30,10 @@ def test_streaming_source_reads_table(spark, tmp_table, sf_dir, tmp_path):
     write_delta(events.limit(200), tmp_table)
     write_delta(events.limit(100), tmp_table, mode="append")
 
-    stream = read_stream(spark, tmp_table, maxFilesPerTrigger="1")
+    # no rate limit: availableNow falls back to single-batch execution
+    # for Python sources, so a cap would truncate the run (the capped
+    # paths are exercised by the processingTime tests below)
+    stream = read_stream(spark, tmp_table)
     q = (stream.writeStream.format("memory").queryName("t_stream")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
@@ -100,6 +103,154 @@ def test_streaming_cdf_source(spark, tmp_table, sf_dir, tmp_path):
     dels = out.toDF().filter("_change_type = 'delete'") \
         .agg(F.count(F.lit(1)).alias("c"), F.max("_commit_version").alias("v")).collect()[0]
     assert dels["c"] == n_del and dels["v"] == 1
+
+
+def _drain(stream, tmp_path, name, batches):
+    """Drain a stream through foreachBatch with a real microbatch
+    trigger (Python sources don't support Trigger.AvailableNow — Spark
+    falls back to ONE batch, so availableNow never exercises admission
+    control), recording (batch_id, row_count) per microbatch."""
+    def sink(df, bid):
+        batches.append((bid, df.count()))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / name))
+         .trigger(processingTime="0 seconds").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return q
+
+
+def test_max_files_per_trigger_splits_backlog(spark, tmp_table, sf_dir, tmp_path):
+    """A 10-commit backlog under maxFilesPerTrigger=2 must drain in
+    multiple microbatches (admission control actually engages), with
+    no rows lost or duplicated (streaming.py latestOffset capping)."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    for _ in range(9):
+        write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    batches = []
+    # startingVersion=0 streams the 10 commits as commits (not as one
+    # initial snapshot), so the cap splits across commit boundaries
+    stream = read_stream(spark, tmp_table, startingVersion="0",
+                         maxFilesPerTrigger="2")
+    _drain(stream, tmp_path, "ck_mft", batches)
+    assert sum(n for _, n in batches) == 100
+    assert len([b for b in batches if b[1] > 0]) >= 5
+    assert max(n for _, n in batches) <= 20  # ≤2 files × 10 rows
+
+
+def test_max_files_per_trigger_splits_snapshot(spark, tmp_table, sf_dir, tmp_path):
+    """The initial snapshot's file list is also subject to the cap."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    for _ in range(4):
+        write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    batches = []
+    stream = read_stream(spark, tmp_table, maxFilesPerTrigger="2")
+    _drain(stream, tmp_path, "ck_snap", batches)
+    assert sum(n for _, n in batches) == 50
+    assert len([b for b in batches if b[1] > 0]) >= 2
+    assert max(n for _, n in batches) <= 20
+
+
+def test_max_bytes_per_trigger(spark, tmp_table, sf_dir, tmp_path):
+    """maxBytesPerTrigger=1 byte admits exactly one file per batch
+    (always takes ≥1 file, like the reference's ReadMaxBytes)."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    for _ in range(3):
+        write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    batches = []
+    stream = read_stream(spark, tmp_table, startingVersion="0",
+                         maxBytesPerTrigger="1")
+    _drain(stream, tmp_path, "ck_mbt", batches)
+    assert sum(n for _, n in batches) == 40
+    assert len([b for b in batches if b[1] > 0]) == 4
+
+
+def test_rate_limited_restart_no_dupes(spark, tmp_table, sf_dir, tmp_path):
+    """Capped drain → stop → more commits → restart from the same
+    checkpoint: partitions() re-seeds the admission base (_pos) from
+    the checkpointed offsets and the delta arrives exactly once (the
+    exactly-once delta sink makes any duplicate emission fatal)."""
+    import time
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    for _ in range(4):
+        write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    out_tbl = str(tmp_path / "rst_out")
+    seen = {}
+
+    def make_q(max_files):
+        base = delta_sink(out_tbl, "rstq")
+        def sink(df, bid):
+            seen[bid] = df.count()
+            base(df, bid)
+        stream = read_stream(spark, tmp_table, startingVersion="0",
+                             maxFilesPerTrigger=str(max_files))
+        return (stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ck_rst"))
+                .trigger(processingTime="0 seconds").start())
+
+    q = make_q(2)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(60)
+    out = DeltaTable.forPath(spark, out_tbl)
+    assert out.toDF().count() == 50
+    # two more commits, then a fresh reader on the SAME checkpoint
+    write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    q2 = make_q(1)
+    q2.processAllAvailable()
+    assert out.toDF().count() == 70
+    # live appends while the query runs: the re-seeded base caps them
+    n_before = len(seen)
+    write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    deadline = time.time() + 60
+    while time.time() < deadline and out.toDF().count() < 90:
+        q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination(60)
+    assert out.toDF().count() == 90
+    live = [n for bid, n in seen.items() if n > 0][n_before:]
+    assert len(live) >= 2 and max(live) <= 10  # 1 file (=10 rows) per batch
+
+
+def test_cdf_capped_stream_no_duplicate_changes(spark, tmp_table, sf_dir, tmp_path):
+    """readChangeFeed + maxFilesPerTrigger: a multi-file commit must
+    never be split across batches (latestOffset rounds capped CDF
+    offsets up to commit boundaries), or its change rows would be
+    emitted twice."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(20).coalesce(1), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    # v1: one commit, three files
+    write_delta(events.limit(30).repartition(3), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    n_del = dt.toDF().filter("value > 100").count()
+    dt.delete("value > 100")  # v2: cdc files
+    stream = read_stream(spark, tmp_table, readChangeFeed="true",
+                         startingVersion="0", maxFilesPerTrigger="1")
+    sink_tbl = str(tmp_path / "cdf_capped_sink")
+    batches = []
+
+    def sink(df, bid):
+        batches.append((bid, df.count()))
+        delta_sink(sink_tbl, "cdfcap")(df, bid)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck_cdfcap"))
+         .trigger(processingTime="0 seconds").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    out = DeltaTable.forPath(spark, sink_tbl).toDF()
+    assert out.filter("_change_type = 'insert'").count() == 50
+    assert out.filter("_change_type = 'delete'").count() == n_del
+    # exactly-once per change row: a split commit would double-emit
+    assert out.count() == 50 + n_del
+    assert len([b for b in batches if b[1] > 0]) >= 3
 
 
 def test_default_and_cluster_by(spark, tmp_table, sf_dir, tmp_path):
