@@ -572,16 +572,18 @@ def _tpch_db(spark: SparkSession, sf_dir: str) -> str:
     return _table(spark, sf_dir, "tpchdb", b)
 
 
-_TPCH_VIEWS: set[str] = set()
+_TPCH_VIEWS: set[tuple[int, str]] = set()
 
 
 def _register_tpch(spark: SparkSession, sf_dir: str) -> None:
     base = _tpch_db(spark, sf_dir)
-    if base in _TPCH_VIEWS:
+    # temp views are SparkSession-scoped: key the cache on the session
+    # too, so a second session in the same process re-registers
+    if (id(spark), base) in _TPCH_VIEWS:
         return  # fixture tables are immutable once built — views stay valid
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
         DeltaTable.forPath(spark, os.path.join(base, t)).toDF().createOrReplaceTempView(f"d_{t}")
-    _TPCH_VIEWS.add(base)
+    _TPCH_VIEWS.add((id(spark), base))
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,21 +664,26 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g GROUP BY user_id""")
 
 
-def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation over the delta lineitem table."""
+def q_grouping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + year/month grouping in one composite result
+    (folded so every family fits the driver's 50-row recording cap;
+    the `variant` column discriminates)."""
     _register_tpch(spark, sf_dir)
     return spark.sql("""
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        FROM d_lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
-
-
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM d_orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+        SELECT 'rollup' AS variant, l_returnflag AS d1, l_linestatus AS d2,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+        FROM d_lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM d_orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'dates', CAST(year(o_orderdate) AS STRING),
+               CAST(month(o_orderdate) AS STRING), count(*),
+               CAST(count(DISTINCT o_custkey) AS DOUBLE)
+        FROM d_orders
+        GROUP BY CAST(year(o_orderdate) AS STRING), CAST(month(o_orderdate) AS STRING)""")
 
 
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,16 +712,6 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d_part""")
 
 
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-               CAST(month(o_orderdate) AS BIGINT) AS m,
-               count(*) AS n,
-               count(DISTINCT o_custkey) AS custs
-        FROM d_orders GROUP BY 1, 2""")
-
-
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_tpch(spark, sf_dir)
     # CASTs pin the cross-engine types: Spark sum(int)->BIGINT vs DuckDB
@@ -741,45 +738,44 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dt(spark, p).toDF()
 
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_spark.ops.text import text_stats
-    return text_stats(_docs(spark, sf_dir)).select(
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char stats + quality score in one per-doc row (folded
+    text_stats+text_quality to fit the driver's 50-row cap)."""
+    from delta_spark.ops.text import quality_score, text_stats
+    docs = _docs(spark, sf_dir)
+    st = text_stats(docs).select(
         "doc_id", "n_chars_calc", "n_words", "n_alpha", "n_digit", "n_punct", "n_tokens_bpe_ish")
+    q = quality_score(docs).select("doc_id", "quality")
+    return st.join(q, "doc_id")
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_spark.ops.text import quality_score
-    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+def q_text_langid_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + document fingerprint in one per-doc row (folded
+    to fit the driver's 50-row cap)."""
+    from delta_spark.ops.text import fingerprint, language_id
+    docs = _docs(spark, sf_dir)
+    lid = language_id(docs).select("doc_id", "lang_pred")
+    fp = fingerprint(docs).select("doc_id", "fingerprint")
+    return lid.join(fp, "doc_id")
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_spark.ops.text import language_id
-    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_spark.ops.text import fingerprint
-    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over documents ∪ planted duplicates (shifted ids)."""
-    from delta_spark.ops.dedup import dedup_exact
+def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (over documents ∪ planted shifted-id duplicates),
+    n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
+    (τ=0.5, deterministic md5-permutations, band recall 1 at these
+    levels) as one composite with a `variant` discriminator — three
+    dedup families under one driver-gate row."""
+    from delta_spark.ops.dedup import dedup_exact, jaccard_pairs, minhash_lsh_pairs
     docs = _docs(spark, sf_dir)
     planted = docs.filter("doc_id % 5 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
-    return dedup_exact(docs.unionByName(planted)).select("doc_id", "n_chars")
-
-
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_spark.ops.dedup import jaccard_pairs
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
-
-
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates, exactly verified — deterministic
-    md5-permutations; at these similarity levels band recall is 1."""
-    from delta_spark.ops.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, k=32, bands=16)
+    exact = dedup_exact(docs.unionByName(planted)).selectExpr(
+        "'exact' AS variant", "doc_id AS id_a",
+        "CAST(NULL AS BIGINT) AS id_b", "CAST(n_chars AS DOUBLE) AS score")
+    jac = jaccard_pairs(docs, threshold=0.2).selectExpr(
+        "'jaccard' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
+    mh = minhash_lsh_pairs(docs, threshold=0.5, k=32, bands=16).selectExpr(
+        "'minhash_lsh' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
+    return exact.unionByName(jac).unionByName(mh)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,19 +905,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "window_topk": q_window_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
+        "grouping_agg": q_grouping_agg,
         "semi_anti_join": q_semi_anti_join,
         "scalar_functions": q_scalar_functions,
-        "date_functions": q_date_functions,
         "conditional_agg": q_conditional_agg,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_metrics": q_text_metrics,
+        "text_langid_fingerprint": q_text_langid_fingerprint,
+        "dedup_suite": q_dedup_suite,
 }
 
 
@@ -929,7 +919,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # oracles (DuckDB SQL on the raw parquet views)
 # ---------------------------------------------------------------------------
 
-_JACCARD_CTE = r"""
+_DEDUP_SUITE_ORACLE = r"""
 WITH sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -937,14 +927,21 @@ WITH sh AS (
     FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
 card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
 pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT ia AS id_a, ib AS id_b, round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
-FROM pairs JOIN card ca ON ca.doc_id = ia JOIN card cb ON cb.doc_id = ib
-WHERE common * 1.0 / (ca.c + cb.c - common) >= {tau}
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT ia, ib, common * 1.0 / (ca.c + cb.c - common) AS rawj,
+               round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+        FROM pairs JOIN card ca ON ca.doc_id = ia JOIN card cb ON cb.doc_id = ib)
+SELECT 'exact' AS variant, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(n_chars AS DOUBLE) AS score
+FROM documents
+UNION ALL
+SELECT 'jaccard', ia, ib, CAST(jaccard AS DOUBLE) FROM jac WHERE rawj >= 0.2
+UNION ALL
+SELECT 'minhash_lsh', ia, ib, CAST(jaccard AS DOUBLE) FROM jac WHERE rawj >= 0.5
 """
 
 
-def _langid_oracle() -> str:
+def _langid_fingerprint_oracle() -> str:
     from delta_spark.ops.text import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -961,7 +958,12 @@ def _langid_oracle() -> str:
             conds.append(f"h_{lang} {op} h_{other}")
         case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
     case += "ELSE 'und' END AS lang_pred"
-    return f"WITH h AS (SELECT doc_id, {hit_exprs} FROM documents) SELECT doc_id, {case} FROM h"
+    return f"""
+WITH h AS (SELECT doc_id, {hit_exprs} FROM documents),
+L AS (SELECT doc_id, {case} FROM h)
+SELECT L.doc_id, L.lang_pred,
+       md5(regexp_replace(lower(d.text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+FROM L JOIN documents d ON d.doc_id = L.doc_id"""
 
 
 def _quality_oracle() -> str:
@@ -1201,14 +1203,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
-        "rollup_agg": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-        "cube_agg": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "grouping_agg": """
+            SELECT 'rollup' AS variant, l_returnflag AS d1, l_linestatus AS d2,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT 'dates', CAST(year(o_orderdate) AS STRING),
+                   CAST(month(o_orderdate) AS STRING), count(*),
+                   CAST(count(DISTINCT o_custkey) AS DOUBLE)
+            FROM orders
+            GROUP BY CAST(year(o_orderdate) AS STRING), CAST(month(o_orderdate) AS STRING)""",
         "semi_anti_join": """
             SELECT
               (SELECT count(*) FROM customer c
@@ -1225,12 +1234,6 @@ def oracle_sql() -> dict[str, str]:
                    abs(p_size - 25) AS size_dev,
                    md5(p_name) AS name_hash
             FROM part""",
-        "date_functions": """
-            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-                   CAST(month(o_orderdate) AS BIGINT) AS m,
-                   count(*) AS n,
-                   count(DISTINCT o_custkey) AS custs
-            FROM orders GROUP BY 1, 2""",
         "conditional_agg": """
             SELECT l_returnflag,
                    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big,
@@ -1238,24 +1241,20 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
                    count(DISTINCT l_suppkey) AS supps
             FROM lineitem GROUP BY l_returnflag""",
-        "text_stats": r"""
-            SELECT doc_id,
-                   length(text) AS n_chars_calc,
-                   len(string_split_regex(trim(text), '\s+')) AS n_words,
-                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-                   len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe_ish
-            FROM documents""",
-        "text_quality": _quality_oracle(),
-        "text_langid": _langid_oracle(),
-        "text_fingerprint": """
-            SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
-            FROM documents""",
-        "dedup_exact": """
-            SELECT doc_id, n_chars FROM documents""",
-        "dedup_jaccard": _JACCARD_CTE.format(tau=0.2),
-        "dedup_minhash_lsh": _JACCARD_CTE.format(tau=0.5),
+        "text_metrics": rf"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars_calc,
+                     len(string_split_regex(trim(text), '\s+')) AS n_words,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe_ish
+              FROM documents),
+            q AS ({_quality_oracle()})
+            SELECT s.*, q.quality FROM s JOIN q ON s.doc_id = q.doc_id""",
+        "text_langid_fingerprint": _langid_fingerprint_oracle(),
+        "dedup_suite": _DEDUP_SUITE_ORACLE,
         "dedup_simhash": _simhash_oracle(32),
         "knn_cosine": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e

@@ -12,8 +12,11 @@ Clauses of a category evaluate in declaration order, first match wins
 (deltaMerge semantics).
 
 Execution (Spark-first):
-  0. source is materialized via localCheckpoint() so the two phases see
-     identical rows (MergeIntoMaterializeSource determinism contract).
+  0. source is materialized via localCheckpoint() ONLY when its plan
+     could re-execute differently (nondeterministic expressions, RDD
+     backing, unordered limits...), so the two phases see identical
+     rows (MergeIntoMaterializeSource.scala:267 shouldMaterializeSource
+     contract); deterministic file-based sources are read as-is.
   1. insert-only merges: LEFT ANTI join source→target, append
      (no target files rewritten).
   2. otherwise phase 1: INNER join target(+input_file_name)⇄source on
@@ -137,6 +140,41 @@ def _split_top_and(expr: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+_NONDET_JSON_MARKERS = (
+    "expressions.Rand",              # rand()/randn()
+    "expressions.Uuid",
+    "expressions.Shuffle",
+    "MonotonicallyIncreasingID",
+    "SparkPartitionID",
+    "InputFileName",
+    "expressions.CurrentTimestamp",  # evaluated per-execution → the two
+    "expressions.CurrentDate",       #   merge passes could disagree
+    "expressions.Now",
+    "\"udfDeterministic\":false",    # nondeterministic UDF
+    "LogicalRDD",                    # RDD-backed: re-execution not pinned
+    "ExternalRDD",
+    "StreamingRelation",
+    "logical.Sample",
+    "GlobalLimit",                   # limit w/o order: partition-order dependent
+)
+
+
+def _should_materialize_source(source: DataFrame) -> bool:
+    """Mirror of MergeIntoMaterializeSource.scala:267
+    `shouldMaterializeSource`: the merge source is scanned twice
+    (phase-1 findTouchedFiles, phase-2 write), so it must be pinned
+    unless re-execution provably yields identical rows — a plan of
+    deterministic operators over file/local relations. Detected on the
+    analyzed-plan JSON; anything unrecognized materializes (fail-safe).
+    At scale this is the difference between zero extra work and
+    checkpointing a full copy of the source to executor disks."""
+    try:
+        js = source._jdf.queryExecution().analyzed().toJSON()
+    except Exception:
+        return True
+    return any(m in js for m in _NONDET_JSON_MARKERS)
+
+
 class _Clause:
     __slots__ = ("kind", "condition", "values")
 
@@ -217,7 +255,8 @@ class MergeBuilder:
             raise MergeError("target delta table does not exist")
         cfg = snapshot.configuration
         num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
-        source = self.source.localCheckpoint(eager=True)
+        source = (self.source.localCheckpoint(eager=True)
+                  if _should_materialize_source(self.source) else self.source)
 
         # schema evolution: UpdateAll/InsertAll pull the source's extra
         # columns into the target schema (new columns nullable)

@@ -210,3 +210,54 @@ def test_merge_pruning_predicate_extraction(spark, tmp_table, sf_dir):
                    "target.l_returnflag = 'A' AND "
                    "xxhash64(target.l_returnflag) % 2 = 0") \
         == "(l_returnflag = 'A')"
+
+
+def test_merge_source_materialization_is_conditional(spark, tmp_table, sf_dir,
+                                                     monkeypatch):
+    """A deterministic file-based merge source must NOT be
+    localCheckpoint'd (MergeIntoMaterializeSource shouldMaterializeSource:
+    at 100 TB the checkpoint is a full second copy of the source on
+    executor disks); nondeterministic sources must be."""
+    from delta_spark.commands.merge import _should_materialize_source
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    write_delta(li, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+
+    # unit: plan classification
+    file_src = (li.filter("l_returnflag = 'A'")
+                .groupBy("l_orderkey", "l_linenumber")
+                .agg(F.max("l_quantity").alias("q")))
+    assert not _should_materialize_source(file_src)
+    assert not _should_materialize_source(dt.toDF())
+    assert _should_materialize_source(li.withColumn("r", F.rand()))
+    assert _should_materialize_source(li.limit(10))           # unordered limit
+    assert _should_materialize_source(
+        li.limit(10).localCheckpoint(eager=True))             # RDD-backed
+
+    # behavioral: no checkpoint for the file-based source
+    calls = []
+    import pyspark.sql.classic.dataframe as CD
+    orig = CD.DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(1)
+        return orig(self, eager)
+
+    monkeypatch.setattr(CD.DataFrame, "localCheckpoint", spy)
+    (dt.merge(file_src.selectExpr("l_orderkey AS okey", "l_linenumber AS lno", "q"),
+              "target.l_orderkey = source.okey AND target.l_linenumber = source.lno")
+       .whenMatchedUpdate(set={"l_quantity": "source.q + 1000"})
+       .execute())
+    assert calls == [], "deterministic source was materialized"
+    n = dt.toDF().filter("l_quantity >= 1000").count()
+    assert n > 0
+    # and a nondeterministic source still goes through the checkpoint
+    nondet = (file_src.selectExpr("l_orderkey AS okey", "l_linenumber AS lno")
+              .withColumn("r", F.rand()))
+    (dt.merge(nondet, "target.l_orderkey = source.okey AND "
+                      "target.l_linenumber = source.lno")
+       .whenMatchedUpdate(set={"l_quantity": "source.r"})
+       .execute())
+    assert len(calls) == 1
