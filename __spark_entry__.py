@@ -562,6 +562,33 @@ def q_delta_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_delta_named_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-table lifecycle (catalog.py / DeltaTable.forName /
+    saveAsTable / name-routed SQL): create via saveAsTable, merge via
+    forName, named-SQL DELETE, named-SQL read."""
+    def b(spark, sf_dir, path):
+        os.environ["DELTA_SPARK_WAREHOUSE"] = path
+        from delta_spark import catalog as C
+        from delta_spark.sql import delta_sql
+        orders = load_table(spark, sf_dir, "orders")
+        C.save_as_table(orders, "gate.orders_named")
+        dt = DeltaTable.forName(spark, "gate.orders_named")
+        src = orders.filter("o_orderkey % 7 = 0").selectExpr(
+            "o_orderkey AS k", "o_totalprice * 2 AS p")
+        (dt.merge(src, "target.o_orderkey = source.k")
+           .whenMatchedUpdate(set={"o_totalprice": "source.p"}).execute())
+        delta_sql(spark, "DELETE FROM gate.orders_named WHERE o_orderkey % 13 = 0")
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)  # fixture-cache marker
+
+    path = _table(spark, sf_dir, "namedwh", b)
+    os.environ["DELTA_SPARK_WAREHOUSE"] = path
+    from delta_spark.sql import delta_sql
+    return delta_sql(spark, """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM gate.orders_named GROUP BY o_orderstatus""")
+
+
 # ---- analytics over delta tables (TPC-H-ish) ------------------------------
 
 def _tpch_db(spark: SparkSession, sf_dir: str) -> str:
@@ -895,6 +922,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_constraints": q_delta_constraints,
         "delta_rename_column": q_delta_rename_column,
         "delta_merge_evolution": q_delta_merge_evolution,
+        "delta_named_table": q_delta_named_table,
         "delta_history": q_delta_history,
         "delta_uniform": q_delta_uniform,
         "delta_variant": q_delta_variant,
@@ -1141,6 +1169,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS o_channel,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "delta_named_table": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                                      ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey % 13 <> 0
+            GROUP BY o_orderstatus""",
         # delta_history: delta-specific — rows-only check (no oracle)
         "delta_uniform":
             "SELECT CAST(count(*) AS BIGINT) AS total_records FROM supplier",

@@ -27,8 +27,34 @@ def _path_of(m: re.Match) -> str:
 
 def delta_sql(spark: SparkSession, statement: str) -> Any:
     """Execute one statement; Delta verbs handled natively, everything
-    else → spark.sql."""
+    else → spark.sql. Registered table names (catalog.py) are rewritten
+    to their delta.`path` form first, so every verb — and plain SELECT —
+    works against named tables; unregistered names fall through to
+    spark.sql untouched."""
+    from delta_spark import catalog as C
+
     s = statement.strip().rstrip(";")
+
+    # DROP TABLE on a registered name (DeltaCatalog.dropTable): managed
+    # tables lose their data, external ones keep it
+    m = re.fullmatch(r"(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+                     r"(?P<name>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)\s*", s)
+    if m and C.resolve(spark, m.group("name")) is not None:
+        dropped = C.drop_table(spark, m.group("name"))
+        return spark.createDataFrame([(dropped,)], "dropped: boolean")
+
+    # CREATE TABLE <name> AS SELECT on an UNregistered name: create a
+    # managed delta table in the warehouse and register it
+    m = re.fullmatch(r"(?is)\s*CREATE\s+(?P<repl>OR\s+REPLACE\s+)?TABLE\s+"
+                     r"(?P<name>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)"
+                     r"(?:\s+USING\s+delta)?\s+AS\s+(?P<q>(?:SELECT|WITH)\s.+)", s)
+    if m and C.resolve(spark, m.group("name")) is None:
+        df = spark.sql(m.group("q"))
+        v = C.save_as_table(df, m.group("name"),
+                            mode="overwrite" if m.group("repl") else "error")
+        return spark.createDataFrame([(v if v is not None else -1,)], "version: long")
+
+    s = C.substitute_names(spark, s)
 
     m = re.fullmatch(rf"(?is)\s*VACUUM\s+(?:{_PATH})"
                      rf"(?:\s+USING\s+INVENTORY\s+delta\.`(?P<inv>[^`]+)`)?"

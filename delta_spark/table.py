@@ -91,6 +91,25 @@ class DeltaTable:
         return cls(spark, log)
 
     @classmethod
+    def forName(cls, spark: SparkSession, tableOrViewName: str) -> "DeltaTable":
+        """Resolve a registered table name (python/delta/tables.py:404;
+        name->location resolution per AbstractDeltaCatalog.scala:81).
+        Also accepts the delta.`path` spelling for symmetry."""
+        import re as _re
+
+        from delta_spark import catalog as C
+
+        m = _re.fullmatch(r"\s*delta\.`(.+)`\s*", tableOrViewName)
+        if m:
+            return cls.forPath(spark, m.group(1))
+        path = C.resolve(spark, tableOrViewName)
+        if path is None:
+            raise ValueError(
+                f"table {tableOrViewName!r} is not registered in the delta catalog "
+                f"({C.warehouse_dir(spark)}/{C.CATALOG_FILE})")
+        return cls.forPath(spark, path)
+
+    @classmethod
     def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
         return DeltaLog.for_table(path).table_exists()
 
@@ -764,7 +783,13 @@ class DeltaTableBuilder:
 
     def execute(self) -> DeltaTable:
         if not self._location:
-            raise ValueError("location() is required (catalog-less engine is path-based)")
+            if not self._name:
+                raise ValueError("tableName() or location() is required")
+            # managed named table: resolve (or derive) the warehouse
+            # location like DeltaCatalog.createDeltaTable
+            from delta_spark import catalog as C
+            self._location = (C.resolve(self.spark, self._name)
+                              or C.default_location(self.spark, self._name))
         log = DeltaLog.for_table(self._location)
         exists = log.table_exists()
         if exists and self.mode == "create":
@@ -796,6 +821,9 @@ class DeltaTableBuilder:
             op = "CREATE TABLE"
         txn.commit(actions, op, {"partitionBy": json.dumps(self._partition_cols),
                                  "properties": json.dumps(self._properties)})
+        if self._name:
+            from delta_spark import catalog as C
+            C.register_table(self.spark, self._name, self._location)
         return DeltaTable(self.spark, log)
 
 

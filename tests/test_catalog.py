@@ -1,0 +1,103 @@
+"""Named-table catalog: forName / saveAsTable / named SQL routing
+(reference python/delta/tables.py:404, AbstractDeltaCatalog.scala:81)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_spark import catalog as C
+from delta_spark.datasets import load_table
+from delta_spark.io import write_delta
+from delta_spark.sql import delta_sql
+from delta_spark.table import DeltaTable
+
+
+@pytest.fixture()
+def warehouse(tmp_path, monkeypatch):
+    w = str(tmp_path / "wh")
+    monkeypatch.setenv("DELTA_SPARK_WAREHOUSE", w)
+    yield w
+
+
+def test_create_named_table_and_forname(spark, warehouse, sf_dir):
+    (DeltaTable.create(spark).tableName("people")
+     .addColumn("id", "long").addColumn("name", "string")
+     .execute())
+    # managed location derives from the warehouse
+    assert C.resolve(spark, "people") == os.path.join(warehouse, "people")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    C.save_as_table(df, "people", mode="append")
+    dt = DeltaTable.forName(spark, "people")
+    assert dt.toDF().count() == 2
+    # names are case-insensitive, default-db-qualified spelling works
+    assert DeltaTable.forName(spark, "PEOPLE").toDF().count() == 2
+    assert DeltaTable.forName(spark, "default.people").toDF().count() == 2
+    with pytest.raises(ValueError, match="not registered"):
+        DeltaTable.forName(spark, "nope")
+
+
+def test_save_as_table_db_qualified(spark, warehouse, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    C.save_as_table(orders, "sales.orders")
+    assert C.resolve(spark, "sales.orders") == os.path.join(warehouse, "sales.db", "orders")
+    assert DeltaTable.forName(spark, "sales.orders").toDF().count() == 100
+
+
+def test_named_sql_roundtrip(spark, warehouse, sf_dir):
+    """Every delta_sql verb works on a registered name via rewrite."""
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    C.save_as_table(li, "li")
+    n0 = li.count()
+    ndel = li.filter("l_quantity > 40").count()
+    delta_sql(spark, "DELETE FROM li WHERE l_quantity > 40")
+    assert DeltaTable.forName(spark, "li").toDF().count() == n0 - ndel
+    delta_sql(spark, "UPDATE li SET l_tax = 9.9 WHERE l_quantity < 5")
+    got = delta_sql(spark, "SELECT count(*) AS c FROM li WHERE l_tax = 9.9").collect()[0]["c"]
+    assert got == DeltaTable.forName(spark, "li").toDF().filter("l_quantity < 5").count()
+    hist = delta_sql(spark, "DESCRIBE HISTORY li")
+    assert hist.count() >= 3
+    delta_sql(spark, "OPTIMIZE li")
+
+
+def test_named_merge_sql(spark, warehouse, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    C.save_as_table(orders, "ord")
+    src = orders.limit(50).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    src.createOrReplaceTempView("src_v")
+    delta_sql(spark, """
+        MERGE INTO ord AS t USING src_v AS s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+    dt = DeltaTable.forName(spark, "ord")
+    assert dt.toDF().count() == 200
+
+
+def test_ctas_and_drop(spark, warehouse, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").limit(50)
+    li.createOrReplaceTempView("li_src")
+    delta_sql(spark, "CREATE TABLE flagged AS SELECT * FROM li_src WHERE l_quantity > 10")
+    path = C.resolve(spark, "flagged")
+    assert path and os.path.isdir(os.path.join(path, "_delta_log"))
+    n = DeltaTable.forName(spark, "flagged").toDF().count()
+    assert n == li.filter("l_quantity > 10").count()
+    # managed drop removes data
+    delta_sql(spark, "DROP TABLE flagged")
+    assert C.resolve(spark, "flagged") is None
+    assert not os.path.isdir(path)
+
+
+def test_external_table_drop_keeps_data(spark, warehouse, sf_dir, tmp_path):
+    p = str(tmp_path / "ext")
+    write_delta(load_table(spark, sf_dir, "region"), p)
+    C.register_table(spark, "reg", p)
+    assert DeltaTable.forName(spark, "reg").toDF().count() > 0
+    delta_sql(spark, "DROP TABLE reg")
+    assert C.resolve(spark, "reg") is None
+    assert os.path.isdir(os.path.join(p, "_delta_log"))  # external: data kept
+
+
+def test_unknown_names_fall_through(spark, warehouse, sf_dir):
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("plain_view")
+    # not in the delta catalog → spark.sql resolves the temp view
+    assert delta_sql(spark, "SELECT count(*) AS c FROM plain_view").collect()[0]["c"] > 0
