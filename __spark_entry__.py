@@ -831,16 +831,14 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ 0.3 over quantized embeddings."""
+    """Composed near-dup path (ops/similarity.near_duplicates):
+    random-hyperplane LSH candidates → exact cosine verify, hash-equal
+    to the all-pairs oracle (LSH bands sized for recall ≥ 1-1e-6 at
+    τ=0.3 — low τ admits most candidates by design; at dedup
+    thresholds the same path prunes hard, tests/test_ops.py)."""
+    from delta_spark.ops.similarity import near_duplicates
     emb = _quantized(_emb(spark, sf_dir))
-    a = emb.selectExpr("vec_id AS id_a", "e AS ea")
-    b = emb.selectExpr("vec_id AS id_b", "e AS eb")
-    return (a.crossJoin(b).filter("id_a < id_b").selectExpr(
-        "id_a", "id_b",
-        "round(aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) /"
-        " (sqrt(aggregate(ea, 0L, (acc, x) -> acc + x * x)) *"
-        "  sqrt(aggregate(eb, 0L, (acc, x) -> acc + x * x))), 6) AS sim")
-        .filter("sim >= 0.3"))
+    return near_duplicates(emb, threshold=0.3, method="lsh", vec_col="e")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,11 +131,127 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine ≥ τ → (id_a, id_b, sim), id_a < id_b.
-    At scale, run after an LSH/IVF candidate stage; the pair join here
-    is the exact verifier."""
+    O(n²) — this is the small-corpus / verification baseline; the scale
+    path is `near_duplicates` (candidates-first), which calls the same
+    verifier on LSH/IVF candidate pairs only."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (pairs.withColumn("sim", F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6))
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim"))
+
+
+# ------------------------------------------------- composed near-dups ----
+
+def lsh_params_for(threshold: float, target_miss: float = 1e-6,
+                   max_bits: int = 512) -> tuple[int, int]:
+    """(bits_per_band, bands) for random-hyperplane LSH such that a
+    pair AT the threshold collides in ≥1 band with probability
+    ≥ 1 - target_miss. p_bit = 1 - θ/π (Goemans–Williamson); bands are
+    sized from the residual miss probability. Low thresholds (broad
+    neighborhoods) legitimately yield near-all-pairs candidates —
+    cosine LSH only prunes when τ is high."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0 + 1e-9), 1.0 - 1e-9)) / math.pi
+    r = max(1, int(math.log(0.5) / math.log(p)))  # p^r ≈ 0.5 per band
+    while True:
+        pb = p ** r
+        b = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
+        if r * b <= max_bits or r == 1:
+            return r, b
+        r -= 1
+
+
+def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.randn(n, dim)]
+
+
+def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          bits_per_band: Optional[int] = None,
+                          bands: Optional[int] = None, seed: int = 42) -> DataFrame:
+    """Candidate pairs by random-hyperplane (sign) LSH: one codegen'd
+    pass computes every hyperplane dot per row (sign bits), band keys
+    are substrings of the bit vector, and candidates are the distinct
+    id pairs sharing a (band, bucket) — an equi-join on the bucket,
+    O(rows·bands) shuffle, never a cross join."""
+    r, b = (bits_per_band, bands) if bits_per_band and bands \
+        else lsh_params_for(threshold)
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    H = _hyperplanes(dim, r * b, seed)
+    planes = F.array(*[F.array(*[F.lit(x) for x in p]) for p in H])
+    dots = F.transform(planes, lambda p: _dot(F.col(vec_col), p))
+    bits = F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.array_join(F.slice(bits, i * r + 1, r), "").alias("bucket"))
+        for i in range(b)])
+    banded = (corpus.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def ivf_candidates(corpus: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_centroids: int = 16,
+                   nprobe: int = 4, centroids: Optional[list] = None) -> DataFrame:
+    """Candidate pairs by multi-probe IVF blocking: every vector is
+    assigned to its `nprobe` nearest centroids (one codegen'd pass),
+    candidates are distinct id pairs sharing a bucket. Each bucket
+    holds ~rows·nprobe/C vectors, so the per-bucket self-join replaces
+    the n² cross join with Σ_b |b|² work."""
+    cents = centroids or fit_centroids_sample(corpus, vec_col, n_centroids)
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    dots = F.transform(cmat, lambda c: _dot(F.col(vec_col), c))
+    ranked = F.reverse(F.array_sort(F.transform(
+        dots, lambda d, i: F.struct(d.alias("d"), i.alias("i")))))
+    buckets = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    assigned = (corpus.select(F.col(id_col), F.explode(buckets).alias("bucket")))
+    left = assigned.select(F.col(id_col).alias("id_a"), "bucket")
+    right = assigned.select(F.col(id_col).alias("id_b"), "bucket")
+    return (left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def verify_pairs(corpus: DataFrame, pairs: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine over candidate pairs only: two equi-joins to fetch
+    the vectors (shuffle on id, never a cross join), then the same
+    rounded-double cosine as the all-pairs baseline."""
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim", F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
+
+
+def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
+                    method: str = "lsh", id_col: str = "vec_id",
+                    vec_col: str = "embedding", **kwargs) -> DataFrame:
+    """Embedding near-duplicates, candidates-first (the scale path):
+    generate candidate pairs with `method` ('lsh' random-hyperplane
+    banding, 'ivf' multi-probe centroid blocking, 'exact' all-pairs —
+    small corpora only), then verify each candidate with the exact
+    cosine. LSH parameters default to recall ≥ 1 - 1e-6 at the given
+    threshold (lsh_params_for), so at real dedup thresholds (τ ≥ 0.9)
+    the candidate stage prunes hard while the verified output matches
+    the all-pairs baseline."""
+    if method == "exact":
+        return embedding_near_dups(corpus, threshold, id_col, vec_col)
+    if method == "lsh":
+        cands = cosine_lsh_candidates(corpus, threshold, id_col, vec_col, **kwargs)
+    elif method == "ivf":
+        cands = ivf_candidates(corpus, id_col, vec_col, **kwargs)
+    else:
+        raise ValueError(f"unknown near-duplicates method {method!r}")
+    return verify_pairs(corpus, cands, threshold, id_col, vec_col)

@@ -188,6 +188,44 @@ def test_embedding_near_dups(spark, emb):
         assert r["sim"] >= 0.9
 
 
+def test_near_duplicates_composed_matches_allpairs(spark, emb):
+    """Candidates-first LSH/IVF paths must reproduce the all-pairs
+    result exactly (LSH bands auto-sized for recall at the threshold;
+    IVF in full-probe mode)."""
+    from delta_spark.ops.similarity import near_duplicates
+
+    exact = {tuple(r) for r in embedding_near_dups(emb, threshold=0.35).collect()}
+    assert exact, "test corpus has no qualifying pairs at τ=0.35"
+    lsh = {tuple(r) for r in near_duplicates(emb, 0.35, method="lsh").collect()}
+    assert lsh == exact
+    ivf = {tuple(r) for r in near_duplicates(
+        emb, 0.35, method="ivf", n_centroids=8, nprobe=8).collect()}
+    assert ivf == exact
+
+
+def test_near_duplicates_lsh_prunes_at_high_threshold(spark):
+    """At a real dedup threshold the candidate stage must prune: a
+    corpus of random vectors + planted near-duplicates yields far
+    fewer candidates than all pairs, and the verified output still
+    matches the exact baseline."""
+    import numpy as np
+
+    from delta_spark.ops.similarity import cosine_lsh_candidates, near_duplicates
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    rows += [(1000 + i, [float(x) for x in base[i] + 0.02 * rng.randn(32)])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_all = 220 * 219 // 2
+    n_cand = cosine_lsh_candidates(df, threshold=0.95).count()
+    assert n_cand < n_all * 0.5
+    out = {tuple(r) for r in near_duplicates(df, 0.95, method="lsh").collect()}
+    exact = {tuple(r) for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert out == exact and len(out) >= 20
+
+
 def test_multimodal_features(spark, docs, sf_dir):
     media = documents_as_media(docs.limit(100))
     feats = extract_features(media)
