@@ -94,6 +94,53 @@ def _parse_byte_size(s) -> int:
         s = s[:-1]
     return int(float(s) * mult)
 
+class SchemaTrackingLog:
+    """Per-stream schema log (reference
+    sources/DeltaSourceMetadataTrackingLog.scala): versioned JSON
+    entries under the stream's `schemaTrackingLocation`, each recording
+    the read schema and the table version it applies from. The running
+    query reads with the logged schema; when the table's schema changes
+    mid-stream the source drains the pre-change backlog, appends the
+    evolved schema as the next entry, and stops with a retryable error —
+    a restart picks the new entry up and resumes from the checkpointed
+    offset, now reading post-change commits with the post-change
+    schema."""
+
+    def __init__(self, location: str):
+        self.dir = location
+
+    def _entries(self) -> list[str]:
+        try:
+            return sorted(f for f in os.listdir(self.dir) if f.endswith(".json"))
+        except OSError:
+            return []
+
+    def latest(self) -> Optional[dict]:
+        names = self._entries()
+        if not names:
+            return None
+        with open(os.path.join(self.dir, names[-1])) as f:
+            return json.load(f)
+
+    def append(self, entry: dict) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        idx = len(self._entries())
+        tmp = os.path.join(self.dir, f".tmp_{idx}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, os.path.join(self.dir, f"{idx:08d}.json"))
+
+
+def _is_additive_change(old_json: str, new_json: str) -> bool:
+    """True when new schema only ADDS fields (safe to auto-evolve);
+    renames/drops/type changes are non-additive and need the
+    allowSourceColumnRenameAndDrop opt-in (reference
+    DeltaSourceMetadataEvolutionSupport)."""
+    old = {f.name: f.dataType for f in schema_from_json(old_json).fields}
+    new = {f.name: f.dataType for f in schema_from_json(new_json).fields}
+    return all(n in new and new[n] == t for n, t in old.items())
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.path = options.get("path")
@@ -123,17 +170,46 @@ class DeltaStreamReader(DataSourceStreamReader):
         starting_version = options.get("startingversion")
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self._log = None
+        self._meta_cache: dict[int, object] = {}
         snap = self.log.update()
-        self._schema_json = snap.metadata.schemaString
-        l2p = snap.physical_map()
-        self._part_cols = snap.partition_columns
-        self._part_keys = {c: l2p.get(c, c) for c in snap.partition_columns}
         if starting_version is not None:
             v = int(starting_version)
+            # schema as of the FIRST version to be read, not the
+            # current one — historical commits carry their own schema
+            seed_snap = self.log.snapshot_at(min(max(v, 0), snap.version))
             self._initial = _offset(v - 1, 1 << 62, False)  # everything from v onward
         else:
+            seed_snap = snap
             # initial snapshot at the current version, indexed from -1
             self._initial = _offset(snap.version, -1, True)
+        self.schema_loc = options.get("schematrackinglocation")
+        self.allow_nonadditive = str(
+            options.get("allowsourcecolumnrenameanddrop", "false")).lower() == "true"
+        if self.schema_loc:
+            slog = SchemaTrackingLog(self.schema_loc)
+            ent = slog.latest()
+            if ent is None:
+                ent = {"fromVersion": seed_snap.version,
+                       "schemaString": seed_snap.metadata.schemaString,
+                       "partitionColumns": list(seed_snap.partition_columns),
+                       "nonAdditive": False}
+                slog.append(ent)
+            if ent.get("nonAdditive") and not self.allow_nonadditive:
+                raise RuntimeError(
+                    "The delta streaming source schema evolved with a rename, drop, "
+                    "or type change. Set .option('allowSourceColumnRenameAndDrop', "
+                    "'true') to resume reading with the evolved schema "
+                    "(reference DeltaSourceMetadataTrackingLog non-additive gate).")
+            self._schema_json = ent["schemaString"]
+            self._part_cols = list(ent["partitionColumns"])
+            self._schema_from_version = int(ent.get("fromVersion", seed_snap.version))
+        else:
+            self._schema_json = seed_snap.metadata.schemaString
+            self._part_cols = seed_snap.partition_columns
+            self._schema_from_version = seed_snap.version
+        from delta_spark.schema import logical_to_physical
+        l2p = logical_to_physical(schema_from_json(self._schema_json))
+        self._part_keys = {c: l2p.get(c, c) for c in self._part_cols}
 
     @property
     def log(self) -> DeltaLog:
@@ -178,6 +254,48 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"ignoreChanges to re-emit rewritten files.")
         return sorted(adds, key=lambda f: f.path)
 
+    def _commit_metadata(self, v: int):
+        """Metadata action of commit v (None if none) — cached, the
+        schema-boundary scan touches each commit once per stream."""
+        if v not in self._meta_cache:
+            meta = None
+            try:
+                for k, a in self.log.read_commit_actions(v):
+                    if k == "metaData":
+                        meta = a
+            except Exception:
+                meta = None
+            self._meta_cache[v] = meta
+        return self._meta_cache[v]
+
+    def _schema_change_after(self, basev: int, latest: int):
+        """First commit in (basev, latest] whose Metadata changes the
+        tracked read schema (DeltaSourceMetadataTrackingLog boundary).
+        Commits at or before the tracked entry's fromVersion are
+        settled — rescanning them would flag the PREVIOUS schema as a
+        change and walk the log backwards (e.g. the column-mapping
+        upgrade commit right before a RENAME)."""
+        basev = max(basev, self._schema_from_version)
+        for v in range(max(basev + 1, 0), latest + 1):
+            m = self._commit_metadata(v)
+            if m is not None and (m.schemaString != self._schema_json
+                                  or list(m.partitionColumns) != list(self._part_cols)):
+                return v, m
+        return None, None
+
+    def _advance_schema_log(self, vc: int, meta) -> None:
+        slog = SchemaTrackingLog(self.schema_loc)
+        cur = slog.latest()
+        if cur and cur.get("schemaString") == meta.schemaString and \
+                list(cur.get("partitionColumns", [])) == list(meta.partitionColumns):
+            return  # already recorded (idempotent under driver retries)
+        slog.append({
+            "fromVersion": vc,
+            "schemaString": meta.schemaString,
+            "partitionColumns": list(meta.partitionColumns),
+            "nonAdditive": not _is_additive_change(self._schema_json, meta.schemaString),
+        })
+
     def _pending_after(self, pos: dict, latest: int):
         """(version, index, size, is_snapshot) for every unplanned file
         after `pos`, in offset order."""
@@ -208,17 +326,40 @@ class DeltaStreamReader(DataSourceStreamReader):
         the initial offset is safe and lets the cap govern the very
         first microbatch too — the reference's backlog-drain shape."""
         latest = self.log.latest_version()
+        bound, pending_change = latest, None
+        if self.schema_loc:
+            basev = (self._pos or self._initial)["version"]
+            vc, meta = self._schema_change_after(basev, latest)
+            if vc is not None:
+                # serve the pre-change backlog first; never plan a file
+                # written under the evolved schema with the old one
+                bound, pending_change = vc - 1, (vc, meta)
         v0 = self._initial["version"]
         full = (_offset(v0, 1 << 62, True)
-                if self._initial["isInitialSnapshot"] and latest == v0
-                else _offset(latest, 1 << 62, False))
+                if self._initial["isInitialSnapshot"] and bound == v0
+                else _offset(bound, 1 << 62, False))
+        pos = self._pos
+        if pending_change is not None and pos is not None and \
+                next(self._pending_after(pos, bound), None) is None:
+            # backlog drained to the schema boundary: persist the
+            # evolved schema, stop the stream (restart resumes with it)
+            vc, meta = pending_change
+            self._advance_schema_log(vc, meta)
+            hint = "" if self.allow_nonadditive or _is_additive_change(
+                self._schema_json, meta.schemaString) else (
+                " The change renames/drops/retypes columns — also set "
+                ".option('allowSourceColumnRenameAndDrop', 'true').")
+            raise RuntimeError(
+                f"Schema of the delta streaming source changed at table version "
+                f"{vc}. The evolved schema was recorded in the schema tracking "
+                f"log; restart the stream to continue from the checkpoint with "
+                f"the new schema." + hint)
         if self.max_files is None and self.max_bytes is None:
             return full
-        pos = self._pos
         if pos is None:
             pos = self._pos = dict(self._initial)
         taken, nbytes, end, capped = 0, 0, None, False
-        for (v, idx, sz, is_snap) in self._pending_after(pos, latest):
+        for (v, idx, sz, is_snap) in self._pending_after(pos, bound):
             if (self.max_files is not None and taken + 1 > self.max_files) or \
                (self.max_bytes is not None and taken >= 1
                     and nbytes + sz > self.max_bytes):
@@ -228,7 +369,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             nbytes += sz
             end = (v, idx, is_snap)
         if end is None:
-            return full if pos["version"] >= latest else dict(pos)
+            return full if pos["version"] >= bound else dict(pos)
         if not capped:
             # whole backlog admitted → report the full offset so empty
             # trailing commits (metadata-only) are covered too

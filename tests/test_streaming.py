@@ -253,6 +253,109 @@ def test_cdf_capped_stream_no_duplicate_changes(spark, tmp_table, sf_dir, tmp_pa
     assert len([b for b in batches if b[1] > 0]) >= 3
 
 
+def test_schema_tracking_rename_midstream(spark, tmp_table, sf_dir, tmp_path):
+    """DeltaSourceMetadataTrackingLog behavior: a mid-stream RENAME
+    stops the stream AFTER the pre-change backlog drains, records the
+    evolved schema in the tracking log, and a restart (with the
+    non-additive opt-in) resumes from the checkpoint reading the
+    post-change commits with the new schema."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+    rows, cols_seen = [], []
+
+    def sink(df, bid):
+        got = df.collect()
+        rows.extend(got)
+        if got:
+            cols_seen.append(tuple(df.columns))
+
+    def start(**opts):
+        stream = read_stream(spark, tmp_table,
+                             schemaTrackingLocation=str(tmp_path / "slog"), **opts)
+        return (stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ck_st"))
+                .trigger(processingTime="0 seconds").start())
+
+    q = start()
+    q.processAllAvailable()
+    assert len(rows) == 20
+    # mid-stream: rename a column, then append under the new schema.
+    # renameColumn makes TWO metadata commits (column-mapping upgrade,
+    # then the rename) — each is a schema boundary with its own
+    # stop/restart cycle, like the reference.
+    DeltaTable.forPath(spark, tmp_table).renameColumn("value", "amount")
+    write_delta(events.limit(5).coalesce(1).withColumnRenamed("value", "amount"),
+                tmp_table, mode="append")
+    with pytest.raises(Exception, match="[Ss]chema.*changed|restart"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+    assert len(rows) == 20  # nothing from the post-change commit yet
+
+    # restart (no opt-in): crosses the additive upgrade boundary, then
+    # stops at the RENAME boundary with the opt-in hint
+    q_denied = start()
+    with pytest.raises(Exception, match="allowSourceColumnRenameAndDrop"):
+        q_denied.processAllAvailable()
+        q_denied.awaitTermination(60)
+    q_denied.stop()
+    assert len(rows) == 20
+
+    # restart again without the opt-in: the init-time gate refuses
+    # (the tracked entry is now the non-additive rename schema)
+    q_denied2 = start()
+    with pytest.raises(Exception, match="allowSourceColumnRenameAndDrop"):
+        q_denied2.processAllAvailable()
+        q_denied2.awaitTermination(60)
+    q_denied2.stop()
+
+    # restart WITH the opt-in: resumes with the evolved schema
+    q2 = start(allowSourceColumnRenameAndDrop="true")
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+    assert len(rows) == 25
+    assert "amount" in cols_seen[-1] and "value" not in cols_seen[-1]
+
+
+def test_schema_tracking_additive_resumes_without_optin(spark, tmp_table, sf_dir,
+                                                        tmp_path):
+    """Adding a nullable column is additive: the stream still stops at
+    the boundary (the running query's schema is fixed), but the
+    restart needs no opt-in."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    rows = []
+
+    def start():
+        stream = read_stream(spark, tmp_table,
+                             schemaTrackingLocation=str(tmp_path / "slog2"))
+        return (stream.writeStream
+                .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "ck_add"))
+                .trigger(processingTime="0 seconds").start())
+
+    q = start()
+    q.processAllAvailable()
+    assert len(rows) == 10
+    from pyspark.sql import types as T
+    DeltaTable.forPath(spark, tmp_table).addColumns(
+        [T.StructField("bonus", T.DoubleType())])
+    write_delta(events.limit(5).coalesce(1).withColumn("bonus", F.lit(1.5)),
+                tmp_table, mode="append")
+    with pytest.raises(Exception, match="[Ss]chema.*changed|restart"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+    q2 = start()  # no opt-in needed for additive evolution
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+    assert len(rows) == 15
+    assert rows[-1]["bonus"] == 1.5
+
+
 def test_default_and_cluster_by(spark, tmp_table, sf_dir, tmp_path):
     from delta_spark.table import DeltaTable as DT
     (DT.create(spark).location(tmp_table)
