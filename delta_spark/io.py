@@ -164,7 +164,7 @@ def write_delta(
     )
 
     write_part_cols = part_cols
-    if exists and column_mapping_mode(cfg) == "name":
+    if exists and column_mapping_mode(cfg) in ("name", "id"):
         # evolved columns need physical identities before writing
         ids = [f.metadata.get("delta.columnMapping.id", 0) for f in table_schema.fields
                if f.metadata]
@@ -180,8 +180,16 @@ def write_delta(
                 actions[0] = new_meta
             else:
                 actions.insert(0, new_meta)
+        from delta_spark.schema import field_id as _field_id
         l2p = logical_to_physical(table_schema)
-        out_df = out_df.select(*[F.col(c).alias(l2p.get(c, c)) for c in out_df.columns])
+        fids = {f.name: _field_id(f) for f in table_schema.fields}
+        # carry parquet.field.id so files get parquet field_ids
+        # (IdMapping readers resolve by id; harmless in name mode)
+        out_df = out_df.select(*[
+            (F.col(c).alias(l2p.get(c, c), metadata={"parquet.field.id": fids[c]})
+             if fids.get(c) is not None
+             else F.col(c).alias(l2p.get(c, c)))
+            for c in out_df.columns])
         write_part_cols = [l2p.get(c, c) for c in part_cols]
 
     if str(cfg.get("delta.autoOptimize.optimizeWrite", "false")).lower() == "true" \

@@ -474,6 +474,115 @@ class DeltaLog:
 
     # ----------------------------------------------------- checkpoint ----
 
+    def state_df(self, spark, version: Optional[int] = None):
+        """Distributed snapshot state reconstruction (reference
+        Snapshot.scala:598 `stateReconstruction`,
+        DataSkippingReader.scala:656 `withStats`): the LIVE AddFiles at
+        `version` computed as a DataFrame. Checkpoint parquet parts
+        (plus V2 sidecars) and commit JSONs are read by executors and
+        reconciled per path with a latest-action window — the log never
+        materializes on the driver, so this is the planning path for
+        logs beyond the driver-replay comfort zone (~10⁶ files at
+        ~1 KB/AddFile ≈ 1 GB of driver heap). Produces the same file
+        set as the python replay (tests/test_distributed_replay.py).
+
+        Columns: path, size, modificationTime, dataChange,
+        partitionValues map<string,string>, stats (JSON string),
+        deletionVector (JSON string), version.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return spark.createDataFrame(
+                [], "path string, size long, modificationTime long, "
+                    "dataChange boolean, partitionValues map<string,string>, "
+                    "stats string, deletionVector string, version long")
+
+        def _norm(df, ver_col):
+            from pyspark.sql import types as T
+
+            def has_field(col, field):
+                if col not in df.columns:
+                    return False
+                dt = df.schema[col].dataType
+                return isinstance(dt, T.StructType) and field in dt.names
+
+            def sub(col, field, typ):
+                if has_field(col, field):
+                    return F.col(f"{col}.{field}").cast(typ)
+                return F.lit(None).cast(typ)
+
+            def sub_json(col, field):
+                if has_field(col, field):
+                    dt = df.schema[col].dataType[field].dataType
+                    c = F.col(f"{col}.{field}")
+                    if isinstance(dt, T.MapType):
+                        return c.cast("map<string,string>")
+                    # JSON inference yields a struct — round-trip to map
+                    return F.from_json(F.to_json(c), "map<string,string>")
+                return F.lit(None).cast("map<string,string>")
+
+            def sub_as_json(col, field):
+                if has_field(col, field):
+                    return F.to_json(F.col(f"{col}.{field}"))
+                return F.lit(None).cast("string")
+
+            has = (lambda c: F.col(f"{c}.path").isNotNull()
+                   if has_field(c, "path") else F.lit(False))
+            return (df.select(
+                F.coalesce(sub("add", "path", "string"),
+                           sub("remove", "path", "string")).alias("path"),
+                has("add").alias("is_add"),
+                (has("add") | has("remove")).alias("is_file_action"),
+                sub("add", "size", "long").alias("size"),
+                sub("add", "modificationTime", "long").alias("modificationTime"),
+                sub("add", "dataChange", "boolean").alias("dataChange"),
+                sub_json("add", "partitionValues").alias("partitionValues"),
+                sub("add", "stats", "string").alias("stats"),
+                sub_as_json("add", "deletionVector").alias("deletionVector"),
+                ver_col.alias("version"))
+                .filter(F.col("is_file_action")))
+
+        parts = []
+        start = 0
+        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
+        if ckpts:
+            ck = ckpts[-1]
+            ck_paths = list(self.checkpoint_paths(ck))
+            top = spark.read.parquet(*ck_paths)
+            # V2 checkpoints: file actions live in referenced sidecars
+            # (the sidecar LIST is small; the sidecar DATA is not)
+            if "sidecar" in top.columns:
+                refs = [r["path"] for r in
+                        top.select("sidecar.path").dropna().collect()]
+                if refs:
+                    ck_paths += [os.path.join(self.log_path, SIDECAR_DIR, p)
+                                 for p in refs]
+                    top = spark.read.parquet(*ck_paths)
+            parts.append(_norm(top, F.lit(ck).cast("long")))
+            start = ck + 1
+        commit_paths = [self.commit_source(v) for v in range(start, version + 1)]
+        if commit_paths:
+            cj = spark.read.json(commit_paths)
+            ver = F.regexp_extract(
+                F.url_decode(F.input_file_name()), r"(\d{20})[^/]*\.json$", 1
+            ).cast("long")
+            parts.append(_norm(cj, ver))
+        if not parts:
+            return self.state_df(spark, -1)
+        allacts = parts[0]
+        for p in parts[1:]:
+            allacts = allacts.unionByName(p)
+        w = Window.partitionBy("path").orderBy(
+            F.desc("version"), F.desc("is_add"))
+        return (allacts
+                .withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & F.col("is_add"))
+                .drop("__rn", "is_add", "is_file_action"))
+
     def write_checkpoint(self, snap: Optional[Snapshot] = None) -> None:
         """Classic V1 checkpoint: Parquet of SingleAction rows +
         `_last_checkpoint` pointer (Checkpoints.scala:670).  When the

@@ -52,10 +52,19 @@ def read_files_df(
         return spark.createDataFrame([], logical_schema)
     mapped = snapshot.column_mapping_enabled
     if mapped:
-        # files store physical names: read physically, alias back
+        # files store physical names: read physically, alias back.
+        # IdMapping resolves parquet columns BY field id, not name —
+        # the read schema carries parquet.field.id and Spark's
+        # fieldId.read path does the matching.
         from delta_spark.schema import physical_schema as _phys
 
-        schema = _phys(logical_schema)
+        by_id = snapshot.column_mapping_mode == "id"
+        if by_id:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            # pre-upgrade files carry no field ids — those resolve by
+            # physical name (the reference's mixed-table contract)
+            spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        schema = _phys(logical_schema, with_field_ids=by_id)
         l2p = snapshot.physical_map()
         part_cols = [l2p.get(c, c) for c in snapshot.partition_columns]
     else:
@@ -212,9 +221,14 @@ def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
     if snapshot.column_mapping_enabled:
         from delta_spark.schema import physical_schema as _phys
 
+        by_id = snapshot.column_mapping_mode == "id"
+        if by_id:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            # pre-upgrade files carry no field ids — those resolve by
+            # physical name (the reference's mixed-table contract)
+            spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         l2p = snapshot.physical_map()
-        phys = _phys(schema)
-        read_schema = phys
+        read_schema = _phys(schema, with_field_ids=by_id)
         part_cols = [l2p.get(c, c) for c in part_cols]
     else:
         read_schema = schema

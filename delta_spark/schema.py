@@ -205,11 +205,28 @@ def physical_to_logical(schema: T.StructType) -> dict[str, str]:
     return {physical_name(f): f.name for f in schema.fields}
 
 
-def physical_schema(schema: T.StructType) -> T.StructType:
-    """Schema with physical field names (what Parquet files contain)."""
-    return T.StructType([
-        T.StructField(physical_name(f), f.dataType, f.nullable, f.metadata)
-        for f in schema.fields])
+def field_id(field: T.StructField):
+    """delta.columnMapping.id of a field (None when unassigned)."""
+    md = field.metadata or {}
+    v = md.get(COLUMN_MAPPING_ID_KEY)
+    return int(v) if v is not None else None
+
+
+def physical_schema(schema: T.StructType, with_field_ids: bool = False) -> T.StructType:
+    """Schema with physical field names (what Parquet files contain).
+    With `with_field_ids`, each field also carries `parquet.field.id`
+    (= delta.columnMapping.id) so Spark's parquet reader/writer
+    resolves columns BY ID — the IdMapping read contract
+    (DeltaColumnMapping.scala:107; PROTOCOL.md column mapping: id-mode
+    readers must match parquet field_ids, not names)."""
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        fid = field_id(f)
+        if with_field_ids and fid is not None:
+            md["parquet.field.id"] = fid
+        fields.append(T.StructField(physical_name(f), f.dataType, f.nullable, md))
+    return T.StructType(fields)
 
 
 def assign_physical_names(schema: T.StructType, start_id: int = 0) -> tuple[T.StructType, int]:

@@ -121,9 +121,13 @@ class Snapshot:
 
     @property
     def column_mapping_enabled(self) -> bool:
+        return self.column_mapping_mode in ("name", "id")
+
+    @property
+    def column_mapping_mode(self) -> str:
         from delta_spark.schema import column_mapping_mode
 
-        return column_mapping_mode(self.configuration) == "name"
+        return column_mapping_mode(self.configuration)
 
     def physical_map(self) -> dict[str, str]:
         """logical → physical column names (identity when mapping off)."""

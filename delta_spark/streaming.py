@@ -509,9 +509,20 @@ class DeltaStreamReader(DataSourceStreamReader):
                 val = deserialize_partition_value(pvals.get(field.name), ptypes[field.name])
                 cols.append(pa.array([val] * n).cast(field.type))
             else:
-                # column mapping: files store PHYSICAL names
+                # column mapping: files store PHYSICAL names; under
+                # IdMapping, resolve by the parquet field_id instead
+                from delta_spark.schema import field_id as _fid
                 phys = _phys_names.get(field.name, field.name)
-                src_name = phys if phys in table.column_names else field.name
+                if phys in table.column_names:
+                    src_name = phys
+                else:
+                    pq_ids = {}
+                    for af in table.schema:
+                        v = (af.metadata or {}).get(b"PARQUET:field_id")
+                        if v is not None:
+                            pq_ids[int(v)] = af.name
+                    want = _fid(schema[field.name]) if field.name in schema.names else None
+                    src_name = pq_ids.get(want, field.name)
                 cols.append(table.column(src_name).cast(field.type))
         out = pa.Table.from_arrays(cols, schema=target)
         yield from out.to_batches(max_chunksize=65536)

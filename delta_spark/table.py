@@ -505,21 +505,37 @@ class DeltaTable:
         return self._update_schema(f, "ADD COLUMNS",
                                    {"columns": json.dumps([fl.name for fl in fields])})
 
-    def enableColumnMapping(self) -> int:
-        """Switch to NameMapping mode (DeltaColumnMapping.scala:107):
-        every field gets a stable physical name = its current name, so
-        no data files are rewritten."""
+    def enableColumnMapping(self, mode: str = "name") -> int:
+        """Switch to NameMapping or IdMapping mode
+        (DeltaColumnMapping.scala:107 `Set(IdMapping, NoMapping,
+        NameMapping)`): every field gets a stable id + physical name =
+        its current name, so no data files are rewritten. In id mode
+        readers resolve parquet columns by field id (files written
+        after the upgrade carry parquet field_ids; pre-upgrade files
+        still resolve by physical name)."""
         from delta_spark.schema import (
             COLUMN_MAPPING_MODE_KEY,
             assign_physical_names,
         )
 
+        if mode not in ("name", "id"):
+            raise ValueError(f"unsupported column mapping mode {mode!r}")
         txn = OptimisticTransaction(self.log)
         m = txn.metadata
         if m is None:
             raise ValueError("table does not exist")
+        if mode == "id" and txn.snapshot.all_files:
+            # the reference only allows the none→name upgrade
+            # (DeltaColumnMapping.allowMappingModeChange): id-mode
+            # readers resolve by parquet field_id, which existing files
+            # do not carry — they would read as all-NULL. Id mode is a
+            # creation-time (or Iceberg-conversion) property.
+            raise ValueError(
+                "cannot switch a non-empty table to id column mapping: existing "
+                "files carry no parquet field_ids. Create the table with "
+                "delta.columnMapping.mode=id instead.")
         schema, max_id = assign_physical_names(schema_from_json(m.schemaString))
-        cfg = {**m.configuration, COLUMN_MAPPING_MODE_KEY: "name",
+        cfg = {**m.configuration, COLUMN_MAPPING_MODE_KEY: mode,
                "delta.columnMapping.maxColumnId": str(max_id)}
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=schema_to_json(schema),
@@ -530,14 +546,14 @@ class DeltaTable:
         proto = _Protocol(max(p.minReaderVersion, 2), max(p.minWriterVersion, 5),
                           p.readerFeatures, p.writerFeatures)
         return txn.commit([proto, new], "SET TBLPROPERTIES",
-                          {"properties": json.dumps({COLUMN_MAPPING_MODE_KEY: "name"})})
+                          {"properties": json.dumps({COLUMN_MAPPING_MODE_KEY: mode})})
 
     def renameColumn(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column
-        mapping (auto-enabled on first use)."""
+        mapping (auto-enabled on first use; id mode kept as-is)."""
         from delta_spark.schema import column_mapping_mode
 
-        if column_mapping_mode(self.log.update().configuration) != "name":
+        if column_mapping_mode(self.log.update().configuration) not in ("name", "id"):
             self.enableColumnMapping()
 
         def f(m: Metadata):
@@ -603,7 +619,7 @@ class DeltaTable:
         (data remains in files; unreadable until REORG/PURGE rewrites)."""
         from delta_spark.schema import column_mapping_mode
 
-        if column_mapping_mode(self.log.update().configuration) != "name":
+        if column_mapping_mode(self.log.update().configuration) not in ("name", "id"):
             self.enableColumnMapping()
         snap = self.log.update()
         if name in snap.partition_columns:
@@ -799,6 +815,11 @@ class DeltaTableBuilder:
         if not exists and self.mode == "replace":
             raise ValueError(f"cannot replace: no table at {self._location}")
         schema = T.StructType(self._fields)
+        cm_mode = self._properties.get("delta.columnMapping.mode")
+        if cm_mode in ("name", "id"):
+            from delta_spark.schema import assign_physical_names
+            schema, max_id = assign_physical_names(schema)
+            self._properties.setdefault("delta.columnMapping.maxColumnId", str(max_id))
         meta = Metadata(
             name=self._name, description=self._comment,
             schemaString=schema_to_json(schema),

@@ -277,6 +277,73 @@ def test_drop_column_metadata_only(spark, tmp_table, sf_dir):
         dt.dropColumn("o_orderpriority")
 
 
+def test_id_mapping_rename_and_drop(spark, tmp_table, sf_dir):
+    """IdMapping mode (DeltaColumnMapping.scala:107): a creation-time
+    property (the reference only allows the none→name upgrade) — files
+    carry parquet field_ids, reads resolve by id, RENAME/DROP are
+    metadata-only like NameMapping."""
+    from pyspark.sql import types as T
+    from delta_spark.table import DeltaTable as DT
+
+    orders = _orders(spark, sf_dir).limit(200)
+    (DT.create(spark).location(tmp_table)
+     .addColumns(orders.schema)
+     .property("delta.columnMapping.mode", "id")
+     .execute())
+    write_delta(orders, tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.column_mapping_mode == "id"
+    # every data file carries parquet field_ids
+    import pyarrow.parquet as pq
+    import os as _os
+    for f in snap.all_files:
+        sch = pq.read_schema(_os.path.join(tmp_table, f.path))
+        fids = [(fl.metadata or {}).get(b"PARQUET:field_id") for fl in sch]
+        assert all(v is not None for v in fids), "id-mode file lacks field_ids"
+    files_before = set(snap.active)
+    dt.renameColumn("o_totalprice", "price")
+    assert set(DeltaLog.for_table(tmp_table).update().active) == files_before
+    out = dt.toDF()
+    assert "price" in out.columns and "o_totalprice" not in out.columns
+    want = orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert out.agg(F.sum("price")).collect()[0][0] == pytest.approx(want)
+    write_delta(out.limit(10), tmp_table, mode="append")
+    assert dt.toDF().count() == 210
+    # DROP stays metadata-only and errors on a second attempt
+    dt.dropColumn("o_orderpriority")
+    assert "o_orderpriority" not in dt.toDF().columns
+    with pytest.raises(ValueError, match="no such column"):
+        dt.dropColumn("o_orderpriority")
+    # DML after rename under id mode
+    dt.delete("price > 200000")
+    assert dt.toDF().filter("price > 200000").count() == 0
+    # stats skipping works against the renamed logical name
+    assert DeltaLog.for_table(tmp_table).update().files_for_scan("price < 0") == []
+
+
+def test_id_mapping_upgrade_of_nonempty_table_rejected(spark, tmp_table, sf_dir):
+    write_delta(_orders(spark, sf_dir).limit(10), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="id column mapping"):
+        dt.enableColumnMapping(mode="id")
+
+
+def test_id_mapping_new_table_via_builder(spark, tmp_table, sf_dir):
+    from delta_spark.table import DeltaTable as DT
+    (DT.create(spark).location(tmp_table)
+     .addColumn("k", "long").addColumn("v", "string")
+     .property("delta.columnMapping.mode", "id")
+     .execute())
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_delta(df, tmp_table, mode="append")
+    dt = DT.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 2
+    dt.renameColumn("v", "val")
+    assert sorted(dt.toDF().columns) == ["k", "val"]
+    assert dt.toDF().filter("val = 'a'").count() == 1
+
+
 def test_rename_then_dml(spark, tmp_table, sf_dir):
     orders = _orders(spark, sf_dir).limit(100)
     write_delta(orders, tmp_table, partition_by=["o_orderstatus"])
