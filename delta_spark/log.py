@@ -583,6 +583,63 @@ class DeltaLog:
                 .filter((F.col("__rn") == 1) & F.col("is_add"))
                 .drop("__rn", "is_add", "is_file_action"))
 
+    def files_for_scan_df(self, spark, predicate: Optional[str] = None,
+                          version: Optional[int] = None):
+        """Distributed filesForScan (DataSkippingReader.scala:656 as a
+        DataFrame): `state_df` filtered by the skipping predicate
+        compiled to a Catalyst condition over the from_json-parsed
+        stats (min/max/nullCount/numRecords) and partition values.
+        Neither the file list nor the stats ever materialize on the
+        driver — the scale path when even the pruned listing is large.
+        Sound like the python loop: unsupported predicates and missing
+        stats keep the file."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from delta_spark import predicates as P
+        from delta_spark.schema import logical_to_physical
+
+        df = self.state_df(spark, version)
+        if not predicate:
+            return df
+        snap = self.update() if version is None else self.snapshot_at(version)
+        if snap.metadata is None:
+            return df
+        try:
+            ast = P.parse_predicate(predicate)
+        except P.UnsupportedPredicate:
+            return df
+        gen_map = snap._generated_partition_map()
+        if gen_map:
+            for extra in P.derive_generated_conjuncts(ast, gen_map):
+                ast = P.And(ast, extra)
+        schema = snap.schema
+        part_cols = set(snap.partition_columns)
+        l2p = logical_to_physical(schema)
+        atomic = (T.NumericType, T.StringType, T.DateType,
+                  T.TimestampType, T.TimestampNTZType, T.BooleanType)
+        stat_fields = [f for f in schema.fields
+                       if f.name not in part_cols and isinstance(f.dataType, atomic)]
+        stats_schema = T.StructType([
+            T.StructField("numRecords", T.LongType()),
+            T.StructField("minValues", T.StructType([
+                T.StructField(l2p.get(f.name, f.name), f.dataType)
+                for f in stat_fields])),
+            T.StructField("maxValues", T.StructType([
+                T.StructField(l2p.get(f.name, f.name), f.dataType)
+                for f in stat_fields])),
+            T.StructField("nullCount", T.StructType([
+                T.StructField(l2p.get(f.name, f.name), T.LongType())
+                for f in stat_fields])),
+        ])
+        column_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        cond = P.skipping_condition_sql(
+            ast, column_types, part_cols, l2p,
+            stat_cols={f.name for f in stat_fields})
+        return (df.withColumn("__s", F.from_json("stats", stats_schema))
+                .filter(F.expr(cond))
+                .drop("__s"))
+
     def write_checkpoint(self, snap: Optional[Snapshot] = None) -> None:
         """Classic V1 checkpoint: Parquet of SingleAction rows +
         `_last_checkpoint` pointer (Checkpoints.scala:670).  When the

@@ -602,6 +602,131 @@ def might_contain(node, st: FileStatsView) -> bool:
     return True
 
 
+def skipping_condition_sql(node, column_types: dict, partition_cols: set,
+                           l2p: Optional[dict] = None,
+                           stat_cols: Optional[set] = None) -> str:
+    """Translate a skipping AST into a SQL *keep* condition over the
+    `state_df` row shape — the DataSkippingReader.scala:656
+    construct-the-filter-over-the-stats-DataFrame move, so pruning
+    runs as a Catalyst filter on executors and the file list never
+    lands on the driver.
+
+    Row shape expected: `__s` = parsed stats struct (numRecords,
+    minValues.*, maxValues.*, nullCount.*, keyed by PHYSICAL column
+    names) and `partitionValues` map<string,string>. Semantics match
+    `might_contain`: TRUE ⇔ the file might contain predicate-TRUE
+    rows; every unknown (missing stats) resolves to keep."""
+    l2p = l2p or {}
+
+    def phys(c: str) -> str:
+        return l2p.get(c, c)
+
+    def bounds(c: str) -> tuple[str, str, str]:
+        """(min_expr, max_expr, nullcount_expr) for a logical column.
+        Raises UnsupportedPredicate for columns outside the stats
+        struct (nested/binary types) — the caller's node resolves to
+        keep."""
+        if stat_cols is not None and c not in stat_cols and c not in partition_cols:
+            raise UnsupportedPredicate(f"no stats column for {c!r}")
+        if c in partition_cols:
+            typ = column_types.get(c, "string")
+            v = f"CAST(element_at(partitionValues, '{phys(c)}') AS {typ})"
+            nc = (f"(CASE WHEN element_at(partitionValues, '{phys(c)}') IS NULL "
+                  f"THEN __s.numRecords ELSE 0 END)")
+            return v, v, nc
+        p = phys(c)
+        return (f"__s.minValues.`{p}`", f"__s.maxValues.`{p}`",
+                f"__s.nullCount.`{p}`")
+
+    def lit_sql(v) -> str:
+        import datetime as _dt
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, str):
+            esc = v.replace("'", "''")
+            return f"'{esc}'"
+        return repr(v)
+
+    def keep(n) -> str:
+        try:
+            return _keep(n)
+        except UnsupportedPredicate:
+            return "TRUE"
+
+    def _keep(n) -> str:
+        if isinstance(n, And):
+            return f"(({keep(n.left)}) AND ({keep(n.right)}))"
+        if isinstance(n, Or):
+            return f"(({keep(n.left)}) OR ({keep(n.right)}))"
+        if isinstance(n, Not):
+            try:
+                return keep(_negate(n.child))
+            except UnsupportedPredicate:
+                return "TRUE"
+        if isinstance(n, IsNull):
+            if not isinstance(n.child, Col):
+                return "TRUE"
+            _, _, nc = bounds(n.child.name)
+            if n.negated:
+                return f"coalesce({nc} < __s.numRecords, TRUE)"
+            return f"coalesce({nc} > 0, TRUE)"
+        if isinstance(n, In):
+            if n.negated or not isinstance(n.child, Col):
+                return "TRUE"
+            parts = [keep(Cmp("=", n.child, Lit(v)))
+                     for v in n.values if v is not None]
+            return "(" + " OR ".join(parts) + ")" if parts else "FALSE"
+        if isinstance(n, Cmp):
+            left, op, right = n.left, n.op, n.right
+            if isinstance(left, Lit) and isinstance(right, Col):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                left, right = right, left
+                op = flip.get(op, op)
+            if not (isinstance(left, Col) and isinstance(right, Lit)):
+                return "TRUE"
+            if right.value is None:
+                return "FALSE" if op != "<=>" else keep(IsNull(left))
+            lo, hi, nc = bounds(left.name)
+            v = lit_sql(right.value)
+            if op == "<":
+                return f"coalesce({lo} < {v}, TRUE)"
+            if op == "<=":
+                return f"coalesce({lo} <= {v}, TRUE)"
+            if op == ">":
+                return f"coalesce({hi} > {v}, TRUE)"
+            if op == ">=":
+                return f"coalesce({hi} >= {v}, TRUE)"
+            if op in ("=", "<=>"):
+                return f"coalesce({lo} <= {v} AND {hi} >= {v}, TRUE)"
+            if op in ("!=", "<>"):
+                # prune only when every non-null row equals v
+                return f"NOT coalesce({lo} = {v} AND {hi} = {v} AND {nc} = 0, FALSE)"
+            return "TRUE"
+        if isinstance(n, Like):
+            if n.negated or not isinstance(n.child, Col):
+                return "TRUE"
+            m = re.fullmatch(r"([^%_]*)%", n.pattern)
+            if not m:
+                return "TRUE"
+            prefix = m.group(1)
+            lo, hi, _ = bounds(n.child.name)
+            k = len(prefix)
+            p = lit_sql(prefix)
+            return (f"coalesce(substring({lo}, 1, {k}) <= {p} "
+                    f"AND substring({hi}, 1, {k}) >= {p}, TRUE)")
+        if isinstance(n, Lit):
+            return "TRUE" if (not isinstance(n.value, bool) or n.value) else "FALSE"
+        return "TRUE"
+
+    return keep(node)
+
+
 def _all_null(st: FileStatsView, name: str) -> bool:
     nc = st.null_count.get(name)
     return nc is not None and st.num_records is not None and nc >= st.num_records

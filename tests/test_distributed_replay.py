@@ -1,10 +1,15 @@
-"""Distributed snapshot state reconstruction (DeltaLog.state_df) —
-parity with the driver-side python replay on a synthetic many-file log
-(reference Snapshot.scala:598 stateReconstruction)."""
+"""Distributed snapshot state reconstruction (DeltaLog.state_df) and
+distributed stats pruning (files_for_scan_df) — parity with the
+driver-side python replay/pruning (reference Snapshot.scala:598
+stateReconstruction, DataSkippingReader.scala:656)."""
 
 import json
 import os
 
+import pytest
+
+from delta_spark.datasets import load_table
+from delta_spark.io import write_delta
 from delta_spark.log import DeltaLog
 
 _SCHEMA = json.dumps({
@@ -110,3 +115,56 @@ def test_distributed_replay_across_checkpoint(spark, tmp_path):
     # stats survive as JSON strings (the skipping-reader contract)
     stats = [r.stats for r in rows if r.path == "p=1/f_1_3.parquet"]
     assert stats and json.loads(stats[0])["numRecords"] == 4
+
+
+PRUNING_PREDICATES = [
+    "l_quantity < 5",
+    "l_quantity >= 45",
+    "l_returnflag = 'A'",                               # partition eq
+    "l_returnflag = 'A' AND l_quantity > 30",           # mixed
+    "l_returnflag IN ('A', 'N')",
+    "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'",
+    "l_linestatus LIKE 'F%'",
+    "l_quantity IS NOT NULL",
+    "l_quantity != 25",
+    "l_quantity < 5 OR l_returnflag = 'R'",
+    "l_quantity < -1",                                  # prunes everything
+    "l_quantity + 1 < 5",                               # unsupported → all
+]
+
+
+def test_files_for_scan_df_parity(spark, tmp_table, sf_dir):
+    """Distributed pruning must keep exactly the same files as the
+    python per-file loop across the supported predicate surface."""
+    li = load_table(spark, sf_dir, "lineitem").repartition(8)
+    write_delta(li, tmp_table, partition_by=["l_returnflag"])
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    for pred in PRUNING_PREDICATES:
+        want = {f.path for f in snap.files_for_scan(pred)}
+        got = {r.path for r in log.files_for_scan_df(spark, pred).collect()}
+        assert got == want, f"parity broken for {pred!r}"
+    assert {r.path for r in log.files_for_scan_df(spark).collect()} == \
+        {f.path for f in snap.all_files}
+
+
+def test_files_for_scan_df_generated_partition(spark, tmp_table, sf_dir):
+    """Generated-partition derivation prunes in the distributed path
+    too (predicate on the base column implies partition predicates)."""
+    from delta_spark.table import DeltaTable as DT
+
+    orders = load_table(spark, sf_dir, "orders")
+    (DT.create(spark).location(tmp_table)
+     .addColumns(orders.schema)
+     .addColumn("o_year", "int", generatedAlwaysAs="year(o_orderdate)")
+     .partitionedBy("o_year")
+     .execute())
+    write_delta(orders, tmp_table, mode="append")
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    pred = ("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+    want = {f.path for f in snap.files_for_scan(pred)}
+    got = {r.path for r in log.files_for_scan_df(spark, pred).collect()}
+    assert got == want
+    assert len(got) < len(snap.all_files)  # actually pruned
