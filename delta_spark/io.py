@@ -201,7 +201,9 @@ def write_delta(
 
     adds = write_files(out_df, log.table_path, write_part_cols,
                        indexed_cols=stats_columns(cfg),
-                       num_indexed_cols=_num_indexed_cols(cfg))
+                       num_indexed_cols=_num_indexed_cols(cfg),
+                       shred_variant=str(cfg.get(
+                           "delta.enableVariantShredding", "false")).lower() == "true")
 
     removes: list[RemoveFile] = []
     cdc_actions: list = []

@@ -303,6 +303,11 @@ class OptimisticTransaction:
             else:
                 reader_feats.add("deletionVectors")
                 writer_feats.add("deletionVectors")
+        if cfg.get("delta.enableVariantShredding", "").lower() == "true":
+            # shredded variant storage (PROTOCOL.md:1934): files carry
+            # typed_value subcolumns readers must understand
+            reader_feats.add("variantShredding")
+            writer_feats.add("variantShredding")
         if cfg.get("delta.enableRowTracking", "").lower() == "true":
             writer_feats.add("rowTracking")
         if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":

@@ -70,14 +70,46 @@ def write_files(
     num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS,
     data_change: bool = True,
     target_file_rows: Optional[int] = None,
+    shred_variant: bool = False,
 ) -> list[AddFile]:
     """Write df's rows as new Parquet files under table_path; return
-    AddFile actions (not yet committed)."""
+    AddFile actions (not yet committed). With `shred_variant`, variant
+    columns are written SHREDDED (PROTOCOL.md:1934 variantShredding):
+    Spark infers a typed_value schema per write and stores typed
+    subcolumns alongside the binary value, so engines can project and
+    push predicates into variant paths without decoding."""
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
-    writer.parquet(staging)
+    shred_confs = {"spark.sql.variant.writeShredding.enabled": "true",
+                   "spark.sql.variant.inferShreddingSchema": "true",
+                   # the VARIANT parquet logical-type tag breaks
+                   # pyarrow<18 footer parsing (stats pass, symlink
+                   # manifests); the shredded group layout is what
+                   # matters and Spark reads it from the requested
+                   # schema without the annotation
+                   "spark.sql.parquet.variant.annotateLogicalType.enabled": "false"}
+    saved: dict[str, Optional[str]] = {}
+    conf = df.sparkSession.conf
+    if shred_variant:
+        for k, v in shred_confs.items():
+            try:
+                saved[k] = conf.get(k)
+            except Exception:
+                saved[k] = None
+            conf.set(k, v)
+    try:
+        writer.parquet(staging)
+    finally:
+        for k, old in saved.items():
+            try:
+                if old is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, old)
+            except Exception:
+                pass
 
     adds: list[AddFile] = []
     moved: list[tuple[str, dict]] = []  # (final_abs_path, partitionValues)
@@ -148,7 +180,9 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
             indexed_cols = [l2p.get(c, c) for c in indexed_cols]
     return write_files(df, snapshot.table_path, part_cols,
                        indexed_cols=indexed_cols,
-                       num_indexed_cols=num_indexed, data_change=data_change)
+                       num_indexed_cols=num_indexed, data_change=data_change,
+                       shred_variant=str(cfg.get(
+                           "delta.enableVariantShredding", "false")).lower() == "true")
 
 
 def write_cdc_files(df: DataFrame, table_path: str) -> list:

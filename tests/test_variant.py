@@ -70,3 +70,39 @@ def test_variant_time_travel(spark, tmp_table):
     assert (dt.asOfVersion(0)
             .select(F.variant_get("v", "$.a", "long").alias("a"))
             .agg(F.max("a").alias("m")).first()["m"] == 9)
+
+
+def test_variant_shredding(spark, tmp_table):
+    """delta.enableVariantShredding=true: files store typed_value
+    subcolumns beside the binary value (PROTOCOL.md:1934), the
+    variantShredding feature is auto-enabled, and reads (incl.
+    variant_get paths) reproduce the unshredded values exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    write_delta(_variant_df(spark), tmp_table,
+                configuration={"delta.enableVariantShredding": "true"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    p = snap.protocol
+    assert "variantShredding" in (p.readerFeatures or [])
+    assert "variantShredding" in (p.writerFeatures or [])
+    # physical layout: the variant group carries a typed_value subtree
+    shredded = False
+    for f in snap.all_files:
+        sch = pq.read_schema(os.path.join(tmp_table, f.path))
+        if "typed_value" in str(sch):
+            shredded = True
+    assert shredded, "no typed_value group found in written files"
+    # logical round-trip identical to the unshredded table
+    df = DeltaTable.forPath(spark, tmp_table).toDF()
+    assert df.schema["v"].dataType.typeName() == "variant"
+    got = (df.select(F.variant_get("v", "$.a", "long").alias("a"),
+                     F.variant_get("v", "$.tag", "string").alias("tag"))
+           .orderBy("a").collect())
+    assert [r["a"] for r in got] == list(range(20))
+    assert got[4]["tag"] == "t1"
+    # DML over shredded files stays correct
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("variant_get(v, '$.tag', 'string') = 't0'")
+    assert dt.toDF().count() == 13
