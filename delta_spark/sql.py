@@ -43,6 +43,16 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         dropped = C.drop_table(spark, m.group("name"))
         return spark.createDataFrame([(dropped,)], "dropped: boolean")
 
+    # SHOW TABLES [IN db] over the delta catalog
+    m = re.fullmatch(r"(?is)\s*SHOW\s+TABLES(?:\s+IN\s+(?P<db>[A-Za-z_][\w]*))?\s*", s)
+    if m:
+        rows = [(n.split(".", 1)[0], n.split(".", 1)[1], p)
+                for n, p in sorted(C.catalog_map(spark).items())]
+        if m.group("db"):
+            rows = [r for r in rows if r[0] == m.group("db").lower()]
+        return spark.createDataFrame(
+            rows or [], "database: string, tableName: string, location: string")
+
     # CREATE TABLE <name> AS SELECT on an UNregistered name: create a
     # managed delta table in the warehouse and register it
     m = re.fullmatch(r"(?is)\s*CREATE\s+(?P<repl>OR\s+REPLACE\s+)?TABLE\s+"

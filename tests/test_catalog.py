@@ -97,6 +97,16 @@ def test_external_table_drop_keeps_data(spark, warehouse, sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(p, "_delta_log"))  # external: data kept
 
 
+def test_show_tables(spark, warehouse, sf_dir):
+    C.save_as_table(load_table(spark, sf_dir, "region"), "r1")
+    C.save_as_table(load_table(spark, sf_dir, "nation"), "geo.n1")
+    rows = {(r["database"], r["tableName"]) for r in
+            delta_sql(spark, "SHOW TABLES").collect()}
+    assert ("default", "r1") in rows and ("geo", "n1") in rows
+    only = delta_sql(spark, "SHOW TABLES IN geo").collect()
+    assert [(r["database"], r["tableName"]) for r in only] == [("geo", "n1")]
+
+
 def test_unknown_names_fall_through(spark, warehouse, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("plain_view")
     # not in the delta catalog → spark.sql resolves the temp view
