@@ -43,6 +43,14 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         dropped = C.drop_table(spark, m.group("name"))
         return spark.createDataFrame([(dropped,)], "dropped: boolean")
 
+    # ALTER TABLE <name> SET LOCATION: re-point the catalog entry
+    m = re.fullmatch(r"(?is)\s*ALTER\s+TABLE\s+"
+                     r"(?P<name>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)\s+"
+                     r"SET\s+LOCATION\s+'(?P<loc>[^']+)'\s*", s)
+    if m and C.resolve(spark, m.group("name")) is not None:
+        C.register_table(spark, m.group("name"), m.group("loc"))
+        return spark.createDataFrame([(m.group("loc"),)], "location: string")
+
     # SHOW TABLES [IN db] over the delta catalog
     m = re.fullmatch(r"(?is)\s*SHOW\s+TABLES(?:\s+IN\s+(?P<db>[A-Za-z_][\w]*))?\s*", s)
     if m:
@@ -249,14 +257,40 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
     if m:
         return DeltaTable.forPath(spark, _path_of(m)).show_partitions()
 
+    m = re.fullmatch(rf"(?is)\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(?:{_PATH})\s*", s)
+    if m:
+        snap = DeltaTable.forPath(spark, _path_of(m)).log.update()
+        return spark.createDataFrame(
+            [(f.name,) for f in snap.schema.fields], "col_name: string")
+
     m = re.fullmatch(rf"(?is)\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:{_PATH})\s+"
+                     rf"(?:PARTITION\s*\((?P<pspec>[^)]*)\)\s+)?"
                      rf"(?P<q>(?:SELECT|VALUES|WITH)\s.+)", s)
     if m:
+        from pyspark.sql import functions as F
+
         from delta_spark.io import write_delta
 
         df = spark.sql(m.group("q"))
+        overwrite = m.group("mode").upper() == "OVERWRITE"
+        replace_where = None
+        if m.group("pspec"):
+            # static PARTITION (c=v, ...) spec: attach the partition
+            # literals; an OVERWRITE scoped to the spec becomes a
+            # replaceWhere on those values (WriteIntoDelta semantics)
+            conds = []
+            for part in m.group("pspec").split(","):
+                if "=" not in part:
+                    continue  # dynamic partition column: value in SELECT
+                c, v = part.split("=", 1)
+                c, v = c.strip().strip("`"), v.strip()
+                df = df.withColumn(c, F.expr(v))
+                conds.append(f"{c} = {v}")
+            if overwrite and conds:
+                replace_where = " AND ".join(conds)
         v = write_delta(df, _path_of(m),
-                        mode="append" if m.group("mode").upper() == "INTO" else "overwrite")
+                        mode="overwrite" if overwrite else "append",
+                        replace_where=replace_where)
         return spark.createDataFrame([(v,)], "version: long")
 
     m = re.fullmatch(rf"(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:{_PATH})"

@@ -107,6 +107,41 @@ def test_show_tables(spark, warehouse, sf_dir):
     assert [(r["database"], r["tableName"]) for r in only] == [("geo", "n1")]
 
 
+def test_set_location(spark, warehouse, sf_dir, tmp_path):
+    a, b = str(tmp_path / "locA"), str(tmp_path / "locB")
+    write_delta(load_table(spark, sf_dir, "region"), a)
+    write_delta(load_table(spark, sf_dir, "nation"), b)
+    C.register_table(spark, "geo2.t", a)
+    n_a = DeltaTable.forName(spark, "geo2.t").toDF().count()
+    delta_sql(spark, f"ALTER TABLE geo2.t SET LOCATION '{b}'")
+    n_b = DeltaTable.forName(spark, "geo2.t").toDF().count()
+    assert n_a != n_b
+    assert n_b == load_table(spark, sf_dir, "nation").count()
+
+
+def test_insert_partition_spec_and_show_columns(spark, warehouse, sf_dir, tmp_path):
+    p = str(tmp_path / "ptbl")
+    li = load_table(spark, sf_dir, "lineitem").limit(100) \
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+    write_delta(li, p, partition_by=["l_returnflag"])
+    n0 = DeltaTable.forPath(spark, p).toDF().count()
+    li.select("l_orderkey", "l_quantity").limit(7).createOrReplaceTempView("ins_src")
+    # static partition spec: literal attached, appended
+    delta_sql(spark, f"INSERT INTO delta.`{p}` PARTITION (l_returnflag='Z') "
+                     f"SELECT l_orderkey, l_quantity FROM ins_src")
+    dt = DeltaTable.forPath(spark, p)
+    assert dt.toDF().filter("l_returnflag = 'Z'").count() == 7
+    assert dt.toDF().count() == n0 + 7
+    # OVERWRITE scoped to the partition replaces only that partition
+    delta_sql(spark, f"INSERT OVERWRITE delta.`{p}` PARTITION (l_returnflag='Z') "
+                     f"SELECT l_orderkey, l_quantity FROM ins_src LIMIT 3")
+    assert dt.toDF().filter("l_returnflag = 'Z'").count() == 3
+    assert dt.toDF().filter("l_returnflag <> 'Z'").count() == n0
+    cols = [r["col_name"] for r in
+            delta_sql(spark, f"SHOW COLUMNS IN delta.`{p}`").collect()]
+    assert cols == ["l_orderkey", "l_quantity", "l_returnflag"]
+
+
 def test_unknown_names_fall_through(spark, warehouse, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("plain_view")
     # not in the delta catalog → spark.sql resolves the temp view
