@@ -83,6 +83,33 @@ def _save(spark: SparkSession, mapping: dict[str, str]) -> None:
     os.replace(tmp, p)
 
 
+class _catalog_lock:
+    """Cross-process mutex for catalog read-modify-write (register /
+    unregister): two concurrent writers must not lose each other's
+    entries. flock on a sidecar lock file; reads stay lock-free (the
+    rename publish is atomic)."""
+
+    def __init__(self, spark: SparkSession):
+        self.path = _catalog_path(spark) + ".lock"
+        self.fd = None
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self.fd = open(self.path, "a")
+        fcntl.flock(self.fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        try:
+            fcntl.flock(self.fd, fcntl.LOCK_UN)
+        finally:
+            self.fd.close()
+
+
 def resolve(spark: SparkSession, name: str) -> Optional[str]:
     db, tbl = qualify(name)
     return catalog_map(spark).get(f"{db}.{tbl}")
@@ -90,17 +117,19 @@ def resolve(spark: SparkSession, name: str) -> Optional[str]:
 
 def register_table(spark: SparkSession, name: str, path: str) -> None:
     db, tbl = qualify(name)
-    m = catalog_map(spark)
-    m[f"{db}.{tbl}"] = os.path.abspath(path)
-    _save(spark, m)
+    with _catalog_lock(spark):
+        m = catalog_map(spark)
+        m[f"{db}.{tbl}"] = os.path.abspath(path)
+        _save(spark, m)
 
 
 def unregister_table(spark: SparkSession, name: str) -> Optional[str]:
     db, tbl = qualify(name)
-    m = catalog_map(spark)
-    path = m.pop(f"{db}.{tbl}", None)
-    if path is not None:
-        _save(spark, m)
+    with _catalog_lock(spark):
+        m = catalog_map(spark)
+        path = m.pop(f"{db}.{tbl}", None)
+        if path is not None:
+            _save(spark, m)
     return path
 
 

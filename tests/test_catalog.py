@@ -146,3 +146,24 @@ def test_unknown_names_fall_through(spark, warehouse, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("plain_view")
     # not in the delta catalog → spark.sql resolves the temp view
     assert delta_sql(spark, "SELECT count(*) AS c FROM plain_view").collect()[0]["c"] > 0
+
+
+def test_concurrent_registration_loses_nothing(spark, warehouse, sf_dir):
+    """register_table read-modify-write is mutexed: concurrent
+    registrations from many threads all survive."""
+    import threading
+
+    df = load_table(spark, sf_dir, "region")
+    p = C.default_location(spark, "seed")
+    write_delta(df, p)
+
+    def reg(i):
+        C.register_table(spark, f"many.t{i}", p)
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    names = set(C.catalog_map(spark))
+    assert {f"many.t{i}" for i in range(16)} <= names
