@@ -166,6 +166,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             else max(_parse_byte_size(mb), 1)
         self._pos = None  # last planned/committed end offset (admission base)
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        self.ignore_deletes = str(options.get("ignoredeletes", "false")).lower() == "true"
         self.skip_change_commits = str(options.get("skipchangecommits", "false")).lower() == "true"
         starting_version = options.get("startingversion")
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
@@ -247,11 +248,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         if removes:
             if self.skip_change_commits:
                 return []
+            if not adds and self.ignore_deletes:
+                # delete-only commit (e.g. partition drop): ignoreDeletes
+                # skips it without re-emitting anything
+                # (DeltaOptions.scala IGNORE_DELETES_OPTION)
+                return []
             if not self.ignore_changes:
                 raise RuntimeError(
                     f"Detected a data update/delete in commit {version}. Streaming source "
-                    f"requires append-only commits; set skipChangeCommits to skip them or "
-                    f"ignoreChanges to re-emit rewritten files.")
+                    f"requires append-only commits; set skipChangeCommits to skip them, "
+                    f"ignoreDeletes for delete-only commits, or ignoreChanges to re-emit "
+                    f"rewritten files.")
         return sorted(adds, key=lambda f: f.path)
 
     def _commit_metadata(self, v: int):

@@ -85,10 +85,21 @@ class DeltaTable:
 
     @classmethod
     def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        """Path-addressed table. Supports the reference's time-travel
+        path suffix (DeltaDataSource / DeltaTimeTravelSpec.scala:88):
+        `p@v123` pins reads to version 123."""
+        import re as _re
+
+        m = _re.fullmatch(r"(.*)@v(\d+)", path)
+        pinned = None
+        if m and not DeltaLog.for_table(path).table_exists():
+            path, pinned = m.group(1), int(m.group(2))
         log = DeltaLog.for_table(path)
         if not log.table_exists():
             raise ValueError(f"{path} is not a delta table")
-        return cls(spark, log)
+        dt = cls(spark, log)
+        dt._pinned_version = pinned
+        return dt
 
     @classmethod
     def forName(cls, spark: SparkSession, tableOrViewName: str) -> "DeltaTable":
@@ -155,7 +166,9 @@ class DeltaTable:
     # ----------------------------------------------------------- reads ----
 
     def toDF(self, predicate: Optional[str] = None, limit: Optional[int] = None) -> DataFrame:
-        return read_snapshot(self.spark, self.log.update(), predicate, limit)
+        pin = getattr(self, "_pinned_version", None)
+        snap = self.log.snapshot_at(pin) if pin is not None else self.log.update()
+        return read_snapshot(self.spark, snap, predicate, limit)
 
     def asOfVersion(self, version: int) -> DataFrame:
         """Time travel read (VERSION AS OF)."""

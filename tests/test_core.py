@@ -156,6 +156,9 @@ def test_time_travel_and_history(spark, tmp_table, sf_dir):
     assert dt.toDF().count() == df.limit(150).filter("l_quantity <= 0").count()
     h = dt.history().collect()
     assert [r["operation"] for r in h] == ["DELETE", "WRITE", "CREATE TABLE AS SELECT"]
+    # @v path suffix (DeltaTimeTravelSpec.scala:88)
+    assert DeltaTable.forPath(spark, tmp_table + "@v0").toDF().count() == 100
+    assert DeltaTable.forPath(spark, tmp_table + "@v1").toDF().count() == 150
 
 
 def test_checkpoint_roundtrip(spark, tmp_table, sf_dir):

@@ -253,6 +253,27 @@ def test_cdf_capped_stream_no_duplicate_changes(spark, tmp_table, sf_dir, tmp_pa
     assert len([b for b in batches if b[1] > 0]) >= 3
 
 
+def test_ignore_deletes(spark, tmp_table, sf_dir, tmp_path):
+    """ignoreDeletes skips delete-only commits (partition drops);
+    rewriting deletes still fail without ignoreChanges
+    (DeltaOptions.scala IGNORE_DELETES_OPTION)."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(50), tmp_table, partition_by=["event_type"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    etype = dt.toDF().select("event_type").first()[0]
+    n_dropped = dt.toDF().filter(F.col("event_type") == etype).count()
+    dt.delete(f"event_type = '{etype}'")  # metadata-only partition drop
+    stream = read_stream(spark, tmp_table, startingVersion="0",
+                         ignoreDeletes="true")
+    q = (stream.writeStream.format("memory").queryName("m_igdel")
+         .option("checkpointLocation", str(tmp_path / "ck_igdel"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c FROM m_igdel").collect()[0]["c"]
+    assert got == 50  # the original appends stream; the delete commit is skipped
+    assert n_dropped > 0
+
+
 def test_schema_tracking_rename_midstream(spark, tmp_table, sf_dir, tmp_path):
     """DeltaSourceMetadataTrackingLog behavior: a mid-stream RENAME
     stops the stream AFTER the pre-change backlog drains, records the
