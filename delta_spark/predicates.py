@@ -694,19 +694,24 @@ def skipping_condition_sql(node, column_types: dict, partition_cols: set,
                 return "FALSE" if op != "<=>" else keep(IsNull(left))
             lo, hi, nc = bounds(left.name)
             v = lit_sql(right.value)
+            # a comparison is never TRUE on NULLs: an all-null file is
+            # provably skippable for every operator (matching
+            # _might_cmp's _all_null guard)
+            nn = f"NOT coalesce({nc} >= __s.numRecords, FALSE)"
             if op == "<":
-                return f"coalesce({lo} < {v}, TRUE)"
+                return f"(coalesce({lo} < {v}, TRUE) AND {nn})"
             if op == "<=":
-                return f"coalesce({lo} <= {v}, TRUE)"
+                return f"(coalesce({lo} <= {v}, TRUE) AND {nn})"
             if op == ">":
-                return f"coalesce({hi} > {v}, TRUE)"
+                return f"(coalesce({hi} > {v}, TRUE) AND {nn})"
             if op == ">=":
-                return f"coalesce({hi} >= {v}, TRUE)"
+                return f"(coalesce({hi} >= {v}, TRUE) AND {nn})"
             if op in ("=", "<=>"):
-                return f"coalesce({lo} <= {v} AND {hi} >= {v}, TRUE)"
+                return f"(coalesce({lo} <= {v} AND {hi} >= {v}, TRUE) AND {nn})"
             if op in ("!=", "<>"):
-                # prune only when every non-null row equals v
-                return f"NOT coalesce({lo} = {v} AND {hi} = {v} AND {nc} = 0, FALSE)"
+                # prune when every non-null row equals v (null rows
+                # fail != anyway), or when the file is all-null
+                return f"(NOT coalesce({lo} = {v} AND {hi} = {v}, FALSE) AND {nn})"
             return "TRUE"
         if isinstance(n, Like):
             if n.negated or not isinstance(n.child, Col):

@@ -152,3 +152,65 @@ def test_like_and_null_semantics(spark):
     st3 = FileStatsView(4, {}, {}, {"a": 4})
     assert P.might_contain(P.parse_predicate("a = 5"), st3) is False
     assert P.might_contain(P.parse_predicate("a IS NULL"), st3) is True
+
+
+def test_skipping_condition_sql_matches_might_contain(spark):
+    """The compiled-to-SQL skipping condition (files_for_scan_df's
+    filter) must agree file-by-file with the python might_contain over
+    randomized predicates and file stats — and therefore inherit its
+    proven soundness."""
+    rng = random.Random(11)
+    files = []
+    for i in range(25):
+        batch = [{"a": rng.choice(_A_VALS), "b": rng.choice(_B_VALS),
+                  "s": rng.choice(_S_VALS)} for _ in range(rng.randint(1, 8))]
+        files.append(batch)
+
+    def stats_of(batch):
+        mins, maxs, nulls = {}, {}, {}
+        for c in COLS:
+            vals = [r[c] for r in batch if r[c] is not None]
+            nulls[c] = sum(1 for r in batch if r[c] is None)
+            if vals:
+                mins[c], maxs[c] = min(vals), max(vals)
+        return FileStatsView(len(batch), mins, maxs, nulls)
+
+    stats = [stats_of(b) for b in files]
+    # state_df-shaped stats frame: one row per file with the __s struct
+    rows = []
+    for i, st in enumerate(stats):
+        rows.append((i, st.num_records,
+                     st.min_values.get("a"), st.max_values.get("a"), st.null_count.get("a"),
+                     st.min_values.get("b"), st.max_values.get("b"), st.null_count.get("b"),
+                     st.min_values.get("s"), st.max_values.get("s"), st.null_count.get("s")))
+    raw = spark.createDataFrame(
+        rows, "fid int, n long, mina int, maxa int, nca long, "
+              "minb double, maxb double, ncb long, mins string, maxs string, ncs long")
+    sdf = raw.select(
+        "fid",
+        F.struct(
+            F.col("n").alias("numRecords"),
+            F.struct(F.col("mina").alias("a"), F.col("minb").alias("b"),
+                     F.col("mins").alias("s")).alias("minValues"),
+            F.struct(F.col("maxa").alias("a"), F.col("maxb").alias("b"),
+                     F.col("maxs").alias("s")).alias("maxValues"),
+            F.struct(F.col("nca").alias("a"), F.col("ncb").alias("b"),
+                     F.col("ncs").alias("s")).alias("nullCount"),
+        ).alias("__s"),
+        F.lit(None).cast("map<string,string>").alias("partitionValues"))
+    sdf = sdf.cache()
+    checked = 0
+    for _ in range(60):
+        pred = _gen_predicate(rng)
+        try:
+            ast = P.parse_predicate(pred)
+        except P.UnsupportedPredicate:
+            continue
+        want = {i for i, st in enumerate(stats) if P.might_contain(ast, st)}
+        cond = P.skipping_condition_sql(
+            ast, dict(COLS), set(), stat_cols=set(COLS))
+        got = {r["fid"] for r in sdf.filter(F.expr(cond)).select("fid").collect()}
+        assert got == want, f"SQL/python skipping divergence for {pred!r}: " \
+                            f"sql-only={got - want} py-only={want - got}"
+        checked += 1
+    assert checked >= 30
