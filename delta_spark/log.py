@@ -584,7 +584,8 @@ class DeltaLog:
                 .drop("__rn", "is_add", "is_file_action"))
 
     def files_for_scan_df(self, spark, predicate: Optional[str] = None,
-                          version: Optional[int] = None):
+                          version: Optional[int] = None,
+                          limit: Optional[int] = None):
         """Distributed filesForScan (DataSkippingReader.scala:656 as a
         DataFrame): `state_df` filtered by the skipping predicate
         compiled to a Catalyst condition over the from_json-parsed
@@ -601,14 +602,14 @@ class DeltaLog:
 
         df = self.state_df(spark, version)
         if not predicate:
-            return df
+            return self._limit_files_df(df, limit)
         snap = self.update() if version is None else self.snapshot_at(version)
         if snap.metadata is None:
-            return df
+            return self._limit_files_df(df, limit)
         try:
             ast = P.parse_predicate(predicate)
         except P.UnsupportedPredicate:
-            return df
+            return self._limit_files_df(df, limit)
         gen_map = snap._generated_partition_map()
         if gen_map:
             for extra in P.derive_generated_conjuncts(ast, gen_map):
@@ -636,9 +637,29 @@ class DeltaLog:
         cond = P.skipping_condition_sql(
             ast, column_types, part_cols, l2p,
             stat_cols={f.name for f in stat_fields})
-        return (df.withColumn("__s", F.from_json("stats", stats_schema))
-                .filter(F.expr(cond))
-                .drop("__s"))
+        out = (df.withColumn("__s", F.from_json("stats", stats_schema))
+               .filter(F.expr(cond))
+               .drop("__s"))
+        return self._limit_files_df(out, limit)
+
+    @staticmethod
+    def _limit_files_df(df, limit: Optional[int]):
+        """LIMIT pushdown at file granularity (DataSkippingReader
+        filesForScan(limit)): keep a deterministic prefix of files
+        whose cumulative numRecords covers the limit (files with
+        unknown counts contribute 0, like the python loop)."""
+        if limit is None:
+            return df
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = (Window.orderBy("version", "path")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        nr = F.coalesce(
+            F.get_json_object("stats", "$.numRecords").cast("long"), F.lit(0))
+        return (df.withColumn("__prev", F.coalesce(F.sum(nr).over(w), F.lit(0)))
+                .filter(F.col("__prev") < limit)
+                .drop("__prev"))
 
     def write_checkpoint(self, snap: Optional[Snapshot] = None) -> None:
         """Classic V1 checkpoint: Parquet of SingleAction rows +

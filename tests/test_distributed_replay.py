@@ -148,6 +148,26 @@ def test_files_for_scan_df_parity(spark, tmp_table, sf_dir):
         {f.path for f in snap.all_files}
 
 
+def test_files_for_scan_df_limit(spark, tmp_table, sf_dir):
+    """LIMIT pushdown: the chosen file prefix covers the limit and is
+    minimal (dropping its last file would fall short)."""
+    import json as _json
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(12)
+    write_delta(li, tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    total_files = len(log.update().all_files)
+    rows = log.files_for_scan_df(spark, limit=500) \
+        .orderBy("version", "path").collect()
+    assert 0 < len(rows) < total_files
+    counts = [_json.loads(r.stats)["numRecords"] for r in rows]
+    assert sum(counts) >= 500
+    assert sum(counts[:-1]) < 500  # minimal prefix
+    # predicate + limit compose
+    some = log.files_for_scan_df(spark, "l_quantity < 10", limit=100).collect()
+    assert some and sum(_json.loads(r.stats)["numRecords"] for r in some) >= 100
+
+
 def test_files_for_scan_df_generated_partition(spark, tmp_table, sf_dir):
     """Generated-partition derivation prunes in the distributed path
     too (predicate on the base column implies partition predicates)."""
