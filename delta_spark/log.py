@@ -566,7 +566,34 @@ class DeltaLog:
             start = ck + 1
         commit_paths = [self.commit_source(v) for v in range(start, version + 1)]
         if commit_paths:
-            cj = spark.read.json(commit_paths)
+            from pyspark.sql import types as T
+
+            # explicit action schema: ONE pass over the commit JSONs
+            # (inference would read everything twice) and native
+            # map-typed partitionValues
+            dv_t = T.StructType([
+                T.StructField("storageType", T.StringType()),
+                T.StructField("pathOrInlineDv", T.StringType()),
+                T.StructField("offset", T.LongType()),
+                T.StructField("sizeInBytes", T.LongType()),
+                T.StructField("cardinality", T.LongType()),
+            ])
+            action_schema = T.StructType([
+                T.StructField("add", T.StructType([
+                    T.StructField("path", T.StringType()),
+                    T.StructField("partitionValues",
+                                  T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("modificationTime", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                    T.StructField("stats", T.StringType()),
+                    T.StructField("deletionVector", dv_t),
+                ])),
+                T.StructField("remove", T.StructType([
+                    T.StructField("path", T.StringType()),
+                ])),
+            ])
+            cj = spark.read.schema(action_schema).json(commit_paths)
             ver = F.regexp_extract(
                 F.url_decode(F.input_file_name()), r"(\d{20})[^/]*\.json$", 1
             ).cast("long")
