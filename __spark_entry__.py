@@ -789,9 +789,12 @@ def q_text_langid_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (over documents ∪ planted shifted-id duplicates),
     n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
-    (τ=0.5, deterministic md5-permutations, band recall 1 at these
-    levels) as one composite with a `variant` discriminator — three
-    dedup families under one driver-gate row."""
+    (τ=0.5) as one composite with a `variant` discriminator — three
+    dedup families under one driver-gate row. The LSH leg runs in its
+    recall-safe configuration (independent salted-md5 hashes,
+    single-hash bands: miss probability ≤ (1-τ)^32 ≈ 2e-10 per pair),
+    so the brute-force oracle matches at every scale — verified
+    hash-equal at sf0.001/0.01/0.1."""
     from delta_spark.ops.dedup import dedup_exact, jaccard_pairs, minhash_lsh_pairs
     docs = _docs(spark, sf_dir)
     planted = docs.filter("doc_id % 5 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -800,7 +803,8 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS BIGINT) AS id_b", "CAST(n_chars AS DOUBLE) AS score")
     jac = jaccard_pairs(docs, threshold=0.2).selectExpr(
         "'jaccard' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
-    mh = minhash_lsh_pairs(docs, threshold=0.5, k=32, bands=16).selectExpr(
+    mh = minhash_lsh_pairs(docs, threshold=0.5, k=32, bands=32,
+                           independent=True).selectExpr(
         "'minhash_lsh' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
     return exact.unionByName(jac).unionByName(mh)
 
@@ -811,7 +815,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quantized(df: DataFrame) -> DataFrame:
-    return df.selectExpr("vec_id", "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e")
+    # quantize in DOUBLE explicitly: float*int stays FLOAT in Spark but
+    # promotes to DOUBLE in DuckDB, and the precision difference flips
+    # round() on boundary values (first seen at sf0.1, vector 1879)
+    return df.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e")
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,6 +969,7 @@ jac AS (SELECT ia, ib, common * 1.0 / (ca.c + cb.c - common) AS rawj,
 SELECT 'exact' AS variant, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
        CAST(n_chars AS DOUBLE) AS score
 FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 UNION ALL
 SELECT 'jaccard', ia, ib, CAST(jaccard AS DOUBLE) FROM jac WHERE rawj >= 0.2
 UNION ALL
@@ -1289,7 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_suite": _DEDUP_SUITE_ORACLE,
         "dedup_simhash": _simhash_oracle(32),
         "knn_cosine": f"""
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
                        FROM embeddings),
             q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
             scored AS (
@@ -1299,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored)
             SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5""",
         "embedding_near_dups": f"""
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
                        FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS.format(a='a.e', b='b.e')} AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
