@@ -317,7 +317,12 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
     m = re.search(r"(?is)table_changes(?:_by_path)?\s*\(\s*'(?P<path>[^']+)'\s*,\s*"
                   r"(?P<start>\d+)(?:\s*,\s*(?P<end>\d+))?\s*\)", s)
     if m:
-        dt = DeltaTable.forPath(spark, m.group("path"))
+        # table_changes('name', ...) resolves registered names too
+        # (the reference's table_changes takes a table NAME; the
+        # _by_path spelling takes a path)
+        ref = m.group("path")
+        resolved = C.resolve(spark, ref) if "/" not in ref else None
+        dt = DeltaTable.forPath(spark, resolved or ref)
         ch = dt.table_changes(
             starting_version=int(m.group("start")),
             ending_version=int(m.group("end")) if m.group("end") else None)

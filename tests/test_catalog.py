@@ -167,3 +167,12 @@ def test_concurrent_registration_loses_nothing(spark, warehouse, sf_dir):
         t.join()
     names = set(C.catalog_map(spark))
     assert {f"many.t{i}" for i in range(16)} <= names
+
+
+def test_table_changes_tvf_by_name(spark, warehouse, sf_dir):
+    df = load_table(spark, sf_dir, "region")
+    C.save_as_table(df, "chg", configuration={"delta.enableChangeDataFeed": "true"})
+    delta_sql(spark, "DELETE FROM chg WHERE r_regionkey = 0")
+    out = delta_sql(spark, "SELECT _change_type, count(*) AS n "
+                           "FROM table_changes('chg', 1) GROUP BY 1").collect()
+    assert {r["_change_type"] for r in out} == {"delete"}
