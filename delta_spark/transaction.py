@@ -270,9 +270,10 @@ class OptimisticTransaction:
         if metadatas:
             # IcebergCompat.scala: reject invalid UniForm property combos
             # before the commit becomes durable
-            from . import uniform
+            from . import uniform, uniform_hudi
 
             uniform.validate_uniform_config(metadatas[0].configuration)
+            uniform_hudi.validate_hudi_config(metadatas[0].configuration)
             self._auto_enable_features(actions, metadatas[0])
 
     def _auto_enable_features(self, actions: list[Any], meta: Metadata) -> None:
@@ -442,6 +443,12 @@ class OptimisticTransaction:
             from . import uniform
 
             uniform.maybe_convert(self.log, snap)
+        except Exception:
+            pass
+        try:
+            from . import uniform_hudi
+
+            uniform_hudi.maybe_convert(self.log, snap)
         except Exception:
             pass
         if version > 0 and version % self.log.checkpoint_interval == 0:
