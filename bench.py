@@ -155,14 +155,15 @@ def main() -> None:
             .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
             .collect())
 
-    run_median(timings, "q1_agg", q1)
-    run_median(timings, "q3_join", q3)
-    run_median(timings, "q5_join5", q5)
-    run_median(timings, "q6_filter", q6)
+    def pq_views():
+        for t in ("lineitem", "orders", "customer", "supplier", "nation",
+                  "region"):
+            load_table(spark, SF_DIR, t).createOrReplaceTempView(f"d_{t}")
 
-    # ---- the same scans on the raw source parquet (baseline arm) --------
-    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
-        load_table(spark, SF_DIR, t).createOrReplaceTempView(f"d_{t}")
+    def delta_views():
+        for t in TABLES:
+            dt(t).toDF().createOrReplaceTempView(f"d_{t}")
+
     pq_lineitem = load_table(spark, SF_DIR, "lineitem")
 
     def pq6():
@@ -173,13 +174,33 @@ def main() -> None:
             .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
             .collect())
 
-    run_median(parquet_timings, "q1_agg", q1)
-    run_median(parquet_timings, "q3_join", q3)
-    run_median(parquet_timings, "q5_join5", q5)
-    run_median(parquet_timings, "q6_filter", pq6)
+    def run_both(name, delta_fn, pq_fn) -> None:
+        """Interleave the delta and raw-parquet arms iteration-by-
+        iteration so both see the identical JVM/GC/page-cache context —
+        running the arms back-to-back as blocks skews the ratio by
+        whatever the heap was doing between the blocks."""
+        d_samples, p_samples = [], []
+        for i in range(ITERS + 1):
+            delta_views()
+            t0 = time.time()
+            delta_fn()
+            d = time.time() - t0
+            pq_views()
+            t0 = time.time()
+            pq_fn()
+            p = time.time() - t0
+            if i > 0:
+                d_samples.append(d)
+                p_samples.append(p)
+        timings[name] = round(statistics.median(d_samples), 3)
+        parquet_timings[name] = round(statistics.median(p_samples), 3)
+
+    run_both("q1_agg", q1, q1)
+    run_both("q3_join", q3, q3)
+    run_both("q5_join5", q5, q5)
+    run_both("q6_filter", q6, pq6)
     # restore the delta views for everything downstream
-    for t in TABLES:
-        dt(t).toDF().createOrReplaceTempView(f"d_{t}")
+    delta_views()
 
     # ---- DML / layout (mutating: fresh table copy per iteration) -------
     merge_src = (load_table(spark, SF_DIR, "orders").filter("o_orderkey % 10 = 0")

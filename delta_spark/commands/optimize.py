@@ -96,6 +96,16 @@ class OptimizeBuilder:
                        max_file_size, num_ranges)
 
 
+def _file_rows(f: AddFile) -> int:
+    """numRecords from the file's stats blob (0 when stats are absent)."""
+    if not f.stats:
+        return 0
+    try:
+        return int(json.loads(f.stats).get("numRecords") or 0)
+    except (ValueError, TypeError):
+        return 0
+
+
 def _select_partitions(txn: OptimisticTransaction, partition_filter: Optional[str]):
     """Group candidate files by partition tuple, honoring the optional
     partition predicate (OPTIMIZE ... WHERE only allows partition cols)."""
@@ -232,15 +242,32 @@ def interleave_bits(range_ids: list[Column], bits_per_col: int) -> Column:
     return terms if terms is not None else F.lit(0)
 
 
-def zorder_key(df: DataFrame, cols: list[str], num_ranges: int) -> tuple[DataFrame, str]:
+def zorder_key(df: DataFrame, cols: list[str], num_ranges: int,
+               n_out: Optional[int] = None,
+               approx_rows: Optional[int] = None) -> tuple[DataFrame, str]:
     """Attach a __zkey column; boundaries from ONE sampled distributed
     quantile pass over every clustering column at once (approxQuantile
     accepts a column list — N columns cost one scan, not N; relative
     error 0.01 keeps the driver footprint tiny).
 
+    Two scale knobs, both rationalized by the fact that clustering
+    quality is FILE-granular (min/max skipping reads whole files):
+
+    - ``n_out`` caps the effective range count at 16 ranges per output
+      file (floor 64): finer ids than that only reorder rows inside a
+      file, which parquet row-group stats barely notice, while the
+      boundary list and the per-row id computation scale with it. Small
+      jobs thereby stay on the codegen'd WHEN-chain id path — no Python
+      in the row pipeline at all.
+    - ``approx_rows`` (when known from file stats) caps the quantile
+      scan at a ~2M-row sample; quantile jitter moves range borders by
+      O(1/sqrt(sample)) which is far below file granularity.
+
     Range ids are materialized as real columns BEFORE bit interleaving:
     interleave_bits references each id `bits` times, and inlining the
     boundary-fold expression there would blow up codegen by bits×."""
+    if n_out is not None:
+        num_ranges = min(num_ranges, max(64, 16 * n_out))
     bits = max(1, math.ceil(math.log2(num_ranges)))
     probs = [i / num_ranges for i in range(1, num_ranges)]
 
@@ -258,8 +285,11 @@ def zorder_key(df: DataFrame, cols: list[str], num_ranges: int) -> tuple[DataFra
         return F.col(c).cast("double")
 
     nums = [_numeric(c) for c in cols]
-    all_bounds = df.select(*[n.alias(f"__v_{i}") for i, n in enumerate(nums)]) \
-        .approxQuantile([f"__v_{i}" for i in range(len(cols))], probs, 0.01)
+    sample_src = df.select(*[n.alias(f"__v_{i}") for i, n in enumerate(nums)])
+    if approx_rows and approx_rows > 2_000_000:
+        sample_src = sample_src.sample(False, 2_000_000 / approx_rows, seed=42)
+    all_bounds = sample_src.approxQuantile(
+        [f"__v_{i}" for i in range(len(cols))], probs, 0.01)
     out = df
     rid_cols = []
     for idx, (num, bounds) in enumerate(zip(nums, all_bounds)):
@@ -274,7 +304,12 @@ def range_id_column_from(value: Column, boundaries: list) -> Column:
     if not boundaries:
         return F.lit(0)
     if len(boundaries) <= 16:
-        # tiny boundary lists: stay fully codegen'd with a WHEN chain
+        # tiny boundary lists: stay fully codegen'd with a WHEN chain.
+        # NOT larger ones: interleave_bits references the rid column
+        # bits× and CollapseProject inlines the chain into every
+        # reference — a 63-term chain became a 750-term zkey expression
+        # (measured 3x slower than the Arrow searchsorted, whose UDF
+        # result is evaluated once per batch and never inlined).
         expr = F.lit(0)
         for b in boundaries:
             expr = expr + F.when(value >= F.lit(b), 1).otherwise(0)
@@ -310,10 +345,19 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
         total = sum(f.size for f in files)
         n_out = max(1, math.ceil(total / max_file_size))
         df = read_files_df(spark, snapshot, files)
-        zdf, zcol = zorder_key(df, cols, num_ranges)
-        clustered = (zdf.repartitionByRange(n_out, F.col(zcol))
-                     .sortWithinPartitions(zcol)
-                     .drop(zcol))
+        approx_rows = sum(_file_rows(f) for f in files) or None
+        zdf, zcol = zorder_key(df, cols, num_ranges, n_out=n_out,
+                               approx_rows=approx_rows)
+        if n_out == 1:
+            # one output file: range partitioning is vacuous, and
+            # repartitionByRange would pay an extra full scan (its
+            # RangePartitioner sampling pass) just to learn that
+            clustered = (zdf.repartition(1)
+                         .sortWithinPartitions(zcol).drop(zcol))
+        else:
+            clustered = (zdf.repartitionByRange(n_out, F.col(zcol))
+                         .sortWithinPartitions(zcol)
+                         .drop(zcol))
         new = write_table_files(clustered, snapshot, data_change=False)
         if clustering:
             cube = str(_uuid.uuid4())
