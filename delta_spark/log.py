@@ -437,6 +437,54 @@ class DeltaLog:
                 f"Cannot time travel to version {version}; latest is {latest}")
         return self._build_snapshot(version)
 
+    def checkpointed_action_count(self) -> Optional[int]:
+        """Action count recorded in ``_last_checkpoint`` ("size",
+        Checkpoints.scala LastCheckpointInfo) — a scan-scale estimate
+        that costs one tiny JSON read, available BEFORE any replay."""
+        try:
+            d = json.loads(self.store.read(
+                os.path.join(self.log_path, "_last_checkpoint")))
+            return int(d["size"]) if d.get("size") is not None else None
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def light_snapshot(self, version: Optional[int] = None) -> Snapshot:
+        """Snapshot with metadata/protocol/version/timestamp but NO file
+        state: the checkpoint is read column-pruned (metaData/protocol
+        only) and post-checkpoint commits contribute only their
+        metadata-class actions. This is the driver cost a scan plan
+        should pay on a huge table — the reference keeps file state in
+        a Dataset (Snapshot.scala:598) and eagerly extracts only
+        protocol+metadata. File accessors on the result see an EMPTY
+        set; planning must go through ``files_for_scan_df``."""
+        if version is None:
+            version = self.latest_version()
+        snap = Snapshot(self.table_path, version)
+        start = 0
+        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
+        if ckpts:
+            ck = ckpts[-1]
+            self._apply_checkpoint(snap, ck, metadata_only=True)
+            start = ck + 1
+        for s, e, path in self._replay_plan(start, version):
+            if path is None:
+                lines = self.store.read(self.commit_source(s)).splitlines()
+            else:
+                lines = self.store.read(path).splitlines()
+            for line in lines:
+                # cheap substring pre-filter: skip parsing the (add-
+                # heavy) bulk of each commit
+                if '"metaData"' not in line and '"protocol"' not in line:
+                    continue
+                kind, a = parse_action_line(line)
+                if kind == "metaData":
+                    snap.metadata = a
+                elif kind == "protocol":
+                    snap.protocol = a
+        snap.version = version
+        snap.timestamp = self._commit_timestamp(version)
+        return snap
+
     def _build_snapshot(self, version: int) -> Snapshot:
         snap = Snapshot(self.table_path, version)
         start = 0
@@ -630,7 +678,9 @@ class DeltaLog:
         df = self.state_df(spark, version)
         if not predicate:
             return self._limit_files_df(df, limit)
-        snap = self.update() if version is None else self.snapshot_at(version)
+        # metadata-only snapshot: compiling the skipping predicate needs
+        # the schema/partition columns, never the file state
+        snap = self.light_snapshot(version)
         if snap.metadata is None:
             return self._limit_files_df(df, limit)
         try:
@@ -839,11 +889,26 @@ class DeltaLog:
                                 if v is not None}))
         os.replace(lc + ".tmp", lc)
 
-    def _apply_checkpoint(self, snap: Snapshot, version: int) -> None:
+    def _apply_checkpoint(self, snap: Snapshot, version: int,
+                          metadata_only: bool = False) -> None:
         rows: list[dict] = []
         for path in self.checkpoint_paths(version):
-            rows.extend(pq.read_table(path).to_pylist())
-        # V2: pull file actions in from the referenced sidecars
+            if metadata_only:
+                # column-pruned read: metaData/protocol only — a 10⁶-row
+                # checkpoint costs two tiny columns, not the AddFiles
+                names = pq.read_schema(path).names
+                cols = [c for c in ("metaData", "protocol") if c in names]
+                if not cols:
+                    continue
+                rows.extend(r for r in pq.read_table(path, columns=cols)
+                            .to_pylist()
+                            if any(r.get(c) for c in cols))
+            else:
+                rows.extend(pq.read_table(path).to_pylist())
+        # V2: pull file actions in from the referenced sidecars (the
+        # pruned metadata_only rows never carry a sidecar column —
+        # sidecars hold file actions only, metaData/protocol always
+        # live in the top file, so skipping them is exact)
         for row in list(rows):
             sc = row.get("sidecar")
             if sc and sc.get("path"):

@@ -12,6 +12,7 @@ irrelevant files before Catalyst ever sees the scan.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -245,6 +246,49 @@ def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
     if dv is not None:
         df = df.join(dv, (df["__file_base"] == dv["file_base"]) &
                      (df["__row_idx"] == dv["row_index"]), "left_anti")
+    return df
+
+
+def read_snapshot_distributed(
+    spark: SparkSession,
+    log,
+    predicate: Optional[str] = None,
+    limit: Optional[int] = None,
+    version: Optional[int] = None,
+) -> DataFrame:
+    """Scan planned WITHOUT driver-side log replay — the >10⁶-file
+    path. Metadata comes from ``DeltaLog.light_snapshot`` (column-
+    pruned checkpoint read), the live file set is reconstructed AND
+    stats-pruned executor-side (``files_for_scan_df`` = the DataFrame
+    forms of Snapshot.scala:598 stateReconstruction +
+    DataSkippingReader.scala:656 withStats), and only the pruned
+    SURVIVORS are collected to drive the parquet relation — the
+    reference's filesForScan contract: files-after-skipping land on the
+    driver, the full state never does.
+
+    Result-identical to the replay path (read_snapshot): same relation
+    builder (read_files_df), DV filtering and column mapping included —
+    tests/test_distributed_replay.py proves parity."""
+    snap = log.light_snapshot(version)
+    rows = (log.files_for_scan_df(spark, predicate, version=snap.version,
+                                  limit=limit)
+            .select("path", "partitionValues", "size", "modificationTime",
+                    "deletionVector")
+            .collect())
+    files = [
+        AddFile(
+            path=r.path,
+            partitionValues=dict(r.partitionValues or {}),
+            size=r.size or 0,
+            modificationTime=r.modificationTime or 0,
+            deletionVector=(json.loads(r.deletionVector)
+                            if r.deletionVector else None),
+        ) for r in rows]
+    df = read_files_df(spark, snap, files)
+    if predicate:
+        df = df.filter(predicate)
+    if limit is not None:
+        df = df.limit(limit)
     return df
 
 

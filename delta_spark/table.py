@@ -167,8 +167,40 @@ class DeltaTable:
 
     def toDF(self, predicate: Optional[str] = None, limit: Optional[int] = None) -> DataFrame:
         pin = getattr(self, "_pinned_version", None)
+        if self._plan_distributed():
+            from delta_spark.reader import read_snapshot_distributed
+
+            return read_snapshot_distributed(
+                self.spark, self.log, predicate, limit, version=pin)
         snap = self.log.snapshot_at(pin) if pin is not None else self.log.update()
         return read_snapshot(self.spark, snap, predicate, limit)
+
+    def _plan_distributed(self) -> bool:
+        """Route scans through the distributed planning path
+        (read_snapshot_distributed) when the log is too big to replay
+        comfortably on the driver. ``delta_spark.scan.distributedPlanning``:
+        ``auto`` (default — switch past
+        ``delta_spark.scan.distributedPlanningThreshold`` actions,
+        estimated from the free _last_checkpoint "size" field),
+        ``always``, or ``never``."""
+        try:
+            mode = self.spark.conf.get(
+                "delta_spark.scan.distributedPlanning", "auto")
+        except Exception:
+            mode = "auto"
+        if mode == "always":
+            return True
+        if mode != "auto":
+            return False
+        n = self.log.checkpointed_action_count()
+        if n is None:
+            return False
+        try:
+            threshold = int(self.spark.conf.get(
+                "delta_spark.scan.distributedPlanningThreshold", "500000"))
+        except Exception:
+            threshold = 500_000
+        return n >= threshold
 
     def asOfVersion(self, version: int) -> DataFrame:
         """Time travel read (VERSION AS OF)."""

@@ -188,3 +188,115 @@ def test_files_for_scan_df_generated_partition(spark, tmp_table, sf_dir):
     got = {r.path for r in log.files_for_scan_df(spark, pred).collect()}
     assert got == want
     assert len(got) < len(snap.all_files)  # actually pruned
+
+
+# ------------------------------------------------- end-to-end planning ----
+
+@pytest.fixture()
+def force_distributed(spark):
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    yield
+    spark.conf.set("delta_spark.scan.distributedPlanning", "auto")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_distributed_scan_parity_partitioned(spark, tmp_table, sf_dir,
+                                             force_distributed):
+    """toDF routed through read_snapshot_distributed returns the exact
+    rows of the replay path, with predicate and limit."""
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(6)
+    write_delta(li, tmp_table, partition_by=["l_returnflag"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    got = dt.toDF()
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    want = DeltaTable.forPath(spark, tmp_table).toDF()
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    got_p = dt.toDF("l_returnflag = 'A' AND l_quantity < 10")
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    want_p = dt.toDF("l_returnflag = 'A' AND l_quantity < 10")
+    assert _rows(got_p) == _rows(want_p)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    assert dt.toDF(limit=37).count() == 37
+
+
+def test_distributed_scan_parity_dv(spark, tmp_table, sf_dir,
+                                    force_distributed):
+    """DV-masked rows are dropped on the distributed path too (the
+    descriptor JSON survives the DataFrame round trip)."""
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    write_delta(li, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.enableDeletionVectors": "true"})
+    dt.delete("l_quantity > 30")
+    got = dt.toDF()
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    want = DeltaTable.forPath(spark, tmp_table).toDF()
+    assert _rows(got) == _rows(want)
+    assert got.filter("l_quantity > 30").count() == 0
+
+
+def test_distributed_scan_parity_column_mapping(spark, tmp_table, sf_dir,
+                                                force_distributed):
+    """Column mapping: physical-name indirection works from the
+    metadata-only snapshot."""
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    write_delta(li, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.enableColumnMapping()
+    dt.renameColumn("l_quantity", "qty")
+    got = dt.toDF("qty < 10")
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    want = DeltaTable.forPath(spark, tmp_table).toDF("qty < 10")
+    assert "qty" in got.columns
+    assert _rows(got) == _rows(want)
+
+
+def test_light_snapshot_matches_full(spark, tmp_table, sf_dir):
+    """light_snapshot agrees with the replayed snapshot on metadata,
+    protocol, version and timestamp — across a checkpoint boundary —
+    without loading any file state."""
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    write_delta(li, tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    for _ in range(12):  # cross the checkpoint interval
+        write_delta(li.limit(10), tmp_table, mode="append")
+    full = log.update()
+    light = log.light_snapshot()
+    assert light.version == full.version
+    assert light.metadata.schemaString == full.metadata.schemaString
+    assert light.metadata.configuration == full.metadata.configuration
+    assert light.protocol.minWriterVersion == full.protocol.minWriterVersion
+    assert light.timestamp == full.timestamp
+    assert light.all_files == []  # file state intentionally unloaded
+    assert log.checkpointed_action_count() is not None
+
+
+def test_auto_threshold_routing(spark, tmp_table, sf_dir):
+    """auto mode consults the _last_checkpoint size estimate."""
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(100)
+    write_delta(li, tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    for _ in range(11):
+        write_delta(li.limit(5), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert not dt._plan_distributed()  # tiny table stays on replay
+    spark.conf.set("delta_spark.scan.distributedPlanningThreshold", "1")
+    try:
+        assert dt._plan_distributed()
+        assert dt.toDF().count() == 100 + 11 * 5
+    finally:
+        spark.conf.set(
+            "delta_spark.scan.distributedPlanningThreshold", "500000")
