@@ -29,7 +29,7 @@ from delta_spark.actions import AddFile, RemoveFile
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
-from delta_spark.transaction import OptimisticTransaction
+from delta_spark.transaction import OptimisticTransaction, dml_transaction
 from delta_spark.writer import write_cdc_files, write_table_files
 
 
@@ -269,6 +269,13 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
         descriptor = desc_by_base[base] if portable else {
             "storageType": "q", "pathOrInlineDv": dv_rel,
             "cardinality": int(card)}
+        # protocol: a DV update is remove(path, oldDvId) + add(path,
+        # newDvId) — the tombstone retires the file's previous logical
+        # incarnation (PROTOCOL.md Action Reconciliation; reference
+        # DMLWithDeletionVectorsHelper.processUnmodifiedData). Without
+        # it, streams mistake the commit for a blind append and
+        # incremental checksums double-count the path.
+        removes.append(f.remove())
         adds.append(AddFile(
             path=f.path, partitionValues=f.partitionValues, size=f.size,
             modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
@@ -312,7 +319,7 @@ def purge_deletion_vectors(spark: SparkSession, log: DeltaLog) -> dict:
 def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str],
                    txn_app_id: Optional[str] = None,
                    txn_version: Optional[int] = None) -> Optional[int]:
-    txn = OptimisticTransaction(log)
+    txn = dml_transaction(spark, log)
     if txn_app_id is not None and txn_version is not None:
         last = txn.txn_version(txn_app_id)
         if last is not None and last >= txn_version:

@@ -41,7 +41,7 @@ from delta_spark.commands.delete import cdf_enabled, match_files_by_name
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
-from delta_spark.transaction import OptimisticTransaction
+from delta_spark.transaction import OptimisticTransaction, dml_transaction
 from delta_spark.writer import write_cdc_files, write_table_files
 
 
@@ -249,7 +249,7 @@ class MergeBuilder:
         return clause.values
 
     def execute(self) -> int:
-        txn = OptimisticTransaction(self.log)
+        txn = dml_transaction(self.spark, self.log)
         snapshot = txn.snapshot
         if snapshot.metadata is None:
             raise MergeError("target delta table does not exist")

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from delta_spark.actions import AddFile
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
-from delta_spark.transaction import OptimisticTransaction
+from delta_spark.transaction import OptimisticTransaction, dml_transaction
 from delta_spark.writer import write_table_files
 
 DEFAULT_MAX_FILE_SIZE = 256 * 1024 * 1024   # reference default 1 GiB; smaller
@@ -146,7 +146,7 @@ def _dv_ratio(f: AddFile) -> float:
 
 def _compact(spark: SparkSession, log: DeltaLog, partition_filter: Optional[str],
              max_file_size: int, min_file_size: int) -> dict:
-    txn = OptimisticTransaction(log)
+    txn = dml_transaction(spark, log)
     snapshot = txn.snapshot
     try:
         max_dv_ratio = float(snapshot.configuration.get(
@@ -323,7 +323,7 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
             full: bool = True) -> dict:
     import uuid as _uuid
 
-    txn = OptimisticTransaction(log)
+    txn = dml_transaction(spark, log)
     snapshot = txn.snapshot
     if not cols:
         raise ValueError("ZORDER BY requires at least one column")

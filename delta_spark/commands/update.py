@@ -20,7 +20,7 @@ from delta_spark.commands.delete import cdf_enabled, find_touched_files
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
-from delta_spark.transaction import OptimisticTransaction
+from delta_spark.transaction import OptimisticTransaction, dml_transaction
 from delta_spark.writer import write_cdc_files, write_table_files
 
 
@@ -28,7 +28,7 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
                    condition: Optional[str] = None) -> int:
     """set_exprs: {column: SQL expression} (UpdateExpressionsSupport —
     expressions may reference any table column)."""
-    txn = OptimisticTransaction(log)
+    txn = dml_transaction(spark, log)
     snapshot = txn.snapshot
     cfg = snapshot.configuration
     num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))

@@ -27,7 +27,7 @@ from delta_spark.schema import (
     with_identity_watermark,
 )
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS, stats_columns
-from delta_spark.transaction import OptimisticTransaction
+from delta_spark.transaction import OptimisticTransaction, dml_transaction
 from delta_spark.util import current_time_millis, schema_from_json, schema_to_json
 from delta_spark.writer import normalize_df, write_files
 
@@ -64,7 +64,10 @@ def write_delta(
     if mode not in ("append", "overwrite", "ignore", "error", "errorifexists"):
         raise ValueError(f"unknown write mode {mode!r}")
     log = DeltaLog.for_table(path)
-    txn = OptimisticTransaction(log)
+    # blind appends to a huge table never touch file state — with the
+    # distributed-planning route the log is not replayed on the driver
+    # at all (light snapshot; overwrite paths hydrate lazily)
+    txn = dml_transaction(df.sparkSession, log)
     exists = txn.read_version >= 0 and txn.metadata is not None
 
     if exists and mode == "ignore":

@@ -369,9 +369,18 @@ class DeltaLog:
                     continue
                 raw = json.loads(line)
                 if "add" in raw:
-                    file_state[raw["add"]["path"]] = {"add": raw["add"]}
+                    file_state[raw["add"]["path"]] = {"add": raw["add"],
+                                                      "__v": v}
                 elif "remove" in raw:
-                    file_state[raw["remove"]["path"]] = {"remove": raw["remove"]}
+                    # same-version remove+add of one path is a DV/
+                    # metadata update: the add is the live entry
+                    # (PROTOCOL.md Action Reconciliation) — never let
+                    # its tombstone shadow it in the compacted replay
+                    prev = file_state.get(raw["remove"]["path"])
+                    if prev is not None and "add" in prev and prev["__v"] == v:
+                        continue
+                    file_state[raw["remove"]["path"]] = {
+                        "remove": raw["remove"], "__v": v}
                 elif "metaData" in raw:
                     meta = raw
                 elif "protocol" in raw:
@@ -387,7 +396,8 @@ class DeltaLog:
             out.append(meta)
         out.extend(txns.values())
         out.extend(domains.values())
-        out.extend(file_state.values())
+        out.extend({k: v for k, v in fs.items() if k != "__v"}
+                   for fs in file_state.values())
         path = os.path.join(self.log_path,
                             "%020d.%020d.compacted.json" % (start, end))
         try:
@@ -448,15 +458,21 @@ class DeltaLog:
         except (OSError, ValueError, KeyError, TypeError):
             return None
 
-    def light_snapshot(self, version: Optional[int] = None) -> Snapshot:
-        """Snapshot with metadata/protocol/version/timestamp but NO file
-        state: the checkpoint is read column-pruned (metaData/protocol
-        only) and post-checkpoint commits contribute only their
-        metadata-class actions. This is the driver cost a scan plan
-        should pay on a huge table — the reference keeps file state in
-        a Dataset (Snapshot.scala:598) and eagerly extracts only
-        protocol+metadata. File accessors on the result see an EMPTY
-        set; planning must go through ``files_for_scan_df``."""
+    def light_snapshot(self, version: Optional[int] = None,
+                       spark=None) -> Snapshot:
+        """Snapshot with the metadata-class state (metadata, protocol,
+        set-transactions, metadata domains, version, timestamp) but no
+        eagerly loaded file state: the checkpoint is read column-pruned
+        and post-checkpoint commits contribute only their metadata-class
+        actions. This is the driver cost a scan plan should pay on a
+        huge table — the reference keeps file state in a Dataset
+        (Snapshot.scala:598) and eagerly extracts only protocol+metadata.
+
+        With ``spark``, the file state hydrates LAZILY on first touch of
+        ``active``/``all_files`` from the distributed reconstruction
+        (``state_df`` collect — executors parse the log; the driver
+        receives only the live AddFiles). Without it, file accessors
+        see an empty set and planning must use ``files_for_scan_df``."""
         if version is None:
             version = self.latest_version()
         snap = Snapshot(self.table_path, version)
@@ -466,6 +482,8 @@ class DeltaLog:
             ck = ckpts[-1]
             self._apply_checkpoint(snap, ck, metadata_only=True)
             start = ck + 1
+        meta_kinds = ("metaData", "protocol", "txn", "domainMetadata")
+        markers = tuple(f'"{k}"' for k in meta_kinds)
         for s, e, path in self._replay_plan(start, version):
             if path is None:
                 lines = self.store.read(self.commit_source(s)).splitlines()
@@ -474,15 +492,17 @@ class DeltaLog:
             for line in lines:
                 # cheap substring pre-filter: skip parsing the (add-
                 # heavy) bulk of each commit
-                if '"metaData"' not in line and '"protocol"' not in line:
+                if not any(m in line for m in markers):
                     continue
                 kind, a = parse_action_line(line)
-                if kind == "metaData":
-                    snap.metadata = a
-                elif kind == "protocol":
-                    snap.protocol = a
+                if kind in meta_kinds:
+                    snap.apply_actions([(kind, a)])
         snap.version = version
         snap.timestamp = self._commit_timestamp(version)
+        if spark is not None:
+            snap._files_loaded = False
+            snap._hydrator = (lambda v=version: addfiles_from_state_rows(
+                self.state_df(spark, v).collect()))
         return snap
 
     def _build_snapshot(self, version: int) -> Snapshot:
@@ -547,7 +567,10 @@ class DeltaLog:
             return spark.createDataFrame(
                 [], "path string, size long, modificationTime long, "
                     "dataChange boolean, partitionValues map<string,string>, "
-                    "stats string, deletionVector string, version long")
+                    "stats string, deletionVector string, tags "
+                    "map<string,string>, baseRowId long, "
+                    "defaultRowCommitVersion long, clusteringProvider "
+                    "string, version long")
 
         def _norm(df, ver_col):
             from pyspark.sql import types as T
@@ -591,6 +614,12 @@ class DeltaLog:
                 sub_json("add", "partitionValues").alias("partitionValues"),
                 sub("add", "stats", "string").alias("stats"),
                 sub_as_json("add", "deletionVector").alias("deletionVector"),
+                sub_json("add", "tags").alias("tags"),
+                sub("add", "baseRowId", "long").alias("baseRowId"),
+                sub("add", "defaultRowCommitVersion", "long")
+                .alias("defaultRowCommitVersion"),
+                sub("add", "clusteringProvider", "string")
+                .alias("clusteringProvider"),
                 ver_col.alias("version"))
                 .filter(F.col("is_file_action")))
 
@@ -636,6 +665,11 @@ class DeltaLog:
                     T.StructField("dataChange", T.BooleanType()),
                     T.StructField("stats", T.StringType()),
                     T.StructField("deletionVector", dv_t),
+                    T.StructField("tags",
+                                  T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("baseRowId", T.LongType()),
+                    T.StructField("defaultRowCommitVersion", T.LongType()),
+                    T.StructField("clusteringProvider", T.StringType()),
                 ])),
                 T.StructField("remove", T.StructType([
                     T.StructField("path", T.StringType()),
@@ -894,10 +928,12 @@ class DeltaLog:
         rows: list[dict] = []
         for path in self.checkpoint_paths(version):
             if metadata_only:
-                # column-pruned read: metaData/protocol only — a 10⁶-row
-                # checkpoint costs two tiny columns, not the AddFiles
+                # column-pruned read: the metadata-class action columns
+                # only — a 10⁶-row checkpoint costs four tiny columns,
+                # not the AddFiles
                 names = pq.read_schema(path).names
-                cols = [c for c in ("metaData", "protocol") if c in names]
+                cols = [c for c in ("metaData", "protocol", "txn",
+                                    "domainMetadata") if c in names]
                 if not cols:
                     continue
                 rows.extend(r for r in pq.read_table(path, columns=cols)
@@ -1108,3 +1144,50 @@ def parse_interval_ms(s: str) -> Optional[int]:
     mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
             "hour": 3_600_000, "day": 86_400_000, "week": 7 * 86_400_000}[unit]
     return n * mult
+
+
+def addfiles_from_state_rows(rows) -> list[AddFile]:
+    """AddFile dataclasses from ``state_df``/``files_for_scan_df`` rows
+    (the executor-parsed form of the live file set). The DV descriptor
+    travels as a JSON string; every other field maps 1:1."""
+    out: list[AddFile] = []
+    for r in rows:
+        out.append(AddFile(
+            path=r.path,
+            partitionValues=dict(r.partitionValues or {}),
+            size=r.size or 0,
+            modificationTime=r.modificationTime or 0,
+            dataChange=r.dataChange if r.dataChange is not None else True,
+            stats=r.stats,
+            tags=dict(r.tags) if r.tags else None,
+            deletionVector=(json.loads(r.deletionVector)
+                            if r.deletionVector else None),
+            baseRowId=r.baseRowId,
+            defaultRowCommitVersion=r.defaultRowCommitVersion,
+            clusteringProvider=r.clusteringProvider,
+        ))
+    return out
+
+
+def should_plan_distributed(spark, log: DeltaLog) -> bool:
+    """Shared routing predicate for scans AND DML planning:
+    ``delta_spark.scan.distributedPlanning`` = always/never/auto, auto
+    switching past ``delta_spark.scan.distributedPlanningThreshold``
+    actions estimated from the free ``_last_checkpoint`` "size"."""
+    try:
+        mode = spark.conf.get("delta_spark.scan.distributedPlanning", "auto")
+    except Exception:
+        mode = "auto"
+    if mode == "always":
+        return True
+    if mode != "auto":
+        return False
+    n = log.checkpointed_action_count()
+    if n is None:
+        return False
+    try:
+        threshold = int(spark.conf.get(
+            "delta_spark.scan.distributedPlanningThreshold", "500000"))
+    except Exception:
+        threshold = 500_000
+    return n >= threshold

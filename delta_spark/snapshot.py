@@ -41,17 +41,66 @@ class Snapshot:
         self.version = version
         self.protocol: Protocol = Protocol()
         self.metadata: Optional[Metadata] = None
-        self.active: dict[str, AddFile] = {}
-        self.tombstones: dict[str, RemoveFile] = {}
+        self._active: dict[str, AddFile] = {}
+        self._tombstones: dict[str, RemoveFile] = {}
         self.set_transactions: dict[str, SetTransaction] = {}
         self.domain_metadata: dict[str, DomainMetadata] = {}
         self.timestamp: int = 0  # commit-file mtime of `version`
+        # lazy file state (light_snapshot): when set, the first touch of
+        # `active` hydrates AddFiles from the DISTRIBUTED log
+        # reconstruction (DeltaLog.state_df) instead of driver replay —
+        # the reference's Dataset-resident state (Snapshot.scala:598)
+        self._files_loaded: bool = True
+        self._hydrator = None  # () -> list[AddFile]
+
+    # ------------------------------------------------ lazy file state ----
+
+    @property
+    def files_unloaded(self) -> bool:
+        return not self._files_loaded
+
+    @property
+    def active(self) -> dict[str, AddFile]:
+        if not self._files_loaded:
+            self._files_loaded = True
+            if self._hydrator is not None:
+                for f in self._hydrator():
+                    self._active[f.path] = f
+        return self._active
+
+    @active.setter
+    def active(self, value: dict[str, AddFile]) -> None:
+        self._active = value
+        self._files_loaded = True
+
+    @property
+    def tombstones(self) -> dict[str, RemoveFile]:
+        # light snapshots carry no tombstones (state_df reconciles them
+        # away); retention-window consumers (VACUUM, log cleanup) always
+        # operate on fully replayed snapshots
+        return self._tombstones
+
+    @tombstones.setter
+    def tombstones(self, value: dict[str, RemoveFile]) -> None:
+        self._tombstones = value
 
     # ------------------------------------------------------- replay ----
 
     def apply_actions(self, actions: Iterable[tuple[str, Any]]) -> None:
-        """Apply one commit's (kind, action) pairs in order."""
-        for kind, a in actions:
+        """Apply ONE commit's (kind, action) pairs.
+
+        Removes are applied before adds: the protocol keys logical
+        files by (path, dvId) and forbids the same logical file in both
+        collections, so a commit holding remove+add of one path is
+        always a DV/metadata update of that file — the add must win
+        (PROTOCOL.md Action Reconciliation; the remove is only a
+        tombstone of the file's previous incarnation). Callers must
+        pass one commit at a time — reordering across commits would
+        resurrect files deleted in a later commit."""
+        actions = list(actions)
+        ordered = ([x for x in actions if x[0] == "remove"]
+                   + [x for x in actions if x[0] != "remove"])
+        for kind, a in ordered:
             if kind == "add":
                 self.tombstones.pop(a.path, None)
                 self.active[a.path] = a

@@ -183,24 +183,9 @@ class DeltaTable:
         ``delta_spark.scan.distributedPlanningThreshold`` actions,
         estimated from the free _last_checkpoint "size" field),
         ``always``, or ``never``."""
-        try:
-            mode = self.spark.conf.get(
-                "delta_spark.scan.distributedPlanning", "auto")
-        except Exception:
-            mode = "auto"
-        if mode == "always":
-            return True
-        if mode != "auto":
-            return False
-        n = self.log.checkpointed_action_count()
-        if n is None:
-            return False
-        try:
-            threshold = int(self.spark.conf.get(
-                "delta_spark.scan.distributedPlanningThreshold", "500000"))
-        except Exception:
-            threshold = 500_000
-        return n >= threshold
+        from delta_spark.log import should_plan_distributed
+
+        return should_plan_distributed(self.spark, self.log)
 
     def asOfVersion(self, version: int) -> DataFrame:
         """Time travel read (VERSION AS OF)."""

@@ -77,10 +77,12 @@ MAX_RETRIES = 10
 
 
 class OptimisticTransaction:
-    def __init__(self, log: DeltaLog, snapshot: Optional[Snapshot] = None):
+    def __init__(self, log: DeltaLog, snapshot: Optional[Snapshot] = None,
+                 spark=None):
         self.log = log
         self.snapshot = snapshot if snapshot is not None else log.update()
         self.read_version = self.snapshot.version
+        self._spark = spark  # set on distributed-planning transactions
         # what we read, for conflict detection
         self.read_predicates: list[str] = []   # SQL predicate strings
         self.read_files: set[str] = set()      # paths we depend on
@@ -90,7 +92,19 @@ class OptimisticTransaction:
     # ------------------------------------------------------ recording ----
 
     def files_for_scan(self, predicate: Optional[str] = None, limit: Optional[int] = None) -> list[AddFile]:
-        files = self.snapshot.files_for_scan(predicate, limit)
+        if (self.snapshot.files_unloaded and self._spark is not None
+                and predicate):
+            # distributed candidate selection: state reconstruction +
+            # stats pruning run executor-side; only the pruned
+            # survivors are collected (DataSkippingReader.filesForScan)
+            from delta_spark.log import addfiles_from_state_rows
+
+            files = addfiles_from_state_rows(
+                self.log.files_for_scan_df(
+                    self._spark, predicate, version=self.read_version,
+                    limit=limit).collect())
+        else:
+            files = self.snapshot.files_for_scan(predicate, limit)
         if predicate:
             self.read_predicates.append(predicate)
         else:
@@ -418,40 +432,84 @@ class OptimisticTransaction:
     # -------------------------------------------------- post-commit ----
 
     def _post_commit(self, version: int, actions: list[Any]) -> None:
-        self.log.invalidate()
-        snap = self.log.update()
-        # checksum hook (Checksum.scala / ChecksumHook): per-version
-        # .crc with aggregate state for fast detail() + validation
-        try:
-            import json as _json
-            import os as _os
+        """Post-commit hooks. None of them may force a full driver
+        replay on the blind-append fast path: the full snapshot is
+        built LAZILY (only the hooks that genuinely need whole-table
+        state — interval checkpoints, enabled UniForm conversions, a
+        checksum whose predecessor is missing — pay for it)."""
+        import json as _json
+        import os as _os
 
-            crc = {
-                "tableSizeBytes": snap.size_in_bytes,
-                "numFiles": snap.num_files,
-                "numMetadata": 1,
-                "numProtocol": 1,
-            }
+        commit_meta = next((a for a in actions if isinstance(a, Metadata)),
+                           None)
+        cfg = (commit_meta.configuration if commit_meta is not None
+               else self.snapshot.configuration) or {}
+        _full: list = [None]
+
+        def full_snap():
+            if _full[0] is None:
+                _full[0] = self.log.update()
+            return _full[0]
+
+        # checksum hook (Checksum.scala / ChecksumHook): per-version
+        # .crc with aggregate state for fast detail() + validation.
+        # Computed INCREMENTALLY from the predecessor checksum + this
+        # commit's file actions (the reference's incremental CRC role) —
+        # sound because the protocol requires a RemoveFile for every
+        # replaced path, so adds-minus-removes is exact.
+        try:
+            adds = [a for a in actions if isinstance(a, AddFile)]
+            removes = [a for a in actions if isinstance(a, RemoveFile)]
+            crc = None
+            prev_path = _os.path.join(self.log.log_path,
+                                      "%020d.crc" % (version - 1))
+            if version > 0 and all(r.size is not None for r in removes):
+                try:
+                    with open(prev_path) as fh:
+                        prev = _json.load(fh)
+                    crc = {
+                        "tableSizeBytes": (prev["tableSizeBytes"]
+                                           + sum(a.size for a in adds)
+                                           - sum(r.size for r in removes)),
+                        "numFiles": (prev["numFiles"] + len(adds)
+                                     - len(removes)),
+                        "numMetadata": 1,
+                        "numProtocol": 1,
+                    }
+                except (OSError, ValueError, KeyError):
+                    crc = None
+            if crc is None:
+                snap = full_snap()
+                crc = {
+                    "tableSizeBytes": snap.size_in_bytes,
+                    "numFiles": snap.num_files,
+                    "numMetadata": 1,
+                    "numProtocol": 1,
+                }
             crc_path = _os.path.join(self.log.log_path, "%020d.crc" % version)
             with open(crc_path, "w") as fh:
                 fh.write(_json.dumps(crc))
         except OSError:
             pass
-        # UniForm hook (IcebergConverter async convert role): best-effort,
-        # a conversion failure never fails the Delta commit
+        # UniForm hooks (IcebergConverter async convert role): best-
+        # effort, a conversion failure never fails the Delta commit;
+        # gated on the table config so disabled tables pay nothing
         try:
             from . import uniform
 
-            uniform.maybe_convert(self.log, snap)
+            if uniform.uniform_iceberg_enabled(cfg):
+                uniform.maybe_convert(self.log, full_snap())
         except Exception:
             pass
         try:
             from . import uniform_hudi
 
-            uniform_hudi.maybe_convert(self.log, snap)
+            if uniform_hudi.uniform_hudi_enabled(cfg):
+                uniform_hudi.maybe_convert(self.log, full_snap())
         except Exception:
             pass
         if version > 0 and version % self.log.checkpoint_interval == 0:
+            snap = full_snap()
             try:
                 # coordinator-owned checkpoints: a checkpoint may only
                 # cover a fully-backfilled prefix of the log, so drain
@@ -469,7 +527,7 @@ class OptimisticTransaction:
         # the trailing N jsons into one <s>.<e>.compacted.json so cold
         # replay between checkpoints is one read instead of N
         try:
-            interval = int(snap.configuration.get(
+            interval = int(cfg.get(
                 "delta_spark.logCompaction.interval", "0"))
         except (TypeError, ValueError):
             interval = 0
@@ -478,3 +536,18 @@ class OptimisticTransaction:
                 self.log.compact_log(version - interval + 1, version)
             except Exception:
                 pass  # best-effort, like checkpointing
+
+
+def dml_transaction(spark, log: DeltaLog) -> OptimisticTransaction:
+    """Transaction for DML/maintenance whose snapshot hydrates file
+    state lazily from the DISTRIBUTED log reconstruction when the table
+    is big (same routing as scans — log.should_plan_distributed):
+    predicate-scoped file selection collects only the pruned survivors
+    (files_for_scan_df), and whole-state touches collect executor-parsed
+    AddFiles instead of replaying JSON on the driver."""
+    from delta_spark.log import should_plan_distributed
+
+    if should_plan_distributed(spark, log):
+        return OptimisticTransaction(
+            log, snapshot=log.light_snapshot(spark=spark), spark=spark)
+    return OptimisticTransaction(log)

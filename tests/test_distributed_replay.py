@@ -300,3 +300,115 @@ def test_auto_threshold_routing(spark, tmp_table, sf_dir):
     finally:
         spark.conf.set(
             "delta_spark.scan.distributedPlanningThreshold", "500000")
+
+
+def test_distributed_dml_parity(spark, tmp_path, sf_dir, force_distributed):
+    """DELETE / UPDATE / MERGE executed on distributed-planning
+    transactions produce byte-identical tables to the replay path."""
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(5000)
+    paths = {}
+    for arm in ("dist", "replay"):
+        p = str(tmp_path / arm)
+        spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+        write_delta(li, p, partition_by=["l_returnflag"])
+        paths[arm] = p
+    src = (li.limit(300)
+           .dropDuplicates(["l_orderkey", "l_linenumber"])
+           .selectExpr("l_orderkey", "l_linenumber",
+                       "l_quantity * 2 AS new_qty")
+           .localCheckpoint())  # freeze: limit() picks are not stable
+    for arm, mode in (("dist", "always"), ("replay", "never")):
+        spark.conf.set("delta_spark.scan.distributedPlanning", mode)
+        DeltaLog.clear_cache()
+        dt = DeltaTable.forPath(spark, paths[arm])
+        dt.delete("l_quantity > 45")
+        dt.update({"l_tax": "l_tax + CAST(0.5 AS DOUBLE)"},
+                  "l_returnflag = 'A' AND l_quantity < 5")
+        (dt.merge(src, "target.l_orderkey = source.l_orderkey AND "
+                       "target.l_linenumber = source.l_linenumber")
+         .whenMatchedUpdate({"l_quantity": "source.new_qty"})
+         .execute())
+        dt.optimize().executeCompaction(min_file_size=1 << 30)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    DeltaLog.clear_cache()
+    a = DeltaTable.forPath(spark, paths["dist"]).toDF()
+    b = DeltaTable.forPath(spark, paths["replay"]).toDF()
+    assert _rows(a) == _rows(b)
+
+
+def test_distributed_dml_row_tracking(spark, tmp_table, sf_dir,
+                                      force_distributed):
+    """Row-tracking baseRowId survives the state_df round trip: the
+    high watermark seen by a distributed-planning transaction matches
+    the replayed one, so fresh ranges never collide."""
+    from delta_spark.reader import read_with_row_ids
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    write_delta(li, tmp_table,
+                configuration={"delta.enableRowTracking": "true"})
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    DeltaLog.clear_cache()
+    write_delta(li.limit(200), tmp_table, mode="append")
+    DeltaLog.clear_cache()
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    snap = DeltaLog.for_table(tmp_table).update()
+    ids = read_with_row_ids(spark, snap).select("_row_id")
+    assert ids.count() == 1200
+    assert ids.distinct().count() == 1200  # no baseRowId collisions
+
+
+def test_blind_append_never_loads_file_state(spark, tmp_table, sf_dir,
+                                             force_distributed):
+    """An append through the distributed route commits without ever
+    hydrating the file state (the 100-TB streaming-ingest property)."""
+    from delta_spark import transaction as txn_mod
+
+    li = load_table(spark, sf_dir, "lineitem").limit(100)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    write_delta(li, tmp_table)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    DeltaLog.clear_cache()
+    created = []
+    orig = txn_mod.OptimisticTransaction.__init__
+
+    def spy(self, log, *a, **kw):
+        orig(self, log, *a, **kw)
+        created.append(self)
+
+    txn_mod.OptimisticTransaction.__init__ = spy
+    try:
+        write_delta(li.limit(10), tmp_table, mode="append")
+    finally:
+        txn_mod.OptimisticTransaction.__init__ = orig
+    assert created, "append did not go through a transaction"
+    assert any(t.snapshot.files_unloaded for t in created), \
+        "append hydrated the file state"
+
+
+def test_incremental_checksum_parity(spark, tmp_table, sf_dir):
+    """The per-version .crc is now computed incrementally from its
+    predecessor; it must equal the full-snapshot aggregates after any
+    mix of DML (protocol invariant: every replaced path gets a
+    RemoveFile, so adds-minus-removes is exact)."""
+    import json as _json
+
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    write_delta(li, tmp_table, partition_by=["l_returnflag"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    write_delta(li.limit(100), tmp_table, mode="append")
+    dt.update({"l_tax": "l_tax + CAST(0.1 AS DOUBLE)"}, "l_quantity < 3")
+    dt.setProperties({"delta.enableDeletionVectors": "true"})
+    dt.delete("l_quantity > 30")  # DV path: add(same path) + remove
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    with open(os.path.join(log.log_path, "%020d.crc" % snap.version)) as fh:
+        crc = _json.load(fh)
+    assert crc["numFiles"] == snap.num_files
+    assert crc["tableSizeBytes"] == snap.size_in_bytes
