@@ -479,7 +479,10 @@ class OptimisticTransaction:
                 except (OSError, ValueError, KeyError):
                     crc = None
             if crc is None:
-                snap = full_snap()
+                # pin the EXACT version: under concurrency update()
+                # could reflect later commits, and an inflated value
+                # here would poison every later incremental step
+                snap = self.log.snapshot_at(version)
                 crc = {
                     "tableSizeBytes": snap.size_in_bytes,
                     "numFiles": snap.num_files,

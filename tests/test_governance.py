@@ -526,3 +526,60 @@ def test_incremental_update_falls_back_to_checkpoint(spark, tmp_table, sf_dir):
     snap = log.update()
     assert snap.version == 3
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 11
+
+
+def test_mixed_dml_stress_checksum_chain(spark, tmp_table, sf_dir):
+    """Mixed concurrent DML storm: disjoint-partition deletes race
+    blind appends through the retry machinery. Invariants: every
+    worker lands, the final state equals the sequential outcome, and
+    the (now incremental) per-version checksum chain stays EXACT at
+    the head — the crc fallback must pin its version even when
+    update() has advanced past it."""
+    import json as _json
+
+    from delta_spark.table import DeltaTable as DT
+
+    from delta_spark.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(3000).cache()
+    li.count()
+    write_delta(li, tmp_table, partition_by=["l_returnflag"])
+    log = DeltaLog.for_table(tmp_table)
+    base_count = 3000
+    add_counts = [50, 60, 70, 80]
+    errs = []
+
+    def appender(i):
+        try:
+            write_delta(li.limit(add_counts[i]), tmp_table, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(("append", i, e))
+
+    def deleter(flag):
+        try:
+            DT.forPath(spark, tmp_table).delete(
+                f"l_returnflag = '{flag}' AND l_quantity > 200")
+        except Exception as e:  # pragma: no cover
+            errs.append(("delete", flag, e))
+
+    workers = ([threading.Thread(target=appender, args=(i,))
+                for i in range(4)]
+               + [threading.Thread(target=deleter, args=(f,))
+                  for f in ("A", "N", "R")])
+    for t in workers:
+        t.start()
+    for t in workers:
+        t.join()
+    assert not errs, errs
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    # deletes hit quantity > 200 which never occurs → pure appends land
+    assert DT.forPath(spark, tmp_table).toDF().count() == \
+        base_count + sum(add_counts)
+    assert snap.version == 7  # v0 (initial write) + 7 worker commits
+    with open(os.path.join(log.log_path,
+                           "%020d.crc" % snap.version)) as fh:
+        crc = _json.load(fh)
+    assert crc["numFiles"] == snap.num_files
+    assert crc["tableSizeBytes"] == snap.size_in_bytes
