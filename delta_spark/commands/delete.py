@@ -306,8 +306,15 @@ def purge_deletion_vectors(spark: SparkSession, log: DeltaLog) -> dict:
     dv_files = [f for f in snapshot.all_files if f.deletionVector]
     if not dv_files:
         return {"numRewrittenFiles": "0"}
-    visible = read_files_with_index(spark, snapshot, dv_files) \
-        .drop("__file_base", "__row_idx")
+    if str(snapshot.configuration.get(
+            "delta.enableRowTracking", "false")).lower() == "true":
+        # dataChange=false rewrite: stable row ids ride along
+        from delta_spark.reader import read_files_with_stable_ids
+
+        visible = read_files_with_stable_ids(spark, snapshot, dv_files)
+    else:
+        visible = read_files_with_index(spark, snapshot, dv_files) \
+            .drop("__file_base", "__row_idx")
     adds = write_table_files(visible, snapshot, data_change=False)
     removes = [f.remove(data_change=False) for f in dv_files]
     txn.read_files.update(f.path for f in dv_files)

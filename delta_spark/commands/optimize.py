@@ -106,6 +106,19 @@ def _file_rows(f: AddFile) -> int:
         return 0
 
 
+def _rewrite_input(spark: SparkSession, snapshot, files) -> DataFrame:
+    """Rows to rewrite in a dataChange=false operation. On a
+    row-tracked table the materialized stable-row-id column rides along
+    so OPTIMIZE/ZORDER preserve row ids through the rewrite
+    (PROTOCOL.md Writer Requirements for Row Tracking)."""
+    if str(snapshot.configuration.get(
+            "delta.enableRowTracking", "false")).lower() == "true":
+        from delta_spark.reader import read_files_with_stable_ids
+
+        return read_files_with_stable_ids(spark, snapshot, files)
+    return read_files_df(spark, snapshot, files)
+
+
 def _select_partitions(txn: OptimisticTransaction, partition_filter: Optional[str]):
     """Group candidate files by partition tuple, honoring the optional
     partition predicate (OPTIMIZE ... WHERE only allows partition cols)."""
@@ -178,7 +191,7 @@ def _compact(spark: SparkSession, log: DeltaLog, partition_filter: Optional[str]
                 continue
             total = sum(f.size for f in chosen)
             bins = max(1, math.ceil(total / max_file_size))
-        df = read_files_df(spark, snapshot, chosen)
+        df = _rewrite_input(spark, snapshot, chosen)
         new = write_table_files(df.repartition(bins), snapshot, data_change=False)
         adds.extend(new)
         removes.extend(f.remove(data_change=False) for f in chosen)
@@ -344,7 +357,7 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
                 continue
         total = sum(f.size for f in files)
         n_out = max(1, math.ceil(total / max_file_size))
-        df = read_files_df(spark, snapshot, files)
+        df = _rewrite_input(spark, snapshot, files)
         approx_rows = sum(_file_rows(f) for f in files) or None
         zdf, zcol = zorder_key(df, cols, num_ranges, n_out=n_out,
                                approx_rows=approx_rows)

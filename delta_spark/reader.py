@@ -211,14 +211,28 @@ def dv_total_small(dv_files, threshold: int = 2_000_000) -> bool:
     return sum(f.dv_cardinality for f in dv_files) <= threshold
 
 
-def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
+def materialized_row_id_col(snapshot) -> Optional[str]:
+    """Name of the physical-only stable-row-id column
+    (PROTOCOL.md:1684 `delta.rowTracking.materializedRowIdColumnName`;
+    assigned at rowTracking enable time)."""
+    return (snapshot.configuration or {}).get(
+        "delta.rowTracking.materializedRowIdColumnName")
+
+
+def read_files_with_index(spark: SparkSession, snapshot, files,
+                          request_materialized_row_id: bool = False) -> DataFrame:
     """Visible rows of the given files plus bookkeeping columns
     `__file_base` / `__row_idx` (used by the DV write path). Rows
-    already masked by an existing deletion vector are excluded."""
+    already masked by an existing deletion vector are excluded. With
+    ``request_materialized_row_id``, the table's materialized row-id
+    column is also requested (null-filled for files that never
+    materialized it)."""
     import os as _os
 
     schema = snapshot.schema
     part_cols = snapshot.partition_columns
+    mat_col = (materialized_row_id_col(snapshot)
+               if request_materialized_row_id else None)
     if snapshot.column_mapping_enabled:
         from delta_spark.schema import physical_schema as _phys
 
@@ -233,6 +247,10 @@ def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
         part_cols = [l2p.get(c, c) for c in part_cols]
     else:
         read_schema = schema
+    if mat_col is not None:
+        read_schema = T.StructType(
+            list(read_schema.fields)
+            + [T.StructField(mat_col, T.LongType(), True)])
     paths = [_abs_path(snapshot.table_path, f) for f in files]
     reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
     df = (reader.schema(read_schema).parquet(*paths)
@@ -241,6 +259,7 @@ def read_files_with_index(spark: SparkSession, snapshot, files) -> DataFrame:
     if snapshot.column_mapping_enabled:
         df = df.select(*([F.col(p.name).alias(l.name)
                           for p, l in zip(read_schema.fields, schema.fields)]
+                         + ([F.col(mat_col)] if mat_col is not None else [])
                          + [F.col("__file_base"), F.col("__row_idx")]))
     dv = deleted_rows_df(spark, snapshot, files)
     if dv is not None:
@@ -315,25 +334,50 @@ def with_file_name(df: DataFrame) -> DataFrame:
     return df.withColumn("__delta_file", F.input_file_name())
 
 
+def _base_row_id_expr(snapshot, files, fb_col: str, idx_col: str):
+    """Fresh (default-generated) row id: baseRowId + position-in-file
+    (RowId.scala). The literal map is bounded by the batch's file
+    count — rewrite batches and scans both pass pruned sets."""
+    base_map = {file_key_of(snapshot.table_path, f): f.baseRowId or 0
+                for f in files}
+    mapping = F.create_map(*[x for k, v in base_map.items()
+                             for x in (F.lit(k), F.lit(v))])
+    return mapping[F.col(fb_col)] + F.col(idx_col)
+
+
 def read_with_row_ids(spark: SparkSession, snapshot) -> DataFrame:
-    """Rows + their stable `_row_id` (row tracking, RowId.scala:
-    baseRowId + position-in-file). Requires delta.enableRowTracking;
-    ids survive OPTIMIZE only via materialization (not implemented) —
-    like the reference's non-materialized fresh-id behavior, ids are
-    stable across reads of the same file set."""
+    """Rows + their stable `_row_id` (row tracking). Per
+    PROTOCOL.md:1688 the stable id is the MATERIALIZED row id when the
+    file carries the materialized column (written by dataChange=false
+    rewrites — OPTIMIZE/ZORDER/REORG preserve ids through rewrites),
+    else the default generated id baseRowId + position-in-file."""
     files = snapshot.all_files
     schema = snapshot.schema
     if not files:
-        from pyspark.sql import types as T
-
         return spark.createDataFrame([], T.StructType(
             schema.fields + [T.StructField("_row_id", T.LongType())]))
-    base_map = {file_key_of(snapshot.table_path, f): f.baseRowId or 0 for f in files}
-    part_cols = snapshot.partition_columns
-    paths = [_abs_path(snapshot.table_path, f) for f in files]
-    reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
-    df = (reader.schema(schema).parquet(*paths)
-          .withColumn("__fb", file_key_col()))
-    mapping = F.create_map(*[x for k, v in base_map.items() for x in (F.lit(k), F.lit(v))])
-    return (df.withColumn("_row_id", mapping[F.col("__fb")] + F.col("_metadata.row_index"))
-            .drop("__fb"))
+    mat = materialized_row_id_col(snapshot)
+    df = read_files_with_index(spark, snapshot, files,
+                               request_materialized_row_id=True)
+    base = _base_row_id_expr(snapshot, files, "__file_base", "__row_idx")
+    stable = F.coalesce(F.col(mat), base) if mat is not None else base
+    drop = ["__file_base", "__row_idx"] + ([mat] if mat is not None else [])
+    return df.withColumn("_row_id", stable).drop(*drop)
+
+
+def read_files_with_stable_ids(spark: SparkSession, snapshot,
+                               files) -> DataFrame:
+    """Rewrite input for dataChange=false operations on a row-tracked
+    table: visible rows of `files` with the MATERIALIZED row-id column
+    populated (existing materialized value preferred, else the default
+    generated id) — writers MUST preserve stable row IDs when they
+    rearrange data (PROTOCOL.md Writer Requirements for Row Tracking;
+    MaterializedRowTrackingColumn.scala)."""
+    mat = materialized_row_id_col(snapshot)
+    if mat is None:
+        return read_files_df(spark, snapshot, files)
+    df = read_files_with_index(spark, snapshot, files,
+                               request_materialized_row_id=True)
+    base = _base_row_id_expr(snapshot, files, "__file_base", "__row_idx")
+    return (df.withColumn(mat, F.coalesce(F.col(mat), base))
+            .drop("__file_base", "__row_idx"))

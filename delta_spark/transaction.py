@@ -325,6 +325,17 @@ class OptimisticTransaction:
             writer_feats.add("variantShredding")
         if cfg.get("delta.enableRowTracking", "").lower() == "true":
             writer_feats.add("rowTracking")
+            # stable row ids need a materialized column name assigned at
+            # enable time (MaterializedRowTrackingColumn.scala:76 —
+            # "_row-id-col-<uuid>"); rewrites persist stable ids under
+            # this physical-only column and readers prefer it
+            if "delta.rowTracking.materializedRowIdColumnName" not in cfg:
+                import uuid as _uuid
+
+                meta.configuration = dict(cfg)
+                meta.configuration[
+                    "delta.rowTracking.materializedRowIdColumnName"] = \
+                    f"_row-id-col-{_uuid.uuid4()}"
         if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
             writer_feats.add("inCommitTimestamp")
         if cfg.get("delta.enableIcebergCompatV2", "").lower() == "true":

@@ -583,3 +583,44 @@ def test_mixed_dml_stress_checksum_chain(spark, tmp_table, sf_dir):
         crc = _json.load(fh)
     assert crc["numFiles"] == snap.num_files
     assert crc["tableSizeBytes"] == snap.size_in_bytes
+
+
+def test_row_ids_survive_optimize(spark, tmp_table, sf_dir):
+    """Stable row ids are MATERIALIZED through dataChange=false
+    rewrites (PROTOCOL.md:1684): after OPTIMIZE compaction and ZORDER,
+    every row keeps the id it had before, via the
+    delta.rowTracking.materializedRowIdColumnName column."""
+    from delta_spark.datasets import load_table
+    from delta_spark.reader import read_with_row_ids
+
+    li = (load_table(spark, sf_dir, "lineitem").limit(800)
+          .withColumn("uid", F.monotonically_increasing_id()))
+    write_delta(li.limit(500), tmp_table,
+                configuration={"delta.enableRowTracking": "true"})
+    write_delta(li.subtract(li.limit(500)), tmp_table, mode="append")
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    mat = snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName")
+    assert mat and mat.startswith("_row-id-col-")
+    before = {r["uid"]: r["_row_id"] for r in
+              read_with_row_ids(spark, snap).select("uid", "_row_id").collect()}
+    assert len(set(before.values())) == len(before)  # unique ids
+
+    DeltaTable.forPath(spark, tmp_table).optimize() \
+        .executeCompaction(min_file_size=1 << 30)
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    assert {f.path for f in snap2.all_files} != {f.path for f in snap.all_files}
+    after = {r["uid"]: r["_row_id"] for r in
+             read_with_row_ids(spark, snap2).select("uid", "_row_id").collect()}
+    assert after == before  # ids preserved through the rewrite
+
+    DeltaTable.forPath(spark, tmp_table).optimize() \
+        .executeZOrderBy("l_orderkey", "l_partkey")
+    snap3 = DeltaLog.for_table(tmp_table).update()
+    zafter = {r["uid"]: r["_row_id"] for r in
+              read_with_row_ids(spark, snap3).select("uid", "_row_id").collect()}
+    assert zafter == before
+
+    # the materialized column stays invisible to normal scans
+    assert mat not in DeltaTable.forPath(spark, tmp_table).toDF().columns
