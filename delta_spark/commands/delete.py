@@ -135,13 +135,23 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
     txn.read_files.update(f.path for f in touched)
     if not touched:
         return [], [], [], {"numRemovedFiles": "0", "numAddedFiles": "0"}
-    touched_df = read_files_df(spark, snapshot, touched)
+    if str(cfg.get("delta.enableRowTracking", "false")).lower() == "true":
+        # survivors are UNMODIFIED rows: both stable id and commit
+        # version ride along into the rewritten files
+        from delta_spark.reader import read_files_with_stable_ids
+
+        touched_df = read_files_with_stable_ids(spark, snapshot, touched)
+    else:
+        touched_df = read_files_df(spark, snapshot, touched)
     keep_df = touched_df.filter(~F.coalesce(F.expr(condition), F.lit(False)))
     adds = write_table_files(keep_df, snapshot)
     removes = [f.remove() for f in touched]
     cdc = []
     if with_cdf:
-        deleted_df = touched_df.filter(condition).withColumn("_change_type", F.lit("delete"))
+        deleted_df = (touched_df
+                      .select(*[f.name for f in snapshot.schema.fields])
+                      .filter(condition)
+                      .withColumn("_change_type", F.lit("delete")))
         cdc = write_cdc_files(deleted_df, snapshot.table_path)
     removed_rows = sum(f.num_records or 0 for f in touched)
     copied_rows = sum(a.num_records or 0 for a in adds)
@@ -279,7 +289,13 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
         adds.append(AddFile(
             path=f.path, partitionValues=f.partitionValues, size=f.size,
             modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
-            deletionVector=descriptor))
+            deletionVector=descriptor,
+            # the data file is unchanged — surviving rows keep their
+            # row-tracking identity (a fresh baseRowId here would
+            # silently renumber every remaining row)
+            baseRowId=f.baseRowId,
+            defaultRowCommitVersion=f.defaultRowCommitVersion,
+            tags=f.tags, clusteringProvider=f.clusteringProvider))
 
     cdc = []
     if with_cdf:

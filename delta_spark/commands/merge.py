@@ -345,8 +345,17 @@ class MergeBuilder:
 
         # ---- phase 2: joint rewrite ----
         join_type = "full_outer" if self.not_matched else "left_outer"
-        touched_df = (read_files_df(self.spark, snapshot, touched)
-                      .withColumn("__t_exists", F.lit(True)))
+        row_tracked = str(cfg.get("delta.enableRowTracking",
+                                  "false")).lower() == "true"
+        if row_tracked:
+            from delta_spark.reader import read_files_with_stable_ids
+
+            touched_df = (read_files_with_stable_ids(
+                self.spark, snapshot, touched)
+                .withColumn("__t_exists", F.lit(True)))
+        else:
+            touched_df = (read_files_df(self.spark, snapshot, touched)
+                          .withColumn("__t_exists", F.lit(True)))
         src_df = source.withColumn("__s_exists", F.lit(True))
         joined = (touched_df.alias(self.tgt)
                   .join(src_df.alias(self.src), F.expr(self.condition), join_type))
@@ -364,6 +373,26 @@ class MergeBuilder:
         )
 
         out_cols = [self._value_column(c, snapshot).alias(c) for c in cols]
+        if row_tracked:
+            # copied + updated target rows keep their stable row id;
+            # updated rows take the new commit version (null → default);
+            # inserted rows are brand new (null both → defaults)
+            from delta_spark.reader import (
+                materialized_row_commit_col,
+                materialized_row_id_col,
+            )
+
+            mat = materialized_row_id_col(snapshot)
+            matv = materialized_row_commit_col(snapshot)
+            if mat is not None:
+                out_cols.append(
+                    F.when(F.col("__action").startswith("i"),
+                           F.lit(None).cast("long"))
+                    .otherwise(touched_df[mat]).alias(mat))
+            if matv is not None:
+                out_cols.append(
+                    F.when(F.col("__action") == "copy", touched_df[matv])
+                    .otherwise(F.lit(None).cast("long")).alias(matv))
         keep = ~F.col("__action").isin("drop") & ~F.col("__action").startswith("d")
         result = joined.filter(keep).select(*out_cols)
 

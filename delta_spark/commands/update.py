@@ -51,13 +51,36 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     if not touched:
         return txn.commit([], "UPDATE", {"predicate": cond}, {"numUpdatedRows": "0"})
 
-    touched_df = read_files_df(spark, snapshot, touched)
+    row_tracked = str(cfg.get("delta.enableRowTracking",
+                              "false")).lower() == "true"
+    if row_tracked:
+        from delta_spark.reader import (
+            materialized_row_commit_col,
+            materialized_row_id_col,
+            read_files_with_stable_ids,
+        )
+
+        touched_df = read_files_with_stable_ids(spark, snapshot, touched)
+    else:
+        touched_df = read_files_df(spark, snapshot, touched)
     cond_col = F.coalesce(F.expr(cond), F.lit(False))
-    projected = touched_df.select(*[
+    out_cols = [
         (F.when(cond_col, F.expr(set_exprs[c]).cast(touched_df.schema[c].dataType))
           .otherwise(F.col(c))).alias(c) if c in set_exprs else F.col(c)
         for c in schema_cols
-    ])
+    ]
+    if row_tracked:
+        # updated rows KEEP their stable row id but take the commit's
+        # new row-commit-version (materialized column nulled → default)
+        mat = materialized_row_id_col(snapshot)
+        matv = materialized_row_commit_col(snapshot)
+        if mat is not None:
+            out_cols.append(touched_df[mat])
+        if matv is not None:
+            out_cols.append(
+                F.when(cond_col, F.lit(None).cast("long"))
+                .otherwise(touched_df[matv]).alias(matv))
+    projected = touched_df.select(*out_cols)
     adds = write_table_files(projected, snapshot)
     removes = [f.remove() for f in touched]
 

@@ -219,6 +219,13 @@ def materialized_row_id_col(snapshot) -> Optional[str]:
         "delta.rowTracking.materializedRowIdColumnName")
 
 
+def materialized_row_commit_col(snapshot) -> Optional[str]:
+    """Name of the physical-only stable-row-commit-version column
+    (PROTOCOL.md:1715)."""
+    return (snapshot.configuration or {}).get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName")
+
+
 def read_files_with_index(spark: SparkSession, snapshot, files,
                           request_materialized_row_id: bool = False) -> DataFrame:
     """Visible rows of the given files plus bookkeeping columns
@@ -231,8 +238,11 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
 
     schema = snapshot.schema
     part_cols = snapshot.partition_columns
-    mat_col = (materialized_row_id_col(snapshot)
-               if request_materialized_row_id else None)
+    mat_cols = []
+    if request_materialized_row_id:
+        mat_cols = [c for c in (materialized_row_id_col(snapshot),
+                                materialized_row_commit_col(snapshot))
+                    if c is not None]
     if snapshot.column_mapping_enabled:
         from delta_spark.schema import physical_schema as _phys
 
@@ -247,10 +257,10 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
         part_cols = [l2p.get(c, c) for c in part_cols]
     else:
         read_schema = schema
-    if mat_col is not None:
+    if mat_cols:
         read_schema = T.StructType(
             list(read_schema.fields)
-            + [T.StructField(mat_col, T.LongType(), True)])
+            + [T.StructField(c, T.LongType(), True) for c in mat_cols])
     paths = [_abs_path(snapshot.table_path, f) for f in files]
     reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
     df = (reader.schema(read_schema).parquet(*paths)
@@ -259,7 +269,7 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
     if snapshot.column_mapping_enabled:
         df = df.select(*([F.col(p.name).alias(l.name)
                           for p, l in zip(read_schema.fields, schema.fields)]
-                         + ([F.col(mat_col)] if mat_col is not None else [])
+                         + [df[c] for c in mat_cols]
                          + [F.col("__file_base"), F.col("__row_idx")]))
     dv = deleted_rows_df(spark, snapshot, files)
     if dv is not None:
@@ -334,50 +344,79 @@ def with_file_name(df: DataFrame) -> DataFrame:
     return df.withColumn("__delta_file", F.input_file_name())
 
 
+def _file_lit_map(snapshot, files, value_of):
+    """file-key → literal long map (bounded by the batch's file count —
+    rewrite batches and scans both pass pruned sets)."""
+    m = {file_key_of(snapshot.table_path, f): value_of(f) for f in files}
+    return F.create_map(*[x for k, v in m.items()
+                          for x in (F.lit(k), F.lit(v))])
+
+
 def _base_row_id_expr(snapshot, files, fb_col: str, idx_col: str):
     """Fresh (default-generated) row id: baseRowId + position-in-file
-    (RowId.scala). The literal map is bounded by the batch's file
-    count — rewrite batches and scans both pass pruned sets."""
-    base_map = {file_key_of(snapshot.table_path, f): f.baseRowId or 0
-                for f in files}
-    mapping = F.create_map(*[x for k, v in base_map.items()
-                             for x in (F.lit(k), F.lit(v))])
-    return mapping[F.col(fb_col)] + F.col(idx_col)
+    (RowId.scala)."""
+    return (_file_lit_map(snapshot, files, lambda f: f.baseRowId or 0)
+            [F.col(fb_col)] + F.col(idx_col))
 
 
 def read_with_row_ids(spark: SparkSession, snapshot) -> DataFrame:
-    """Rows + their stable `_row_id` (row tracking). Per
-    PROTOCOL.md:1688 the stable id is the MATERIALIZED row id when the
-    file carries the materialized column (written by dataChange=false
-    rewrites — OPTIMIZE/ZORDER/REORG preserve ids through rewrites),
-    else the default generated id baseRowId + position-in-file."""
+    """Rows + their stable `_row_id` and `_row_commit_version` (row
+    tracking). Per PROTOCOL.md:1688/1720 the stable values are the
+    MATERIALIZED columns when a file carries them (written by rewrites
+    so ids survive OPTIMIZE and DML), else the default generated
+    values: baseRowId + position-in-file, and the AddFile's
+    defaultRowCommitVersion."""
     files = snapshot.all_files
     schema = snapshot.schema
     if not files:
         return spark.createDataFrame([], T.StructType(
-            schema.fields + [T.StructField("_row_id", T.LongType())]))
+            schema.fields + [T.StructField("_row_id", T.LongType()),
+                             T.StructField("_row_commit_version",
+                                           T.LongType())]))
     mat = materialized_row_id_col(snapshot)
+    matv = materialized_row_commit_col(snapshot)
     df = read_files_with_index(spark, snapshot, files,
                                request_materialized_row_id=True)
     base = _base_row_id_expr(snapshot, files, "__file_base", "__row_idx")
-    stable = F.coalesce(F.col(mat), base) if mat is not None else base
-    drop = ["__file_base", "__row_idx"] + ([mat] if mat is not None else [])
-    return df.withColumn("_row_id", stable).drop(*drop)
+    default_ver = _file_lit_map(
+        snapshot, files,
+        lambda f: f.defaultRowCommitVersion or 0)[F.col("__file_base")]
+    stable = F.coalesce(df[mat], base) if mat is not None else base
+    ver = F.coalesce(df[matv], default_ver) if matv is not None else default_ver
+    drop = (["__file_base", "__row_idx"]
+            + [c for c in (mat, matv) if c is not None])
+    return (df.withColumn("_row_id", stable)
+            .withColumn("_row_commit_version", ver)
+            .drop(*drop))
 
 
 def read_files_with_stable_ids(spark: SparkSession, snapshot,
                                files) -> DataFrame:
-    """Rewrite input for dataChange=false operations on a row-tracked
-    table: visible rows of `files` with the MATERIALIZED row-id column
-    populated (existing materialized value preferred, else the default
-    generated id) — writers MUST preserve stable row IDs when they
-    rearrange data (PROTOCOL.md Writer Requirements for Row Tracking;
-    MaterializedRowTrackingColumn.scala)."""
+    """Rewrite input on a row-tracked table: visible rows of `files`
+    with the MATERIALIZED row-id / row-commit-version columns populated
+    (existing materialized value preferred, else the default generated
+    value) — writers MUST preserve stable row IDs when rearranging or
+    updating data (PROTOCOL.md Writer Requirements for Row Tracking;
+    MaterializedRowTrackingColumn.scala). Callers that MODIFY a row
+    null out its commit-version column so the row picks up the new
+    commit's default."""
     mat = materialized_row_id_col(snapshot)
     if mat is None:
         return read_files_df(spark, snapshot, files)
+    matv = materialized_row_commit_col(snapshot)
+    if not files:
+        out = read_files_df(spark, snapshot, files)  # empty, typed
+        out = out.withColumn(mat, F.lit(None).cast("long"))
+        if matv is not None:
+            out = out.withColumn(matv, F.lit(None).cast("long"))
+        return out
     df = read_files_with_index(spark, snapshot, files,
                                request_materialized_row_id=True)
     base = _base_row_id_expr(snapshot, files, "__file_base", "__row_idx")
-    return (df.withColumn(mat, F.coalesce(F.col(mat), base))
-            .drop("__file_base", "__row_idx"))
+    df = df.withColumn(mat, F.coalesce(df[mat], base))
+    if matv is not None:
+        default_ver = _file_lit_map(
+            snapshot, files,
+            lambda f: f.defaultRowCommitVersion or 0)[F.col("__file_base")]
+        df = df.withColumn(matv, F.coalesce(df[matv], default_ver))
+    return df.drop("__file_base", "__row_idx")

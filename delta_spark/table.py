@@ -730,10 +730,27 @@ class DeltaTable:
         m = txn.metadata
         if m is None:
             raise ValueError("table does not exist")
+        new_cfg = config_fn(m)
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=m.schemaString, partitionColumns=m.partitionColumns,
-                       configuration=config_fn(m), createdTime=m.createdTime)
-        return txn.commit([new], op, params)
+                       configuration=new_cfg, createdTime=m.createdTime)
+        actions: list = [new]
+        enabling_row_tracking = (
+            str(new_cfg.get("delta.enableRowTracking", "false")).lower() == "true"
+            and str((m.configuration or {}).get(
+                "delta.enableRowTracking", "false")).lower() != "true")
+        if enabling_row_tracking:
+            # RowTrackingBackfillCommand role: enabling row tracking on
+            # a populated table re-commits every AddFile lacking a
+            # baseRowId (dataChange=false, metadata-only) so id ranges
+            # exist before the first read — otherwise every legacy file
+            # would default to base 0 and ids would collide
+            from dataclasses import replace as _replace
+
+            actions.extend(
+                _replace(f, dataChange=False, baseRowId=None)
+                for f in txn.snapshot.all_files if f.baseRowId is None)
+        return txn.commit(actions, op, params)
 
     def _update_schema(self, schema_fn, op: str, params: dict) -> int:
         txn = OptimisticTransaction(self.log)

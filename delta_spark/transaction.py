@@ -198,6 +198,10 @@ class OptimisticTransaction:
                         auto_rowid.add(id(a))
                         a.baseRowId = hwm + 1
                         hwm += max(a.num_records or 0, 1)
+                        # default row commit version = the version this
+                        # file lands in (PROTOCOL.md:1712); re-stamped
+                        # per retry attempt alongside the id range
+                        a.defaultRowCommitVersion = attempt_version
 
             payload = "\n".join(action_to_json_line(a)
                                 for a in [commit_info] + actions) + "\n"
@@ -329,13 +333,19 @@ class OptimisticTransaction:
             # enable time (MaterializedRowTrackingColumn.scala:76 —
             # "_row-id-col-<uuid>"); rewrites persist stable ids under
             # this physical-only column and readers prefer it
-            if "delta.rowTracking.materializedRowIdColumnName" not in cfg:
-                import uuid as _uuid
+            import uuid as _uuid
 
+            mat_props = {
+                "delta.rowTracking.materializedRowIdColumnName":
+                    "_row-id-col-",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "_row-commit-version-col-",
+            }
+            if any(k not in cfg for k in mat_props):
                 meta.configuration = dict(cfg)
-                meta.configuration[
-                    "delta.rowTracking.materializedRowIdColumnName"] = \
-                    f"_row-id-col-{_uuid.uuid4()}"
+                for k, prefix in mat_props.items():
+                    if k not in meta.configuration:
+                        meta.configuration[k] = f"{prefix}{_uuid.uuid4()}"
         if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
             writer_feats.add("inCommitTimestamp")
         if cfg.get("delta.enableIcebergCompatV2", "").lower() == "true":
@@ -474,7 +484,13 @@ class OptimisticTransaction:
             crc = None
             prev_path = _os.path.join(self.log.log_path,
                                       "%020d.crc" % (version - 1))
-            if version > 0 and all(r.size is not None for r in removes):
+            # bare metadata re-adds (row-tracking backfill: dataChange=
+            # false adds with NO removes) replace live entries in place —
+            # adds-minus-removes would double count them
+            bare_readd = (adds and not removes
+                          and any(not a.dataChange for a in adds))
+            if version > 0 and not bare_readd and all(
+                    r.size is not None for r in removes):
                 try:
                     with open(prev_path) as fh:
                         prev = _json.load(fh)

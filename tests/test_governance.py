@@ -624,3 +624,91 @@ def test_row_ids_survive_optimize(spark, tmp_table, sf_dir):
 
     # the materialized column stays invisible to normal scans
     assert mat not in DeltaTable.forPath(spark, tmp_table).toDF().columns
+
+
+def test_row_lineage_through_dml(spark, tmp_table, sf_dir):
+    """Row lineage (PROTOCOL.md:1712-1730): stable row ids survive
+    UPDATE/MERGE/DELETE rewrites; the stable row COMMIT VERSION bumps
+    only for rows the commit actually modified."""
+    from delta_spark.datasets import load_table
+    from delta_spark.reader import read_with_row_ids
+
+    li = (load_table(spark, sf_dir, "lineitem").limit(400)
+          .withColumn("uid", F.monotonically_increasing_id())
+          .localCheckpoint())
+    write_delta(li, tmp_table,
+                configuration={"delta.enableRowTracking": "true"})
+    log = DeltaLog.for_table(tmp_table)
+
+    def lineage():
+        return {r["uid"]: (r["_row_id"], r["_row_commit_version"])
+                for r in read_with_row_ids(spark, log.update())
+                .select("uid", "_row_id", "_row_commit_version").collect()}
+
+    v0 = lineage()
+    assert {cv for _, cv in v0.values()} == {0}
+
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update({"l_tax": "l_tax + CAST(1.0 AS DOUBLE)"}, "l_quantity < 10")
+    v1 = lineage()
+    assert set(v1) == set(v0)
+    assert all(v1[u][0] == v0[u][0] for u in v0)  # ids stable
+    changed = {r["uid"] for r in dt.toDF("l_quantity < 10")
+               .select("uid").collect()}
+    for u, (rid, cv) in v1.items():
+        assert cv == (1 if u in changed else 0), (u, cv)
+
+    # MERGE: update some rows, insert new ones
+    src = (li.limit(60).selectExpr("uid", "l_orderkey", "l_linenumber")
+           .localCheckpoint())
+    (dt.merge(src.selectExpr("uid AS s_uid"), "target.uid = source.s_uid")
+       .whenMatchedUpdate({"l_tax": "target.l_tax + CAST(1.0 AS DOUBLE)"})
+       .execute())
+    v2 = lineage()
+    assert all(v2[u][0] == v0[u][0] for u in v0)  # ids still stable
+    merged = {r["uid"] for r in src.select("uid").collect()}
+    for u, (rid, cv) in v2.items():
+        if u in merged:
+            assert cv == 2
+        else:
+            assert cv == v1[u][1]
+
+    # DELETE rewrite: survivors keep id AND commit version
+    dt.delete("l_quantity > 45")
+    v3 = lineage()
+    assert set(v3) <= set(v2)
+    for u, (rid, cv) in v3.items():
+        assert (rid, cv) == v2[u]
+
+
+def test_row_tracking_backfill_on_enable(spark, tmp_table, sf_dir):
+    """Enabling row tracking on an EXISTING populated table backfills
+    baseRowId ranges (RowTrackingBackfillCommand role) — ids are unique
+    immediately, survive OPTIMIZE, and the checksum stays exact."""
+    import json as _json
+
+    from delta_spark.datasets import load_table
+    from delta_spark.reader import read_with_row_ids
+
+    li = (load_table(spark, sf_dir, "lineitem").limit(600)
+          .withColumn("uid", F.monotonically_increasing_id())
+          .localCheckpoint())
+    write_delta(li.limit(400), tmp_table)
+    write_delta(li.subtract(li.limit(400)), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.enableRowTracking": "true"})
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    assert all(f.baseRowId is not None for f in snap.all_files)
+    ids = {r["uid"]: r["_row_id"] for r in read_with_row_ids(spark, snap)
+           .select("uid", "_row_id").collect()}
+    assert len(set(ids.values())) == 600  # no collisions
+    dt.optimize().executeCompaction(min_file_size=1 << 30)
+    snap2 = log.update()
+    after = {r["uid"]: r["_row_id"] for r in read_with_row_ids(spark, snap2)
+             .select("uid", "_row_id").collect()}
+    assert after == ids
+    with open(os.path.join(log.log_path, "%020d.crc" % snap2.version)) as fh:
+        crc = _json.load(fh)
+    assert crc["numFiles"] == snap2.num_files
+    assert crc["tableSizeBytes"] == snap2.size_in_bytes
