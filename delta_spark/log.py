@@ -498,7 +498,10 @@ class DeltaLog:
                 if kind in meta_kinds:
                     snap.apply_actions([(kind, a)])
         snap.version = version
-        snap.timestamp = self._commit_timestamp(version)
+        # ICT detection from THIS snapshot's config — the cached full
+        # snapshot may not exist in a light-planning-only process
+        snap.timestamp = self._commit_timestamp(version,
+                                                cfg=snap.configuration)
         if spark is not None:
             snap._files_loaded = False
             snap._hydrator = (lambda v=version: addfiles_from_state_rows(
@@ -518,8 +521,12 @@ class DeltaLog:
         snap.timestamp = self._commit_timestamp(version)
         return snap
 
-    def _commit_timestamp(self, version: int) -> int:
-        if self._ict_enabled():
+    def _commit_timestamp(self, version: int,
+                          cfg: Optional[dict] = None) -> int:
+        ict = (str((cfg or {}).get("delta.enableInCommitTimestamps",
+                                   "false")).lower() == "true"
+               if cfg is not None else self._ict_enabled())
+        if ict:
             # in-commit timestamps: CommitInfo.timestamp is authoritative
             # and monotonic (PROTOCOL.md:1979)
             try:
@@ -875,6 +882,229 @@ class DeltaLog:
         with open(lc + ".tmp", "w") as f:
             f.write(json.dumps(last))
         os.replace(lc + ".tmp", lc)
+
+
+    def _single_action_spark_schema(self):
+        """Spark StructType mirroring the SingleAction checkpoint row
+        (same shape `_checkpoint_arrow_schema` writes)."""
+        from pyspark.sql import types as T
+
+        smap = T.MapType(T.StringType(), T.StringType())
+        dv = T.StructType([
+            T.StructField("storageType", T.StringType()),
+            T.StructField("pathOrInlineDv", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("cardinality", T.LongType()),
+        ])
+        add = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", smap),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+            T.StructField("stats", T.StringType()),
+            T.StructField("deletionVector", dv),
+            T.StructField("tags", smap),
+            T.StructField("baseRowId", T.LongType()),
+            T.StructField("defaultRowCommitVersion", T.LongType()),
+            T.StructField("clusteringProvider", T.StringType()),
+        ])
+        remove = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("deletionTimestamp", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+            T.StructField("partitionValues", smap),
+            T.StructField("size", T.LongType()),
+        ])
+        metadata = T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("format", T.StructType([
+                T.StructField("provider", T.StringType()),
+                T.StructField("options", smap)])),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("configuration", smap),
+            T.StructField("createdTime", T.LongType()),
+        ])
+        protocol = T.StructType([
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+            T.StructField("writerFeatures", T.ArrayType(T.StringType())),
+        ])
+        txn = T.StructType([
+            T.StructField("appId", T.StringType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("lastUpdated", T.LongType()),
+        ])
+        domain = T.StructType([
+            T.StructField("domain", T.StringType()),
+            T.StructField("configuration", T.StringType()),
+            T.StructField("removed", T.BooleanType()),
+        ])
+        return T.StructType([
+            T.StructField("add", add), T.StructField("remove", remove),
+            T.StructField("metaData", metadata),
+            T.StructField("protocol", protocol),
+            T.StructField("txn", txn),
+            T.StructField("domainMetadata", domain),
+        ])
+
+    def write_checkpoint_distributed(self, spark,
+                                     version: Optional[int] = None) -> bool:
+        """Classic checkpoint written WITHOUT materializing file state
+        on the driver (Checkpoints.scala writes checkpoints as a Spark
+        job for exactly this reason): executors read the previous
+        checkpoint + commit JSONs, reconcile the newest action per path
+        (adds stay live entries, removes stay tombstones — identical to
+        the python replay, tests prove parity), and write the
+        SingleAction parquet directly. Only the O(1) metadata-class
+        rows pass through the driver. Returns False when the layout
+        needs the python writer (V2 checkpoint policy)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return False
+        light = self.light_snapshot(version)
+        cfg = light.configuration
+        if str(cfg.get("delta.checkpointPolicy", "classic")).lower() == "v2":
+            return False
+
+        target = self._single_action_spark_schema()
+        add_t = target["add"].dataType
+        remove_t = target["remove"].dataType
+
+        def norm(df, ver_col):
+            def j(col, typ):
+                if col in df.columns:
+                    return F.from_json(F.to_json(F.col(col)), typ).alias(col)
+                return F.lit(None).cast(typ).alias(col)
+
+            return df.select(j("add", add_t), j("remove", remove_t),
+                             ver_col.alias("__v"))
+
+        sources = []
+        start = 0
+        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
+        if ckpts:
+            ck = ckpts[-1]
+            ck_paths = list(self.checkpoint_paths(ck))
+            top = spark.read.parquet(*ck_paths)
+            if "sidecar" in top.columns:
+                refs = [r["path"] for r in
+                        top.select("sidecar.path").dropna().collect()]
+                if refs:
+                    ck_paths += [os.path.join(self.log_path, SIDECAR_DIR, p)
+                                 for p in refs]
+                    top = spark.read.parquet(*ck_paths)
+            sources.append(norm(top, F.lit(ck).cast("long")))
+            start = ck + 1
+        commit_paths = [self.commit_source(v)
+                        for v in range(start, version + 1)]
+        if commit_paths:
+            cj = spark.read.json(commit_paths, schema=target)
+            ver = F.regexp_extract(
+                F.url_decode(F.input_file_name()), r"(\d{20})[^/]*\.json$", 1
+            ).cast("long")
+            sources.append(norm(cj, ver))
+        if not sources:
+            return False
+        allacts = sources[0]
+        for s in sources[1:]:
+            allacts = allacts.unionByName(s)
+        allacts = allacts.filter(F.col("add.path").isNotNull()
+                                 | F.col("remove.path").isNotNull())
+        w = Window.partitionBy(
+            F.coalesce(F.col("add.path"), F.col("remove.path"))
+        ).orderBy(F.desc("__v"), F.desc(F.col("add.path").isNotNull()))
+        fdf = (allacts.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1)
+               .select("add", "remove"))
+        for f in target.fields:
+            if f.name not in ("add", "remove"):
+                fdf = fdf.withColumn(f.name, F.lit(None).cast(f.dataType))
+        fdf = fdf.select(*[f.name for f in target.fields])
+
+        # metadata-class rows (O(1)) from the light snapshot
+        top_rows: list[dict] = []
+        p = light.protocol
+        top_rows.append({"protocol": {
+            "minReaderVersion": p.minReaderVersion,
+            "minWriterVersion": p.minWriterVersion,
+            "readerFeatures": p.readerFeatures,
+            "writerFeatures": p.writerFeatures}})
+        if light.metadata is not None:
+            m = light.metadata
+            top_rows.append({"metaData": {
+                "id": m.id, "name": m.name, "description": m.description,
+                "format": {"provider": m.format.provider,
+                           "options": m.format.options or {}},
+                "schemaString": m.schemaString,
+                "partitionColumns": list(m.partitionColumns or []),
+                "configuration": m.configuration or {},
+                "createdTime": m.createdTime}})
+        txn_cutoff = None
+        ret = cfg.get("delta.setTransactionRetentionDuration")
+        if ret:
+            ms = parse_interval_ms(ret)
+            if ms is not None:
+                txn_cutoff = current_time_millis() - ms
+        for t in light.set_transactions.values():
+            if (txn_cutoff is not None and t.lastUpdated is not None
+                    and t.lastUpdated < txn_cutoff):
+                continue
+            top_rows.append({"txn": {"appId": t.appId, "version": t.version,
+                                     "lastUpdated": t.lastUpdated}})
+        for dm in light.domain_metadata.values():
+            top_rows.append({"domainMetadata": {
+                "domain": dm.domain, "configuration": dm.configuration,
+                "removed": dm.removed}})
+        top_df = spark.createDataFrame(
+            [{f.name: r.get(f.name) for f in target.fields}
+             for r in top_rows], schema=target)
+
+        n_files = fdf.count()
+        total = n_files + len(top_rows)
+        part_size = None
+        try:
+            part_size = int(cfg.get("delta.checkpoint.partSize", "0")) or None
+        except (TypeError, ValueError):
+            pass
+        n_parts = (-(-total // part_size)
+                   if part_size and total > part_size else 1)
+        out = top_df.unionByName(fdf).repartition(n_parts)
+
+        tmpdir = os.path.join(self.log_path,
+                              f".ckpt_tmp_{version}_{os.getpid()}")
+        out.write.mode("overwrite").parquet(tmpdir)
+        written = sorted(
+            os.path.join(r, n) for r, _d, ns in os.walk(tmpdir) for n in ns
+            if n.endswith(".parquet"))
+        try:
+            if len(written) == 1:
+                os.replace(written[0], self.checkpoint_file(version))
+                last = {"version": version, "size": total}
+            else:
+                for i, src in enumerate(written):
+                    os.replace(src, self.checkpoint_part_file(
+                        version, i + 1, len(written)))
+                last = {"version": version, "size": total,
+                        "parts": len(written)}
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(tmpdir, ignore_errors=True)
+        lc = os.path.join(self.log_path, "_last_checkpoint")
+        with open(lc + ".tmp", "w") as f:
+            f.write(json.dumps(last))
+        os.replace(lc + ".tmp", lc)
+        return True
 
     def _write_v2_checkpoint(self, snap: Snapshot, rows: list[dict],
                              schema, part_size: Optional[int]) -> None:

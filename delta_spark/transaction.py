@@ -539,17 +539,26 @@ class OptimisticTransaction:
         except Exception:
             pass
         if version > 0 and version % self.log.checkpoint_interval == 0:
-            snap = full_snap()
             try:
                 # coordinator-owned checkpoints: a checkpoint may only
                 # cover a fully-backfilled prefix of the log, so drain
                 # the coordinator's tail first
                 from delta_spark import coordinator as C
+                from delta_spark.log import should_plan_distributed
 
-                coord = C.coordinator_for(snap.configuration)
+                coord = C.coordinator_for(cfg)
                 if coord is not None:
                     C.backfill_to(self.log, coord, version)
-                self.log.write_checkpoint(snap)
+                wrote = False
+                if (self._spark is not None
+                        and should_plan_distributed(self._spark, self.log)):
+                    # big-table path: the checkpoint is written as a
+                    # Spark job — the driver never materializes the
+                    # file state for it
+                    wrote = self.log.write_checkpoint_distributed(
+                        self._spark, version)
+                if not wrote:
+                    self.log.write_checkpoint(full_snap())
             except Exception:
                 # checkpointing is best-effort (CheckpointHook semantics)
                 pass

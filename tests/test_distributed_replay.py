@@ -412,3 +412,67 @@ def test_incremental_checksum_parity(spark, tmp_table, sf_dir):
         crc = _json.load(fh)
     assert crc["numFiles"] == snap.num_files
     assert crc["tableSizeBytes"] == snap.size_in_bytes
+
+
+def test_distributed_checkpoint_parity(spark, tmp_path, sf_dir):
+    """write_checkpoint_distributed produces a checkpoint the python
+    replay reads identically to the python-written one: same live set,
+    same tombstones, same DV descriptors, same metadata — across a mix
+    of appends, rewrites, DV deletes, and an earlier checkpoint."""
+    import shutil as _shutil
+
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(3000)
+    a = str(tmp_path / "dist")
+    write_delta(li, a, partition_by=["l_returnflag"],
+                configuration={"delta.enableRowTracking": "true"})
+    dt = DeltaTable.forPath(spark, a)
+    dt.delete("l_quantity > 45")
+    write_delta(li.limit(200), a, mode="append")
+    DeltaLog.for_table(a).write_checkpoint()  # earlier python checkpoint
+    write_delta(li.limit(50), a, mode="append")
+    dt.setProperties({"delta.enableDeletionVectors": "true"})
+    dt.delete("l_quantity > 40")
+    b = str(tmp_path / "py")
+    _shutil.copytree(a, b)
+    DeltaLog.clear_cache()
+    la, lb = DeltaLog.for_table(a), DeltaLog.for_table(b)
+    v = la.latest_version()
+    assert la.write_checkpoint_distributed(spark, v)
+    lb.write_checkpoint(lb.update())
+    DeltaLog.clear_cache()
+    sa = DeltaLog.for_table(a).snapshot_at(v)
+    sb = DeltaLog.for_table(b).snapshot_at(v)
+
+    def key(f):
+        return (f.path, f.size, f.baseRowId, f.defaultRowCommitVersion,
+                json.dumps(f.deletionVector, sort_keys=True),
+                json.dumps(f.partitionValues, sort_keys=True), f.stats)
+
+    assert sorted(map(key, sa.all_files)) == sorted(map(key, sb.all_files))
+    assert set(sa.tombstones) == set(sb.tombstones)
+    assert sa.metadata.configuration == sb.metadata.configuration
+    assert sa.protocol.writerFeatures == sb.protocol.writerFeatures
+    # the data reads the same through either checkpoint
+    assert (DeltaTable.forPath(spark, a).toDF().count()
+            == DeltaTable.forPath(spark, b).toDF().count())
+
+
+def test_distributed_checkpoint_multipart(spark, tmp_path, sf_dir):
+    """partSize splits the distributed checkpoint into a complete
+    multi-part set that replays to the same state."""
+    li = load_table(spark, sf_dir, "lineitem").limit(1000).repartition(6)
+    a = str(tmp_path / "mp")
+    write_delta(li, a, configuration={"delta.checkpoint.partSize": "3"})
+    write_delta(li.limit(80), a, mode="append")
+    log = DeltaLog.for_table(a)
+    v = log.latest_version()
+    want = {f.path for f in log.update().all_files}
+    assert log.write_checkpoint_distributed(spark, v)
+    names = [n for n in os.listdir(os.path.join(a, "_delta_log"))
+             if ".checkpoint." in n]
+    assert len(names) > 1  # actually split
+    DeltaLog.clear_cache()
+    got = {f.path for f in DeltaLog.for_table(a).snapshot_at(v).all_files}
+    assert got == want
