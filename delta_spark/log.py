@@ -945,12 +945,24 @@ class DeltaLog:
             T.StructField("configuration", T.StringType()),
             T.StructField("removed", T.BooleanType()),
         ])
+        ckpt_meta = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("tags", smap),
+        ])
+        sidecar = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("tags", smap),
+        ])
         return T.StructType([
             T.StructField("add", add), T.StructField("remove", remove),
             T.StructField("metaData", metadata),
             T.StructField("protocol", protocol),
             T.StructField("txn", txn),
             T.StructField("domainMetadata", domain),
+            T.StructField("checkpointMetadata", ckpt_meta),
+            T.StructField("sidecar", sidecar),
         ])
 
     def write_checkpoint_distributed(self, spark,
@@ -973,8 +985,7 @@ class DeltaLog:
             return False
         light = self.light_snapshot(version)
         cfg = light.configuration
-        if str(cfg.get("delta.checkpointPolicy", "classic")).lower() == "v2":
-            return False
+        policy = str(cfg.get("delta.checkpointPolicy", "classic")).lower()
 
         target = self._single_action_spark_schema()
         add_t = target["add"].dataType
@@ -1076,30 +1087,68 @@ class DeltaLog:
             part_size = int(cfg.get("delta.checkpoint.partSize", "0")) or None
         except (TypeError, ValueError):
             pass
-        n_parts = (-(-total // part_size)
-                   if part_size and total > part_size else 1)
-        out = top_df.unionByName(fdf).repartition(n_parts)
+
+        import shutil as _shutil
+        import uuid as _uuid
 
         tmpdir = os.path.join(self.log_path,
                               f".ckpt_tmp_{version}_{os.getpid()}")
-        out.write.mode("overwrite").parquet(tmpdir)
-        written = sorted(
-            os.path.join(r, n) for r, _d, ns in os.walk(tmpdir) for n in ns
-            if n.endswith(".parquet"))
-        try:
-            if len(written) == 1:
-                os.replace(written[0], self.checkpoint_file(version))
-                last = {"version": version, "size": total}
-            else:
-                for i, src in enumerate(written):
-                    os.replace(src, self.checkpoint_part_file(
-                        version, i + 1, len(written)))
-                last = {"version": version, "size": total,
-                        "parts": len(written)}
-        finally:
-            import shutil as _shutil
 
-            _shutil.rmtree(tmpdir, ignore_errors=True)
+        def _spark_write(df, n_parts):
+            df.repartition(n_parts).write.mode("overwrite").parquet(tmpdir)
+            return sorted(
+                os.path.join(r, n) for r, _d, ns in os.walk(tmpdir)
+                for n in ns if n.endswith(".parquet"))
+
+        if policy == "v2":
+            # V2: the file actions become Spark-written SIDECARS; the
+            # small uuid-named top file (non-file actions +
+            # checkpointMetadata + sidecar pointers) stays driver-side
+            n_parts = (-(-n_files // part_size)
+                       if part_size and n_files > part_size else 1)
+            side_dir = os.path.join(self.log_path, SIDECAR_DIR)
+            os.makedirs(side_dir, exist_ok=True)
+            written = _spark_write(fdf, n_parts)
+            sidecar_rows = []
+            try:
+                for src in written:
+                    name = f"{_uuid.uuid4()}.parquet"
+                    dst = os.path.join(side_dir, name)
+                    os.replace(src, dst)
+                    st = os.stat(dst)
+                    sidecar_rows.append({"sidecar": {
+                        "path": name, "sizeInBytes": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000)}})
+            finally:
+                _shutil.rmtree(tmpdir, ignore_errors=True)
+            top = (top_rows
+                   + [{"checkpointMetadata": {"version": version}}]
+                   + sidecar_rows)
+            schema = _checkpoint_arrow_schema()
+            pa_cols = {n: [row.get(n) for row in top] for n in schema.names}
+            path = os.path.join(
+                self.log_path,
+                "%020d.checkpoint.%s.parquet" % (version, _uuid.uuid4()))
+            pq.write_table(pa.Table.from_pydict(pa_cols, schema=schema),
+                           path + ".tmp")
+            os.replace(path + ".tmp", path)
+            last = {"version": version, "size": total}
+        else:
+            n_parts = (-(-total // part_size)
+                       if part_size and total > part_size else 1)
+            written = _spark_write(top_df.unionByName(fdf), n_parts)
+            try:
+                if len(written) == 1:
+                    os.replace(written[0], self.checkpoint_file(version))
+                    last = {"version": version, "size": total}
+                else:
+                    for i, src in enumerate(written):
+                        os.replace(src, self.checkpoint_part_file(
+                            version, i + 1, len(written)))
+                    last = {"version": version, "size": total,
+                            "parts": len(written)}
+            finally:
+                _shutil.rmtree(tmpdir, ignore_errors=True)
         lc = os.path.join(self.log_path, "_last_checkpoint")
         with open(lc + ".tmp", "w") as f:
             f.write(json.dumps(last))

@@ -476,3 +476,57 @@ def test_distributed_checkpoint_multipart(spark, tmp_path, sf_dir):
     DeltaLog.clear_cache()
     got = {f.path for f in DeltaLog.for_table(a).snapshot_at(v).all_files}
     assert got == want
+
+
+def test_distributed_checkpoint_synth_log(spark, tmp_path):
+    """Distributed checkpoint over a synthetic 2000-action log (no data
+    files): replay through it matches the pre-checkpoint state exactly,
+    including the tombstones."""
+    base = str(tmp_path / "synthck")
+    os.makedirs(base)
+    _synth_log(base, n_batches=40, adds_per=50)
+    log = DeltaLog.for_table(base)
+    v = log.latest_version()
+    want_active = _key_set(log.update().all_files)
+    want_tomb = set(log.update().tombstones)
+    assert log.write_checkpoint_distributed(spark, v)
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(base)
+    snap = log2.snapshot_at(v)
+    assert _key_set(snap.all_files) == want_active
+    assert set(snap.tombstones) == want_tomb
+    # state_df reads straight through the distributed checkpoint too
+    got = {(r.path, r.size,
+            tuple(sorted((r.partitionValues or {}).items())))
+           for r in log2.state_df(spark).collect()}
+    assert got == want_active
+
+
+def test_distributed_checkpoint_v2(spark, tmp_path, sf_dir):
+    """V2 policy: the distributed writer produces Spark-written
+    sidecars + a driver-side top file; replay and state_df read it like
+    the python-written V2 checkpoint."""
+    li = load_table(spark, sf_dir, "lineitem").limit(1500).repartition(5)
+    a = str(tmp_path / "v2d")
+    write_delta(li, a, configuration={"delta.checkpointPolicy": "v2",
+                                      "delta.checkpoint.partSize": "4"})
+    write_delta(li.limit(90), a, mode="append")
+    from delta_spark.table import DeltaTable
+
+    DeltaTable.forPath(spark, a).delete("l_quantity > 45")
+    log = DeltaLog.for_table(a)
+    v = log.latest_version()
+    want = _key_set(log.update().all_files)
+    assert log.write_checkpoint_distributed(spark, v)
+    ld = os.path.join(a, "_delta_log")
+    tops = [n for n in os.listdir(ld)
+            if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(tops) == 1 and len(tops[0].split(".")) == 4  # uuid-named
+    sidecars = os.listdir(os.path.join(ld, "_sidecars"))
+    assert len(sidecars) >= 2  # partSize split the file actions
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(a)
+    assert _key_set(log2.snapshot_at(v).all_files) == want
+    got = {(r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+           for r in log2.state_df(spark).collect()}
+    assert got == want
