@@ -48,13 +48,29 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     snapshot = log.update()
     schema = snapshot.schema
     dfs: list[DataFrame] = []
+    # ONE replay to just before the range, then advance INCREMENTALLY
+    # per commit (CDCReader walks commits the same way) — per-version
+    # snapshot_at here would replay the whole log O(range) times, the
+    # scale killer for long change feeds on big tables
+    rolling = (log.snapshot_at(starting_version - 1)
+               if starting_version > 0 else None)
     for v in range(starting_version, ending_version + 1):
         actions = log.read_commit_actions(v)
         ts = _dt.datetime.utcfromtimestamp(log._commit_timestamp(v) / 1000.0)
         cdc_files = [a for k, a in actions if k == "cdc"]
         adds = [a for k, a in actions if k == "add" and a.dataChange]
         removes = [a for k, a in actions if k == "remove" and a.dataChange]
-        snap_v = None
+        # victims resolve against the PRE-commit state
+        victims = ([rolling.active[r.path] for r in removes
+                    if r.path in rolling.active]
+                   if rolling is not None and removes else [])
+        prev_rolling = rolling
+        if rolling is None:
+            rolling = log.snapshot_at(v)
+        else:
+            rolling = rolling.clone_state()
+            rolling.apply_actions(actions)
+            rolling.version = v
         if cdc_files:
             cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])
             paths = [os.path.join(log.table_path, c.path) for c in cdc_files]
@@ -62,18 +78,13 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             dfs.append(_stamp(df, v, ts))
             continue
         if adds:
-            snap_v = snap_v or log.snapshot_at(v)
-            df = (read_files_df(spark, snap_v, adds)
+            df = (read_files_df(spark, rolling, adds)
                   .withColumn("_change_type", F.lit("insert")))
             dfs.append(_stamp(df, v, ts))
-        if removes:
-            snap_prev = log.snapshot_at(v - 1) if v > 0 else None
-            if snap_prev is not None:
-                victims = [snap_prev.active[r.path] for r in removes if r.path in snap_prev.active]
-                if victims:
-                    df = (read_files_df(spark, snap_prev, victims)
-                          .withColumn("_change_type", F.lit("delete")))
-                    dfs.append(_stamp(df, v, ts))
+        if victims:
+            df = (read_files_df(spark, prev_rolling, victims)
+                  .withColumn("_change_type", F.lit("delete")))
+            dfs.append(_stamp(df, v, ts))
     if not dfs:
         empty_schema = T.StructType(
             schema.fields + [
