@@ -1,0 +1,146 @@
+"""Training-data pipeline operators beyond analysis: deterministic
+dataset splitting, benchmark decontamination, and sequence packing —
+the plumbing between a cleaned document corpus and a tokenizer-ready
+training set.
+
+Scale stance (the 100 TB contract):
+
+- `split_dataset` is a pure projection (one xxhash64 per row, no
+  shuffle) — split membership is a FUNCTION of the id, so re-running on
+  a grown corpus never reassigns old rows across splits.
+- `decontaminate` shuffles each side once on the n-gram fingerprint
+  (broadcast when the benchmark side is small, which it always is) —
+  the corpus is never self-joined.
+- `pack_sequences` is the only genuinely order-sensitive operator:
+  documents are range-partitioned into length-sorted buckets and
+  greedily packed WITHIN partitions via one Arrow-batched
+  `applyInPandas` — each task packs its own bucket, no global sort, no
+  driver involvement. Packing quality is within one partial bin per
+  partition of the sequential greedy bound.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def split_dataset(df: DataFrame, id_col: str = "doc_id",
+                  weights: Optional[dict[str, float]] = None,
+                  seed: int = 0) -> DataFrame:
+    """Deterministic hash split: adds a `split` column ('train'/'val'/
+    'test' by default). Membership depends only on (id, seed) — stable
+    under corpus growth, re-sharding, and re-runs, unlike `randomSplit`
+    (which reshuffles every execution plan change)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    # bucket in [0, 1) from the 64-bit hash
+    u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+         / F.lit(float(2 ** 63)) + F.lit(1.0)) / F.lit(2.0)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def ngram_fingerprints(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """(id, fp) pairs: one xxhash64 per word n-gram of the normalized
+    text. The contamination unit of comparison (Brown et al.-style
+    n-gram overlap)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+            .filter(F.size(F.split(F.col("gram"), " ")) == n)
+            .select(id_col, F.xxhash64("gram").alias("fp"))
+            .distinct())
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, max_hits: int = 0) -> DataFrame:
+    """Drop training documents sharing more than `max_hits` word
+    n-grams with any benchmark text. The benchmark side (always small)
+    is broadcast; the corpus shuffles once on the fingerprint."""
+    corpus_fp = ngram_fingerprints(df, text_col, id_col, n)
+    bench_fp = (ngram_fingerprints(
+        benchmark.select(F.col(text_col),
+                         F.monotonically_increasing_id().alias("__bid")),
+        text_col, "__bid", n)
+        .select("fp").distinct())
+    hits = (corpus_fp.join(F.broadcast(bench_fp), "fp")
+            .groupBy(id_col).agg(F.count("*").alias("__hits"))
+            .filter(F.col("__hits") > max_hits)
+            .select(id_col))
+    return df.join(hits, id_col, "left_anti")
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   max_tokens: int = 2048,
+                   buckets: Optional[int] = None) -> DataFrame:
+    """Greedy first-fit packing of documents into training sequences of
+    at most `max_tokens` tokens. Returns (pack_id string, doc_ids
+    array, total_tokens) — one row per packed sequence.
+
+    Distribution: documents are range-bucketed by length so each
+    partition packs similarly-sized docs (best case for greedy bin
+    packing), then packed independently per partition with one
+    Arrow-batched pandas stage. Documents longer than `max_tokens` get
+    a singleton pack (truncation is the tokenizer's decision, not
+    ours)."""
+    import pandas as pd  # noqa: F401 (worker closure)
+
+    if buckets is None:
+        # one bucket per core: maximum parallelism without fragmenting
+        # small corpora into many partial bins (each partition leaves
+        # at most one under-filled bin open)
+        buckets = df.sparkSession.sparkContext.defaultParallelism
+    src = (df.select(F.col(id_col).cast("string").alias("doc_id"),
+                     F.col(tokens_col).cast("long").alias("n_tokens"))
+           .filter(F.col("n_tokens").isNotNull())
+           .repartitionByRange(buckets, F.col("n_tokens")))
+
+    def _pack(key, pdf):
+        import pandas as _pd
+
+        part = int(key[0])
+        bins: list[list] = []  # [used, doc_ids], open bins only
+        out_ids, out_docs, out_tot = [], [], []
+        for doc, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            if n >= max_tokens:
+                out_ids.append(f"p{part}-s{len(out_ids) + len(bins)}")
+                out_docs.append([doc])
+                out_tot.append(n)
+                continue
+            # first-fit over a bounded window of open bins keeps the
+            # inner loop O(1) amortized; docs arrive length-clustered
+            # (range bucketing), so older bins rarely fit anyway
+            for b in bins[-64:]:
+                if b[0] + n <= max_tokens:
+                    b[0] += n
+                    b[1].append(doc)
+                    break
+            else:
+                bins.append([n, [doc]])
+        for i, (used, docs) in enumerate(bins):
+            out_ids.append(f"p{part}-b{i}")
+            out_docs.append(docs)
+            out_tot.append(used)
+        return _pd.DataFrame({"pack_id": out_ids, "doc_ids": out_docs,
+                              "total_tokens": out_tot})
+
+    return (src.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .applyInPandas(_pack, "pack_id string, doc_ids array<string>, "
+                                  "total_tokens long"))
