@@ -530,3 +530,87 @@ def test_distributed_checkpoint_v2(spark, tmp_path, sf_dir):
     got = {(r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
            for r in log2.state_df(spark).collect()}
     assert got == want
+
+
+def test_replay_fuzz_three_ways(spark, tmp_path):
+    """Randomized log fuzz: arbitrary interleavings of adds, removes,
+    re-adds (DV updates), metadata changes, and checkpoints must
+    reconcile identically through (a) the python replay, (b) state_df,
+    and (c) a replay whose prefix is a distributed checkpoint."""
+    import random
+
+    rng = random.Random(20260814)
+    base = str(tmp_path / "fuzz")
+    ld = os.path.join(base, "_delta_log")
+    os.makedirs(ld)
+    _commit(ld, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "fuzz", "format": {"provider": "parquet",
+                                               "options": {}},
+                      "schemaString": _SCHEMA, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 1}},
+    ])
+    live: set[str] = set()
+    next_id = 0
+    v = 1
+    for _ in range(30):
+        lines = []
+        n_ops = rng.randint(1, 8)
+        batch_live = set(live)
+        # a commit may touch each path at most once, and may not both
+        # introduce and drop a path (the protocol forbids the same
+        # logical file in the add and remove collections; a writer
+        # adding-then-deleting in one txn simply omits the add)
+        untouched = set(live)
+        for _ in range(n_ops):
+            op = rng.random()
+            if op < 0.5 or not untouched:
+                path = f"f_{next_id}.parquet"
+                next_id += 1
+                lines.append({"add": {
+                    "path": path, "partitionValues": {}, "size": rng.randint(1, 500),
+                    "modificationTime": v, "dataChange": True,
+                    "stats": json.dumps({"numRecords": rng.randint(1, 9)})}})
+                batch_live.add(path)
+            elif op < 0.8:
+                path = rng.choice(sorted(untouched))
+                untouched.discard(path)
+                lines.append({"remove": {"path": path, "deletionTimestamp": v,
+                                         "dataChange": True}})
+                batch_live.discard(path)
+            else:
+                # DV-style update: remove + re-add of the same path
+                path = rng.choice(sorted(untouched))
+                untouched.discard(path)
+                lines.append({"remove": {"path": path, "deletionTimestamp": v,
+                                         "dataChange": True}})
+                lines.append({"add": {
+                    "path": path, "partitionValues": {},
+                    "size": rng.randint(1, 500), "modificationTime": v,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": rng.randint(1, 9)}),
+                    "deletionVector": {"storageType": "u",
+                                       "pathOrInlineDv": f"dv{v}",
+                                       "offset": 1, "sizeInBytes": 8,
+                                       "cardinality": 1}}})
+        rng.shuffle(lines)  # action order within a commit is arbitrary
+        _commit(ld, v, lines)
+        live = batch_live
+        v += 1
+        if v == 12:
+            DeltaLog.clear_cache()
+            DeltaLog.for_table(base).write_checkpoint()  # python ckpt mid-log
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(base)
+    snap = log.update()
+    py = _key_set(snap.all_files)
+    assert {f.path for f in snap.all_files} == live
+    sdf = {(r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+           for r in log.state_df(spark).collect()}
+    assert sdf == py
+    assert log.write_checkpoint_distributed(spark, snap.version)
+    DeltaLog.clear_cache()
+    log2 = DeltaLog.for_table(base)
+    assert _key_set(log2.snapshot_at(snap.version).all_files) == py
+    assert {(r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+            for r in log2.state_df(spark).collect()} == py
