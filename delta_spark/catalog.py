@@ -186,7 +186,13 @@ def substitute_names(spark: SparkSession, statement: str) -> str:
         db, tbl = qname.split(".", 1)
         alts = [re.escape(qname)] + ([re.escape(tbl)] if db == "default" else [])
         for a in alts:
-            statement = re.sub(
-                rf"(?i)(?<![\w.`'\"]){a}(?![\w.`'\"])",
-                f"delta.`{path}`", statement)
+            # substitute only OUTSIDE backtick-quoted spans — a name
+            # that happens to be a path segment of an already-inserted
+            # delta.`path` reference must never be rewritten again
+            parts = re.split(r"(`[^`]*`)", statement)
+            for i in range(0, len(parts), 2):
+                parts[i] = re.sub(
+                    rf"(?i)(?<![\w.`'\"]){a}(?![\w.`'\"])",
+                    f"delta.`{path}`", parts[i])
+            statement = "".join(parts)
     return statement

@@ -1080,6 +1080,13 @@ class DeltaLog:
             [{f.name: r.get(f.name) for f in target.fields}
              for r in top_rows], schema=target)
 
+        # the reconciliation job runs twice (count + write) without
+        # this: persist the (narrow, SingleAction-shaped) result so the
+        # expensive checkpoint+commit read and per-path window execute
+        # once; spill-safe for arbitrarily large file states
+        from pyspark import StorageLevel
+
+        fdf = fdf.persist(StorageLevel.MEMORY_AND_DISK)
         n_files = fdf.count()
         total = n_files + len(top_rows)
         part_size = None
@@ -1149,6 +1156,7 @@ class DeltaLog:
                             "parts": len(written)}
             finally:
                 _shutil.rmtree(tmpdir, ignore_errors=True)
+        fdf.unpersist()
         lc = os.path.join(self.log_path, "_last_checkpoint")
         with open(lc + ".tmp", "w") as f:
             f.write(json.dumps(last))

@@ -51,15 +51,19 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         C.register_table(spark, m.group("name"), m.group("loc"))
         return spark.createDataFrame([(m.group("loc"),)], "location: string")
 
-    # SHOW TABLES [IN db] over the delta catalog
+    # SHOW TABLES [IN db] over the delta catalog — only when the delta
+    # catalog has matching entries; otherwise fall through to Spark's
+    # own catalog so temp views / hive tables keep showing up
     m = re.fullmatch(r"(?is)\s*SHOW\s+TABLES(?:\s+IN\s+(?P<db>[A-Za-z_][\w]*))?\s*", s)
     if m:
         rows = [(n.split(".", 1)[0], n.split(".", 1)[1], p)
                 for n, p in sorted(C.catalog_map(spark).items())]
         if m.group("db"):
             rows = [r for r in rows if r[0] == m.group("db").lower()]
-        return spark.createDataFrame(
-            rows or [], "database: string, tableName: string, location: string")
+        if rows:
+            return spark.createDataFrame(
+                rows, "database: string, tableName: string, location: string")
+        return spark.sql(s)
 
     # CREATE TABLE <name> AS SELECT on an UNregistered name: create a
     # managed delta table in the warehouse and register it

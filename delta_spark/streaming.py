@@ -141,6 +141,14 @@ def _is_additive_change(old_json: str, new_json: str) -> bool:
     return all(n in new and new[n] == t for n, t in old.items())
 
 
+
+def _trace(msg):
+    import os as _os
+    t = _os.environ.get("DELTA_SPARK_STREAM_TRACE")
+    if t:
+        with open(t, "a") as f:
+            f.write(msg + "\n")
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.path = options.get("path")
@@ -225,6 +233,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         return d
 
     def initialOffset(self) -> dict:
+        _trace("initialOffset")
         # only called for a brand-new query → a safe admission base
         self._pos = dict(self._initial)
         return self._initial
@@ -332,6 +341,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         partitions() first, which re-seeds the base), so seeding from
         the initial offset is safe and lets the cap govern the very
         first microbatch too — the reference's backlog-drain shape."""
+        _trace(f"latestOffset pos={self._pos}")
         latest = self.log.latest_version()
         bound, pending_change = latest, None
         if self.schema_loc:
@@ -364,6 +374,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         if self.max_files is None and self.max_bytes is None:
             return full
         if pos is None:
+            # pos=None ⟺ brand-new query: Spark's observed call order
+            # (traced against pyspark 4.1) is latestOffset →
+            # initialOffset → partitions for a fresh stream, while on
+            # EVERY restart the engine first replans the last
+            # offset-log batch via partitions(start, end) — even when
+            # that batch was committed — which re-seeds _pos before
+            # any latestOffset. Seeding from the initial offset here
+            # therefore never regresses a checkpointed stream.
             pos = self._pos = dict(self._initial)
         taken, nbytes, end, capped = 0, 0, None, False
         for (v, idx, sz, is_snap) in self._pending_after(pos, bound):
@@ -394,6 +412,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         return _offset(*end)
 
     def partitions(self, start: dict, end: dict):
+        _trace(f"partitions {start} -> {end}")
         # planned through `end` — the admission base for the next
         # latestOffset (also re-seeds it after a mid-stream restart,
         # where Spark replans from the checkpointed offsets)

@@ -267,23 +267,25 @@ def _write_stat(f: AddFile, table_path: str, instant: str) -> tuple[str, dict]:
 
 
 def _changes_since(log, start: int, end: int):
-    """(adds, removes) across commits (start..end], or None when any
-    backing commit file is gone (log cleaned → full replace).
-    Metadata/protocol changes stay incremental: a Hudi replacecommit
-    re-states the schema every time, so they need no special casing —
-    but DV-carrying adds force the full path (validate rejects)."""
-    adds: list[AddFile] = []
-    removes: list[Any] = []
+    """(adds, removes) across commits (start..end] RECONCILED per path
+    (a file added and later removed inside the range must surface only
+    as a remove — otherwise it would be re-registered AND replaced in
+    one replacecommit and the replace-first replay would leave it
+    live). Within one commit removes apply before adds, matching the
+    protocol's add-wins rule for same-path DV updates. Returns None
+    when any backing commit file is gone (log cleaned → full replace)."""
+    last: dict[str, tuple[str, Any]] = {}
     for v in range(start, end + 1):
         try:
             actions = log.read_commit_actions(v)
         except (OSError, FileNotFoundError):
             return None
-        for kind, a in actions:
-            if kind == "add":
-                adds.append(a)
-            elif kind == "remove":
-                removes.append(a)
+        ordered = ([x for x in actions if x[0] == "remove"]
+                   + [x for x in actions if x[0] == "add"])
+        for kind, a in ordered:
+            last[a.path] = (kind, a)
+    adds = [a for kind, a in last.values() if kind == "add"]
+    removes = [a for kind, a in last.values() if kind == "remove"]
     return adds, removes
 
 

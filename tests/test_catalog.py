@@ -176,3 +176,32 @@ def test_table_changes_tvf_by_name(spark, warehouse, sf_dir):
     out = delta_sql(spark, "SELECT _change_type, count(*) AS n "
                            "FROM table_changes('chg', 1) GROUP BY 1").collect()
     assert {r["_change_type"] for r in out} == {"delete"}
+
+
+def test_substitution_never_rewrites_inside_paths(spark, warehouse, sf_dir):
+    """A registered bare name that is also a path segment of another
+    registered table's location must not be rewritten inside the
+    already-substituted delta.`path` reference."""
+    import delta_spark.catalog as C
+
+    li = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    # 'current' is a segment of the other table's path AND a table name
+    loc = os.path.join(warehouse, "current")
+    write_delta(li, loc)
+    C.register_table(spark, "current", loc)
+    nested = os.path.join(warehouse, "current", "..", "current")
+    out = C.substitute_names(spark, "SELECT * FROM current")
+    assert out == f"SELECT * FROM delta.`{loc}`"
+    # a second pass over the produced text must be a no-op
+    assert C.substitute_names(spark, out) == out
+
+
+def test_show_tables_falls_through_to_spark(spark, warehouse, sf_dir):
+    """SHOW TABLES with an empty delta catalog returns Spark's own
+    catalog listing (temp views) instead of shadowing it."""
+    from delta_spark.sql import delta_sql
+
+    spark.range(3).createOrReplaceTempView("plain_spark_view")
+    df = delta_sql(spark, "SHOW TABLES")
+    names = {r["tableName"] for r in df.collect()}
+    assert "plain_spark_view" in names

@@ -712,3 +712,41 @@ def test_row_tracking_backfill_on_enable(spark, tmp_table, sf_dir):
         crc = _json.load(fh)
     assert crc["numFiles"] == snap2.num_files
     assert crc["tableSizeBytes"] == snap2.size_in_bytes
+
+
+def test_concurrent_row_tracked_appends_no_id_collision(spark, tmp_table,
+                                                        sf_dir):
+    """Retrying writers recompute the row-id watermark from the
+    ABSORBED snapshot, so concurrent appends claim disjoint contiguous
+    baseRowId ranges."""
+    from delta_spark.datasets import load_table
+    from delta_spark.reader import read_with_row_ids
+
+    li = load_table(spark, sf_dir, "lineitem").limit(300).cache()
+    li.count()
+    write_delta(li, tmp_table,
+                configuration={"delta.enableRowTracking": "true"})
+    errs = []
+
+    def w(n):
+        try:
+            write_delta(li.limit(n), tmp_table, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(40 + i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(tmp_table).update()
+    ids = read_with_row_ids(spark, snap).select("_row_id")
+    n = 300 + sum(40 + i for i in range(6))
+    assert ids.count() == n
+    assert ids.distinct().count() == n
+    ranges = sorted((f.baseRowId, f.baseRowId + (f.num_records or 1))
+                    for f in snap.all_files)
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 <= s2  # disjoint ranges

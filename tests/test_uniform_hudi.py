@@ -205,3 +205,32 @@ def test_avro_schema_mapping():
     assert by_name["m"]["values"] == ["null", "double"]  # valueContainsNull
     assert by_name["nested"]["type"] == "record"
     assert by_name["nested"]["fields"][0]["type"] == ["null", "boolean"]
+
+
+def test_lagged_conversion_reconciles_range(spark, tmp_table):
+    """When the conversion lags several Delta commits, a file added AND
+    removed inside the catch-up range must not resurface in the Hudi
+    timeline (per-path reconciliation across the range)."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"))
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties(HUDI_PROPS)
+    hdir = os.path.join(tmp_table, ".hoodie")
+    # drop the Hudi timeline back to the first conversion, then make
+    # two commits: append F..., then a DELETE that rewrites files
+    baseline = sorted(n for n in os.listdir(hdir)
+                      if n.endswith(".replacecommit"))
+    write_delta(df.limit(30), tmp_table, mode="append")
+    dt.delete("id >= 20")  # rewrites (removes) files incl. the append
+    # remove conversions made after the baseline → converter must catch
+    # up over BOTH commits in one replacecommit
+    for n in list(os.listdir(hdir)):
+        if n.endswith((".replacecommit", ".replacecommit.requested",
+                       ".replacecommit.inflight")) \
+                and n[:17] not in {b[:17] for b in baseline}:
+            os.remove(os.path.join(hdir, n))
+    log = DeltaLog.for_table(tmp_table)
+    uniform_hudi.convert_snapshot(log, log.update())
+    assert read_hudi_files(tmp_table) == _live_delta_paths(tmp_table)
