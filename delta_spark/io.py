@@ -183,16 +183,9 @@ def write_delta(
                 actions[0] = new_meta
             else:
                 actions.insert(0, new_meta)
-        from delta_spark.schema import field_id as _field_id
+        from delta_spark.schema import physical_projection
         l2p = logical_to_physical(table_schema)
-        fids = {f.name: _field_id(f) for f in table_schema.fields}
-        # carry parquet.field.id so files get parquet field_ids
-        # (IdMapping readers resolve by id; harmless in name mode)
-        out_df = out_df.select(*[
-            (F.col(c).alias(l2p.get(c, c), metadata={"parquet.field.id": fids[c]})
-             if fids.get(c) is not None
-             else F.col(c).alias(l2p.get(c, c)))
-            for c in out_df.columns])
+        out_df = physical_projection(out_df, table_schema)
         write_part_cols = [l2p.get(c, c) for c in part_cols]
 
     if str(cfg.get("delta.autoOptimize.optimizeWrite", "false")).lower() == "true" \

@@ -212,6 +212,23 @@ def field_id(field: T.StructField):
     return int(v) if v is not None else None
 
 
+def physical_projection(df, schema):
+    """Select df's columns under their PHYSICAL names, carrying
+    parquet.field.id metadata so files are written with parquet
+    field_ids (required by IdMapping readers, harmless in name mode).
+    Extra (non-schema) df columns pass through untouched — hidden
+    physical-only columns like materialized row ids ride along."""
+    from pyspark.sql import functions as F
+
+    l2p = logical_to_physical(schema)
+    fids = {f.name: field_id(f) for f in schema.fields}
+    return df.select(*[
+        (F.col(c).alias(l2p.get(c, c), metadata={"parquet.field.id": fids[c]})
+         if fids.get(c) is not None
+         else F.col(c).alias(l2p.get(c, c)))
+        for c in df.columns])
+
+
 def physical_schema(schema: T.StructType, with_field_ids: bool = False) -> T.StructType:
     """Schema with physical field names (what Parquet files contain).
     With `with_field_ids`, each field also carries `parquet.field.id`

@@ -164,17 +164,9 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
     indexed_cols = stats_columns(cfg)
     part_cols = snapshot.partition_columns
     if snapshot.column_mapping_enabled:
-        from delta_spark.schema import field_id
+        from delta_spark.schema import physical_projection
         l2p = logical_to_physical(snapshot.schema)
-        # carry parquet.field.id so files are written with parquet
-        # field_ids (required by IdMapping readers; harmless in name
-        # mode — Spark's fieldId.write.enabled is on by default)
-        fids = {f.name: field_id(f) for f in snapshot.schema.fields}
-        df = df.select(*[
-            (F.col(c).alias(l2p.get(c, c), metadata={"parquet.field.id": fids[c]})
-             if fids.get(c) is not None
-             else F.col(c).alias(l2p.get(c, c)))
-            for c in df.columns])
+        df = physical_projection(df, snapshot.schema)
         part_cols = [l2p.get(c, c) for c in part_cols]
         if indexed_cols is not None:
             indexed_cols = [l2p.get(c, c) for c in indexed_cols]
