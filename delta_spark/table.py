@@ -189,12 +189,21 @@ class DeltaTable:
 
     def asOfVersion(self, version: int) -> DataFrame:
         """Time travel read (VERSION AS OF)."""
+        if self._plan_distributed():
+            from delta_spark.reader import read_snapshot_distributed
+
+            latest = self.log.latest_version()
+            if version > latest or version < 0:
+                raise ValueError(f"Cannot time travel to version {version}; "
+                                 f"latest is {latest}")
+            return read_snapshot_distributed(self.spark, self.log,
+                                             version=version)
         return read_snapshot(self.spark, self.log.snapshot_at(version))
 
     def asOfTimestamp(self, ts: Union[str, _dt.datetime, int]) -> DataFrame:
         """Time travel read (TIMESTAMP AS OF)."""
         ms = _to_millis(ts)
-        return read_snapshot(self.spark, self.log.snapshot_at(self.log.version_at_timestamp(ms)))
+        return self.asOfVersion(self.log.version_at_timestamp(ms))
 
     def table_changes(self, starting_version: Optional[int] = None,
                       ending_version: Optional[int] = None,

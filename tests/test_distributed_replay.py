@@ -614,3 +614,20 @@ def test_replay_fuzz_three_ways(spark, tmp_path):
     assert _key_set(log2.snapshot_at(snap.version).all_files) == py
     assert {(r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
             for r in log2.state_df(spark).collect()} == py
+
+
+def test_distributed_time_travel_parity(spark, tmp_table, sf_dir,
+                                        force_distributed):
+    from delta_spark.table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    spark.conf.set("delta_spark.scan.distributedPlanning", "never")
+    write_delta(li, tmp_table)
+    DeltaTable.forPath(spark, tmp_table).delete("l_quantity > 30")
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.asOfVersion(0).count() == 1000
+    assert dt.asOfVersion(1).count() == dt.toDF().count()
+    with pytest.raises(ValueError, match="Cannot time travel"):
+        dt.asOfVersion(99)
