@@ -549,6 +549,30 @@ class DeltaLog:
 
     # ----------------------------------------------------- checkpoint ----
 
+    def _log_segment_paths(self, version: int):
+        """(checkpoint_version_or_None, checkpoint_paths, commit_paths)
+        covering the table state at `version` — the latest checkpoint
+        ≤ version with its V2 sidecars appended (the sidecar LIST is
+        read driver-side from the small top file; the sidecar DATA is
+        not touched), plus the commit JSONs after it. The shared source
+        assembly behind state_df and the distributed checkpoint writer."""
+        ckv, ck_paths = None, []
+        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
+        if ckpts:
+            ckv = ckpts[-1]
+            ck_paths = list(self.checkpoint_paths(ckv))
+            for p in list(ck_paths):
+                if "sidecar" not in pq.read_schema(p).names:
+                    continue
+                for r in pq.read_table(p, columns=["sidecar"]).to_pylist():
+                    sc = r.get("sidecar")
+                    if sc and sc.get("path"):
+                        ck_paths.append(os.path.join(
+                            self.log_path, SIDECAR_DIR, sc["path"]))
+        start = ckv + 1 if ckv is not None else 0
+        commits = [self.commit_source(v) for v in range(start, version + 1)]
+        return ckv, ck_paths, commits
+
     def state_df(self, spark, version: Optional[int] = None):
         """Distributed snapshot state reconstruction (reference
         Snapshot.scala:598 `stateReconstruction`,
@@ -631,24 +655,10 @@ class DeltaLog:
                 .filter(F.col("is_file_action")))
 
         parts = []
-        start = 0
-        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
-        if ckpts:
-            ck = ckpts[-1]
-            ck_paths = list(self.checkpoint_paths(ck))
+        ck, ck_paths, commit_paths = self._log_segment_paths(version)
+        if ck_paths:
             top = spark.read.parquet(*ck_paths)
-            # V2 checkpoints: file actions live in referenced sidecars
-            # (the sidecar LIST is small; the sidecar DATA is not)
-            if "sidecar" in top.columns:
-                refs = [r["path"] for r in
-                        top.select("sidecar.path").dropna().collect()]
-                if refs:
-                    ck_paths += [os.path.join(self.log_path, SIDECAR_DIR, p)
-                                 for p in refs]
-                    top = spark.read.parquet(*ck_paths)
             parts.append(_norm(top, F.lit(ck).cast("long")))
-            start = ck + 1
-        commit_paths = [self.commit_source(v) for v in range(start, version + 1)]
         if commit_paths:
             from pyspark.sql import types as T
 
@@ -1001,23 +1011,10 @@ class DeltaLog:
                              ver_col.alias("__v"))
 
         sources = []
-        start = 0
-        ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
-        if ckpts:
-            ck = ckpts[-1]
-            ck_paths = list(self.checkpoint_paths(ck))
+        ck, ck_paths, commit_paths = self._log_segment_paths(version)
+        if ck_paths:
             top = spark.read.parquet(*ck_paths)
-            if "sidecar" in top.columns:
-                refs = [r["path"] for r in
-                        top.select("sidecar.path").dropna().collect()]
-                if refs:
-                    ck_paths += [os.path.join(self.log_path, SIDECAR_DIR, p)
-                                 for p in refs]
-                    top = spark.read.parquet(*ck_paths)
             sources.append(norm(top, F.lit(ck).cast("long")))
-            start = ck + 1
-        commit_paths = [self.commit_source(v)
-                        for v in range(start, version + 1)]
         if commit_paths:
             cj = spark.read.json(commit_paths, schema=target)
             ver = F.regexp_extract(
