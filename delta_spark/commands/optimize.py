@@ -121,20 +121,27 @@ def _rewrite_input(spark: SparkSession, snapshot, files) -> DataFrame:
 
 def _select_partitions(txn: OptimisticTransaction, partition_filter: Optional[str]):
     """Group candidate files by partition tuple, honoring the optional
-    partition predicate (OPTIMIZE ... WHERE only allows partition cols)."""
+    partition predicate (OPTIMIZE ... WHERE only allows partition cols).
+    On a distributed-planning transaction a filtered OPTIMIZE selects
+    its candidates executor-side — only the matching partitions'
+    AddFiles reach the driver."""
     from delta_spark import predicates as P
 
     snapshot = txn.snapshot
     part_cols = snapshot.partition_columns
-    files = snapshot.all_files
     if partition_filter:
         ast = P.parse_predicate(partition_filter)
         refs = P.references(ast)
         if not refs <= set(part_cols):
             raise ValueError("OPTIMIZE WHERE supports partition columns only")
-        files = [f for f in files
-                 if P.eval_partition(ast, snapshot.typed_partition_values(f)) is True]
-        txn.read_predicates.append(partition_filter)
+        # distributed pre-prune, then the EXACT three-valued partition
+        # check (pruning keeps unknowns conservatively; OPTIMIZE WHERE
+        # must only rewrite partitions that definitely match)
+        files = [f for f in txn.files_for_scan(partition_filter)
+                 if P.eval_partition(
+                     ast, snapshot.typed_partition_values(f)) is True]
+    else:
+        files = snapshot.all_files
     groups: dict[tuple, list[AddFile]] = {}
     for f in files:
         key = tuple(sorted((k, v) for k, v in f.partitionValues.items()))
