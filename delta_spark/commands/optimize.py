@@ -136,10 +136,24 @@ def _select_partitions(txn: OptimisticTransaction, partition_filter: Optional[st
             raise ValueError("OPTIMIZE WHERE supports partition columns only")
         # distributed pre-prune, then the EXACT three-valued partition
         # check (pruning keeps unknowns conservatively; OPTIMIZE WHERE
-        # must only rewrite partitions that definitely match)
-        files = [f for f in txn.files_for_scan(partition_filter)
+        # must only rewrite partitions that definitely match). Read
+        # tracking is scoped to the FINAL set — recording conservative
+        # candidates would turn a concurrent delete of a non-matching
+        # file into a spurious ConcurrentDeleteReadException.
+        if txn._spark is not None and snapshot.files_unloaded:
+            from delta_spark.log import addfiles_from_state_rows
+
+            cand = addfiles_from_state_rows(
+                txn.log.files_for_scan_df(
+                    txn._spark, partition_filter,
+                    version=txn.read_version).collect())
+        else:
+            cand = snapshot.files_for_scan(partition_filter)
+        files = [f for f in cand
                  if P.eval_partition(
                      ast, snapshot.typed_partition_values(f)) is True]
+        txn.read_predicates.append(partition_filter)
+        txn.read_files.update(f.path for f in files)
     else:
         files = snapshot.all_files
     groups: dict[tuple, list[AddFile]] = {}

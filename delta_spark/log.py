@@ -58,7 +58,14 @@ DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta.deletedFileRet
 DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 
 
-class ConcurrentModificationException(Exception):
+class DeltaConcurrentException(Exception):
+    """Base of every concurrency conflict (delta.exceptions base role):
+    defined here, below transaction.py in the import graph, so the
+    low-level commit-file collision can share the hierarchy users
+    catch around conflicting transactions."""
+
+
+class ConcurrentModificationException(DeltaConcurrentException):
     """A concurrent writer committed the version we tried to write."""
 
 
@@ -439,12 +446,15 @@ class DeltaLog:
     def snapshot(self) -> Snapshot:
         return self.update()
 
-    def snapshot_at(self, version: int) -> Snapshot:
-        """Time travel (SnapshotManagement.getSnapshotAt)."""
+    def check_version_exists(self, version: int) -> None:
         latest = self.latest_version()
         if version > latest or version < 0:
             raise ValueError(
                 f"Cannot time travel to version {version}; latest is {latest}")
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Time travel (SnapshotManagement.getSnapshotAt)."""
+        self.check_version_exists(version)
         return self._build_snapshot(version)
 
     def checkpointed_action_count(self) -> Optional[int]:
@@ -561,6 +571,13 @@ class DeltaLog:
         if ckpts:
             ckv = ckpts[-1]
             ck_paths = list(self.checkpoint_paths(ckv))
+            if not ck_paths:
+                # the checkpoint vanished between the two listings
+                # (concurrent cleanup): failing loudly beats silently
+                # reconstructing (and possibly re-checkpointing!) a
+                # state missing every file at or before `ckv`
+                raise FileNotFoundError(
+                    f"checkpoint {ckv} disappeared during planning")
             for p in list(ck_paths):
                 if "sidecar" not in pq.read_schema(p).names:
                     continue

@@ -130,29 +130,22 @@ def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "media_id") -> DataFrame:
     """Image resize stage: the Spark-side plumbing (Arrow-batched
     mapInPandas, one output row per input, typed payload+dims schema)
-    is real; the pixel transform delegates to `decode_image`, which is
-    the documented codec stub in this environment — payloads pass
-    through unchanged with `resized=false` so the pipeline shape can be
-    tested end-to-end, and a real deployment plugs PIL/torchvision into
-    `decode_image` to flip it to a true resample."""
+    is real; the pixel transform itself is the documented codec stub in
+    this environment. Payloads ALWAYS pass through unchanged with
+    `resized=false` — never a false claim of resampled dims — and a
+    real deployment replaces `kernel`'s passthrough with an actual
+    decode→resample→encode (PIL/torchvision); corrupt payloads must
+    stay passthrough-false rather than failing the task."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payload, out_resized = [], []
-            for p in pdf[payload_col]:
-                b = bytes(p) if p is not None else b""
-                try:
-                    decode_image(b)
-                    out_payload.append(b)   # pragma: no cover (codec-less env)
-                    out_resized.append(True)
-                except NotImplementedError:
-                    out_payload.append(b)
-                    out_resized.append(False)
+            out_payload = [bytes(p) if p is not None else b""
+                           for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
                 "payload": out_payload,
                 "width": width,
                 "height": height,
-                "resized": out_resized,
+                "resized": False,
             })
 
     return df.mapInPandas(kernel, RESIZED_SCHEMA)

@@ -192,10 +192,7 @@ class DeltaTable:
         if self._plan_distributed():
             from delta_spark.reader import read_snapshot_distributed
 
-            latest = self.log.latest_version()
-            if version > latest or version < 0:
-                raise ValueError(f"Cannot time travel to version {version}; "
-                                 f"latest is {latest}")
+            self.log.check_version_exists(version)
             return read_snapshot_distributed(self.spark, self.log,
                                              version=version)
         return read_snapshot(self.spark, self.log.snapshot_at(version))

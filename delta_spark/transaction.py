@@ -35,7 +35,11 @@ from delta_spark.actions import (
     SetTransaction,
     action_to_json_line,
 )
-from delta_spark.log import ConcurrentModificationException, DeltaLog
+from delta_spark.log import (
+    ConcurrentModificationException,
+    DeltaConcurrentException,
+    DeltaLog,
+)
 from delta_spark.snapshot import Snapshot
 from delta_spark.stats import parse_stats_view
 from delta_spark.util import current_time_millis
@@ -45,8 +49,6 @@ WRITE_SERIALIZABLE = "WriteSerializable"
 SNAPSHOT_ISOLATION = "SnapshotIsolation"
 
 
-class DeltaConcurrentException(Exception):
-    pass
 
 
 class ProtocolChangedException(DeltaConcurrentException):
