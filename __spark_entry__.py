@@ -795,7 +795,7 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-hash bands: miss probability ≤ (1-τ)^32 ≈ 2e-10 per pair),
     so the brute-force oracle matches at every scale — verified
     hash-equal at sf0.001/0.01/0.1."""
-    from delta_spark.ops.dedup import dedup_exact, jaccard_pairs, minhash_lsh_pairs
+    from delta_spark.ops.dedup import dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash
     docs = _docs(spark, sf_dir)
     planted = docs.filter("doc_id % 5 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
     exact = dedup_exact(docs.unionByName(planted)).selectExpr(
@@ -806,12 +806,55 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_lsh_pairs(docs, threshold=0.5, k=32, bands=32,
                            independent=True).selectExpr(
         "'minhash_lsh' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
-    return exact.unionByName(jac).unionByName(mh)
+    sh = simhash(docs, bits=32).selectExpr(
+        "'simhash' AS variant", "doc_id AS id_a",
+        "CAST(NULL AS BIGINT) AS id_b", "CAST(simhash AS DOUBLE) AS score")
+    return exact.unionByName(jac).unionByName(mh).unionByName(sh)
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_spark.ops.dedup import simhash
-    return simhash(_docs(spark, sf_dir), bits=32)
+def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly composite (ops/pipeline.py) under one
+    driver-gate row: deterministic md5-hash split counts, benchmark
+    decontamination victims, and sequence-packing invariants.
+
+    - `split`: per-split (count, sum of ids) with the engine-portable
+      md5 bucketing — DuckDB assigns the identical split per doc, so
+      this is an exact cross-engine equality check of split membership.
+    - `decontam`: one row per document dropped for sharing an 8-gram
+      with the planted benchmark slice (doc_id % 97 = 0); the oracle
+      recomputes the overlap with string n-grams (no hashing).
+    - `pack`: distribution-invariant facts of `pack_sequences` — every
+      doc packed exactly once (count + token sum conservation) and no
+      multi-doc pack over budget — checked exactly, since pack
+      *composition* legitimately varies with partitioning."""
+    from delta_spark.ops.pipeline import decontaminate, pack_sequences, split_dataset
+    from delta_spark.ops.text import text_stats
+    docs = _docs(spark, sf_dir)
+    # weights accumulate to exactly-representable doubles (0.75, 0.875)
+    # so the oracle's literal thresholds are bit-identical
+    split = (split_dataset(docs, weights={"train": 0.75, "val": 0.125, "test": 0.125},
+                           hash_method="md5")
+             .groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s"))
+             .selectExpr("'split' AS variant", "split AS k", "n",
+                         "CAST(s AS DOUBLE) AS v"))
+    bench = docs.filter("doc_id % 97 = 0").select("text")
+    kept = decontaminate(docs, bench, n=8)
+    removed = (docs.join(kept, "doc_id", "left_anti")
+               .selectExpr("'decontam' AS variant", "CAST(doc_id AS STRING) AS k",
+                           "CAST(1 AS BIGINT) AS n", "CAST(doc_id AS DOUBLE) AS v"))
+    toks = text_stats(docs).select("doc_id", F.col("n_tokens_bpe_ish").alias("n_tokens"))
+    packs = pack_sequences(toks, max_tokens=1024)
+    pack_inv = packs.agg(
+        F.sum(F.size("doc_ids")).alias("docs"),
+        F.sum("total_tokens").alias("tok"),
+        F.sum(F.when((F.col("total_tokens") > 1024) & (F.size("doc_ids") > 1),
+                     F.lit(1)).otherwise(F.lit(0))).alias("viol"),
+    ).selectExpr(
+        "stack(2, 'docs_packed', docs, CAST(tok AS DOUBLE),"
+        "         'overflow_packs', viol, CAST(0.0 AS DOUBLE)) AS (k, n, v)"
+    ).selectExpr("'pack' AS variant", "k", "n", "v")
+    return split.unionByName(removed).unionByName(pack_inv)
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -905,7 +948,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_update": q_delta_update,
         # pipeline ops that were never reached when the driver's gate
         # truncated on time — run them early so they always get a row
-        "dedup_simhash": q_dedup_simhash,
+        "pipeline_suite": q_pipeline_suite,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf": q_ann_ivf,
@@ -954,7 +997,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # oracles (DuckDB SQL on the raw parquet views)
 # ---------------------------------------------------------------------------
 
-_DEDUP_SUITE_ORACLE = r"""
+def _dedup_suite_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits))
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return rf"""
 WITH sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -965,7 +1013,11 @@ pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
 jac AS (SELECT ia, ib, common * 1.0 / (ca.c + cb.c - common) AS rawj,
                round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
-        FROM pairs JOIN card ca ON ca.doc_id = ia JOIN card cb ON cb.doc_id = ib)
+        FROM pairs JOIN card ca ON ca.doc_id = ia JOIN card cb ON cb.doc_id = ib),
+simw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+         FROM documents),
+simh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM simw),
+sims AS (SELECT doc_id, {sums} FROM simh GROUP BY doc_id)
 SELECT 'exact' AS variant, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
        CAST(n_chars AS DOUBLE) AS score
 FROM documents
@@ -974,6 +1026,38 @@ UNION ALL
 SELECT 'jaccard', ia, ib, CAST(jaccard AS DOUBLE) FROM jac WHERE rawj >= 0.2
 UNION ALL
 SELECT 'minhash_lsh', ia, ib, CAST(jaccard AS DOUBLE) FROM jac WHERE rawj >= 0.5
+UNION ALL
+SELECT 'simhash', doc_id, CAST(NULL AS BIGINT), CAST({assemble} AS DOUBLE) FROM sims
+"""
+
+
+_PIPELINE_SUITE_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents),
+s AS (SELECT doc_id, CASE WHEN u < 0.75 THEN 'train'
+                          WHEN u < 0.875 THEN 'val'
+                          ELSE 'test' END AS split FROM u),
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                             i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM w),
+g8 AS (SELECT DISTINCT doc_id, gram FROM g WHERE len(string_split(gram, ' ')) = 8),
+bg AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 97 = 0),
+victims AS (SELECT DISTINCT doc_id FROM g8 WHERE gram IN (SELECT gram FROM bg)),
+tok AS (SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        FROM documents WHERE text IS NOT NULL)
+SELECT 'split' AS variant, split AS k, count(*) AS n, CAST(sum(doc_id) AS DOUBLE) AS v
+FROM s GROUP BY split
+UNION ALL
+SELECT 'decontam', CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), CAST(doc_id AS DOUBLE)
+FROM victims
+UNION ALL
+SELECT 'pack', 'docs_packed', count(*), CAST(sum(n_tok) AS DOUBLE) FROM tok
+UNION ALL
+SELECT 'pack', 'overflow_packs', 0, 0.0
 """
 
 
@@ -1012,18 +1096,6 @@ SELECT doc_id, round(
                   / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 4.0, 1.0)
   + 0.15 * (1.0 - least((len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)) * 5.0, 1.0))
 , 6) AS quality FROM documents"""
-
-
-def _simhash_oracle(bits: int = 32) -> str:
-    sums = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits))
-    assemble = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
-    return rf"""
-WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
-s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, {assemble} AS simhash FROM s"""
 
 
 _QCOS = ("round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
@@ -1296,8 +1368,8 @@ def oracle_sql() -> dict[str, str]:
             q AS ({_quality_oracle()})
             SELECT s.*, q.quality FROM s JOIN q ON s.doc_id = q.doc_id""",
         "text_langid_fingerprint": _langid_fingerprint_oracle(),
-        "dedup_suite": _DEDUP_SUITE_ORACLE,
-        "dedup_simhash": _simhash_oracle(32),
+        "dedup_suite": _dedup_suite_oracle(32),
+        "pipeline_suite": _PIPELINE_SUITE_ORACLE,
         "knn_cosine": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
                        FROM embeddings),

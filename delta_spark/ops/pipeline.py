@@ -28,16 +28,33 @@ from pyspark.sql import DataFrame, functions as F
 
 def split_dataset(df: DataFrame, id_col: str = "doc_id",
                   weights: Optional[dict[str, float]] = None,
-                  seed: int = 0) -> DataFrame:
+                  seed: int = 0, hash_method: str = "xxhash64") -> DataFrame:
     """Deterministic hash split: adds a `split` column ('train'/'val'/
     'test' by default). Membership depends only on (id, seed) — stable
     under corpus growth, re-sharding, and re-runs, unlike `randomSplit`
-    (which reshuffles every execution plan change)."""
+    (which reshuffles every execution plan change).
+
+    ``hash_method``: 'xxhash64' (default — one JVM-side hash, fastest)
+    or 'md5' — the engine-portable variant: any engine with md5
+    (DuckDB, Trino, Spark) assigns the identical split, so a corpus
+    split here can be reproduced or audited outside Spark bit-for-bit.
+    """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     total = sum(weights.values())
     # bucket in [0, 1) from the 64-bit hash
-    u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
-         / F.lit(float(2 ** 63)) + F.lit(1.0)) / F.lit(2.0)
+    if hash_method == "md5":
+        # top 60 bits of md5(id || ':' || seed): both Spark and DuckDB
+        # parse 15 hex chars into the same BIGINT and round the same
+        # way on the double divide
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f":{seed}"))), 1, 15), 16, 10).cast("bigint")
+        u = h.cast("double") / F.lit(float(2 ** 60))
+    elif hash_method == "xxhash64":
+        u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+             / F.lit(float(2 ** 63)) + F.lit(1.0)) / F.lit(2.0)
+    else:
+        raise ValueError(f"unknown hash_method: {hash_method!r}")
     expr = None
     acc = 0.0
     items = list(weights.items())

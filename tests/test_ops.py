@@ -264,6 +264,31 @@ def test_split_dataset_deterministic_and_stable(spark, docs):
     assert set(by) <= {"train", "val", "test"}
 
 
+def test_split_dataset_md5_portable(spark, docs):
+    """The md5 hash mode must reproduce bit-identically in another
+    engine — here DuckDB recomputes the split from the same formula."""
+    import duckdb
+    import pytest
+
+    from delta_spark.ops.pipeline import split_dataset
+
+    s = split_dataset(docs.limit(200), weights={"train": 0.75, "val": 0.125,
+                                                "test": 0.125},
+                      seed=3, hash_method="md5")
+    ours = {r["doc_id"]: r["split"] for r in s.select("doc_id", "split").collect()}
+    ids = list(ours)
+    theirs = dict(duckdb.sql(f"""
+        SELECT doc_id, CASE WHEN u < 0.75 THEN 'train'
+                            WHEN u < 0.875 THEN 'val' ELSE 'test' END
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS u
+              FROM (SELECT unnest({ids}::BIGINT[]) AS doc_id))""").fetchall())
+    assert ours == theirs
+    with pytest.raises(ValueError):
+        split_dataset(docs, hash_method="sha9000")
+
+
 def test_decontaminate_drops_only_overlapping(spark):
     from delta_spark.ops.pipeline import decontaminate
 
