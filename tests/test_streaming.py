@@ -416,3 +416,116 @@ def test_streaming_source_after_rename(spark, tmp_table, sf_dir, tmp_path):
         F.count(F.lit(1)), F.sum("value")).collect()[0]
     assert out["c"] == want[0]
     assert abs(out["s"] - want[1]) < 1e-6
+
+
+# ------------------------------------------------- streaming transforms ----
+
+def _drain(stream_df, sink, ckpt):
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    q.processAllAvailable()
+    return q
+
+
+def test_windowed_rollup_late_data(spark, tmp_table, sf_dir, tmp_path):
+    """Watermarked tumbling windows over the delta source: windows
+    finalize (append-emit) once the watermark passes, and rows later
+    than the watermark are dropped."""
+    from delta_spark.ops.stream_ops import windowed_rollup
+
+    events = load_table(spark, sf_dir, "events").filter("user_id < 8") \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    write_delta(events, tmp_table)
+
+    got = []
+    rolled = windowed_rollup(read_stream(spark, tmp_table),
+                             window="1 hour", watermark="2 hours")
+    q = _drain(rolled, lambda df, _b: got.extend(df.collect()),
+               str(tmp_path / "ck_roll"))
+    # sentinel far past every real event pushes the watermark beyond
+    # all real windows; they must all finalize and emit exactly once
+    sentinel = spark.sql("""
+        SELECT CAST(9e9 AS BIGINT) AS event_id,
+               TIMESTAMP '2030-01-01 00:00:00' AS ts,
+               CAST(999999 AS BIGINT) AS user_id,
+               'sentinel' AS event_type, CAST(0.0 AS DOUBLE) AS value""")
+    write_delta(sentinel, tmp_table, mode="append")
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(60)
+
+    want = {(r["ws"], r["event_type"]): (r["n"], r["total"]) for r in
+            events.selectExpr("date_trunc('HOUR', ts) AS ws", "event_type", "value")
+            .groupBy("ws", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()}
+    emitted = {(r["window_start"], r["event_type"]): (r["n"], r["total"])
+               for r in got if r["event_type"] != "sentinel"}
+    assert set(emitted) == set(want)
+    for k, (n, tot) in emitted.items():
+        assert n == want[k][0]
+        assert abs(tot - want[k][1]) < 1e-6
+
+
+def test_streaming_dedup_across_batches(spark, tmp_table, sf_dir, tmp_path):
+    """dropDuplicates state spans microbatches: a re-delivered event in
+    a later commit is dropped."""
+    from delta_spark.ops.stream_ops import streaming_dedup
+
+    base = load_table(spark, sf_dir, "events").filter("user_id < 4") \
+        .select("event_id", "ts", "user_id", "value").limit(50).cache()
+    write_delta(base, tmp_table)
+
+    got = []
+    dd = streaming_dedup(read_stream(spark, tmp_table), watermark="10 hours")
+    q = _drain(dd, lambda df, _b: got.extend(df.collect()),
+               str(tmp_path / "ck_dd"))
+    n1 = len(got)
+    # redeliver 20 of the same events plus nothing new
+    write_delta(base.limit(20), tmp_table, mode="append")
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(60)
+    assert n1 == base.count()
+    assert len(got) == n1  # duplicates all dropped
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_table, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: every session the watermark
+    has closed matches the batch lag-window definition exactly."""
+    from delta_spark.ops.stream_ops import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events").filter("user_id < 12") \
+        .select("event_id", "ts", "user_id").cache()
+    write_delta(events, tmp_table)
+
+    got = []
+    sess = sessionize_stream(read_stream(spark, tmp_table), gap_minutes=30)
+    q = _drain(sess, lambda df, _b: got.extend(df.collect()),
+               str(tmp_path / "ck_sess"))
+    # push the watermark past every real session's close
+    sentinel = spark.sql("""
+        SELECT CAST(9e9 AS BIGINT) AS event_id,
+               TIMESTAMP '2030-01-01 00:00:00' AS ts,
+               CAST(999999 AS BIGINT) AS user_id""")
+    write_delta(sentinel, tmp_table, mode="append")
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(60)
+
+    events.createOrReplaceTempView("sess_events")
+    want = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in spark.sql("""
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+          FROM sess_events),
+        s AS (SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid""").collect()}
+    emitted = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+               for r in got if r["user_id"] != 999999}
+    assert emitted == want
