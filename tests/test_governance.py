@@ -750,3 +750,86 @@ def test_concurrent_row_tracked_appends_no_id_collision(spark, tmp_table,
                     for f in snap.all_files)
     for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
         assert e1 <= s2  # disjoint ranges
+
+
+def test_conflict_matrix(spark, sf_dir, tmp_path):
+    """The reference's OptimisticTransactionSuite conflict matrix in one
+    table: (winner commit, loser read set, isolation) → outcome. Covers
+    the cells the targeted tests above don't: blind-append admissibility
+    per isolation level, rewrite-vs-reader, delete-read, SetTransaction /
+    DomainMetadata collisions, protocol bumps, SnapshotIsolation."""
+    from delta_spark.actions import DomainMetadata, Protocol, SetTransaction
+    from delta_spark.exceptions import (
+        ConcurrentAppendException, ConcurrentDeleteReadException,
+        ConcurrentTransactionException, DeltaConcurrentException,
+        ProtocolChangedException)
+    from delta_spark.writer import write_files
+
+    orders = _orders(spark, sf_dir)
+
+    def blind_adds(log):
+        return list(write_files(orders.limit(3), log.table_path, []))
+
+    def rewrite(log, txn):
+        # dataChange add+remove — NOT a blind append
+        f = txn.snapshot.all_files[0]
+        return blind_adds(log) + [f.remove()]
+
+    # (name, loser_read, winner_actions(log, winner_txn), loser_actions(log, loser_txn),
+    #  loser_isolation, expected exception or None)
+    cases = [
+        ("blind_append_vs_whole_read_ws",
+         "whole", lambda l, t: blind_adds(l), lambda l, t: blind_adds(l),
+         "WriteSerializable", None),
+        ("blind_append_vs_whole_read_serializable",
+         "whole", lambda l, t: blind_adds(l), lambda l, t: blind_adds(l),
+         "Serializable", ConcurrentAppendException),
+        ("blind_append_vs_matching_predicate_ws",
+         "pred", lambda l, t: blind_adds(l), lambda l, t: [],
+         "WriteSerializable", None),
+        ("rewrite_vs_whole_read",
+         "whole", rewrite, lambda l, t: [],
+         "WriteSerializable", ConcurrentAppendException),
+        # non-blind appends (winner read before writing) conflict with
+        # readers under WriteSerializable but not SnapshotIsolation;
+        # delete-read conflicts below hold at EVERY isolation level
+        ("nonblind_append_vs_snapshot_isolation_reader",
+         "whole", lambda l, t: (t.read_whole_table() or blind_adds(l)),
+         lambda l, t: [], "SnapshotIsolation", None),
+        ("nonblind_append_vs_whole_read_ws",
+         "whole", lambda l, t: (t.read_whole_table() or blind_adds(l)),
+         lambda l, t: [], "WriteSerializable", ConcurrentAppendException),
+        ("delete_of_read_file",
+         "whole", lambda l, t: [t.snapshot.all_files[0].remove()],
+         lambda l, t: [], "WriteSerializable", ConcurrentDeleteReadException),
+        ("set_transaction_same_app",
+         None, lambda l, t: [SetTransaction("app1", 7, None)],
+         lambda l, t: [SetTransaction("app1", 8, None)],
+         "WriteSerializable", ConcurrentTransactionException),
+        ("domain_metadata_same_domain",
+         None, lambda l, t: [DomainMetadata("d.x", "{}", False)],
+         lambda l, t: [DomainMetadata("d.x", '{"a":1}', False)],
+         "WriteSerializable", DeltaConcurrentException),
+        ("protocol_change_vs_any",
+         None, lambda l, t: [Protocol(1, 2)], lambda l, t: blind_adds(l),
+         "WriteSerializable", ProtocolChangedException),
+    ]
+
+    for name, read, win_fn, lose_fn, iso, expect in cases:
+        path = str(tmp_path / name)
+        write_delta(orders.limit(50), path)
+        DeltaLog.clear_cache()
+        log = DeltaLog.for_table(path)
+        loser = OptimisticTransaction(log)
+        if read == "whole":
+            loser.read_whole_table()
+        elif read == "pred":
+            loser.files_for_scan("o_orderkey IS NOT NULL")
+        winner = OptimisticTransaction(log)
+        winner.commit(win_fn(log, winner), "WINNER")
+        if expect is None:
+            v = loser.commit(lose_fn(log, loser), "LOSER", isolation_level=iso)
+            assert v == 2, name
+        else:
+            with pytest.raises(expect):
+                loser.commit(lose_fn(log, loser), "LOSER", isolation_level=iso)

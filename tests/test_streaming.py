@@ -420,7 +420,7 @@ def test_streaming_source_after_rename(spark, tmp_table, sf_dir, tmp_path):
 
 # ------------------------------------------------- streaming transforms ----
 
-def _drain(stream_df, sink, ckpt):
+def _drain_fb(stream_df, sink, ckpt):
     q = (stream_df.writeStream.foreachBatch(sink)
          .option("checkpointLocation", ckpt)
          .trigger(processingTime="0 seconds").start())
@@ -441,7 +441,7 @@ def test_windowed_rollup_late_data(spark, tmp_table, sf_dir, tmp_path):
     got = []
     rolled = windowed_rollup(read_stream(spark, tmp_table),
                              window="1 hour", watermark="2 hours")
-    q = _drain(rolled, lambda df, _b: got.extend(df.collect()),
+    q = _drain_fb(rolled, lambda df, _b: got.extend(df.collect()),
                str(tmp_path / "ck_roll"))
     # sentinel far past every real event pushes the watermark beyond
     # all real windows; they must all finalize and emit exactly once
@@ -478,7 +478,7 @@ def test_streaming_dedup_across_batches(spark, tmp_table, sf_dir, tmp_path):
 
     got = []
     dd = streaming_dedup(read_stream(spark, tmp_table), watermark="10 hours")
-    q = _drain(dd, lambda df, _b: got.extend(df.collect()),
+    q = _drain_fb(dd, lambda df, _b: got.extend(df.collect()),
                str(tmp_path / "ck_dd"))
     n1 = len(got)
     # redeliver 20 of the same events plus nothing new
@@ -500,7 +500,7 @@ def test_sessionize_stream_matches_batch(spark, tmp_table, sf_dir, tmp_path):
 
     got = []
     sess = sessionize_stream(read_stream(spark, tmp_table), gap_minutes=30)
-    q = _drain(sess, lambda df, _b: got.extend(df.collect()),
+    q = _drain_fb(sess, lambda df, _b: got.extend(df.collect()),
                str(tmp_path / "ck_sess"))
     # push the watermark past every real session's close
     sentinel = spark.sql("""
