@@ -70,7 +70,10 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
     modificationTime) — the reference's VACUUM ... USING INVENTORY.
     At 100 TB the recursive table listing dominates VACUUM cost; an
     externally-maintained inventory (e.g. S3 Inventory) replaces it,
-    and the unreferenced-file anti-join runs distributed."""
+    and the unreferenced-file anti-join runs distributed. Without an
+    inventory, tables with ≥ `delta_spark.vacuum.parallelListingThreshold`
+    top-level dirs list in parallel as a Spark job instead of a
+    driver-sequential walk."""
     snapshot = log.update()
     retention_ms = (int(retention_hours * 3600 * 1000)
                     if retention_hours is not None else log.deleted_file_retention_ms())
@@ -98,20 +101,38 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
     if inventory is not None:
         candidates = _inventory_candidates(spark, log, inventory, valid, cutoff)
     else:
-        for root, dirs, files in os.walk(log.table_path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            for name in files:
-                if name.startswith(("_", ".")):
-                    continue
-                p = os.path.normpath(os.path.join(root, name))
-                if p in valid:
-                    continue
-                try:
-                    mtime = int(os.stat(p).st_mtime * 1000)
-                except OSError:
-                    continue
-                if mtime < cutoff:
-                    candidates.append(p)
+        # partitioned tables with many top-level dirs list as a Spark
+        # job (VacuumCommand.scala's parallel listing): each executor
+        # walks one subtree; the unreferenced-file anti-join runs
+        # distributed through the same inventory path
+        seeds = [n for n in os.listdir(log.table_path)
+                 if not n.startswith(("_", "."))]
+        try:
+            par_threshold = int(spark.conf.get(
+                "delta_spark.vacuum.parallelListingThreshold", "64"))
+        except Exception:
+            par_threshold = 64
+        n_dirs = sum(1 for n in seeds
+                     if os.path.isdir(os.path.join(log.table_path, n)))
+        if n_dirs >= par_threshold:
+            candidates = _inventory_candidates(
+                spark, log, _distributed_listing(spark, log.table_path, seeds),
+                valid, cutoff)
+        else:
+            for root, dirs, files in os.walk(log.table_path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for name in files:
+                    if name.startswith(("_", ".")):
+                        continue
+                    p = os.path.normpath(os.path.join(root, name))
+                    if p in valid:
+                        continue
+                    try:
+                        mtime = int(os.stat(p).st_mtime * 1000)
+                    except OSError:
+                        continue
+                    if mtime < cutoff:
+                        candidates.append(p)
 
     # stale deletion-vector directories: reclaim DV dirs no active (or
     # retention-protected tombstoned) descriptor references
@@ -153,6 +174,41 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
     txn2.commit([], "VACUUM END", {"status": "COMPLETED"},
                 {"numDeletedFiles": str(deleted)})
     return candidates
+
+
+def _distributed_listing(spark: SparkSession, root: str, seeds: list[str]):
+    """Recursive table listing as a Spark job: each top-level entry
+    fans out to an executor that walks its subtree and emits inventory
+    rows (path, length, isDir, modificationTime). Executors must see
+    the table storage — true on a shared filesystem or object store
+    (and in local mode). At 100 TB this replaces the driver-sequential
+    walk of ~10⁵ partition dirs with one parallel stage."""
+    abs_seeds = [os.path.join(root, n) for n in seeds]
+
+    def walk(seed: str):
+        import os as _os
+        try:
+            if _os.path.isfile(seed):
+                st = _os.stat(seed)
+                yield (seed, st.st_size, False, int(st.st_mtime * 1000))
+                return
+        except OSError:
+            return
+        for r, dirs, files in _os.walk(seed):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in files:
+                p = _os.path.join(r, n)
+                try:
+                    st = _os.stat(p)
+                except OSError:
+                    continue
+                yield (p, st.st_size, False, int(st.st_mtime * 1000))
+
+    rdd = (spark.sparkContext
+           .parallelize(abs_seeds, max(1, min(len(abs_seeds), 256)))
+           .flatMap(walk))
+    return spark.createDataFrame(
+        rdd, "path string, length long, isDir boolean, modificationTime long")
 
 
 def _inventory_candidates(spark: SparkSession, log: DeltaLog, inventory,

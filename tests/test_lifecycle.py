@@ -394,3 +394,29 @@ def test_minor_log_compaction(spark, tmp_table, sf_dir):
     assert not _glob.glob(os.path.join(tmp_table, "_delta_log",
                                        "*.compacted.json"))
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == expect + 5
+
+
+def test_vacuum_parallel_listing_matches_sequential(spark, tmp_table, sf_dir):
+    """Above the top-level-dir threshold VACUUM lists as a Spark job;
+    its dry-run victim set must equal the driver-walk's."""
+    from delta_spark.commands.maintenance import vacuum
+
+    orders = load_table(spark, sf_dir, "orders").limit(500) \
+        .withColumn("bucket", F.col("o_orderkey") % 70)
+    write_delta(orders, tmp_table, partition_by=["bucket"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("o_orderkey % 3 = 0")  # rewrite → tombstoned originals
+    log = DeltaLog.for_table(tmp_table)
+
+    spark.conf.set("delta_spark.vacuum.parallelListingThreshold", "10000")
+    seq = sorted(vacuum(spark, log, retention_hours=0, dry_run=True))
+    spark.conf.set("delta_spark.vacuum.parallelListingThreshold", "4")
+    par = sorted(vacuum(spark, log, retention_hours=0, dry_run=True))
+    assert par == seq and len(par) > 0
+
+    # and the destructive run actually reclaims them
+    vacuum(spark, log, retention_hours=0)
+    import os as _os
+    assert all(not _os.path.exists(p) for p in par)
+    assert dt.toDF().count() == orders.filter("o_orderkey % 3 <> 0").count()
+    spark.conf.unset("delta_spark.vacuum.parallelListingThreshold")
