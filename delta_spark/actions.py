@@ -42,6 +42,74 @@ class Protocol:
         return {"protocol": _drop_none(asdict(self))}
 
 
+# ------------------------------------------------------ client gating ----
+# Table features this engine implements (TableFeature.scala:550-1457,
+# PROTOCOL.md "Reader Requirements"/"Writer Requirements"): clients MUST
+# fail closed on a protocol they don't fully understand — reading past
+# an unknown reader feature risks wrong results (e.g. ignoring deletion
+# vectors), writing past an unknown writer feature corrupts the table.
+
+MAX_READER_VERSION = 3
+MAX_WRITER_VERSION = 7
+
+SUPPORTED_READER_FEATURES = frozenset({
+    "deletionVectors", "columnMapping", "timestampNtz",
+    "typeWidening", "typeWidening-preview",
+    "variantType", "variantType-preview", "variantShredding",
+    "v2Checkpoint", "vacuumProtocolCheck",
+    # engine-local non-standard DV encoding (fail-closed marker for
+    # external readers; we of course read it ourselves)
+    "delta-spark.dvParquetSidecar",
+})
+
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "allowColumnDefaults", "changeDataFeed", "identityColumns",
+    "rowTracking", "domainMetadata", "icebergCompatV1", "icebergCompatV2",
+    "inCommitTimestamp", "clustering", "checkpointProtection",
+    "coordinatedCommits-preview", "coordinatedCommits",
+}
+
+
+class InvalidProtocolVersionException(Exception):
+    """The table requires a newer protocol version than this client."""
+
+
+class UnsupportedTableFeatureException(Exception):
+    """The table requires a feature this client does not implement."""
+
+
+def check_read_protocol(p: Optional["Protocol"]) -> None:
+    """Reader gate (Protocol action semantics, actions.scala:232)."""
+    if p is None:
+        return
+    if p.minReaderVersion > MAX_READER_VERSION:
+        raise InvalidProtocolVersionException(
+            f"table requires reader version {p.minReaderVersion}; "
+            f"this client supports up to {MAX_READER_VERSION}")
+    unknown = set(p.readerFeatures or []) - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureException(
+            f"table requires reader features {sorted(unknown)} "
+            "this client does not implement")
+
+
+def check_write_protocol(p: Optional["Protocol"]) -> None:
+    """Writer gate — a writer must also satisfy the reader gate."""
+    if p is None:
+        return
+    check_read_protocol(p)
+    if p.minWriterVersion > MAX_WRITER_VERSION:
+        raise InvalidProtocolVersionException(
+            f"table requires writer version {p.minWriterVersion}; "
+            f"this client supports up to {MAX_WRITER_VERSION}")
+    unknown = set(p.writerFeatures or []) - SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureException(
+            f"table requires writer features {sorted(unknown)} "
+            "this client does not implement")
+
+
 @dataclass
 class Format:
     provider: str = "parquet"

@@ -5,6 +5,10 @@ classes raised by ``delta_spark.transaction``'s conflict checker, plus
 ``ConcurrentWriteException`` as the reference-named alias of the
 low-level commit-file collision."""
 
+from delta_spark.actions import (
+    InvalidProtocolVersionException,
+    UnsupportedTableFeatureException,
+)
 from delta_spark.log import (
     ConcurrentModificationException as ConcurrentWriteException,
 )
@@ -27,4 +31,6 @@ __all__ = [
     "ConcurrentDeleteReadException",
     "ConcurrentDeleteDeleteException",
     "ConcurrentTransactionException",
+    "InvalidProtocolVersionException",
+    "UnsupportedTableFeatureException",
 ]

@@ -419,7 +419,10 @@ class DeltaLog:
 
     def update(self) -> Snapshot:
         """List new log files and advance the cached snapshot
-        (SnapshotManagement.update)."""
+        (SnapshotManagement.update). Fails closed on a protocol this
+        client cannot read (actions.check_read_protocol)."""
+        from delta_spark.actions import check_read_protocol
+
         with self._lock:
             latest = self.latest_version()
             if latest < 0:
@@ -433,13 +436,16 @@ class DeltaLog:
                     snap = self._snapshot.clone_state()
                     self._apply_commit_range(snap, snap.version + 1, latest)
                     snap.timestamp = self._commit_timestamp(latest)
+                    check_read_protocol(snap.protocol)
                     self._snapshot = snap
                     return snap
                 except ValueError:
                     # a commit json in the gap was removed by log cleanup
                     # (only a checkpoint covers it) → full rebuild below
                     pass
-            self._snapshot = self._build_snapshot(latest)
+            snap = self._build_snapshot(latest)
+            check_read_protocol(snap.protocol)  # BEFORE caching
+            self._snapshot = snap
             return self._snapshot
 
     @property
@@ -454,8 +460,12 @@ class DeltaLog:
 
     def snapshot_at(self, version: int) -> Snapshot:
         """Time travel (SnapshotManagement.getSnapshotAt)."""
+        from delta_spark.actions import check_read_protocol
+
         self.check_version_exists(version)
-        return self._build_snapshot(version)
+        snap = self._build_snapshot(version)
+        check_read_protocol(snap.protocol)
+        return snap
 
     def checkpointed_action_count(self) -> Optional[int]:
         """Action count recorded in ``_last_checkpoint`` ("size",
@@ -516,6 +526,9 @@ class DeltaLog:
             snap._files_loaded = False
             snap._hydrator = (lambda v=version: addfiles_from_state_rows(
                 self.state_df(spark, v).collect()))
+        from delta_spark.actions import check_read_protocol
+
+        check_read_protocol(snap.protocol)
         return snap
 
     def _build_snapshot(self, version: int) -> Snapshot:
@@ -1372,6 +1385,22 @@ class DeltaLog:
         if not checkpoints:
             return 0
         ceiling = checkpoints[-1]  # never delete at/after the newest checkpoint
+        # checkpointProtection (PROTOCOL.md): metadata below the barrier
+        # may only go away if the surviving checkpoint sits at/after it —
+        # write one at the latest version first, or skip cleanup
+        try:
+            barrier = int(self.update().configuration.get(
+                "delta.requireCheckpointProtectionBeforeVersion", "0"))
+        except (ValueError, TypeError):
+            barrier = 0
+        if barrier > ceiling:
+            snap = self.update()
+            if snap.version >= barrier - 1:
+                self.write_checkpoint(snap)
+                checkpoints = self.list_checkpoint_versions()
+                ceiling = checkpoints[-1]
+            if ceiling < barrier:
+                return 0
         deleted = 0
         for v in self.list_commit_versions():
             if v >= ceiling:

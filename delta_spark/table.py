@@ -358,12 +358,14 @@ class DeltaTable:
     # each supported feature
     _READER_WRITER_FEATURES = {"deletionVectors", "typeWidening",
                                "variantType", "columnMapping",
-                               "timestampNtz", "v2Checkpoint"}
+                               "timestampNtz", "v2Checkpoint",
+                               "vacuumProtocolCheck"}
     _WRITER_FEATURES = {"appendOnly", "invariants", "checkConstraints",
                         "generatedColumns", "changeDataFeed",
                         "identityColumns", "rowTracking",
                         "domainMetadata", "icebergCompatV2",
-                        "inCommitTimestamp", "clustering"}
+                        "inCommitTimestamp", "clustering",
+                        "checkpointProtection"}
 
     def addFeatureSupport(self, feature_name: str) -> int:
         """io.delta.tables addFeatureSupport (python tables.py:608):
@@ -422,6 +424,7 @@ class DeltaTable:
         else:
             raise ValueError(f"dropping feature {name!r} is not supported")
 
+        truncated = False
         if name in self._DROPPABLE_READER_WRITER:
             if not truncate_history:
                 raise ValueError(
@@ -434,17 +437,41 @@ class DeltaTable:
             self.log.cleanup_expired_logs(
                 now_ms=current_time_millis()
                 + self.log.log_retention_ms() + 60_000)
+            truncated = True
 
         txn = OptimisticTransaction(self.log)
         p = txn.snapshot.protocol
         rf = [f for f in (p.readerFeatures or []) if f != name] or None
         wf = [f for f in (p.writerFeatures or []) if f != name] or None
+        actions: list = []
+        if truncated:
+            # CheckpointProtectionTableFeature: after TRUNCATE HISTORY
+            # the table keeps the checkpointProtection writer feature
+            # and records the barrier — other writers must not clean up
+            # metadata below it unless their surviving checkpoint sits
+            # at/after the barrier (PreDowngradeTableFeatureCommand's
+            # downgrade path)
+            barrier = txn.snapshot.version + 1  # the downgrade commit
+            wf = sorted(set(wf or []) | {"checkpointProtection"})
+            m = txn.metadata
+            from delta_spark.actions import Metadata as _Meta
+            actions.append(_Meta(
+                id=m.id, name=m.name, description=m.description,
+                schemaString=m.schemaString,
+                partitionColumns=m.partitionColumns,
+                configuration={
+                    **m.configuration,
+                    "delta.requireCheckpointProtectionBeforeVersion":
+                        str(barrier)},
+                createdTime=m.createdTime))
         if rf is None and wf is None:
             mr, mw = self._legacy_protocol_versions(txn.snapshot)
         else:
-            mr, mw = p.minReaderVersion, p.minWriterVersion
-        return txn.commit([Protocol(mr, mw, rf, wf)], "DROP FEATURE",
-                          {"featureName": name})
+            mr = (p.minReaderVersion if rf is not None
+                  else self._legacy_protocol_versions(txn.snapshot)[0])
+            mw = 7 if wf is not None else p.minWriterVersion
+        actions.append(Protocol(mr, mw, rf, wf))
+        return txn.commit(actions, "DROP FEATURE", {"featureName": name})
 
     def _legacy_protocol_versions(self, snap) -> tuple[int, int]:
         """Minimal legacy protocol once no table features remain."""

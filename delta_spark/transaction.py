@@ -136,6 +136,11 @@ class OptimisticTransaction:
         Returns the committed version."""
         if self._committed:
             raise RuntimeError("transaction already committed")
+        from delta_spark.actions import check_write_protocol
+
+        # writer gate (PROTOCOL.md Writer Requirements): never commit to
+        # a table whose protocol demands features we don't implement
+        check_write_protocol(self.snapshot.protocol)
         actions = list(actions)
         self._validate(actions)
 
