@@ -35,7 +35,14 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
     """VACUUM LITE (DeltaSqlBase.g4:75): reclaim using the log's own
     tombstones instead of listing the table tree — O(tombstones), for
     object stores where recursive listing is the dominant cost."""
+    from delta_spark.actions import check_write_protocol
+
     snapshot = log.update()
+    if not dry_run:
+        # destructive maintenance is a WRITE-side operation (the point
+        # of vacuumProtocolCheck): never reclaim on a table whose
+        # writer features we don't implement
+        check_write_protocol(snapshot.protocol)
     retention_ms = (int(retention_hours * 3600 * 1000)
                     if retention_hours is not None else log.deleted_file_retention_ms())
     cutoff = current_time_millis() - retention_ms
@@ -75,6 +82,13 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
     top-level dirs list in parallel as a Spark job instead of a
     driver-sequential walk."""
     snapshot = log.update()
+    if not dry_run:
+        # writer gate up front (vacuumProtocolCheck's purpose): the
+        # VACUUM START commit would refuse anyway, but only after the
+        # full listing ran
+        from delta_spark.actions import check_write_protocol
+
+        check_write_protocol(snapshot.protocol)
     retention_ms = (int(retention_hours * 3600 * 1000)
                     if retention_hours is not None else log.deleted_file_retention_ms())
     if retention_hours is not None and retention_ms < 0:

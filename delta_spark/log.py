@@ -1380,22 +1380,27 @@ class DeltaLog:
         than the log retention window, provided a newer checkpoint can
         serve every remaining version. Returns #files deleted."""
         now = now_ms if now_ms is not None else current_time_millis()
-        cutoff = now - self.log_retention_ms()
         checkpoints = self.list_checkpoint_versions()
         if not checkpoints:
             return 0
         ceiling = checkpoints[-1]  # never delete at/after the newest checkpoint
+        # one snapshot serves retention config, the protection barrier,
+        # and (if needed) the barrier checkpoint
+        snap = self.update()
+        retention = parse_interval_ms(
+            snap.configuration.get("delta.logRetentionDuration") or "")
+        cutoff = now - (retention if retention is not None
+                        else DEFAULT_LOG_RETENTION_MS)
         # checkpointProtection (PROTOCOL.md): metadata below the barrier
         # may only go away if the surviving checkpoint sits at/after it —
         # write one at the latest version first, or skip cleanup
         try:
-            barrier = int(self.update().configuration.get(
+            barrier = int(snap.configuration.get(
                 "delta.requireCheckpointProtectionBeforeVersion", "0"))
         except (ValueError, TypeError):
             barrier = 0
         if barrier > ceiling:
-            snap = self.update()
-            if snap.version >= barrier - 1:
+            if snap.version >= barrier:
                 self.write_checkpoint(snap)
                 checkpoints = self.list_checkpoint_versions()
                 ceiling = checkpoints[-1]

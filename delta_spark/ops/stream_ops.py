@@ -63,11 +63,13 @@ def windowed_rollup(stream: DataFrame, ts_col: str = "ts",
 def streaming_dedup(stream: DataFrame, id_cols: tuple[str, ...] = ("event_id",),
                     ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event admission: drop re-deliveries of the same id
-    within the watermark horizon (`dropDuplicates` keyed state expires
-    with the watermark — without it state grows forever)."""
+    within the watermark horizon. `dropDuplicatesWithinWatermark` keys
+    state on the ids ALONE (a retry restamped with a slightly different
+    timestamp is still a duplicate) and expires it with the watermark —
+    plain `dropDuplicates` on ids would grow state forever."""
     return (_as_event_time(stream, ts_col)
             .withWatermark(ts_col, watermark)
-            .dropDuplicates([*id_cols, ts_col]))
+            .dropDuplicatesWithinWatermark(list(id_cols)))
 
 
 _SESSION_OUT = StructType([
@@ -123,13 +125,43 @@ def sessionize_stream(stream: DataFrame, user_col: str = "user_id",
         if state.exists:
             start_us, last_us, n = state.get
         else:
-            start_us, last_us, n = us[0], us[0], 0
-        for t in us:
+            start_us = last_us = None
+            n = 0
+        # In-watermark late arrivals BEFORE the open session follow the
+        # batch lag-window semantics exactly: chain among themselves by
+        # the gap rule; the final chain joins the open session only if
+        # it reaches within `gap` of its start, else it closes on its
+        # own. Arrivals INSIDE the open span always merge — consecutive
+        # open-session events are ≤ gap apart, so every interior point
+        # is within gap of one of them.
+        if start_us is not None:
+            pre = [t for t in us if t < start_us]
+            n += sum(1 for t in us if start_us <= t <= last_us)
+            post = [t for t in us if t > last_us]
+            if pre:
+                cs = cl = pre[0]
+                cn = 1
+                for t in pre[1:]:
+                    if t - cl > gap_us:
+                        sessions.append((cs, cl, cn))
+                        cs, cn = t, 0
+                    cl = t
+                    cn += 1
+                if start_us - cl <= gap_us:
+                    start_us, n = cs, n + cn  # chain joins the session
+                else:
+                    sessions.append((cs, cl, cn))
+        else:
+            post = us
+        for t in post:
+            if start_us is None:
+                start_us = last_us = t
+                n = 1
+                continue
             if t - last_us > gap_us:
                 sessions.append((start_us, last_us, n))
                 start_us, n = t, 0
-            start_us = min(start_us, t)  # in-watermark late arrival
-            last_us = max(last_us, t)
+            last_us = t
             n += 1
         state.update((start_us, last_us, n))
         # close the open session when the watermark passes its gap; the

@@ -451,19 +451,15 @@ class DeltaTable:
             # metadata below it unless their surviving checkpoint sits
             # at/after the barrier (PreDowngradeTableFeatureCommand's
             # downgrade path)
+            import dataclasses as _dc
+
             barrier = txn.snapshot.version + 1  # the downgrade commit
             wf = sorted(set(wf or []) | {"checkpointProtection"})
             m = txn.metadata
-            from delta_spark.actions import Metadata as _Meta
-            actions.append(_Meta(
-                id=m.id, name=m.name, description=m.description,
-                schemaString=m.schemaString,
-                partitionColumns=m.partitionColumns,
-                configuration={
-                    **m.configuration,
-                    "delta.requireCheckpointProtectionBeforeVersion":
-                        str(barrier)},
-                createdTime=m.createdTime))
+            actions.append(_dc.replace(m, configuration={
+                **m.configuration,
+                "delta.requireCheckpointProtectionBeforeVersion":
+                    str(barrier)}))
         if rf is None and wf is None:
             mr, mw = self._legacy_protocol_versions(txn.snapshot)
         else:
@@ -471,7 +467,14 @@ class DeltaTable:
                   else self._legacy_protocol_versions(txn.snapshot)[0])
             mw = 7 if wf is not None else p.minWriterVersion
         actions.append(Protocol(mr, mw, rf, wf))
-        return txn.commit(actions, "DROP FEATURE", {"featureName": name})
+        v = txn.commit(actions, "DROP FEATURE", {"featureName": name})
+        if truncated and v != barrier:
+            # conflict retries landed the downgrade past the recorded
+            # barrier — re-point it at the actual downgrade version so
+            # every pre-downgrade commit stays protected
+            self.setProperties(
+                {"delta.requireCheckpointProtectionBeforeVersion": str(v)})
+        return v
 
     def _legacy_protocol_versions(self, snap) -> tuple[int, int]:
         """Minimal legacy protocol once no table features remain."""

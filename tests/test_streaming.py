@@ -529,3 +529,42 @@ def test_sessionize_stream_matches_batch(spark, tmp_table, sf_dir, tmp_path):
     emitted = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
                for r in got if r["user_id"] != 999999}
     assert emitted == want
+
+
+def test_sessionize_stream_late_arrival_splits(spark, tmp_table, sf_dir, tmp_path):
+    """An in-watermark late event whose gap to the open session exceeds
+    the threshold must close as its OWN session (batch semantics), not
+    merge — and one within the gap must extend the session start."""
+    from delta_spark.ops.stream_ops import sessionize_stream
+
+    def ev(eid, ts, uid):
+        return spark.sql(f"SELECT CAST({eid} AS BIGINT) AS event_id, "
+                         f"TIMESTAMP '{ts}' AS ts, CAST({uid} AS BIGINT) AS user_id")
+
+    # open sessions: user 1 at [10:00, 10:05]; user 2 at [10:00, 10:02]
+    write_delta(ev(1, "2024-06-01 10:00:00", 1)
+                .union(ev(2, "2024-06-01 10:05:00", 1))
+                .union(ev(3, "2024-06-01 10:00:00", 2))
+                .union(ev(4, "2024-06-01 10:02:00", 2)), tmp_table)
+    got = []
+    sess = sessionize_stream(read_stream(spark, tmp_table), gap_minutes=30,
+                             watermark="10 hours")
+    q = _drain_fb(sess, lambda df, _b: got.extend(df.collect()),
+                  str(tmp_path / "ck_late"))
+    # late arrivals: user 1 at 09:10 (gap 50min > 30 → separate session);
+    # user 2 at 09:40 (gap 20min ≤ 30 → extends session start)
+    write_delta(ev(5, "2024-06-01 09:10:00", 1)
+                .union(ev(6, "2024-06-01 09:40:00", 2)), tmp_table, mode="append")
+    q.processAllAvailable()
+    # sentinel closes everything via the event-time timeout
+    write_delta(ev(7, "2030-01-01 00:00:00", 99), tmp_table, mode="append")
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(60)
+
+    out = {(r["user_id"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+           for r in got if r["user_id"] != 99}
+    assert out == {
+        (1, "2024-06-01 09:10:00", "2024-06-01 09:10:00"): 1,
+        (1, "2024-06-01 10:00:00", "2024-06-01 10:05:00"): 2,
+        (2, "2024-06-01 09:40:00", "2024-06-01 10:02:00"): 3,
+    }
