@@ -1352,9 +1352,16 @@ class DeltaLog:
                 break
         return out
 
-    def version_at_timestamp(self, ts_millis: int) -> int:
+    def version_at_timestamp(self, ts_millis: int, after: bool = False) -> int:
         """Latest commit with timestamp <= ts
-        (DeltaHistoryManager.getActiveCommitAtTime)."""
+        (DeltaHistoryManager.getActiveCommitAtTime). With ``after``,
+        the EARLIEST commit with timestamp >= ts instead — streaming's
+        startingTimestamp semantics ("changes committed at or after")."""
+        if after:
+            for v in self.list_commit_versions():
+                if self._commit_timestamp(v) >= ts_millis:
+                    return v
+            raise ValueError(f"No commit at or after timestamp {ts_millis}")
         best = None
         for v in self.list_commit_versions():
             if self._commit_timestamp(v) <= ts_millis:

@@ -181,6 +181,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._log = None
         self._meta_cache: dict[int, object] = {}
         snap = self.log.update()
+        if starting_version is None and options.get("startingtimestamp"):
+            # DeltaOptions STARTING_TIMESTAMP_OPTION: earliest commit
+            # at/after the timestamp starts the feed
+            from delta_spark.table import _to_millis
+
+            starting_version = self.log.version_at_timestamp(
+                _to_millis(options["startingtimestamp"]), after=True)
         if starting_version is not None:
             v = int(starting_version)
             # schema as of the FIRST version to be read, not the

@@ -568,3 +568,26 @@ def test_sessionize_stream_late_arrival_splits(spark, tmp_table, sf_dir, tmp_pat
         (1, "2024-06-01 10:00:00", "2024-06-01 10:05:00"): 2,
         (2, "2024-06-01 09:40:00", "2024-06-01 10:02:00"): 3,
     }
+
+
+def test_streaming_starting_timestamp(spark, tmp_table, sf_dir, tmp_path):
+    """startingTimestamp streams changes committed at/after the
+    timestamp (DeltaOptions STARTING_TIMESTAMP_OPTION), skipping the
+    initial snapshot like startingVersion."""
+    import datetime
+    import time
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    write_delta(events.limit(40), tmp_table)
+    time.sleep(1.2)
+    mark = datetime.datetime.now().isoformat()
+    time.sleep(1.2)
+    write_delta(events.limit(10), tmp_table, mode="append")
+
+    stream = read_stream(spark, tmp_table, startingTimestamp=mark)
+    q = (stream.writeStream.format("memory").queryName("m_sts")
+         .option("checkpointLocation", str(tmp_path / "ck_sts"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM m_sts").collect()[0]["c"] == 10
