@@ -57,9 +57,13 @@ def write_delta(
     configuration: Optional[dict[str, str]] = None,
     user_metadata: Optional[str] = None,
     operation: Optional[str] = None,
+    data_change: bool = True,
 ) -> Optional[int]:
     """Run one transactional write; returns the committed version (None
-    when skipped: mode=ignore on existing table, or replayed txn)."""
+    when skipped: mode=ignore on existing table, or replayed txn).
+    ``data_change=False`` (DeltaOptions DATA_CHANGE_OPTION) marks the
+    commit's file actions as rearrangement only — streaming sources
+    skip it and it qualifies for SnapshotIsolation."""
     mode = mode.lower()
     if mode not in ("append", "overwrite", "ignore", "error", "errorifexists"):
         raise ValueError(f"unknown write mode {mode!r}")
@@ -198,6 +202,7 @@ def write_delta(
     adds = write_files(out_df, log.table_path, write_part_cols,
                        indexed_cols=stats_columns(cfg),
                        num_indexed_cols=_num_indexed_cols(cfg),
+                       data_change=data_change,
                        shred_variant=str(cfg.get(
                            "delta.enableVariantShredding", "false")).lower() == "true")
 
@@ -223,10 +228,11 @@ def write_delta(
             written_parts = {tuple(sorted(a.partitionValues.items())) for a in adds}
             for f in txn.snapshot.all_files:
                 if tuple(sorted(f.partitionValues.items())) in written_parts:
-                    removes.append(f.remove())
+                    removes.append(f.remove(data_change=data_change))
             txn.read_whole_table()
         else:
-            removes = [f.remove() for f in txn.snapshot.all_files]
+            removes = [f.remove(data_change=data_change)
+                       for f in txn.snapshot.all_files]
             txn.read_whole_table()
 
     num_rows = sum(a.num_records or 0 for a in adds)

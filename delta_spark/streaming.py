@@ -173,6 +173,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_bytes = None if (mb is None or self.available_now) \
             else max(_parse_byte_size(mb), 1)
         self._pos = None  # last planned/committed end offset (admission base)
+        import re as _re
+
+        ex = options.get("excluderegex")
+        self.exclude_re = _re.compile(ex) if ex else None
+        self.fail_on_data_loss = str(
+            options.get("failondataloss", "true")).lower() != "false"
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self.ignore_deletes = str(options.get("ignoredeletes", "false")).lower() == "true"
         self.skip_change_commits = str(options.get("skipchangecommits", "false")).lower() == "true"
@@ -192,7 +198,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             v = int(starting_version)
             # schema as of the FIRST version to be read, not the
             # current one — historical commits carry their own schema
-            seed_snap = self.log.snapshot_at(min(max(v, 0), snap.version))
+            try:
+                seed_snap = self.log.snapshot_at(min(max(v, 0), snap.version))
+            except ValueError:
+                # start version reclaimed by log cleanup: data loss.
+                # failOnDataLoss=false seeds from the current schema
+                if self.fail_on_data_loss:
+                    raise
+                seed_snap = snap
             self._initial = _offset(v - 1, 1 << 62, False)  # everything from v onward
         else:
             seed_snap = snap
@@ -245,12 +258,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._pos = dict(self._initial)
         return self._initial
 
+    def _excluded(self, f: AddFile) -> bool:
+        return bool(self.exclude_re and self.exclude_re.search(f.path))
+
     def _snapshot_files(self, version: int) -> list[AddFile]:
         snap = self.log.snapshot_at(version)
-        return sorted(snap.all_files, key=lambda f: f.path)
+        return sorted((f for f in snap.all_files if not self._excluded(f)),
+                      key=lambda f: f.path)
 
     def _commit_adds(self, version: int) -> list[AddFile]:
-        actions = self.log.read_commit_actions(version)
+        try:
+            actions = self.log.read_commit_actions(version)
+        except (OSError, ValueError):
+            if not self.fail_on_data_loss:
+                # commit json reclaimed by log cleanup mid-stream:
+                # failOnDataLoss=false skips the gap instead of dying
+                # (DeltaOptions FAIL_ON_DATA_LOSS_OPTION)
+                return []
+            raise
         removes = [a for k, a in actions if k == "remove" and a.dataChange]
         adds = [a for k, a in actions if k == "add" and a.dataChange]
         # a DV-carrying add is a row-level change, not an append
@@ -275,7 +300,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"requires append-only commits; set skipChangeCommits to skip them, "
                     f"ignoreDeletes for delete-only commits, or ignoreChanges to re-emit "
                     f"rewritten files.")
-        return sorted(adds, key=lambda f: f.path)
+        return sorted((f for f in adds if not self._excluded(f)),
+                      key=lambda f: f.path)
 
     def _commit_metadata(self, v: int):
         """Metadata action of commit v (None if none) — cached, the

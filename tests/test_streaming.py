@@ -591,3 +591,63 @@ def test_streaming_starting_timestamp(spark, tmp_table, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM m_sts").collect()[0]["c"] == 10
+
+
+def test_exclude_regex_and_data_change_write(spark, tmp_table, sf_dir, tmp_path):
+    """excludeRegex drops matching files from the stream; a
+    dataChange=false rearrangement write is invisible to it."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    write_delta(events.limit(30), tmp_table, partition_by=["user_id"])
+
+    stream = read_stream(spark, tmp_table, excludeRegex=r"user_id=3/")
+    q = (stream.writeStream.format("memory").queryName("m_exc")
+         .option("checkpointLocation", str(tmp_path / "ck_exc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c, sum(CASE WHEN user_id = 3 THEN 1 ELSE 0 END) u3 FROM m_exc").collect()[0]
+    base = events.limit(30)
+    assert got["u3"] == 0
+    assert got["c"] == base.filter("user_id <> 3").count()
+
+    # dataChange=false write: a tailing stream skips the rearrangement
+    # commit but still sees a later real append
+    latest = DeltaLog.for_table(tmp_table).latest_version()
+    got = []
+    tail = read_stream(spark, tmp_table, startingVersion=str(latest + 1))
+    qt = _drain_fb(tail, lambda df, _b: got.extend(df.collect()),
+                   str(tmp_path / "ck_dc"))
+    write_delta(events.limit(5), tmp_table, mode="append", data_change=False)
+    qt.processAllAvailable()
+    assert got == []
+    write_delta(events.limit(4), tmp_table, mode="append")
+    qt.processAllAvailable()
+    qt.stop(); qt.awaitTermination(60)
+    assert len(got) == 4
+
+
+def test_fail_on_data_loss_false_skips_cleaned_gap(spark, tmp_table, sf_dir, tmp_path):
+    """A mid-backlog commit json reclaimed by log cleanup kills the
+    stream by default; failOnDataLoss=false skips the gap."""
+    import os
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    write_delta(events.limit(10), tmp_table)
+    for i in range(3):
+        write_delta(events.limit(5), tmp_table, mode="append")
+    # simulate cleanup reclaiming commit 1 (covered by a checkpoint, as
+    # real log cleanup requires)
+    log = DeltaLog.for_table(tmp_table)
+    log.write_checkpoint(log.update())
+    os.remove(os.path.join(tmp_table, "_delta_log", f"{1:020d}.json"))
+    DeltaLog.clear_cache()
+
+    stream = read_stream(spark, tmp_table, startingVersion="1",
+                         failOnDataLoss="false")
+    q = (stream.writeStream.format("memory").queryName("m_fdl")
+         .option("checkpointLocation", str(tmp_path / "ck_fdl"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # commits 2 and 3 stream; the reclaimed commit 1 is skipped
+    assert spark.sql("SELECT count(*) c FROM m_fdl").collect()[0]["c"] == 10
