@@ -267,6 +267,19 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         return spark.createDataFrame(
             [(f.name,) for f in snap.schema.fields], "col_name: string")
 
+    m = re.fullmatch(rf"(?is)\s*SHOW\s+TBLPROPERTIES\s+(?:{_PATH})"
+                     rf"(?:\s*\(\s*'?(?P<key>[^')]+?)'?\s*\))?\s*", s)
+    if m:
+        cfg = DeltaTable.forPath(spark, _path_of(m)).log.update().configuration
+        if m.group("key"):
+            k = m.group("key")
+            rows = [(k, cfg[k])] if k in cfg else []
+        else:
+            rows = sorted(cfg.items())
+        return spark.createDataFrame(rows or [("", "")],
+                                     "key: string, value: string") \
+            .filter("key <> '' OR value <> ''")
+
     m = re.fullmatch(rf"(?is)\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:{_PATH})\s+"
                      rf"(?:PARTITION\s*\((?P<pspec>[^)]*)\)\s+)?"
                      rf"(?P<q>(?:SELECT|VALUES|WITH)\s.+)", s)

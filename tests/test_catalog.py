@@ -205,3 +205,18 @@ def test_show_tables_falls_through_to_spark(spark, warehouse, sf_dir):
     df = delta_sql(spark, "SHOW TABLES")
     names = {r["tableName"] for r in df.collect()}
     assert "plain_spark_view" in names
+
+
+def test_show_tblproperties(spark, warehouse, sf_dir, tmp_path):
+    p = str(tmp_path / "props_tbl")
+    write_delta(load_table(spark, sf_dir, "region"),
+                p, configuration={"delta.appendOnly": "false",
+                                  "team": "data-eng"})
+    rows = {r["key"]: r["value"] for r in
+            delta_sql(spark, f"SHOW TBLPROPERTIES delta.`{p}`").collect()}
+    assert rows["team"] == "data-eng"
+    assert rows["delta.appendOnly"] == "false"
+    one = delta_sql(spark, f"SHOW TBLPROPERTIES delta.`{p}` ('team')").collect()
+    assert [(r["key"], r["value"]) for r in one] == [("team", "data-eng")]
+    none = delta_sql(spark, f"SHOW TBLPROPERTIES delta.`{p}` ('missing')").collect()
+    assert none == []
