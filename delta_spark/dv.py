@@ -90,15 +90,37 @@ def dv_file_name(uid: _uuid.UUID) -> str:
 
 
 def absolute_dv_path(table_path: str, descriptor: dict) -> str:
-    """Resolve the blob file a 'u' or 'p' descriptor points at."""
+    """Resolve the blob file a 'u' or 'p' descriptor points at.
+
+    The canonical relative layout is `[<randomPrefix>/]deletion_vector_
+    <uuid>.bin`, but the reference also supports a configured FILE-NAME
+    prefix (DeletionVectorDescriptor.DELETION_VECTOR_FILE_NAME_PREFIX —
+    its own test fixtures carry one), so when the canonical name is
+    absent we fall back to the unique `*deletion_vector_<uuid>.bin`
+    match in the same directory (the uuid makes it unambiguous)."""
     st = descriptor["storageType"]
     if st == "p":
-        return descriptor["pathOrInlineDv"]
+        p = descriptor["pathOrInlineDv"]
+        if p.startswith("file:") or "://" in p:
+            # absolute DVs are URIs (DeletionVectorDescriptor
+            # PATH_DV_MARKER): parse and percent-decode
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path)
+        return p
     if st != "u":
         raise ValueError(f"not a file-backed DV descriptor: {st!r}")
     prefix, uid = decode_uuid(descriptor["pathOrInlineDv"])
     parts = [table_path] + ([prefix] if prefix else []) + [dv_file_name(uid)]
-    return os.path.join(*parts)
+    p = os.path.join(*parts)
+    if not os.path.exists(p):
+        import glob as _glob
+
+        hits = sorted(_glob.glob(os.path.join(
+            os.path.dirname(p), f"*{dv_file_name(uid)}")))
+        if len(hits) == 1:
+            return hits[0]
+    return p
 
 
 # ------------------------------------------- 32-bit roaring containers ----

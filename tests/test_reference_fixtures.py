@@ -1,0 +1,139 @@
+"""Cross-implementation conformance: open tables WRITTEN BY THE
+REFERENCE IMPLEMENTATION (its versioned on-disk test fixtures,
+spark/src/test/resources/delta — the EvolvabilitySuite corpus) with
+this engine and verify the results.
+
+The expectation for each fixture is computed by an INDEPENDENT
+mini-replay in this test module (raw json + pyarrow, no delta_spark
+code), so an engine bug can't cancel out of both sides. Covers:
+protocol v1 logs from Delta 0.1.0, checkpointed v2 logs from 1.2.1,
+name-mapped tables with protocol 'u' deletion vectors (z85 prefix
+paths), and special characters in data paths."""
+
+import json
+import os
+
+import pytest
+
+from delta_spark.log import DeltaLog
+from delta_spark.table import DeltaTable
+
+REF = "/root/reference/spark/src/test/resources/delta"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not present")
+
+
+def _naive_state(table):
+    """Independent last-writer-wins replay: checkpoint parquet + json
+    commits, no delta_spark involved."""
+    import pyarrow.parquet as pq
+
+    logdir = os.path.join(table, "_delta_log")
+    names = sorted(n for n in os.listdir(logdir)
+                   if n.endswith(".json") and n[:20].isdigit())
+    ckpts = sorted(n for n in os.listdir(logdir)
+                   if n.endswith(".checkpoint.parquet"))
+    active = {}
+    start = 0
+    if ckpts:
+        ck = ckpts[-1]
+        start = int(ck.split(".")[0]) + 1
+        for row in pq.read_table(os.path.join(logdir, ck)).to_pylist():
+            if row.get("add") and row["add"].get("path"):
+                a = row["add"]
+                active[a["path"]] = a
+            if row.get("remove") and row["remove"].get("path"):
+                active.pop(row["remove"]["path"], None)
+    for n in names:
+        if int(n[:20]) < start:
+            continue
+        with open(os.path.join(logdir, n)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                if "add" in d:
+                    active[d["add"]["path"]] = d["add"]
+                elif "remove" in d:
+                    active.pop(d["remove"]["path"], None)
+    return active
+
+
+def _expected_rows(table):
+    """Σ file rows − Σ DV cardinality, file rows from stats when
+    present else the parquet footer."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    total = 0
+    for path, a in _naive_state(table).items():
+        stats = a.get("stats")
+        nrec = None
+        if stats:
+            nrec = json.loads(stats).get("numRecords")
+        if nrec is None:
+            nrec = pq.ParquetFile(
+                os.path.join(table, unquote(path))).metadata.num_rows
+        dv = a.get("deletionVector")
+        total += nrec - ((dv or {}).get("cardinality") or 0)
+    return total
+
+
+@pytest.mark.parametrize("fixture", [
+    "delta-0.1.0",            # protocol (1,1), written by Delta 0.1.0
+    "delta-1.2.1",            # protocol (1,2), multi-checkpoint log
+    "table-with-dv-small",    # name mapping + protocol 'u' DV
+])
+def test_reference_written_table_reads(spark, fixture):
+    table = os.path.join(REF, fixture)
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, table)
+    assert dt.toDF().count() == _expected_rows(table)
+
+
+def test_reference_absolute_dv_uri_with_special_chars(spark, tmp_path):
+    """table-with-dv-special-char: an absolute 'p' DV descriptor whose
+    URI percent-encodes '&', '%', and space in the directory name (the
+    fixture is a template; the reference suite substitutes the absolute
+    location the same way — writeTableHavingSpecialCharInDVPath with
+    pathIsEncoded=true). Expect the 5 odd values of 0..9 to survive."""
+    import shutil
+
+    src = os.path.join(REF, "table-with-dv-special-char")
+    table = str(tmp_path / "dv_special")
+    shutil.copytree(src, table)
+    logf = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    with open(logf) as f:
+        content = f.read()
+    encoded = os.path.join(table, "folder&with%25special%20char")
+    with open(logf, "w") as f:
+        f.write(content.replace("{{FOLDER_WITH_SPECIAL_CHAR}}", encoded))
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, table)
+    vals = sorted(r["id"] for r in dt.toDF().collect())
+    assert len(vals) == _expected_rows(table)
+    assert vals == [1, 3, 5, 7, 9]
+
+
+def test_reference_dv_table_values(spark):
+    """table-with-dv-small: 10 ints 0..9 with {0, 9} deleted via a 'u'
+    deletion vector (per its DELETE commitInfo predicate `value IN
+    (0, 9)`) — exact surviving values, through name mapping + the
+    portable roaring codec + the z85 prefix path."""
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, os.path.join(REF, "table-with-dv-small"))
+    vals = sorted(r["value"] for r in dt.toDF().collect())
+    assert vals == list(range(1, 9))
+
+
+def test_reference_table_time_travel_and_history(spark):
+    """Version 0 of delta-1.2.1 predates its later appends; history
+    surfaces every reference-written commit."""
+    table = os.path.join(REF, "delta-1.2.1")
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, table)
+    latest = DeltaLog.for_table(table).latest_version()
+    assert dt.history().count() == latest + 1
+    v0 = dt.asOfVersion(0).count()
+    assert 0 < v0 <= dt.toDF().count()
