@@ -55,7 +55,8 @@ MAX_WRITER_VERSION = 7
 SUPPORTED_READER_FEATURES = frozenset({
     "deletionVectors", "columnMapping", "timestampNtz",
     "typeWidening", "typeWidening-preview",
-    "variantType", "variantType-preview", "variantShredding",
+    "variantType", "variantType-preview",
+    "variantShredding", "variantShredding-preview",
     "v2Checkpoint", "vacuumProtocolCheck",
     # engine-local non-standard DV encoding (fail-closed marker for
     # external readers; we of course read it ourselves)

@@ -73,7 +73,10 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             rolling.version = v
         if cdc_files:
             cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])
-            paths = [os.path.join(log.table_path, c.path) for c in cdc_files]
+            from delta_spark.util import decode_log_path
+
+            paths = [os.path.join(log.table_path, decode_log_path(c.path))
+                     for c in cdc_files]
             df = spark.read.schema(cdc_schema).parquet(*paths)
             dfs.append(_stamp(df, v, ts))
             continue

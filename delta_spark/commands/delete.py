@@ -52,10 +52,12 @@ def match_files_by_name(files: list[AddFile], spark_file_uris: list[str],
             p = p[1:]
         return os.path.normpath(p)
 
+    from delta_spark.util import decode_log_path
+
     by_path: dict[str, AddFile] = {}
     for f in files:
-        abs_p = f.path if (f.path.startswith("/") or "://" in f.path) \
-            else os.path.join(table_path, f.path)
+        dp = decode_log_path(f.path)
+        abs_p = dp if dp.startswith("/") else os.path.join(table_path, dp)
         by_path[norm(abs_p)] = f
     out = []
     for uri in spark_file_uris:

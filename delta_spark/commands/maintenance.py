@@ -275,7 +275,10 @@ def _remove_empty_dirs(root: str) -> None:
 
 
 def _abs(table_path: str, p: str) -> str:
-    if p.startswith("/") or "://" in p:
+    from delta_spark.util import decode_log_path
+
+    p = decode_log_path(p)
+    if p.startswith("/"):
         return p
     return os.path.join(table_path, p)
 
@@ -367,7 +370,10 @@ def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
             os.path.join(log.table_path, dv["pathOrInlineDv"]))
         return dv
 
-    adds = [AddFile(path=os.path.abspath(_abs(log.table_path, f.path)),
+    from delta_spark.util import encode_log_path
+
+    adds = [AddFile(path=encode_log_path(
+                        os.path.abspath(_abs(log.table_path, f.path))),
                     partitionValues=f.partitionValues, size=f.size,
                     modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
                     deletionVector=_clone_dv(f))
@@ -415,7 +421,10 @@ def convert_to_delta(spark: SparkSession, path: str,
                 k, v = comp.split("=", 1)
                 pvals[unescape_partition_value(k)] = (
                     None if v == HIVE_DEFAULT_PARTITION else unescape_partition_value(v))
-        adds.append(AddFile(path=rel, partitionValues={c: pvals.get(c) for c in part_cols},
+        from delta_spark.util import encode_log_path
+
+        adds.append(AddFile(path=encode_log_path(rel),
+                            partitionValues={c: pvals.get(c) for c in part_cols},
                             size=os.path.getsize(p), modificationTime=file_mtime_ms(p),
                             dataChange=True, stats=stats_map.get(p)))
     meta = Metadata(schemaString=schema_to_json(schema), partitionColumns=part_cols,

@@ -24,9 +24,12 @@ from delta_spark.util import deserialize_partition_value
 
 
 def _abs_path(table_path: str, f: AddFile) -> str:
-    if f.path.startswith("/") or "://" in f.path:
-        return f.path
-    return os.path.join(table_path, f.path)
+    from delta_spark.util import decode_log_path
+
+    p = decode_log_path(f.path)
+    if p.startswith("/"):
+        return p
+    return os.path.join(table_path, p)
 
 
 def file_key_col():

@@ -79,6 +79,14 @@ def _offset(version: int, index: int, snapshot: bool) -> dict:
     return {"version": version, "index": index, "isInitialSnapshot": snapshot}
 
 
+def _fs_data_path(table: str, p: str) -> str:
+    """URL-encoded log path → the filesystem path executors open."""
+    from delta_spark.util import decode_log_path
+
+    d = decode_log_path(p)
+    return d if d.startswith("/") else os.path.join(table, d)
+
+
 def _parse_byte_size(s) -> int:
     """'10g' / '512m' / plain int → bytes (DeltaOptions byte-size opts)."""
     s = str(s).strip().lower()
@@ -251,6 +259,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         d = dict(self.__dict__)
         d["_log"] = None
         return d
+
+    def _fs_path(self, p: str) -> str:
+        return _fs_data_path(self.path, p)
 
     def initialOffset(self) -> dict:
         _trace("initialOffset")
@@ -486,7 +497,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not self.cdf:
             return [
                 _FilePartition(
-                    file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                    file_path=self._fs_path(f.path),
                     partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                 )
                 for f in files
@@ -501,7 +512,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                 continue
             ts = self.log._commit_timestamp(max(v, 0))
             out.append(_FilePartition(
-                file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                file_path=self._fs_path(f.path),
                 partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                 is_cdf=True, change_type="insert", version=max(v, 0), ts_ms=ts))
         for v in commit_versions:
@@ -511,13 +522,13 @@ class DeltaStreamReader(DataSourceStreamReader):
             if cdc_files:
                 for c in cdc_files:
                     out.append(_FilePartition(
-                        file_path=os.path.join(self.path, c.path),
+                        file_path=self._fs_path(c.path),
                         partition_values="{}", is_cdf=True, change_type="",
                         version=v, ts_ms=ts))
                 continue
             for f in self._commit_adds(v):
                 out.append(_FilePartition(
-                    file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                    file_path=self._fs_path(f.path),
                     partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                     is_cdf=True, change_type="insert", version=v, ts_ms=ts))
         return out
@@ -605,11 +616,14 @@ class DeltaBatchReader(DataSourceReader):
         self._part_keys = {c: l2p.get(c, c) for c in snap.partition_columns}
         self._files = [
             _FilePartition(
-                file_path=(f.path if f.path.startswith("/") else os.path.join(self.path, f.path)),
+                file_path=self._fs_path(f.path),
                 partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
             )
             for f in snap.all_files
         ]
+
+    def _fs_path(self, p: str) -> str:
+        return _fs_data_path(self.path, p)
 
     def partitions(self):
         return self._files

@@ -51,6 +51,7 @@ from typing import Any, Optional
 import pyspark.sql.types as T
 
 from .actions import AddFile, Metadata
+from .util import decode_log_path
 from .schema import (
     COLUMN_MAPPING_ID_KEY,
     COLUMN_MAPPING_MAX_ID_KEY,
@@ -673,7 +674,8 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
                 "file_sequence_number": None,
                 "data_file": {
                     "content": 0,
-                    "file_path": os.path.join(table_path, f.path),
+                    "file_path": os.path.join(table_path,
+                                              decode_log_path(f.path)),
                     "file_format": "PARQUET",
                     "partition": part,
                     "record_count": nrec,

@@ -130,3 +130,30 @@ def sql_literal(value: Any) -> str:
         return "DATE '%s'" % value.isoformat()
     s = str(value).replace("'", "''")
     return f"'{s}'"
+
+
+# ------------------------------------------------------- log paths ----
+# PROTOCOL.md: a file action's `path` is a RELATIVE path encoded per
+# RFC 2396 (or an absolute URI). The safe set below matches what
+# Hadoop's Path.toUri leaves unescaped in a path, so our logs encode
+# byte-identically to the reference's for the common cases
+# (space → %20, '%' → %25).
+_URI_PATH_SAFE = "/-_.!~*'():@&=+$,"
+
+
+def encode_log_path(rel: str) -> str:
+    """Relative filesystem path → the URL-encoded form stored in file
+    actions."""
+    from urllib.parse import quote
+
+    return quote(rel, safe=_URI_PATH_SAFE)
+
+
+def decode_log_path(p: str) -> str:
+    """URL-encoded log path (relative, or an absolute URI) → the
+    filesystem path it denotes."""
+    from urllib.parse import unquote, urlparse
+
+    if p.startswith("file:") or "://" in p:
+        return unquote(urlparse(p).path)
+    return unquote(p)

@@ -136,10 +136,12 @@ def write_files(
     shutil.rmtree(staging, ignore_errors=True)
 
     stats_map = collect_stats_parallel([p for p, _ in moved], indexed_cols, num_indexed_cols)
+    from delta_spark.util import encode_log_path
+
     for abs_path, pvals in moved:
         rel = os.path.relpath(abs_path, table_path).replace(os.sep, "/")
         adds.append(AddFile(
-            path=rel,
+            path=encode_log_path(rel),
             partitionValues={c: pvals.get(c) for c in partition_columns},
             size=os.path.getsize(abs_path),
             modificationTime=file_mtime_ms(abs_path),
@@ -196,6 +198,9 @@ def write_cdc_files(df: DataFrame, table_path: str) -> list:
             dst = os.path.join(cdc_dir, name)
             os.rename(src, dst)
             rel = os.path.relpath(dst, table_path).replace(os.sep, "/")
-            out.append(AddCDCFile(path=rel, partitionValues={}, size=os.path.getsize(dst)))
+            from delta_spark.util import encode_log_path
+
+            out.append(AddCDCFile(path=encode_log_path(rel),
+                                  partitionValues={}, size=os.path.getsize(dst)))
     shutil.rmtree(staging, ignore_errors=True)
     return out

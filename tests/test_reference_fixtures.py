@@ -84,6 +84,14 @@ def _expected_rows(table):
     "delta-0.1.0",            # protocol (1,1), written by Delta 0.1.0
     "delta-1.2.1",            # protocol (1,2), multi-checkpoint log
     "table-with-dv-small",    # name mapping + protocol 'u' DV
+    "partitioned-table-with-dv-large",  # partitioned, many 'u' DVs
+    "identity_test_written_by_version_5",
+    "transaction_log_schema_evolvability",
+    # variant columns + shredding feature, URL-ENCODED data paths
+    # (test%25file%25prefix-part-...)
+    "variant-stats-no-checkpoint",
+    "variant-stats-nested-no-checkpoint",
+    "variant-stats-with-struct-no-checkpoint",
 ])
 def test_reference_written_table_reads(spark, fixture):
     table = os.path.join(REF, fixture)
@@ -137,3 +145,26 @@ def test_reference_table_time_travel_and_history(spark):
     assert dt.history().count() == latest + 1
     v0 = dt.asOfVersion(0).count()
     assert 0 < v0 <= dt.toDF().count()
+
+
+def test_special_char_partition_roundtrip(spark, tmp_path):
+    """Partition values with spaces/%/& round-trip through our own
+    writer's URL-encoded log paths: write, read back, DELETE one
+    partition, VACUUM — every path resolution decodes correctly."""
+    from delta_spark.io import write_delta
+
+    table = str(tmp_path / "special")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            ["a b", "50%", "x&y", "plain"] * 5)], "id long, p string")
+    write_delta(df, table, partition_by=["p"])
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, table)
+    assert dt.toDF().count() == 20
+    got = {r["p"] for r in dt.toDF().select("p").distinct().collect()}
+    assert got == {"a b", "50%", "x&y", "plain"}
+    dt.delete("p = '50%'")
+    assert dt.toDF().count() == 15
+    victims = dt.vacuum(0)
+    assert all(os.path.exists(v) is False for v in victims)
+    assert dt.toDF().count() == 15
