@@ -52,13 +52,11 @@ def match_files_by_name(files: list[AddFile], spark_file_uris: list[str],
             p = p[1:]
         return os.path.normpath(p)
 
-    from delta_spark.util import decode_log_path
+    from delta_spark.util import resolve_log_path
 
     by_path: dict[str, AddFile] = {}
     for f in files:
-        dp = decode_log_path(f.path)
-        abs_p = dp if dp.startswith("/") else os.path.join(table_path, dp)
-        by_path[norm(abs_p)] = f
+        by_path[norm(resolve_log_path(table_path, f.path))] = f
     out = []
     for uri in spark_file_uris:
         f = by_path.get(norm(uri))

@@ -275,12 +275,9 @@ def _remove_empty_dirs(root: str) -> None:
 
 
 def _abs(table_path: str, p: str) -> str:
-    from delta_spark.util import decode_log_path
+    from delta_spark.util import resolve_log_path
 
-    p = decode_log_path(p)
-    if p.startswith("/"):
-        return p
-    return os.path.join(table_path, p)
+    return resolve_log_path(table_path, p)
 
 
 # ------------------------------------------------------------ RESTORE ----
@@ -456,7 +453,10 @@ def generate_symlink_manifest(spark: SparkSession, log: DeltaLog) -> str:
     by_dir: dict[str, list[str]] = {}
     for f in snapshot.all_files:
         abs_p = _abs(log.table_path, f.path)
-        rel_dir = os.path.dirname(f.path) if not f.path.startswith("/") else ""
+        # manifest subdir = the DECODED partition dir when the file
+        # lives under the table root; absolute/external files go flat
+        rel = os.path.relpath(os.path.abspath(abs_p), log.table_path)
+        rel_dir = "" if rel.startswith("..") else os.path.dirname(rel)
         by_dir.setdefault(rel_dir, []).append("file://" + os.path.abspath(abs_p))
     import shutil
 

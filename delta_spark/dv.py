@@ -117,7 +117,7 @@ def absolute_dv_path(table_path: str, descriptor: dict) -> str:
         import glob as _glob
 
         hits = sorted(_glob.glob(os.path.join(
-            os.path.dirname(p), f"*{dv_file_name(uid)}")))
+            _glob.escape(os.path.dirname(p)), f"*{dv_file_name(uid)}")))
         if len(hits) == 1:
             return hits[0]
     return p

@@ -212,9 +212,17 @@ def write_delta(
         if replace_where:
             from delta_spark.commands.delete import cdf_enabled, delete_core
 
-            cdf_on = cdf_enabled(cfg)
+            cdf_on = cdf_enabled(cfg) and data_change
             removes, extra_adds, cdc_actions, _m = delete_core(
                 spark, txn, replace_where, cfg, with_cdf=cdf_on)
+            if not data_change:
+                # rearrangement commits flip EVERY file action
+                # (WriteIntoDelta rearrangeOnly) and never carry change
+                # files — a stream must be able to skip the whole commit
+                for a in removes:
+                    a.dataChange = False
+                for a in extra_adds:
+                    a.dataChange = False
             adds += extra_adds
             if cdf_on:
                 # the commit carries CDC files, so ALL its changes must

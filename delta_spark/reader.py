@@ -24,23 +24,32 @@ from delta_spark.util import deserialize_partition_value
 
 
 def _abs_path(table_path: str, f: AddFile) -> str:
-    from delta_spark.util import decode_log_path
+    from delta_spark.util import resolve_log_path
 
-    p = decode_log_path(f.path)
-    if p.startswith("/"):
-        return p
-    return os.path.join(table_path, p)
+    return resolve_log_path(table_path, f.path)
 
 
 def file_key_col():
     """Stable per-file key for row-level bookkeeping (DVs, row ids):
     the full decoded path. Basenames are NOT unique — a partitioned
-    write emits the same part-file name into every partition dir."""
-    return F.regexp_replace(F.url_decode(F.input_file_name()), "^file:/*", "/")
+    write emits the same part-file name into every partition dir.
+    `url_decode` is form-decoding ('+' → space); pre-escape literal
+    '+' so the key matches `file_key_of`'s percent-only decode."""
+    return F.regexp_replace(
+        F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B")),
+        "^file:/*", "/")
 
 
 def file_key_of(table_path: str, f: AddFile) -> str:
     return os.path.normpath(_abs_path(table_path, f))
+
+
+def _is_absolute_add(table_path: str, f: AddFile) -> bool:
+    """Classify by the RESOLVED location, not the raw log string —
+    'file:/x' single-slash URIs (Hadoop Path.toString of cloned
+    absolute paths) must land in the absolute branch."""
+    p = _abs_path(table_path, f)
+    return not p.startswith(os.path.join(table_path, ""))
 
 
 def read_files_df(
@@ -77,8 +86,9 @@ def read_files_df(
 
     dv_files = [f for f in files if f.deletionVector]
     plain = [f for f in files if not f.deletionVector]
-    rel_files = [f for f in plain if not (f.path.startswith("/") or "://" in f.path)]
-    abs_files = [f for f in plain if f.path.startswith("/") or "://" in f.path]
+    rel_files = [f for f in plain
+                 if not _is_absolute_add(snapshot.table_path, f)]
+    abs_files = [f for f in plain if _is_absolute_add(snapshot.table_path, f)]
 
     dfs = []
     if rel_files:
@@ -189,7 +199,7 @@ def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -
     if part_cols:
         # cloned tables point at absolute paths under the SOURCE root —
         # basePath must be the files' common root for partition parsing
-        if any(f.path.startswith("/") or "://" in f.path for f in dv_files):
+        if any(_is_absolute_add(snapshot.table_path, f) for f in dv_files):
             base = _os.path.commonpath([_os.path.dirname(p) for p in paths])
             for _ in range(len(part_cols)):
                 if "=" in _os.path.basename(base):

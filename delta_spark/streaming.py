@@ -81,10 +81,9 @@ def _offset(version: int, index: int, snapshot: bool) -> dict:
 
 def _fs_data_path(table: str, p: str) -> str:
     """URL-encoded log path → the filesystem path executors open."""
-    from delta_spark.util import decode_log_path
+    from delta_spark.util import resolve_log_path
 
-    d = decode_log_path(p)
-    return d if d.startswith("/") else os.path.join(table, d)
+    return resolve_log_path(table, p)
 
 
 def _parse_byte_size(s) -> int:
@@ -195,6 +194,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._log = None
         self._meta_cache: dict[int, object] = {}
         snap = self.log.update()
+        if starting_version is not None and options.get("startingtimestamp"):
+            raise ValueError(
+                "Please either provide 'startingVersion' or "
+                "'startingTimestamp', not both (DeltaOptions)")
         if starting_version is None and options.get("startingtimestamp"):
             # DeltaOptions STARTING_TIMESTAMP_OPTION: earliest commit
             # at/after the timestamp starts the feed
@@ -516,9 +519,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                 partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
                 is_cdf=True, change_type="insert", version=max(v, 0), ts_ms=ts))
         for v in commit_versions:
-            actions = self.log.read_commit_actions(v)
+            try:
+                actions = self.log.read_commit_actions(v)
+                ts = self.log._commit_timestamp(v)
+            except (OSError, ValueError):
+                if not self.fail_on_data_loss:
+                    # commit reclaimed by cleanup mid-backlog: the CDF
+                    # leg honors failOnDataLoss=false like _commit_adds
+                    continue
+                raise
             cdc_files = [a for k, a in actions if k == "cdc"]
-            ts = self.log._commit_timestamp(v)
             if cdc_files:
                 for c in cdc_files:
                     out.append(_FilePartition(

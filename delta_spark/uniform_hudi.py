@@ -221,8 +221,12 @@ def _init_table_properties(table_path: str, name: str,
 
 def _partition_path(add_path: str, table_path: str) -> str:
     """Relative partition directory of a file
-    (HudiTransactionUtils.getPartitionPath): '' for unpartitioned."""
-    p = add_path
+    (HudiTransactionUtils.getPartitionPath): '' for unpartitioned.
+    Hudi metadata records ON-DISK names, so the URL-encoded log path is
+    decoded first."""
+    from delta_spark.util import decode_log_path
+
+    p = decode_log_path(add_path)
     if p.startswith("/") or "://" in p:
         root = table_path.rstrip("/") + "/"
         if p.startswith(root):
@@ -236,8 +240,10 @@ def _partition_path(add_path: str, table_path: str) -> str:
 def _write_stat(f: AddFile, table_path: str, instant: str) -> tuple[str, dict]:
     """(partitionPath, HoodieWriteStat JSON) for an AddFile
     (HudiTransactionUtils.convertAddFile)."""
+    from delta_spark.util import decode_log_path
+
     part = _partition_path(f.path, table_path)
-    file_name = os.path.basename(f.path)
+    file_name = os.path.basename(decode_log_path(f.path))
     rel = file_name if not part else f"{part}/{file_name}"
     nrec = _num_records(f)
     return part, {
@@ -337,9 +343,11 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
     for f in adds:
         part, stat = _write_stat(f, table_path, instant)
         part_to_stats.setdefault(part, []).append(stat)
+    from delta_spark.util import decode_log_path as _dlp
+
     for r in removes:
         part = _partition_path(r.path, table_path)
-        replaced.setdefault(part, []).append(os.path.basename(r.path))
+        replaced.setdefault(part, []).append(os.path.basename(_dlp(r.path)))
 
     commit_meta = {
         "partitionToWriteStats": part_to_stats,

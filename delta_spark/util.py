@@ -150,10 +150,27 @@ def encode_log_path(rel: str) -> str:
 
 
 def decode_log_path(p: str) -> str:
-    """URL-encoded log path (relative, or an absolute URI) → the
-    filesystem path it denotes."""
+    """URL-encoded log path (relative, or an absolute URI) → the path
+    to hand the filesystem / Spark. file: URIs decode to a local path;
+    other schemes (s3a://, hdfs://, ...) pass through untouched — the
+    reader stack consumes them as URIs."""
     from urllib.parse import unquote, urlparse
 
-    if p.startswith("file:") or "://" in p:
+    if p.startswith("file:"):
         return unquote(urlparse(p).path)
+    if "://" in p:
+        return p
     return unquote(p)
+
+
+def resolve_log_path(table_path: str, p: str) -> str:
+    """THE path-resolution seam: a file action's `path` → the absolute
+    location to open. Every consumer (reader, DML matching, streaming
+    executors, VACUUM, manifests, UniForm) must route through here so
+    encoding fixes land once."""
+    import os as _os
+
+    d = decode_log_path(p)
+    if d.startswith("/") or "://" in d:
+        return d
+    return _os.path.join(table_path, d)

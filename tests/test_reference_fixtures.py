@@ -168,3 +168,51 @@ def test_special_char_partition_roundtrip(spark, tmp_path):
     victims = dt.vacuum(0)
     assert all(os.path.exists(v) is False for v in victims)
     assert dt.toDF().count() == 15
+
+
+def test_resolve_log_path_schemes():
+    from delta_spark.util import resolve_log_path
+
+    t = "/data/tbl"
+    assert resolve_log_path(t, "p=a%20b/f.parquet") == "/data/tbl/p=a b/f.parquet"
+    assert resolve_log_path(t, "/abs/f.parquet") == "/abs/f.parquet"
+    # file: URIs decode to local paths; other schemes pass through intact
+    assert resolve_log_path(t, "file:/src/p%20x/f.parquet") == "/src/p x/f.parquet"
+    assert resolve_log_path(t, "s3a://bucket/k/f.parquet") == "s3a://bucket/k/f.parquet"
+
+
+def test_plus_in_partition_value_with_dv(spark, tmp_path):
+    """'+' is not Hive-escaped on disk and form-decoding turns it into
+    a space — the DV file-key join must still match."""
+    from delta_spark.io import write_delta
+
+    table = str(tmp_path / "plus")
+    df = spark.createDataFrame(
+        [(i, "a+b" if i % 2 else "plain") for i in range(20)],
+        "id long, p string")
+    write_delta(df, table, partition_by=["p"],
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, table)
+    dt.delete("id < 4")  # DV-masks rows in both partitions
+    assert dt.toDF().count() == 16
+    assert dt.toDF().filter("p = 'a+b'").count() == 8
+
+
+def test_rearrangement_replace_where_is_fully_non_datachange(spark, tmp_path):
+    """data_change=False + replaceWhere flips EVERY file action
+    (rearrangeOnly): a tailing stream skips the commit."""
+    from delta_spark.io import write_delta
+    from delta_spark.log import DeltaLog
+
+    table = str(tmp_path / "rearr")
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "id long, b long")
+    write_delta(df, table, partition_by=["b"])
+    # rewrite partition b=1 with identical rows, rearrangement-only
+    write_delta(df.filter("b = 1"), table, mode="overwrite",
+                replace_where="b = 1", data_change=False)
+    log = DeltaLog.for_table(table)
+    acts = log.read_commit_actions(log.latest_version())
+    file_actions = [(k, a) for k, a in acts if k in ("add", "remove")]
+    assert file_actions and all(not a.dataChange for _k, a in file_actions)
+    assert not any(k == "cdc" for k, _a in acts)
+    assert DeltaTable.forPath(spark, table).toDF().count() == 10
