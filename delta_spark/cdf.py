@@ -61,8 +61,10 @@ def table_changes(spark: SparkSession, log: DeltaLog,
         adds = [a for k, a in actions if k == "add" and a.dataChange]
         removes = [a for k, a in actions if k == "remove" and a.dataChange]
         # victims resolve against the PRE-commit state
-        victims = ([rolling.active[r.path] for r in removes
-                    if r.path in rolling.active]
+        from delta_spark.util import canonical_log_path as _ckey
+
+        victims = ([rolling.active[_ckey(r.path)] for r in removes
+                    if _ckey(r.path) in rolling.active]
                    if rolling is not None and removes else [])
         prev_rolling = rolling
         if rolling is None:

@@ -118,7 +118,9 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
                 txn.read_files.add(f.path)
         cdc = []
         if with_cdf and removes:
-            victims = [snapshot.active[r.path] for r in removes]
+            from delta_spark.util import canonical_log_path as _ckey
+
+            victims = [snapshot.active[_ckey(r.path)] for r in removes]
             df = read_files_df(spark, snapshot, victims).withColumn("_change_type", F.lit("delete"))
             cdc = write_cdc_files(df, snapshot.table_path)
         metrics = {"numRemovedFiles": str(len(removes))}

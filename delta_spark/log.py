@@ -37,7 +37,7 @@ from delta_spark.actions import (
     parse_action_line,
 )
 from delta_spark.snapshot import Snapshot
-from delta_spark.util import current_time_millis
+from delta_spark.util import canonical_log_path, current_time_millis
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -732,12 +732,19 @@ class DeltaLog:
         allacts = parts[0]
         for p in parts[1:]:
             allacts = allacts.unionByName(p)
-        w = Window.partitionBy("path").orderBy(
+        # reconcile on the CANONICAL path (decoded, file:-scheme
+        # stripped) like the python replay / InMemoryLogReplay; '+' is
+        # pre-escaped because url_decode form-decodes it to a space
+        canon = F.regexp_replace(
+            F.url_decode(F.regexp_replace(F.col("path"), r"\+", "%2B")),
+            "^file:/*", "/")
+        allacts = allacts.withColumn("__canon", canon)
+        w = Window.partitionBy("__canon").orderBy(
             F.desc("version"), F.desc("is_add"))
         return (allacts
                 .withColumn("__rn", F.row_number().over(w))
                 .filter((F.col("__rn") == 1) & F.col("is_add"))
-                .drop("__rn", "is_add", "is_file_action"))
+                .drop("__rn", "__canon", "is_add", "is_file_action"))
 
     def files_for_scan_df(self, spark, predicate: Optional[str] = None,
                           version: Optional[int] = None,
@@ -1058,8 +1065,13 @@ class DeltaLog:
             allacts = allacts.unionByName(s)
         allacts = allacts.filter(F.col("add.path").isNotNull()
                                  | F.col("remove.path").isNotNull())
+        raw = F.coalesce(F.col("add.path"), F.col("remove.path"))
+        # canonical reconciliation key, mirroring state_df / the python
+        # replay ('+' pre-escaped for url_decode's form decoding)
         w = Window.partitionBy(
-            F.coalesce(F.col("add.path"), F.col("remove.path"))
+            F.regexp_replace(
+                F.url_decode(F.regexp_replace(raw, r"\+", "%2B")),
+                "^file:/*", "/")
         ).orderBy(F.desc("__v"), F.desc(F.col("add.path").isNotNull()))
         fdf = (allacts.withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__rn") == 1)
@@ -1313,10 +1325,10 @@ class DeltaLog:
                     baseRowId=a.get("baseRowId"),
                     defaultRowCommitVersion=a.get("defaultRowCommitVersion"),
                     clusteringProvider=a.get("clusteringProvider"))
-                snap.active[f.path] = f
+                snap.active[canonical_log_path(f.path)] = f
             elif row.get("remove"):
                 r = row["remove"]
-                snap.tombstones[r["path"]] = RemoveFile(
+                snap.tombstones[canonical_log_path(r["path"])] = RemoveFile(
                     path=r["path"], deletionTimestamp=r.get("deletionTimestamp"),
                     dataChange=bool(r.get("dataChange")),
                     partitionValues=_tuples_to_dict(r.get("partitionValues")),

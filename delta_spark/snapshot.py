@@ -64,8 +64,10 @@ class Snapshot:
         if not self._files_loaded:
             self._files_loaded = True
             if self._hydrator is not None:
+                from delta_spark.util import canonical_log_path
+
                 for f in self._hydrator():
-                    self._active[f.path] = f
+                    self._active[canonical_log_path(f.path)] = f
         return self._active
 
     @active.setter
@@ -97,16 +99,23 @@ class Snapshot:
         tombstone of the file's previous incarnation). Callers must
         pass one commit at a time — reordering across commits would
         resurrect files deleted in a later commit."""
+        from delta_spark.util import canonical_log_path
+
         actions = list(actions)
         ordered = ([x for x in actions if x[0] == "remove"]
                    + [x for x in actions if x[0] != "remove"])
         for kind, a in ordered:
+            # reconciliation keys are CANONICALIZED (InMemoryLogReplay):
+            # `add /x` must be cancelled by `remove file:/x`. Actions
+            # keep their original path strings.
             if kind == "add":
-                self.tombstones.pop(a.path, None)
-                self.active[a.path] = a
+                key = canonical_log_path(a.path)
+                self.tombstones.pop(key, None)
+                self.active[key] = a
             elif kind == "remove":
-                self.active.pop(a.path, None)
-                self.tombstones[a.path] = a
+                key = canonical_log_path(a.path)
+                self.active.pop(key, None)
+                self.tombstones[key] = a
             elif kind == "metaData":
                 self.metadata = a
             elif kind == "protocol":

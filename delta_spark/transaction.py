@@ -436,11 +436,15 @@ class OptimisticTransaction:
                     if P.might_contain(ast, st):
                         raise ConcurrentAppendException(f"concurrently added file matches read predicate {pred!r}")
 
-        # Removed files vs our reads / removes (ConflictChecker.scala:677)
-        win_removed_paths = {r.path for r in win_removes}
-        if win_removed_paths & self.read_files:
+        # Removed files vs our reads / removes (ConflictChecker.scala:677).
+        # Keys are canonicalized like snapshot replay (read_files holds
+        # snapshot.active keys, which are canonical).
+        from delta_spark.util import canonical_log_path as _ckey
+
+        win_removed_paths = {_ckey(r.path) for r in win_removes}
+        if win_removed_paths & {_ckey(p) for p in self.read_files}:
             raise ConcurrentDeleteReadException("a file we read was concurrently deleted")
-        our_removed = {a.path for a in ours if isinstance(a, RemoveFile)}
+        our_removed = {_ckey(a.path) for a in ours if isinstance(a, RemoveFile)}
         if win_removed_paths & our_removed:
             raise ConcurrentDeleteDeleteException("a file we delete was concurrently deleted")
 

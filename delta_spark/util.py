@@ -174,3 +174,16 @@ def resolve_log_path(table_path: str, p: str) -> str:
     if d.startswith("/") or "://" in d:
         return d
     return _os.path.join(table_path, d)
+
+
+def canonical_log_path(p: str) -> str:
+    """Canonical replay key for a file action's path (the reference
+    canonicalizes before reconciliation — InMemoryLogReplay — so an
+    `add /x` is cancelled by a `remove file:/x`): decode, strip a
+    file: scheme, normalize. Non-file URI schemes key as themselves."""
+    import os as _os
+
+    d = decode_log_path(p)
+    if "://" in d:
+        return d
+    return _os.path.normpath(d)

@@ -216,3 +216,58 @@ def test_rearrangement_replace_where_is_fully_non_datachange(spark, tmp_path):
     assert file_actions and all(not a.dataChange for _k, a in file_actions)
     assert not any(k == "cdc" for k, _a in acts)
     assert DeltaTable.forPath(spark, table).toDF().count() == 10
+
+
+GOLDEN = "/root/reference/connectors/golden-tables/src/main/resources/golden"
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN), reason="golden tables absent")
+def test_golden_canonicalized_paths_replay(spark):
+    """Golden tables canonicalized-paths-*: an `add /x` must be
+    cancelled by a `remove file:/x` (and vice versa) — replay keys are
+    canonical, not raw strings (InMemoryLogReplay)."""
+    for fx in ("canonicalized-paths-normal-a", "canonicalized-paths-normal-b",
+               "canonicalized-paths-special-a", "canonicalized-paths-special-b"):
+        DeltaLog.clear_cache()
+        snap = DeltaLog.for_table(os.path.join(GOLDEN, fx)).update()
+        assert len(snap.all_files) == 0, fx  # remove cancels the add
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN), reason="golden tables absent")
+def test_golden_invalid_protocol_rejected(spark):
+    from delta_spark.exceptions import InvalidProtocolVersionException
+
+    DeltaLog.clear_cache()
+    with pytest.raises(InvalidProtocolVersionException):
+        DeltaLog.for_table(
+            os.path.join(GOLDEN, "deltalog-invalid-protocol-version")).update()
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN), reason="golden tables absent")
+@pytest.mark.parametrize("fixture", [
+    "data-reader-primitives", "data-reader-map", "data-reader-nested-struct",
+    "data-reader-array-primitives", "data-reader-partition-values",
+    "data-reader-escaped-chars", "basic-decimal-table",
+    "basic-with-inserts-deletes-checkpoint", "basic-with-inserts-merge",
+    "basic-with-inserts-overwrite-restore", "basic-with-inserts-updates",
+    "basic-with-vacuum-protocol-check-feature",
+    "data-reader-timestamp_ntz-name-mode", "data-skipping-basic-stats-all-types",
+    "time-travel-schema-changes-a", "124-decimal-decode-bug",
+])
+def test_golden_table_reads(spark, fixture):
+    """Cross-connector golden corpus (GoldenTables.scala role): our
+    engine's row count equals the independent mini-replay's expectation."""
+    table = os.path.join(GOLDEN, fixture)
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, table)
+    assert dt.toDF().count() == _expected_rows(table)
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN), reason="golden tables absent")
+def test_golden_checkpoint_log_replay(spark):
+    """The 'checkpoint' golden is log-only (synthetic adds, 15 commits):
+    our replayed live-file set must match the independent replay."""
+    table = os.path.join(GOLDEN, "checkpoint")
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    assert len(snap.all_files) == len(_naive_state(table))
