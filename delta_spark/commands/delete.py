@@ -166,27 +166,20 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
     return removes, adds, cdc, metrics
 
 
-def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
-               with_cdf: bool):
-    """Deletion-vector DELETE (commands/DMLWithDeletionVectorsHelper.scala):
-    one job finds touched files + writes the (file, row_index) sets of
-    the newly-deleted rows; touched AddFiles are re-committed with a DV
-    descriptor pointing at the set. Fully-deleted files become plain
-    removes. The new DV always unions the file's previous DV, so older
-    sets are subsets (read path relies on this)."""
+def mask_rows_with_dvs(spark: SparkSession, txn: OptimisticTransaction,
+                       candidates: list[AddFile], matched):
+    """Shared DV-DML core (DMLWithDeletionVectorsHelper.scala roles
+    findTouchedFiles + processUnmodifiedData): given the (file_base,
+    row_index) DataFrame of rows to mask, union each file's previous
+    DV (older sets stay subsets — the read path relies on this), write
+    the new sets, and return the `(adds, removes, newly_masked)`
+    retargeting actions — DV-carrying re-adds for partially-masked
+    files, plain removes for fully-masked ones. DELETE commits these
+    as-is; UPDATE additionally writes the post-update rows as new
+    files (UpdateCommand.scala:139)."""
     import uuid
 
-    from delta_spark.reader import read_files_with_index
-
     snapshot = txn.snapshot
-    candidates = txn.files_for_scan(condition)
-    if not candidates:
-        return [], [], [], {"numRemovedFiles": "0"}
-    visible = read_files_with_index(spark, snapshot, candidates)
-    matched = (visible.filter(condition)
-               .select(F.col("__file_base").alias("file_base"),
-                       F.col("__row_idx").alias("row_index")))
-
     # union with existing DV rows of candidate files (per-file subsets)
     from delta_spark.reader import deleted_rows_df, file_key_of
 
@@ -228,6 +221,8 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
                  .applyInPandas(_ser, "file_base string, data binary, "
                                       "cardinality long, max_row_index long")
                  .collect())
+        if not blobs:
+            return [], [], 0  # nothing to mask — don't write an empty DV file
         uid = uuid.uuid4()
         path = os.path.join(snapshot.table_path, _dv.dv_file_name(uid))
         ranges = _dv.write_dv_file(path, [r["data"] for r in blobs])
@@ -298,6 +293,27 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
             baseRowId=f.baseRowId,
             defaultRowCommitVersion=f.defaultRowCommitVersion,
             tags=f.tags, clusteringProvider=f.clusteringProvider))
+    return adds, removes, deleted_rows
+
+
+def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
+               with_cdf: bool):
+    """Deletion-vector DELETE (commands/DMLWithDeletionVectorsHelper.scala):
+    one job finds touched files + writes the (file, row_index) sets of
+    the newly-deleted rows; touched AddFiles are re-committed with a DV
+    descriptor pointing at the set. Fully-deleted files become plain
+    removes. No data file is rewritten."""
+    from delta_spark.reader import read_files_with_index
+
+    snapshot = txn.snapshot
+    candidates = txn.files_for_scan(condition)
+    if not candidates:
+        return [], [], [], {"numRemovedFiles": "0"}
+    visible = read_files_with_index(spark, snapshot, candidates)
+    matched = (visible.filter(condition)
+               .select(F.col("__file_base").alias("file_base"),
+                       F.col("__row_idx").alias("row_index")))
+    adds, removes, deleted_rows = mask_rows_with_dvs(spark, txn, candidates, matched)
 
     cdc = []
     if with_cdf:

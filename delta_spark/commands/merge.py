@@ -347,6 +347,10 @@ class MergeBuilder:
         join_type = "full_outer" if self.not_matched else "left_outer"
         row_tracked = str(cfg.get("delta.enableRowTracking",
                                   "false")).lower() == "true"
+        if str(cfg.get("delta.enableDeletionVectors",
+                       "false")).lower() == "true":
+            return self._execute_phase2_dv(txn, source, touched, cols,
+                                           join_type, row_tracked, cfg)
         if row_tracked:
             from delta_spark.reader import read_files_with_stable_ids
 
@@ -418,6 +422,102 @@ class MergeBuilder:
         evo = [self._evolution_meta] if self._evolution_meta is not None else []
         return txn.commit(evo + list(adds) + list(removes) + list(cdc_actions),
                           "MERGE", self._op_params(), metrics)
+
+    def _execute_phase2_dv(self, txn, source: DataFrame, touched, cols,
+                           join_type: str, row_tracked: bool, cfg) -> int:
+        """Phase 2 with deletion vectors (reference
+        MergeIntoCommand.scala:136 shouldWriteDeletionVectors +
+        DMLWithDeletionVectorsHelper): matched update/delete rows are
+        masked IN-PLACE via DVs and only the update outputs and inserts
+        are written as new files — copied rows never move. A merge
+        touching 1% of the rows in a file no longer rewrites the other
+        99%, the dominant MERGE cost at scale. The changed-row subset
+        (small side) is persisted so the DV job, the new-file write,
+        and the CDF write share one pass over the big join."""
+        from delta_spark.commands.delete import mask_rows_with_dvs
+        from delta_spark.reader import (
+            _base_row_id_expr,
+            materialized_row_commit_col,
+            materialized_row_id_col,
+            read_files_with_index,
+        )
+
+        snapshot = txn.snapshot
+        touched_df = (read_files_with_index(
+            self.spark, snapshot, touched,
+            request_materialized_row_id=row_tracked)
+            .withColumn("__t_exists", F.lit(True)))
+        src_df = source.withColumn("__s_exists", F.lit(True))
+        joined = (touched_df.alias(self.tgt)
+                  .join(src_df.alias(self.src), F.expr(self.condition), join_type))
+        is_matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
+        is_src_only = F.col("__t_exists").isNull()
+        obs = Observation("merge_metrics")
+        joined = (joined
+                  .withColumn("__action", self._action_column(is_matched, is_src_only))
+                  .observe(
+                      obs,
+                      F.sum(F.when(F.col("__action").startswith("u"), 1).otherwise(0)).alias("updated"),
+                      F.sum(F.when(F.col("__action").startswith("d"), 1).otherwise(0)).alias("deleted"),
+                      F.sum(F.when(F.col("__action").startswith("i"), 1).otherwise(0)).alias("inserted"),
+                      F.sum(F.when(F.col("__action") == "copy", 1).otherwise(0)).alias("copied"),
+                  ))
+        # the observe node sees every joined row (copies included) even
+        # though downstream only consumes the changed subset
+        changed = joined.filter(
+            (F.col("__action") != "copy") & (F.col("__action") != "drop")).persist()
+        try:
+            positions = (changed
+                         .filter(F.col("__t_exists").isNotNull())
+                         .select(F.col("__file_base").alias("file_base"),
+                                 F.col("__row_idx").alias("row_index")))
+            dv_adds, removes, _ = mask_rows_with_dvs(
+                self.spark, txn, touched, positions)
+
+            out_cols = [self._value_column(c, snapshot).alias(c) for c in cols]
+            if row_tracked:
+                # updated rows keep their stable id (materialized value,
+                # else default baseRowId+position); inserts are brand new;
+                # every output row takes the new commit's version
+                mat = materialized_row_id_col(snapshot)
+                matv = materialized_row_commit_col(snapshot)
+                if mat is not None:
+                    base = _base_row_id_expr(snapshot, touched,
+                                             "__file_base", "__row_idx")
+                    out_cols.append(
+                        F.when(F.col("__action").startswith("i"),
+                               F.lit(None).cast("long"))
+                        .otherwise(F.coalesce(touched_df[mat], base)).alias(mat))
+                if matv is not None:
+                    out_cols.append(F.lit(None).cast("long").alias(matv))
+            result = (changed
+                      .filter(F.col("__action").startswith("u")
+                              | F.col("__action").startswith("i"))
+                      .select(*out_cols))
+
+            cdc_actions = []
+            if cdf_enabled(cfg):
+                cdc_actions = self._write_cdf(changed, cols, snapshot)
+            adds = write_table_files(result, snapshot)
+        finally:
+            changed.unpersist()
+        try:
+            m = obs.get
+            metrics = {
+                "numTargetRowsUpdated": str(m.get("updated") or 0),
+                "numTargetRowsDeleted": str(m.get("deleted") or 0),
+                "numTargetRowsInserted": str(m.get("inserted") or 0),
+                "numTargetRowsCopied": str(m.get("copied") or 0),
+            }
+        except Exception:
+            metrics = {}
+        metrics["numTargetFilesRemoved"] = str(len(removes))
+        metrics["numTargetFilesAdded"] = str(len(adds))
+        metrics["numDeletionVectorsAdded"] = str(len(dv_adds))
+        evo = [self._evolution_meta] if self._evolution_meta is not None else []
+        return txn.commit(
+            evo + list(dv_adds) + list(adds) + list(removes) + list(cdc_actions),
+            "MERGE", self._op_params(), metrics)
 
     # -- helpers ----------------------------------------------------------
 

@@ -6,6 +6,13 @@ rewriting ONLY those files with a per-column conditional projection
 `CASE WHEN p THEN new_expr ELSE old END`. Rows not matching p are
 copied verbatim; untouched files are untouched.
 
+When `delta.enableDeletionVectors=true` the rewrite is replaced by the
+DV path (UpdateCommand.scala:139 shouldWriteDeletionVectors): the
+matched row positions are masked with deletion vectors in-place and
+ONLY the post-update rows are written as new files — a 1-row update in
+a 1 GB file costs KBs of DV plus one tiny file instead of a full
+rewrite (the dominant UPDATE cost at scale).
+
 CDF emits update_preimage/update_postimage row pairs for matched rows
 (UpdateCommand CDF path).
 """
@@ -46,6 +53,9 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
         pass
 
     candidates = txn.files_for_scan(None if cond == "true" else cond)
+    if str(cfg.get("delta.enableDeletionVectors", "false")).lower() == "true":
+        return _dv_update(spark, txn, set_exprs, cond, cfg, schema_cols,
+                          candidates)
     touched = find_touched_files(spark, snapshot, candidates, cond)
     txn.read_files.update(f.path for f in touched)
     if not touched:
@@ -99,3 +109,83 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     }
     params = {"predicate": cond}
     return txn.commit(list(adds) + list(removes) + list(cdc), "UPDATE", params, metrics)
+
+
+def _dv_update(spark: SparkSession, log_txn, set_exprs: dict[str, str],
+               cond: str, cfg: dict, schema_cols: list[str],
+               candidates) -> int:
+    """Deletion-vector UPDATE (UpdateCommand.scala:139): mask the
+    matched row positions with DVs and write ONLY the updated rows as
+    new files. Touched files keep their bytes; fully-updated files
+    become plain removes (their rows all land in the new files). The
+    matched-row scan is persisted so the DV job, the new-file write,
+    and the CDF write share one pass over the candidates."""
+    from delta_spark.commands.delete import mask_rows_with_dvs
+    from delta_spark.reader import (
+        _base_row_id_expr,
+        materialized_row_commit_col,
+        materialized_row_id_col,
+        read_files_with_index,
+    )
+
+    txn = log_txn
+    snapshot = txn.snapshot
+    if not candidates:
+        return txn.commit([], "UPDATE", {"predicate": cond},
+                          {"numUpdatedRows": "0"})
+    row_tracked = str(cfg.get("delta.enableRowTracking",
+                              "false")).lower() == "true"
+    visible = read_files_with_index(spark, snapshot, candidates,
+                                    request_materialized_row_id=row_tracked)
+    cond_col = F.coalesce(F.expr(cond), F.lit(False))
+    matched = visible.filter(cond_col).persist()
+    try:
+        positions = matched.select(F.col("__file_base").alias("file_base"),
+                                   F.col("__row_idx").alias("row_index"))
+        dv_adds, removes, updated_rows = mask_rows_with_dvs(
+            spark, txn, candidates, positions)
+        if updated_rows == 0 and not removes:
+            return txn.commit([], "UPDATE", {"predicate": cond},
+                              {"numUpdatedRows": "0"})
+
+        out_cols = [
+            F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+            if c in set_exprs else F.col(c)
+            for c in schema_cols
+        ]
+        if row_tracked:
+            # updated rows KEEP their stable id (materialized value,
+            # else default baseRowId+position) and take the new
+            # commit's row-commit-version (null → default)
+            mat = materialized_row_id_col(snapshot)
+            matv = materialized_row_commit_col(snapshot)
+            if mat is not None:
+                base = _base_row_id_expr(snapshot, candidates,
+                                         "__file_base", "__row_idx")
+                out_cols.append(F.coalesce(matched[mat], base).alias(mat))
+            if matv is not None:
+                out_cols.append(F.lit(None).cast("long").alias(matv))
+        new_adds = write_table_files(matched.select(*out_cols), snapshot)
+
+        cdc = []
+        if cdf_enabled(cfg):
+            pre = (matched.select(*schema_cols)
+                   .withColumn("_change_type", F.lit("update_preimage")))
+            post = (matched
+                    .select(*[(F.expr(set_exprs[c])
+                               .cast(matched.schema[c].dataType)).alias(c)
+                              if c in set_exprs else F.col(c)
+                              for c in schema_cols])
+                    .withColumn("_change_type", F.lit("update_postimage")))
+            cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)
+    finally:
+        matched.unpersist()
+
+    metrics = {
+        "numRemovedFiles": str(len(removes)),
+        "numDeletionVectorsAdded": str(len(dv_adds)),
+        "numAddedFiles": str(len(new_adds)),
+        "numUpdatedRows": str(updated_rows),
+    }
+    return txn.commit(list(dv_adds) + list(new_adds) + list(removes) + list(cdc),
+                      "UPDATE", {"predicate": cond}, metrics)

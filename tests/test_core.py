@@ -287,6 +287,195 @@ def test_deletion_vectors(spark, tmp_table, sf_dir):
     assert dt.toDF().count() == want2.count()
 
 
+def test_dv_update_no_rewrite(spark, tmp_table, sf_dir):
+    """DV UPDATE (UpdateCommand.scala:139): matched positions are
+    masked in-place and only the post-update rows land in new files —
+    the touched files' bytes never change."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before = {f.path for f in DeltaLog.for_table(tmp_table).update().all_files}
+    dt.update({"l_tax": "CAST(9.99 AS DOUBLE)"}, "l_quantity > 45")
+    snap = DeltaLog.for_table(tmp_table).update()
+    paths = {f.path for f in snap.all_files}
+    # originals all survive (with DVs); the update added new files
+    assert before <= paths and len(paths) > len(before)
+    assert any(f.deletionVector for f in snap.all_files)
+    n_upd = df.filter("l_quantity > 45").count()
+    got = dt.toDF()
+    assert got.count() == df.count()                       # row count preserved
+    assert got.filter("l_tax = 9.99").count() == n_upd     # all matched updated
+    assert got.filter("l_quantity > 45 AND l_tax <> 9.99").count() == 0
+    # a second update over already-masked files unions the DVs
+    dt.update({"l_tax": "CAST(1.11 AS DOUBLE)"}, "l_quantity > 48")
+    got2 = dt.toDF()
+    assert got2.count() == df.count()
+    assert got2.filter("l_quantity > 48 AND l_tax <> 1.11").count() == 0
+    n2 = df.filter("l_quantity > 48").count()
+    assert got2.filter("l_tax = 1.11").count() == n2
+    # time travel sees the intermediate state
+    assert dt.asOfVersion(1).filter("l_tax = 9.99").count() == n_upd
+
+
+def test_dv_update_cdf_and_full_mask(spark, tmp_table, sf_dir):
+    """DV UPDATE emits update_preimage/postimage CDF pairs; an update
+    matching every row of a file retires the file (plain remove) with
+    its rows rewritten, not double-counted."""
+    from delta_spark.cdf import table_changes
+
+    df = _li(spark, sf_dir).limit(200)
+    write_delta(df, tmp_table, configuration={
+        "delta.enableDeletionVectors": "true",
+        "delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    n_upd = df.filter("l_quantity > 45").count()
+    dt.update({"l_returnflag": "'U'"}, "l_quantity > 45")
+    ch = table_changes(spark, DeltaLog.for_table(tmp_table), 1, 1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"update_preimage": n_upd, "update_postimage": n_upd}
+    # full-mask: update EVERY row — originals retire, rows land once
+    dt.update({"l_returnflag": "'Z'"}, None)
+    got = dt.toDF()
+    assert got.count() == df.count()
+    assert got.filter("l_returnflag <> 'Z'").count() == 0
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert not any(f.deletionVector for f in snap.all_files)
+
+
+def test_dv_update_row_tracking(spark, tmp_table, sf_dir):
+    """Stable row ids survive a DV UPDATE: updated rows keep their id
+    (materialized into the new files) and take the new commit's
+    row-commit-version."""
+    from delta_spark.reader import read_with_row_ids
+
+    df = _li(spark, sf_dir).limit(300)
+    write_delta(df, tmp_table, configuration={
+        "delta.enableDeletionVectors": "true",
+        "delta.enableRowTracking": "true"})
+    log = DeltaLog.for_table(tmp_table)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # key the before/after comparison on the row id itself
+    before = {r["_row_id"]: r for r in read_with_row_ids(spark, log.update())
+              .select("_row_id", "l_orderkey", "l_quantity", "l_tax").collect()}
+    assert len(before) == df.count()              # ids unique
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update({"l_tax": "CAST(5.55 AS DOUBLE)"}, "l_quantity > 40")
+    rows = read_with_row_ids(spark, log.update()) \
+        .select("_row_id", "l_orderkey", "l_quantity", "l_tax",
+                "_row_commit_version").collect()
+    assert len(rows) == df.count()
+    upd_version = log.latest_version()
+    assert {r["_row_id"] for r in rows} == set(before)  # same id set, no renumbering
+    for r in rows:
+        old = before[r["_row_id"]]
+        # identity columns ride along with the id
+        assert (r["l_orderkey"], r["l_quantity"]) == (old["l_orderkey"], old["l_quantity"])
+        if old["l_quantity"] is not None and old["l_quantity"] > 40:
+            assert r["l_tax"] == 5.55
+            assert r["_row_commit_version"] == upd_version
+        else:
+            assert r["l_tax"] == old["l_tax"]
+
+
+def test_dv_merge_no_rewrite(spark, tmp_table, sf_dir):
+    """DV MERGE (MergeIntoCommand.scala:136): matched update/delete
+    rows are masked in-place; only update outputs and inserts land in
+    new files; copied rows never move."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    write_delta(orders, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before = {f.path for f in DeltaLog.for_table(tmp_table).update().all_files}
+    src = (orders.limit(200)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .withColumn("o_orderkey",
+                       F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey"))
+                       .otherwise(F.col("o_orderkey") + 10_000_000)))
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdateAll()
+       .whenNotMatchedInsertAll()
+       .execute())
+    snap = DeltaLog.for_table(tmp_table).update()
+    paths = {f.path for f in snap.all_files}
+    assert before <= paths            # originals all survive (masked, not rewritten)
+    assert any(f.deletionVector for f in snap.all_files)
+    out = dt.toDF()
+    n_new = src.join(orders, "o_orderkey", "left_anti").count()
+    assert out.count() == orders.count() + n_new
+    assert out.alias("t").join(src.alias("s"), "o_orderkey") \
+        .filter("t.o_totalprice <> s.o_totalprice").count() == 0
+    # no duplicate keys from a masked row surviving next to its update
+    n_matched = src.join(orders, "o_orderkey", "left_semi").count()
+    assert out.join(src, "o_orderkey", "left_semi").count() == n_matched + n_new
+    # matched-DELETE also masks instead of rewriting
+    victims = orders.select("o_orderkey").limit(50)
+    (dt.merge(victims, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedDelete()
+       .execute())
+    assert dt.toDF().join(victims, "o_orderkey", "left_semi").count() == 0
+    assert dt.toDF().count() == orders.count() + n_new - \
+        out.join(victims, "o_orderkey", "left_semi").count()
+
+
+def test_dv_merge_cdf_and_nbs(spark, tmp_table, sf_dir):
+    """DV MERGE with CDF + not-matched-by-source clauses: change rows
+    match the rewrite path's, and nbs deletes mask whole-table rows."""
+    from delta_spark.cdf import table_changes
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(400)
+    write_delta(orders, tmp_table, configuration={
+        "delta.enableDeletionVectors": "true",
+        "delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = orders.limit(100).withColumn("o_totalprice", F.lit(1.0))
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdate({"o_totalprice": "source.o_totalprice"})
+       .whenNotMatchedBySourceDelete("target.o_totalprice < 50000")
+       .execute())
+    n_upd = orders.join(src, "o_orderkey", "left_semi").count()
+    n_del = (orders.join(src, "o_orderkey", "left_anti")
+             .filter("o_totalprice < 50000").count())
+    ch = table_changes(spark, DeltaLog.for_table(tmp_table), 1, 1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("update_preimage", 0) == n_upd
+    assert counts.get("update_postimage", 0) == n_upd
+    assert counts.get("delete", 0) == n_del
+    got = dt.toDF()
+    assert got.count() == orders.count() - n_del
+    assert got.filter("o_totalprice = 1.0").count() == \
+        src.filter("o_totalprice = 1.0").count()
+
+
+def test_dv_merge_row_tracking(spark, tmp_table, sf_dir):
+    """Stable ids through a DV MERGE: updated rows keep their id,
+    copied (unmoved) rows keep theirs, inserts get fresh ids."""
+    from delta_spark.reader import read_with_row_ids
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(300)
+    write_delta(orders, tmp_table, configuration={
+        "delta.enableDeletionVectors": "true",
+        "delta.enableRowTracking": "true"})
+    log = DeltaLog.for_table(tmp_table)
+    before = {r["_row_id"]: r["o_orderkey"]
+              for r in read_with_row_ids(spark, log.update())
+              .select("_row_id", "o_orderkey").collect()}
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = (orders.limit(80).withColumn("o_comment", F.lit("merged"))
+           if "o_comment" in orders.columns
+           else orders.limit(80).withColumn("o_totalprice", F.lit(2.0)))
+    (dt.merge(src, "target.o_orderkey = source.o_orderkey")
+       .whenMatchedUpdateAll()
+       .execute())
+    rows = read_with_row_ids(spark, log.update()) \
+        .select("_row_id", "o_orderkey").collect()
+    assert len(rows) == orders.count()
+    assert {r["_row_id"] for r in rows} == set(before)   # same ids, none renumbered
+    for r in rows:
+        assert before[r["_row_id"]] == r["o_orderkey"]
+
+
 def test_deletion_vectors_cdf(spark, tmp_table, sf_dir):
     df = _li(spark, sf_dir).limit(200)
     write_delta(df, tmp_table, configuration={
