@@ -217,6 +217,19 @@ def main() -> None:
                lambda d: (d.delete("p_size > 40"), d.toDF().count()),
                setup=lambda i: fresh_copy("part", i))
 
+    # DV-backed MERGE: same upsert against a deletion-vector table —
+    # matched rows are masked in place, only changed rows are written
+    # (UpdateCommand.scala:139 / MergeIntoCommand.scala:136 parity)
+    def fresh_dv_copy(t, i):
+        d = fresh_copy(t, f"dv{i}")
+        d.setProperties({"delta.enableDeletionVectors": "true"})
+        return d
+
+    run_median(timings, "merge_upsert_dv",
+               lambda d: (d.merge(merge_src, "target.o_orderkey = source.o_orderkey")
+                          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()),
+               setup=lambda i: fresh_dv_copy("orders", i))
+
     zordered = {}
 
     def zorder_run(d):

@@ -603,7 +603,8 @@ class DeltaLog:
         commits = [self.commit_source(v) for v in range(start, version + 1)]
         return ckv, ck_paths, commits
 
-    def state_df(self, spark, version: Optional[int] = None):
+    def state_df(self, spark, version: Optional[int] = None,
+                 stats_struct=None):
         """Distributed snapshot state reconstruction (reference
         Snapshot.scala:598 `stateReconstruction`,
         DataSkippingReader.scala:656 `withStats`): the LIVE AddFiles at
@@ -618,6 +619,14 @@ class DeltaLog:
         Columns: path, size, modificationTime, dataChange,
         partitionValues map<string,string>, stats (JSON string),
         deletionVector (JSON string), version.
+
+        With ``stats_struct`` (a StructType), an extra ``__sp`` column
+        carries the checkpoint's TYPED ``add.stats_parsed`` struct
+        (written under `delta.checkpoint.writeStatsAsStruct`,
+        Checkpoints.scala `stats_parsed`) coerced to the requested
+        shape — null for rows whose source has no parsed stats (commit
+        JSONs, pre-feature checkpoints), letting the scan filter skip
+        the per-row JSON parse for the checkpointed bulk of the log.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -625,13 +634,17 @@ class DeltaLog:
         if version is None:
             version = self.latest_version()
         if version < 0:
-            return spark.createDataFrame(
+            empty = spark.createDataFrame(
                 [], "path string, size long, modificationTime long, "
                     "dataChange boolean, partitionValues map<string,string>, "
                     "stats string, deletionVector string, tags "
                     "map<string,string>, baseRowId long, "
                     "defaultRowCommitVersion long, clusteringProvider "
                     "string, version long")
+            if stats_struct is not None:
+                empty = empty.withColumn(
+                    "__sp", F.lit(None).cast(stats_struct))
+            return empty
 
         def _norm(df, ver_col):
             from pyspark.sql import types as T
@@ -662,8 +675,49 @@ class DeltaLog:
                     return F.to_json(F.col(f"{col}.{field}"))
                 return F.lit(None).cast("string")
 
+            def sub_stats_parsed():
+                """`add.stats_parsed` coerced to the REQUESTED struct
+                shape: stored subfields cast to the requested type
+                (type widening after checkpoint), requested fields the
+                stored struct lacks (columns added after checkpoint)
+                null out — the skipping filter treats null as keep."""
+                from pyspark.sql import types as T
+
+                if not has_field("add", "stats_parsed"):
+                    return F.lit(None).cast(stats_struct)
+                src_t = df.schema["add"].dataType["stats_parsed"].dataType
+                if not isinstance(src_t, T.StructType):
+                    return F.lit(None).cast(stats_struct)
+
+                def build(prefix, want_t, have_t):
+                    parts = []
+                    for fl in want_t.fields:
+                        have = (fl.name in have_t.names
+                                and have_t[fl.name].dataType) or None
+                        if isinstance(fl.dataType, T.StructType):
+                            if isinstance(have, T.StructType):
+                                parts.append(build(f"{prefix}.`{fl.name}`",
+                                                   fl.dataType, have)
+                                             .alias(fl.name))
+                            else:
+                                parts.append(F.lit(None).cast(fl.dataType)
+                                             .alias(fl.name))
+                        elif have is not None:
+                            parts.append(F.col(f"{prefix}.`{fl.name}`")
+                                         .cast(fl.dataType).alias(fl.name))
+                        else:
+                            parts.append(F.lit(None).cast(fl.dataType)
+                                         .alias(fl.name))
+                    return F.struct(*parts)
+
+                return F.when(
+                    F.col("add.stats_parsed").isNotNull(),
+                    build("add.stats_parsed", stats_struct, src_t))
+
             has = (lambda c: F.col(f"{c}.path").isNotNull()
                    if has_field(c, "path") else F.lit(False))
+            extra = ([sub_stats_parsed().alias("__sp")]
+                     if stats_struct is not None else [])
             return (df.select(
                 F.coalesce(sub("add", "path", "string"),
                            sub("remove", "path", "string")).alias("path"),
@@ -681,7 +735,8 @@ class DeltaLog:
                 .alias("defaultRowCommitVersion"),
                 sub("add", "clusteringProvider", "string")
                 .alias("clusteringProvider"),
-                ver_col.alias("version"))
+                ver_col.alias("version"),
+                *extra)
                 .filter(F.col("is_file_action")))
 
         parts = []
@@ -728,7 +783,7 @@ class DeltaLog:
             ).cast("long")
             parts.append(_norm(cj, ver))
         if not parts:
-            return self.state_df(spark, -1)
+            return self.state_df(spark, -1, stats_struct)
         allacts = parts[0]
         for p in parts[1:]:
             allacts = allacts.unionByName(p)
@@ -782,29 +837,21 @@ class DeltaLog:
         schema = snap.schema
         part_cols = set(snap.partition_columns)
         l2p = logical_to_physical(schema)
-        atomic = (T.NumericType, T.StringType, T.DateType,
-                  T.TimestampType, T.TimestampNTZType, T.BooleanType)
-        stat_fields = [f for f in schema.fields
-                       if f.name not in part_cols and isinstance(f.dataType, atomic)]
-        stats_schema = T.StructType([
-            T.StructField("numRecords", T.LongType()),
-            T.StructField("minValues", T.StructType([
-                T.StructField(l2p.get(f.name, f.name), f.dataType)
-                for f in stat_fields])),
-            T.StructField("maxValues", T.StructType([
-                T.StructField(l2p.get(f.name, f.name), f.dataType)
-                for f in stat_fields])),
-            T.StructField("nullCount", T.StructType([
-                T.StructField(l2p.get(f.name, f.name), T.LongType())
-                for f in stat_fields])),
-        ])
+        stat_fields, stats_schema = skipping_stats_schema(
+            schema, part_cols, l2p)
         column_types = {f.name: f.dataType.simpleString() for f in schema.fields}
         cond = P.skipping_condition_sql(
             ast, column_types, part_cols, l2p,
             stat_cols={f.name for f in stat_fields})
-        out = (df.withColumn("__s", F.from_json("stats", stats_schema))
+        # typed checkpoint stats (stats_parsed) short-circuit the JSON
+        # parse for the checkpointed bulk of the log; commit-JSON rows
+        # (null __sp) fall back to from_json
+        df = self.state_df(spark, version, stats_struct=stats_schema)
+        out = (df.withColumn(
+                   "__s", F.coalesce(F.col("__sp"),
+                                     F.from_json("stats", stats_schema)))
                .filter(F.expr(cond))
-               .drop("__s"))
+               .drop("__s", "__sp"))
         return self._limit_files_df(out, limit)
 
     @staticmethod
@@ -1140,8 +1187,31 @@ class DeltaLog:
         tmpdir = os.path.join(self.log_path,
                               f".ckpt_tmp_{version}_{os.getpid()}")
 
+        # delta.checkpoint.writeStatsAsStruct (Checkpoints.scala
+        # `stats_parsed`): store TYPED stats alongside the JSON blob so
+        # scans over the checkpointed bulk of the log filter on struct
+        # columns (column-pruned parquet read) instead of re-parsing
+        # JSON per file per query
+        def _with_stats_parsed(df):
+            if str(cfg.get("delta.checkpoint.writeStatsAsStruct",
+                           "true")).lower() == "false" \
+                    or light.metadata is None:
+                return df
+            from delta_spark.schema import logical_to_physical
+
+            _, sschema = skipping_stats_schema(
+                light.schema, set(light.partition_columns),
+                logical_to_physical(light.schema))
+            new_add = F.when(
+                F.col("add").isNotNull(),
+                F.struct(F.col("add.*"),
+                         F.from_json(F.col("add.stats"), sschema)
+                         .alias("stats_parsed")))
+            return df.withColumn("add", new_add)
+
         def _spark_write(df, n_parts):
-            df.repartition(n_parts).write.mode("overwrite").parquet(tmpdir)
+            (_with_stats_parsed(df).repartition(n_parts)
+             .write.mode("overwrite").parquet(tmpdir))
             return sorted(
                 os.path.join(r, n) for r, _d, ns in os.walk(tmpdir)
                 for n in ns if n.endswith(".parquet"))
@@ -1498,6 +1568,32 @@ def parse_interval_ms(s: str) -> Optional[int]:
     mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
             "hour": 3_600_000, "day": 86_400_000, "week": 7 * 86_400_000}[unit]
     return n * mult
+
+
+def skipping_stats_schema(schema, part_cols: set, l2p: dict):
+    """(stat_fields, StructType) for the data-skipping stats of a table
+    schema — numRecords + min/max/nullCount over the atomic non-
+    partition columns, keyed by PHYSICAL name. Shared by the scan
+    filter (from_json / stats_parsed coercion) and the checkpoint
+    writer (`delta.checkpoint.writeStatsAsStruct`)."""
+    from pyspark.sql import types as T
+
+    atomic = (T.NumericType, T.StringType, T.DateType,
+              T.TimestampType, T.TimestampNTZType, T.BooleanType)
+    stat_fields = [f for f in schema.fields
+                   if f.name not in part_cols and isinstance(f.dataType, atomic)]
+    return stat_fields, T.StructType([
+        T.StructField("numRecords", T.LongType()),
+        T.StructField("minValues", T.StructType([
+            T.StructField(l2p.get(f.name, f.name), f.dataType)
+            for f in stat_fields])),
+        T.StructField("maxValues", T.StructType([
+            T.StructField(l2p.get(f.name, f.name), f.dataType)
+            for f in stat_fields])),
+        T.StructField("nullCount", T.StructType([
+            T.StructField(l2p.get(f.name, f.name), T.LongType())
+            for f in stat_fields])),
+    ])
 
 
 def addfiles_from_state_rows(rows) -> list[AddFile]:

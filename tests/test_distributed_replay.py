@@ -459,6 +459,66 @@ def test_distributed_checkpoint_parity(spark, tmp_path, sf_dir):
             == DeltaTable.forPath(spark, b).toDF().count())
 
 
+def test_checkpoint_stats_parsed(spark, tmp_path, sf_dir):
+    """delta.checkpoint.writeStatsAsStruct: the distributed checkpoint
+    carries a typed add.stats_parsed struct, the scan filter uses it
+    (identical pruning to the python loop over every predicate), and
+    schema changes after the checkpoint coerce soundly."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(8)
+    a = str(tmp_path / "sp")
+    write_delta(li, a, partition_by=["l_returnflag"])
+    log = DeltaLog.for_table(a)
+    assert log.write_checkpoint_distributed(spark)
+    # the checkpoint parquet carries typed min/max under stats_parsed
+    ck = log.checkpoint_paths(log.latest_version())
+    sch = _pq.read_schema(ck[0])
+    add_t = sch.field("add").type
+    names = [add_t.field(i).name for i in range(add_t.num_fields)]
+    assert "stats_parsed" in names
+    sp = add_t.field(names.index("stats_parsed")).type
+    spn = [sp.field(i).name for i in range(sp.num_fields)]
+    assert {"numRecords", "minValues", "maxValues", "nullCount"} <= set(spn)
+    # scan parity through the parsed stats (plus post-checkpoint
+    # commits that only have the JSON blob)
+    write_delta(li.limit(100), a, mode="append")
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(a)
+    snap = log.update()
+    for pred in PRUNING_PREDICATES:
+        want = {f.path for f in snap.files_for_scan(pred)}
+        got = {r.path for r in log.files_for_scan_df(spark, pred).collect()}
+        assert got == want, f"stats_parsed parity broken for {pred!r}"
+    # a column added AFTER the checkpoint: old parsed stats lack it,
+    # pruning on it must keep every checkpointed file (sound)
+    evolved = li.limit(60).withColumn("l_extra", F.lit(7).cast("long"))
+    write_delta(evolved, a, mode="append", merge_schema=True)
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(a)
+    snap = log.update()
+    want = {f.path for f in snap.files_for_scan("l_extra = 7")}
+    got = {r.path for r in log.files_for_scan_df(spark, "l_extra = 7").collect()}
+    assert got == want
+
+
+def test_checkpoint_stats_parsed_opt_out(spark, tmp_path, sf_dir):
+    """writeStatsAsStruct=false keeps the JSON-only checkpoint shape."""
+    import pyarrow.parquet as _pq
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    a = str(tmp_path / "nosp")
+    write_delta(li, a, configuration={
+        "delta.checkpoint.writeStatsAsStruct": "false"})
+    log = DeltaLog.for_table(a)
+    assert log.write_checkpoint_distributed(spark)
+    sch = _pq.read_schema(log.checkpoint_paths(log.latest_version())[0])
+    add_t = sch.field("add").type
+    names = [add_t.field(i).name for i in range(add_t.num_fields)]
+    assert "stats_parsed" not in names
+
+
 def test_distributed_checkpoint_multipart(spark, tmp_path, sf_dir):
     """partSize splits the distributed checkpoint into a complete
     multi-part set that replays to the same state."""
