@@ -385,3 +385,84 @@ def test_set_transaction_retention(spark, tmp_table, sf_dir):
     snap2 = DeltaLog.for_table(tmp_table).update()
     assert "fresh_app" in snap2.set_transactions
     assert "old_app" not in snap2.set_transactions
+
+
+def test_dv_dml_lifecycle_stress(spark, tmp_table, sf_dir):
+    """Randomized-order DV DML lifecycle on one table: DV update, DV
+    merge (update+insert+delete clauses), DV delete, OPTIMIZE (DV-ratio
+    compaction), checkpoint replay, and RESTORE — every step verified
+    against a model kept with plain DataFrame ops. The combinations
+    (masks unioning across DML kinds, masked files compacted away,
+    restore onto a DV version) are where mask bookkeeping breaks."""
+    li = (load_table(spark, sf_dir, "lineitem").limit(2000)
+          .withColumn("uid", F.monotonically_increasing_id()))
+    write_delta(li.repartition(6), tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    model = dt.toDF().localCheckpoint()   # pin the written rows
+
+    def check():
+        got = dt.toDF()
+        assert got.count() == model.count()
+        # full-row equality both directions (order-insensitive)
+        assert got.exceptAll(model).count() == 0
+        assert model.exceptAll(got).count() == 0
+
+    # 1. DV update
+    dt.update({"l_tax": "CAST(7.0 AS DOUBLE)"}, "l_quantity > 44")
+    model = model.withColumn(
+        "l_tax", F.when(F.col("l_quantity") > 44, 7.0).otherwise(F.col("l_tax"))) \
+        .localCheckpoint()
+    check()
+
+    # 2. DV delete over rows some of which were just updated
+    dt.delete("l_quantity > 47")
+    model = model.filter(~F.coalesce(F.col("l_quantity") > 47, F.lit(False))) \
+        .localCheckpoint()
+    check()
+
+    # 3. DV merge: update some, delete some, insert new
+    src = (model.filter("uid % 7 = 0").select("uid")
+           .withColumn("act", F.when(F.col("uid") % 14 == 0, "del")
+                       .otherwise("upd"))
+           .unionByName(spark.range(5).select(
+               (F.col("id") + 1_000_000).alias("uid"),
+               F.lit("ins").alias("act"))))
+    (dt.merge(src, "target.uid = source.uid")
+       .whenMatchedDelete("source.act = 'del'")
+       .whenMatchedUpdate({"l_discount": "CAST(0.5 AS DOUBLE)"})
+       .whenNotMatchedInsert({"uid": "source.uid",
+                              "l_orderkey": "CAST(-1 AS BIGINT)"})
+       .execute())
+    dels = src.filter("act = 'del'").select("uid")
+    upds = src.filter("act = 'upd'").select("uid")
+    kept = model.join(dels, "uid", "left_anti")
+    kept = (kept.alias("m").join(upds.alias("u"), "uid", "left_outer")
+            .select(*[F.when(F.col("u.uid").isNotNull() & (F.lit(c) == "l_discount"),
+                             F.lit(0.5)).otherwise(F.col(f"m.{c}")).alias(c)
+                      if c == "l_discount" else F.col(f"m.{c}").alias(c)
+                      for c in model.columns]))
+    ins = src.filter("act = 'ins'").select("uid")
+    ins_rows = ins.select(
+        *[F.lit(-1).cast("bigint").alias(c) if c == "l_orderkey"
+          else (F.col("uid") if c == "uid"
+                else F.lit(None).cast(model.schema[c].dataType).alias(c))
+          for c in model.columns])
+    model = kept.unionByName(ins_rows).localCheckpoint()
+    check()
+    v_before_opt = DeltaLog.for_table(tmp_table).latest_version()
+
+    # 4. OPTIMIZE materializes masks away; contents unchanged
+    dt.optimize().executeCompaction()
+    check()
+
+    # 5. checkpoint + replay from it alone
+    log = DeltaLog.for_table(tmp_table)
+    log.write_checkpoint()
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, tmp_table)
+    check()
+
+    # 6. restore onto the DV-masked pre-OPTIMIZE version
+    dt.restoreToVersion(v_before_opt)
+    check()
