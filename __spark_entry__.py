@@ -854,7 +854,23 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'docs_packed', docs, CAST(tok AS DOUBLE),"
         "         'overflow_packs', viol, CAST(0.0 AS DOUBLE)) AS (k, n, v)"
     ).selectExpr("'pack' AS variant", "k", "n", "v")
-    return split.unionByName(removed).unionByName(pack_inv)
+    # `quota`: per-source domain cap (sample_by_quota) — kept count and
+    # doc_id sum per domain, exact under the deterministic doc_id order
+    from delta_spark.ops.pipeline import sample_by_quota
+    quota = (sample_by_quota(docs, "source", 25, "doc_id")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s"))
+             .selectExpr("'quota' AS variant", "source AS k", "n",
+                         "CAST(s AS DOUBLE) AS v"))
+    # `normalize`: content hash of the normalized text per doc — an
+    # exact byte-level cross-engine equality check of normalize_text
+    from delta_spark.ops.text import normalize_text
+    norm = (normalize_text(docs)
+            .selectExpr("'normalize' AS variant", "md5(norm_text) AS k",
+                        "CAST(length(norm_text) AS BIGINT) AS n",
+                        "CAST(doc_id AS DOUBLE) AS v"))
+    return (split.unionByName(removed).unionByName(pack_inv)
+            .unionByName(quota).unionByName(norm))
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -1058,6 +1074,22 @@ UNION ALL
 SELECT 'pack', 'docs_packed', count(*), CAST(sum(n_tok) AS DOUBLE) FROM tok
 UNION ALL
 SELECT 'pack', 'overflow_packs', 0, 0.0
+UNION ALL
+SELECT 'quota', source, count(*), CAST(sum(doc_id) AS DOUBLE)
+FROM (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) q
+WHERE rn <= 25 GROUP BY source
+UNION ALL
+SELECT 'normalize', md5(nt), CAST(length(nt) AS BIGINT), CAST(doc_id AS DOUBLE)
+FROM (SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+               '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS nt
+      FROM documents) nx
 """
 
 

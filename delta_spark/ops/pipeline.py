@@ -161,3 +161,20 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
             .groupBy("__p")
             .applyInPandas(_pack, "pack_id string, doc_ids array<string>, "
                                   "total_tokens long"))
+
+
+def sample_by_quota(df: DataFrame, group_col: str, quota: int,
+                    order_col: str) -> DataFrame:
+    """Per-group document cap (the C4/RefinedWeb-style per-domain
+    quota): keep the first `quota` rows of each group in `order_col`
+    order, deterministically. One shuffle on the group key; a hot
+    domain lands in one partition, where AQE skew-split plus the fact
+    that only `quota` rows survive the rank keep it bounded. For
+    quotas small relative to group sizes, the window beats sampling
+    because membership is exact and rerun-stable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= quota)
+            .drop("__rn"))

@@ -9,6 +9,8 @@ so each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 # tiny per-language stopword seeds for the n-gram/stopword heuristic
@@ -87,3 +89,26 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     semantics in any engine with md5 → exact oracle."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", "")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text",
+                   lowercase: bool = True) -> DataFrame:
+    """Training-corpus text normalization, entirely JVM-side (one
+    projection, zero shuffle, no Python in the row path): strip HTML
+    tags, unescape the common entities, drop control characters,
+    collapse whitespace runs, trim, and optionally lowercase. The
+    passes are plain regex/literal replaces so any engine reproduces
+    the output byte-for-byte (the gate hashes it against DuckDB)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    # && entities: &amp; is decoded LAST so "&amp;lt;" → "&lt;" (one
+    # level of decoding, not recursive)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        c = F.regexp_replace(c, re.escape(ent), ch)
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

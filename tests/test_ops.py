@@ -343,3 +343,40 @@ def test_resize_images_plumbing(spark, docs):
     by_id = {r["media_id"]: bytes(r["payload"]) for r in rows}
     src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     assert by_id == src
+
+
+def test_normalize_text(spark):
+    from delta_spark.ops.text import normalize_text
+
+    rows = [
+        (1, "<p>Hello &amp; <b>world</b></p>"),
+        (2, "  A\tB\n\nC  "),
+        (3, "x &amp;lt; y"),        # one decoding level, not recursive
+        (4, "ctrl\x01chars\x7fhere"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df).collect()}
+    assert got[1] == "hello & world"
+    assert got[2] == "a b c"
+    assert got[3] == "x &lt; y"
+    assert got[4] == "ctrl chars here"
+    assert got[5] is None
+
+
+def test_sample_by_quota(spark, docs):
+    from delta_spark.ops.pipeline import sample_by_quota
+
+    out = sample_by_quota(docs, "source", 10, "doc_id")
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in per.items():
+        assert n == min(sizes[s], 10)
+    # deterministic: lowest doc_ids survive
+    first = docs.filter("source = '%s'" % next(iter(sizes))) \
+        .orderBy("doc_id").limit(10).select("doc_id")
+    kept = out.filter("source = '%s'" % next(iter(sizes))).select("doc_id")
+    assert kept.exceptAll(first).count() == 0
