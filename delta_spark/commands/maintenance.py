@@ -329,21 +329,32 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
 # -------------------------------------------------------------- CLONE ----
 
 def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
-                  version: Optional[int] = None) -> dict:
+                  version: Optional[int] = None, replace: bool = False,
+                  properties: Optional[dict] = None) -> dict:
     """New table whose AddFiles point (absolute paths) at the source's
-    files (CloneTableCommand; SHALLOW CLONE grammar DeltaSqlBase.g4:103)."""
+    files (CloneTableCommand; SHALLOW CLONE grammar DeltaSqlBase.g4:103).
+    ``replace=True`` replaces an existing target (its active files are
+    tombstoned in the same commit); ``properties`` overlay the cloned
+    table configuration (CloneTableCommand tablePropertyOverrides)."""
     src = log.snapshot_at(version) if version is not None else log.update()
     if src.metadata is None:
         raise ValueError("cannot clone: source table has no metadata")
     target_log = DeltaLog.for_table(target_path)
     txn = OptimisticTransaction(target_log)
+    replaced: list = []
     if txn.read_version >= 0:
-        raise ValueError(f"clone target already exists: {target_path}")
+        if not replace:
+            raise ValueError(f"clone target already exists: {target_path}")
+        replaced = [f.remove() for f in txn.snapshot.all_files]
+        txn.read_whole_table()
+    cfg = dict(src.metadata.configuration)
+    if properties:
+        cfg.update(properties)
     meta = Metadata(
         name=src.metadata.name, description=src.metadata.description,
         format=src.metadata.format, schemaString=src.metadata.schemaString,
         partitionColumns=src.metadata.partitionColumns,
-        configuration=src.metadata.configuration, createdTime=current_time_millis())
+        configuration=cfg, createdTime=current_time_millis())
     def _clone_dv(f):
         if not f.deletionVector:
             return None
@@ -377,10 +388,53 @@ def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
             for f in src.all_files]
     metrics = {"sourceTableSize": str(src.size_in_bytes), "numCopiedFiles": "0",
                "sourceNumOfFiles": str(src.num_files)}
-    v = txn.commit([meta] + adds, "CLONE",
+    v = txn.commit([meta] + adds + replaced, "CLONE",
                    {"source": log.table_path, "sourceVersion": str(src.version),
                     "isShallow": "true"}, metrics)
     return {"version": v, **metrics}
+
+
+def deep_clone(spark: SparkSession, log: DeltaLog, target_path: str,
+               version: Optional[int] = None, replace: bool = False,
+               properties: Optional[dict] = None) -> dict:
+    """Deep clone (reference CloneTableCommand with isShallow=false):
+    the target owns its data. Deviation from the reference's byte-level
+    file copy: the source snapshot is re-written through the normal
+    distributed write path — DV masks materialize and stats are
+    recollected, so the target is a self-contained equivalent table
+    with no reference back to the source. Row-tracking ids are
+    re-assigned (the clone is a new table). The source's schemaString
+    is restored afterwards so generated/identity/default column
+    metadata survives the round-trip."""
+    from delta_spark.io import write_delta
+    from delta_spark.reader import read_snapshot
+
+    src = log.snapshot_at(version) if version is not None else log.update()
+    if src.metadata is None:
+        raise ValueError("cannot clone: source table has no metadata")
+    cfg = dict(src.metadata.configuration)
+    if properties:
+        cfg.update(properties)
+    df = read_snapshot(spark, src)
+    write_delta(df, target_path,
+                mode="overwrite" if replace else "error",
+                overwrite_schema=replace,
+                partition_by=list(src.partition_columns) or None,
+                configuration=cfg, operation="CLONE")
+    target_log = DeltaLog.for_table(target_path)
+    txn = OptimisticTransaction(target_log)
+    m = txn.metadata
+    if m is not None and m.schemaString != src.metadata.schemaString:
+        txn.commit([Metadata(
+            id=m.id, name=m.name, description=m.description, format=m.format,
+            schemaString=src.metadata.schemaString,
+            partitionColumns=m.partitionColumns,
+            configuration=m.configuration, createdTime=m.createdTime)],
+            "UPDATE SCHEMA", {"reason": "clone schema metadata"}, {})
+    snap = target_log.update()
+    return {"version": snap.version,
+            "numCopiedFiles": str(snap.num_files),
+            "sourceNumOfFiles": str(src.num_files)}
 
 
 # ------------------------------------------------------------ CONVERT ----

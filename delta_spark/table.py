@@ -319,9 +319,38 @@ class DeltaTable:
     def restoreToTimestamp(self, ts: Union[str, _dt.datetime, int]) -> dict:
         return restore(self.spark, self.log, timestamp_ms=_to_millis(ts))
 
-    def clone(self, target_path: str, version: Optional[int] = None) -> "DeltaTable":
-        shallow_clone(self.spark, self.log, target_path, version)
+    def clone(self, target_path: str, version: Optional[int] = None,
+              is_shallow: bool = True, replace: bool = False,
+              properties: Optional[dict] = None) -> "DeltaTable":
+        """Clone this table (reference python tables.py:732 `clone`):
+        shallow (AddFiles point at source files) or deep (target owns
+        re-written data), optionally replacing an existing target, with
+        property overrides."""
+        if is_shallow:
+            shallow_clone(self.spark, self.log, target_path, version,
+                          replace=replace, properties=properties)
+        else:
+            from delta_spark.commands.maintenance import deep_clone
+
+            deep_clone(self.spark, self.log, target_path, version,
+                       replace=replace, properties=properties)
         return DeltaTable.forPath(self.spark, target_path)
+
+    def cloneAtVersion(self, version: int, target_path: str,
+                       isShallow: bool = True, replace: bool = False,
+                       properties: Optional[dict] = None) -> "DeltaTable":
+        """Reference python tables.py:759 `cloneAtVersion`."""
+        return self.clone(target_path, version=version, is_shallow=isShallow,
+                          replace=replace, properties=properties)
+
+    def cloneAtTimestamp(self, timestamp: str, target_path: str,
+                         isShallow: bool = True, replace: bool = False,
+                         properties: Optional[dict] = None) -> "DeltaTable":
+        """Reference python tables.py:789 `cloneAtTimestamp` — the
+        source version is the last commit at/before the timestamp."""
+        v = self.log.version_at_timestamp(_to_millis(timestamp))
+        return self.clone(target_path, version=v, is_shallow=isShallow,
+                          replace=replace, properties=properties)
 
     def truncate(self) -> int:
         return truncate(self.spark, self.log)
@@ -387,6 +416,12 @@ class DeltaTable:
             writerFeatures=sorted(set(p.writerFeatures or []) | w_feats) or None)
         return txn.commit([new], "ADD FEATURE SUPPORT",
                           {"feature": feature_name})
+
+    def dropFeatureSupport(self, featureName: str,
+                           truncateHistory: Optional[bool] = None) -> None:
+        """Reference python tables.py:640 `dropFeatureSupport` — alias
+        of :meth:`dropFeature` with the reference's parameter names."""
+        self.dropFeature(featureName, truncate_history=bool(truncateHistory))
 
     def dropFeature(self, name: str, truncate_history: bool = False) -> int:
         """ALTER TABLE DROP FEATURE (AlterTableDropFeatureDeltaCommand):

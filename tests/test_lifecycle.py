@@ -420,3 +420,58 @@ def test_vacuum_parallel_listing_matches_sequential(spark, tmp_table, sf_dir):
     assert all(not _os.path.exists(p) for p in par)
     assert dt.toDF().count() == orders.filter("o_orderkey % 3 <> 0").count()
     spark.conf.unset("delta_spark.vacuum.parallelListingThreshold")
+
+
+def test_clone_api_parity(spark, tmp_table, tmp_path, sf_dir):
+    """Reference python API shapes: cloneAtVersion / cloneAtTimestamp /
+    clone(replace=, properties=) and deep clone."""
+    from delta_spark.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(300)
+    write_delta(li, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    write_delta(li.limit(50), tmp_table, mode="append")
+
+    # cloneAtVersion pins the pre-append state
+    c1 = dt.cloneAtVersion(0, str(tmp_path / "v0"))
+    assert c1.toDF().count() == 300
+    # cloneAtTimestamp resolves through commit timestamps
+    ts = dt.history().filter("version = 1").collect()[0]["timestamp"]
+    c2 = dt.cloneAtTimestamp(str(ts), str(tmp_path / "ts"))
+    assert c2.toDF().count() == 350
+    # replace=True swaps an existing target in one commit
+    c3 = dt.clone(str(tmp_path / "v0"), replace=True,
+                  properties={"delta.appendOnly": "false"})
+    assert c3.toDF().count() == 350
+    assert c3.detail().collect()[0]["properties"].get("delta.appendOnly") == "false"
+    # replace=False on an existing target still refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dt.clone(str(tmp_path / "v0"))
+
+
+def test_deep_clone_self_contained(spark, tmp_table, tmp_path, sf_dir):
+    """Deep clone owns its data: masked rows stay deleted after the
+    SOURCE is vacuumed away, and the clone diverges independently."""
+    import shutil as _shutil
+
+    from delta_spark.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(400)
+    write_delta(li, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    want = dt.toDF().count()
+    deep = dt.clone(str(tmp_path / "deep"), is_shallow=False)
+    assert deep.toDF().count() == want
+    # clone has no DVs (masks materialized) and no source references
+    from delta_spark.log import DeltaLog as _DL
+    snap = _DL.for_table(str(tmp_path / "deep")).update()
+    assert not any(f.deletionVector for f in snap.all_files)
+    assert all(not f.path.startswith("/") or str(tmp_path / "deep") in f.path
+               for f in snap.all_files)
+    # destroy the source entirely — the deep clone still reads
+    _shutil.rmtree(tmp_table)
+    DeltaLog.clear_cache()
+    assert DeltaTable.forPath(spark, str(tmp_path / "deep")).toDF().count() == want
