@@ -268,6 +268,52 @@ def main() -> None:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
             FROM d_events GROUP BY 1, 2""").count()
 
+    # ---- metadata-path scale: plan a scan over a 100k-file log ---------
+    # (the binding constraint at 100 TB is planning, not scanning: the
+    # distributed replay + typed-stats pruning must stay sub-second-ish
+    # per 10⁵ files. Synthetic log only — no data files are opened.)
+    def plan_setup(i):
+        base_dir = os.path.join(scratch, "planlog")
+        if not os.path.isdir(base_dir):
+            ld = os.path.join(base_dir, "_delta_log")
+            os.makedirs(ld)
+            schema = json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}}]})
+            with open(os.path.join(ld, "%020d.json" % 0), "w") as f:
+                f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                                 "minWriterVersion": 2}}) + "\n")
+                f.write(json.dumps({"metaData": {
+                    "id": "plan", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema, "partitionColumns": ["p"],
+                    "configuration": {}, "createdTime": 1}}))
+            n_per, n_commits = 2500, 40      # 100k AddFiles
+            for v in range(1, n_commits + 1):
+                with open(os.path.join(ld, "%020d.json" % v), "w") as f:
+                    f.write("\n".join(json.dumps({"add": {
+                        "path": f"p={v % 10}/f_{v}_{i}.parquet",
+                        "partitionValues": {"p": str(v % 10)},
+                        "size": 1 << 20, "modificationTime": v, "dataChange": True,
+                        "stats": json.dumps({
+                            "numRecords": 1000,
+                            "minValues": {"k": (v * n_per + i) * 10},
+                            "maxValues": {"k": (v * n_per + i) * 10 + 9},
+                            "nullCount": {"k": 0}})}})
+                        for i in range(n_per)))
+            DeltaLog.clear_cache()
+            log = DeltaLog.for_table(base_dir)
+            log.write_checkpoint_distributed(spark)   # typed stats_parsed
+        DeltaLog.clear_cache()
+        return DeltaLog.for_table(base_dir)
+
+    def plan_run(log):
+        # a selective range predicate: ~0.01% of files survive pruning
+        rows = log.files_for_scan_df(
+            spark, "k >= 500000 AND k < 500100 AND p = '3'").collect()
+        assert len(rows) < 100
+
+    run_median(timings, "plan_100k_files", plan_run, setup=plan_setup)
+
     run_median(timings, "dedup_minhash", mh)
     run_median(timings, "knn", knn)
     run_median(timings, "text_pipeline", text)
