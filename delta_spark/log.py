@@ -1416,10 +1416,15 @@ class DeltaLog:
                 if kind == "commitInfo":
                     ci = a
                     break
+            # the reference rewrites CommitInfo.timestamp with the commit
+            # file's modificationTime (DeltaHistoryManager.getHistory), so
+            # history timestamps round-trip through TIMESTAMP AS OF /
+            # cloneAtTimestamp; _commit_timestamp already prefers the
+            # in-commit timestamp when the feature is enabled
             ts = self._commit_timestamp(v)
             row = {
                 "version": v,
-                "timestamp": ci.timestamp if ci and ci.timestamp else ts,
+                "timestamp": ts,
                 "operation": ci.operation if ci else "UNKNOWN",
                 "operationParameters": ci.operationParameters if ci else {},
                 "operationMetrics": ci.operationMetrics if ci else {},

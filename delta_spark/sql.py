@@ -321,12 +321,17 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         return spark.createDataFrame([(v if v is not None else -1,)], "version: long")
 
     m = re.fullmatch(rf"(?is)\s*SELECT\s+.+?\s+FROM\s+delta\.`(?P<path>[^`]+)`"
-                     rf"\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*(?P<rest>.*)", s)
+                     rf"\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+                     rf"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*(?P<rest>.*)", s)
     if m:
         dt = DeltaTable.forPath(spark, m.group("path"))
-        dt.asOfVersion(int(m.group("v"))).createOrReplaceTempView("__delta_tt")
-        rewritten = re.sub(r"delta\.`[^`]+`\s+VERSION\s+AS\s+OF\s+\d+", "__delta_tt", s,
-                           flags=re.IGNORECASE)
+        df = (dt.asOfVersion(int(m.group("v"))) if m.group("v") is not None
+              else dt.asOfTimestamp(m.group("ts")))
+        df.createOrReplaceTempView("__delta_tt")
+        rewritten = re.sub(
+            r"delta\.`[^`]+`\s+(?:VERSION\s+AS\s+OF\s+\d+"
+            r"|TIMESTAMP\s+AS\s+OF\s+'[^']*')",
+            "__delta_tt", s, flags=re.IGNORECASE)
         return spark.sql(rewritten)
 
     # table_changes TVF (DeltaTableValueFunctions.scala:47):

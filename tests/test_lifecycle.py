@@ -86,6 +86,16 @@ def test_sql_dispatcher_surface(spark, tmp_table, sf_dir):
     assert out.collect()[0]["n"] == 100
     tt = delta_sql(spark, f"SELECT count(*) AS n FROM {t} VERSION AS OF 0")
     assert tt.collect()[0]["n"] == 100
+    # TIMESTAMP AS OF accepts a DESCRIBE HISTORY timestamp verbatim:
+    # history reports the commit file's modificationTime (the same
+    # clock version_at_timestamp resolves against), so the round trip
+    # lands on exactly that version
+    ts0 = [r["timestamp"] for r in
+           delta_sql(spark, f"DESCRIBE HISTORY {t}").collect()
+           if r["version"] == 0][0]
+    tt = delta_sql(spark,
+                   f"SELECT count(*) AS n FROM {t} TIMESTAMP AS OF '{ts0}'")
+    assert tt.collect()[0]["n"] == 100
     delta_sql(spark, f"OPTIMIZE {t}")
     res = delta_sql(spark, f"VACUUM {t} RETAIN 0 HOURS DRY RUN")
     assert res.columns == ["path"]
