@@ -531,6 +531,20 @@ class DeltaLog:
         check_read_protocol(snap.protocol)
         return snap
 
+    def _light_meta(self, version: Optional[int] = None) -> Snapshot:
+        """Per-version-immutable cache over ``light_snapshot`` for
+        planning: repeated scans of the same version pay the checkpoint
+        metadata read once. Callers must treat the result as read-only
+        (no hydrator is attached)."""
+        if version is None:
+            version = self.latest_version()
+        cached = getattr(self, "_light_meta_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        snap = self.light_snapshot(version)
+        self._light_meta_cache = (version, snap)
+        return snap
+
     def _build_snapshot(self, version: int) -> Snapshot:
         snap = Snapshot(self.table_path, version)
         start = 0
@@ -591,14 +605,17 @@ class DeltaLog:
                 # state missing every file at or before `ckv`
                 raise FileNotFoundError(
                     f"checkpoint {ckv} disappeared during planning")
-            for p in list(ck_paths):
-                if "sidecar" not in pq.read_schema(p).names:
-                    continue
-                for r in pq.read_table(p, columns=["sidecar"]).to_pylist():
-                    sc = r.get("sidecar")
-                    if sc and sc.get("path"):
-                        ck_paths.append(os.path.join(
-                            self.log_path, SIDECAR_DIR, sc["path"]))
+            # only a single-file checkpoint can be a V2 top file carrying
+            # sidecar references; classic multi-part sets never do, so
+            # skip the per-part footer sniff for them
+            if len(ck_paths) == 1:
+                p = ck_paths[0]
+                if "sidecar" in pq.read_schema(p).names:
+                    for r in pq.read_table(p, columns=["sidecar"]).to_pylist():
+                        sc = r.get("sidecar")
+                        if sc and sc.get("path"):
+                            ck_paths.append(os.path.join(
+                                self.log_path, SIDECAR_DIR, sc["path"]))
         start = ckv + 1 if ckv is not None else 0
         commits = [self.commit_source(v) for v in range(start, version + 1)]
         return ckv, ck_paths, commits
@@ -739,11 +756,11 @@ class DeltaLog:
                 *extra)
                 .filter(F.col("is_file_action")))
 
-        parts = []
+        ck_df = None
         ck, ck_paths, commit_paths = self._log_segment_paths(version)
         if ck_paths:
             top = spark.read.parquet(*ck_paths)
-            parts.append(_norm(top, F.lit(ck).cast("long")))
+            ck_df = _norm(top, F.lit(ck).cast("long"))
         if commit_paths:
             from pyspark.sql import types as T
 
@@ -781,25 +798,48 @@ class DeltaLog:
             ver = F.regexp_extract(
                 F.url_decode(F.input_file_name()), r"(\d{20})[^/]*\.json$", 1
             ).cast("long")
-            parts.append(_norm(cj, ver))
-        if not parts:
+            tail_df = _norm(cj, ver)
+        else:
+            tail_df = None
+        if ck_df is None and tail_df is None:
             return self.state_df(spark, -1, stats_struct)
-        allacts = parts[0]
-        for p in parts[1:]:
-            allacts = allacts.unionByName(p)
         # reconcile on the CANONICAL path (decoded, file:-scheme
         # stripped) like the python replay / InMemoryLogReplay; '+' is
         # pre-escaped because url_decode form-decodes it to a space
         canon = F.regexp_replace(
             F.url_decode(F.regexp_replace(F.col("path"), r"\+", "%2B")),
             "^file:/*", "/")
-        allacts = allacts.withColumn("__canon", canon)
-        w = Window.partitionBy("__canon").orderBy(
-            F.desc("version"), F.desc("is_add"))
-        return (allacts
-                .withColumn("__rn", F.row_number().over(w))
-                .filter((F.col("__rn") == 1) & F.col("is_add"))
-                .drop("__rn", "__canon", "is_add", "is_file_action"))
+        drop_cols = ("__canon", "is_add", "is_file_action")
+
+        def reconcile(df):
+            # latest action per path wins; within one commit the add
+            # beats the remove (DV rewrite: remove(path,dv1)+add(path,dv2)
+            # keeps the file live)
+            w = Window.partitionBy("__canon").orderBy(
+                F.desc("version"), F.desc("is_add"))
+            return (df.withColumn("__rn", F.row_number().over(w))
+                    .filter((F.col("__rn") == 1) & F.col("is_add"))
+                    .drop("__rn", *drop_cols))
+
+        if ck_df is None:
+            return reconcile(tail_df.withColumn("__canon", canon))
+        # A valid checkpoint is already reconciled: add actions have
+        # unique path keys and a path never appears in both the add and
+        # remove collections (PROTOCOL.md "Action Reconciliation").  So
+        # the (large) checkpoint never needs the window shuffle — only
+        # the commit tail does, and the checkpoint side is a map-only
+        # broadcast anti-join against the tail's touched paths.  The
+        # tail is bounded by delta.checkpointInterval commits, so its
+        # path set broadcasts.
+        ck_live = ck_df.withColumn("__canon", canon).filter("is_add")
+        if tail_df is None:
+            return ck_live.drop(*drop_cols)
+        tail = tail_df.withColumn("__canon", canon)
+        touched = tail.select("__canon").distinct()
+        return (ck_live
+                .join(F.broadcast(touched), "__canon", "left_anti")
+                .drop(*drop_cols)
+                .unionByName(reconcile(tail)))
 
     def files_for_scan_df(self, spark, predicate: Optional[str] = None,
                           version: Optional[int] = None,
@@ -818,18 +858,17 @@ class DeltaLog:
         from delta_spark import predicates as P
         from delta_spark.schema import logical_to_physical
 
-        df = self.state_df(spark, version)
         if not predicate:
-            return self._limit_files_df(df, limit)
+            return self._limit_files_df(self.state_df(spark, version), limit)
         # metadata-only snapshot: compiling the skipping predicate needs
         # the schema/partition columns, never the file state
-        snap = self.light_snapshot(version)
+        snap = self._light_meta(version)
         if snap.metadata is None:
-            return self._limit_files_df(df, limit)
+            return self._limit_files_df(self.state_df(spark, version), limit)
         try:
             ast = P.parse_predicate(predicate)
         except P.UnsupportedPredicate:
-            return self._limit_files_df(df, limit)
+            return self._limit_files_df(self.state_df(spark, version), limit)
         gen_map = snap._generated_partition_map()
         if gen_map:
             for extra in P.derive_generated_conjuncts(ast, gen_map):
@@ -1332,9 +1371,17 @@ class DeltaLog:
                                     "domainMetadata") if c in names]
                 if not cols:
                     continue
-                rows.extend(r for r in pq.read_table(path, columns=cols)
-                            .to_pylist()
-                            if any(r.get(c) for c in cols))
+                # vectorized null-row filter BEFORE to_pylist: a
+                # 10⁶-row checkpoint has a handful of metadata-class
+                # rows; building a python dict per AddFile row just to
+                # discard it dominates planning time otherwise
+                import pyarrow.compute as pc
+                tbl = pq.read_table(path, columns=cols)
+                mask = None
+                for c in cols:
+                    valid = pc.is_valid(tbl[c])
+                    mask = valid if mask is None else pc.or_(mask, valid)
+                rows.extend(tbl.filter(mask).to_pylist())
             else:
                 rows.extend(pq.read_table(path).to_pylist())
         # V2: pull file actions in from the referenced sidecars (the
