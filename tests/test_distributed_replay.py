@@ -117,6 +117,38 @@ def test_distributed_replay_across_checkpoint(spark, tmp_path):
     assert stats and json.loads(stats[0])["numRecords"] == 4
 
 
+def test_checkpoint_only_plan_has_no_shuffle(spark, tmp_path):
+    """A checkpoint is reconciled by construction (PROTOCOL.md Action
+    Reconciliation: add paths are unique), so planning a scan with no
+    commit tail must not shuffle the file state — and with a tail, the
+    checkpoint side must join broadcast, not exchange. This is the
+    invariant that keeps 10⁶-file planning map-only."""
+    base = str(tmp_path / "synth3")
+    os.makedirs(base)
+    ld, v = _synth_log(base, n_batches=10, adds_per=20)
+    log = DeltaLog.for_table(base)
+    log.write_checkpoint(log.update())
+
+    plan = log.state_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+    # with a commit tail, only the (small) tail hits an exchange; the
+    # checkpoint side stays on a broadcast join
+    _commit(ld, v, [{"add": {"path": "p=0/late.parquet",
+                             "partitionValues": {"p": "0"}, "size": 1,
+                             "modificationTime": 1, "dataChange": True}}])
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(base)
+    plan = log.state_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # every Exchange in the plan feeds the tail (its reconcile window +
+    # the distinct over touched paths), never the checkpoint scan —
+    # cheap proxy: at most those two hashpartitionings, and the
+    # checkpoint parquet files never appear under a shuffle (only one
+    # Window operator exists and it reads the commit JSONs)
+    assert plan.count("hashpartitioning") <= 2
+
+
 PRUNING_PREDICATES = [
     "l_quantity < 5",
     "l_quantity >= 45",
