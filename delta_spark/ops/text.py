@@ -91,6 +91,89 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     top_ngrams: tuple = (2, 3, 4)) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", §A1.1 repetition filters) as one narrow JVM-side
+    projection — per-document array higher-order functions, zero
+    shuffle, no Python in the row path:
+
+    - ``dup_line_frac``      fraction of (trimmed, non-empty) lines that
+                             repeat an earlier line
+    - ``dup_line_char_frac`` fraction of line characters carried by those
+                             repeat occurrences
+    - ``dup_para_frac``  /   same two over blank-line-separated
+      ``dup_para_char_frac`` paragraphs
+    - ``top{n}gram_char_frac`` characters covered by the single most
+                             frequent word n-gram, per requested n
+
+    A document tripping several of these is boilerplate/spam with high
+    probability; Gopher drops docs with dup_line_frac > 0.30,
+    dup_para_frac > 0.30, top2gram > 0.20, top3gram > 0.18,
+    top4gram > 0.16 — apply with a plain ``filter`` downstream.
+    """
+    t = F.col(text_col)
+
+    def seg_metrics(arr, frac_name, char_name):
+        arr = F.filter(F.transform(arr, lambda s: F.trim(s)),
+                       lambda s: s != "")
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        chars = F.aggregate(arr, F.lit(0).cast("long"),
+                            lambda acc, s: acc + F.length(s))
+        dchars = F.aggregate(F.array_distinct(arr), F.lit(0).cast("long"),
+                             lambda acc, s: acc + F.length(s))
+        frac = F.when(n > 0, (n - nd).cast("double") / n).otherwise(0.0)
+        cfrac = F.when(chars > 0, (chars - dchars).cast("double") / chars) \
+                 .otherwise(0.0)
+        return {frac_name: F.round(frac, 6), char_name: F.round(cfrac, 6)}
+
+    cols = {}
+    cols.update(seg_metrics(F.split(t, r"\n"),
+                            "dup_line_frac", "dup_line_char_frac"))
+    cols.update(seg_metrics(F.split(t, r"\n\s*\n"),
+                            "dup_para_frac", "dup_para_char_frac"))
+
+    # word n-grams: lowercase, strip non-alnum, whitespace-split
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(t), r"[^a-z0-9\s]+", " "), r"\s+"),
+        lambda w: w != "")
+    total_chars = F.aggregate(words, F.lit(0).cast("long"),
+                              lambda acc, w: acc + F.length(w))
+    for n in top_ngrams:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + k + 1).cast("int"))
+                       for k in range(n)]))
+        grams = F.when(F.size(words) >= n, grams) \
+                 .otherwise(F.array().cast("array<string>"))
+        # most frequent n-gram via one sorted single pass:
+        # (prev, run, best_run, best_gram) accumulator over array_sort
+        acc0 = F.struct(F.lit("").alias("prev"),
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(0).cast("long").alias("best"),
+                        F.lit("").alias("bestg"))
+
+        def step(acc, g):
+            run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            better = run > acc["best"]
+            return F.struct(
+                g.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, g).otherwise(acc["bestg"]).alias("bestg"))
+
+        top = F.aggregate(F.array_sort(grams), acc0, step)
+        # chars covered by the top n-gram = freq × chars-in-gram
+        # (without the joining spaces, matching the word-char basis)
+        gram_chars = F.length(F.regexp_replace(top["bestg"], " ", ""))
+        frac = F.when(total_chars > 0,
+                      (top["best"] * gram_chars).cast("double") / total_chars) \
+                .otherwise(0.0)
+        cols[f"top{n}gram_char_frac"] = F.round(frac, 6)
+    return df.withColumns(cols)
+
+
 def normalize_text(df: DataFrame, text_col: str = "text",
                    out_col: str = "norm_text",
                    lowercase: bool = True) -> DataFrame:

@@ -365,6 +365,78 @@ def test_normalize_text(spark):
     assert got[5] is None
 
 
+def test_repetition_stats(spark, docs):
+    """Gopher repetition filters vs a plain-python reference on crafted
+    docs, then shape/range sanity over the real corpus."""
+    from collections import Counter
+
+    from delta_spark.ops.text import repetition_stats
+
+    rows = [
+        (1, "a b\na b\nc d"),                       # 1 dup line of 3
+        (2, "unique one\nunique two\nunique three"),  # no repetition
+        (3, "spam spam spam spam spam spam"),       # one 2-gram dominates
+        (4, "para one\n\npara one\n\npara two"),    # 1 dup paragraph of 3
+        (5, ""),                                     # empty → all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    def ref(text):
+        lines = [s.strip() for s in text.split("\n") if s.strip()]
+        import re as _re
+        paras = [s.strip() for s in _re.split(r"\n\s*\n", text) if s.strip()]
+        words = [w for w in _re.sub(r"[^a-z0-9\s]+", " ", text.lower()).split()
+                 if w]
+        out = {}
+        for name, seg in (("line", lines), ("para", paras)):
+            n, nd = len(seg), len(set(seg))
+            ch = sum(len(s) for s in seg)
+            dch = sum(len(s) for s in set(seg))
+            out[f"dup_{name}_frac"] = (n - nd) / n if n else 0.0
+            out[f"dup_{name}_char_frac"] = (ch - dch) / ch if ch else 0.0
+        tot = sum(len(w) for w in words)
+        for n in (2, 3, 4):
+            grams = [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+            if grams and tot:
+                g, c = Counter(grams).most_common(1)[0]
+                # tie-break: the spark pass takes the max-run gram over
+                # the SORTED array = lexicographically first max — match
+                best = max(c2 for c2 in Counter(grams).values())
+                cands = sorted(g2 for g2, c2 in Counter(grams).items()
+                               if c2 == best)
+                g = cands[0]
+                out[f"top{n}gram_char_frac"] = \
+                    best * len(g.replace(" ", "")) / tot
+            else:
+                out[f"top{n}gram_char_frac"] = 0.0
+        return out
+
+    for doc_id, text in rows:
+        want = ref(text)
+        for k, v in want.items():
+            assert abs(got[doc_id][k] - round(v, 6)) < 1e-9, \
+                f"doc {doc_id} {k}: {got[doc_id][k]} != {v}"
+    # crafted expectations spelled out for the obvious ones
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["top2gram_char_frac"] > 0.5
+    assert abs(got[4]["dup_para_frac"] - 1 / 3) < 1e-6
+
+    # real corpus: one projection, values in [0,1], no nulls
+    sample = repetition_stats(docs.limit(200)).select(
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top2gram_char_frac", "top3gram_char_frac",
+        "top4gram_char_frac")
+    import pyspark.sql.functions as _F
+    agg = sample.agg(*[_F.min(c).alias(f"mn_{c}") for c in sample.columns],
+                     *[_F.max(c).alias(f"mx_{c}") for c in sample.columns]) \
+        .collect()[0].asDict()
+    for k, v in agg.items():
+        assert v is not None and 0.0 <= v <= 1.0, (k, v)
+
+
 def test_sample_by_quota(spark, docs):
     from delta_spark.ops.pipeline import sample_by_quota
 
