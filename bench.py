@@ -314,6 +314,36 @@ def main() -> None:
 
     run_median(timings, "plan_100k_files", plan_run, setup=plan_setup)
 
+    # ---- streaming: drain a 10-commit backlog source→sink ----------------
+    # (structured-streaming path: the delta_py source plans offsets over
+    # the log tail, reads the commit files, and the exactly-once delta
+    # sink commits the batch — the end-to-end streaming-ingest shape)
+    def stream_setup(i):
+        src_tbl = os.path.join(scratch, "stream_src")
+        if not os.path.isdir(src_tbl):
+            ev = load_table(spark, SF_DIR, "events").limit(20000) \
+                .localCheckpoint()
+            write_delta(ev, src_tbl)
+            for _ in range(9):
+                write_delta(ev, src_tbl, mode="append")
+        out = os.path.join(scratch, f"stream_out{i}")
+        ck = os.path.join(scratch, f"stream_ck{i}")
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        return src_tbl, out, ck, i
+
+    def stream_run(ctx):
+        from delta_spark.streaming import read_stream, write_stream
+
+        src_tbl, out, ck, i = ctx
+        q = write_stream(read_stream(spark, src_tbl), out, ck,
+                         query_id=f"bench_stream_{i}")
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
+
+    run_median(timings, "stream_drain", stream_run, setup=stream_setup)
+
     run_median(timings, "dedup_minhash", mh)
     run_median(timings, "knn", knn)
     run_median(timings, "text_pipeline", text)
