@@ -308,9 +308,11 @@ def main() -> None:
 
     def plan_run(log):
         # a selective range predicate: ~0.01% of files survive pruning
+        # (the k-range lands in commit v=20 whose partition is p='0',
+        # so survivors exist and the stats-materialization path runs)
         rows = log.files_for_scan_df(
-            spark, "k >= 500000 AND k < 500100 AND p = '3'").collect()
-        assert len(rows) < 100
+            spark, "k >= 500000 AND k < 500100 AND p = '0'").collect()
+        assert 0 < len(rows) < 100
 
     run_median(timings, "plan_100k_files", plan_run, setup=plan_setup)
 

@@ -835,6 +835,19 @@ class DeltaLog:
         if tail_df is None:
             return ck_live.drop(*drop_cols)
         tail = tail_df.withColumn("__canon", canon)
+        # a checkpoint is normally ≤ checkpointInterval commits behind,
+        # but nothing enforces that (stalled checkpointing, one massive
+        # post-checkpoint MERGE). Guard the broadcast by the tail's
+        # on-disk JSON size — beyond the threshold, degrade to the
+        # ordinary union+window shuffle, which handles any tail size.
+        try:
+            tail_bytes = sum(os.stat(p).st_size for p in commit_paths)
+        except OSError:
+            tail_bytes = 1 << 62
+        max_tail = int(spark.conf.get(
+            "delta_spark.scan.tailBroadcastMaxBytes", str(256 << 20)))
+        if tail_bytes > max_tail:
+            return reconcile(ck_live.unionByName(tail))
         touched = tail.select("__canon").distinct()
         return (ck_live
                 .join(F.broadcast(touched), "__canon", "left_anti")
@@ -858,17 +871,20 @@ class DeltaLog:
         from delta_spark import predicates as P
         from delta_spark.schema import logical_to_physical
 
-        if not predicate:
+        def unpruned():
             return self._limit_files_df(self.state_df(spark, version), limit)
+
+        if not predicate:
+            return unpruned()
         # metadata-only snapshot: compiling the skipping predicate needs
         # the schema/partition columns, never the file state
         snap = self._light_meta(version)
         if snap.metadata is None:
-            return self._limit_files_df(self.state_df(spark, version), limit)
+            return unpruned()
         try:
             ast = P.parse_predicate(predicate)
         except P.UnsupportedPredicate:
-            return self._limit_files_df(self.state_df(spark, version), limit)
+            return unpruned()
         gen_map = snap._generated_partition_map()
         if gen_map:
             for extra in P.derive_generated_conjuncts(ast, gen_map):
@@ -1457,6 +1473,16 @@ class DeltaLog:
     def history(self, limit: Optional[int] = None) -> list[dict]:
         """Commit history, newest first (DESCRIBE HISTORY)."""
         out = []
+        # ICT detection from the table config (NOT the cached full
+        # snapshot, which a cold DeltaLog doesn't have) so history on a
+        # fresh process still reports the authoritative in-commit
+        # timestamps when the feature is on
+        try:
+            cfg = self._light_meta().configuration
+        except Exception:
+            cfg = {}
+        ict = str(cfg.get("delta.enableInCommitTimestamps",
+                          "false")).lower() == "true"
         for v in reversed(self.list_commit_versions()):
             ci: Optional[CommitInfo] = None
             for kind, a in self.read_commit_actions(v):
@@ -1464,11 +1490,13 @@ class DeltaLog:
                     ci = a
                     break
             # the reference rewrites CommitInfo.timestamp with the commit
-            # file's modificationTime (DeltaHistoryManager.getHistory), so
-            # history timestamps round-trip through TIMESTAMP AS OF /
-            # cloneAtTimestamp; _commit_timestamp already prefers the
-            # in-commit timestamp when the feature is enabled
-            ts = self._commit_timestamp(v)
+            # file's modificationTime (DeltaHistoryManager.getHistory)
+            # unless in-commit timestamps govern, so history timestamps
+            # round-trip through TIMESTAMP AS OF / cloneAtTimestamp
+            if ict and ci is not None and ci.timestamp:
+                ts = ci.timestamp
+            else:
+                ts = self._commit_timestamp(v, cfg={})
             row = {
                 "version": v,
                 "timestamp": ts,
@@ -1491,14 +1519,20 @@ class DeltaLog:
         (DeltaHistoryManager.getActiveCommitAtTime). With ``after``,
         the EARLIEST commit with timestamp >= ts instead — streaming's
         startingTimestamp semantics ("changes committed at or after")."""
+        # same clock history() reports: ICT detection must not depend on
+        # a hydrated snapshot (cold DeltaLog in a fresh process)
+        try:
+            cfg = self._light_meta().configuration
+        except Exception:
+            cfg = {}
         if after:
             for v in self.list_commit_versions():
-                if self._commit_timestamp(v) >= ts_millis:
+                if self._commit_timestamp(v, cfg=cfg) >= ts_millis:
                     return v
             raise ValueError(f"No commit at or after timestamp {ts_millis}")
         best = None
         for v in self.list_commit_versions():
-            if self._commit_timestamp(v) <= ts_millis:
+            if self._commit_timestamp(v, cfg=cfg) <= ts_millis:
                 best = v
             else:
                 break

@@ -115,8 +115,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
 
     def seg_metrics(arr, frac_name, char_name):
-        arr = F.filter(F.transform(arr, lambda s: F.trim(s)),
-                       lambda s: s != "")
+        # full-whitespace trim (F.trim strips ASCII space only, so CRLF
+        # docs would treat 'abc\r' and 'abc' as distinct lines)
+        arr = F.filter(
+            F.transform(arr,
+                        lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")),
+            lambda s: s != "")
         n = F.size(arr)
         nd = F.size(F.array_distinct(arr))
         chars = F.aggregate(arr, F.lit(0).cast("long"),
@@ -165,12 +169,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
         top = F.aggregate(F.array_sort(grams), acc0, step)
         # chars covered by the top n-gram = freq × chars-in-gram
-        # (without the joining spaces, matching the word-char basis)
+        # (without the joining spaces, matching the word-char basis).
+        # Occurrences overlap ('ha ha ha' has two 'ha ha' bigrams over
+        # three words), so clamp to keep the documented [0,1] range.
         gram_chars = F.length(F.regexp_replace(top["bestg"], " ", ""))
         frac = F.when(total_chars > 0,
                       (top["best"] * gram_chars).cast("double") / total_chars) \
                 .otherwise(0.0)
-        cols[f"top{n}gram_char_frac"] = F.round(frac, 6)
+        cols[f"top{n}gram_char_frac"] = F.round(F.least(frac, F.lit(1.0)), 6)
     return df.withColumns(cols)
 
 

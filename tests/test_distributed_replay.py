@@ -149,6 +149,37 @@ def test_checkpoint_only_plan_has_no_shuffle(spark, tmp_path):
     assert plan.count("hashpartitioning") <= 2
 
 
+def test_oversized_tail_falls_back_to_window(spark, tmp_path):
+    """When the post-checkpoint commit tail is too big to broadcast
+    (stalled checkpointing), state_df degrades to the union+window
+    shuffle — same live set, no broadcast of the touched paths."""
+    base = str(tmp_path / "synth4")
+    os.makedirs(base)
+    ld, v = _synth_log(base, n_batches=6, adds_per=10)
+    log = DeltaLog.for_table(base)
+    log.write_checkpoint(log.update())
+    _commit(ld, v, [
+        {"add": {"path": "p=0/late.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"remove": {"path": "p=0/f_0_0.parquet", "deletionTimestamp": 9,
+                    "dataChange": True}},
+    ])
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(base)
+    want = _key_set(log.update().all_files)
+    spark.conf.set("delta_spark.scan.tailBroadcastMaxBytes", "1")
+    try:
+        df = log.state_df(spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        got = {(r.path, r.size,
+                tuple(sorted((r.partitionValues or {}).items())))
+               for r in df.collect()}
+        assert got == want
+    finally:
+        spark.conf.unset("delta_spark.scan.tailBroadcastMaxBytes")
+
+
 PRUNING_PREDICATES = [
     "l_quantity < 5",
     "l_quantity >= 45",

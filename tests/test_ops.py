@@ -378,6 +378,8 @@ def test_repetition_stats(spark, docs):
         (3, "spam spam spam spam spam spam"),       # one 2-gram dominates
         (4, "para one\n\npara one\n\npara two"),    # 1 dup paragraph of 3
         (5, ""),                                     # empty → all zeros
+        (6, "abc\r\nabc\r\n \t\nxyz"),              # CRLF + whitespace line
+        (7, "ha ha ha"),                             # overlap → clamped to 1
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
@@ -407,8 +409,8 @@ def test_repetition_stats(spark, docs):
                 cands = sorted(g2 for g2, c2 in Counter(grams).items()
                                if c2 == best)
                 g = cands[0]
-                out[f"top{n}gram_char_frac"] = \
-                    best * len(g.replace(" ", "")) / tot
+                out[f"top{n}gram_char_frac"] = min(
+                    1.0, best * len(g.replace(" ", "")) / tot)
             else:
                 out[f"top{n}gram_char_frac"] = 0.0
         return out
