@@ -94,10 +94,22 @@ def write_delta(
         for c in part_cols:
             if c not in [f.name for f in schema.fields]:
                 raise DeltaWriteError(f"partition column {c!r} not in data")
+        create_cfg = dict(configuration or {})
+        from delta_spark.schema import assign_physical_names as _apn
+        from delta_spark.schema import column_mapping_mode as _cmm
+        if _cmm(create_cfg) in ("name", "id"):
+            # creation-time column mapping: every field needs its stable
+            # id + physical name NOW (DeltaColumnMapping
+            # verifyAndUpdateMetadataChange on new tables) — otherwise a
+            # later RENAME leaves physical==logical and the pre-rename
+            # files stop resolving
+            schema, max_id = _apn(schema)
+            create_cfg.setdefault("delta.columnMapping.maxColumnId",
+                                  str(max_id))
         metadata = Metadata(
             schemaString=schema_to_json(schema),
             partitionColumns=part_cols,
-            configuration=dict(configuration or {}),
+            configuration=create_cfg,
             createdTime=current_time_millis(),
         )
         actions.append(metadata)
@@ -129,7 +141,8 @@ def write_delta(
                     createdTime=metadata.createdTime)
                 actions.append(metadata)
 
-    cfg = dict(configuration or {}) if not exists else dict(txn.metadata.configuration)
+    cfg = dict(metadata.configuration) if not exists \
+        else dict(txn.metadata.configuration)
 
     # ---- normalize + governance (defaults/generated/identity/invariants) ----
     from delta_spark.constraints import apply_default_columns

@@ -73,6 +73,8 @@ class _FilePartition(InputPartition):
     change_type: str = ""      # '' → _change_type column is in the file
     version: int = -1
     ts_ms: int = 0
+    dv_json: str = ""          # JSON DeletionVectorDescriptor, "" → none
+    table_path: str = ""       # needed to resolve relative ('u') DVs
 
 
 def _offset(version: int, index: int, snapshot: bool) -> dict:
@@ -571,6 +573,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         pvals = json.loads(partition.partition_values)
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in set(self._part_cols)}
         table = pq.read_table(partition.file_path)
+        if getattr(partition, "dv_json", ""):
+            # deletion vector: drop masked rows by position BEFORE any
+            # projection (DeltaParquetFileFormat.scala:194 semantics)
+            import numpy as np
+
+            from delta_spark.dv import descriptor_row_indexes
+
+            deleted = descriptor_row_indexes(
+                partition.table_path, json.loads(partition.dv_json))
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[deleted[deleted < table.num_rows]] = False
+            table = table.filter(pa.array(mask))
         n = table.num_rows
         ts = _dt.datetime.fromtimestamp(partition.ts_ms / 1000.0, tz=_dt.timezone.utc) \
             if is_cdf else None
@@ -619,7 +633,7 @@ class DeltaBatchReader(DataSourceReader):
     def __init__(self, schema, options):
         self.path = options.get("path")
         log = DeltaLog.for_table(self.path)
-        snap = log.update()
+        snap = _pinned_snapshot(log, options)
         self._schema_json = snap.metadata.schemaString
         l2p = snap.physical_map()
         self._part_cols = snap.partition_columns
@@ -628,6 +642,8 @@ class DeltaBatchReader(DataSourceReader):
             _FilePartition(
                 file_path=self._fs_path(f.path),
                 partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
+                dv_json=json.dumps(f.deletionVector) if f.deletionVector else "",
+                table_path=self.path,
             )
             for f in snap.all_files
         ]
@@ -639,6 +655,23 @@ class DeltaBatchReader(DataSourceReader):
         return self._files
 
     read = DeltaStreamReader.read
+
+
+def _pinned_snapshot(log, options):
+    """Batch-read snapshot pinning: versionAsOf / timestampAsOf options
+    (DeltaOptions.scala:355-356, DeltaTimeTravelSpec)."""
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError("provide either versionAsOf or timestampAsOf, "
+                         "not both (DeltaTimeTravelSpec)")
+    if v is not None:
+        return log.snapshot_at(int(v))
+    if ts is not None:
+        from delta_spark.util import to_millis
+
+        return log.snapshot_at(log.version_at_timestamp(to_millis(ts)))
+    return log.update()
 
 
 class DeltaPyDataSource(DataSource):
@@ -653,7 +686,8 @@ class DeltaPyDataSource(DataSource):
         from pyspark.sql import types as T
 
         log = DeltaLog.for_table(self.options["path"])
-        base = schema_from_json(log.update().metadata.schemaString)
+        base = schema_from_json(
+            _pinned_snapshot(log, self.options).metadata.schemaString)
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             return T.StructType(base.fields + [
                 T.StructField("_change_type", T.StringType()),

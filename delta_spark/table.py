@@ -971,14 +971,6 @@ def _parse_type(s: str) -> T.DataType:
 
 
 def _to_millis(ts: Union[str, _dt.datetime, int]) -> int:
-    """Naive timestamps are interpreted as UTC — the session timezone
-    this engine pins (session.py) and the zone history()/DESCRIBE
-    HISTORY render in, so a history timestamp round-trips exactly on
-    any machine regardless of the system-local zone."""
-    if isinstance(ts, int):
-        return ts
-    if isinstance(ts, str):
-        ts = _dt.datetime.fromisoformat(ts)
-    if ts.tzinfo is None:
-        ts = ts.replace(tzinfo=_dt.timezone.utc)
-    return int(ts.timestamp() * 1000)
+    from delta_spark.util import to_millis
+
+    return to_millis(ts)

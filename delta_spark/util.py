@@ -89,6 +89,20 @@ def deserialize_partition_value(s: Optional[str], dtype: T.DataType) -> Any:
     return s
 
 
+def to_millis(ts) -> int:
+    """Timestamp (str | datetime | epoch-ms int) → epoch millis. Naive
+    inputs are interpreted as UTC — the session timezone this engine
+    pins and the zone history()/DESCRIBE HISTORY render in, so a
+    history timestamp round-trips exactly on any machine."""
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return int(ts.timestamp() * 1000)
+
+
 def partition_path(partition_values: dict[str, Optional[str]], partition_columns: list[str]) -> str:
     """Hive-style relative directory prefix: ``col=val/col2=val2/``."""
     parts = []

@@ -651,3 +651,54 @@ def test_fail_on_data_loss_false_skips_cleaned_gap(spark, tmp_table, sf_dir, tmp
     q.awaitTermination(120)
     # commits 2 and 3 stream; the reclaimed commit 1 is skipped
     assert spark.sql("SELECT count(*) c FROM m_fdl").collect()[0]["c"] == 10
+
+
+def test_batch_datasource_read_parity(spark, tmp_table, sf_dir):
+    """spark.read.format('delta_py') — the batch half of the python
+    DataSource: row parity with toDF(), deletion vectors applied, and
+    versionAsOf/timestampAsOf snapshot pinning."""
+    from delta_spark.streaming import register
+
+    li = load_table(spark, sf_dir, "lineitem").limit(400)
+    write_delta(li, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")   # DV-masked, files not rewritten
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert any(f.deletionVector for f in snap.all_files), \
+        "fixture must exercise the DV read path"
+
+    register(spark)
+    got = spark.read.format("delta_py").option("path", tmp_table).load()
+    want = dt.toDF()
+    assert got.count() == want.count()
+    assert (got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0)
+
+    # time travel to the pre-delete snapshot
+    v0 = (spark.read.format("delta_py").option("path", tmp_table)
+          .option("versionAsOf", "0").load())
+    assert v0.count() == 400
+    ts0 = [r["timestamp"] for r in dt.history().collect()
+           if r["version"] == 0][0]
+    t0 = (spark.read.format("delta_py").option("path", tmp_table)
+          .option("timestampAsOf", str(ts0)).load())
+    assert t0.count() == 400
+
+
+def test_batch_datasource_read_column_mapping(spark, tmp_table, sf_dir):
+    """Batch delta_py read resolves renamed (physical-name) columns."""
+    from delta_spark.streaming import register
+
+    orders = load_table(spark, sf_dir, "orders").limit(50)
+    write_delta(orders, tmp_table,
+                configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.renameColumn("o_totalprice", "price")
+
+    register(spark)
+    got = spark.read.format("delta_py").option("path", tmp_table).load()
+    assert "price" in got.columns
+    want = dt.toDF().agg(F.sum("price")).collect()[0][0]
+    assert abs(float(got.agg(F.sum("price")).collect()[0][0])
+               - float(want)) < 1e-6
