@@ -131,12 +131,34 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         res = DeltaTable.forPath(spark, _path_of(m)).reorgPurge()
         return spark.createDataFrame([(str(res),)], "metrics: string")
 
-    m = re.fullmatch(rf"(?is)\s*CREATE\s+TABLE\s+delta\.`(?P<dst>[^`]+)`\s+SHALLOW\s+CLONE\s+"
-                     rf"(?:{_PATH})(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*", s)
+    m = re.fullmatch(rf"(?is)\s*REORG\s+TABLE\s+(?:{_PATH})\s+APPLY\s*\(\s*UPGRADE\s+"
+                     rf"UNIFORM\s*\(\s*ICEBERG_COMPAT_VERSION\s*=\s*(?P<v>\d+)\s*\)\s*\)\s*", s)
+    if m:
+        res = DeltaTable.forPath(spark, _path_of(m)) \
+            .upgradeUniform(int(m.group("v")))
+        return spark.createDataFrame([(str(res),)], "metrics: string")
+
+    m = re.fullmatch(rf"(?is)\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|REPLACE\s+)TABLE\s+"
+                     rf"delta\.`(?P<dst>[^`]+)`\s+SHALLOW\s+CLONE\s+"
+                     rf"(?:{_PATH})(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+                     rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
+                     rf"(?:\s+TBLPROPERTIES\s*\((?P<props>[^)]*)\))?\s*", s)
     if m:
         src = DeltaTable.forPath(spark, _path_of(m))
         version = int(m.group("v")) if m.group("v") else None
-        src.clone(m.group("dst"), version=version)
+        if m.group("ts"):
+            from delta_spark.util import to_millis
+
+            version = src.log.version_at_timestamp(to_millis(m.group("ts")))
+        props = None
+        if m.group("props"):
+            props = {}
+            for part in _split_top_level(m.group("props")):
+                k, v = part.split("=", 1)
+                props[k.strip().strip("'\"` ")] = v.strip().strip("'\"` ")
+        replace = bool(re.match(r"(?is)\s*(CREATE\s+OR\s+REPLACE|REPLACE)\b", s))
+        src.clone(m.group("dst"), version=version, replace=replace,
+                  properties=props)
         return spark.createDataFrame([(m.group("dst"),)], "path: string")
 
     # ------------------------------------------------ ALTER TABLE verbs ----

@@ -362,6 +362,33 @@ class DeltaTable:
 
         return purge_deletion_vectors(self.spark, self.log)
 
+    def upgradeUniform(self, iceberg_compat_version: int = 2) -> dict:
+        """REORG TABLE ... APPLY (UPGRADE UNIFORM(ICEBERG_COMPAT_VERSION=N))
+        (DeltaReorgTableCommand / DeltaSqlBase.g4 reorgTable): make the
+        table Iceberg-readable — purge deletion vectors (an Iceberg
+        reader cannot apply them), enable icebergCompatVN, and add
+        'iceberg' to the UniForm formats so subsequent commits publish
+        Iceberg metadata through the post-commit hook."""
+        from delta_spark.commands.delete import purge_deletion_vectors
+        from delta_spark.uniform import UNIFORM_FORMATS_KEY
+
+        keys = {1: "delta.enableIcebergCompatV1",
+                2: "delta.enableIcebergCompatV2"}
+        if iceberg_compat_version not in keys:
+            raise ValueError(
+                f"unsupported ICEBERG_COMPAT_VERSION "
+                f"{iceberg_compat_version} (supported: 1, 2)")
+        metrics = purge_deletion_vectors(self.spark, self.log)
+        cfg = self.log.update().configuration
+        fmts = {f for f in (cfg.get(UNIFORM_FORMATS_KEY) or "").split(",")
+                if f} | {"iceberg"}
+        self.setProperties({
+            keys[iceberg_compat_version]: "true",
+            "delta.enableDeletionVectors": "false",
+            UNIFORM_FORMATS_KEY: ",".join(sorted(fmts)),
+        })
+        return metrics
+
     def generate(self, mode: str = "symlink_format_manifest") -> str:
         if mode != "symlink_format_manifest":
             raise ValueError(f"unsupported generate mode {mode!r}")

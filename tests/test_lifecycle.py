@@ -485,3 +485,21 @@ def test_deep_clone_self_contained(spark, tmp_table, tmp_path, sf_dir):
     _shutil.rmtree(tmp_table)
     DeltaLog.clear_cache()
     assert DeltaTable.forPath(spark, str(tmp_path / "deep")).toDF().count() == want
+
+
+def test_replace_table_shallow_clone_sql(spark, tmp_table, tmp_path, sf_dir):
+    """CREATE OR REPLACE ... SHALLOW CLONE ... TBLPROPERTIES — the full
+    grammar form (DeltaSqlBase.g4 #clone)."""
+    li = load_table(spark, sf_dir, "lineitem").limit(100)
+    write_delta(li, tmp_table)
+    write_delta(li.limit(20), tmp_table, mode="append")
+    dst = str(tmp_path / "c")
+    t = f"delta.`{tmp_table}`"
+    delta_sql(spark, f"CREATE TABLE delta.`{dst}` SHALLOW CLONE {t} "
+                     f"VERSION AS OF 0 TBLPROPERTIES ('delta.appendOnly' = 'false')")
+    c = DeltaTable.forPath(spark, dst)
+    assert c.toDF().count() == 100
+    assert c.detail().collect()[0]["properties"]["delta.appendOnly"] == "false"
+    # REPLACE swaps the existing target at the newer version
+    delta_sql(spark, f"CREATE OR REPLACE TABLE delta.`{dst}` SHALLOW CLONE {t}")
+    assert c.toDF().count() == 120

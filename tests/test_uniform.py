@@ -194,3 +194,37 @@ def test_convert_iceberg_to_delta_roundtrip(spark, tmp_table, tmp_path, sf_dir):
     # iceberg-only dirs)
     with pytest.raises(Exception, match="already exists"):
         convert_iceberg_to_delta(spark, tmp_table)
+
+
+def test_reorg_upgrade_uniform_sql(spark, tmp_path):
+    """REORG TABLE ... APPLY (UPGRADE UNIFORM(ICEBERG_COMPAT_VERSION=2))
+    (DeltaSqlBase.g4 reorgTable): DVs are purged, icebergCompatV2 +
+    the iceberg UniForm leg turn on, and the next commit publishes
+    Iceberg metadata."""
+    import os
+
+    from delta_spark.io import write_delta
+    from delta_spark.log import DeltaLog
+    from delta_spark.sql import delta_sql
+    from delta_spark.table import DeltaTable
+
+    p = str(tmp_path / "up")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"))
+    write_delta(df, p,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, p)
+    dt.delete("id % 10 = 0")  # leaves DV-masked files behind
+    assert any(f.deletionVector for f in DeltaLog.for_table(p).update().all_files)
+
+    delta_sql(spark, f"REORG TABLE delta.`{p}` APPLY "
+                     f"(UPGRADE UNIFORM(ICEBERG_COMPAT_VERSION = 2))")
+    snap = DeltaLog.for_table(p).update()
+    assert not any(f.deletionVector for f in snap.all_files)
+    cfg = snap.configuration
+    assert cfg.get("delta.enableIcebergCompatV2") == "true"
+    assert "iceberg" in cfg.get("delta.universalFormat.enabledFormats", "")
+    # a follow-up commit triggers the Iceberg metadata hook
+    write_delta(df.limit(5), p, mode="append")
+    assert os.path.isdir(os.path.join(p, "metadata"))
+    assert dt.toDF().count() == 185
