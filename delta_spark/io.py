@@ -58,6 +58,7 @@ def write_delta(
     user_metadata: Optional[str] = None,
     operation: Optional[str] = None,
     data_change: bool = True,
+    max_records_per_file: Optional[int] = None,
 ) -> Optional[int]:
     """Run one transactional write; returns the committed version (None
     when skipped: mode=ignore on existing table, or replayed txn).
@@ -216,6 +217,7 @@ def write_delta(
                        indexed_cols=stats_columns(cfg),
                        num_indexed_cols=_num_indexed_cols(cfg),
                        data_change=data_change,
+                       target_file_rows=max_records_per_file,
                        shred_variant=str(cfg.get(
                            "delta.enableVariantShredding", "false")).lower() == "true")
 

@@ -80,6 +80,9 @@ def write_files(
     push predicates into variant paths without decoding."""
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
+    if target_file_rows:
+        # DeltaOptions maxRecordsPerFile: per-write row cap per file
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
     shred_confs = {"spark.sql.variant.writeShredding.enabled": "true",

@@ -650,3 +650,17 @@ def test_update_and_merge_on_dv_table(spark, tmp_table, sf_dir):
     # compaction on the DV table materializes without changing contents
     dt.optimize().executeCompaction()
     assert dt.toDF().count() == n
+
+
+def test_max_records_per_file(spark, tmp_table, sf_dir):
+    """DeltaOptions maxRecordsPerFile: per-write row cap per data file."""
+    from delta_spark.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(1000).coalesce(1)
+    write_delta(li, tmp_table, max_records_per_file=200)
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.num_files >= 5
+    import json as _json
+    for f in snap.all_files:
+        assert _json.loads(f.stats)["numRecords"] <= 200
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 1000
