@@ -302,15 +302,51 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                                      "key: string, value: string") \
             .filter("key <> '' OR value <> ''")
 
-    m = re.fullmatch(rf"(?is)\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:{_PATH})\s+"
+    m = re.fullmatch(rf"(?is)\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:{_PATH})\s*"
+                     rf"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
                      rf"(?:PARTITION\s*\((?P<pspec>[^)]*)\)\s+)?"
                      rf"(?P<q>(?:SELECT|VALUES|WITH)\s.+)", s)
     if m:
         from pyspark.sql import functions as F
 
         from delta_spark.io import write_delta
+        from delta_spark.util import schema_from_json
 
         df = spark.sql(m.group("q"))
+        tgt_schema = schema_from_json(
+            DeltaTable.forPath(spark, _path_of(m)).log.update()
+            .metadata.schemaString)
+        if m.group("cols"):
+            # INSERT INTO t (c1, c2): rename positionally to the listed
+            # columns, then NULL-fill the remaining plain columns
+            # (generated/identity/default ones stay absent so the write
+            # path computes them)
+            names = [c.strip().strip("`") for c in m.group("cols").split(",")]
+            if len(names) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(names)} columns but the "
+                    f"query produces {len(df.columns)}")
+            df = df.toDF(*names)
+            from delta_spark.schema import (
+                default_values,
+                generation_expressions,
+                identity_info,
+            )
+
+            special = (set(default_values(tgt_schema))
+                       | set(generation_expressions(tgt_schema))
+                       | set(identity_info(tgt_schema)))
+            for fl in tgt_schema.fields:
+                if fl.name not in df.columns and fl.name not in special:
+                    df = df.withColumn(fl.name,
+                                       F.lit(None).cast(fl.dataType))
+        elif (not any(c in {f.name for f in tgt_schema.fields}
+                      for c in df.columns)
+              and len(df.columns) == len(tgt_schema.fields)):
+            # bare VALUES / positional SELECT: match by position, the
+            # ANSI INSERT rule the reference follows (DeltaAnalysis
+            # resolves INSERT by ordinal when names don't line up)
+            df = df.toDF(*[f.name for f in tgt_schema.fields])
         overwrite = m.group("mode").upper() == "OVERWRITE"
         replace_where = None
         if m.group("pspec"):

@@ -503,3 +503,18 @@ def test_replace_table_shallow_clone_sql(spark, tmp_table, tmp_path, sf_dir):
     # REPLACE swaps the existing target at the newer version
     delta_sql(spark, f"CREATE OR REPLACE TABLE delta.`{dst}` SHALLOW CLONE {t}")
     assert c.toDF().count() == 120
+
+
+def test_insert_values_positional_and_column_list(spark, tmp_table):
+    """INSERT INTO resolves bare VALUES by ordinal and a column list by
+    name, NULL-filling unlisted plain columns (DeltaAnalysis INSERT
+    resolution semantics)."""
+    write_delta(spark.createDataFrame([(1, "a", 1.5)],
+                                      "k int, v string, w double"),
+                tmp_table)
+    t = f"delta.`{tmp_table}`"
+    delta_sql(spark, f"INSERT INTO {t} VALUES (2, 'b', 2.5)")
+    delta_sql(spark, f"INSERT INTO {t} (v, k) VALUES ('c', 3)")
+    rows = {(r["k"], r["v"], r["w"])
+            for r in delta_sql(spark, f"SELECT * FROM {t}").collect()}
+    assert rows == {(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)}
