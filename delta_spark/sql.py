@@ -78,16 +78,26 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
 
     s = C.substitute_names(spark, s)
 
-    m = re.fullmatch(rf"(?is)\s*VACUUM\s+(?:{_PATH})"
+    m = re.fullmatch(rf"(?is)\s*VACUUM\s+(?:{_PATH})(?P<lite>\s+LITE|\s+FULL)?"
                      rf"(?:\s+USING\s+INVENTORY\s+delta\.`(?P<inv>[^`]+)`)?"
                      rf"(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS)?"
                      rf"(?P<dry>\s+DRY\s+RUN)?\s*", s)
     if m:
         dt = DeltaTable.forPath(spark, _path_of(m))
         hours = float(m.group("hours")) if m.group("hours") else None
-        inv = (DeltaTable.forPath(spark, m.group("inv")).toDF()
-               if m.group("inv") else None)
-        paths = dt.vacuum(hours, dry_run=bool(m.group("dry")), inventory=inv)
+        lite = (m.group("lite") or "").strip().upper() == "LITE"
+        if lite:
+            from delta_spark.commands.maintenance import vacuum_lite
+            from delta_spark.log import DeltaLog as _DL
+
+            paths = vacuum_lite(spark, _DL.for_table(_path_of(m)),
+                                retention_hours=hours,
+                                dry_run=bool(m.group("dry")))
+        else:
+            inv = (DeltaTable.forPath(spark, m.group("inv")).toDF()
+                   if m.group("inv") else None)
+            paths = dt.vacuum(hours, dry_run=bool(m.group("dry")),
+                              inventory=inv)
         return spark.createDataFrame([(p,) for p in paths] or [], "path: string")
 
     m = re.fullmatch(rf"(?is)\s*OPTIMIZE\s+(?:{_PATH})(?P<full>\s+FULL)?"
@@ -367,6 +377,40 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                         mode="overwrite" if overwrite else "append",
                         replace_where=replace_where)
         return spark.createDataFrame([(v,)], "version: long")
+
+    # CREATE TABLE with explicit column definitions (DDL, no AS SELECT):
+    # route through the builder (CreateDeltaTableCommand equivalent)
+    m = re.fullmatch(rf"(?is)\s*CREATE\s+(?P<repl>OR\s+REPLACE\s+)?TABLE\s+"
+                     rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:{_PATH})\s*"
+                     rf"\(\s*(?P<cols>.+?)\s*\)\s*(?:USING\s+delta\s*)?"
+                     rf"(?:PARTITIONED\s+BY\s*\(\s*(?P<pcols>[^)]+)\s*\)\s*)?"
+                     rf"(?:TBLPROPERTIES\s*\((?P<props>[^)]*)\)\s*)?", s)
+    if m:
+        if m.group("repl"):
+            b = DeltaTable.createOrReplace(spark)
+        elif m.group("ine"):
+            b = DeltaTable.createIfNotExists(spark)
+        else:
+            b = DeltaTable.create(spark)
+        b = b.location(_path_of(m))
+        for part in _split_top_level(m.group("cols")):
+            cm = re.fullmatch(
+                r"(?is)\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
+                r"(?P<nn>\s+NOT\s+NULL)?\s*", part)
+            if not cm:
+                raise ValueError(f"cannot parse column definition {part!r}")
+            b = b.addColumn(cm.group("n"), cm.group("t").strip(),
+                            nullable=not cm.group("nn"))
+        if m.group("pcols"):
+            b = b.partitionedBy(*[c.strip().strip("`")
+                                  for c in m.group("pcols").split(",")])
+        if m.group("props"):
+            for part in _split_top_level(m.group("props")):
+                k, v = part.split("=", 1)
+                b = b.property(k.strip().strip("'\"` "),
+                               v.strip().strip("'\"` "))
+        b.execute()
+        return spark.createDataFrame([(_path_of(m),)], "path: string")
 
     m = re.fullmatch(rf"(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:{_PATH})"
                      rf"(?:\s+USING\s+delta)?\s+AS\s+(?P<q>(?:SELECT|WITH)\s.+)", s)

@@ -518,3 +518,31 @@ def test_insert_values_positional_and_column_list(spark, tmp_table):
     rows = {(r["k"], r["v"], r["w"])
             for r in delta_sql(spark, f"SELECT * FROM {t}").collect()}
     assert rows == {(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)}
+
+
+def test_create_table_ddl_and_vacuum_lite_sql(spark, tmp_path):
+    """CREATE TABLE with column definitions routes to the builder;
+    VACUUM ... LITE reclaims from log tombstones (DeltaSqlBase.g4:75)."""
+    p = str(tmp_path / "ddl")
+    delta_sql(spark, f"CREATE TABLE delta.`{p}` "
+                     f"(k INT NOT NULL, v STRING, d DECIMAL(10,2)) "
+                     f"USING delta PARTITIONED BY (v) "
+                     f"TBLPROPERTIES ('delta.appendOnly' = 'false')")
+    dt = DeltaTable.forPath(spark, p)
+    assert dt.toDF().schema.simpleString() == \
+        "struct<k:int,v:string,d:decimal(10,2)>"
+    snap = DeltaLog.for_table(p).update()
+    assert snap.partition_columns == ["v"]
+    assert not snap.schema["k"].nullable
+    delta_sql(spark, f"INSERT INTO delta.`{p}` VALUES (1, 'x', 2.50)")
+    assert dt.toDF().count() == 1
+    # IF NOT EXISTS is a no-op on the existing table
+    delta_sql(spark, f"CREATE TABLE IF NOT EXISTS delta.`{p}` (k INT)")
+    assert dt.toDF().count() == 1
+
+    df2 = spark.createDataFrame([(1, "a")], "k int, v string")
+    p2 = str(tmp_path / "vl")
+    write_delta(df2, p2)
+    write_delta(df2, p2, mode="overwrite")
+    got = delta_sql(spark, f"VACUUM delta.`{p2}` LITE RETAIN 0 HOURS DRY RUN")
+    assert got.count() >= 1
