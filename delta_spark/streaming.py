@@ -22,10 +22,18 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from uuid import uuid4
 from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from delta_spark.actions import AddFile
 from delta_spark.io import write_delta
@@ -657,6 +665,220 @@ class DeltaBatchReader(DataSourceReader):
     read = DeltaStreamReader.read
 
 
+@dataclass
+class _WriteTaskResult(WriterCommitMessage):
+    # per written file: {"rel": dir-relative path, "pvals": {phys: str},
+    #                    "size": int, "mtime": ms, "stats": json}
+    files: list
+
+
+class DeltaArrowBatchWriter(DataSourceArrowWriter):
+    """Batch write half of the python DataSource:
+    `df.write.format("delta_py").mode(m).save(path)`. Executors stream
+    Arrow RecordBatches straight into hive-partitioned parquet files
+    (one ParquetWriter per partition per task) and collect per-file
+    stats from the footers; the driver turns the task results into one
+    transactional commit (Add[+Remove]File actions). Supports append,
+    full overwrite, new-table creation (`partitionBy` option), column
+    mapping, and NOT NULL enforcement. Tables with generated/identity/
+    default columns or CHECK constraints need expression evaluation the
+    DataSource writer cannot see — those route to
+    delta_spark.io.write_delta, which is also the JVM-side fast path."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        from delta_spark.schema import (
+            default_values,
+            generation_expressions,
+            identity_info,
+            logical_to_physical,
+        )
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_py writer requires a path")
+        self.overwrite = overwrite
+        log = DeltaLog.for_table(self.path)
+        self.exists = log.table_exists()
+        if self.exists:
+            snap = log.update()
+            from delta_spark.actions import check_write_protocol
+
+            check_write_protocol(snap.protocol)
+            tschema = snap.schema
+            blockers = (set(generation_expressions(tschema))
+                        | set(identity_info(tschema))
+                        | set(default_values(tschema)))
+            from delta_spark.constraints import check_constraints as _cc
+
+            if blockers or _cc(snap.configuration):
+                raise NotImplementedError(
+                    "the delta_py writer does not evaluate generated/"
+                    "identity/default columns or CHECK constraints; use "
+                    "delta_spark.io.write_delta for this table")
+            got = {f.name for f in schema.fields}
+            want = {f.name for f in tschema.fields}
+            if got != want:
+                raise ValueError(
+                    f"schema mismatch: data columns {sorted(got)} != "
+                    f"table columns {sorted(want)}")
+            self.table_schema_json = snap.metadata.schemaString
+            self.part_cols = snap.partition_columns
+            self.cfg = dict(snap.configuration)
+            self.read_version = snap.version
+        else:
+            self.table_schema_json = schema.json()
+            self.part_cols = [c.strip() for c in
+                              (options.get("partitionby") or "").split(",")
+                              if c.strip()]
+            self.cfg = {}
+            self.read_version = -1
+        tschema = schema_from_json(self.table_schema_json)
+        self.l2p = logical_to_physical(tschema)
+        self.not_null = [f.name for f in tschema.fields if not f.nullable]
+
+    def write(self, it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql import types as T
+
+        from delta_spark.stats import (
+            DEFAULT_NUM_INDEXED_COLS,
+            collect_file_stats,
+            file_mtime_ms,
+            stats_columns,
+        )
+        from delta_spark.util import partition_path, serialize_partition_value
+
+        tschema = schema_from_json(self.table_schema_json)
+        types = {f.name: f.dataType for f in tschema.fields}
+        part_phys = [self.l2p.get(c, c) for c in self.part_cols]
+        data_fields = [
+            T.StructField(self.l2p.get(f.name, f.name), f.dataType,
+                          f.nullable, f.metadata)
+            for f in tschema.fields if f.name not in set(self.part_cols)]
+        target = to_arrow_schema(T.StructType(data_fields))
+        data_logical = [f.name for f in tschema.fields
+                        if f.name not in set(self.part_cols)]
+
+        writers: dict[tuple, tuple] = {}  # pvals-tuple -> (writer, abs, pvals)
+
+        def sink_for(pvals: dict) -> tuple:
+            key = tuple(sorted(pvals.items()))
+            if key not in writers:
+                rel_dir = partition_path(pvals, part_phys)
+                final_dir = os.path.join(self.path, rel_dir) \
+                    if rel_dir else self.path
+                os.makedirs(final_dir, exist_ok=True)
+                name = f"part-{uuid4().hex}.snappy.parquet"
+                abs_path = os.path.join(final_dir, name)
+                writers[key] = (pq.ParquetWriter(abs_path, target),
+                                abs_path, dict(pvals))
+            return writers[key]
+
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            for c in self.not_null:
+                if tbl.column(c).null_count:
+                    raise ValueError(
+                        f"NOT NULL constraint violated for column {c}")
+            if self.part_cols:
+                combos = (tbl.select(self.part_cols)
+                          .group_by(self.part_cols).aggregate([])
+                          .to_pylist())
+            else:
+                combos = [{}]
+            for combo in combos:
+                mask = None
+                for c, v in combo.items():
+                    cond = (pc.is_null(tbl.column(c)) if v is None
+                            else pc.equal(tbl.column(c), pa.scalar(
+                                v, type=tbl.schema.field(c).type)))
+                    cond = pc.fill_null(cond, False)
+                    mask = cond if mask is None else pc.and_(mask, cond)
+                sub = tbl.filter(mask) if mask is not None else tbl
+                pvals = {self.l2p.get(c, c): serialize_partition_value(
+                    combo[c], types[c]) for c in combo}
+                writer, _, _ = sink_for(pvals)
+                out = sub.select(data_logical)
+                out = out.rename_columns(
+                    [self.l2p.get(c, c) for c in data_logical])
+                writer.write_table(out.cast(target))
+
+        files = []
+        idx_cols = stats_columns(self.cfg)
+        if idx_cols is not None:
+            idx_cols = [self.l2p.get(c, c) for c in idx_cols]
+        try:
+            n_idx = int(self.cfg.get("delta.dataSkippingNumIndexedCols",
+                                     DEFAULT_NUM_INDEXED_COLS))
+        except (TypeError, ValueError):
+            n_idx = DEFAULT_NUM_INDEXED_COLS
+        for writer, abs_path, pvals in writers.values():
+            writer.close()
+            files.append({
+                "rel": os.path.relpath(abs_path, self.path).replace(os.sep, "/"),
+                "pvals": pvals,
+                "size": os.path.getsize(abs_path),
+                "mtime": file_mtime_ms(abs_path),
+                "stats": collect_file_stats(abs_path, idx_cols, n_idx),
+            })
+        return _WriteTaskResult(files=files)
+
+    def commit(self, messages) -> None:
+        from delta_spark.actions import AddFile, Metadata, RemoveFile
+        from delta_spark.transaction import OptimisticTransaction
+        from delta_spark.util import current_time_millis, encode_log_path
+
+        part_phys = [self.l2p.get(c, c) for c in self.part_cols]
+        adds, rows, nbytes = [], 0, 0
+        for msg in messages:
+            for f in (msg.files if msg else []):
+                adds.append(AddFile(
+                    path=encode_log_path(f["rel"]),
+                    partitionValues={c: f["pvals"].get(c) for c in part_phys},
+                    size=f["size"], modificationTime=f["mtime"],
+                    dataChange=True, stats=f["stats"]))
+                nbytes += f["size"]
+                try:
+                    rows += json.loads(f["stats"] or "{}").get("numRecords", 0)
+                except Exception:
+                    pass
+        log = DeltaLog.for_table(self.path)
+        txn = OptimisticTransaction(log)
+        actions: list = []
+        if not self.exists:
+            actions.append(Metadata(
+                schemaString=self.table_schema_json,
+                partitionColumns=list(self.part_cols),
+                configuration=dict(self.cfg),
+                createdTime=current_time_millis()))
+        removes: list = []
+        if self.overwrite and self.exists:
+            now = current_time_millis()
+            removes = [RemoveFile(
+                path=f.path, deletionTimestamp=now, dataChange=True,
+                partitionValues=f.partitionValues, size=f.size)
+                for f in txn.snapshot.all_files]
+        metrics = {"numFiles": str(len(adds)),
+                   "numOutputRows": str(rows),
+                   "numOutputBytes": str(nbytes)}
+        txn.commit(actions + adds + removes,
+                   "WRITE",
+                   {"mode": "Overwrite" if self.overwrite else "Append",
+                    "partitionBy": json.dumps(self.part_cols)},
+                   metrics)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            for f in (msg.files if msg else []):
+                try:
+                    os.remove(os.path.join(self.path, f["rel"]))
+                except OSError:
+                    pass
+
+
 def _pinned_snapshot(log, options):
     """Batch-read snapshot pinning: versionAsOf / timestampAsOf options
     (DeltaOptions.scala:355-356, DeltaTimeTravelSpec)."""
@@ -701,6 +923,9 @@ class DeltaPyDataSource(DataSource):
 
     def reader(self, schema):
         return DeltaBatchReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return DeltaArrowBatchWriter(schema, self.options, overwrite)
 
 
 def register(spark: SparkSession) -> None:

@@ -702,3 +702,68 @@ def test_batch_datasource_read_column_mapping(spark, tmp_table, sf_dir):
     want = dt.toDF().agg(F.sum("price")).collect()[0][0]
     assert abs(float(got.agg(F.sum("price")).collect()[0][0])
                - float(want)) < 1e-6
+
+
+def test_batch_datasource_write_roundtrip(spark, tmp_path, sf_dir):
+    """df.write.format('delta_py'): new partitioned table, append,
+    overwrite — committed through the same transaction layer, readable
+    by the native path, stats collected for pruning."""
+    from delta_spark.streaming import register
+
+    register(spark)
+    li = load_table(spark, sf_dir, "lineitem").limit(600)
+    p = str(tmp_path / "w")
+    (li.write.format("delta_py").mode("append")
+       .option("path", p).option("partitionBy", "l_returnflag").save())
+    dt = DeltaTable.forPath(spark, p)
+    assert dt.toDF().count() == 600
+    snap = DeltaLog.for_table(p).update()
+    assert snap.partition_columns == ["l_returnflag"]
+    assert all(f.stats for f in snap.all_files)
+    # pruning works on the collected stats/partition values
+    assert len(snap.files_for_scan("l_returnflag = 'A'")) < snap.num_files
+
+    li.limit(50).write.format("delta_py").mode("append") \
+        .option("path", p).save()
+    assert dt.toDF().count() == 650
+    # exceptAll parity with the native reader
+    want = li.unionAll(li.limit(50))
+    assert dt.toDF().exceptAll(want).count() == 0
+    assert want.exceptAll(dt.toDF()).count() == 0
+
+    li.limit(10).write.format("delta_py").mode("overwrite") \
+        .option("path", p).save()
+    assert dt.toDF().count() == 10
+    assert dt.asOfVersion(1).count() == 650
+    h = dt.history().collect()
+    assert h[0]["operation"] == "WRITE"
+    assert h[0]["operationParameters"]["mode"] == "Overwrite"
+
+
+def test_batch_datasource_write_guards(spark, tmp_path, sf_dir):
+    """Writer guards: NOT NULL enforced executor-side; tables needing
+    expression evaluation (identity columns) are rejected up front."""
+    import pyspark.errors as PE
+
+    from delta_spark.streaming import register
+
+    register(spark)
+    p = str(tmp_path / "g")
+    dt = (DeltaTable.create(spark).location(p)
+          .addColumn("k", "bigint", nullable=False)
+          .addColumn("v", "string").execute())
+    ok = spark.createDataFrame([(1, "a")], "k long, v string")
+    ok.write.format("delta_py").mode("append").option("path", p).save()
+    assert dt.toDF().count() == 1
+    bad = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(Exception, match="NOT NULL"):
+        bad.write.format("delta_py").mode("append").option("path", p).save()
+    assert dt.toDF().count() == 1  # failed job committed nothing
+
+    p2 = str(tmp_path / "g2")
+    (DeltaTable.create(spark).location(p2)
+     .addColumn("id", "bigint", generatedAlwaysAs="k + 1")
+     .addColumn("k", "bigint").execute())
+    df2 = spark.createDataFrame([(1, 2)], "id long, k long")
+    with pytest.raises(Exception, match="write_delta"):
+        df2.write.format("delta_py").mode("append").option("path", p2).save()
