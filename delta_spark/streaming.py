@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -827,6 +828,10 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         return _WriteTaskResult(files=files)
 
     def commit(self, messages) -> None:
+        self._commit_batch(messages)
+
+    def _commit_batch(self, messages, extra_actions: Optional[list] = None,
+                      op: str = "WRITE") -> None:
         from delta_spark.actions import AddFile, Metadata, RemoveFile
         from delta_spark.transaction import OptimisticTransaction
         from delta_spark.util import current_time_millis, encode_log_path
@@ -847,15 +852,18 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
                     pass
         log = DeltaLog.for_table(self.path)
         txn = OptimisticTransaction(log)
-        actions: list = []
-        if not self.exists:
+        # existence re-checked per commit: a streaming writer instance
+        # outlives its first microbatch, which may have created the table
+        exists = txn.snapshot.version >= 0
+        actions: list = list(extra_actions or [])
+        if not exists:
             actions.append(Metadata(
                 schemaString=self.table_schema_json,
                 partitionColumns=list(self.part_cols),
                 configuration=dict(self.cfg),
                 createdTime=current_time_millis()))
         removes: list = []
-        if self.overwrite and self.exists:
+        if self.overwrite and exists:
             now = current_time_millis()
             removes = [RemoveFile(
                 path=f.path, deletionTimestamp=now, dataChange=True,
@@ -865,18 +873,61 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
                    "numOutputRows": str(rows),
                    "numOutputBytes": str(nbytes)}
         txn.commit(actions + adds + removes,
-                   "WRITE",
+                   op,
                    {"mode": "Overwrite" if self.overwrite else "Append",
                     "partitionBy": json.dumps(self.part_cols)},
                    metrics)
 
     def abort(self, messages) -> None:
+        self._drop_orphans(messages)
+
+    def _drop_orphans(self, messages) -> None:
         for msg in messages:
             for f in (msg.files if msg else []):
                 try:
                     os.remove(os.path.join(self.path, f["rel"]))
                 except OSError:
                     pass
+
+
+class DeltaStreamArrowWriter(DeltaArrowBatchWriter, DataSourceStreamArrowWriter):
+    """Streaming sink half: `df.writeStream.format("delta_py")`.
+    Per-microbatch transactional appends (Complete mode = per-batch
+    overwrite) with the reference sink's exactly-once contract
+    (DeltaSink.scala:108): each commit carries
+    SetTransaction(appId, batchId) and a replayed batch is skipped —
+    its already-written files are deleted as orphans. The appId comes
+    from the `txnAppId` option, else the stream's checkpointLocation,
+    else the sink path (two distinct streams into one sink should set
+    txnAppId explicitly)."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        DeltaArrowBatchWriter.__init__(self, schema, options, overwrite)
+        self.app_id = (options.get("txnappid")
+                       or options.get("checkpointlocation")
+                       or f"delta_py_sink::{os.path.abspath(self.path)}")
+
+    def commit(self, messages, batchId: int) -> None:
+        from delta_spark.actions import SetTransaction
+        from delta_spark.util import current_time_millis
+
+        log = DeltaLog.for_table(self.path)
+        if log.table_exists():
+            last = log.update().set_transactions.get(self.app_id)
+            if last is not None and last.version is not None \
+                    and batchId <= last.version:
+                # replayed microbatch: exactly-once skip
+                self._drop_orphans(messages)
+                return
+        self._commit_batch(
+            messages,
+            extra_actions=[SetTransaction(
+                appId=self.app_id, version=batchId,
+                lastUpdated=current_time_millis())],
+            op="STREAMING UPDATE")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_orphans(messages)
 
 
 def _pinned_snapshot(log, options):
@@ -926,6 +977,9 @@ class DeltaPyDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return DeltaArrowBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return DeltaStreamArrowWriter(schema, self.options, overwrite)
 
 
 def register(spark: SparkSession) -> None:

@@ -767,3 +767,51 @@ def test_batch_datasource_write_guards(spark, tmp_path, sf_dir):
     df2 = spark.createDataFrame([(1, 2)], "id long, k long")
     with pytest.raises(Exception, match="write_delta"):
         df2.write.format("delta_py").mode("append").option("path", p2).save()
+
+
+def test_stream_writer_datasource_exactly_once(spark, tmp_path, sf_dir):
+    """writeStream.format('delta_py'): native streaming sink with the
+    DeltaSink SetTransaction(appId, batchId) exactly-once contract."""
+    from delta_spark.streaming import DeltaStreamArrowWriter, register
+
+    register(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts",
+                                                    "user_id", "value")
+    src, out, ck = (str(tmp_path / n) for n in ("src", "out", "ck"))
+    write_delta(ev.limit(100), src)
+    write_delta(ev.limit(50), src, mode="append")
+
+    def drain():
+        q = (read_stream(spark, src).writeStream.format("delta_py")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    drain()
+    dt = DeltaTable.forPath(spark, out)
+    assert dt.toDF().count() == 150
+    assert dt.history().collect()[0]["operation"] == "STREAMING UPDATE"
+    # restart with no new data: nothing double-commits
+    drain()
+    assert dt.toDF().count() == 150
+
+    # a replayed microbatch is skipped and its orphan files removed
+    w = DeltaStreamArrowWriter(ev.schema, {"path": out,
+                                           "checkpointlocation": ck}, False)
+    last = DeltaLog.for_table(out).update().set_transactions[w.app_id].version
+    import glob as _glob
+    import shutil as _shutil
+
+    donor = next(f for f in _glob.glob(os.path.join(out, "*.parquet")))
+    orphan = os.path.join(out, "replayed-orphan.parquet")
+    _shutil.copy(donor, orphan)
+
+    class _Msg:
+        files = [{"rel": "replayed-orphan.parquet", "pvals": {},
+                  "size": 1, "mtime": 1, "stats": None}]
+
+    before = DeltaLog.for_table(out).update().version
+    w.commit([_Msg()], batchId=last)          # replay of the last batch
+    assert DeltaLog.for_table(out).update().version == before
+    assert not os.path.exists(orphan)
