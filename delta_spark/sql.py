@@ -455,12 +455,17 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                            "__delta_changes", s)
         return spark.sql(rewritten)
 
-    # plain SELECT over a delta path: register a temp view and delegate
-    m = re.search(r"(?is)delta\.`(?P<path>[^`]+)`", s)
-    if m:
-        dt = DeltaTable.forPath(spark, m.group("path"))
-        dt.toDF().createOrReplaceTempView("__delta_t")
-        return spark.sql(re.sub(r"delta\.`[^`]+`", "__delta_t", s))
+    # plain SELECT over delta paths: one temp view PER DISTINCT path
+    # (a self-join of two different tables must not collapse into one)
+    paths = list(dict.fromkeys(re.findall(r"(?is)delta\.`([^`]+)`", s)))
+    if paths:
+        views = {}
+        for i, p in enumerate(paths):
+            name = f"__delta_t{i}" if len(paths) > 1 else "__delta_t"
+            DeltaTable.forPath(spark, p).toDF().createOrReplaceTempView(name)
+            views[p] = name
+        return spark.sql(re.sub(
+            r"(?is)delta\.`([^`]+)`", lambda mm: views[mm.group(1)], s))
 
     return spark.sql(s)
 

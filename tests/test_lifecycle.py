@@ -546,3 +546,16 @@ def test_create_table_ddl_and_vacuum_lite_sql(spark, tmp_path):
     write_delta(df2, p2, mode="overwrite")
     got = delta_sql(spark, f"VACUUM delta.`{p2}` LITE RETAIN 0 HOURS DRY RUN")
     assert got.count() >= 1
+
+
+def test_select_join_of_two_delta_paths(spark, tmp_path):
+    """The generic SELECT rewrite registers one view PER path — a join
+    of two different delta tables must not collapse into one view."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_delta(spark.createDataFrame([(1, "x"), (2, "y")],
+                                      "k int, v string"), a)
+    write_delta(spark.createDataFrame([(1, 100), (3, 300)],
+                                      "k int, n int"), b)
+    out = delta_sql(spark, f"SELECT a.k, a.v, b.n FROM delta.`{a}` a "
+                           f"JOIN delta.`{b}` b ON a.k = b.k").collect()
+    assert [(r["k"], r["v"], r["n"]) for r in out] == [(1, "x", 100)]
