@@ -86,6 +86,11 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         dt = DeltaTable.forPath(spark, _path_of(m))
         hours = float(m.group("hours")) if m.group("hours") else None
         lite = (m.group("lite") or "").strip().upper() == "LITE"
+        if lite and m.group("inv"):
+            raise ValueError(
+                "VACUUM LITE reclaims from log tombstones and cannot be "
+                "scoped by USING INVENTORY (VacuumCommand: the modifiers "
+                "are mutually exclusive)")
         if lite:
             from delta_spark.commands.maintenance import vacuum_lite
             from delta_spark.log import DeltaLog as _DL
@@ -182,7 +187,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
             from pyspark.sql import types as T
 
             fields = []
-            for part in _split_top_level(am.group("cols")):
+            for part in _split_top_level(am.group("cols"), angles=True):
                 cm = re.match(r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)\s*$", part)
                 fields.append(T.StructField(
                     cm.group("n"), T._parse_datatype_string(cm.group("t"))))
@@ -350,12 +355,11 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                 if fl.name not in df.columns and fl.name not in special:
                     df = df.withColumn(fl.name,
                                        F.lit(None).cast(fl.dataType))
-        elif (not any(c in {f.name for f in tgt_schema.fields}
-                      for c in df.columns)
-              and len(df.columns) == len(tgt_schema.fields)):
-            # bare VALUES / positional SELECT: match by position, the
-            # ANSI INSERT rule the reference follows (DeltaAnalysis
-            # resolves INSERT by ordinal when names don't line up)
+        elif len(df.columns) == len(tgt_schema.fields):
+            # bare INSERT resolves BY POSITION, always — the ANSI rule
+            # the reference follows (DeltaAnalysis INSERT resolution):
+            # INSERT INTO t SELECT b, a FROM s writes b→col1, a→col2
+            # even when the names also exist in the target
             df = df.toDF(*[f.name for f in tgt_schema.fields])
         overwrite = m.group("mode").upper() == "OVERWRITE"
         replace_where = None
@@ -393,7 +397,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         else:
             b = DeltaTable.create(spark)
         b = b.location(_path_of(m))
-        for part in _split_top_level(m.group("cols")):
+        for part in _split_top_level(m.group("cols"), angles=True):
             cm = re.fullmatch(
                 r"(?is)\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
                 r"(?P<nn>\s+NOT\s+NULL)?\s*", part)
@@ -524,9 +528,12 @@ def _parse_set_list(s: str) -> dict[str, str]:
     return out
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas not inside parens/quotes (SET a=1, b=f(x,y))."""
-    out, depth, cur, q = [], 0, [], None
+def _split_top_level(s: str, angles: bool = False) -> list[str]:
+    """Split on commas not inside parens/quotes (SET a=1, b=f(x,y)).
+    With ``angles``, also skip commas inside <...> — needed for column
+    DEFINITION lists where STRUCT<a: INT, b: STRING> types appear (off
+    by default: '<' is a comparison operator everywhere else)."""
+    out, depth, adepth, cur, q = [], 0, 0, [], None
     for ch in s:
         if q:
             cur.append(ch)
@@ -542,7 +549,13 @@ def _split_top_level(s: str) -> list[str]:
         elif ch == ")":
             depth -= 1
             cur.append(ch)
-        elif ch == "," and depth == 0:
+        elif angles and ch == "<":
+            adepth += 1
+            cur.append(ch)
+        elif angles and ch == ">":
+            adepth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0 and adepth == 0:
             out.append("".join(cur))
             cur = []
         else:

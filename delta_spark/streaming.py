@@ -509,10 +509,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                     files.append(f)
                     files_versions.append((f, v))
         if not self.cdf:
+            # DV-carrying adds reach here from the initial snapshot (and
+            # from commit adds admitted under ignoreChanges): the masked
+            # rows must not re-enter the stream
             return [
                 _FilePartition(
                     file_path=self._fs_path(f.path),
                     partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
+                    dv_json=json.dumps(f.deletionVector)
+                    if f.deletionVector else "",
+                    table_path=self.path,
                 )
                 for f in files
             ]
@@ -528,7 +534,10 @@ class DeltaStreamReader(DataSourceStreamReader):
             out.append(_FilePartition(
                 file_path=self._fs_path(f.path),
                 partition_values=json.dumps({c: f.partitionValues.get(self._part_keys.get(c, c)) for c in self._part_cols}),
-                is_cdf=True, change_type="insert", version=max(v, 0), ts_ms=ts))
+                is_cdf=True, change_type="insert", version=max(v, 0), ts_ms=ts,
+                dv_json=json.dumps(f.deletionVector)
+                if f.deletionVector else "",
+                table_path=self.path))
         for v in commit_versions:
             try:
                 actions = self.log.read_commit_actions(v)
@@ -697,6 +706,18 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_py writer requires a path")
+        # fail loudly on write options this path cannot honor — silently
+        # dropping replaceWhere would turn a scoped overwrite into a
+        # full-table wipe
+        unsupported = [o for o in ("replacewhere", "mergeschema",
+                                   "overwriteschema")
+                       if options.get(o)]
+        if str(options.get("partitionoverwritemode", "")).lower() == "dynamic":
+            unsupported.append("partitionOverwriteMode=dynamic")
+        if unsupported:
+            raise NotImplementedError(
+                f"the delta_py writer does not support {unsupported}; "
+                "use delta_spark.io.write_delta")
         self.overwrite = overwrite
         log = DeltaLog.for_table(self.path)
         self.exists = log.table_exists()
@@ -725,14 +746,18 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
             self.table_schema_json = snap.metadata.schemaString
             self.part_cols = snap.partition_columns
             self.cfg = dict(snap.configuration)
-            self.read_version = snap.version
+            req = [c.strip() for c in
+                   (options.get("partitionby") or "").split(",") if c.strip()]
+            if req and req != self.part_cols:
+                raise ValueError(
+                    f"partitioning {req} does not match table "
+                    f"partitioning {self.part_cols}")
         else:
             self.table_schema_json = schema.json()
             self.part_cols = [c.strip() for c in
                               (options.get("partitionby") or "").split(",")
                               if c.strip()]
             self.cfg = {}
-            self.read_version = -1
         tschema = schema_from_json(self.table_schema_json)
         self.l2p = logical_to_physical(tschema)
         self.not_null = [f.name for f in tschema.fields if not f.nullable]
@@ -830,9 +855,15 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         self._commit_batch(messages)
 
-    def _commit_batch(self, messages, extra_actions: Optional[list] = None,
-                      op: str = "WRITE") -> None:
-        from delta_spark.actions import AddFile, Metadata, RemoveFile
+    def _commit_batch(self, messages, op: str = "WRITE",
+                      txn_app_id: Optional[str] = None,
+                      txn_batch: Optional[int] = None) -> None:
+        from delta_spark.actions import (
+            AddFile,
+            Metadata,
+            RemoveFile,
+            SetTransaction,
+        )
         from delta_spark.transaction import OptimisticTransaction
         from delta_spark.util import current_time_millis, encode_log_path
 
@@ -855,7 +886,18 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         # existence re-checked per commit: a streaming writer instance
         # outlives its first microbatch, which may have created the table
         exists = txn.snapshot.version >= 0
-        actions: list = list(extra_actions or [])
+        actions: list = []
+        if txn_app_id is not None and txn_batch is not None:
+            # exactly-once inside the SAME transaction whose snapshot the
+            # conflict checker validates (DeltaSink.addBatch /
+            # io.write_delta's txnAppId check) — no TOCTOU window
+            last = txn.txn_version(txn_app_id)
+            if last is not None and txn_batch <= last:
+                self._drop_orphans(messages)
+                return
+            actions.append(SetTransaction(
+                appId=txn_app_id, version=txn_batch,
+                lastUpdated=current_time_millis()))
         if not exists:
             actions.append(Metadata(
                 schemaString=self.table_schema_json,
@@ -908,23 +950,8 @@ class DeltaStreamArrowWriter(DeltaArrowBatchWriter, DataSourceStreamArrowWriter)
                        or f"delta_py_sink::{os.path.abspath(self.path)}")
 
     def commit(self, messages, batchId: int) -> None:
-        from delta_spark.actions import SetTransaction
-        from delta_spark.util import current_time_millis
-
-        log = DeltaLog.for_table(self.path)
-        if log.table_exists():
-            last = log.update().set_transactions.get(self.app_id)
-            if last is not None and last.version is not None \
-                    and batchId <= last.version:
-                # replayed microbatch: exactly-once skip
-                self._drop_orphans(messages)
-                return
-        self._commit_batch(
-            messages,
-            extra_actions=[SetTransaction(
-                appId=self.app_id, version=batchId,
-                lastUpdated=current_time_millis())],
-            op="STREAMING UPDATE")
+        self._commit_batch(messages, op="STREAMING UPDATE",
+                           txn_app_id=self.app_id, txn_batch=batchId)
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_orphans(messages)
@@ -973,6 +1000,11 @@ class DeltaPyDataSource(DataSource):
         return DeltaStreamReader(schema, self.options)
 
     def reader(self, schema):
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            raise NotImplementedError(
+                "batch change-feed reads go through "
+                "DeltaTable.table_changes() / the table_changes() TVF; "
+                "the delta_py batch reader serves current-snapshot rows")
         return DeltaBatchReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool):

@@ -815,3 +815,47 @@ def test_stream_writer_datasource_exactly_once(spark, tmp_path, sf_dir):
     w.commit([_Msg()], batchId=last)          # replay of the last batch
     assert DeltaLog.for_table(out).update().version == before
     assert not os.path.exists(orphan)
+
+
+def test_stream_source_applies_deletion_vectors(spark, tmp_table, sf_dir, tmp_path):
+    """The initial-snapshot scan must not resurrect DV-masked rows
+    (DeltaParquetFileFormat row-filter semantics on the source)."""
+    from delta_spark.streaming import register
+
+    register(spark)
+    li = load_table(spark, sf_dir, "lineitem").limit(300)
+    write_delta(li, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    want = dt.toDF().count()
+    assert any(f.deletionVector
+               for f in DeltaLog.for_table(tmp_table).update().all_files)
+
+    q = (read_stream(spark, tmp_table).writeStream.format("memory")
+         .queryName("dv_stream")
+         .option("checkpointLocation", str(tmp_path / "ck_dv"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    got = spark.sql("SELECT count(*) c FROM dv_stream").collect()[0]["c"]
+    assert got == want
+
+
+def test_batch_writer_rejects_unsupported_options(spark, tmp_path, sf_dir):
+    """replaceWhere / dynamic partition overwrite / conflicting
+    partitionBy must fail loudly, not silently change semantics."""
+    from delta_spark.streaming import register
+
+    register(spark)
+    li = load_table(spark, sf_dir, "lineitem").limit(50)
+    p = str(tmp_path / "t")
+    (li.write.format("delta_py").mode("append").option("path", p)
+       .option("partitionBy", "l_returnflag").save())
+    with pytest.raises(Exception, match="write_delta"):
+        (li.write.format("delta_py").mode("overwrite").option("path", p)
+           .option("replaceWhere", "l_returnflag = 'A'").save())
+    with pytest.raises(Exception, match="partitioning"):
+        (li.write.format("delta_py").mode("append").option("path", p)
+           .option("partitionBy", "l_linestatus").save())
+    assert DeltaTable.forPath(spark, p).toDF().count() == 50
