@@ -255,6 +255,13 @@ def main() -> None:
         q = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
         return knn_brute_force(emb, q, k=10).count()
 
+    def near_dups():
+        # the candidates-first scale path (LSH banding -> exact verify on
+        # candidate pairs only), NOT the all-pairs crossJoin baseline
+        from delta_spark.ops.similarity import near_duplicates
+        emb = dt("embeddings").toDF()
+        return near_duplicates(emb, threshold=0.95, method="lsh").count()
+
     def text():
         from delta_spark.ops.text import fingerprint, language_id, quality_score, text_stats
         d = dt("documents").toDF()
@@ -348,6 +355,7 @@ def main() -> None:
 
     run_median(timings, "dedup_minhash", mh)
     run_median(timings, "knn", knn)
+    run_median(timings, "near_dups_lsh", near_dups)
     run_median(timings, "text_pipeline", text)
     run_median(timings, "events_hourly", events)
 

@@ -183,16 +183,30 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
     r, b = (bits_per_band, bands) if bits_per_band and bands \
         else lsh_params_for(threshold)
     dim = corpus.select(F.size(F.col(vec_col))).first()[0]
-    H = _hyperplanes(dim, r * b, seed)
-    planes = F.array(*[F.array(*[F.lit(x) for x in p]) for p in H])
-    dots = F.transform(planes, lambda p: _dot(F.col(vec_col), p))
-    bits = F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    band_structs = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.array_join(F.slice(bits, i * r + 1, r), "").alias("bucket"))
-        for i in range(b)])
-    banded = (corpus.select(F.col(id_col), F.explode(band_structs).alias("bb"))
-              .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")))
+    # the sign bits come from ONE Arrow-batched numpy matmul
+    # (N×dim @ dim×(r·b)) — at tight thresholds r·b is ~100+ planes and
+    # a literal-expression formulation would hand Catalyst r·b·dim
+    # constants to fold into codegen (minutes of planning); this is the
+    # case Pandas UDFs exist for
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Hmat = np.array(_hyperplanes(dim, r * b, seed)).T  # dim × (r·b)
+
+    @pandas_udf("array<string>")
+    def band_buckets(vecs):
+        import pandas as pd
+
+        M = np.stack(vecs.to_numpy())                   # N × dim
+        bits = (M @ Hmat) >= 0                          # N × (r·b)
+        packed = np.packbits(bits.reshape(len(M), b, r), axis=2)
+        return pd.Series([[band.tobytes().hex() for band in row]
+                          for row in packed])
+
+    banded = (corpus
+              .select(F.col(id_col),
+                      F.posexplode(band_buckets(F.col(vec_col)))
+                      .alias("band", "bucket")))
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (left.join(right, ["band", "bucket"])
