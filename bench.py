@@ -257,10 +257,15 @@ def main() -> None:
 
     def near_dups():
         # the candidates-first scale path (LSH banding -> exact verify on
-        # candidate pairs only), NOT the all-pairs crossJoin baseline
+        # candidate pairs only), NOT the all-pairs crossJoin baseline.
+        # τ=0.8 on the random synthetic corpus verifies ~0 survivors —
+        # the measured cost is signature + banding + bucket join +
+        # candidate verification, the 100TB-representative shape
+        # (result-volume-heavy low-τ behavior is the gate's
+        # embedding_near_dups query)
         from delta_spark.ops.similarity import near_duplicates
         emb = dt("embeddings").toDF()
-        return near_duplicates(emb, threshold=0.95, method="lsh").count()
+        return near_duplicates(emb, threshold=0.8, method="lsh").count()
 
     def text():
         from delta_spark.ops.text import fingerprint, language_id, quality_score, text_stats
