@@ -440,7 +440,8 @@ def deep_clone(spark: SparkSession, log: DeltaLog, target_path: str,
 # ------------------------------------------------------------ CONVERT ----
 
 def convert_to_delta(spark: SparkSession, path: str,
-                     partition_schema: Optional[str] = None) -> DeltaLog:
+                     partition_schema: Optional[str] = None,
+                     collect_stats: bool = True) -> DeltaLog:
     """Parquet directory → delta table in place
     (ConvertToDeltaCommandBase): list files, infer schema (Spark does it
     distributed), collect footer stats, commit version 0."""
@@ -462,7 +463,9 @@ def convert_to_delta(spark: SparkSession, path: str,
         for name in files:
             if name.endswith(".parquet") and not name.startswith(("_", ".")):
                 data_files.append(os.path.join(root, name))
-    stats_map = collect_stats_parallel(data_files)
+    # NO STATISTICS (ConvertToDeltaCommand collectStats=false): skip
+    # the footer pass entirely — scans fall back to partition pruning
+    stats_map = collect_stats_parallel(data_files) if collect_stats else {}
     adds = []
     for p in data_files:
         rel = os.path.relpath(p, path).replace(os.sep, "/")

@@ -288,10 +288,14 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         convert_iceberg_to_delta(spark, m.group("ice"))
         return spark.createDataFrame([(True,)], "converted: boolean")
 
-    m = re.fullmatch(rf"(?is)\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\.)?(?:{_PATH})"
+    m = re.fullmatch(rf"(?is)\s*CONVERT\s+TO\s+DELTA\s+"
+                     rf"(?:parquet\.`(?P<ppath>[^`]+)`|(?:{_PATH}))"
+                     rf"(?P<nostats>\s+NO\s+STATISTICS)?"
                      rf"(?:\s+PARTITIONED\s+BY\s+\((?P<pcols>[^)]+)\))?\s*", s)
     if m:
-        DeltaTable.convertToDelta(spark, _path_of(m), m.group("pcols"))
+        src = m.group("ppath") or _path_of(m)
+        DeltaTable.convertToDelta(spark, src, m.group("pcols"),
+                                  collect_stats=not m.group("nostats"))
         return spark.createDataFrame([(True,)], "converted: boolean")
 
     m = re.fullmatch(rf"(?is)\s*SHOW\s+PARTITIONS\s+(?:{_PATH})\s*", s)

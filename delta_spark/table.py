@@ -142,8 +142,10 @@ class DeltaTable:
 
     @classmethod
     def convertToDelta(cls, spark: SparkSession, path: str,
-                       partition_schema: Optional[str] = None) -> "DeltaTable":
-        return cls(spark, convert_to_delta(spark, path, partition_schema))
+                       partition_schema: Optional[str] = None,
+                       collect_stats: bool = True) -> "DeltaTable":
+        return cls(spark, convert_to_delta(spark, path, partition_schema,
+                                           collect_stats=collect_stats))
 
     @classmethod
     def createLike(cls, spark: SparkSession, source_path: str, target_path: str) -> "DeltaTable":

@@ -559,3 +559,16 @@ def test_select_join_of_two_delta_paths(spark, tmp_path):
     out = delta_sql(spark, f"SELECT a.k, a.v, b.n FROM delta.`{a}` a "
                            f"JOIN delta.`{b}` b ON a.k = b.k").collect()
     assert [(r["k"], r["v"], r["n"]) for r in out] == [(1, "x", 100)]
+
+
+def test_convert_no_statistics_and_parquet_prefix(spark, tmp_path, sf_dir):
+    """CONVERT TO DELTA parquet.`path` NO STATISTICS: the grammar's
+    qualified spelling and the collectStats=false leg."""
+    p = str(tmp_path / "plain")
+    load_table(spark, sf_dir, "supplier").write.parquet(p)
+    delta_sql(spark, f"CONVERT TO DELTA parquet.`{p}` NO STATISTICS")
+    snap = DeltaLog.for_table(p).update()
+    assert snap.num_files >= 1
+    assert all(f.stats is None for f in snap.all_files)
+    assert delta_sql(spark, f"SELECT count(*) c FROM delta.`{p}`") \
+        .collect()[0]["c"] == load_table(spark, sf_dir, "supplier").count()
