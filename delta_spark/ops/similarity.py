@@ -175,11 +175,11 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           bits_per_band: Optional[int] = None,
                           bands: Optional[int] = None, seed: int = 42) -> DataFrame:
-    """Candidate pairs by random-hyperplane (sign) LSH: one codegen'd
-    pass computes every hyperplane dot per row (sign bits), band keys
-    are substrings of the bit vector, and candidates are the distinct
-    id pairs sharing a (band, bucket) — an equi-join on the bucket,
-    O(rows·bands) shuffle, never a cross join."""
+    """Candidate pairs by random-hyperplane (sign) LSH: one
+    Arrow-batched numpy matmul computes every hyperplane sign bit per
+    row, bands pack to compact bucket keys, and candidates are the
+    distinct id pairs sharing a (band, bucket) — an equi-join on the
+    bucket, O(rows·bands) shuffle, never a cross join."""
     r, b = (bits_per_band, bands) if bits_per_band and bands \
         else lsh_params_for(threshold)
     dim = corpus.select(F.size(F.col(vec_col))).first()[0]
