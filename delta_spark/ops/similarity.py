@@ -155,13 +155,24 @@ def lsh_params_for(threshold: float, target_miss: float = 1e-6,
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0 + 1e-9), 1.0 - 1e-9)) / math.pi
-    r = max(1, int(math.log(0.5) / math.log(p)))  # p^r ≈ 0.5 per band
-    while True:
+
+    def bands_for(r: int) -> int:
         pb = p ** r
-        b = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
-        if r * b <= max_bits or r == 1:
-            return r, b
-        r -= 1
+        return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
+
+    # among every (r, bands) meeting the recall bound within the bit
+    # budget, take the LARGEST r: more bits per band makes buckets
+    # exponentially more selective for NON-matching pairs (collision
+    # ~ bands/2^r for orthogonal vectors), so the same recall costs the
+    # fewest false candidates — the term that dominates verify cost
+    best = (1, bands_for(1))
+    for r in range(1, max_bits + 1):
+        b = bands_for(r)
+        if r * b <= max_bits:
+            best = (r, b)
+        elif r > 1 and best[0] > 1:
+            break
+    return best
 
 
 def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
