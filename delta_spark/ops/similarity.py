@@ -226,20 +226,42 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
 
 
 def ivf_candidates(corpus: DataFrame, id_col: str = "vec_id",
-                   vec_col: str = "embedding", n_centroids: int = 16,
+                   vec_col: str = "embedding",
+                   n_centroids: Optional[int] = None,
                    nprobe: int = 4, centroids: Optional[list] = None) -> DataFrame:
     """Candidate pairs by multi-probe IVF blocking: every vector is
     assigned to its `nprobe` nearest centroids (one codegen'd pass),
     candidates are distinct id pairs sharing a bucket. Each bucket
     holds ~rows·nprobe/C vectors, so the per-bucket self-join replaces
-    the n² cross join with Σ_b |b|² work."""
+    the n² cross join with Σ_b |b|² work. With the default
+    C ≈ √n (the standard IVF sizing), per-bucket work is
+    O(n^1.5·nprobe²) total — a fixed C would degrade back toward n²
+    as the corpus grows."""
+    if centroids is None and n_centroids is None:
+        import math
+
+        n_centroids = max(16, min(4096, int(math.sqrt(corpus.count()))))
     cents = centroids or fit_centroids_sample(corpus, vec_col, n_centroids)
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    dots = F.transform(cmat, lambda c: _dot(F.col(vec_col), c))
-    ranked = F.reverse(F.array_sort(F.transform(
-        dots, lambda d, i: F.struct(d.alias("d"), i.alias("i")))))
-    buckets = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
-    assigned = (corpus.select(F.col(id_col), F.explode(buckets).alias("bucket")))
+    # multi-probe assignment as ONE Arrow-batched numpy matmul — with
+    # √n centroids a literal centroid-matrix expression would hand
+    # Catalyst C·dim constants (the LSH lesson applies here too)
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Cmat = np.array(cents, dtype=np.float64).T      # dim × C
+    k = min(nprobe, len(cents))
+
+    @pandas_udf("array<int>")
+    def probe_buckets(vecs):
+        import pandas as pd
+
+        M = np.stack(vecs.to_numpy())               # N × dim
+        d = M @ Cmat                                # N × C
+        idx = np.argpartition(-d, k - 1, axis=1)[:, :k]
+        return pd.Series([row.tolist() for row in idx])
+
+    assigned = (corpus.select(
+        F.col(id_col), F.explode(probe_buckets(F.col(vec_col))).alias("bucket")))
     left = assigned.select(F.col(id_col).alias("id_a"), "bucket")
     right = assigned.select(F.col(id_col).alias("id_b"), "bucket")
     return (left.join(right, "bucket")
