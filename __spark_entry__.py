@@ -795,21 +795,29 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-hash bands: miss probability ≤ (1-τ)^32 ≈ 2e-10 per pair),
     so the brute-force oracle matches at every scale — verified
     hash-equal at sf0.001/0.01/0.1."""
-    from delta_spark.ops.dedup import dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash
+    from delta_spark.ops.dedup import (
+        connected_components, dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash)
     docs = _docs(spark, sf_dir)
     planted = docs.filter("doc_id % 5 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
     exact = dedup_exact(docs.unionByName(planted)).selectExpr(
         "'exact' AS variant", "doc_id AS id_a",
         "CAST(NULL AS BIGINT) AS id_b", "CAST(n_chars AS DOUBLE) AS score")
-    jac = jaccard_pairs(docs, threshold=0.2).selectExpr(
+    jacpairs = jaccard_pairs(docs, threshold=0.2)
+    jac = jacpairs.selectExpr(
         "'jaccard' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
+    # duplicate-cluster resolution over the τ=0.2 pair graph: the stage
+    # between pairs and "keep one doc per cluster" (chained duplicates)
+    clusters = connected_components(jacpairs).selectExpr(
+        "'clusters' AS variant", "id AS id_a", "cluster_id AS id_b",
+        "CAST(NULL AS DOUBLE) AS score")
     mh = minhash_lsh_pairs(docs, threshold=0.5, k=32, bands=32,
                            independent=True).selectExpr(
         "'minhash_lsh' AS variant", "id_a", "id_b", "CAST(jaccard AS DOUBLE) AS score")
     sh = simhash(docs, bits=32).selectExpr(
         "'simhash' AS variant", "doc_id AS id_a",
         "CAST(NULL AS BIGINT) AS id_b", "CAST(simhash AS DOUBLE) AS score")
-    return exact.unionByName(jac).unionByName(mh).unionByName(sh)
+    return (exact.unionByName(jac).unionByName(mh).unionByName(sh)
+            .unionByName(clusters))
 
 
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1019,7 +1027,7 @@ def _dedup_suite_oracle(bits: int = 32) -> str:
     assemble = " + ".join(
         f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
     return rf"""
-WITH sh AS (
+WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -1030,6 +1038,12 @@ pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common
 jac AS (SELECT ia, ib, common * 1.0 / (ca.c + cb.c - common) AS rawj,
                round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
         FROM pairs JOIN card ca ON ca.doc_id = ia JOIN card cb ON cb.doc_id = ib),
+e2 AS (SELECT ia AS a, ib AS b FROM jac WHERE rawj >= 0.2
+       UNION ALL SELECT ib, ia FROM jac WHERE rawj >= 0.2),
+reach(a, b) AS (SELECT a, b FROM e2
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+ccx AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
 simw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
          FROM documents),
 simh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM simw),
@@ -1044,6 +1058,8 @@ UNION ALL
 SELECT 'minhash_lsh', ia, ib, CAST(jaccard AS DOUBLE) FROM jac WHERE rawj >= 0.5
 UNION ALL
 SELECT 'simhash', doc_id, CAST(NULL AS BIGINT), CAST({assemble} AS DOUBLE) FROM sims
+UNION ALL
+SELECT 'clusters', id, cluster_id, CAST(NULL AS DOUBLE) FROM ccx
 """
 
 

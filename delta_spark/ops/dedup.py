@@ -195,3 +195,74 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Connected components over an undirected pair graph →
+    `(id, cluster_id)` with `cluster_id` = the minimum node id in the
+    component. This is the stage between near-duplicate *pairs*
+    (jaccard_pairs / minhash_lsh_pairs / similarity.near_duplicates)
+    and per-cluster actions like "keep one document per duplicate
+    cluster" — pairs alone under-delete when duplicates chain
+    (a~b, b~c but not a~c).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+    Each round is two groupBy-min + join passes over the edge set —
+    fully distributed, no driver-side graph, no collect — and the
+    edge count never grows past the input size. Convergence is
+    O(log^2 n) rounds worst-case; near-dup graphs (tiny cluster
+    diameter) converge in 2-3. Lineage is truncated per round with
+    localCheckpoint so the iterated plan stays O(1) deep and the
+    convergence-check anti-join reads materialized partitions.
+
+    Returns one row per node that appears in `pairs` (singletons are
+    simply absent — callers keep them, see dedup_by_cluster).
+    """
+    e = (pairs.selectExpr(f"CAST({src} AS BIGINT) AS a", f"CAST({dst} AS BIGINT) AS b")
+              .filter("a IS NOT NULL AND b IS NOT NULL AND a <> b")
+              .selectExpr("greatest(a, b) AS hi", "least(a, b) AS lo")
+              .distinct()
+              .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        # large-star: connect every strictly-larger neighbor of u to
+        # min(N(u) ∪ {u}). Smaller-neighbor edges re-emerge from the
+        # other endpoint's group, so connectivity is preserved.
+        both = (e.selectExpr("hi AS u", "lo AS v")
+                 .unionAll(e.selectExpr("lo AS u", "hi AS v")))
+        m_large = (both.groupBy("u").agg(F.min("v").alias("mn"))
+                   .selectExpr("u", "least(u, mn) AS m"))
+        large = (both.join(m_large, "u")
+                     .where("v > u")
+                     .selectExpr("v AS hi", "m AS lo")
+                     .distinct())
+        # small-star: connect u and all its (≤ u) neighbors to their min.
+        m_small = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (large.join(m_small, "hi")
+                      .where("lo <> m")
+                      .selectExpr("lo AS hi", "m AS lo")
+                      .unionAll(m_small.selectExpr("hi", "m AS lo"))
+                      .distinct())
+        new_e = small.localCheckpoint(eager=True)
+        # fixed point ⇔ same distinct edge set: equal count + empty
+        # one-sided difference (both sides are distinct already)
+        if new_e.count() == e.count() and new_e.subtract(e).isEmpty():
+            return (new_e.selectExpr("hi AS id", "lo AS cluster_id")
+                    .unionByName(new_e.selectExpr("lo AS id", "lo AS cluster_id"))
+                    .distinct())
+        e = new_e
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "the alternating algorithm needs O(log^2 n) — raise max_iterations")
+
+
+def dedup_by_cluster(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                     src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Keep exactly one representative (the minimum-id member) per
+    near-duplicate cluster: resolve `pairs` to components, then
+    anti-join the non-representative members out of `df`. Documents in
+    no pair are singletons and survive untouched. One extra shuffle on
+    `id_col` beyond connected_components."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    drop = cc.where("id <> cluster_id").selectExpr(f"id AS {id_col}")
+    return df.join(drop, id_col, "left_anti")

@@ -454,3 +454,57 @@ def test_sample_by_quota(spark, docs):
         .orderBy("doc_id").limit(10).select("doc_id")
     kept = out.filter("source = '%s'" % next(iter(sizes))).select("doc_id")
     assert kept.exceptAll(first).count() == 0
+
+
+def test_connected_components_vs_union_find(spark):
+    """Alternating large/small-star must equal a driver union-find on
+    random graphs (dense, sparse) and a worst-case diameter chain."""
+    import random
+
+    from delta_spark.ops.dedup import connected_components
+
+    def uf(edges):
+        nodes = {x for e in edges for x in e}
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(ms) for ms in comp.values() for n in ms}
+
+    rng = random.Random(11)
+    for nn, ne in [(40, 25), (25, 80)]:
+        nodes = rng.sample(range(10000), nn)
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(ne)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+        assert got == uf(edges)
+    # descending chain: maximum diameter, ids opposing the merge order
+    chain = [(i, i + 1) for i in range(100, 0, -1)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert set(got.values()) == {1} and len(got) == 101
+
+
+def test_dedup_by_cluster_keeps_one_per_cluster(spark):
+    """Chained duplicates (a~b, b~c) collapse to the min id; singletons
+    survive; duplicate/self pairs are harmless."""
+    from delta_spark.ops.dedup import dedup_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 5), (4, 4)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup_by_cluster(docs, pairs).collect())
+    assert kept == [1, 4, 5, 7]
