@@ -877,8 +877,21 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("'normalize' AS variant", "md5(norm_text) AS k",
                         "CAST(length(norm_text) AS BIGINT) AS n",
                         "CAST(doc_id AS DOUBLE) AS v"))
+    # `redact`: PII masking — plant deterministic fake PII per doc so
+    # the replacement path is actually exercised, then byte-compare the
+    # redacted text (md5) and the per-doc replacement count cross-engine
+    from delta_spark.ops.text import redact_pii
+    planted_pii = docs.selectExpr(
+        "doc_id",
+        "concat(text, ' Contact user', CAST(doc_id AS STRING),"
+        "  '@example.com or 415-555-0132, ssn 123-45-6789, host 10.0.',"
+        "  CAST(doc_id % 256 AS STRING), '.7.') AS text")
+    red = (redact_pii(planted_pii)
+           .selectExpr("'redact' AS variant", "md5(redacted) AS k",
+                       "CAST(n_email + n_ssn + n_ip + n_phone AS BIGINT) AS n",
+                       "CAST(doc_id AS DOUBLE) AS v"))
     return (split.unionByName(removed).unionByName(pack_inv)
-            .unionByName(quota).unionByName(norm))
+            .unionByName(quota).unionByName(norm).unionByName(red))
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -1106,6 +1119,26 @@ FROM (SELECT doc_id,
                  '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
                '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS nt
       FROM documents) nx
+UNION ALL
+SELECT 'redact', md5(t4), n1 + n2 + n3 + n4, CAST(doc_id AS DOUBLE)
+FROM (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM (SELECT doc_id,
+               concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or 415-555-0132, ssn 123-45-6789, host 10.0.',
+                      CAST(doc_id % 256 AS VARCHAR), '.7.') AS t0
+        FROM documents) p0),
+LATERAL (
+  SELECT len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n2,
+         regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t2) l2,
+LATERAL (
+  SELECT len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n3,
+         regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t3) l3,
+LATERAL (
+  SELECT len(regexp_extract_all(t3, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n4,
+         regexp_replace(t3, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS t4) l4
 """
 
 

@@ -201,3 +201,39 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out_col, c)
+
+
+# PII patterns chosen for cross-dialect determinism (Java regex and
+# RE2 agree on character classes, greedy quantifiers, \b and (?:) —
+# no backreferences/lookaround). Applied in LIST ORDER: earlier
+# replacements must not create or destroy later matches, so the more
+# specific pattern comes first (email before ip, ssn before phone).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Mask PII spans with `[CATEGORY]` tokens and count replacements.
+
+    Adds `redacted` (the masked text) and one `n_<category>` count per
+    pattern, counted on the text as it stood when that category was
+    applied (so a span never double-counts across categories). Pure
+    JVM `regexp_replace`/`regexp_count` — one narrow projection, no
+    shuffle, no Python; runs at scan speed at any scale, and every
+    pattern is RE2-compatible so results are engine-portable.
+
+    `patterns` replaces the default `PII_PATTERNS` list; order is
+    semantic (see module comment).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    cur = F.col(text_col)
+    for cat, pat in pats:
+        out = out.withColumn(f"n_{cat}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, f"[{cat.upper()}]")
+    return out.withColumn("redacted", cur)

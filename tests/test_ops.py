@@ -508,3 +508,22 @@ def test_dedup_by_cluster_keeps_one_per_cluster(spark):
         [(1, 2), (2, 3), (5, 6), (6, 5), (4, 4)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in dedup_by_cluster(docs, pairs).collect())
     assert kept == [1, 4, 5, 7]
+
+
+def test_redact_pii(spark):
+    """Each category masks its span and counts once; clean text passes
+    through untouched; categories don't double-count each other."""
+    from delta_spark.ops.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-am.ple.org now"),
+        (2, "ssn 123-45-6789 phone 415-555-0132 ip 10.0.0.7"),
+        (3, "no pii here, just 42 and 3.14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted == "mail [EMAIL] now" and out[1].n_email == 1
+    assert out[2].redacted == "ssn [SSN] phone [PHONE] ip [IP]"
+    assert (out[2].n_ssn, out[2].n_phone, out[2].n_ip, out[2].n_email) == (1, 1, 1, 0)
+    assert out[3].redacted == rows[2][1]
+    assert out[3].n_email + out[3].n_ssn + out[3].n_ip + out[3].n_phone == 0
