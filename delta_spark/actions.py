@@ -58,6 +58,9 @@ SUPPORTED_READER_FEATURES = frozenset({
     "variantType", "variantType-preview",
     "variantShredding", "variantShredding-preview",
     "v2Checkpoint", "vacuumProtocolCheck",
+    # GEOMETRY/GEOGRAPHY columns (TableFeature.scala:687; the -dev name
+    # is the reference's private-preview spelling of the same feature)
+    "geospatial", "geospatial-dev",
     # engine-local non-standard DV encoding (fail-closed marker for
     # external readers; we of course read it ourselves)
     "delta-spark.dvParquetSidecar",

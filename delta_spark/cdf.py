@@ -75,11 +75,15 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             rolling.version = v
         if cdc_files:
             cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])
+            from delta_spark import geo as _geo
             from delta_spark.util import decode_log_path
 
             paths = [os.path.join(log.table_path, decode_log_path(c.path))
                      for c in cdc_files]
-            df = spark.read.schema(cdc_schema).parquet(*paths)
+            # CDC files store geo columns as WKB binary (writer seam)
+            df = _geo.restore(
+                spark.read.schema(_geo.binary_read_schema(cdc_schema))
+                .parquet(*paths), cdc_schema)
             dfs.append(_stamp(df, v, ts))
             continue
         if adds:

@@ -59,8 +59,11 @@ def read_files_df(
 ) -> DataFrame:
     """Build a DataFrame over the given AddFiles (defaults to the whole
     snapshot)."""
+    from delta_spark import geo as _geo
+
     files = snapshot.all_files if files is None else files
     logical_schema = snapshot.schema
+    _geo.assert_readable(spark, logical_schema)
     if not files:
         return spark.createDataFrame([], logical_schema)
     mapped = snapshot.column_mapping_enabled
@@ -83,6 +86,9 @@ def read_files_df(
     else:
         schema = logical_schema
         part_cols = snapshot.partition_columns
+    # geo columns live in parquet as WKB binary (writer seam wkb_out);
+    # read binary, reconstruct the logical geo type at the end
+    schema = _geo.binary_read_schema(schema)
 
     dv_files = [f for f in files if f.deletionVector]
     plain = [f for f in files if not f.deletionVector]
@@ -126,7 +132,7 @@ def read_files_df(
         out = out.select(*[
             F.col(p.name).alias(l.name)
             for p, l in zip(schema.fields, logical_schema.fields)])
-    return out
+    return _geo.restore(out, logical_schema)
 
 
 def deleted_rows_df(spark: SparkSession, snapshot, files) -> Optional[DataFrame]:
@@ -274,6 +280,9 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
         read_schema = T.StructType(
             list(read_schema.fields)
             + [T.StructField(c, T.LongType(), True) for c in mat_cols])
+    from delta_spark import geo as _geo
+
+    read_schema = _geo.binary_read_schema(read_schema)
     paths = [_abs_path(snapshot.table_path, f) for f in files]
     reader = spark.read.option("basePath", snapshot.table_path) if part_cols else spark.read
     df = (reader.schema(read_schema).parquet(*paths)
@@ -288,7 +297,7 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
     if dv is not None:
         df = df.join(dv, (df["__file_base"] == dv["file_base"]) &
                      (df["__row_idx"] == dv["row_index"]), "left_anti")
-    return df
+    return _geo.restore(df, schema)
 
 
 def read_snapshot_distributed(

@@ -258,7 +258,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             self._schema_json = seed_snap.metadata.schemaString
             self._part_cols = seed_snap.partition_columns
             self._schema_from_version = seed_snap.version
+        from delta_spark import geo as _geo
         from delta_spark.schema import logical_to_physical
+        if _geo.schema_string_may_have_geo(self._schema_json):
+            # the pyarrow batch path has no arrow mapping for the
+            # Spark geo types; scoped out (delta_spark/geo.py docstring)
+            raise _geo.GeoNotSupportedException(
+                "streaming reads of tables with GEOMETRY/GEOGRAPHY "
+                "columns are not supported by this engine")
         l2p = logical_to_physical(schema_from_json(self._schema_json))
         self._part_keys = {c: l2p.get(c, c) for c in self._part_cols}
 

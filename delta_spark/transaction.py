@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-from delta_spark import predicates as P
+from delta_spark import geo, predicates as P
 from delta_spark.actions import (
     AddCDCFile,
     AddFile,
@@ -319,6 +319,20 @@ class OptimisticTransaction:
         if '"delta.typeChanges"' in schema_str:
             reader_feats.add("typeWidening")
             writer_feats.add("typeWidening")
+        if geo.schema_string_may_have_geo(schema_str):
+            # GeoSpatialTableFeature (TableFeature.scala:697): auto-added
+            # on geo columns, preview-conf-gated, envelope validated
+            # (nested geo / geo partition cols / SRIDs) at this choke
+            # point so CREATE, evolution, and ALTER all pass through it
+            from pyspark.sql import SparkSession as _SS
+
+            from delta_spark.util import schema_from_json as _sfj
+
+            geo.validate_schema(_sfj(schema_str),
+                                meta.partitionColumns or [],
+                                spark=_SS.getActiveSession())
+            reader_feats.add("geospatial")
+            writer_feats.add("geospatial")
         if cfg.get("delta.enableDeletionVectors", "").lower() == "true":
             if cfg.get("delta_spark.dv.portable", "true").lower() == "false":
                 # legacy parquet-sidecar DVs ('q' storageType) are NOT

@@ -78,6 +78,12 @@ def write_files(
     Spark infers a typed_value schema per write and stores typed
     subcolumns alongside the binary value, so engines can project and
     push predicates into variant paths without decoding."""
+    from delta_spark import geo as _geo
+
+    # validate BEFORE the parquet job: nested geo / disabled preview
+    # conf must fail with the domain error, not a codegen crash
+    _geo.validate_schema(df.schema, partition_columns, spark=df.sparkSession)
+    df = _geo.wkb_out(df)  # geo columns land in parquet as WKB binary
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if target_file_rows:
@@ -188,8 +194,10 @@ def write_cdc_files(df: DataFrame, table_path: str) -> list:
     invisible to normal scans — commands/cdc/CDCReader.scala:59)."""
     from delta_spark.actions import AddCDCFile
 
+    from delta_spark import geo as _geo
+
     staging = os.path.join(table_path, f"_staging_cdc_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    _geo.wkb_out(df).write.mode("overwrite").parquet(staging)
     cdc_dir = os.path.join(table_path, "_change_data")
     os.makedirs(cdc_dir, exist_ok=True)
     out = []
