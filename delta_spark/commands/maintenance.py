@@ -93,6 +93,20 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
                     if retention_hours is not None else log.deleted_file_retention_ms())
     if retention_hours is not None and retention_ms < 0:
         raise ValueError("retention must be >= 0")
+    # VacuumCommand.checkRetentionPeriodSafety: a window below the
+    # table's deletedFileRetentionDuration can break in-flight readers
+    # and time travel; refuse unless the user explicitly opts out
+    # (reference conf retentionDurationCheck.enabled)
+    check_on = str(spark.conf.get(
+        "delta_spark.retentionDurationCheck.enabled",
+        "true")).lower() == "true"
+    if (check_on and retention_hours is not None
+            and retention_ms < log.deleted_file_retention_ms()):
+        raise ValueError(
+            f"vacuum retention of {retention_hours}h is below the table's "
+            "delta.deletedFileRetentionDuration — concurrent readers and "
+            "time travel inside that window would break. Set "
+            "delta_spark.retentionDurationCheck.enabled=false to force")
     cutoff = current_time_millis() - retention_ms
 
     valid: set[str] = set()

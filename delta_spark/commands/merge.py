@@ -35,7 +35,7 @@ import json
 import re
 from typing import Optional
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from delta_spark.commands.delete import cdf_enabled, match_files_by_name
 from delta_spark.log import DeltaLog
@@ -248,6 +248,28 @@ class MergeBuilder:
             return {c: f"{self.src}.{c}" for c in cols}
         return clause.values
 
+    def _set_key_parts(self, k: str) -> list[str]:
+        """SET/INSERT target → identifier parts: optionally backquoted,
+        target-alias prefix stripped (DeltaMergeActionResolver)."""
+        from delta_spark.commands.update import _split_ident
+
+        parts = _split_ident(k)
+        if len(parts) > 1 and parts[0].lower() == self.tgt.lower():
+            parts = parts[1:]
+        return parts
+
+    def _insert_values_map(self, vals: dict[str, str]) -> dict[str, str]:
+        """INSERT values keyed by case-folded top-level column; nested
+        paths are not insertable (matching the reference)."""
+        out = {}
+        for k, sql in vals.items():
+            parts = self._set_key_parts(k)
+            if len(parts) > 1:
+                raise MergeError(
+                    f"INSERT target must be a top-level column: {k!r}")
+            out[parts[0].lower()] = sql
+        return out
+
     def execute(self) -> int:
         txn = dml_transaction(self.spark, self.log)
         snapshot = txn.snapshot
@@ -281,6 +303,17 @@ class MergeBuilder:
                     partitionColumns=m.partitionColumns,
                     configuration=m.configuration, createdTime=m.createdTime)
         cols = [f.name for f in self._schema.fields]
+        # fail fast on SET/INSERT targets that resolve to no output
+        # column — a typo'd or mis-aliased key must not silently no-op
+        fold = {c.lower() for c in cols}
+        for cl in self.matched + self.not_matched + self.not_matched_by_source:
+            if cl.kind == "delete" or cl.values.get("*") == "*":
+                continue
+            for k in cl.values:
+                if self._set_key_parts(k)[0].lower() not in fold:
+                    raise MergeError(
+                        f"{cl.kind.upper()} target {k!r} is not a column of "
+                        f"the target table (columns: {cols})")
 
         for cl in self.not_matched_by_source:
             if cl.condition:
@@ -614,11 +647,12 @@ class MergeBuilder:
         parts = []
         remaining = new_rows
         for cl in self.not_matched:
-            vals = self._expand_star(cl, cols)
+            vals = self._insert_values_map(self._expand_star(cl, cols))
             subset = remaining.filter(cl.condition) if cl.condition else remaining
             schema = getattr(self, "_schema", None) or snapshot.schema
             parts.append(subset.select(*[
-                (F.expr(vals[c]) if c in vals else F.lit(None)).cast(schema[c].dataType).alias(c)
+                (F.expr(vals[c.lower()]) if c.lower() in vals
+                 else F.lit(None)).cast(schema[c].dataType).alias(c)
                 for c in cols]))
             if cl.condition:
                 remaining = remaining.filter(~F.coalesce(F.expr(cl.condition), F.lit(False)))
@@ -691,10 +725,31 @@ class MergeBuilder:
                  .when(is_src_only, insert_expr)
                  .otherwise(nbs_expr))
 
+    @staticmethod
+    def _relax_nullability(dt):
+        """Deep-nullable copy: CASE branches (e.g. update_fields over a
+        NOT NULL struct field) produce nullable values that cannot cast
+        to a NOT NULL struct type — constraints are enforced at the
+        write seam, not per-branch."""
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(f.name,
+                              MergeBuilder._relax_nullability(f.dataType),
+                              True, f.metadata)
+                for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(
+                MergeBuilder._relax_nullability(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(dt.keyType,
+                             MergeBuilder._relax_nullability(dt.valueType),
+                             True)
+        return dt
+
     def _value_column(self, col: str, snapshot):
         """Output value for one column as a CASE over __action."""
         schema = getattr(self, "_schema", None) or snapshot.schema
-        dt = schema[col].dataType
+        dt = self._relax_nullability(schema[col].dataType)
         if col in getattr(self, "_target_cols", {f.name for f in snapshot.schema.fields}):
             expr = F.expr(f"{self.tgt}.{col}")  # copy default
         else:
@@ -709,14 +764,33 @@ class MergeBuilder:
             if cl.kind == "delete":
                 continue
             vals = self._expand_star(cl, schema_cols)
+            tcols = getattr(self, "_target_cols",
+                            {f.name for f in snapshot.schema.fields})
             if cl.kind == "insert":
-                v = F.expr(vals[col]) if col in vals else F.lit(None)
+                ins = self._insert_values_map(vals)
+                v = (F.expr(ins[col.lower()]) if col.lower() in ins
+                     else F.lit(None))
             else:  # update
-                target = {k.split(".")[-1]: v for k, v in vals.items()}
-                if col in target:
-                    v = F.expr(target[col])
-                elif col in getattr(self, "_target_cols",
-                                    {f.name for f in snapshot.schema.fields}):
+                whole, nested = None, []
+                for k, sql in vals.items():
+                    parts = self._set_key_parts(k)
+                    if parts[0].lower() != col.lower():
+                        continue
+                    if len(parts) == 1:
+                        whole = sql
+                    else:
+                        nested.append((parts[1:], sql))
+                if whole is not None:
+                    v = F.expr(whole)
+                elif nested:
+                    # struct-field updates in place, siblings preserved
+                    # (UpdateExpressionsSupport semantics)
+                    v = (F.expr(f"{self.tgt}.{col}") if col in tcols
+                         else F.lit(None).cast(dt))
+                    for path, sql in nested:
+                        v = v.withField(
+                            ".".join(f"`{p}`" for p in path), F.expr(sql))
+                elif col in tcols:
                     v = F.expr(f"{self.tgt}.{col}")
                 else:
                     # schema-evolved column absent from this UPDATE SET:

@@ -23,12 +23,88 @@ from typing import Optional
 
 from pyspark.sql import SparkSession, functions as F
 
+from pyspark.sql import types as T
+
 from delta_spark.commands.delete import cdf_enabled, find_touched_files
 from delta_spark.log import DeltaLog
 from delta_spark.reader import read_files_df
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS
 from delta_spark.transaction import OptimisticTransaction, dml_transaction
 from delta_spark.writer import write_cdc_files, write_table_files
+
+
+def _split_ident(k: str) -> list[str]:
+    """Split a SET target on dots OUTSIDE backticks; unquote parts
+    (`a b`.`c` → ['a b', 'c'])."""
+    parts, cur, i, inq = [], "", 0, False
+    while i < len(k):
+        ch = k[i]
+        if ch == "`":
+            if inq and i + 1 < len(k) and k[i + 1] == "`":
+                cur += "`"
+                i += 2
+                continue
+            inq = not inq
+            i += 1
+            continue
+        if ch == "." and not inq:
+            parts.append(cur)
+            cur = ""
+            i += 1
+            continue
+        cur += ch
+        i += 1
+    parts.append(cur)
+    return [p.strip() for p in parts]
+
+
+def resolve_set_exprs(set_exprs: dict[str, str],
+                      schema: T.StructType) -> dict:
+    """{SET target: SQL expr} → {top-level column: new-value Column}.
+    Targets resolve like Spark identifiers — optionally backquoted,
+    case-insensitive — and dotted paths update ONE struct field in
+    place, preserving its siblings (UpdateExpressionsSupport
+    generateUpdateExpressions). Values are cast to the target field's
+    declared type, matching the rewrite projection's old behavior."""
+    assigns: dict[str, list] = {}
+    by_fold = {f.name.lower(): f for f in schema.fields}
+    for k, v in set_exprs.items():
+        parts = _split_ident(k)
+        f = by_fold.get(parts[0].lower())
+        if f is None:
+            raise ValueError(f"SET targets not in table schema: [{k!r}]")
+        path, dt = [], f.dataType
+        for p in parts[1:]:
+            if not isinstance(dt, T.StructType):
+                raise ValueError(
+                    f"SET target {k!r}: {'.'.join([f.name] + path)} "
+                    "is not a struct")
+            nf = {x.name.lower(): x for x in dt.fields}.get(p.lower())
+            if nf is None:
+                raise ValueError(f"SET targets not in table schema: [{k!r}]")
+            path.append(nf.name)
+            dt = nf.dataType
+        assigns.setdefault(f.name, []).append((tuple(path), v, dt))
+    out = {}
+    for col, lst in assigns.items():
+        whole = [a for a in lst if not a[0]]
+        if whole and len(lst) > 1:
+            raise ValueError(f"conflicting SET assignments to column {col!r}")
+        if whole:
+            out[col] = F.expr(whole[0][1]).cast(whole[0][2])
+            continue
+        seen = set()
+        e = F.col(col)
+        for path, sql, dt in lst:
+            if path in seen:
+                raise ValueError(
+                    f"conflicting SET assignments to column {col!r} "
+                    f"field {'.'.join(path)}")
+            seen.add(path)
+            e = e.withField(".".join(f"`{p}`" for p in path),
+                            F.expr(sql).cast(dt))
+        out[col] = e
+    return out
 
 
 def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str],
@@ -42,11 +118,9 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     cond = condition if condition and condition.strip() else "true"
 
     schema_cols = [f.name for f in snapshot.schema.fields]
-    bad = [c for c in set_exprs if c not in schema_cols]
-    if bad:
-        raise ValueError(f"SET targets not in table schema: {bad}")
+    upd = resolve_set_exprs(set_exprs, snapshot.schema)
     part_cols = set(snapshot.partition_columns)
-    if part_cols & set(set_exprs):
+    if part_cols & set(upd):
         # reference also forbids updating partition columns via rewrite
         # shortcuts; support it by full-row rewrite (the projection below
         # handles it naturally since we re-partition on write)
@@ -54,7 +128,7 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
 
     candidates = txn.files_for_scan(None if cond == "true" else cond)
     if str(cfg.get("delta.enableDeletionVectors", "false")).lower() == "true":
-        return _dv_update(spark, txn, set_exprs, cond, cfg, schema_cols,
+        return _dv_update(spark, txn, upd, cond, cfg, schema_cols,
                           candidates)
     touched = find_touched_files(spark, snapshot, candidates, cond)
     txn.read_files.update(f.path for f in touched)
@@ -75,8 +149,8 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
         touched_df = read_files_df(spark, snapshot, touched)
     cond_col = F.coalesce(F.expr(cond), F.lit(False))
     out_cols = [
-        (F.when(cond_col, F.expr(set_exprs[c]).cast(touched_df.schema[c].dataType))
-          .otherwise(F.col(c))).alias(c) if c in set_exprs else F.col(c)
+        (F.when(cond_col, upd[c])
+          .otherwise(F.col(c))).alias(c) if c in upd else F.col(c)
         for c in schema_cols
     ]
     if row_tracked:
@@ -98,8 +172,8 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     if cdf_enabled(cfg):
         pre = touched_df.filter(cond_col).withColumn("_change_type", F.lit("update_preimage"))
         post = (touched_df.filter(cond_col)
-                .select(*[(F.expr(set_exprs[c]).cast(touched_df.schema[c].dataType)).alias(c)
-                          if c in set_exprs else F.col(c) for c in schema_cols])
+                .select(*[upd[c].alias(c)
+                          if c in upd else F.col(c) for c in schema_cols])
                 .withColumn("_change_type", F.lit("update_postimage")))
         cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)
 
@@ -111,7 +185,7 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     return txn.commit(list(adds) + list(removes) + list(cdc), "UPDATE", params, metrics)
 
 
-def _dv_update(spark: SparkSession, log_txn, set_exprs: dict[str, str],
+def _dv_update(spark: SparkSession, log_txn, upd: dict,
                cond: str, cfg: dict, schema_cols: list[str],
                candidates) -> int:
     """Deletion-vector UPDATE (UpdateCommand.scala:139): mask the
@@ -149,8 +223,7 @@ def _dv_update(spark: SparkSession, log_txn, set_exprs: dict[str, str],
                               {"numUpdatedRows": "0"})
 
         out_cols = [
-            F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
-            if c in set_exprs else F.col(c)
+            upd[c].alias(c) if c in upd else F.col(c)
             for c in schema_cols
         ]
         if row_tracked:
@@ -172,9 +245,8 @@ def _dv_update(spark: SparkSession, log_txn, set_exprs: dict[str, str],
             pre = (matched.select(*schema_cols)
                    .withColumn("_change_type", F.lit("update_preimage")))
             post = (matched
-                    .select(*[(F.expr(set_exprs[c])
-                               .cast(matched.schema[c].dataType)).alias(c)
-                              if c in set_exprs else F.col(c)
+                    .select(*[upd[c].alias(c)
+                              if c in upd else F.col(c)
                               for c in schema_cols])
                     .withColumn("_change_type", F.lit("update_postimage")))
             cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)

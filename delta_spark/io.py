@@ -95,6 +95,15 @@ def write_delta(
         for c in part_cols:
             if c not in [f.name for f in schema.fields]:
                 raise DeltaWriteError(f"partition column {c!r} not in data")
+        # clean duplicate-name error BEFORE the analyzer hits an
+        # ambiguous reference (assertMetadata checkColumnNameDuplication)
+        from delta_spark.schema import nested_field_names as _nfn
+
+        seen: set = set()
+        for n in _nfn(schema):
+            if n.lower() in seen:
+                raise DeltaWriteError(f"duplicate column name in schema: {n!r}")
+            seen.add(n.lower())
         create_cfg = dict(configuration or {})
         from delta_spark.schema import assign_physical_names as _apn
         from delta_spark.schema import column_mapping_mode as _cmm
@@ -104,7 +113,7 @@ def write_delta(
             # verifyAndUpdateMetadataChange on new tables) — otherwise a
             # later RENAME leaves physical==logical and the pre-rename
             # files stop resolving
-            schema, max_id = _apn(schema)
+            schema, max_id = _apn(schema, reuse_logical=False)
             create_cfg.setdefault("delta.columnMapping.maxColumnId",
                                   str(max_id))
         metadata = Metadata(
@@ -185,22 +194,26 @@ def write_delta(
     )
 
     write_part_cols = part_cols
-    if exists and column_mapping_mode(cfg) in ("name", "id"):
-        # evolved columns need physical identities before writing
-        ids = [f.metadata.get("delta.columnMapping.id", 0) for f in table_schema.fields
-               if f.metadata]
-        mapped_schema, _ = assign_physical_names(table_schema, start_id=max(ids or [0]))
-        if mapped_schema != table_schema:
-            table_schema = mapped_schema
-            m = actions[0] if actions and isinstance(actions[0], Metadata) else txn.metadata
-            new_meta = Metadata(
-                id=m.id, name=m.name, description=m.description, format=m.format,
-                schemaString=schema_to_json(mapped_schema), partitionColumns=part_cols,
-                configuration=m.configuration, createdTime=m.createdTime)
-            if actions and isinstance(actions[0], Metadata):
-                actions[0] = new_meta
-            else:
-                actions.insert(0, new_meta)
+    if column_mapping_mode(cfg) in ("name", "id"):
+        if exists:
+            # evolved columns need physical identities before writing
+            ids = [f.metadata.get("delta.columnMapping.id", 0) for f in table_schema.fields
+                   if f.metadata]
+            mapped_schema, _ = assign_physical_names(table_schema, start_id=max(ids or [0]))
+            if mapped_schema != table_schema:
+                table_schema = mapped_schema
+                m = actions[0] if actions and isinstance(actions[0], Metadata) else txn.metadata
+                new_meta = Metadata(
+                    id=m.id, name=m.name, description=m.description, format=m.format,
+                    schemaString=schema_to_json(mapped_schema), partitionColumns=part_cols,
+                    configuration=m.configuration, createdTime=m.createdTime)
+                if actions and isinstance(actions[0], Metadata):
+                    actions[0] = new_meta
+                else:
+                    actions.insert(0, new_meta)
+        # rename-out applies on CREATE too: creation-time mapping gets
+        # engine-generated physical names, so logical != physical from
+        # the very first file
         from delta_spark.schema import physical_projection
         l2p = logical_to_physical(table_schema)
         out_df = physical_projection(out_df, table_schema)

@@ -157,6 +157,30 @@ def is_same_schema(a: T.StructType, b: T.StructType) -> bool:
     return True
 
 
+def nested_field_names(schema: T.StructType) -> list[str]:
+    """Dotted logical paths of every struct field, nested levels
+    included (SchemaMergingUtils.explodeNestedFieldNames)."""
+    out: list[str] = []
+
+    def walk(st: T.StructType, prefix: str) -> None:
+        for f in st.fields:
+            path = prefix + f.name
+            out.append(path)
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                walk(dt, path + ".")
+            elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                walk(dt.elementType, path + ".element.")
+            elif isinstance(dt, T.MapType):
+                if isinstance(dt.keyType, T.StructType):
+                    walk(dt.keyType, path + ".key.")
+                if isinstance(dt.valueType, T.StructType):
+                    walk(dt.valueType, path + ".value.")
+
+    walk(schema, "")
+    return out
+
+
 def generation_expressions(schema: T.StructType) -> dict[str, str]:
     """column → SQL generation expression (GENERATED ALWAYS AS)."""
     out = {}
@@ -246,16 +270,24 @@ def physical_schema(schema: T.StructType, with_field_ids: bool = False) -> T.Str
     return T.StructType(fields)
 
 
-def assign_physical_names(schema: T.StructType, start_id: int = 0) -> tuple[T.StructType, int]:
-    """Upgrade helper: give every field an id + physicalName (existing
-    fields keep their current name as the physical name, so no data
-    rewrite is needed — the reference's upgrade semantics)."""
+def assign_physical_names(schema: T.StructType, start_id: int = 0,
+                          reuse_logical: bool = True) -> tuple[T.StructType, int]:
+    """Give every field an id + physicalName (DeltaColumnMapping
+    assignPhysicalNames:300). With ``reuse_logical`` (the UPGRADE path)
+    existing fields keep their current name as the physical name so no
+    data rewrite is needed; creation-time mapping passes False and gets
+    engine-generated ``col-<uuid>`` names (generatePhysicalName:333) —
+    which is what makes parquet-hostile logical names ( ,;{}()=…)
+    writable under mapping."""
+    import uuid as _uuid
+
     fields = []
     next_id = start_id
     for f in schema.fields:
         md = dict(f.metadata or {})
         if COLUMN_MAPPING_PHYSICAL_KEY not in md:
-            md[COLUMN_MAPPING_PHYSICAL_KEY] = f.name
+            md[COLUMN_MAPPING_PHYSICAL_KEY] = (
+                f.name if reuse_logical else f"col-{_uuid.uuid4()}")
         if COLUMN_MAPPING_ID_KEY not in md:
             next_id += 1
             md[COLUMN_MAPPING_ID_KEY] = next_id

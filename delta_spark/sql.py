@@ -186,12 +186,19 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         if am:
             from pyspark.sql import types as T
 
-            fields = []
+            fields, positions = [], []
             for part in _split_top_level(am.group("cols"), angles=True):
-                cm = re.match(r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)\s*$", part)
+                cm = re.match(
+                    r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
+                    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>\w+)`?)?\s*$",
+                    part)
                 fields.append(T.StructField(
                     cm.group("n"), T._parse_datatype_string(cm.group("t"))))
-            return dt.addColumns(fields)
+                positions.append(
+                    "first" if cm.group("first")
+                    else ("after", cm.group("after")) if cm.group("after")
+                    else None)
+            return dt.addColumns(fields, positions)
 
         am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?", rest)
         if am:
@@ -204,6 +211,26 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+TYPE\s+(?P<t>.+)", rest)
         if am:
             return dt.changeColumnType(am.group("c"), am.group("t").strip())
+
+        am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+"
+                          r"(?P<drop>DROP)?\s*(?:SET\s+)?NOT\s+NULL", rest)
+        if am:
+            return dt.setColumnNullability(am.group("c"), bool(am.group("drop")))
+
+        am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+"
+                          r"SET\s+DEFAULT\s+(?P<e>.+)", rest)
+        if am:
+            return dt.setColumnDefault(am.group("c"), am.group("e").strip())
+
+        am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+"
+                          r"DROP\s+DEFAULT", rest)
+        if am:
+            return dt.dropColumnDefault(am.group("c"))
+
+        am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+"
+                          r"COMMENT\s+'(?P<t>[^']*)'", rest)
+        if am:
+            return dt.setColumnComment(am.group("c"), am.group("t"))
 
         am = re.fullmatch(r"(?is)SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)", rest)
         if am:
@@ -528,7 +555,9 @@ def _parse_set_list(s: str) -> dict[str, str]:
     out = {}
     for part in _split_top_level(s):
         k, v = part.split("=", 1)
-        out[k.strip().strip("`")] = v.strip()
+        # keep backticks: the DML resolvers parse quoted/dotted
+        # identifiers themselves (update.resolve_set_exprs)
+        out[k.strip()] = v.strip()
     return out
 
 

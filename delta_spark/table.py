@@ -621,17 +621,37 @@ class DeltaTable:
             lambda m: {k: v for k, v in m.configuration.items() if k != key},
             "DROP CONSTRAINT", {"name": name})
 
-    def addColumns(self, fields: list[T.StructField]) -> int:
+    def addColumns(self, fields: list[T.StructField],
+                   positions: Optional[list] = None) -> int:
         """ALTER TABLE ADD COLUMNS (alterDeltaTableCommands.scala:113) —
-        metadata-only; old files read the new columns as null."""
+        metadata-only; old files read the new columns as null.
+        ``positions[i]`` places fields[i]: None (append), "first", or
+        ("after", existing_col) — the grammar's FIRST/AFTER clauses."""
+        positions = positions or [None] * len(fields)
+
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
             names = {fl.name.lower() for fl in schema.fields}
             for fl in fields:
                 if fl.name.lower() in names:
                     raise ValueError(f"column {fl.name} already exists")
-            return T.StructType(schema.fields + [
-                T.StructField(fl.name, fl.dataType, True, fl.metadata) for fl in fields])
+            out = list(schema.fields)
+            for fl, pos in zip(fields, positions):
+                nf = T.StructField(fl.name, fl.dataType, True, fl.metadata)
+                if pos is None:
+                    out.append(nf)
+                elif pos == "first":
+                    out.insert(0, nf)
+                else:
+                    anchor = pos[1].lower()
+                    idx = next((i for i, x in enumerate(out)
+                                if x.name.lower() == anchor), None)
+                    if idx is None:
+                        raise ValueError(
+                            f"AFTER column {pos[1]!r} does not exist")
+                    out.insert(idx + 1, nf)
+            return T.StructType(out)
+
         return self._update_schema(f, "ADD COLUMNS",
                                    {"columns": json.dumps([fl.name for fl in fields])})
 
@@ -743,6 +763,75 @@ class DeltaTable:
         return self._update_schema(
             f, "CHANGE COLUMN",
             {"column": name, "toType": new_type.simpleString()})
+
+    def _alter_column_meta(self, name: str, field_fn, op_params: dict) -> int:
+        """Shared ALTER COLUMN plumbing: resolve `name` case-
+        insensitively, rewrite that one field via field_fn, commit a
+        metadata-only CHANGE COLUMN."""
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            fields, found = [], False
+            for fl in schema.fields:
+                if fl.name.lower() == name.lower():
+                    found = True
+                    fields.append(field_fn(fl))
+                else:
+                    fields.append(fl)
+            if not found:
+                raise ValueError(f"no such column: {name}")
+            return T.StructType(fields)
+
+        return self._update_schema(f, "CHANGE COLUMN",
+                                   {"column": name, **op_params})
+
+    def setColumnNullability(self, name: str, nullable: bool) -> int:
+        """ALTER TABLE ... ALTER COLUMN SET/DROP NOT NULL. DROP NOT
+        NULL is metadata-only; SET NOT NULL first verifies no existing
+        NULLs with a table scan (alterDeltaTableCommands.scala:1037
+        verifyColumnChange), exactly like the reference."""
+        if not nullable:
+            if self.toDF().filter(F.col(name).isNull()).limit(1).count():
+                raise ValueError(
+                    f"cannot SET NOT NULL on {name!r}: existing rows "
+                    "contain NULL values")
+        return self._alter_column_meta(
+            name,
+            lambda fl: T.StructField(fl.name, fl.dataType, nullable, fl.metadata),
+            {"nullable": json.dumps(nullable)})
+
+    def setColumnDefault(self, name: str, expr: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN SET DEFAULT <expr>
+        (DeltaColumnDefaults / protocol `allowColumnDefaults`; the
+        feature is auto-added by the commit). The expression must be
+        constant-foldable, matching Spark's default-column contract."""
+        # validate it parses and evaluates without any input row
+        self.spark.sql(f"SELECT {expr}").collect()
+
+        def f(fl):
+            md = dict(fl.metadata or {})
+            md["CURRENT_DEFAULT"] = expr
+            return T.StructField(fl.name, fl.dataType, fl.nullable, md)
+
+        return self._alter_column_meta(name, f, {"default": expr})
+
+    def dropColumnDefault(self, name: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN DROP DEFAULT."""
+        def f(fl):
+            md = dict(fl.metadata or {})
+            md.pop("CURRENT_DEFAULT", None)
+            return T.StructField(fl.name, fl.dataType, fl.nullable, md)
+
+        return self._alter_column_meta(name, f, {"default": json.dumps(None)})
+
+    def setColumnComment(self, name: str, comment: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN COMMENT '<text>' (stored under
+        the standard StructField `comment` metadata key)."""
+        def f(fl):
+            md = dict(fl.metadata or {})
+            md["comment"] = comment
+            return T.StructField(fl.name, fl.dataType, fl.nullable, md)
+
+        return self._alter_column_meta(name, f, {"comment": comment})
 
     def dropColumn(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping

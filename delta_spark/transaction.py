@@ -299,7 +299,36 @@ class OptimisticTransaction:
 
             uniform.validate_uniform_config(metadatas[0].configuration)
             uniform_hudi.validate_hudi_config(metadatas[0].configuration)
+            self._assert_metadata_names(metadatas[0])
             self._auto_enable_features(actions, metadatas[0])
+
+    def _assert_metadata_names(self, meta: Metadata) -> None:
+        """OptimisticTransaction.assertMetadata (:1005): reject duplicate
+        column names always, and — in NoMapping mode, where logical names
+        ARE the parquet names — names with parquet-hostile characters
+        (' ,;{}()\\n\\t=', SchemaUtils.checkSchemaFieldNames :1354).
+        Column mapping lifts the character restriction because physical
+        names are engine-generated."""
+        from delta_spark.schema import column_mapping_mode, nested_field_names
+        from delta_spark.util import schema_from_json
+
+        schema = schema_from_json(meta.schemaString)
+        names = nested_field_names(schema)
+        seen: set[str] = set()
+        for n in names:
+            low = n.lower()
+            if low in seen:
+                raise ValueError(f"duplicate column name in schema: {n!r}")
+            seen.add(low)
+        if column_mapping_mode(meta.configuration or {}) != "none":
+            return
+        bad = [n for n in names + list(meta.partitionColumns or [])
+               if any(ch in n for ch in " ,;{}()\n\t=")]
+        if bad:
+            raise ValueError(
+                f"column names not allowed without column mapping "
+                f"(parquet-invalid characters ' ,;{{}}()\\n\\t='): {sorted(set(bad))}; "
+                "set delta.columnMapping.mode=name to use them")
 
     def _auto_enable_features(self, actions: list[Any], meta: Metadata) -> None:
         """Automatically-enabled table features (TableFeature.scala
@@ -319,6 +348,10 @@ class OptimisticTransaction:
         if '"delta.typeChanges"' in schema_str:
             reader_feats.add("typeWidening")
             writer_feats.add("typeWidening")
+        if '"CURRENT_DEFAULT"' in schema_str:
+            # DEFAULT column expressions (writer-only feature: readers
+            # see materialized values, only writers must apply defaults)
+            writer_feats.add("allowColumnDefaults")
         if geo.schema_string_may_have_geo(schema_str):
             # GeoSpatialTableFeature (TableFeature.scala:697): auto-added
             # on geo columns, preview-conf-gated, envelope validated

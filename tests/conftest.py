@@ -13,6 +13,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("delta_spark_tests", master="local[4]")
+    # tests vacuum with tiny retention windows on purpose (the
+    # reference's test utils disable the same safety check)
+    s.conf.set("delta_spark.retentionDurationCheck.enabled", "false")
     yield s
 
 

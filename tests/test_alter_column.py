@@ -1,0 +1,85 @@
+"""ALTER COLUMN surface (reference alterDeltaTableCommands.scala:
+AlterTableChangeColumnDeltaCommand, AlterTableAddColumnsDeltaCommand):
+SET/DROP NOT NULL (SET verifies existing data by scan), SET/DROP
+DEFAULT (auto-adds allowColumnDefaults), COMMENT, and ADD COLUMN
+FIRST/AFTER positioning."""
+
+import pytest
+
+from delta_spark import DeltaLog, DeltaTable, delta_sql
+from delta_spark.io import write_delta
+
+
+def _make(spark, tmp_table, sql="SELECT 1 AS id, CAST(NULL AS STRING) AS s"):
+    write_delta(spark.sql(sql), tmp_table)
+    return DeltaTable.forPath(spark, tmp_table)
+
+
+def test_set_not_null_verifies_scan(spark, tmp_table):
+    dt = _make(spark, tmp_table)
+    with pytest.raises(ValueError, match="NULL"):
+        dt.setColumnNullability("s", False)
+    dt.setColumnNullability("id", False)
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert not snap.schema["id"].nullable
+    # DROP NOT NULL is always allowed
+    dt.setColumnNullability("id", True)
+    assert DeltaLog.for_table(tmp_table).update().schema["id"].nullable
+
+
+def test_set_default_applies_on_insert(spark, tmp_table):
+    dt = _make(spark, tmp_table, "SELECT 1 AS id, 'x' AS s")
+    dt.setColumnDefault("s", "'dflt'")
+    p = DeltaLog.for_table(tmp_table).update().protocol
+    assert "allowColumnDefaults" in (p.writerFeatures or [])
+    write_delta(spark.sql("SELECT 2 AS id"), tmp_table, mode="append")
+    rows = {r["id"]: r["s"] for r in dt.toDF().collect()}
+    assert rows == {1: "x", 2: "dflt"}
+    dt.dropColumnDefault("s")
+    # without the default, the omitted non-null column is a schema
+    # mismatch again (no silent NULL backfill)
+    from delta_spark.writer import SchemaMismatchError
+
+    with pytest.raises(SchemaMismatchError):
+        write_delta(spark.sql("SELECT 3 AS id"), tmp_table, mode="append")
+    with pytest.raises(Exception):
+        dt.setColumnDefault("s", "not_a_function(")
+
+
+def test_column_comment(spark, tmp_table):
+    dt = _make(spark, tmp_table)
+    dt.setColumnComment("id", "the key")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.schema["id"].metadata["comment"] == "the key"
+
+
+def test_add_columns_first_after(spark, tmp_table):
+    dt = _make(spark, tmp_table, "SELECT 1 AS a, 2 AS c")
+    delta_sql(spark,
+              f"ALTER TABLE delta.`{tmp_table}` "
+              "ADD COLUMNS (b INT AFTER a, z STRING FIRST)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema.fields] == ["z", "a", "b", "c"]
+    r = dt.toDF().collect()[0]
+    assert (r["z"], r["a"], r["b"], r["c"]) == (None, 1, None, 2)
+    with pytest.raises(ValueError, match="does not exist"):
+        dt.addColumns([__import__("pyspark").sql.types.StructField(
+            "q", __import__("pyspark").sql.types.IntegerType())],
+            [("after", "nope")])
+
+
+def test_sql_alter_column_verbs(spark, tmp_table):
+    dt = _make(spark, tmp_table, "SELECT 1 AS id, 'x' AS s")
+    p = f"delta.`{tmp_table}`"
+    delta_sql(spark, f"ALTER TABLE {p} ALTER COLUMN id SET NOT NULL")
+    delta_sql(spark, f"ALTER TABLE {p} ALTER COLUMN s SET DEFAULT 'd'")
+    delta_sql(spark, f"ALTER TABLE {p} ALTER COLUMN s COMMENT 'doc'")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert not snap.schema["id"].nullable
+    assert snap.schema["s"].metadata["CURRENT_DEFAULT"] == "'d'"
+    assert snap.schema["s"].metadata["comment"] == "doc"
+    delta_sql(spark, f"ALTER TABLE {p} ALTER COLUMN s DROP DEFAULT")
+    delta_sql(spark, f"ALTER TABLE {p} ALTER COLUMN id DROP NOT NULL")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert "CURRENT_DEFAULT" not in snap.schema["s"].metadata
+    assert snap.schema["id"].nullable

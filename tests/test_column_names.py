@@ -1,0 +1,166 @@
+"""Arbitrary / parquet-hostile column names (reference
+DeltaArbitraryColumnNameSuite, SchemaUtils.checkSchemaFieldNames:1354,
+OptimisticTransaction.assertMetadata:1005): names with ' ,;{}()\\n\\t='
+are rejected without column mapping and fully usable with it;
+duplicate names are rejected with a domain error; DML SET targets
+resolve backquoted and case-insensitively."""
+
+import pytest
+
+from delta_spark import DeltaLog, DeltaTable
+from delta_spark.io import DeltaWriteError, write_delta
+
+NAME_CFG = {"delta.columnMapping.mode": "name"}
+
+
+def _df(spark):
+    return spark.sql("SELECT * FROM VALUES (1, 2, 3), (4, 5, 6) AS t(`a b`, `x,y`, ok)")
+
+
+def test_invalid_chars_rejected_without_mapping(spark, tmp_table):
+    with pytest.raises(ValueError, match="column mapping"):
+        write_delta(_df(spark), tmp_table)
+
+
+def test_invalid_partition_col_rejected_without_mapping(spark, tmp_table):
+    df = spark.sql("SELECT 1 AS `p v`, 2 AS x")
+    with pytest.raises(ValueError, match="column mapping"):
+        write_delta(df, tmp_table, partition_by=["p v"])
+
+
+def test_special_names_work_with_mapping(spark, tmp_table):
+    write_delta(_df(spark), tmp_table, configuration=NAME_CFG)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert sorted(r["a b"] for r in dt.toDF().collect()) == [1, 4]
+    # predicate + stats round-trip on a sibling scalar column
+    assert dt.toDF("ok = 3").count() == 1
+    dt.update(set={"`a b`": "100"}, condition="ok = 3")
+    assert sorted(r["a b"] for r in dt.toDF().collect()) == [4, 100]
+    dt.delete("`x,y` = 5")
+    assert dt.toDF().count() == 1
+    # physical parquet names are engine-generated, not the logical ones
+    snap = DeltaLog.for_table(tmp_table).update()
+    phys = snap.physical_map()
+    assert all(" " not in p and "," not in p for p in phys.values())
+
+
+def test_schema_evolution_to_invalid_name_rejected(spark, tmp_table):
+    write_delta(spark.sql("SELECT 1 AS ok"), tmp_table)
+    bad = spark.sql("SELECT 2 AS ok, 9 AS `new col`")
+    with pytest.raises(ValueError, match="column mapping"):
+        write_delta(bad, tmp_table, mode="append", merge_schema=True)
+
+
+def test_duplicate_names_rejected(spark, tmp_table):
+    dup = spark.sql("SELECT 1 AS c, 2 AS C")
+    with pytest.raises(DeltaWriteError, match="duplicate"):
+        write_delta(dup, tmp_table)
+
+
+def test_set_targets_backquoted_and_case_insensitive(spark, tmp_table, sf_dir):
+    from delta_spark.datasets import load_table
+
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update(set={"`R_NAME`": "'X'"}, condition="r_regionkey = 0")
+    names = {r["r_name"] for r in dt.toDF().collect()}
+    assert "X" in names
+    with pytest.raises(ValueError, match="SET targets"):
+        dt.update(set={"nope": "'Y'"})
+
+
+def test_nested_struct_set_target(spark, tmp_table):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, named_struct('x', 10, 'y', 'a')), "
+        "(2, named_struct('x', 20, 'y', 'b')) AS t(id, s)")
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update(set={"s.x": "s.x + 100"}, condition="id = 1")
+    rows = {r["id"]: (r["s"]["x"], r["s"]["y"]) for r in dt.toDF().collect()}
+    # sibling field y survives the in-place struct-field update
+    assert rows == {1: (110, "a"), 2: (20, "b")}
+    # two-level nesting + case-insensitive path
+    with pytest.raises(ValueError, match="not a struct"):
+        dt.update(set={"id.x": "1"})
+    dt.update(set={"S.Y": "'z'"}, condition="id = 2")
+    rows = {r["id"]: r["s"]["y"] for r in dt.toDF().collect()}
+    assert rows[2] == "z"
+
+
+def test_conflicting_set_targets_rejected(spark, tmp_table):
+    df = spark.sql("SELECT 1 AS id, named_struct('x', 10) AS s")
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="conflicting"):
+        dt.update(set={"s": "named_struct('x', 1)", "s.x": "2"})
+
+
+def test_nested_set_target_dv_path(spark, tmp_table):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, named_struct('x', 10, 'y', 'a')), "
+        "(2, named_struct('x', 20, 'y', 'b')) AS t(id, s)")
+    write_delta(df, tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update(set={"s.x": "s.x + 1"}, condition="id = 2")
+    rows = {r["id"]: (r["s"]["x"], r["s"]["y"]) for r in dt.toDF().collect()}
+    assert rows == {1: (10, "a"), 2: (21, "b")}
+
+
+def test_merge_nested_and_backquoted_set(spark, tmp_table):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, named_struct('x', 10, 'y', 'a'), 5), "
+        "(2, named_struct('x', 20, 'y', 'b'), 6) AS t(id, s, v)")
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.sql("SELECT * FROM VALUES (2, 99), (3, 77) AS t(id, nv)")
+    (dt.merge(src, "t.id = s.id", target_alias="t", source_alias="s")
+       .whenMatchedUpdate(set={"t.s.x": "s.nv", "`v`": "s.nv"})
+       .whenNotMatchedInsert(values={"`id`": "s.id", "v": "s.nv"})
+       .execute())
+    rows = {r["id"]: (r["s"]["x"] if r["s"] else None,
+                      r["s"]["y"] if r["s"] else None, r["v"])
+            for r in dt.toDF().collect()}
+    # matched: s.x updated in place (sibling y kept), v updated
+    assert rows[2] == (99, "b", 99)
+    assert rows[1] == (10, "a", 5)
+    # inserted row: struct is null, v from source
+    assert rows[3] == (None, None, 77)
+
+
+def test_sql_update_nested_and_backquoted(spark, tmp_table):
+    from delta_spark import delta_sql
+
+    df = spark.sql("SELECT 1 AS id, named_struct('x', 7, 'y', 'a') AS s")
+    write_delta(df, tmp_table)
+    delta_sql(spark, f"UPDATE delta.`{tmp_table}` SET s.x = 8, `id` = 2")
+    r = DeltaTable.forPath(spark, tmp_table).toDF().collect()[0]
+    assert (r["id"], r["s"]["x"], r["s"]["y"]) == (2, 8, "a")
+
+
+def test_vacuum_retention_duration_check(spark, tmp_table, sf_dir):
+    from delta_spark.datasets import load_table
+
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("r_regionkey = 0")
+    spark.conf.set("delta_spark.retentionDurationCheck.enabled", "true")
+    try:
+        with pytest.raises(ValueError, match="retentionDurationCheck"):
+            dt.vacuum(0)
+        # the default window (no explicit retention) is always safe
+        dt.vacuum()
+    finally:
+        spark.conf.set("delta_spark.retentionDurationCheck.enabled", "false")
+    dt.vacuum(0)  # check disabled again: allowed
+
+
+def test_merge_unknown_set_target_rejected(spark, tmp_table):
+    from delta_spark.commands.merge import MergeError
+
+    write_delta(spark.sql("SELECT 1 AS id, 2 AS v"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.sql("SELECT 1 AS id, 9 AS nv")
+    with pytest.raises(MergeError, match="not a column"):
+        (dt.merge(src, "t.id = s.id", target_alias="t", source_alias="s")
+           .whenMatchedUpdate(set={"vv": "s.nv"}).execute())
