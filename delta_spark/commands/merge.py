@@ -431,7 +431,8 @@ class MergeBuilder:
                     F.when(F.col("__action") == "copy", touched_df[matv])
                     .otherwise(F.lit(None).cast("long")).alias(matv))
         keep = ~F.col("__action").isin("drop") & ~F.col("__action").startswith("d")
-        result = joined.filter(keep).select(*out_cols)
+        result = self._apply_generated_merge(
+            joined.filter(keep).select(*out_cols, F.col("__action")), snapshot)
 
         with_cdf = cdf_enabled(cfg)
         cdc_actions = []
@@ -523,10 +524,11 @@ class MergeBuilder:
                         .otherwise(F.coalesce(touched_df[mat], base)).alias(mat))
                 if matv is not None:
                     out_cols.append(F.lit(None).cast("long").alias(matv))
-            result = (changed
-                      .filter(F.col("__action").startswith("u")
-                              | F.col("__action").startswith("i"))
-                      .select(*out_cols))
+            result = self._apply_generated_merge(
+                changed
+                .filter(F.col("__action").startswith("u")
+                        | F.col("__action").startswith("i"))
+                .select(*out_cols, F.col("__action")), snapshot)
 
             cdc_actions = []
             if cdf_enabled(cfg):
@@ -646,14 +648,25 @@ class MergeBuilder:
                     .join(target.alias(self.tgt), F.expr(self.condition), "left_anti"))
         parts = []
         remaining = new_rows
+        from delta_spark.schema import generation_expressions
+
         for cl in self.not_matched:
             vals = self._insert_values_map(self._expand_star(cl, cols))
             subset = remaining.filter(cl.condition) if cl.condition else remaining
             schema = getattr(self, "_schema", None) or snapshot.schema
-            parts.append(subset.select(*[
+            part = subset.select(*[
                 (F.expr(vals[c.lower()]) if c.lower() in vals
                  else F.lit(None)).cast(schema[c].dataType).alias(c)
-                for c in cols]))
+                for c in cols])
+            # generated columns this INSERT clause didn't assign are
+            # computed from the inserted row (UpdateExpressionsSupport)
+            regen = {g: e for g, e in generation_expressions(schema).items()
+                     if g.lower() not in vals}
+            if regen:
+                part = part.select(*[
+                    F.expr(regen[c]).cast(schema[c].dataType).alias(c)
+                    if c in regen else F.col(c) for c in cols])
+            parts.append(part)
             if cl.condition:
                 remaining = remaining.filter(~F.coalesce(F.expr(cl.condition), F.lit(False)))
             else:
@@ -724,6 +737,51 @@ class MergeBuilder:
         return (F.when(is_matched, matched_expr)
                  .when(is_src_only, insert_expr)
                  .otherwise(nbs_expr))
+
+    def _clause_tags(self):
+        """(action tag, clause) pairs — the same tag scheme
+        _action_column / _value_column stamp rows with."""
+        return ([(f"{c.kind[0]}m{i}", c) for i, c in enumerate(self.matched)]
+                + [(f"{c.kind[0]}i{i}", c) for i, c in enumerate(self.not_matched)]
+                + [(f"{c.kind[0]}s{i}", c) for i, c in enumerate(self.not_matched_by_source)])
+
+    def _explicitly_assigns(self, cl, col: str) -> bool:
+        if cl.values.get("*") == "*":
+            return True
+        return any(self._set_key_parts(k)[0].lower() == col.lower()
+                   for k in cl.values)
+
+    def _apply_generated_merge(self, df, snapshot):
+        """Recompute GENERATED ALWAYS AS columns for rows whose
+        producing clause did not assign them (UpdateExpressionsSupport
+        :478 — no user expression ⇒ regenerate from the post-update
+        row). Rides the __action tag, which is dropped on return;
+        copied rows keep their stored values verbatim."""
+        from delta_spark.schema import generation_expressions
+
+        schema = getattr(self, "_schema", None) or snapshot.schema
+        gens = generation_expressions(schema)
+        if not gens or "__action" not in df.columns:
+            return df.drop("__action")
+        out_cols = []
+        for c in df.columns:
+            if c == "__action":
+                continue
+            e = gens.get(c)
+            if e is None:
+                out_cols.append(F.col(c))
+                continue
+            tags = [t for t, cl in self._clause_tags()
+                    if cl.kind != "delete"
+                    and not self._explicitly_assigns(cl, c)]
+            if not tags:
+                out_cols.append(F.col(c))
+                continue
+            out_cols.append(
+                F.when(F.col("__action").isin(tags),
+                       F.expr(e).cast(df.schema[c].dataType))
+                .otherwise(F.col(c)).alias(c))
+        return df.select(*out_cols)
 
     @staticmethod
     def _relax_nullability(dt):
@@ -805,14 +863,18 @@ class MergeBuilder:
         pre = (joined.filter(F.col("__action").startswith("u"))
                .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
                .withColumn("_change_type", F.lit("update_preimage")))
-        post = (joined.filter(F.col("__action").startswith("u"))
-                .select(*[self._value_column(c, snapshot).alias(c) for c in cols])
+        post = (self._apply_generated_merge(
+                    joined.filter(F.col("__action").startswith("u"))
+                    .select(*[self._value_column(c, snapshot).alias(c) for c in cols],
+                            F.col("__action")), snapshot)
                 .withColumn("_change_type", F.lit("update_postimage")))
         dels = (joined.filter(F.col("__action").startswith("d"))
                 .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
                 .withColumn("_change_type", F.lit("delete")))
-        ins = (joined.filter(F.col("__action").startswith("i"))
-               .select(*[self._value_column(c, snapshot).alias(c) for c in cols])
+        ins = (self._apply_generated_merge(
+                   joined.filter(F.col("__action").startswith("i"))
+                   .select(*[self._value_column(c, snapshot).alias(c) for c in cols],
+                           F.col("__action")), snapshot)
                .withColumn("_change_type", F.lit("insert")))
         cdf_df = pre.unionByName(post).unionByName(dels).unionByName(ins)
         return write_cdc_files(cdf_df, snapshot.table_path)

@@ -58,6 +58,37 @@ def _split_ident(k: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+def apply_generated_after_update(df: DataFrame, schema: T.StructType,
+                                 upd: dict) -> DataFrame:
+    """Post-update generated-column pass (UpdateExpressionsSupport:478:
+    a generated column with no user expression is RECOMPUTED from the
+    generation expression over the post-update row; recomputation on
+    unchanged rows is an identity, so it applies uniformly). Explicitly
+    assigned generated columns are validated against the expression,
+    like the batch-write seam (constraints.apply_generated_columns)."""
+    from delta_spark.schema import generation_expressions
+
+    gens = generation_expressions(schema)
+    if not gens:
+        return df
+    regen = {g: e for g, e in gens.items() if g not in upd}
+    if regen:
+        df = df.select(*[
+            F.expr(regen[c]).cast(df.schema[c].dataType).alias(c)
+            if c in regen else F.col(c)
+            for c in df.columns])
+    for g, e in gens.items():
+        if g in upd:
+            df = df.filter(
+                F.when(~F.col(g).eqNullSafe(F.expr(e)),
+                       F.raise_error(F.lit(
+                           f"Updated value for generated column {g} does "
+                           f"not match generation expression {e}"))
+                       .cast("boolean"))
+                .otherwise(F.lit(True)))
+    return df
+
+
 def resolve_set_exprs(set_exprs: dict[str, str],
                       schema: T.StructType) -> dict:
     """{SET target: SQL expr} → {top-level column: new-value Column}.
@@ -164,16 +195,19 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
             out_cols.append(
                 F.when(cond_col, F.lit(None).cast("long"))
                 .otherwise(touched_df[matv]).alias(matv))
-    projected = touched_df.select(*out_cols)
+    projected = apply_generated_after_update(
+        touched_df.select(*out_cols), snapshot.schema, upd)
     adds = write_table_files(projected, snapshot)
     removes = [f.remove() for f in touched]
 
     cdc = []
     if cdf_enabled(cfg):
         pre = touched_df.filter(cond_col).withColumn("_change_type", F.lit("update_preimage"))
-        post = (touched_df.filter(cond_col)
-                .select(*[upd[c].alias(c)
-                          if c in upd else F.col(c) for c in schema_cols])
+        post = (apply_generated_after_update(
+                    touched_df.filter(cond_col)
+                    .select(*[upd[c].alias(c)
+                              if c in upd else F.col(c) for c in schema_cols]),
+                    snapshot.schema, upd)
                 .withColumn("_change_type", F.lit("update_postimage")))
         cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)
 
@@ -238,16 +272,19 @@ def _dv_update(spark: SparkSession, log_txn, upd: dict,
                 out_cols.append(F.coalesce(matched[mat], base).alias(mat))
             if matv is not None:
                 out_cols.append(F.lit(None).cast("long").alias(matv))
-        new_adds = write_table_files(matched.select(*out_cols), snapshot)
+        new_adds = write_table_files(
+            apply_generated_after_update(matched.select(*out_cols),
+                                         snapshot.schema, upd), snapshot)
 
         cdc = []
         if cdf_enabled(cfg):
             pre = (matched.select(*schema_cols)
                    .withColumn("_change_type", F.lit("update_preimage")))
-            post = (matched
-                    .select(*[upd[c].alias(c)
-                              if c in upd else F.col(c)
-                              for c in schema_cols])
+            post = (apply_generated_after_update(
+                        matched.select(*[upd[c].alias(c)
+                                         if c in upd else F.col(c)
+                                         for c in schema_cols]),
+                        snapshot.schema, upd)
                     .withColumn("_change_type", F.lit("update_postimage")))
             cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)
     finally:
