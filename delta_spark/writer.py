@@ -168,6 +168,14 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
     from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS, stats_columns
 
     cfg = snapshot.configuration
+    # NOT NULL + CHECK constraints bind to EVERY write, DML rewrites
+    # included (DeltaInvariantCheckerExec role) — batch appends enforce
+    # in write_delta, everything else lands here. ADD CONSTRAINT
+    # validates existing rows first, so rewrites of untouched rows can
+    # never trip this.
+    from delta_spark.constraints import enforce_invariants
+
+    df = enforce_invariants(df, snapshot.schema, cfg)
     try:
         num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
     except (TypeError, ValueError):

@@ -79,3 +79,34 @@ def test_merge_cdf_postimage_regenerated(spark, tmp_table):
     post = {(r["id"], r["g"]) for r in
             ch.filter(F.col("_change_type") == "update_postimage").collect()}
     assert post == {(30, 60)}
+
+
+def test_check_constraints_enforced_in_dml(spark, tmp_table):
+    """DeltaInvariantCheckerExec role: constraints bind to DML rewrites,
+    not just batch appends."""
+    write_delta(spark.sql("SELECT 1 AS id, 5 AS v"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addCheckConstraint("v_pos", "v > 0")
+    with pytest.raises(Exception, match="v_pos"):
+        dt.update(set={"v": "-3"})
+    src = spark.sql("SELECT 2 AS id, -9 AS v")
+    with pytest.raises(Exception, match="v_pos"):
+        (dt.merge(src, "t.id = s.id", target_alias="t", source_alias="s")
+           .whenNotMatchedInsertAll().execute())
+    with pytest.raises(Exception, match="v_pos"):
+        (dt.merge(spark.sql("SELECT 1 AS id, -1 AS v"),
+                  "t.id = s.id", target_alias="t", source_alias="s")
+           .whenMatchedUpdateAll().execute())
+    # valid DML still passes and the table is intact
+    dt.update(set={"v": "7"})
+    assert {r["v"] for r in dt.toDF().collect()} == {7}
+
+
+def test_check_constraints_enforced_in_dv_dml(spark, tmp_table):
+    write_delta(spark.sql("SELECT 1 AS id, 5 AS v"), tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addCheckConstraint("v_pos", "v > 0")
+    with pytest.raises(Exception, match="v_pos"):
+        dt.update(set={"v": "-3"})
+    assert {r["v"] for r in dt.toDF().collect()} == {5}
