@@ -306,14 +306,22 @@ class MergeBuilder:
         # fail fast on SET/INSERT targets that resolve to no output
         # column — a typo'd or mis-aliased key must not silently no-op
         fold = {c.lower() for c in cols}
+        from delta_spark.schema import identity_info as _idinfo
+
+        idents = {c.lower() for c in _idinfo(self._schema or snapshot.schema)}
         for cl in self.matched + self.not_matched + self.not_matched_by_source:
             if cl.kind == "delete" or cl.values.get("*") == "*":
                 continue
             for k in cl.values:
-                if self._set_key_parts(k)[0].lower() not in fold:
+                top = self._set_key_parts(k)[0].lower()
+                if top not in fold:
                     raise MergeError(
                         f"{cl.kind.upper()} target {k!r} is not a column of "
                         f"the target table (columns: {cols})")
+                if cl.kind == "update" and top in idents:
+                    # DeltaErrors.identityColumnUpdateNotSupported
+                    raise MergeError(
+                        f"UPDATE on IDENTITY column {k!r} is not supported")
 
         for cl in self.not_matched_by_source:
             if cl.condition:
@@ -431,8 +439,9 @@ class MergeBuilder:
                     F.when(F.col("__action") == "copy", touched_df[matv])
                     .otherwise(F.lit(None).cast("long")).alias(matv))
         keep = ~F.col("__action").isin("drop") & ~F.col("__action").startswith("d")
-        result = self._apply_generated_merge(
-            joined.filter(keep).select(*out_cols, F.col("__action")), snapshot)
+        result = self._finalize_inserts(self._apply_generated_merge(
+            joined.filter(keep).select(*out_cols, F.col("__action")), snapshot),
+            snapshot)
 
         with_cdf = cdf_enabled(cfg)
         cdc_actions = []
@@ -524,11 +533,11 @@ class MergeBuilder:
                         .otherwise(F.coalesce(touched_df[mat], base)).alias(mat))
                 if matv is not None:
                     out_cols.append(F.lit(None).cast("long").alias(matv))
-            result = self._apply_generated_merge(
+            result = self._finalize_inserts(self._apply_generated_merge(
                 changed
                 .filter(F.col("__action").startswith("u")
                         | F.col("__action").startswith("i"))
-                .select(*out_cols, F.col("__action")), snapshot)
+                .select(*out_cols, F.col("__action")), snapshot), snapshot)
 
             cdc_actions = []
             if cdf_enabled(cfg):
@@ -658,6 +667,15 @@ class MergeBuilder:
                 (F.expr(vals[c.lower()]) if c.lower() in vals
                  else F.lit(None)).cast(schema[c].dataType).alias(c)
                 for c in cols])
+            # omitted DEFAULT columns take their declared expression
+            from delta_spark.schema import default_values as _dv
+
+            dflts = {c: e for c, e in _dv(schema).items()
+                     if c.lower() not in vals}
+            if dflts:
+                part = part.select(*[
+                    F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
+                    if c in dflts else F.col(c) for c in cols])
             # generated columns this INSERT clause didn't assign are
             # computed from the inserted row (UpdateExpressionsSupport)
             regen = {g: e for g, e in generation_expressions(schema).items()
@@ -674,6 +692,7 @@ class MergeBuilder:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        out = self._finalize_inserts(out, snapshot)
         cdc_actions = []
         if cdf_enabled(cfg):
             cdc_actions = write_cdc_files(out.withColumn("_change_type", F.lit("insert")),
@@ -737,6 +756,48 @@ class MergeBuilder:
         return (F.when(is_matched, matched_expr)
                  .when(is_src_only, insert_expr)
                  .otherwise(nbs_expr))
+
+    def _finalize_inserts(self, df, snapshot):
+        """Identity allocation for merge-inserted rows (IdentityColumn
+        role): insert clauses that omit an identity column leave NULL
+        slots — fill them from the high-watermark and advance the
+        watermark in this commit's Metadata (merged into the pending
+        schema-evolution metadata when present)."""
+        from delta_spark.constraints import fill_identity_nulls
+        from delta_spark.schema import identity_info, with_identity_watermark
+        from delta_spark.util import schema_from_json, schema_to_json
+
+        schema = getattr(self, "_schema", None) or snapshot.schema
+        if not identity_info(schema) or not self.not_matched:
+            return df
+        explicit = set()
+        for cl in self.not_matched:
+            if cl.values.get("*") == "*":
+                explicit |= {c.lower() for c in self.source.columns}
+            else:
+                explicit |= {self._set_key_parts(k)[0].lower()
+                             for k in cl.values}
+        df, filled = fill_identity_nulls(df, schema, explicit)
+        if not filled:
+            return df
+        # the watermark must bound the values actually written — pin
+        # them (mono-id is not stable across re-evaluation), then agg
+        df = df.localCheckpoint(eager=True)
+        from delta_spark.actions import Metadata as _Metadata
+
+        base = self._evolution_meta if self._evolution_meta is not None \
+            else snapshot.metadata
+        new_schema = schema_from_json(base.schemaString)
+        for col in filled:
+            mx = df.agg(F.max(F.col(col))).collect()[0][0]
+            if mx is not None:
+                new_schema = with_identity_watermark(new_schema, col, int(mx))
+        self._evolution_meta = _Metadata(
+            id=base.id, name=base.name, description=base.description,
+            format=base.format, schemaString=schema_to_json(new_schema),
+            partitionColumns=base.partitionColumns,
+            configuration=base.configuration, createdTime=base.createdTime)
+        return df
 
     def _clause_tags(self):
         """(action tag, clause) pairs — the same tag scheme
@@ -826,8 +887,15 @@ class MergeBuilder:
                             {f.name for f in snapshot.schema.fields})
             if cl.kind == "insert":
                 ins = self._insert_values_map(vals)
-                v = (F.expr(ins[col.lower()]) if col.lower() in ins
-                     else F.lit(None))
+                if col.lower() in ins:
+                    v = F.expr(ins[col.lower()])
+                else:
+                    # omitted column: DEFAULT expression when declared
+                    # (DeltaColumnDefaults), else NULL
+                    from delta_spark.schema import default_values
+
+                    dflt = default_values(schema).get(col)
+                    v = F.expr(dflt) if dflt is not None else F.lit(None)
             else:  # update
                 whole, nested = None, []
                 for k, sql in vals.items():

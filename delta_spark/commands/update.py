@@ -150,6 +150,11 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
 
     schema_cols = [f.name for f in snapshot.schema.fields]
     upd = resolve_set_exprs(set_exprs, snapshot.schema)
+    from delta_spark.schema import identity_info
+
+    for c in set(upd) & set(identity_info(snapshot.schema)):
+        # DeltaErrors.identityColumnUpdateNotSupported (:3069)
+        raise ValueError(f"UPDATE on IDENTITY column {c!r} is not supported")
     part_cols = set(snapshot.partition_columns)
     if part_cols & set(upd):
         # reference also forbids updating partition columns via rewrite

@@ -14,6 +14,8 @@ the first violating row, with no extra pass over the data.
 
 from __future__ import annotations
 
+import json
+
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -37,15 +39,52 @@ def check_constraints(configuration: dict[str, str]) -> dict[str, str]:
 
 def enforce_invariants(df: DataFrame, schema: T.StructType, configuration: dict[str, str]) -> DataFrame:
     """Invariant enforcement that survives column pruning: guards are
-    folded into a single always-true filter wrapping raise_error."""
+    folded into a single always-true filter wrapping raise_error.
+    Covers top-level and NESTED struct NOT NULL (Invariants.scala:73
+    getFromSchema recurses into structs, not array/map elements) and
+    legacy `delta.invariants` expression metadata (PersistedRule)."""
     conds = []
-    for f in schema.fields:
-        if not f.nullable and f.name in df.columns:
-            conds.append(
-                F.when(F.col(f.name).isNull(),
-                       F.raise_error(F.lit(f"NOT NULL constraint violated for column: {f.name}"))
-                       .cast("boolean"))
-                .otherwise(F.lit(True)))
+
+    def add_notnull(path: str, guard):
+        cond = F.expr(path).isNull()
+        if guard is not None:
+            cond = cond & guard
+        conds.append(
+            F.when(cond,
+                   F.raise_error(F.lit(f"NOT NULL constraint violated for column: {path}"))
+                   .cast("boolean"))
+            .otherwise(F.lit(True)))
+
+    def add_legacy(path: str, rule_json: str):
+        # Invariants.scala:81 PersistedRule → {"expression":{"expression": sql}}
+        try:
+            expr = json.loads(rule_json)["expression"]["expression"]
+        except Exception:
+            raise ConstraintViolation(
+                f"unrecognized delta.invariants rule on {path}: {rule_json!r}")
+        conds.append(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)),
+                   F.raise_error(F.lit(
+                       f"invariant ({expr}) violated on column {path}"))
+                   .cast("boolean"))
+            .otherwise(F.lit(True)))
+
+    def walk(st: T.StructType, prefix: str, guard):
+        for f in st.fields:
+            path = f"{prefix}`{f.name}`"
+            if not prefix and f.name not in df.columns:
+                continue
+            if not f.nullable:
+                add_notnull(path, guard)
+            if f.metadata and "delta.invariants" in f.metadata:
+                add_legacy(path, f.metadata["delta.invariants"])
+            if isinstance(f.dataType, T.StructType):
+                # a NULL parent carries no child values: nested NOT NULL
+                # binds only where the parent struct itself is present
+                g = F.expr(path).isNotNull()
+                walk(f.dataType, path + ".", g if guard is None else guard & g)
+
+    walk(schema, "", None)
     for name, expr in check_constraints(configuration).items():
         conds.append(
             F.when(~F.coalesce(F.expr(expr), F.lit(False)),
@@ -107,6 +146,33 @@ def apply_identity_columns(df: DataFrame, schema: T.StructType) -> tuple[DataFra
         watermarks[col] = base  # placeholder, fixed up by writer post-agg
         generated = True
     return out, watermarks, generated
+
+
+def fill_identity_nulls(df: DataFrame, schema: T.StructType,
+                        explicit_cols=frozenset()) -> tuple[DataFrame, list[str]]:
+    """Allocate identity values into NULL slots (MERGE-inserted rows
+    whose clause omitted the column — IdentityColumn.scala role).
+    Columns in `explicit_cols` are user-assigned: allowed only for
+    GENERATED BY DEFAULT. Returns (df, columns that were filled)."""
+    infos = identity_info(schema)
+    filled: list[str] = []
+    out = df
+    for col, info in infos.items():
+        if col.lower() in explicit_cols:
+            if not info["allowExplicitInsert"]:
+                raise ConstraintViolation(
+                    f"cannot write explicit values to GENERATED ALWAYS "
+                    f"AS IDENTITY column {col}")
+            continue
+        start, step = info["start"], info["step"]
+        hwm = info["highWaterMark"]
+        base = int(hwm) + step if hwm is not None else start
+        out = out.withColumn(col, F.coalesce(
+            F.col(col),
+            (F.lit(base) + F.monotonically_increasing_id() * F.lit(step))
+            .cast("long")))
+        filled.append(col)
+    return out, filled
 
 
 def apply_default_columns(df: DataFrame, schema: T.StructType) -> DataFrame:

@@ -660,6 +660,14 @@ class DeltaBatchReader(DataSourceReader):
         log = DeltaLog.for_table(self.path)
         snap = _pinned_snapshot(log, options)
         self._schema_json = snap.metadata.schemaString
+        from delta_spark import geo as _geo
+        if _geo.schema_string_may_have_geo(self._schema_json):
+            # same scope-out as the stream reader: the pyarrow batch
+            # path has no arrow mapping for the Spark geo types
+            raise _geo.GeoNotSupportedException(
+                "format('delta_py') reads of tables with GEOMETRY/"
+                "GEOGRAPHY columns are not supported — use "
+                "DeltaTable.forPath().toDF()")
         l2p = snap.physical_map()
         self._part_cols = snap.partition_columns
         self._part_keys = {c: l2p.get(c, c) for c in snap.partition_columns}

@@ -108,9 +108,22 @@ def test_nested_set_target_dv_path(spark, tmp_table):
 
 
 def test_merge_nested_and_backquoted_set(spark, tmp_table):
+    from pyspark.sql import functions as F
+
     df = spark.sql(
         "SELECT * FROM VALUES (1, named_struct('x', 10, 'y', 'a'), 5), "
         "(2, named_struct('x', 20, 'y', 'b'), 6) AS t(id, s, v)")
+    # nullable columns: the merge below inserts a row with a NULL struct
+    from pyspark.sql import types as T
+
+    def relax(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, relax(f.dataType), True, f.metadata)
+                for f in dt.fields])
+        return dt
+
+    df = spark.createDataFrame(df.collect(), relax(df.schema))
     write_delta(df, tmp_table)
     dt = DeltaTable.forPath(spark, tmp_table)
     src = spark.sql("SELECT * FROM VALUES (2, 99), (3, 77) AS t(id, nv)")

@@ -110,3 +110,128 @@ def test_check_constraints_enforced_in_dv_dml(spark, tmp_table):
     with pytest.raises(Exception, match="v_pos"):
         dt.update(set={"v": "-3"})
     assert {r["v"] for r in dt.toDF().collect()} == {5}
+
+
+def _identity_table(spark, path, always=True):
+    from pyspark.sql import types as T
+    from delta_spark.schema import (IDENTITY_ALLOW_EXPLICIT_KEY,
+                                    IDENTITY_START_KEY, IDENTITY_STEP_KEY)
+
+    md = {IDENTITY_START_KEY: 1, IDENTITY_STEP_KEY: 1}
+    if not always:
+        md[IDENTITY_ALLOW_EXPLICIT_KEY] = True
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), True, md),
+        T.StructField("k", T.IntegerType(), True),
+    ])
+    DT.create(spark).location(path).addColumns(schema).execute()
+    write_delta(spark.sql("SELECT 1 AS k"), path, mode="append")
+    return DeltaTable.forPath(spark, path)
+
+
+def test_merge_insert_allocates_identity(spark, tmp_table):
+    dt = _identity_table(spark, tmp_table)
+    src = spark.sql("SELECT 2 AS k UNION ALL SELECT 3")
+    (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    rows = {r["k"]: r["rid"] for r in dt.toDF().collect()}
+    assert None not in rows.values()
+    assert len(set(rows.values())) == 3  # unique ids
+    # watermark advanced past every allocated value
+    from delta_spark.schema import identity_info
+    info = identity_info(DeltaLog.for_table(tmp_table).update().schema)["rid"]
+    assert info["highWaterMark"] >= max(rows.values())
+    # a further append keeps allocating above the watermark
+    write_delta(spark.sql("SELECT 9 AS k"), tmp_table, mode="append")
+    rows2 = {r["k"]: r["rid"] for r in dt.toDF().collect()}
+    assert len(set(rows2.values())) == 4
+
+
+def test_merge_full_path_allocates_identity(spark, tmp_table):
+    dt = _identity_table(spark, tmp_table)
+    src = spark.sql("SELECT 1 AS k, 10 AS nk UNION ALL SELECT 5, 5")
+    (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+       .whenMatchedUpdate(set={"k": "s.nk"})
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    rows = {r["k"]: r["rid"] for r in dt.toDF().collect()}
+    assert set(rows) == {10, 5} and None not in rows.values()
+    assert len(set(rows.values())) == 2
+
+
+def test_merge_identity_restrictions(spark, tmp_table):
+    from delta_spark.commands.merge import MergeError
+
+    dt = _identity_table(spark, tmp_table)  # GENERATED ALWAYS
+    src = spark.sql("SELECT 7 AS k, 99 AS rid")
+    with pytest.raises(MergeError, match="IDENTITY"):
+        (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+           .whenMatchedUpdate(set={"rid": "s.rid"}).execute())
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+           .whenNotMatchedInsert(values={"k": "s.k", "rid": "s.rid"})
+           .execute())
+
+
+def test_update_identity_rejected(spark, tmp_table):
+    dt = _identity_table(spark, tmp_table)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        dt.update(set={"rid": "5"})
+
+
+def test_merge_insert_applies_defaults(spark, tmp_table):
+    from pyspark.sql import types as T
+    from delta_spark.schema import DEFAULT_VALUE_KEY
+
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType(), True),
+        T.StructField("d", T.StringType(), True, {DEFAULT_VALUE_KEY: "'dflt'"}),
+    ])
+    DT.create(spark).location(tmp_table).addColumns(schema).execute()
+    write_delta(spark.sql("SELECT 1 AS k, 'a' AS d"), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.sql("SELECT 2 AS k UNION ALL SELECT 1")
+    (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    rows = {r["k"]: r["d"] for r in dt.toDF().collect()}
+    assert rows == {1: "a", 2: "dflt"}
+    # insert-only fast path too
+    src2 = spark.sql("SELECT 5 AS k")
+    (dt.merge(src2, "t.k = s.k", target_alias="t", source_alias="s")
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    assert {r["d"] for r in dt.toDF().filter("k = 5").collect()} == {"dflt"}
+
+
+def test_nested_not_null_and_legacy_invariants(spark, tmp_table):
+    """Invariants.scala:73 getFromSchema: nested struct NOT NULL and
+    legacy delta.invariants expression metadata bind to writes. A NULL
+    parent struct carries no child values, so nested NOT NULL binds
+    only where the parent is present."""
+    import json as _json
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("s", T.StructType([
+            T.StructField("x", T.IntegerType(), False),
+            T.StructField("y", T.StringType(), True),
+        ]), True),
+        T.StructField("lim", T.IntegerType(), True, {
+            "delta.invariants": _json.dumps(
+                {"expression": {"expression": "lim < 100"}})}),
+    ])
+    DT.create(spark).location(tmp_table).addColumns(schema).execute()
+    ok = spark.createDataFrame([(1, (5, "a"), 10), (2, None, 20)], schema)
+    write_delta(ok, tmp_table, mode="append")  # NULL parent allowed
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 2
+    bad_nested = spark.sql(
+        "SELECT 3 AS id, named_struct('x', CAST(NULL AS INT), 'y', 'b') AS s, "
+        "10 AS lim")
+    with pytest.raises(Exception, match="NOT NULL"):
+        write_delta(bad_nested, tmp_table, mode="append")
+    bad_inv = spark.createDataFrame([(4, (1, "c"), 500)], schema)
+    with pytest.raises(Exception, match="invariant"):
+        write_delta(bad_inv, tmp_table, mode="append")
+    # DML rewrite path enforces the same rules
+    with pytest.raises(Exception, match="invariant"):
+        dt.update(set={"lim": "999"}, condition="id = 1")

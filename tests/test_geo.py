@@ -157,3 +157,11 @@ def test_stats_skip_geo_but_prune_others(geo_on, tmp_table):
     assert sum(st["numRecords"] for st in stats) == 2
     # skipping on the scalar column still works over the geo table
     assert snap.files_for_scan("id > 99") == []
+
+
+def test_datasource_batch_read_rejected(geo_on, tmp_table):
+    spark = geo_on
+    write_delta(_geo_df(spark), tmp_table)
+    from delta_spark.streaming import DeltaBatchReader
+    with pytest.raises(GeoNotSupportedException, match="delta_py"):
+        DeltaBatchReader(None, {"path": tmp_table})
