@@ -327,9 +327,34 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
             f"(e.g. {missing[0]}); set spark.sql.files.ignoreMissingFiles=true to restore anyway")
     removes = [current.active[p].remove() for p in current_paths - target_paths]
     actions: list = []
-    if target.metadata is not None and (current.metadata is None
-                                        or target.metadata != current.metadata):
-        actions.append(target.metadata)
+    restored_meta = target.metadata
+    if restored_meta is not None and current.metadata is not None:
+        # identity high-watermarks are monotonic ACROSS restore: merge
+        # the LATEST snapshot's marks into the restored schema so new
+        # allocations never collide with pre-restore rows
+        # (RestoreTableCommand.scala:202 copySchemaWithMergedHighWaterMarks)
+        from dataclasses import replace as _dc_replace
+
+        from delta_spark.schema import identity_info, with_identity_watermark
+        from delta_spark.util import schema_from_json, schema_to_json
+
+        latest_marks = {c: i["highWaterMark"]
+                        for c, i in identity_info(
+                            schema_from_json(current.metadata.schemaString)).items()
+                        if i["highWaterMark"] is not None}
+        if latest_marks:
+            rschema = schema_from_json(restored_meta.schemaString)
+            rinfo = identity_info(rschema)
+            for col, hwm in latest_marks.items():
+                if col in rinfo:
+                    old = rinfo[col]["highWaterMark"]
+                    if old is None or int(hwm) > int(old):
+                        rschema = with_identity_watermark(rschema, col, int(hwm))
+            restored_meta = _dc_replace(
+                restored_meta, schemaString=schema_to_json(rschema))
+    if restored_meta is not None and (current.metadata is None
+                                      or restored_meta != current.metadata):
+        actions.append(restored_meta)
     actions += adds + removes
     metrics = {
         "tableSizeAfterRestore": str(target.size_in_bytes),

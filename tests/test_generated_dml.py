@@ -235,3 +235,20 @@ def test_nested_not_null_and_legacy_invariants(spark, tmp_table):
     # DML rewrite path enforces the same rules
     with pytest.raises(Exception, match="invariant"):
         dt.update(set={"lim": "999"}, condition="id = 1")
+
+
+def test_restore_preserves_identity_watermark(spark, tmp_table):
+    """RestoreTableCommand.scala:202: the latest watermark survives a
+    RESTORE so post-restore inserts never reuse ids."""
+    dt = _identity_table(spark, tmp_table)          # v: create + append
+    write_delta(spark.sql("SELECT 2 AS k"), tmp_table, mode="append")
+    write_delta(spark.sql("SELECT 3 AS k"), tmp_table, mode="append")
+    all_ids = {r["rid"] for r in dt.toDF().collect()}
+    dt.restoreToVersion(1)                          # back to 1 row
+    assert dt.toDF().count() == 1
+    write_delta(spark.sql("SELECT 9 AS k"), tmp_table, mode="append")
+    new_ids = {r["rid"] for r in dt.toDF().collect()}
+    # the fresh allocation is above EVERY pre-restore id
+    fresh = new_ids - {r for r in new_ids if r in all_ids and r is not None}
+    assert max(new_ids) > max(all_ids)
+    assert len(new_ids) == 2
