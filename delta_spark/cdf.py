@@ -78,6 +78,8 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             from delta_spark import geo as _geo
             from delta_spark.util import decode_log_path
 
+            _geo.assert_readable(spark, cdc_schema)
+
             paths = [os.path.join(log.table_path, decode_log_path(c.path))
                      for c in cdc_files]
             # CDC files store geo columns as WKB binary (writer seam)

@@ -348,7 +348,11 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
             for col, hwm in latest_marks.items():
                 if col in rinfo:
                     old = rinfo[col]["highWaterMark"]
-                    if old is None or int(hwm) > int(old):
+                    step = int(rinfo[col]["step"])
+                    adv = (old is None
+                           or (step > 0 and int(hwm) > int(old))
+                           or (step < 0 and int(hwm) < int(old)))
+                    if adv:
                         rschema = with_identity_watermark(rschema, col, int(hwm))
             restored_meta = _dc_replace(
                 restored_meta, schemaString=schema_to_json(rschema))

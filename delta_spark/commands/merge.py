@@ -245,7 +245,17 @@ class MergeBuilder:
 
     def _expand_star(self, clause: _Clause, cols: list[str]) -> dict[str, str]:
         if clause.values.get("*") == "*":
-            return {c: f"{self.src}.{c}" for c in cols}
+            out = {c: f"{self.src}.{c}" for c in cols}
+            if clause.kind == "update":
+                # UPDATE SET * never touches IDENTITY columns — they
+                # keep the matched row's value (the explicit-key
+                # spelling raises; star must not silently overwrite)
+                from delta_spark.schema import identity_info
+
+                for c in identity_info(getattr(self, "_schema", None)
+                                       or T.StructType([])):
+                    out.pop(c, None)
+            return out
         return clause.values
 
     def _set_key_parts(self, k: str) -> list[str]:
@@ -439,16 +449,19 @@ class MergeBuilder:
                     F.when(F.col("__action") == "copy", touched_df[matv])
                     .otherwise(F.lit(None).cast("long")).alias(matv))
         keep = ~F.col("__action").isin("drop") & ~F.col("__action").startswith("d")
-        result = self._finalize_inserts(self._apply_generated_merge(
-            joined.filter(keep).select(*out_cols, F.col("__action")), snapshot),
-            snapshot)
+        resultw = self._finalize_inserts(self._apply_generated_merge(
+            joined.filter(keep).select(*out_cols, F.col("__action")), snapshot,
+            keep_action=True), snapshot)
 
         with_cdf = cdf_enabled(cfg)
         cdc_actions = []
         if with_cdf:
-            cdc_actions = self._write_cdf(joined, cols, snapshot)
+            # insert images come from the FINALIZED frame so allocated
+            # identity values in the feed match the written rows
+            cdc_actions = self._write_cdf(joined, cols, snapshot,
+                                          insert_df=resultw)
 
-        adds = write_table_files(result, snapshot)
+        adds = write_table_files(resultw.drop("__action"), snapshot)
         removes = [f.remove() for f in touched]
         try:
             m = obs.get
@@ -533,16 +546,18 @@ class MergeBuilder:
                         .otherwise(F.coalesce(touched_df[mat], base)).alias(mat))
                 if matv is not None:
                     out_cols.append(F.lit(None).cast("long").alias(matv))
-            result = self._finalize_inserts(self._apply_generated_merge(
+            resultw = self._finalize_inserts(self._apply_generated_merge(
                 changed
                 .filter(F.col("__action").startswith("u")
                         | F.col("__action").startswith("i"))
-                .select(*out_cols, F.col("__action")), snapshot), snapshot)
+                .select(*out_cols, F.col("__action")), snapshot,
+                keep_action=True), snapshot)
 
             cdc_actions = []
             if cdf_enabled(cfg):
-                cdc_actions = self._write_cdf(changed, cols, snapshot)
-            adds = write_table_files(result, snapshot)
+                cdc_actions = self._write_cdf(changed, cols, snapshot,
+                                              insert_df=resultw)
+            adds = write_table_files(resultw.drop("__action"), snapshot)
         finally:
             changed.unpersist()
         try:
@@ -777,27 +792,49 @@ class MergeBuilder:
             else:
                 explicit |= {self._set_key_parts(k)[0].lower()
                              for k in cl.values}
-        df, filled = fill_identity_nulls(df, schema, explicit)
+        # only insert-action rows need allocation + pinning; copied and
+        # updated rows keep their existing identity values untouched
+        has_action = "__action" in df.columns
+        if has_action:
+            ins = df.filter(F.col("__action").startswith("i"))
+            rest = df.filter(~F.col("__action").startswith("i"))
+        else:  # insert-only fast path: every row is an insert
+            ins, rest = df, None
+        ins, filled = fill_identity_nulls(ins, schema, explicit)
         if not filled:
             return df
         # the watermark must bound the values actually written — pin
         # them (mono-id is not stable across re-evaluation), then agg
-        df = df.localCheckpoint(eager=True)
+        ins = ins.localCheckpoint(eager=True)
         from delta_spark.actions import Metadata as _Metadata
 
         base = self._evolution_meta if self._evolution_meta is not None \
             else snapshot.metadata
         new_schema = schema_from_json(base.schemaString)
+        infos = identity_info(schema)
+        base_marks = {c: i["highWaterMark"]
+                      for c, i in identity_info(new_schema).items()}
+        changed = False
         for col in filled:
-            mx = df.agg(F.max(F.col(col))).collect()[0][0]
-            if mx is not None:
+            step = int(infos[col]["step"])
+            # watermark is directional: the most-advanced value is the
+            # max for positive step, the MIN for negative step
+            agg = F.max if step > 0 else F.min
+            mx = ins.agg(agg(F.col(col))).collect()[0][0]
+            old = base_marks.get(col)
+            if mx is not None and (
+                    old is None
+                    or (step > 0 and int(mx) > int(old))
+                    or (step < 0 and int(mx) < int(old))):
                 new_schema = with_identity_watermark(new_schema, col, int(mx))
-        self._evolution_meta = _Metadata(
-            id=base.id, name=base.name, description=base.description,
-            format=base.format, schemaString=schema_to_json(new_schema),
-            partitionColumns=base.partitionColumns,
-            configuration=base.configuration, createdTime=base.createdTime)
-        return df
+                changed = True
+        if changed:
+            self._evolution_meta = _Metadata(
+                id=base.id, name=base.name, description=base.description,
+                format=base.format, schemaString=schema_to_json(new_schema),
+                partitionColumns=base.partitionColumns,
+                configuration=base.configuration, createdTime=base.createdTime)
+        return rest.unionByName(ins) if rest is not None else ins
 
     def _clause_tags(self):
         """(action tag, clause) pairs — the same tag scheme
@@ -812,21 +849,24 @@ class MergeBuilder:
         return any(self._set_key_parts(k)[0].lower() == col.lower()
                    for k in cl.values)
 
-    def _apply_generated_merge(self, df, snapshot):
+    def _apply_generated_merge(self, df, snapshot, keep_action: bool = False):
         """Recompute GENERATED ALWAYS AS columns for rows whose
         producing clause did not assign them (UpdateExpressionsSupport
         :478 — no user expression ⇒ regenerate from the post-update
-        row). Rides the __action tag, which is dropped on return;
-        copied rows keep their stored values verbatim."""
+        row). Rides the __action tag (dropped on return unless
+        ``keep_action``); copied rows keep their stored values."""
         from delta_spark.schema import generation_expressions
 
         schema = getattr(self, "_schema", None) or snapshot.schema
         gens = generation_expressions(schema)
         if not gens or "__action" not in df.columns:
-            return df.drop("__action")
+            return df if keep_action and "__action" in df.columns \
+                else df.drop("__action")
         out_cols = []
         for c in df.columns:
             if c == "__action":
+                if keep_action:
+                    out_cols.append(F.col(c))
                 continue
             e = gens.get(c)
             if e is None:
@@ -846,24 +886,9 @@ class MergeBuilder:
 
     @staticmethod
     def _relax_nullability(dt):
-        """Deep-nullable copy: CASE branches (e.g. update_fields over a
-        NOT NULL struct field) produce nullable values that cannot cast
-        to a NOT NULL struct type — constraints are enforced at the
-        write seam, not per-branch."""
-        if isinstance(dt, T.StructType):
-            return T.StructType([
-                T.StructField(f.name,
-                              MergeBuilder._relax_nullability(f.dataType),
-                              True, f.metadata)
-                for f in dt.fields])
-        if isinstance(dt, T.ArrayType):
-            return T.ArrayType(
-                MergeBuilder._relax_nullability(dt.elementType), True)
-        if isinstance(dt, T.MapType):
-            return T.MapType(dt.keyType,
-                             MergeBuilder._relax_nullability(dt.valueType),
-                             True)
-        return dt
+        from delta_spark.schema import relax_nullability
+
+        return relax_nullability(dt)
 
     def _value_column(self, col: str, snapshot):
         """Output value for one column as a CASE over __action."""
@@ -873,11 +898,7 @@ class MergeBuilder:
             expr = F.expr(f"{self.tgt}.{col}")  # copy default
         else:
             expr = F.lit(None).cast(dt)  # evolved column: target rows have no value
-        all_clauses = (
-            [(f"{c.kind[0]}m{i}", c) for i, c in enumerate(self.matched)]
-            + [(f"{c.kind[0]}i{i}", c) for i, c in enumerate(self.not_matched)]
-            + [(f"{c.kind[0]}s{i}", c) for i, c in enumerate(self.not_matched_by_source)]
-        )
+        all_clauses = self._clause_tags()
         schema_cols = [f.name for f in schema.fields]
         for tag, cl in all_clauses:
             if cl.kind == "delete":
@@ -925,9 +946,12 @@ class MergeBuilder:
             expr = F.when(F.col("__action") == tag, v.cast(dt)).otherwise(expr)
         return expr.cast(dt)
 
-    def _write_cdf(self, joined, cols: list[str], snapshot):
+    def _write_cdf(self, joined, cols: list[str], snapshot, insert_df=None):
         """Emit CDF rows: update_preimage/update_postimage, delete,
-        insert (MergeOutputGeneration CDF projection)."""
+        insert (MergeOutputGeneration CDF projection). With
+        ``insert_df`` (the finalized output frame, __action kept),
+        insert images are taken from it verbatim — identity values
+        allocated by _finalize_inserts land identically in the feed."""
         pre = (joined.filter(F.col("__action").startswith("u"))
                .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
                .withColumn("_change_type", F.lit("update_preimage")))
@@ -939,11 +963,16 @@ class MergeBuilder:
         dels = (joined.filter(F.col("__action").startswith("d"))
                 .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
                 .withColumn("_change_type", F.lit("delete")))
-        ins = (self._apply_generated_merge(
-                   joined.filter(F.col("__action").startswith("i"))
-                   .select(*[self._value_column(c, snapshot).alias(c) for c in cols],
-                           F.col("__action")), snapshot)
-               .withColumn("_change_type", F.lit("insert")))
+        if insert_df is not None:
+            ins = (insert_df.filter(F.col("__action").startswith("i"))
+                   .select(*cols)
+                   .withColumn("_change_type", F.lit("insert")))
+        else:
+            ins = (self._apply_generated_merge(
+                       joined.filter(F.col("__action").startswith("i"))
+                       .select(*[self._value_column(c, snapshot).alias(c) for c in cols],
+                               F.col("__action")), snapshot)
+                   .withColumn("_change_type", F.lit("insert")))
         cdf_df = pre.unionByName(post).unionByName(dels).unionByName(ins)
         return write_cdc_files(cdf_df, snapshot.table_path)
 

@@ -116,24 +116,30 @@ def resolve_set_exprs(set_exprs: dict[str, str],
             path.append(nf.name)
             dt = nf.dataType
         assigns.setdefault(f.name, []).append((tuple(path), v, dt))
+    from delta_spark.schema import relax_nullability
+
     out = {}
     for col, lst in assigns.items():
         whole = [a for a in lst if not a[0]]
         if whole and len(lst) > 1:
             raise ValueError(f"conflicting SET assignments to column {col!r}")
         if whole:
-            out[col] = F.expr(whole[0][1]).cast(whole[0][2])
+            out[col] = F.expr(whole[0][1]).cast(relax_nullability(whole[0][2]))
             continue
-        seen = set()
+        seen: list = []
         e = F.col(col)
         for path, sql, dt in lst:
-            if path in seen:
-                raise ValueError(
-                    f"conflicting SET assignments to column {col!r} "
-                    f"field {'.'.join(path)}")
-            seen.add(path)
+            # overlapping paths (equal OR prefix-nested, e.g. s.a and
+            # s.a.b) are order-dependent last-wins — reject instead
+            for prev in seen:
+                n = min(len(prev), len(path))
+                if prev[:n] == path[:n]:
+                    raise ValueError(
+                        f"conflicting SET assignments to column {col!r} "
+                        f"fields {'.'.join(prev)} and {'.'.join(path)}")
+            seen.append(path)
             e = e.withField(".".join(f"`{p}`" for p in path),
-                            F.expr(sql).cast(dt))
+                            F.expr(sql).cast(relax_nullability(dt)))
         out[col] = e
     return out
 

@@ -117,7 +117,10 @@ def validate_schema(schema: T.StructType,
     conf gate + the support envelope. No-op for geo-free schemas."""
     if not contains_geo_columns(schema):
         return
-    if spark is not None and not _preview_enabled(spark):
+    # fail CLOSED when no session is resolvable (getActiveSession is
+    # thread-local; a commit from a worker thread must not slip past
+    # the preview gate)
+    if spark is None or not _preview_enabled(spark):
         raise GeoNotSupportedException(
             "the table schema contains GEOMETRY/GEOGRAPHY columns but "
             f"geospatial support is in preview: set {GEO_PREVIEW_CONF}=true "

@@ -173,9 +173,16 @@ def write_delta(
         # identity watermark must bound generated values → needs a max agg.
         # Materialize so the ids the agg sees are the ids written.
         out_df = out_df.localCheckpoint(eager=True)
+        from delta_spark.schema import identity_info as _id_info
+
+        infos = _id_info(table_schema)
         new_schema = table_schema
         for col, _ in id_watermarks.items():
-            mx = out_df.agg(F.max(F.col(col)).alias("m")).collect()[0]["m"]
+            # directional: the most-advanced value is the MIN for a
+            # negative INCREMENT BY step
+            step = int(infos[col]["step"])
+            agg = F.max if step > 0 else F.min
+            mx = out_df.agg(agg(F.col(col)).alias("m")).collect()[0]["m"]
             if mx is not None:
                 new_schema = with_identity_watermark(new_schema, col, int(mx))
         if actions and isinstance(actions[0], Metadata):

@@ -255,7 +255,10 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
     materialized it)."""
     import os as _os
 
+    from delta_spark import geo as _geo
+
     schema = snapshot.schema
+    _geo.assert_readable(spark, schema)
     part_cols = snapshot.partition_columns
     mat_cols = []
     if request_materialized_row_id:

@@ -157,6 +157,22 @@ def is_same_schema(a: T.StructType, b: T.StructType) -> bool:
     return True
 
 
+def relax_nullability(dt: T.DataType) -> T.DataType:
+    """Deep-nullable copy of a type: DML value expressions (CASE
+    branches, update_fields over NOT NULL struct fields) produce
+    nullable values that cannot cast to a NOT NULL struct type.
+    Nullability is enforced at the write seam, not per-expression."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, relax_nullability(f.dataType), True, f.metadata)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(relax_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, relax_nullability(dt.valueType), True)
+    return dt
+
+
 def nested_field_names(schema: T.StructType) -> list[str]:
     """Dotted logical paths of every struct field, nested levels
     included (SchemaMergingUtils.explodeNestedFieldNames)."""

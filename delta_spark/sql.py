@@ -278,10 +278,10 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
 
     m = re.fullmatch(rf"(?is)\s*UPDATE\s+(?:{_PATH})\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+?))?\s*", s)
     if m:
-        sets = {}
-        for part in _split_top_level(m.group("sets")):
-            k, v = part.split("=", 1)
-            sets[k.strip().strip("`")] = v.strip()
+        # keep backticks intact: update.resolve_set_exprs parses
+        # quoted/dotted identifiers itself (stripping here mangles
+        # `a`.`b` into one bogus identifier)
+        sets = _parse_set_list(m.group("sets"))
         ver = DeltaTable.forPath(spark, _path_of(m)).update(sets, m.group("where"))
         return spark.createDataFrame([(ver,)], "version: long")
 

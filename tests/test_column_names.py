@@ -177,3 +177,13 @@ def test_merge_unknown_set_target_rejected(spark, tmp_table):
     with pytest.raises(MergeError, match="not a column"):
         (dt.merge(src, "t.id = s.id", target_alias="t", source_alias="s")
            .whenMatchedUpdate(set={"vv": "s.nv"}).execute())
+
+
+def test_sql_update_backquoted_nested(spark, tmp_table):
+    from delta_spark import delta_sql
+
+    write_delta(spark.sql(
+        "SELECT 1 AS id, named_struct('x', 1, 'y', 'a') AS s"), tmp_table)
+    delta_sql(spark, f"UPDATE delta.`{tmp_table}` SET `s`.`x` = 9")
+    r = DeltaTable.forPath(spark, tmp_table).toDF().collect()[0]
+    assert (r["s"]["x"], r["s"]["y"]) == (9, "a")

@@ -252,3 +252,94 @@ def test_restore_preserves_identity_watermark(spark, tmp_table):
     fresh = new_ids - {r for r in new_ids if r in all_ids and r is not None}
     assert max(new_ids) > max(all_ids)
     assert len(new_ids) == 2
+
+
+def test_negative_step_identity_watermark(spark, tmp_table):
+    """Directional watermark: INCREMENT BY -1 advances DOWNWARD; two
+    successive merges must not re-allocate the same id."""
+    from pyspark.sql import types as T
+    from delta_spark.schema import (IDENTITY_START_KEY, IDENTITY_STEP_KEY,
+                                    identity_info)
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), True,
+                      {IDENTITY_START_KEY: 100, IDENTITY_STEP_KEY: -1}),
+        T.StructField("k", T.IntegerType(), True),
+    ])
+    DT.create(spark).location(tmp_table).addColumns(schema).execute()
+    write_delta(spark.sql("SELECT 1 AS k UNION ALL SELECT 2"), tmp_table,
+                mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    ids1 = {r["rid"] for r in dt.toDF().collect()}
+    info = identity_info(DeltaLog.for_table(tmp_table).update().schema)["rid"]
+    assert info["highWaterMark"] == min(ids1)  # downward watermark
+    (dt.merge(spark.sql("SELECT 3 AS k"), "t.k = s.k",
+              target_alias="t", source_alias="s")
+       .whenMatchedUpdate(set={"k": "s.k"})
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    (dt.merge(spark.sql("SELECT 4 AS k"), "t.k = s.k",
+              target_alias="t", source_alias="s")
+       .whenMatchedUpdate(set={"k": "s.k"})
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    ids = [r["rid"] for r in dt.toDF().collect()]
+    assert len(ids) == len(set(ids)) == 4  # no collisions
+    assert all(i <= 100 for i in ids)
+
+
+def test_update_all_keeps_identity(spark, tmp_table):
+    """whenMatchedUpdateAll must NOT overwrite identity values even
+    when the source carries the column."""
+    dt = _identity_table(spark, tmp_table)
+    before = {r["k"]: r["rid"] for r in dt.toDF().collect()}
+    src = spark.sql("SELECT 1 AS k, CAST(999 AS BIGINT) AS rid")
+    (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+       .whenMatchedUpdateAll().execute())
+    after = {r["k"]: r["rid"] for r in dt.toDF().collect()}
+    assert after == before  # identity untouched
+
+
+def test_cdf_insert_rows_carry_identity(spark, tmp_table):
+    from pyspark.sql import types as T
+    from delta_spark.schema import IDENTITY_START_KEY, IDENTITY_STEP_KEY
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), True,
+                      {IDENTITY_START_KEY: 1, IDENTITY_STEP_KEY: 1}),
+        T.StructField("k", T.IntegerType(), True),
+    ])
+    (DT.create(spark).location(tmp_table).addColumns(schema)
+       .property("delta.enableChangeDataFeed", "true").execute())
+    write_delta(spark.sql("SELECT 1 AS k"), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    v = DeltaLog.for_table(tmp_table).latest_version()
+    # full-outer path (matched + not-matched clauses)
+    src = spark.sql("SELECT 1 AS k, 11 AS nk UNION ALL SELECT 2, 2")
+    (dt.merge(src, "t.k = s.k", target_alias="t", source_alias="s")
+       .whenMatchedUpdate(set={"k": "s.nk"})
+       .whenNotMatchedInsert(values={"k": "s.k"}).execute())
+    from delta_spark.cdf import table_changes
+    ch = table_changes(spark, DeltaLog.for_table(tmp_table),
+                       starting_version=v + 1)
+    feed = {(r["k"], r["rid"]) for r in
+            ch.filter(F.col("_change_type") == "insert").collect()}
+    table = {(r["k"], r["rid"]) for r in dt.toDF().filter("k = 2").collect()}
+    assert feed == table and None not in {r for _, r in feed}
+
+
+def test_update_whole_struct_set_with_notnull_field(spark, tmp_table):
+    """Casting a SET value to the declared type must not trip on NOT
+    NULL struct fields (nullability is enforced at the write seam)."""
+    df = spark.sql("SELECT 1 AS id, named_struct('a', 5) AS s")  # a NOT NULL
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update(set={"s": "named_struct('a', id + 7)"})
+    assert dt.toDF().collect()[0]["s"]["a"] == 8
+
+
+def test_overlapping_nested_set_rejected(spark, tmp_table):
+    write_delta(spark.sql(
+        "SELECT 1 AS id, named_struct('a', named_struct('b', 1)) AS s"),
+        tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="conflicting"):
+        dt.update(set={"s.a": "named_struct('b', 2)", "s.a.b": "3"})

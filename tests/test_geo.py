@@ -165,3 +165,20 @@ def test_datasource_batch_read_rejected(geo_on, tmp_table):
     from delta_spark.streaming import DeltaBatchReader
     with pytest.raises(GeoNotSupportedException, match="delta_py"):
         DeltaBatchReader(None, {"path": tmp_table})
+
+
+def test_cdf_read_gate_fails_closed(geo_on, tmp_table):
+    spark = geo_on
+    write_delta(_geo_df(spark), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.update(condition="id = 1",
+              set={"geom": f"st_setsrid(st_geomfromwkb(unhex('{WKB2}')), 4326)"})
+    spark.conf.set(GEO_PREVIEW_CONF, "false")
+    from delta_spark.cdf import table_changes
+    with pytest.raises(GeoNotSupportedException):
+        table_changes(spark, DeltaLog.for_table(tmp_table),
+                      starting_version=1).collect()
+    spark.conf.set(GEO_PREVIEW_CONF, "true")
+    assert table_changes(spark, DeltaLog.for_table(tmp_table),
+                         starting_version=1).count() > 0
