@@ -157,6 +157,27 @@ def is_same_schema(a: T.StructType, b: T.StructType) -> bool:
     return True
 
 
+def expressions_referencing(schema: T.StructType, configuration: dict,
+                            col: str) -> list[str]:
+    """Human-readable descriptions of CHECK constraints and generation
+    expressions that reference `col` (SchemaUtils
+    findDependentConstraints / findDependentGeneratedColumns role) —
+    DROP/RENAME COLUMN must refuse while these exist, since the
+    expressions are stored as raw SQL text."""
+    import re as _re
+
+    pat = _re.compile(
+        r"(?<![\w`])`?" + _re.escape(col) + r"`?(?![\w`])", _re.IGNORECASE)
+    out = []
+    for name, expr in (configuration or {}).items():
+        if name.lower().startswith("delta.constraints.") and pat.search(expr):
+            out.append(f"CHECK constraint {name.split('.', 2)[2]} ({expr})")
+    for gcol, expr in generation_expressions(schema).items():
+        if gcol.lower() != col.lower() and pat.search(expr):
+            out.append(f"generation expression of column {gcol} ({expr})")
+    return out
+
+
 def relax_nullability(dt: T.DataType) -> T.DataType:
     """Deep-nullable copy of a type: DML value expressions (CASE
     branches, update_fields over NOT NULL struct fields) produce

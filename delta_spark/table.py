@@ -703,7 +703,15 @@ class DeltaTable:
         mapping (auto-enabled on first use; id mode kept as-is)."""
         from delta_spark.schema import column_mapping_mode
 
-        if column_mapping_mode(self.log.update().configuration) not in ("name", "id"):
+        snap0 = self.log.update()
+        from delta_spark.schema import expressions_referencing
+
+        deps = expressions_referencing(snap0.schema, snap0.configuration, old)
+        if deps:
+            raise ValueError(
+                f"cannot rename column {old!r}: referenced by "
+                + "; ".join(deps))
+        if column_mapping_mode(snap0.configuration) not in ("name", "id"):
             self.enableColumnMapping()
 
         def f(m: Metadata):
@@ -717,7 +725,12 @@ class DeltaTable:
                 T.StructField(new if fl.name == old else fl.name, fl.dataType,
                               fl.nullable, fl.metadata)
                 for fl in schema.fields])
-        return self._update_schema(f, "RENAME COLUMN", {"from": old, "to": new})
+        # metadata.partitionColumns hold LOGICAL names — a renamed
+        # partition column must follow, or partition pruning under the
+        # new name silently stops engaging
+        return self._update_schema(
+            f, "RENAME COLUMN", {"from": old, "to": new},
+            partition_fn=lambda pcs: [new if c == old else c for c in pcs])
 
     def changeColumnType(self, name: str, new_type) -> int:
         """ALTER TABLE CHANGE COLUMN ... TYPE — metadata-only type
@@ -835,10 +848,19 @@ class DeltaTable:
 
     def dropColumn(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping
-        (data remains in files; unreadable until REORG/PURGE rewrites)."""
-        from delta_spark.schema import column_mapping_mode
+        (data remains in files; unreadable until REORG/PURGE rewrites).
+        Refuses while a CHECK constraint or another column's generation
+        expression references the column (the stored SQL text would
+        dangle — SchemaUtils findDependentConstraints role)."""
+        from delta_spark.schema import column_mapping_mode, expressions_referencing
 
-        if column_mapping_mode(self.log.update().configuration) not in ("name", "id"):
+        snap0 = self.log.update()
+        deps = expressions_referencing(snap0.schema, snap0.configuration, name)
+        if deps:
+            raise ValueError(
+                f"cannot drop column {name!r}: referenced by "
+                + "; ".join(deps))
+        if column_mapping_mode(snap0.configuration) not in ("name", "id"):
             self.enableColumnMapping()
         snap = self.log.update()
         if name in snap.partition_columns:
@@ -869,8 +891,11 @@ class DeltaTable:
         info = identity_info(snap.schema)
         if not info:
             raise ValueError("table has no identity columns")
+        # directional agg: the most-advanced value is the MIN for a
+        # negative INCREMENT BY step
         row = self.toDF().agg(
-            *[F.max(c).alias(c) for c in info]).collect()[0].asDict()
+            *[(F.max(c) if int(i["step"]) > 0 else F.min(c)).alias(c)
+              for c, i in info.items()]).collect()[0].asDict()
 
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
@@ -941,15 +966,18 @@ class DeltaTable:
                 for f in txn.snapshot.all_files if f.baseRowId is None)
         return txn.commit(actions, op, params)
 
-    def _update_schema(self, schema_fn, op: str, params: dict) -> int:
+    def _update_schema(self, schema_fn, op: str, params: dict,
+                       partition_fn=None) -> int:
         txn = OptimisticTransaction(self.log)
         m = txn.metadata
         if m is None:
             raise ValueError("table does not exist")
         new_schema = schema_fn(m)
+        part_cols = (partition_fn(list(m.partitionColumns))
+                     if partition_fn else m.partitionColumns)
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=schema_to_json(new_schema),
-                       partitionColumns=m.partitionColumns,
+                       partitionColumns=part_cols,
                        configuration=m.configuration, createdTime=m.createdTime)
         return txn.commit([new], op, params)
 

@@ -83,3 +83,52 @@ def test_sql_alter_column_verbs(spark, tmp_table):
     snap = DeltaLog.for_table(tmp_table).update()
     assert "CURRENT_DEFAULT" not in snap.schema["s"].metadata
     assert snap.schema["id"].nullable
+
+
+def test_drop_rename_blocked_by_dependent_expressions(spark, tmp_table):
+    """SchemaUtils findDependentConstraints / generated-column deps:
+    DROP/RENAME refuse while stored SQL text references the column."""
+    from delta_spark.io import write_delta as wd
+
+    wd(spark.sql("SELECT 1 AS a, 2 AS b"), tmp_table,
+       configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addCheckConstraint("ab", "a < b")
+    with pytest.raises(ValueError, match="CHECK constraint ab"):
+        dt.dropColumn("b")
+    with pytest.raises(ValueError, match="CHECK constraint ab"):
+        dt.renameColumn("b", "b2")
+    dt.dropCheckConstraint("ab")
+    dt.renameColumn("b", "b2")  # now fine
+    assert [f.name for f in dt.toDF().schema.fields] == ["a", "b2"]
+
+
+def test_drop_generation_source_blocked(spark, tmp_table):
+    from delta_spark.table import DeltaTable as DT
+
+    (DT.create(spark).location(tmp_table)
+       .property("delta.columnMapping.mode", "name")
+       .addColumn("id", "INT")
+       .addColumn("g", "INT", generatedAlwaysAs="id * 2").execute())
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="generation expression"):
+        dt.dropColumn("id")
+    dt.dropColumn("g")  # dropping the generated column itself is fine
+
+
+def test_rename_partition_column_updates_metadata(spark, tmp_table):
+    from delta_spark.io import write_delta as wd
+
+    wd(spark.sql("SELECT 1 AS a, 'p1' AS p UNION ALL SELECT 2, 'p2'"),
+       tmp_table, partition_by=["p"],
+       configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.renameColumn("p", "region")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.partition_columns == ["region"]
+    # partition pruning engages under the NEW logical name
+    assert len(snap.files_for_scan("region = 'p1'")) == 1
+    assert {r["region"] for r in dt.toDF().collect()} == {"p1", "p2"}
+    # and writes keep landing in the same physical partitions
+    wd(spark.sql("SELECT 3 AS a, 'p1' AS region"), tmp_table, mode="append")
+    assert dt.toDF("region = 'p1'").count() == 2

@@ -343,3 +343,29 @@ def test_overlapping_nested_set_rejected(spark, tmp_table):
     dt = DeltaTable.forPath(spark, tmp_table)
     with pytest.raises(ValueError, match="conflicting"):
         dt.update(set={"s.a": "named_struct('b', 2)", "s.a.b": "3"})
+
+
+def test_sync_identity_negative_step(spark, tmp_table):
+    from pyspark.sql import types as T
+    from delta_spark.schema import (IDENTITY_ALLOW_EXPLICIT_KEY,
+                                    IDENTITY_START_KEY, IDENTITY_STEP_KEY,
+                                    identity_info)
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), True,
+                      {IDENTITY_START_KEY: 100, IDENTITY_STEP_KEY: -1,
+                       IDENTITY_ALLOW_EXPLICIT_KEY: True}),
+        T.StructField("k", T.IntegerType(), True),
+    ])
+    DT.create(spark).location(tmp_table).addColumns(schema).execute()
+    write_delta(spark.sql("SELECT 1 AS k"), tmp_table, mode="append")  # 100
+    # explicit insert BELOW the generated range
+    write_delta(spark.sql("SELECT CAST(40 AS BIGINT) AS rid, 2 AS k"),
+                tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.syncIdentity()
+    info = identity_info(DeltaLog.for_table(tmp_table).update().schema)["rid"]
+    assert info["highWaterMark"] == 40  # advanced DOWN past the explicit id
+    write_delta(spark.sql("SELECT 3 AS k"), tmp_table, mode="append")
+    ids = [r["rid"] for r in dt.toDF().collect()]
+    assert len(ids) == len(set(ids)) == 3 and min(ids) < 40
