@@ -48,6 +48,40 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     snapshot = log.update()
     schema = snapshot.schema
     dfs: list[DataFrame] = []
+
+    from delta_spark.schema import logical_to_physical, physical_name
+
+    end_map = {physical_name(f): f.name for f in schema.fields}
+
+    def _check_compat(ver_snapshot) -> None:
+        """CDF ranges must be schema-compatible with the END schema
+        (CDCReader / DeltaColumnMappingUnsupportedSchemaIncompatible):
+        a rename or drop inside the range is blocked with a clear
+        error; purely ADDITIVE evolution aligns by null-filling."""
+        vs = ver_snapshot.schema
+        for f in vs.fields:
+            phys = physical_name(f)
+            if phys not in end_map:
+                raise ValueError(
+                    f"Change Data Feed range [{starting_version}, "
+                    f"{ending_version}] spans a DROP of column {f.name!r}; "
+                    "narrow the range to versions sharing a read-"
+                    "compatible schema")
+            if end_map[phys] != f.name:
+                raise ValueError(
+                    f"Change Data Feed range [{starting_version}, "
+                    f"{ending_version}] spans a RENAME of column "
+                    f"{f.name!r} -> {end_map[phys]!r}; narrow the range "
+                    "to versions sharing a read-compatible schema")
+
+    def _check_and_align(df: DataFrame, ver_snapshot) -> DataFrame:
+        _check_compat(ver_snapshot)
+        have = {f.name for f in ver_snapshot.schema.fields}
+        return df.select(*[
+            (F.col(f.name) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields] + [F.col(c) for c in df.columns
+                                       if c == "_change_type"])
     # ONE replay to just before the range, then advance INCREMENTALLY
     # per commit (CDCReader walks commits the same way) — per-version
     # snapshot_at here would replay the whole log O(range) times, the
@@ -74,6 +108,7 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             rolling.apply_actions(actions)
             rolling.version = v
         if cdc_files:
+            _check_compat(rolling)
             cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])
             from delta_spark import geo as _geo
             from delta_spark.util import decode_log_path
@@ -89,11 +124,14 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             dfs.append(_stamp(df, v, ts))
             continue
         if adds:
-            df = (read_files_df(spark, rolling, adds)
+            df = (_check_and_align(read_files_df(spark, rolling, adds),
+                                   rolling)
                   .withColumn("_change_type", F.lit("insert")))
             dfs.append(_stamp(df, v, ts))
         if victims:
-            df = (read_files_df(spark, prev_rolling, victims)
+            df = (_check_and_align(
+                      read_files_df(spark, prev_rolling, victims),
+                      prev_rolling)
                   .withColumn("_change_type", F.lit("delete")))
             dfs.append(_stamp(df, v, ts))
     if not dfs:

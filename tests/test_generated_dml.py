@@ -369,3 +369,33 @@ def test_sync_identity_negative_step(spark, tmp_table):
     write_delta(spark.sql("SELECT 3 AS k"), tmp_table, mode="append")
     ids = [r["rid"] for r in dt.toDF().collect()]
     assert len(ids) == len(set(ids)) == 3 and min(ids) < 40
+
+
+def test_cdf_across_rename_blocked_additive_allowed(spark, tmp_table):
+    """CDCReader schema-compatibility: a CDF range spanning a RENAME or
+    DROP is blocked with a clear error; additive evolution null-fills."""
+    from delta_spark.cdf import table_changes
+
+    write_delta(spark.sql("SELECT 1 AS a"), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true",
+                               "delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    write_delta(spark.sql("SELECT 2 AS a"), tmp_table, mode="append")  # v1
+    dt.renameColumn("a", "b")                                          # v2
+    write_delta(spark.sql("SELECT 3 AS b"), tmp_table, mode="append")  # v3
+    log = DeltaLog.for_table(tmp_table)
+    with pytest.raises(ValueError, match="RENAME"):
+        table_changes(spark, log, starting_version=0).collect()
+    # narrowed to post-rename versions: fine
+    rows = table_changes(spark, log, starting_version=3).collect()
+    assert [(r["b"], r["_change_type"]) for r in rows] == [(3, "insert")]
+    # additive evolution inside the range: old rows null-fill
+    write_delta(spark.sql("SELECT 4 AS b, 'x' AS c"), tmp_table,
+                mode="append", merge_schema=True)                      # v4
+    rows = table_changes(spark, log, starting_version=3).collect()
+    got = {(r["b"], r["c"]) for r in rows}
+    assert got == {(3, None), (4, "x")}
+    # a DROP inside the range is blocked too
+    dt.dropColumn("c")                                                 # v5
+    with pytest.raises(ValueError, match="DROP"):
+        table_changes(spark, log, starting_version=3).collect()
