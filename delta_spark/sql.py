@@ -232,6 +232,13 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         if am:
             return dt.setColumnComment(am.group("c"), am.group("t"))
 
+        am = re.fullmatch(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?(?P<c>\w+)`?\s+"
+                          r"(?:(?P<first>FIRST)|AFTER\s+`?(?P<after>\w+)`?)", rest)
+        if am:
+            return dt.moveColumn(am.group("c"),
+                                 "first" if am.group("first")
+                                 else ("after", am.group("after")))
+
         am = re.fullmatch(r"(?is)SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)", rest)
         if am:
             props = {}

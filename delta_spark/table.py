@@ -836,6 +836,36 @@ class DeltaTable:
 
         return self._alter_column_meta(name, f, {"default": json.dumps(None)})
 
+    def moveColumn(self, name: str, position) -> int:
+        """ALTER TABLE ... ALTER COLUMN <c> FIRST / AFTER <other> —
+        metadata-only reorder (AlterTableChangeColumnDeltaCommand
+        position handling; parquet resolves by name/field-id, so no
+        data moves)."""
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            fields = list(schema.fields)
+            idx = next((i for i, fl in enumerate(fields)
+                        if fl.name.lower() == name.lower()), None)
+            if idx is None:
+                raise ValueError(f"no such column: {name}")
+            fl = fields.pop(idx)
+            if position == "first":
+                fields.insert(0, fl)
+            else:
+                anchor = position[1].lower()
+                j = next((i for i, x in enumerate(fields)
+                          if x.name.lower() == anchor), None)
+                if j is None:
+                    raise ValueError(
+                        f"AFTER column {position[1]!r} does not exist")
+                fields.insert(j + 1, fl)
+            return T.StructType(fields)
+
+        return self._update_schema(f, "CHANGE COLUMN",
+                                   {"column": name,
+                                    "position": json.dumps(list(position))
+                                    if position != "first" else '"first"'})
+
     def setColumnComment(self, name: str, comment: str) -> int:
         """ALTER TABLE ... ALTER COLUMN COMMENT '<text>' (stored under
         the standard StructField `comment` metadata key)."""

@@ -132,3 +132,18 @@ def test_rename_partition_column_updates_metadata(spark, tmp_table):
     # and writes keep landing in the same physical partitions
     wd(spark.sql("SELECT 3 AS a, 'p1' AS region"), tmp_table, mode="append")
     assert dt.toDF("region = 'p1'").count() == 2
+
+
+def test_move_column_first_after(spark, tmp_table):
+    from delta_spark.io import write_delta as wd
+
+    wd(spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` ALTER COLUMN c FIRST")
+    assert [f.name for f in dt.toDF().schema.fields] == ["c", "a", "b"]
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` ALTER COLUMN a AFTER b")
+    assert [f.name for f in dt.toDF().schema.fields] == ["c", "b", "a"]
+    r = dt.toDF().collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (1, 2, 3)  # values follow names
+    with pytest.raises(ValueError, match="does not exist"):
+        dt.moveColumn("a", ("after", "zz"))
