@@ -200,6 +200,21 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                     else None)
             return dt.addColumns(fields, positions)
 
+        am = re.fullmatch(r"(?is)REPLACE\s+COLUMNS?\s*\((?P<cols>.+)\)", rest)
+        if am:
+            from pyspark.sql import types as T
+
+            fields = []
+            for part in _split_top_level(am.group("cols"), angles=True):
+                cm = re.match(
+                    r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
+                    r"(?:\s+COMMENT\s+'(?P<cm>[^']*)')?\s*$", part)
+                md = {"comment": cm.group("cm")} if cm.group("cm") else {}
+                fields.append(T.StructField(
+                    cm.group("n"), T._parse_datatype_string(cm.group("t")),
+                    metadata=md))
+            return dt.replaceColumns(fields)
+
         am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?", rest)
         if am:
             return dt.renameColumn(am.group("a"), am.group("b"))

@@ -836,6 +836,72 @@ class DeltaTable:
 
         return self._alter_column_meta(name, f, {"default": json.dumps(None)})
 
+    def replaceColumns(self, fields: list[T.StructField]) -> int:
+        """ALTER TABLE REPLACE COLUMNS (col_spec, ...) — reorder, add
+        columns, change comments/nullability in one metadata commit
+        (AlterTableReplaceColumnsDeltaCommand:1154). Existing columns
+        keep their field metadata (mapping ids, generation exprs);
+        types may only stay equal or widen (when enabled); identity
+        tables are not supported (DeltaErrors
+        identityColumnReplaceColumnsNotSupported); dropping requires
+        DROP COLUMN."""
+        from delta_spark.schema import (
+            TYPE_WIDENING_PROP,
+            identity_info,
+            is_widening_supported,
+            record_type_change,
+        )
+
+        snap = self.log.update()
+        if identity_info(snap.schema):
+            raise ValueError(
+                "REPLACE COLUMNS is not supported on tables with "
+                "IDENTITY columns")
+        widening = str(snap.configuration.get(
+            TYPE_WIDENING_PROP, "false")).lower() == "true"
+
+        def f(m: Metadata):
+            schema = schema_from_json(m.schemaString)
+            old = {fl.name.lower(): fl for fl in schema.fields}
+            new_names = {fl.name.lower() for fl in fields}
+            missing = [fl.name for fl in schema.fields
+                       if fl.name.lower() not in new_names]
+            if missing:
+                raise ValueError(
+                    f"REPLACE COLUMNS cannot drop columns {missing}; "
+                    "use ALTER TABLE DROP COLUMN")
+            out = []
+            for fl in fields:
+                ex = old.get(fl.name.lower())
+                if ex is None:  # brand-new column
+                    out.append(T.StructField(fl.name, fl.dataType, True,
+                                             fl.metadata))
+                    continue
+                md = dict(ex.metadata or {})
+                if fl.metadata and fl.metadata.get("comment"):
+                    md["comment"] = fl.metadata["comment"]
+                if fl.dataType == ex.dataType:
+                    nf = T.StructField(ex.name, ex.dataType, fl.nullable, md)
+                elif widening and is_widening_supported(ex.dataType, fl.dataType):
+                    nf = record_type_change(
+                        T.StructField(ex.name, ex.dataType, fl.nullable, md),
+                        fl.dataType)
+                else:
+                    raise ValueError(
+                        f"REPLACE COLUMNS cannot change the type of "
+                        f"{ex.name!r}: {ex.dataType.simpleString()} -> "
+                        f"{fl.dataType.simpleString()}")
+                if not fl.nullable and ex.nullable:
+                    raise ValueError(
+                        f"REPLACE COLUMNS cannot tighten nullability of "
+                        f"{ex.name!r}; use ALTER COLUMN SET NOT NULL")
+                out.append(nf)
+            return T.StructType(out)
+
+        return self._update_schema(
+            f, "REPLACE COLUMNS",
+            {"columns": json.dumps([fl.name for fl in fields])})
+
     def moveColumn(self, name: str, position) -> int:
         """ALTER TABLE ... ALTER COLUMN <c> FIRST / AFTER <other> —
         metadata-only reorder (AlterTableChangeColumnDeltaCommand

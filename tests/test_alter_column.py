@@ -147,3 +147,29 @@ def test_move_column_first_after(spark, tmp_table):
     assert (r["a"], r["b"], r["c"]) == (1, 2, 3)  # values follow names
     with pytest.raises(ValueError, match="does not exist"):
         dt.moveColumn("a", ("after", "zz"))
+
+
+def test_replace_columns(spark, tmp_table):
+    from delta_spark.io import write_delta as wd
+
+    wd(spark.sql("SELECT CAST(1 AS INT) AS a, 'x' AS b"), tmp_table,
+       configuration={"delta.enableTypeWidening": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    p = f"delta.`{tmp_table}`"
+    # reorder + add a column + comment + widen a type, one commit
+    delta_sql(spark, f"ALTER TABLE {p} REPLACE COLUMNS ("
+                     "b STRING COMMENT 'bee', a BIGINT, c DOUBLE)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    names = [f.name for f in snap.schema.fields]
+    assert names == ["b", "a", "c"]
+    assert snap.schema["b"].metadata["comment"] == "bee"
+    assert snap.schema["a"].dataType.simpleString() == "bigint"
+    r = dt.toDF().collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (1, "x", None)
+    # dropping via REPLACE is refused
+    with pytest.raises(ValueError, match="cannot drop"):
+        delta_sql(spark, f"ALTER TABLE {p} REPLACE COLUMNS (a BIGINT, c DOUBLE)")
+    # incompatible type change refused
+    with pytest.raises(ValueError, match="cannot change the type"):
+        delta_sql(spark, f"ALTER TABLE {p} REPLACE COLUMNS ("
+                         "b INT, a BIGINT, c DOUBLE)")
