@@ -890,8 +890,18 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            .selectExpr("'redact' AS variant", "md5(redacted) AS k",
                        "CAST(n_email + n_ssn + n_ip + n_phone AS BIGINT) AS n",
                        "CAST(doc_id AS DOUBLE) AS v"))
+    # `wsample`: deterministic weighted sampling (Efraimidis–Spirakis,
+    # md5-derived uniforms) — membership is engine-portable, so the
+    # oracle reproduces the exact 200-doc sample
+    from delta_spark.ops.pipeline import weighted_sample
+    ws = (weighted_sample(docs, k=200, weight_col="n_chars",
+                          id_col="doc_id", seed=7)
+          .selectExpr("'wsample' AS variant", "CAST(doc_id AS STRING) AS k",
+                      "CAST(n_chars AS BIGINT) AS n",
+                      "CAST(doc_id AS DOUBLE) AS v"))
     return (split.unionByName(removed).unionByName(pack_inv)
-            .unionByName(quota).unionByName(norm).unionByName(red))
+            .unionByName(quota).unionByName(norm).unionByName(red)
+            .unionByName(ws))
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -1139,6 +1149,13 @@ LATERAL (
 LATERAL (
   SELECT len(regexp_extract_all(t3, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n4,
          regexp_replace(t3, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS t4) l4
+UNION ALL
+SELECT 'wsample', CAST(doc_id AS VARCHAR), CAST(n_chars AS BIGINT), CAST(doc_id AS DOUBLE)
+FROM (SELECT doc_id, n_chars
+      FROM documents
+      ORDER BY ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS UBIGINT) + 1)
+                  / 1152921504606846976.0) / n_chars DESC
+      LIMIT 200) ws
 """
 
 

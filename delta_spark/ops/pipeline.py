@@ -163,6 +163,30 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
                                   "total_tokens long"))
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws a reproducible uniform
+    u from md5(id:seed) and competes with key ln(u)/w (order-equivalent
+    to u^(1/w)); the global top-k keys win. Inclusion probability is
+    proportional to weight; the draw is a pure function of (id, seed),
+    so reruns and engine ports reproduce the identical sample
+    (md5 + ln are bit-identical across Spark and DuckDB).
+
+    Scale: no shuffle of the corpus — orderBy(key).limit(k) plans as
+    TakeOrderedAndProject (per-partition top-k heaps + one k-row merge
+    on the driver), so cost is one scan + O(k) memory."""
+    u = (F.expr(
+        f"(CAST(conv(substring(md5(concat(CAST(`{id_col}` AS STRING), "
+        f"':{seed}')), 1, 15), 16, 10) AS BIGINT) + 1) "
+        "/ 1152921504606846976.0"))
+    key = F.log(u) / F.col(weight_col)
+    return (df.withColumn("__wkey", key)
+            .orderBy(F.col("__wkey").desc())
+            .limit(k)
+            .drop("__wkey"))
+
+
 def sample_by_quota(df: DataFrame, group_col: str, quota: int,
                     order_col: str) -> DataFrame:
     """Per-group document cap (the C4/RefinedWeb-style per-domain

@@ -527,3 +527,30 @@ def test_redact_pii(spark):
     assert (out[2].n_ssn, out[2].n_phone, out[2].n_ip, out[2].n_email) == (1, 1, 1, 0)
     assert out[3].redacted == rows[2][1]
     assert out[3].n_email + out[3].n_ssn + out[3].n_ip + out[3].n_phone == 0
+
+
+def test_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling: deterministic, k-bounded,
+    weight-proportional, and planned as a top-k (no full sort shuffle)."""
+    from delta_spark.datasets import load_table
+    from delta_spark.ops.pipeline import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = weighted_sample(docs, 50, "n_chars")
+    s2 = weighted_sample(docs, 50, "n_chars")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())  # deterministic
+    assert len(ids1) == 50
+    # different seed → different sample
+    ids3 = sorted(r["doc_id"] for r in
+                  weighted_sample(docs, 50, "n_chars", seed=99).collect())
+    assert ids1 != ids3
+    # heavier rows are over-represented vs uniform: the sampled mean
+    # weight exceeds the corpus mean
+    import statistics
+    all_w = [r["n_chars"] for r in docs.select("n_chars").collect()]
+    smp_w = [r["n_chars"] for r in s1.select("n_chars").collect()]
+    assert statistics.mean(smp_w) > statistics.mean(all_w)
+    # top-k plan, not a global sort
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
