@@ -80,8 +80,7 @@ def table_changes(spark: SparkSession, log: DeltaLog,
         return df.select(*[
             (F.col(f.name) if f.name in have
              else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in schema.fields] + [F.col(c) for c in df.columns
-                                       if c == "_change_type"])
+            for f in schema.fields])
     # ONE replay to just before the range, then advance INCREMENTALLY
     # per commit (CDCReader walks commits the same way) — per-version
     # snapshot_at here would replay the whole log O(range) times, the

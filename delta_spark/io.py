@@ -203,17 +203,24 @@ def write_delta(
     write_part_cols = part_cols
     if column_mapping_mode(cfg) in ("name", "id"):
         if exists:
-            # evolved columns need physical identities before writing
+            # evolved columns need physical identities before writing;
+            # post-upgrade columns get engine-generated names, never the
+            # logical name — reusing it would resurrect a dropped
+            # column's data still stored under that physical name
             ids = [f.metadata.get("delta.columnMapping.id", 0) for f in table_schema.fields
                    if f.metadata]
-            mapped_schema, _ = assign_physical_names(table_schema, start_id=max(ids or [0]))
+            start = max([int(cfg.get("delta.columnMapping.maxColumnId", 0))] + ids)
+            mapped_schema, max_id = assign_physical_names(
+                table_schema, start_id=start, reuse_logical=False)
             if mapped_schema != table_schema:
                 table_schema = mapped_schema
                 m = actions[0] if actions and isinstance(actions[0], Metadata) else txn.metadata
+                new_cfg = {**m.configuration,
+                           "delta.columnMapping.maxColumnId": str(max_id)}
                 new_meta = Metadata(
                     id=m.id, name=m.name, description=m.description, format=m.format,
                     schemaString=schema_to_json(mapped_schema), partitionColumns=part_cols,
-                    configuration=m.configuration, createdTime=m.createdTime)
+                    configuration=new_cfg, createdTime=m.createdTime)
                 if actions and isinstance(actions[0], Metadata):
                     actions[0] = new_meta
                 else:

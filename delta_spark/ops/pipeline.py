@@ -176,12 +176,20 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     Scale: no shuffle of the corpus — orderBy(key).limit(k) plans as
     TakeOrderedAndProject (per-partition top-k heaps + one k-row merge
     on the driver), so cost is one scan + O(k) memory."""
+    # cast to DOUBLE before dividing: a decimal literal would make
+    # Spark compute u in decimal(38,17) while the DuckDB oracle uses
+    # DOUBLE, breaking the bit-identical cross-engine guarantee at the
+    # k-boundary (same recipe as split_dataset)
     u = (F.expr(
-        f"(CAST(conv(substring(md5(concat(CAST(`{id_col}` AS STRING), "
-        f"':{seed}')), 1, 15), 16, 10) AS BIGINT) + 1) "
-        "/ 1152921504606846976.0"))
-    key = F.log(u) / F.col(weight_col)
+        f"CAST(conv(substring(md5(concat(CAST(`{id_col}` AS STRING), "
+        f"':{seed}')), 1, 15), 16, 10) AS BIGINT) + 1")
+        .cast("double") / F.lit(float(2 ** 60)))
+    w = F.col(weight_col)
+    # non-positive weights would invert the competition (ln(u)/w > 0
+    # beats every valid row); exclude them rather than emit garbage
+    key = F.when(w > 0, F.log(u) / w)
     return (df.withColumn("__wkey", key)
+            .where(F.col("__wkey").isNotNull())
             .orderBy(F.col("__wkey").desc())
             .limit(k)
             .drop("__wkey"))

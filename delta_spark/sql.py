@@ -190,10 +190,14 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
             for part in _split_top_level(am.group("cols"), angles=True):
                 cm = re.match(
                     r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
+                    r"(?:\s+(?P<nn>NOT\s+NULL))?"
                     r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>\w+)`?)?\s*$",
                     part)
+                if cm is None:
+                    raise ValueError(f"cannot parse column spec: {part.strip()!r}")
                 fields.append(T.StructField(
-                    cm.group("n"), T._parse_datatype_string(cm.group("t"))))
+                    cm.group("n"), T._parse_datatype_string(cm.group("t")),
+                    nullable=not cm.group("nn")))
                 positions.append(
                     "first" if cm.group("first")
                     else ("after", cm.group("after")) if cm.group("after")
@@ -208,11 +212,14 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
             for part in _split_top_level(am.group("cols"), angles=True):
                 cm = re.match(
                     r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
+                    r"(?:\s+(?P<nn>NOT\s+NULL))?"
                     r"(?:\s+COMMENT\s+'(?P<cm>[^']*)')?\s*$", part)
+                if cm is None:
+                    raise ValueError(f"cannot parse column spec: {part.strip()!r}")
                 md = {"comment": cm.group("cm")} if cm.group("cm") else {}
                 fields.append(T.StructField(
                     cm.group("n"), T._parse_datatype_string(cm.group("t")),
-                    metadata=md))
+                    nullable=not cm.group("nn"), metadata=md))
             return dt.replaceColumns(fields)
 
         am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?", rest)

@@ -554,3 +554,28 @@ def test_weighted_sample(spark, sf_dir):
     # top-k plan, not a global sort
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_double_typed_and_guarded(spark):
+    """The sampling key must be computed in DOUBLE (bit-identical to
+    the DuckDB oracle), and non-positive weights must be excluded —
+    ln(u)/w with w<=0 would beat every valid row or yield -inf."""
+    from pyspark.sql import functions as F
+
+    from delta_spark.ops.pipeline import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") + 1).cast("double").alias("w"))
+    keyed = df.withColumn(
+        "__u", F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':7')),"
+            " 1, 15), 16, 10) AS BIGINT) + 1").cast("double") / 2.0 ** 60)
+    assert dict(keyed.dtypes)["__u"] == "double"
+    # rows with zero/negative weights never win, valid rows still sampled
+    bad = spark.createDataFrame(
+        [(1000 + i, -5.0 if i % 2 else 0.0) for i in range(10)],
+        "doc_id long, w double")
+    got = weighted_sample(df.unionByName(bad), 20, "w")
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == 20 and all(i < 1000 for i in ids)
