@@ -597,6 +597,29 @@ class DeltaTable:
         return self._update_schema(f, "UPDATE SCHEMA METADATA", {})
 
     def setProperties(self, props: dict[str, str]) -> int:
+        """SET TBLPROPERTIES. `delta.columnMapping.mode` is not a plain
+        property: flipping it without assigning field ids/physical
+        names would leave a schema where the next ALTER hands every
+        pre-existing column a fresh `col-<uuid>` physical name,
+        silently orphaning all data in old files. Route the none→name
+        upgrade through enableColumnMapping (ids + physical names +
+        protocol bump) and reject other transitions, mirroring
+        DeltaColumnMapping.allowMappingModeChange (only none→name)."""
+        from delta_spark.schema import COLUMN_MAPPING_MODE_KEY, column_mapping_mode
+
+        new_mode = props.get(COLUMN_MAPPING_MODE_KEY)
+        if new_mode is not None:
+            cur = column_mapping_mode(self.log.update().configuration)
+            if new_mode != cur:
+                if cur != "none":
+                    raise ValueError(
+                        f"changing delta.columnMapping.mode from {cur!r} to "
+                        f"{new_mode!r} is not supported")
+                version = self.enableColumnMapping(new_mode)
+                props = {k: v for k, v in props.items()
+                         if k != COLUMN_MAPPING_MODE_KEY}
+                if not props:
+                    return version
         return self._update_metadata(lambda m: {**m.configuration, **props},
                                      "SET TBLPROPERTIES", {"properties": json.dumps(props)})
 
@@ -719,7 +742,11 @@ class DeltaTable:
             names = [fl.name for fl in schema.fields]
             if old not in names:
                 raise ValueError(f"no such column {old!r}")
-            if new in names:
+            # case-insensitive collision check (Spark resolution is
+            # case-insensitive by default); a case-only rename of the
+            # same column is allowed
+            if new.lower() != old.lower() and \
+                    new.lower() in (n.lower() for n in names):
                 raise ValueError(f"column {new!r} already exists")
             return T.StructType([
                 T.StructField(new if fl.name == old else fl.name, fl.dataType,
@@ -864,6 +891,14 @@ class DeltaTable:
             schema = schema_from_json(m.schemaString)
             old = {fl.name.lower(): fl for fl in schema.fields}
             new_names = {fl.name.lower() for fl in fields}
+            if len(new_names) != len(fields):
+                seen, dups = set(), []
+                for fl in fields:
+                    if fl.name.lower() in seen:
+                        dups.append(fl.name)
+                    seen.add(fl.name.lower())
+                raise ValueError(
+                    f"REPLACE COLUMNS has duplicate column names: {dups}")
             missing = [fl.name for fl in schema.fields
                        if fl.name.lower() not in new_names]
             if missing:
@@ -1071,10 +1106,30 @@ class DeltaTable:
         new_schema = schema_fn(m)
         part_cols = (partition_fn(list(m.partitionColumns))
                      if partition_fn else m.partitionColumns)
+        cfg = m.configuration
+        from delta_spark.schema import (
+            COLUMN_MAPPING_MAX_ID_KEY,
+            assign_physical_names,
+            column_mapping_mode,
+            field_id,
+        )
+        if column_mapping_mode(cfg) in ("name", "id"):
+            # columns introduced after the mapping upgrade must get
+            # engine-generated physical names (DeltaColumnMapping
+            # assignColumnIdAndPhysicalName) — reusing the logical name
+            # would resurrect a previously dropped column's data still
+            # present under that physical name in old files
+            ids = [field_id(f) or 0 for f in new_schema.fields]
+            start = max([int(cfg.get(COLUMN_MAPPING_MAX_ID_KEY, 0))] + ids)
+            mapped, max_id = assign_physical_names(
+                new_schema, start_id=start, reuse_logical=False)
+            if mapped != new_schema:
+                new_schema = mapped
+                cfg = {**cfg, COLUMN_MAPPING_MAX_ID_KEY: str(max_id)}
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=schema_to_json(new_schema),
                        partitionColumns=part_cols,
-                       configuration=m.configuration, createdTime=m.createdTime)
+                       configuration=cfg, createdTime=m.createdTime)
         return txn.commit([new], op, params)
 
 

@@ -173,3 +173,85 @@ def test_replace_columns(spark, tmp_table):
     with pytest.raises(ValueError, match="cannot change the type"):
         delta_sql(spark, f"ALTER TABLE {p} REPLACE COLUMNS ("
                          "b INT, a BIGINT, c DOUBLE)")
+
+
+def test_readd_after_drop_does_not_resurrect(spark, tmp_table):
+    """A column re-added after DROP COLUMN must read as NULL from old
+    files: post-upgrade columns get engine-generated physical names
+    (DeltaColumnMapping assignColumnIdAndPhysicalName), never the
+    logical name still present in pre-drop parquet files."""
+    from pyspark.sql import types as T
+
+    from delta_spark.schema import COLUMN_MAPPING_MAX_ID_KEY, physical_name
+
+    dt = _make(spark, tmp_table, "SELECT 1 AS a, 'secret' AS b")
+    dt.dropColumn("b")
+    dt.addColumns([T.StructField("b", T.StringType())])
+    snap = DeltaLog.for_table(tmp_table).update()
+    phys = physical_name(snap.schema["b"])
+    assert phys != "b" and phys.startswith("col-")
+    assert int(snap.configuration[COLUMN_MAPPING_MAX_ID_KEY]) >= 3
+    assert [r["b"] for r in dt.toDF().collect()] == [None]
+    # REPLACE COLUMNS re-adding a dropped name is covered by the same
+    # seam — fresh physical identity, old data stays invisible
+    dt.dropColumn("b")
+    dt.replaceColumns([T.StructField("a", T.IntegerType()),
+                       T.StructField("b", T.StringType())])
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert physical_name(snap.schema["b"]).startswith("col-")
+    assert [r["b"] for r in dt.toDF().collect()] == [None]
+
+
+def test_replace_columns_rejects_duplicates(spark, tmp_table):
+    from pyspark.sql import types as T
+
+    dt = _make(spark, tmp_table, "SELECT 1 AS a")
+    with pytest.raises(ValueError, match="duplicate"):
+        dt.replaceColumns([T.StructField("a", T.IntegerType()),
+                           T.StructField("A", T.IntegerType())])
+
+
+def test_rename_rejects_case_insensitive_collision(spark, tmp_table):
+    dt = _make(spark, tmp_table, "SELECT 1 AS a, 2 AS b")
+    with pytest.raises(ValueError, match="already exists"):
+        dt.renameColumn("a", "B")
+
+
+def test_replace_columns_sql_not_null_and_malformed(spark, tmp_table):
+    dt = _make(spark, tmp_table, "SELECT 1 AS id, 'x' AS s")
+    dt.setColumnNullability("id", False)
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "REPLACE COLUMNS (s STRING, id INT NOT NULL)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema.fields] == ["s", "id"]
+    assert not snap.schema["id"].nullable
+    with pytest.raises(ValueError, match="column spec"):
+        delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                         "REPLACE COLUMNS (id)")
+
+
+def test_set_tblproperties_mapping_upgrade(spark, tmp_table):
+    """SET TBLPROPERTIES ('delta.columnMapping.mode'='name') must run
+    the full upgrade (ids + physical names + protocol bump), not a bare
+    config merge — otherwise the next schema change hands every
+    pre-existing column a fresh physical name and orphans old data
+    (DeltaColumnMapping.verifyAndUpdateMetadataChange)."""
+    from delta_spark.schema import physical_name
+
+    dt = _make(spark, tmp_table, "SELECT 1 AS a, 'x' AS b")
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "SET TBLPROPERTIES ('delta.columnMapping.mode'='name')")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.configuration["delta.columnMapping.mode"] == "name"
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "2"
+    assert physical_name(snap.schema["a"]) == "a"  # upgrade reuses logical
+    assert snap.protocol.minWriterVersion >= 5
+    # old data stays readable through a subsequent schema change
+    dt.renameColumn("b", "c")
+    assert [r["c"] for r in dt.toDF().collect()] == ["x"]
+    # only none→name is a legal transition (allowMappingModeChange)
+    with pytest.raises(ValueError, match="not supported"):
+        dt.setProperties({"delta.columnMapping.mode": "none"})
+    # same-mode set is a no-op pass-through, other keys still land
+    dt.setProperties({"delta.columnMapping.mode": "name", "k": "v"})
+    assert DeltaLog.for_table(tmp_table).update().configuration["k"] == "v"
