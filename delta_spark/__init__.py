@@ -16,7 +16,7 @@ the transaction log is pure Python over the local filesystem
 
 from delta_spark.io import write_delta
 from delta_spark.log import DeltaLog
-from delta_spark.table import DeltaTable
+from delta_spark.table import DeltaTable, IdentityGenerator
 from delta_spark.session import get_spark, configure_spark
 from delta_spark.sql import delta_sql
 
@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 __all__ = [
     "DeltaLog",
     "DeltaTable",
+    "IdentityGenerator",
     "write_delta",
     "get_spark",
     "configure_spark",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+from dataclasses import dataclass
 from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
@@ -1149,6 +1150,19 @@ class AliasedDeltaTable(DeltaTable):
                             source_alias, target_alias or self._alias)
 
 
+@dataclass
+class IdentityGenerator:
+    """Identity column spec for DeltaTableBuilder.addColumn
+    (python/delta/tables.py:1278): GENERATED ALWAYS AS IDENTITY
+    (START WITH start INCREMENT BY step)."""
+    start: int = 1
+    step: int = 1
+
+    def __post_init__(self):
+        if int(self.step) == 0:
+            raise ValueError("identity step cannot be 0")
+
+
 class DeltaTableBuilder:
     """CREATE/REPLACE TABLE builder (io/delta/tables/DeltaTableBuilder.scala;
     python tables.py:1290-1623): columns, partitioning, properties,
@@ -1178,12 +1192,35 @@ class DeltaTableBuilder:
         return self
 
     def addColumn(self, name: str, dataType: Union[str, T.DataType],
-                  nullable: bool = True, generatedAlwaysAs: Optional[str] = None,
+                  nullable: bool = True,
+                  generatedAlwaysAs: Union[str, "IdentityGenerator", None] = None,
+                  generatedByDefaultAs: Optional["IdentityGenerator"] = None,
                   comment: Optional[str] = None, default: Optional[str] = None) -> "DeltaTableBuilder":
+        """``generatedAlwaysAs`` takes a SQL expression (generated
+        column) or an IdentityGenerator (GENERATED ALWAYS AS IDENTITY);
+        ``generatedByDefaultAs`` takes an IdentityGenerator that allows
+        explicit inserts (python/delta/tables.py:1398-1460)."""
         if isinstance(dataType, str):
             dataType = _parse_type(dataType)
         md = {}
-        if generatedAlwaysAs is not None:
+        if generatedAlwaysAs is not None and generatedByDefaultAs is not None:
+            raise ValueError(
+                "generatedByDefaultAs and generatedAlwaysAs cannot both be set")
+        gen = generatedAlwaysAs if isinstance(generatedAlwaysAs, IdentityGenerator) \
+            else generatedByDefaultAs
+        if gen is not None:
+            from delta_spark.schema import (
+                IDENTITY_ALLOW_EXPLICIT_KEY,
+                IDENTITY_START_KEY,
+                IDENTITY_STEP_KEY,
+            )
+            if not isinstance(dataType, T.LongType):
+                raise ValueError("identity columns must be BIGINT")
+            md[IDENTITY_START_KEY] = int(gen.start)
+            md[IDENTITY_STEP_KEY] = int(gen.step)
+            if gen is generatedByDefaultAs:
+                md[IDENTITY_ALLOW_EXPLICIT_KEY] = True
+        elif generatedAlwaysAs is not None:
             md[GENERATION_EXPRESSION_KEY] = generatedAlwaysAs
         if default is not None:
             from delta_spark.schema import DEFAULT_VALUE_KEY

@@ -596,7 +596,14 @@ class OptimisticTransaction:
                 uniform_hudi.maybe_convert(self.log, full_snap())
         except Exception:
             pass
-        if version > 0 and version % self.log.checkpoint_interval == 0:
+        # delta.checkpointInterval overrides the default cadence
+        # (DeltaConfigs.CHECKPOINT_INTERVAL, Checkpoints.scala hook)
+        try:
+            ckpt_interval = int(cfg.get(
+                "delta.checkpointInterval", self.log.checkpoint_interval))
+        except (TypeError, ValueError):
+            ckpt_interval = self.log.checkpoint_interval
+        if version > 0 and ckpt_interval > 0 and version % ckpt_interval == 0:
             try:
                 # coordinator-owned checkpoints: a checkpoint may only
                 # cover a fully-backfilled prefix of the log, so drain

@@ -833,3 +833,48 @@ def test_conflict_matrix(spark, sf_dir, tmp_path):
         else:
             with pytest.raises(expect):
                 loser.commit(lose_fn(log, loser), "LOSER", isolation_level=iso)
+
+
+def test_identity_generator_builder_api(spark, tmp_table):
+    """DeltaTableBuilder.addColumn accepts IdentityGenerator for
+    GENERATED ALWAYS AS IDENTITY / GENERATED BY DEFAULT AS IDENTITY
+    (python/delta/tables.py:1278,1398-1460)."""
+    from delta_spark import IdentityGenerator
+
+    (DeltaTable.create(spark).location(tmp_table)
+        .addColumn("k", "BIGINT")
+        .addColumn("uid", "BIGINT",
+                   generatedAlwaysAs=IdentityGenerator(start=100, step=10))
+        .execute())
+    write_delta(spark.sql("SELECT CAST(10 AS BIGINT) AS k"),
+                tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert [r["uid"] for r in dt.toDF().collect()] == [100]
+    # ALWAYS AS rejects explicit values
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        write_delta(
+            spark.sql("SELECT CAST(1 AS BIGINT) AS k, CAST(5 AS BIGINT) AS uid"),
+            tmp_table, mode="append")
+    with pytest.raises(ValueError, match="step"):
+        IdentityGenerator(step=0)
+    with pytest.raises(ValueError, match="both"):
+        DeltaTable.create(spark).addColumn(
+            "x", "BIGINT", generatedAlwaysAs=IdentityGenerator(),
+            generatedByDefaultAs=IdentityGenerator())
+
+
+def test_identity_by_default_builder_allows_explicit(spark, tmp_table):
+    from delta_spark import IdentityGenerator
+
+    (DeltaTable.create(spark).location(tmp_table)
+        .addColumn("k", "BIGINT")
+        .addColumn("uid", "BIGINT", generatedByDefaultAs=IdentityGenerator())
+        .execute())
+    write_delta(
+        spark.sql("SELECT CAST(1 AS BIGINT) AS k, CAST(77 AS BIGINT) AS uid"),
+        tmp_table, mode="append")
+    write_delta(spark.sql("SELECT CAST(2 AS BIGINT) AS k"),
+                tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert sorted((r["k"], r["uid"]) for r in dt.toDF().collect()) == \
+        [(1, 77), (2, 1)]

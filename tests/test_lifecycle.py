@@ -572,3 +572,18 @@ def test_convert_no_statistics_and_parquet_prefix(spark, tmp_path, sf_dir):
     assert all(f.stats is None for f in snap.all_files)
     assert delta_sql(spark, f"SELECT count(*) c FROM delta.`{p}`") \
         .collect()[0]["c"] == load_table(spark, sf_dir, "supplier").count()
+
+
+def test_checkpoint_interval_property(spark, tmp_table):
+    """delta.checkpointInterval (DeltaConfigs.CHECKPOINT_INTERVAL)
+    overrides the default 10-commit checkpoint cadence."""
+    import os
+
+    write_delta(spark.range(1), tmp_table,
+                configuration={"delta.checkpointInterval": "3"})
+    for _ in range(6):
+        write_delta(spark.range(1), tmp_table, mode="append")
+    cps = sorted(f for f in os.listdir(f"{tmp_table}/_delta_log")
+                 if f.endswith("checkpoint.parquet"))
+    assert cps == ["00000000000000000003.checkpoint.parquet",
+                   "00000000000000000006.checkpoint.parquet"]
