@@ -624,6 +624,12 @@ class OptimisticTransaction:
                         self._spark, version)
                 if not wrote:
                     self.log.write_checkpoint(full_snap())
+                # checkpointAndCleanUpDeltaLog (Checkpoints.scala): each
+                # checkpoint also reclaims commit JSONs older than
+                # delta.logRetentionDuration, unless opted out
+                if str(cfg.get("delta.enableExpiredLogCleanup",
+                               "true")).lower() == "true":
+                    self.log.cleanup_expired_logs()
             except Exception:
                 # checkpointing is best-effort (CheckpointHook semantics)
                 pass

@@ -587,3 +587,34 @@ def test_checkpoint_interval_property(spark, tmp_table):
                  if f.endswith("checkpoint.parquet"))
     assert cps == ["00000000000000000003.checkpoint.parquet",
                    "00000000000000000006.checkpoint.parquet"]
+
+
+def test_auto_log_cleanup_on_checkpoint(spark, tmp_table):
+    """Each interval checkpoint also reclaims commit JSONs older than
+    delta.logRetentionDuration (Checkpoints.checkpointAndCleanUpDeltaLog)
+    unless delta.enableExpiredLogCleanup=false."""
+    import os
+    import time
+
+    write_delta(spark.range(1), tmp_table,
+                configuration={"delta.checkpointInterval": "4",
+                               "delta.logRetentionDuration": "interval 1 hours"})
+    for _ in range(3):
+        write_delta(spark.range(1), tmp_table, mode="append")
+    logdir = f"{tmp_table}/_delta_log"
+    # age the early commits past the retention window, then trigger the
+    # next interval checkpoint (v8)
+    old = time.time() - 7200
+    for v in range(3):
+        os.utime(os.path.join(logdir, "%020d.json" % v), (old, old))
+    for _ in range(5):
+        write_delta(spark.range(1), tmp_table, mode="append")
+    names = set(os.listdir(logdir))
+    assert "00000000000000000008.checkpoint.parquet" in names
+    assert "00000000000000000000.json" not in names
+    assert "00000000000000000002.json" not in names
+    # versions at/after the surviving checkpoint are intact and readable
+    assert "00000000000000000008.json" in names
+    from delta_spark import DeltaLog
+    DeltaLog.clear_cache()
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 9
