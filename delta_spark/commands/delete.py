@@ -360,6 +360,9 @@ def purge_deletion_vectors(spark: SparkSession, log: DeltaLog) -> dict:
 def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str],
                    txn_app_id: Optional[str] = None,
                    txn_version: Optional[int] = None) -> Optional[int]:
+    from delta_spark.predicates import reject_subquery
+
+    reject_subquery(condition, "DELETE")
     txn = dml_transaction(spark, log)
     if txn_app_id is not None and txn_version is not None:
         last = txn.txn_version(txn_app_id)

@@ -281,6 +281,12 @@ class MergeBuilder:
         return out
 
     def execute(self) -> int:
+        from delta_spark.predicates import reject_subquery
+
+        reject_subquery(self.condition, "MERGE (search condition)")
+        for cl in self.matched + self.not_matched + self.not_matched_by_source:
+            reject_subquery(cl.condition,
+                            f"MERGE ({cl.kind.upper()} condition)")
         txn = dml_transaction(self.spark, self.log)
         snapshot = txn.snapshot
         if snapshot.metadata is None:

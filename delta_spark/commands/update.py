@@ -148,6 +148,9 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
                    condition: Optional[str] = None) -> int:
     """set_exprs: {column: SQL expression} (UpdateExpressionsSupport —
     expressions may reference any table column)."""
+    from delta_spark.predicates import reject_subquery
+
+    reject_subquery(condition, "UPDATE")
     txn = dml_transaction(spark, log)
     snapshot = txn.snapshot
     cfg = snapshot.configuration

@@ -307,6 +307,22 @@ def _parse_ts(raw: str) -> _dt.datetime:
         return _dt.datetime.strptime(raw, "%Y-%m-%d %H:%M:%S.%f")
 
 
+_SUBQUERY_RE = re.compile(r"(?is)\(\s*(?:SELECT|WITH)\b")
+
+
+def reject_subquery(condition: Optional[str], operation: str) -> None:
+    """DML conditions may not contain subqueries
+    (PreprocessTableDelete.scala:44, PreprocessTableUpdate.scala:44,
+    PreprocessTableMerge.scala:67 — DeltaErrors
+    subqueryNotSupportedException). Without this gate the condition
+    fails later with an unresolved-relation error that hides the
+    actual restriction."""
+    if condition and _SUBQUERY_RE.search(condition):
+        raise ValueError(
+            f"Subqueries are not supported in the {operation} "
+            f"(condition = {condition.strip()})")
+
+
 def parse_predicate(sql: str):
     """Parse a SQL boolean expression into the skipping AST.
     Raises UnsupportedPredicate outside the subset."""

@@ -332,6 +332,13 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         v = DeltaTable.forPath(spark, _path_of(m)).truncate()
         return spark.createDataFrame([(v,)], "version: long")
 
+    m = re.fullmatch(rf"(?is)\s*COMMENT\s+ON\s+TABLE\s+(?:{_PATH})\s+IS\s+"
+                     r"(?:'(?P<c>[^']*)'|(?P<null>NULL))\s*", s)
+    if m:
+        v = DeltaTable.forPath(spark, _path_of(m)).setTableComment(
+            None if m.group("null") else m.group("c"))
+        return spark.createDataFrame([(v,)], "version: long")
+
     m = re.fullmatch(rf"(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(?:{_PATH})\s*", s)
     if m:
         p = DeltaTable.forPath(spark, _path_of(m)).generate()

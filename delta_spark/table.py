@@ -624,6 +624,21 @@ class DeltaTable:
         return self._update_metadata(lambda m: {**m.configuration, **props},
                                      "SET TBLPROPERTIES", {"properties": json.dumps(props)})
 
+    def setTableComment(self, comment: Optional[str]) -> int:
+        """COMMENT ON TABLE ... IS '...' (DeltaCatalog routes the
+        'comment' property into Metadata.description;
+        AlterTableSetPropertiesDeltaCommand). None clears it."""
+        txn = OptimisticTransaction(self.log)
+        m = txn.metadata
+        if m is None:
+            raise ValueError("table does not exist")
+        new = Metadata(id=m.id, name=m.name, description=comment,
+                       format=m.format, schemaString=m.schemaString,
+                       partitionColumns=m.partitionColumns,
+                       configuration=m.configuration, createdTime=m.createdTime)
+        return txn.commit([new], "SET TBLPROPERTIES",
+                          {"properties": json.dumps({"comment": comment})})
+
     def unsetProperties(self, keys: list[str]) -> int:
         return self._update_metadata(
             lambda m: {k: v for k, v in m.configuration.items() if k not in set(keys)},

@@ -618,3 +618,20 @@ def test_auto_log_cleanup_on_checkpoint(spark, tmp_table):
     from delta_spark import DeltaLog
     DeltaLog.clear_cache()
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 9
+
+
+def test_comment_on_table_sql(spark, tmp_table):
+    """COMMENT ON TABLE routes into Metadata.description (DeltaCatalog
+    maps the 'comment' property; AlterTableSetPropertiesDeltaCommand)."""
+    write_delta(spark.range(3), tmp_table)
+    delta_sql(spark, f"COMMENT ON TABLE delta.`{tmp_table}` IS 'scratch table'")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    row = dt.detail().collect()[0]
+    assert row["description"] == "scratch table"
+    # NULL clears it
+    delta_sql(spark, f"COMMENT ON TABLE delta.`{tmp_table}` IS NULL")
+    assert dt.detail().collect()[0]["description"] is None
+    # survives unrelated metadata updates
+    delta_sql(spark, f"COMMENT ON TABLE delta.`{tmp_table}` IS 'kept'")
+    dt.setProperties({"delta.appendOnly": "false"})
+    assert dt.detail().collect()[0]["description"] == "kept"

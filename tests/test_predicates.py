@@ -214,3 +214,40 @@ def test_skipping_condition_sql_matches_might_contain(spark):
                             f"sql-only={got - want} py-only={want - got}"
         checked += 1
     assert checked >= 30
+
+
+def test_reject_subquery_unit():
+    """DML conditions must not contain subqueries (DeltaErrors
+    subqueryNotSupportedException via PreprocessTableDelete/Update/Merge)."""
+    P.reject_subquery(None, "DELETE")                      # no condition ok
+    P.reject_subquery("a > (1 + 2)", "DELETE")             # parens ok
+    P.reject_subquery("s = 'select x'", "DELETE")          # hmm: inside a string
+    with pytest.raises(ValueError, match="DELETE"):
+        P.reject_subquery("a IN (SELECT a FROM t)", "DELETE")
+    with pytest.raises(ValueError, match="UPDATE"):
+        P.reject_subquery("a > (select max(a) from t)", "UPDATE")
+    with pytest.raises(ValueError, match="MERGE"):
+        P.reject_subquery("exists ( WITH q AS (SELECT 1) SELECT * FROM q )",
+                          "MERGE")
+
+
+def test_dml_rejects_subquery(spark, tmp_path):
+    from delta_spark.io import write_delta
+    from delta_spark.table import DeltaTable
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(5).withColumnRenamed("id", "a"), p)
+    dt = DeltaTable.forPath(spark, p)
+    with pytest.raises(ValueError, match="Subqueries are not supported"):
+        dt.delete("a IN (SELECT a FROM other)")
+    with pytest.raises(ValueError, match="Subqueries are not supported"):
+        dt.update(condition="a = (SELECT 1)", set={"a": "a + 1"})
+    src = spark.range(2).withColumnRenamed("id", "a")
+    with pytest.raises(ValueError, match="Subqueries are not supported"):
+        (dt.merge(src, "target.a = source.a AND target.a IN (SELECT 1)")
+           .whenMatchedDelete().execute())
+    with pytest.raises(ValueError, match="Subqueries are not supported"):
+        (dt.merge(src, "target.a = source.a")
+           .whenMatchedDelete("target.a > (SELECT max(a) FROM x)").execute())
+    # table unchanged by the failed attempts
+    assert dt.toDF().count() == 5
