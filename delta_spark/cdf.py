@@ -49,7 +49,7 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     schema = snapshot.schema
     dfs: list[DataFrame] = []
 
-    from delta_spark.schema import logical_to_physical, physical_name
+    from delta_spark.schema import physical_name
 
     end_map = {physical_name(f): f.name for f in schema.fields}
 

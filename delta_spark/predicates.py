@@ -308,6 +308,7 @@ def _parse_ts(raw: str) -> _dt.datetime:
 
 
 _SUBQUERY_RE = re.compile(r"(?is)\(\s*(?:SELECT|WITH)\b")
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
 
 def reject_subquery(condition: Optional[str], operation: str) -> None:
@@ -316,8 +317,9 @@ def reject_subquery(condition: Optional[str], operation: str) -> None:
     PreprocessTableMerge.scala:67 — DeltaErrors
     subqueryNotSupportedException). Without this gate the condition
     fails later with an unresolved-relation error that hides the
-    actual restriction."""
-    if condition and _SUBQUERY_RE.search(condition):
+    actual restriction. String literals are masked first so a quoted
+    value containing '(select' is not a false positive."""
+    if condition and _SUBQUERY_RE.search(_STRING_LIT_RE.sub("''", condition)):
         raise ValueError(
             f"Subqueries are not supported in the {operation} "
             f"(condition = {condition.strip()})")

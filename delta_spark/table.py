@@ -616,11 +616,12 @@ class DeltaTable:
                     raise ValueError(
                         f"changing delta.columnMapping.mode from {cur!r} to "
                         f"{new_mode!r} is not supported")
-                version = self.enableColumnMapping(new_mode)
-                props = {k: v for k, v in props.items()
-                         if k != COLUMN_MAPPING_MODE_KEY}
-                if not props:
-                    return version
+                # one atomic commit: the mapping upgrade and the other
+                # properties land together (a single SET TBLPROPERTIES
+                # statement must not expose an intermediate version)
+                rest = {k: v for k, v in props.items()
+                        if k != COLUMN_MAPPING_MODE_KEY}
+                return self.enableColumnMapping(new_mode, extra_props=rest)
         return self._update_metadata(lambda m: {**m.configuration, **props},
                                      "SET TBLPROPERTIES", {"properties": json.dumps(props)})
 
@@ -668,6 +669,14 @@ class DeltaTable:
         ("after", existing_col) — the grammar's FIRST/AFTER clauses."""
         positions = positions or [None] * len(fields)
 
+        for fl in fields:
+            if not fl.nullable:
+                # alterDeltaTableCommands.scala:620 — existing rows have
+                # no value for the new column, so NOT NULL cannot hold
+                raise ValueError(
+                    "Operation not supported: NOT NULL in ALTER TABLE "
+                    f"ADD COLUMNS (column {fl.name})")
+
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
             names = {fl.name.lower() for fl in schema.fields}
@@ -694,7 +703,8 @@ class DeltaTable:
         return self._update_schema(f, "ADD COLUMNS",
                                    {"columns": json.dumps([fl.name for fl in fields])})
 
-    def enableColumnMapping(self, mode: str = "name") -> int:
+    def enableColumnMapping(self, mode: str = "name",
+                            extra_props: Optional[dict] = None) -> int:
         """Switch to NameMapping or IdMapping mode
         (DeltaColumnMapping.scala:107 `Set(IdMapping, NoMapping,
         NameMapping)`): every field gets a stable id + physical name =
@@ -724,7 +734,8 @@ class DeltaTable:
                 "files carry no parquet field_ids. Create the table with "
                 "delta.columnMapping.mode=id instead.")
         schema, max_id = assign_physical_names(schema_from_json(m.schemaString))
-        cfg = {**m.configuration, COLUMN_MAPPING_MODE_KEY: mode,
+        cfg = {**m.configuration, **(extra_props or {}),
+               COLUMN_MAPPING_MODE_KEY: mode,
                "delta.columnMapping.maxColumnId": str(max_id)}
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=schema_to_json(schema),
@@ -735,7 +746,9 @@ class DeltaTable:
         proto = _Protocol(max(p.minReaderVersion, 2), max(p.minWriterVersion, 5),
                           p.readerFeatures, p.writerFeatures)
         return txn.commit([proto, new], "SET TBLPROPERTIES",
-                          {"properties": json.dumps({COLUMN_MAPPING_MODE_KEY: mode})})
+                          {"properties": json.dumps(
+                              {**(extra_props or {}),
+                               COLUMN_MAPPING_MODE_KEY: mode})})
 
     def renameColumn(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column
@@ -750,6 +763,15 @@ class DeltaTable:
             raise ValueError(
                 f"cannot rename column {old!r}: referenced by "
                 + "; ".join(deps))
+        names0 = [fl.name for fl in snap0.schema.fields]
+        # validate BEFORE the irreversible mapping upgrade: a rejected
+        # rename must not leave the table protocol-bumped as a side
+        # effect (the upgrade commits metadata + reader 2 / writer 5)
+        if old not in names0:
+            raise ValueError(f"no such column {old!r}")
+        if new.lower() != old.lower() and \
+                new.lower() in (n.lower() for n in names0):
+            raise ValueError(f"column {new!r} already exists")
         if column_mapping_mode(snap0.configuration) not in ("name", "id"):
             self.enableColumnMapping()
 
@@ -925,6 +947,12 @@ class DeltaTable:
             for fl in fields:
                 ex = old.get(fl.name.lower())
                 if ex is None:  # brand-new column
+                    if not fl.nullable:
+                        # alterDeltaTableCommands.scala:620 — existing
+                        # rows cannot satisfy NOT NULL on a new column
+                        raise ValueError(
+                            "Operation not supported: NOT NULL on a "
+                            f"new column in REPLACE COLUMNS ({fl.name})")
                     out.append(T.StructField(fl.name, fl.dataType, True,
                                              fl.metadata))
                     continue
@@ -934,6 +962,14 @@ class DeltaTable:
                 if fl.dataType == ex.dataType:
                     nf = T.StructField(ex.name, ex.dataType, fl.nullable, md)
                 elif widening and is_widening_supported(ex.dataType, fl.dataType):
+                    if ex.name in (m.partitionColumns or []):
+                        # same policy as changeColumnType: partition
+                        # values are stored as strings in file paths /
+                        # partitionValues and retyped on read — a type
+                        # change breaks that contract
+                        raise ValueError(
+                            "cannot change the type of a partition "
+                            f"column {ex.name!r}")
                     nf = record_type_change(
                         T.StructField(ex.name, ex.dataType, fl.nullable, md),
                         fl.dataType)
@@ -1007,11 +1043,17 @@ class DeltaTable:
             raise ValueError(
                 f"cannot drop column {name!r}: referenced by "
                 + "; ".join(deps))
+        # validate BEFORE the irreversible mapping upgrade (see
+        # renameColumn): a rejected drop must not bump the protocol
+        names0 = [fl.name for fl in snap0.schema.fields]
+        if name not in names0:
+            raise ValueError(f"no such column {name!r}")
+        if len(names0) == 1:
+            raise ValueError("cannot drop the last column")
+        if name in snap0.partition_columns:
+            raise ValueError("cannot drop a partition column")
         if column_mapping_mode(snap0.configuration) not in ("name", "id"):
             self.enableColumnMapping()
-        snap = self.log.update()
-        if name in snap.partition_columns:
-            raise ValueError("cannot drop a partition column")
 
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)

@@ -78,6 +78,25 @@ class ConcurrentTransactionException(DeltaConcurrentException):
 MAX_RETRIES = 10
 
 
+def _validate_checkpoint_interval(cfg: Optional[dict]) -> None:
+    """DeltaConfigs.CHECKPOINT_INTERVAL: 'needs to be a positive
+    integer'. Rejecting at metadata-commit time (SET TBLPROPERTIES /
+    CREATE) beats silently never checkpointing, which would also
+    disable expired-log cleanup and make every snapshot replay the
+    full log."""
+    raw = (cfg or {}).get("delta.checkpointInterval")
+    if raw is None:
+        return
+    try:
+        ok = int(str(raw).strip()) > 0
+    except ValueError:
+        ok = False
+    if not ok:
+        raise ValueError(
+            f"delta.checkpointInterval needs to be a positive integer, "
+            f"got {raw!r}")
+
+
 class OptimisticTransaction:
     def __init__(self, log: DeltaLog, snapshot: Optional[Snapshot] = None,
                  spark=None):
@@ -299,6 +318,7 @@ class OptimisticTransaction:
 
             uniform.validate_uniform_config(metadatas[0].configuration)
             uniform_hudi.validate_hudi_config(metadatas[0].configuration)
+            _validate_checkpoint_interval(metadatas[0].configuration)
             self._assert_metadata_names(metadatas[0])
             self._auto_enable_features(actions, metadatas[0])
 

@@ -5,6 +5,7 @@ DEFAULT (auto-adds allowColumnDefaults), COMMENT, and ADD COLUMN
 FIRST/AFTER positioning."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from delta_spark import DeltaLog, DeltaTable, delta_sql
 from delta_spark.io import write_delta
@@ -255,3 +256,97 @@ def test_set_tblproperties_mapping_upgrade(spark, tmp_table):
     # same-mode set is a no-op pass-through, other keys still land
     dt.setProperties({"delta.columnMapping.mode": "name", "k": "v"})
     assert DeltaLog.for_table(tmp_table).update().configuration["k"] == "v"
+
+
+def test_add_columns_not_null_rejected(spark, tmp_table):
+    """alterDeltaTableCommands.scala:620 — NOT NULL on ADD COLUMNS /
+    new REPLACE COLUMNS columns must error, never silently degrade."""
+    import pyspark.sql.types as T
+
+    from delta_spark.sql import delta_sql
+
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="NOT NULL"):
+        dt.addColumns([T.StructField("x", T.IntegerType(), False)])
+    with pytest.raises(ValueError, match="NOT NULL"):
+        delta_sql(spark,
+                  f"ALTER TABLE delta.`{tmp_table}` ADD COLUMNS (x INT NOT NULL)")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        dt.replaceColumns([T.StructField("a", T.LongType(), True),
+                           T.StructField("x", T.IntegerType(), False)])
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema.fields] == ["a"]
+
+
+def test_failed_rename_drop_do_not_upgrade_protocol(spark, tmp_table):
+    """A rejected RENAME/DROP must not leave the irreversible
+    column-mapping upgrade (protocol 2/5 + physical names) behind."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a")
+                .withColumn("p", F.lit(1)), tmp_table, partition_by=["p"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    for attempt in (lambda: dt.renameColumn("typo", "x"),
+                    lambda: dt.dropColumn("typo"),
+                    lambda: dt.dropColumn("p"),          # partition col
+                    lambda: dt.renameColumn("a", "P")):  # collision
+        with pytest.raises(ValueError):
+            attempt()
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.configuration.get("delta.columnMapping.mode", "none") == "none"
+    assert snap.protocol.minWriterVersion < 5
+    assert snap.version == 0  # zero side-effect commits
+
+
+def test_replace_columns_cannot_widen_partition_column(spark, tmp_table):
+    import pyspark.sql.types as T
+
+    write_delta(spark.range(3).withColumnRenamed("id", "a")
+                .withColumn("p", F.lit(1).cast("int")), tmp_table,
+                partition_by=["p"],
+                configuration={"delta.enableTypeWidening": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="partition column"):
+        dt.replaceColumns([T.StructField("a", T.LongType(), True),
+                           T.StructField("p", T.LongType(), True)])
+
+
+def test_rename_ok_when_column_only_in_string_literal(spark, tmp_table):
+    """A CHECK constraint containing the column NAME inside a string
+    literal is not a dependency (expressions_referencing literal-skip)."""
+    write_delta(spark.range(3).withColumnRenamed("id", "b")
+                .withColumn("status", F.lit("b")), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.addCheckConstraint("lit_only", "status IN ('b', 'ok')")
+    dt.renameColumn("b", "b2")  # must not be refused
+    assert "b2" in [f.name for f in DeltaLog.for_table(tmp_table).update().schema.fields]
+    # a REAL reference still refuses
+    with pytest.raises(ValueError, match="referenced by"):
+        dt.renameColumn("status", "s2")
+
+
+def test_set_properties_mode_upgrade_is_one_commit(spark, tmp_table):
+    """SET TBLPROPERTIES with mode + other keys is ONE atomic commit."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)
+    v0 = DeltaLog.for_table(tmp_table).update().version
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.columnMapping.mode": "name",
+                      "delta.appendOnly": "false", "team": "x"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.version == v0 + 1
+    assert snap.configuration["delta.columnMapping.mode"] == "name"
+    assert snap.configuration["team"] == "x"
+    assert snap.protocol.minWriterVersion >= 5
+
+
+def test_checkpoint_interval_must_be_positive(spark, tmp_table):
+    """DeltaConfigs.CHECKPOINT_INTERVAL: 'needs to be a positive
+    integer' — rejected at SET/CREATE, not silently ignored."""
+    write_delta(spark.range(3), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    for bad in ("0", "-3", "two"):
+        with pytest.raises(ValueError, match="positive integer"):
+            dt.setProperties({"delta.checkpointInterval": bad})
+    with pytest.raises(ValueError, match="positive integer"):
+        write_delta(spark.range(1), tmp_table + "_b",
+                    configuration={"delta.checkpointInterval": "0"})
+    dt.setProperties({"delta.checkpointInterval": "7"})  # valid passes

@@ -221,7 +221,9 @@ def test_reject_subquery_unit():
     subqueryNotSupportedException via PreprocessTableDelete/Update/Merge)."""
     P.reject_subquery(None, "DELETE")                      # no condition ok
     P.reject_subquery("a > (1 + 2)", "DELETE")             # parens ok
-    P.reject_subquery("s = 'select x'", "DELETE")          # hmm: inside a string
+    P.reject_subquery("s = 'select x'", "DELETE")          # inside a string
+    P.reject_subquery("note = 'see (select appendix)'", "DELETE")
+    P.reject_subquery("body LIKE '%(with%' AND s = '(SELECT'", "DELETE")
     with pytest.raises(ValueError, match="DELETE"):
         P.reject_subquery("a IN (SELECT a FROM t)", "DELETE")
     with pytest.raises(ValueError, match="UPDATE"):
