@@ -160,7 +160,12 @@ def write_delta(
     out_df = apply_default_columns(df, table_schema)
     out_df = apply_generated_columns(out_df, table_schema)
     out_df, id_watermarks, id_generated = apply_identity_columns(out_df, table_schema)
-    out_df = normalize_df(out_df, table_schema, allow_missing_nullable=merge_schema or not exists)
+    # missing NULLABLE table columns are always legal in a write —
+    # reference ImplicitMetadataOperation: mergeSchemas(table, data) of
+    # a subset-DataFrame equals the table schema, so isNewSchema=false
+    # and the write proceeds (readers null-fill). Missing NOT NULL
+    # columns still error below (nullability invariant role).
+    out_df = normalize_df(out_df, table_schema, allow_missing_nullable=True)
     out_df = enforce_invariants(out_df, table_schema, cfg)
     if replace_where:
         # new rows must satisfy the replaceWhere predicate

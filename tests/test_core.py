@@ -664,3 +664,39 @@ def test_max_records_per_file(spark, tmp_table, sf_dir):
     for f in snap.all_files:
         assert _json.loads(f.stats)["numRecords"] <= 200
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 1000
+
+
+def test_merge_cardinality_violation(spark, tmp_table):
+    """A target row matched by multiple source rows with an UPDATE/
+    DELETE clause must raise (MergeIntoCommandBase cardinality check);
+    insert-only duplicate sources are fine — both rows insert."""
+    write_delta(spark.createDataFrame([(1, "t")], "k long, v string"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dup = spark.createDataFrame([(1, "s1"), (1, "s2")], "k long, v string")
+    with pytest.raises(Exception, match="multiple source rows"):
+        (dt.merge(dup, "target.k = source.k")
+           .whenMatchedUpdate(set={"v": "source.v"}).execute())
+    assert dt.toDF().count() == 1  # failed merge left no partial write
+    ins = spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string")
+    (dt.merge(ins, "target.k = source.k").whenNotMatchedInsertAll().execute())
+    assert dt.toDF().count() == 3
+
+
+def test_append_with_missing_nullable_columns(spark, tmp_table):
+    """Appends may omit nullable table columns (ImplicitMetadataOperation:
+    mergeSchemas(table, subset) == table schema, so the write proceeds and
+    readers null-fill); missing NOT NULL columns still error."""
+    write_delta(spark.createDataFrame([(1, "x")], "a long, b string"), tmp_table)
+    write_delta(spark.createDataFrame([(2,)], "a long"), tmp_table, mode="append")
+    rows = sorted([tuple(r) for r in
+                   DeltaTable.forPath(spark, tmp_table).toDF().collect()])
+    assert rows == [(1, "x"), (2, None)]
+    # NOT NULL column cannot be omitted
+    p2 = tmp_table + "_nn"
+    import pyspark.sql.types as T
+    nn = T.StructType([T.StructField("a", T.LongType(), False),
+                       T.StructField("b", T.StringType(), False)])
+    df = spark.createDataFrame([(1, "x")], schema=nn)
+    write_delta(df, p2)
+    with pytest.raises(Exception, match="b"):
+        write_delta(spark.createDataFrame([(2,)], "a long"), p2, mode="append")
