@@ -39,11 +39,33 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     if starting_version is None:
         if starting_timestamp_ms is None:
             raise ValueError("CDF read requires startingVersion or startingTimestamp")
-        starting_version = log.version_at_timestamp(starting_timestamp_ms)
+        # startingTimestamp = "changes committed AT OR AFTER" (reference
+        # DeltaDataSource/CDCReader timestamp resolution); a timestamp
+        # past the last commit is an error, not an empty result
+        # (DeltaErrors.timestampGreaterThanLatestCommit)
+        try:
+            starting_version = log.version_at_timestamp(
+                starting_timestamp_ms, after=True)
+        except ValueError:
+            raise ValueError(
+                f"The provided startingTimestamp ({starting_timestamp_ms} ms) "
+                f"is after the latest commit of the table")
+    if starting_version > latest:
+        # DeltaErrors.startVersionAfterLatestVersion (:630)
+        raise ValueError(
+            f"Provided Start version({starting_version}) for reading change "
+            f"data is invalid. Start version cannot be greater than the "
+            f"latest version of the table({latest}).")
     if ending_version is None:
+        # endingTimestamp = "changes committed at or before"
         ending_version = (log.version_at_timestamp(ending_timestamp_ms)
                           if ending_timestamp_ms is not None else latest)
     ending_version = min(ending_version, latest)
+    if ending_version < starting_version:
+        # DeltaErrors.endBeforeStartVersionInCDC (:620)
+        raise ValueError(
+            f"CDC range from start {starting_version} to end "
+            f"{ending_version} was invalid. End cannot be before start.")
 
     snapshot = log.update()
     schema = snapshot.schema

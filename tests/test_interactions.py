@@ -466,3 +466,25 @@ def test_dv_dml_lifecycle_stress(spark, tmp_table, sf_dir):
     # 6. restore onto the DV-masked pre-OPTIMIZE version
     dt.restoreToVersion(v_before_opt)
     check()
+
+
+def test_cdf_bound_validation(spark, tmp_table):
+    """CDF range errors mirror the reference: end<start raises
+    (DeltaErrors.endBeforeStartVersionInCDC), start>latest raises
+    (startVersionAfterLatestVersion), and startingTimestamp past the
+    last commit raises instead of silently resolving backwards."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(spark.range(3, 6).withColumnRenamed("id", "a"), tmp_table,
+                mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="End cannot be before start"):
+        dt.table_changes(starting_version=1, ending_version=0).count()
+    with pytest.raises(ValueError, match="cannot be greater than the latest"):
+        dt.table_changes(starting_version=5).count()
+    with pytest.raises(ValueError, match="after the latest commit"):
+        dt.table_changes(starting_timestamp="2035-01-01 00:00:00").count()
+    # at-or-after semantics: a timestamp before the first commit reads
+    # everything from version 0
+    assert dt.table_changes(
+        starting_timestamp="2000-01-01 00:00:00").count() == 6
