@@ -75,6 +75,88 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
 }
 
 
+# PROTOCOL.md legacy version → implied features. When a legacy
+# protocol is upgraded to the table-features form (writer 7 / reader
+# 3), these must be denormalized into the explicit lists or the
+# upgrade silently DROPS capabilities an external reader checks for
+# (reference Protocol.implicitlySupportedFeatures, actions.scala).
+LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def implied_legacy_features(p: "Protocol") -> tuple[set, set]:
+    """Features implied by a protocol's LEGACY version numbers (empty
+    for legs that already carry an explicit feature list)."""
+    r = set() if p.readerFeatures is not None else {
+        f for v, fs in LEGACY_READER_FEATURES.items()
+        if p.minReaderVersion >= v for f in fs}
+    w = set() if p.writerFeatures is not None else {
+        f for v, fs in LEGACY_WRITER_FEATURES.items()
+        if p.minWriterVersion >= v for f in fs}
+    return r, w
+
+
+# legacy features → the (reader, writer) versions that imply them
+LEGACY_FEATURE_VERSIONS = {
+    "appendOnly": (1, 2), "invariants": (1, 2),
+    "checkConstraints": (1, 3),
+    "changeDataFeed": (1, 4), "generatedColumns": (1, 4),
+    "columnMapping": (2, 5),
+    "identityColumns": (1, 6),
+}
+
+
+def merge_protocol(cur: "Protocol", reader_feats: set = frozenset(),
+                   writer_feats: set = frozenset(),
+                   min_reader: int = 1, min_writer: int = 1) -> "Protocol":
+    """The canonical protocol upgrade (Protocol.merge +
+    denormalizedNormalized role): raise versions monotonically and stay
+    in the weakest form that satisfies every requirement — a legacy
+    protocol asked only for legacy features just bumps versions; any
+    native feature (or an explicit 7/3 request, or a cur already in
+    feature form) converts to the feature-vector form, carrying the
+    implied legacy features of both cur and any requested legacy
+    version. Reader-writer features must appear in BOTH input sets."""
+    reader_feats, writer_feats = set(reader_feats), set(writer_feats)
+    # versions implied by requested LEGACY features
+    leg_r = max((LEGACY_FEATURE_VERSIONS[f][0] for f in writer_feats
+                 if f in LEGACY_FEATURE_VERSIONS), default=1)
+    leg_w = max((LEGACY_FEATURE_VERSIONS[f][1] for f in writer_feats
+                 if f in LEGACY_FEATURE_VERSIONS), default=1)
+    minr = max(cur.minReaderVersion, min_reader, leg_r)
+    minw = max(cur.minWriterVersion, min_writer, leg_w)
+    native = {f for f in (reader_feats | writer_feats)
+              if f not in LEGACY_FEATURE_VERSIONS}
+    to_features = bool(native) or minw >= 7 or cur.writerFeatures is not None
+    if not to_features:
+        # legacy normalized form: the version bump alone implies every
+        # requested legacy feature
+        if minr == cur.minReaderVersion and minw == cur.minWriterVersion:
+            return cur
+        return Protocol(minr, minw, cur.readerFeatures, cur.writerFeatures)
+    # feature-vector form: implied features of cur, of any requested
+    # legacy VERSION (reference denormalizes the whole version), plus
+    # the requested features themselves
+    impl_r, impl_w = implied_legacy_features(cur)
+    req_r, req_w = implied_legacy_features(
+        Protocol(min_reader if min_reader < 3 else 1,
+                 min_writer if min_writer < 7 else 1))
+    new_r = set(cur.readerFeatures or []) | impl_r | req_r | reader_feats
+    new_w = (set(cur.writerFeatures or []) | impl_w | req_w
+             | writer_feats | new_r)
+    minw = max(minw, 7)
+    if new_r or minr >= 3:
+        minr = max(minr, 3)
+    return Protocol(minr, minw, sorted(new_r) if minr >= 3 else None,
+                    sorted(new_w) or None)
+
+
 class InvalidProtocolVersionException(Exception):
     """The table requires a newer protocol version than this client."""
 

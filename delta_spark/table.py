@@ -400,13 +400,19 @@ class DeltaTable:
     # --------------------------------------------------- table evolution ----
 
     def upgradeTableProtocol(self, reader_version: int, writer_version: int) -> int:
+        from delta_spark.actions import merge_protocol
+
         txn = OptimisticTransaction(self.log)
         p = txn.snapshot.protocol
         if reader_version < p.minReaderVersion or writer_version < p.minWriterVersion:
             raise ValueError("protocol cannot be downgraded")
-        return txn.commit([Protocol(reader_version, writer_version)], "UPGRADE PROTOCOL",
-                          {"newProtocol": json.dumps({"minReaderVersion": reader_version,
-                                                      "minWriterVersion": writer_version})})
+        # crossing into writer 7 denormalizes the legacy versions'
+        # implied features into explicit lists (Protocol.merge role)
+        new = merge_protocol(p, min_reader=reader_version,
+                             min_writer=writer_version)
+        return txn.commit([new], "UPGRADE PROTOCOL",
+                          {"newProtocol": json.dumps({"minReaderVersion": new.minReaderVersion,
+                                                      "minWriterVersion": new.minWriterVersion})})
 
     _DROPPABLE_READER_WRITER = {"deletionVectors", "typeWidening",
                                 "variantType"}
@@ -436,14 +442,11 @@ class DeltaTable:
             r_feats, w_feats = set(), {feature_name}
         else:
             raise ValueError(f"unknown table feature {feature_name!r}")
+        from delta_spark.actions import merge_protocol
+
         txn = OptimisticTransaction(self.log)
         p = txn.snapshot.protocol or Protocol()
-        new = Protocol(
-            minReaderVersion=max(p.minReaderVersion, 3 if r_feats else
-                                 p.minReaderVersion),
-            minWriterVersion=max(p.minWriterVersion, 7),
-            readerFeatures=sorted(set(p.readerFeatures or []) | r_feats) or None,
-            writerFeatures=sorted(set(p.writerFeatures or []) | w_feats) or None)
+        new = merge_protocol(p, r_feats, w_feats)
         return txn.commit([new], "ADD FEATURE SUPPORT",
                           {"feature": feature_name})
 
@@ -608,6 +611,11 @@ class DeltaTable:
         DeltaColumnMapping.allowMappingModeChange (only none→name)."""
         from delta_spark.schema import COLUMN_MAPPING_MODE_KEY, column_mapping_mode
 
+        # protocol properties (delta.minReaderVersion/-WriterVersion,
+        # delta.feature.<name>=supported) flow through the metadata
+        # commit and are CONSUMED into the Protocol action by the
+        # transaction seam (OptimisticTransaction._consume_protocol_props)
+        # — they never land as plain table properties
         new_mode = props.get(COLUMN_MAPPING_MODE_KEY)
         if new_mode is not None:
             cur = column_mapping_mode(self.log.update().configuration)
@@ -1128,7 +1136,8 @@ class DeltaTable:
         return txn.commit([dm], "CLUSTER BY",
                           {"clusterBy": json.dumps(list(cols or []))})
 
-    def _update_metadata(self, config_fn, op: str, params: dict) -> int:
+    def _update_metadata(self, config_fn, op: str, params: dict,
+                         extra_actions: Optional[list] = None) -> int:
         txn = OptimisticTransaction(self.log)
         m = txn.metadata
         if m is None:
@@ -1137,7 +1146,7 @@ class DeltaTable:
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=m.schemaString, partitionColumns=m.partitionColumns,
                        configuration=new_cfg, createdTime=m.createdTime)
-        actions: list = [new]
+        actions: list = list(extra_actions or []) + [new]
         enabling_row_tracking = (
             str(new_cfg.get("delta.enableRowTracking", "false")).lower() == "true"
             and str((m.configuration or {}).get(

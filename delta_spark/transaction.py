@@ -303,6 +303,9 @@ class OptimisticTransaction:
                     "This table is configured to only allow appends "
                     "(delta.appendOnly=true); DELETE/UPDATE/MERGE/"
                     "overwrite are not permitted")
+        if metadatas:
+            self._consume_protocol_props(actions, metadatas[0])
+            metadatas = [a for a in actions if isinstance(a, Metadata)]
         if self.read_version < 0:
             # first commit must establish protocol+metadata (prepareCommit)
             if not metadatas:
@@ -321,6 +324,72 @@ class OptimisticTransaction:
             _validate_checkpoint_interval(metadatas[0].configuration)
             self._assert_metadata_names(metadatas[0])
             self._auto_enable_features(actions, metadatas[0])
+
+    def _consume_protocol_props(self, actions: list[Any],
+                                meta: Metadata) -> None:
+        """Protocol properties in a committed Metadata's configuration
+        (delta.minReaderVersion / delta.minWriterVersion /
+        delta.feature.<name>) are CONSUMED into the Protocol action and
+        never stored as plain table properties
+        (TableFeatureProtocolUtils.isTableProtocolProperty,
+        Protocol.forNewTable). Covers CREATE-with-configuration and any
+        metadata path that didn't pre-split them."""
+        from delta_spark.actions import merge_protocol
+
+        cfg = meta.configuration or {}
+        MINR, MINW = "delta.minReaderVersion", "delta.minWriterVersion"
+        proto_keys = [k for k in cfg
+                      if k in (MINR, MINW) or k.startswith("delta.feature.")]
+        if not proto_keys:
+            return
+        r_feats, w_feats = set(), set()
+        from delta_spark.actions import (
+            SUPPORTED_READER_FEATURES,
+            SUPPORTED_WRITER_FEATURES,
+        )
+        for k in proto_keys:
+            if not k.startswith("delta.feature."):
+                continue
+            name = k[len("delta.feature."):]
+            if str(cfg[k]).strip().lower() not in ("supported", "enabled"):
+                raise ValueError(
+                    f"table property {k!r} only accepts 'supported', "
+                    f"got {cfg[k]!r}")
+            if name in SUPPORTED_READER_FEATURES:
+                r_feats.add(name)
+                w_feats.add(name)
+            elif name in SUPPORTED_WRITER_FEATURES:
+                w_feats.add(name)
+            else:
+                raise ValueError(f"unknown table feature {name!r}")
+        try:
+            minr = int(str(cfg.get(MINR, "1")).strip())
+            minw = int(str(cfg.get(MINW, "1")).strip())
+        except ValueError:
+            raise ValueError(
+                "delta.minReaderVersion/delta.minWriterVersion must be "
+                "integers")
+        cur = (next((a for a in actions if isinstance(a, Protocol)), None)
+               or self.snapshot.protocol or Protocol())
+        new = merge_protocol(cur, r_feats, w_feats,
+                             min_reader=minr, min_writer=minw)
+        stripped = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format, schemaString=meta.schemaString,
+            partitionColumns=meta.partitionColumns,
+            configuration={k: v for k, v in cfg.items()
+                           if k not in set(proto_keys)},
+            createdTime=meta.createdTime)
+        for i, a in enumerate(actions):
+            if isinstance(a, Metadata):
+                actions[i] = stripped
+        replaced = False
+        for i, a in enumerate(actions):
+            if isinstance(a, Protocol):
+                actions[i] = new
+                replaced = True
+        if not replaced:
+            actions.insert(0, new)
 
     def _assert_metadata_names(self, meta: Metadata) -> None:
         """OptimisticTransaction.assertMetadata (:1005): reject duplicate
@@ -427,21 +496,35 @@ class OptimisticTransaction:
         if cfg.get("delta.checkpointPolicy", "").lower() == "v2":
             reader_feats.add("v2Checkpoint")
             writer_feats.add("v2Checkpoint")
+        # LEGACY features driven by metadata (the reference's
+        # minProtocolComponentsFromMetadata): merge_protocol keeps the
+        # weakest satisfying form — a plain version bump (e.g. column
+        # mapping → (2,5)) for legacy protocols, explicit feature
+        # entries once in the feature-vector form. Without these a
+        # spec-compliant external client would use the table without
+        # honoring the capability.
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            reader_feats.add("columnMapping")
+            writer_feats.add("columnMapping")
+        if cfg.get("delta.enableChangeDataFeed", "").lower() == "true":
+            writer_feats.add("changeDataFeed")
+        if any(k.startswith("delta.constraints.") for k in cfg):
+            writer_feats.add("checkConstraints")
+        if '"delta.generationExpression"' in schema_str:
+            writer_feats.add("generatedColumns")
+        if '"delta.identity.start"' in schema_str:
+            writer_feats.add("identityColumns")
         if not reader_feats and not writer_feats:
             return
+        from delta_spark.actions import merge_protocol
         cur = (next((a for a in actions if isinstance(a, Protocol)), None)
                or self.snapshot.protocol or Protocol())
-        have_r = set(cur.readerFeatures or [])
-        have_w = set(cur.writerFeatures or [])
-        if reader_feats <= have_r and writer_feats <= have_w:
+        new = merge_protocol(cur, reader_feats, writer_feats)
+        if (new.minReaderVersion == cur.minReaderVersion
+                and new.minWriterVersion == cur.minWriterVersion
+                and set(new.readerFeatures or []) == set(cur.readerFeatures or [])
+                and set(new.writerFeatures or []) == set(cur.writerFeatures or [])):
             return
-        new = Protocol(
-            minReaderVersion=max(cur.minReaderVersion,
-                                 3 if reader_feats else cur.minReaderVersion),
-            minWriterVersion=max(cur.minWriterVersion, 7),
-            readerFeatures=sorted(have_r | reader_feats) or None,
-            writerFeatures=sorted(have_w | writer_feats) or None,
-        )
         for i, a in enumerate(actions):
             if isinstance(a, Protocol):
                 actions[i] = new

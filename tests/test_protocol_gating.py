@@ -100,3 +100,63 @@ def test_drop_feature_leaves_checkpoint_protection(spark, tmp_table, sf_dir):
     want = (load_table(spark, sf_dir, "orders").limit(100)
             .filter("o_orderkey % 3 <> 0").count())
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == want
+
+
+def test_protocol_properties_consumed_not_stored(spark, tmp_table):
+    """delta.minReaderVersion / delta.minWriterVersion / delta.feature.*
+    are protocol properties (TableFeatureProtocolUtils
+    isTableProtocolProperty): they upgrade the Protocol action and never
+    land in metadata configuration."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    v0 = DeltaLog.for_table(tmp_table).update().version
+    dt.setProperties({"delta.minReaderVersion": "3",
+                      "delta.minWriterVersion": "7"})
+    s = DeltaLog.for_table(tmp_table).update()
+    assert (s.protocol.minReaderVersion, s.protocol.minWriterVersion) == (3, 7)
+    # upgrading a (1,2) legacy protocol to v7 denormalizes its implied
+    # features (actions.scala Protocol.implicitlySupportedFeatures)
+    assert set(s.protocol.writerFeatures) == {"appendOnly", "invariants"}
+    assert not any("minReaderVersion" in k or "minWriterVersion" in k
+                   for k in s.configuration)
+
+    # one atomic commit for feature + plain property
+    dt.setProperties({"delta.feature.deletionVectors": "supported",
+                      "team": "x"})
+    s2 = DeltaLog.for_table(tmp_table).update()
+    assert s2.version == v0 + 2
+    assert "deletionVectors" in s2.protocol.readerFeatures
+    assert "deletionVectors" in s2.protocol.writerFeatures
+    assert s2.configuration.get("team") == "x"
+    assert not any(k.startswith("delta.feature.") for k in s2.configuration)
+
+    with pytest.raises(ValueError, match="only accepts"):
+        dt.setProperties({"delta.feature.rowTracking": "maybe"})
+    with pytest.raises(ValueError, match="unknown table feature"):
+        dt.setProperties({"delta.feature.warpDrive": "supported"})
+
+
+def test_metadata_driven_legacy_protocol_versions(spark, tmp_path):
+    """Capabilities carried by metadata need their legacy protocol
+    versions (minProtocolComponentsFromMetadata): column mapping (2,5),
+    CDF writer 4 — in the weakest (legacy-normalized) form."""
+    p1 = str(tmp_path / "cm")
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), p1,
+                configuration={"delta.columnMapping.mode": "name"})
+    pr = DeltaLog.for_table(p1).update().protocol
+    assert (pr.minReaderVersion, pr.minWriterVersion) == (2, 5)
+    assert pr.writerFeatures is None  # legacy normalized, not v7
+
+    p2 = str(tmp_path / "cdf")
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), p2,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    pr2 = DeltaLog.for_table(p2).update().protocol
+    assert pr2.minWriterVersion >= 4
+
+    # feature upgrade on a (2,5) table carries columnMapping explicitly
+    dt = DeltaTable.forPath(spark, p1)
+    dt.setProperties({"delta.feature.rowTracking": "supported"})
+    pr3 = DeltaLog.for_table(p1).update().protocol
+    assert "columnMapping" in pr3.writerFeatures
+    assert "columnMapping" in (pr3.readerFeatures or [])
+    assert "rowTracking" in pr3.writerFeatures
