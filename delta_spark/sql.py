@@ -25,6 +25,26 @@ def _path_of(m: re.Match) -> str:
     return m.group("path") or m.group("qpath") or m.group("dpath")
 
 
+def _sql_with_delta_views(spark: SparkSession, q: str):
+    """Run a user query that may reference delta.`path` relations:
+    register one temp view PER DISTINCT path (a self-join of two
+    different tables must not collapse into one) and rewrite the
+    references — lets INSERT ... SELECT, CTAS bodies, and MERGE USING
+    subqueries read delta tables by path."""
+    from delta_spark.table import DeltaTable
+
+    paths = list(dict.fromkeys(re.findall(r"(?is)delta\.`([^`]+)`", q)))
+    if not paths:
+        return spark.sql(q)
+    views = {}
+    for i, p in enumerate(paths):
+        name = f"__delta_q{i}"
+        DeltaTable.forPath(spark, p).toDF().createOrReplaceTempView(name)
+        views[p] = name
+    return spark.sql(re.sub(
+        r"(?is)delta\.`([^`]+)`", lambda mm: views[mm.group(1)], q))
+
+
 def delta_sql(spark: SparkSession, statement: str) -> Any:
     """Execute one statement; Delta verbs handled natively, everything
     else → spark.sql. Registered table names (catalog.py) are rewritten
@@ -71,7 +91,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                      r"(?P<name>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)"
                      r"(?:\s+USING\s+delta)?\s+AS\s+(?P<q>(?:SELECT|WITH)\s.+)", s)
     if m and C.resolve(spark, m.group("name")) is None:
-        df = spark.sql(m.group("q"))
+        df = _sql_with_delta_views(spark, m.group("q"))
         v = C.save_as_table(df, m.group("name"),
                             mode="overwrite" if m.group("repl") else "error")
         return spark.createDataFrame([(v if v is not None else -1,)], "version: long")
@@ -315,12 +335,19 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         return spark.createDataFrame([(ver,)], "version: long")
 
     m = re.match(rf"(?is)\s*MERGE\s+INTO\s+(?:{_PATH})(?:\s+AS)?\s+(?P<talias>\w+)\s+"
-                 rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?:\s+AS)?\s+(?P<salias>\w+)\s+"
+                 rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|delta\.`[^`]+`|[\w.]+)(?:\s+AS)?\s+(?P<salias>\w+)\s+"
                  rf"ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s.+)$", s)
     if m:
         dt = DeltaTable.forPath(spark, _path_of(m))
         src_sql = m.group("src")
-        source = spark.sql(src_sql[1:-1]) if src_sql.startswith("(") else spark.table(src_sql)
+        if src_sql.startswith("("):
+            # subquery source — may itself read delta.`path` relations
+            source = _sql_with_delta_views(spark, src_sql[1:-1])
+        elif src_sql.lower().startswith("delta."):
+            source = DeltaTable.forPath(
+                spark, src_sql[len("delta.`"):-1]).toDF()
+        else:
+            source = spark.table(src_sql)
         b = dt.merge(source, m.group("on"),
                      source_alias=m.group("salias"), target_alias=m.group("talias"))
         _apply_merge_clauses(b, m.group("clauses"))
@@ -394,7 +421,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         from delta_spark.io import write_delta
         from delta_spark.util import schema_from_json
 
-        df = spark.sql(m.group("q"))
+        df = _sql_with_delta_views(spark, m.group("q"))
         tgt_schema = schema_from_json(
             DeltaTable.forPath(spark, _path_of(m)).log.update()
             .metadata.schemaString)
@@ -488,7 +515,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
     if m:
         from delta_spark.io import write_delta
 
-        df = spark.sql(m.group("q"))
+        df = _sql_with_delta_views(spark, m.group("q"))
         replace = "REPLACE" in s.upper().split("TABLE")[0]
         v = write_delta(df, _path_of(m), mode="overwrite" if replace else "error")
         return spark.createDataFrame([(v if v is not None else -1,)], "version: long")

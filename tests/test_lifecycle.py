@@ -635,3 +635,32 @@ def test_comment_on_table_sql(spark, tmp_table):
     delta_sql(spark, f"COMMENT ON TABLE delta.`{tmp_table}` IS 'kept'")
     dt.setProperties({"delta.appendOnly": "false"})
     assert dt.detail().collect()[0]["description"] == "kept"
+
+
+def test_sql_queries_reference_delta_paths(spark, tmp_path):
+    """INSERT ... SELECT, CTAS bodies, and MERGE USING can all read
+    delta.`path` relations (DeltaDataSource path resolution role): the
+    dispatcher registers per-path temp views and rewrites references."""
+    t = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), t)
+    write_delta(spark.createDataFrame([(2, "B"), (3, "C")], "k long, s string"), src)
+
+    delta_sql(spark, f"INSERT INTO delta.`{t}` SELECT k+100, s FROM delta.`{src}`")
+    assert DeltaTable.forPath(spark, t).toDF().count() == 4
+
+    delta_sql(spark, f"""MERGE INTO delta.`{t}` AS t USING delta.`{src}` AS s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.s = s.s
+        WHEN NOT MATCHED THEN INSERT *""")
+    rows = sorted(tuple(r) for r in DeltaTable.forPath(spark, t).toDF().collect())
+    assert (2, "B") in rows and (3, "C") in rows
+
+    delta_sql(spark, f"""MERGE INTO delta.`{t}` AS t
+        USING (SELECT k FROM delta.`{src}` WHERE k = 3) AS s
+        ON t.k = s.k WHEN MATCHED THEN DELETE""")
+    assert DeltaTable.forPath(spark, t).toDF().filter("k = 3").count() == 0
+
+    ctas = str(tmp_path / "ctas")
+    delta_sql(spark, f"CREATE TABLE delta.`{ctas}` AS "
+                     f"SELECT k FROM delta.`{src}` WHERE k > 1")
+    assert DeltaTable.forPath(spark, ctas).toDF().count() == 2
