@@ -119,10 +119,21 @@ def merge_protocol(cur: "Protocol", reader_feats: set = frozenset(),
     denormalizedNormalized role): raise versions monotonically and stay
     in the weakest form that satisfies every requirement — a legacy
     protocol asked only for legacy features just bumps versions; any
-    native feature (or an explicit 7/3 request, or a cur already in
+    native feature (or an explicit 7 request, or a cur already in
     feature form) converts to the feature-vector form, carrying the
     implied legacy features of both cur and any requested legacy
-    version. Reader-writer features must appear in BOTH input sets."""
+    version. Reader features that are themselves legacy (columnMapping)
+    keep the legacy reader version 2 with no readerFeatures list —
+    reader 3 only when a native reader feature demands it. Reader-writer
+    features must appear in BOTH input sets."""
+    if min_reader > MAX_READER_VERSION or min_writer > MAX_WRITER_VERSION:
+        # the reference rejects unknown protocol versions at SET time
+        # (DeltaErrors InvalidProtocolVersionException) — committing
+        # one would permanently brick the table for this client
+        raise ValueError(
+            f"unsupported protocol version ({min_reader}, {min_writer}); "
+            f"this client supports up to ({MAX_READER_VERSION}, "
+            f"{MAX_WRITER_VERSION})")
     reader_feats, writer_feats = set(reader_feats), set(writer_feats)
     # versions implied by requested LEGACY features
     leg_r = max((LEGACY_FEATURE_VERSIONS[f][0] for f in writer_feats
@@ -133,7 +144,12 @@ def merge_protocol(cur: "Protocol", reader_feats: set = frozenset(),
     minw = max(cur.minWriterVersion, min_writer, leg_w)
     native = {f for f in (reader_feats | writer_feats)
               if f not in LEGACY_FEATURE_VERSIONS}
-    to_features = bool(native) or minw >= 7 or cur.writerFeatures is not None
+    # reader 3 is only meaningful in the feature form (PROTOCOL.md:
+    # readerFeatures exists iff minReaderVersion >= 3) — an explicit
+    # reader-3 request forces the conversion rather than committing a
+    # spec-invalid (3, <7, None, None) protocol
+    to_features = (bool(native) or minw >= 7 or minr >= 3
+                   or cur.writerFeatures is not None)
     if not to_features:
         # legacy normalized form: the version bump alone implies every
         # requested legacy feature
@@ -151,10 +167,18 @@ def merge_protocol(cur: "Protocol", reader_feats: set = frozenset(),
     new_w = (set(cur.writerFeatures or []) | impl_w | req_w
              | writer_feats | new_r)
     minw = max(minw, 7)
-    if new_r or minr >= 3:
+    # weakest reader form: if every reader feature is legacy-implied by
+    # some reader version <= 2, keep that legacy reader version with no
+    # readerFeatures list (reference keeps (2,7) for columnMapping-only
+    # tables); a native reader feature or explicit reader-3 request
+    # forces the list
+    native_r = {f for f in new_r if f not in LEGACY_FEATURE_VERSIONS}
+    if native_r or min_reader >= 3 or cur.readerFeatures is not None:
         minr = max(minr, 3)
-    return Protocol(minr, minw, sorted(new_r) if minr >= 3 else None,
-                    sorted(new_w) or None)
+        return Protocol(minr, minw, sorted(new_r), sorted(new_w) or None)
+    leg_need = max((LEGACY_FEATURE_VERSIONS[f][0] for f in new_r), default=1)
+    minr = max(minr, leg_need)
+    return Protocol(minr, minw, None, sorted(new_w) or None)
 
 
 class InvalidProtocolVersionException(Exception):

@@ -308,7 +308,16 @@ def _parse_ts(raw: str) -> _dt.datetime:
 
 
 _SUBQUERY_RE = re.compile(r"(?is)\(\s*(?:SELECT|WITH)\b")
-_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+# both quote styles: Spark's default (non-ANSI) mode treats "..." as a
+# string literal too
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
+
+
+def mask_string_literals(sql: str, repl: str = "''") -> str:
+    """Replace string literals with a placeholder so scanners (subquery
+    detection, column-reference search, path rewriting) never match
+    inside quoted values."""
+    return _STRING_LIT_RE.sub(repl, sql)
 
 
 def reject_subquery(condition: Optional[str], operation: str) -> None:
@@ -319,7 +328,7 @@ def reject_subquery(condition: Optional[str], operation: str) -> None:
     fails later with an unresolved-relation error that hides the
     actual restriction. String literals are masked first so a quoted
     value containing '(select' is not a false positive."""
-    if condition and _SUBQUERY_RE.search(_STRING_LIT_RE.sub("''", condition)):
+    if condition and _SUBQUERY_RE.search(mask_string_literals(condition)):
         raise ValueError(
             f"Subqueries are not supported in the {operation} "
             f"(condition = {condition.strip()})")

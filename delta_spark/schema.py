@@ -166,18 +166,20 @@ def expressions_referencing(schema: T.StructType, configuration: dict,
     expressions are stored as raw SQL text."""
     import re as _re
 
+    from delta_spark.predicates import mask_string_literals
+
     pat = _re.compile(
         r"(?<![\w`])`?" + _re.escape(col) + r"`?(?![\w`])", _re.IGNORECASE)
     # mask string literals so "status IN ('b')" doesn't count as a
     # reference to a column named b
-    lit = _re.compile(r"'(?:[^']|'')*'")
     out = []
     for name, expr in (configuration or {}).items():
         if name.lower().startswith("delta.constraints.") and \
-                pat.search(lit.sub("''", expr)):
+                pat.search(mask_string_literals(expr)):
             out.append(f"CHECK constraint {name.split('.', 2)[2]} ({expr})")
     for gcol, expr in generation_expressions(schema).items():
-        if gcol.lower() != col.lower() and pat.search(lit.sub("''", expr)):
+        if gcol.lower() != col.lower() and \
+                pat.search(mask_string_literals(expr)):
             out.append(f"generation expression of column {gcol} ({expr})")
     return out
 

@@ -30,10 +30,20 @@ def _sql_with_delta_views(spark: SparkSession, q: str):
     register one temp view PER DISTINCT path (a self-join of two
     different tables must not collapse into one) and rewrite the
     references — lets INSERT ... SELECT, CTAS bodies, and MERGE USING
-    subqueries read delta tables by path."""
-    from delta_spark.table import DeltaTable
+    subqueries read delta tables by path. String literals are left
+    untouched (a quoted 'delta.`x`' is data, not a relation)."""
+    from delta_spark.predicates import _STRING_LIT_RE
 
-    paths = list(dict.fromkeys(re.findall(r"(?is)delta\.`([^`]+)`", q)))
+    # split into literal / non-literal segments; only rewrite outside
+    segs, last = [], 0
+    for m in _STRING_LIT_RE.finditer(q):
+        segs.append((False, q[last:m.start()]))
+        segs.append((True, m.group(0)))
+        last = m.end()
+    segs.append((False, q[last:]))
+    pat = re.compile(r"(?is)delta\.`([^`]+)`")
+    paths = list(dict.fromkeys(
+        p for lit, seg in segs if not lit for p in pat.findall(seg)))
     if not paths:
         return spark.sql(q)
     views = {}
@@ -41,8 +51,10 @@ def _sql_with_delta_views(spark: SparkSession, q: str):
         name = f"__delta_q{i}"
         DeltaTable.forPath(spark, p).toDF().createOrReplaceTempView(name)
         views[p] = name
-    return spark.sql(re.sub(
-        r"(?is)delta\.`([^`]+)`", lambda mm: views[mm.group(1)], q))
+    rewritten = "".join(
+        seg if lit else pat.sub(lambda mm: views[mm.group(1)], seg)
+        for lit, seg in segs)
+    return spark.sql(rewritten)
 
 
 def delta_sql(spark: SparkSession, statement: str) -> Any:
@@ -343,7 +355,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         if src_sql.startswith("("):
             # subquery source — may itself read delta.`path` relations
             source = _sql_with_delta_views(spark, src_sql[1:-1])
-        elif src_sql.lower().startswith("delta."):
+        elif src_sql.lower().startswith("delta.`"):
             source = DeltaTable.forPath(
                 spark, src_sql[len("delta.`"):-1]).toDF()
         else:
@@ -360,10 +372,10 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         return spark.createDataFrame([(v,)], "version: long")
 
     m = re.fullmatch(rf"(?is)\s*COMMENT\s+ON\s+TABLE\s+(?:{_PATH})\s+IS\s+"
-                     r"(?:'(?P<c>[^']*)'|(?P<null>NULL))\s*", s)
+                     r"(?:'(?P<c>(?:[^']|'')*)'|(?P<null>NULL))\s*", s)
     if m:
         v = DeltaTable.forPath(spark, _path_of(m)).setTableComment(
-            None if m.group("null") else m.group("c"))
+            None if m.group("null") else m.group("c").replace("''", "'"))
         return spark.createDataFrame([(v,)], "version: long")
 
     m = re.fullmatch(rf"(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(?:{_PATH})\s*", s)

@@ -1136,8 +1136,7 @@ class DeltaTable:
         return txn.commit([dm], "CLUSTER BY",
                           {"clusterBy": json.dumps(list(cols or []))})
 
-    def _update_metadata(self, config_fn, op: str, params: dict,
-                         extra_actions: Optional[list] = None) -> int:
+    def _update_metadata(self, config_fn, op: str, params: dict) -> int:
         txn = OptimisticTransaction(self.log)
         m = txn.metadata
         if m is None:
@@ -1146,7 +1145,7 @@ class DeltaTable:
         new = Metadata(id=m.id, name=m.name, description=m.description, format=m.format,
                        schemaString=m.schemaString, partitionColumns=m.partitionColumns,
                        configuration=new_cfg, createdTime=m.createdTime)
-        actions: list = list(extra_actions or []) + [new]
+        actions: list = [new]
         enabling_row_tracking = (
             str(new_cfg.get("delta.enableRowTracking", "false")).lower() == "true"
             and str((m.configuration or {}).get(

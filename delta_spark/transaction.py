@@ -373,6 +373,11 @@ class OptimisticTransaction:
                or self.snapshot.protocol or Protocol())
         new = merge_protocol(cur, r_feats, w_feats,
                              min_reader=minr, min_writer=minw)
+        unchanged = (
+            new.minReaderVersion == cur.minReaderVersion
+            and new.minWriterVersion == cur.minWriterVersion
+            and set(new.readerFeatures or []) == set(cur.readerFeatures or [])
+            and set(new.writerFeatures or []) == set(cur.writerFeatures or []))
         stripped = Metadata(
             id=meta.id, name=meta.name, description=meta.description,
             format=meta.format, schemaString=meta.schemaString,
@@ -383,6 +388,11 @@ class OptimisticTransaction:
         for i, a in enumerate(actions):
             if isinstance(a, Metadata):
                 actions[i] = stripped
+        if unchanged:
+            # requirements already satisfied: don't emit a no-op
+            # Protocol action (it would fail concurrent transactions
+            # with ProtocolChangedException for nothing)
+            return
         replaced = False
         for i, a in enumerate(actions):
             if isinstance(a, Protocol):

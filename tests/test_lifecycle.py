@@ -664,3 +664,17 @@ def test_sql_queries_reference_delta_paths(spark, tmp_path):
     delta_sql(spark, f"CREATE TABLE delta.`{ctas}` AS "
                      f"SELECT k FROM delta.`{src}` WHERE k > 1")
     assert DeltaTable.forPath(spark, ctas).toDF().count() == 2
+
+
+def test_sql_literal_edge_cases(spark, tmp_path):
+    """Escaped quotes in COMMENT; delta.`path` inside a string literal
+    is data, not a relation to rewrite."""
+    t = str(tmp_path / "t")
+    write_delta(spark.range(2).withColumnRenamed("id", "k"), t)
+    delta_sql(spark, f"COMMENT ON TABLE delta.`{t}` IS 'it''s mine'")
+    dt = DeltaTable.forPath(spark, t)
+    assert dt.detail().collect()[0]["description"] == "it's mine"
+    # a quoted 'delta.`x`' inside the INSERT body must not be resolved
+    delta_sql(spark, f"INSERT INTO delta.`{t}` "
+                     f"SELECT k + 10 FROM delta.`{t}` WHERE 'delta.`x`' != ''")
+    assert dt.toDF().count() == 4

@@ -253,3 +253,12 @@ def test_dml_rejects_subquery(spark, tmp_path):
            .whenMatchedDelete("target.a > (SELECT max(a) FROM x)").execute())
     # table unchanged by the failed attempts
     assert dt.toDF().count() == 5
+
+
+def test_reject_subquery_double_quoted_literal():
+    """Spark's default (non-ANSI) mode treats double quotes as string
+    literals — they must be masked too."""
+    P.reject_subquery('note = "(select appendix)"', "DELETE")
+    P.reject_subquery('a = "(WITH x)" AND b = \'(select\'', "DELETE")
+    with pytest.raises(ValueError):
+        P.reject_subquery('a IN (SELECT 1) AND s = "x"', "DELETE")

@@ -153,10 +153,52 @@ def test_metadata_driven_legacy_protocol_versions(spark, tmp_path):
     pr2 = DeltaLog.for_table(p2).update().protocol
     assert pr2.minWriterVersion >= 4
 
-    # feature upgrade on a (2,5) table carries columnMapping explicitly
+    # feature upgrade on a (2,5) table carries columnMapping in the
+    # writer list but keeps the WEAKEST reader form: reader stays at
+    # legacy 2 with no readerFeatures list (the reference's
+    # denormalizedNormalized keeps (2,7) for columnMapping-only tables)
     dt = DeltaTable.forPath(spark, p1)
     dt.setProperties({"delta.feature.rowTracking": "supported"})
     pr3 = DeltaLog.for_table(p1).update().protocol
     assert "columnMapping" in pr3.writerFeatures
-    assert "columnMapping" in (pr3.readerFeatures or [])
     assert "rowTracking" in pr3.writerFeatures
+    assert (pr3.minReaderVersion, pr3.minWriterVersion) == (2, 7)
+    assert pr3.readerFeatures is None
+
+
+def test_protocol_version_requests_validated(spark, tmp_table):
+    """Reader 3 requires the feature form (writer 7 + readerFeatures
+    list, PROTOCOL.md); versions beyond this client's (3,7) are
+    rejected at SET time instead of bricking the table."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="unsupported protocol version"):
+        dt.setProperties({"delta.minWriterVersion": "10"})
+    with pytest.raises(ValueError, match="unsupported protocol version"):
+        dt.upgradeTableProtocol(4, 7)
+    # reader-3 request alone converts to the feature form, never the
+    # spec-invalid (3, 2, None, None)
+    dt.setProperties({"delta.minReaderVersion": "3"})
+    pr = DeltaLog.for_table(tmp_table).update().protocol
+    assert pr.minWriterVersion == 7
+    assert pr.readerFeatures is not None
+    assert "invariants" in pr.writerFeatures
+
+
+def test_redundant_feature_request_no_protocol_action(spark, tmp_table):
+    """Requesting an already-satisfied feature must not emit a no-op
+    Protocol action (it would fail concurrent writers with
+    ProtocolChangedException for nothing)."""
+    import json as _json
+    import os
+
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    # appendOnly is implied by legacy writer 2 — already satisfied
+    dt.setProperties({"delta.feature.appendOnly": "supported", "k": "v"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    last = os.path.join(tmp_table, "_delta_log",
+                        "%020d.json" % snap.version)
+    kinds = [next(iter(_json.loads(line))) for line in open(last)]
+    assert "protocol" not in kinds
+    assert snap.configuration.get("k") == "v"
