@@ -899,9 +899,21 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .selectExpr("'wsample' AS variant", "CAST(doc_id AS STRING) AS k",
                       "CAST(n_chars AS BIGINT) AS n",
                       "CAST(doc_id AS DOUBLE) AS v"))
+    # `chunk`: context-window chunking (chunk_documents) — per-doc chunk
+    # count plus a content-sensitive checksum (sum of 48-bit md5
+    # prefixes per chunk: exact in DOUBLE, bit-identical in DuckDB)
+    from delta_spark.ops.pipeline import chunk_documents
+    chunks = (chunk_documents(docs, chunk_chars=400, overlap=100)
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.expr(
+                       "CAST(conv(substring(md5(chunk), 1, 12), 16, 10)"
+                       " AS DOUBLE)")).alias("v"))
+              .selectExpr("'chunk' AS variant", "CAST(doc_id AS STRING) AS k",
+                          "n", "v"))
     return (split.unionByName(removed).unionByName(pack_inv)
             .unionByName(quota).unionByName(norm).unionByName(red)
-            .unionByName(ws))
+            .unionByName(ws).unionByName(chunks))
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -1156,6 +1168,16 @@ FROM (SELECT doc_id, n_chars
       ORDER BY ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS UBIGINT) + 1)
                   / 1152921504606846976.0) / n_chars DESC
       LIMIT 200) ws
+UNION ALL
+SELECT 'chunk', CAST(doc_id AS VARCHAR), count(*),
+       sum(CAST(CAST(concat('0x', substr(md5(chunk), 1, 12)) AS BIGINT) AS DOUBLE))
+FROM (SELECT doc_id,
+             substring(text, i * 300 + 1, 400) AS chunk
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, greatest(1, CAST(ceil((length(text) - 100)
+                          / CAST(300 AS DOUBLE)) AS INT)))) AS i
+            FROM documents) ce) ch
+GROUP BY doc_id
 """
 
 

@@ -210,3 +210,30 @@ def sample_by_quota(df: DataFrame, group_col: str, quota: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= quota)
             .drop("__rn"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    chunk_chars: int = 2000,
+                    overlap: int = 200) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    overlap — the context-window chunking stage between cleaning and
+    tokenization. Entirely JVM-side (sequence → transform → substring →
+    posexplode), so it's a narrow per-row expansion: no shuffle, no
+    Python in the row path, and it scales linearly with corpus bytes.
+
+    Chunk i covers [i*step+1, i*step+chunk_chars] (1-based, step =
+    chunk_chars - overlap); the last chunk is short, empty/short docs
+    produce exactly one chunk. Returns (id, chunk_id, chunk,
+    n_chunk_chars)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = (f"greatest(1, CAST(ceil((length({text_col}) - {overlap}) / "
+         f"CAST({step} AS DOUBLE)) AS INT))")
+    chunks = (f"transform(sequence(0, {n} - 1), "
+              f"i -> substring({text_col}, i * {step} + 1, {chunk_chars}))")
+    return (df
+            .select(F.col(id_col),
+                    F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk"))
+            .withColumn("n_chunk_chars", F.length("chunk")))

@@ -579,3 +579,27 @@ def test_weighted_sample_double_typed_and_guarded(spark):
     got = weighted_sample(df.unionByName(bad), 20, "w")
     ids = [r["doc_id"] for r in got.collect()]
     assert len(ids) == 20 and all(i < 1000 for i in ids)
+
+
+def test_chunk_documents(spark):
+    from delta_spark.ops.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "x" * 450), (2, "y" * 400), (3, "z" * 401), (4, "s"), (5, "")],
+        "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=400, overlap=100)
+    rows = {(r["doc_id"], r["chunk_id"]): r["chunk"] for r in out.collect()}
+    # 450 chars, step 300: 2 chunks — [1..400], [301..450]
+    assert len(rows[(1, 0)]) == 400 and len(rows[(1, 1)]) == 150
+    # overlap: last 100 of chunk 0 == first 100 of chunk 1
+    assert rows[(1, 0)][-100:] == rows[(1, 1)][:100]
+    # exactly chunk_chars → one chunk; +1 → two
+    assert sum(1 for k in rows if k[0] == 2) == 1
+    assert sum(1 for k in rows if k[0] == 3) == 2
+    # tiny and empty docs produce one (possibly empty) chunk each
+    assert rows[(4, 0)] == "s" and rows[(5, 0)] == ""
+    # reconstruction: stripping the overlap from chunks 1.. rebuilds the doc
+    doc1 = rows[(1, 0)] + rows[(1, 1)][100:]
+    assert doc1 == "x" * 450
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=100, overlap=100)
