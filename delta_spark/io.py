@@ -127,16 +127,23 @@ def write_delta(
     else:
         metadata = txn.metadata
         part_cols = list(metadata.partitionColumns)
-        if partition_by and list(partition_by) != part_cols:
+        replacing_schema = mode == "overwrite" and overwrite_schema
+        if partition_by and list(partition_by) != part_cols \
+                and not replacing_schema:
             raise DeltaWriteError(
                 f"partitioning {partition_by} does not match table partitioning {part_cols}")
         table_schema = schema_from_json(metadata.schemaString)
-        if mode == "overwrite" and overwrite_schema:
+        if replacing_schema:
+            # overwriteSchema replaces partitioning too
+            # (ImplicitMetadataOperation isOverwriteMode +
+            # canOverwriteSchema): the new spec is partition_by, or
+            # unpartitioned when omitted — never the stale old columns,
+            # which may not even exist in the new schema
             table_schema = df.schema
             metadata = Metadata(
                 id=metadata.id, name=metadata.name, description=metadata.description,
                 format=metadata.format, schemaString=schema_to_json(table_schema),
-                partitionColumns=list(partition_by or part_cols),
+                partitionColumns=list(partition_by or []),
                 configuration=metadata.configuration, createdTime=metadata.createdTime)
             part_cols = list(metadata.partitionColumns)
             actions.append(metadata)

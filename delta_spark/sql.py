@@ -223,13 +223,16 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                 cm = re.match(
                     r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
                     r"(?:\s+(?P<nn>NOT\s+NULL))?"
+                    r"(?:\s+COMMENT\s+'(?P<cmt>(?:[^']|'')*)')?"
                     r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>\w+)`?)?\s*$",
                     part)
                 if cm is None:
                     raise ValueError(f"cannot parse column spec: {part.strip()!r}")
+                md = ({"comment": cm.group("cmt").replace("''", "'")}
+                      if cm.group("cmt") else None)
                 fields.append(T.StructField(
                     cm.group("n"), T._parse_datatype_string(cm.group("t")),
-                    nullable=not cm.group("nn")))
+                    nullable=not cm.group("nn"), metadata=md))
                 positions.append(
                     "first" if cm.group("first")
                     else ("after", cm.group("after")) if cm.group("after")
@@ -506,11 +509,38 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         for part in _split_top_level(m.group("cols"), angles=True):
             cm = re.fullmatch(
                 r"(?is)\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
-                r"(?P<nn>\s+NOT\s+NULL)?\s*", part)
+                r"(?P<nn>\s+NOT\s+NULL)?"
+                r"(?:\s+GENERATED\s+(?P<gkind>ALWAYS|BY\s+DEFAULT)\s+AS\s+"
+                r"(?:(?P<ident>IDENTITY)"
+                r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)\s*)?"
+                r"(?:,?\s*INCREMENT\s+BY\s+(?P<step>-?\d+)\s*)?\))?"
+                r"|\(\s*(?P<gexpr>.+?)\s*\)))?"
+                r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+                r"(?:\s+COMMENT\s+'(?P<cmt>(?:[^']|'')*)')?"
+                r"\s*", part)
             if not cm:
                 raise ValueError(f"cannot parse column definition {part!r}")
-            b = b.addColumn(cm.group("n"), cm.group("t").strip(),
-                            nullable=not cm.group("nn"))
+            gen_always, gen_default = None, None
+            if cm.group("ident"):
+                from delta_spark.table import IdentityGenerator
+
+                ig = IdentityGenerator(
+                    start=int(cm.group("start") or 1),
+                    step=int(cm.group("step") or 1))
+                if cm.group("gkind").upper() == "ALWAYS":
+                    gen_always = ig
+                else:
+                    gen_default = ig
+            elif cm.group("gexpr"):
+                gen_always = cm.group("gexpr")
+            b = b.addColumn(
+                cm.group("n"), cm.group("t").strip(),
+                nullable=not cm.group("nn"),
+                generatedAlwaysAs=gen_always,
+                generatedByDefaultAs=gen_default,
+                default=cm.group("dflt"),
+                comment=(cm.group("cmt").replace("''", "'")
+                         if cm.group("cmt") else None))
         if m.group("pcols"):
             b = b.partitionedBy(*[c.strip().strip("`")
                                   for c in m.group("pcols").split(",")])
@@ -529,7 +559,10 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
 
         df = _sql_with_delta_views(spark, m.group("q"))
         replace = "REPLACE" in s.upper().split("TABLE")[0]
-        v = write_delta(df, _path_of(m), mode="overwrite" if replace else "error")
+        # RTAS replaces the SCHEMA too (CreateDeltaTableCommand
+        # ReplaceTableAsSelect), not just the data
+        v = write_delta(df, _path_of(m), mode="overwrite" if replace else "error",
+                        overwrite_schema=replace)
         return spark.createDataFrame([(v if v is not None else -1,)], "version: long")
 
     m = re.fullmatch(rf"(?is)\s*SELECT\s+.+?\s+FROM\s+delta\.`(?P<path>[^`]+)`"

@@ -678,3 +678,37 @@ def test_sql_literal_edge_cases(spark, tmp_path):
     delta_sql(spark, f"INSERT INTO delta.`{t}` "
                      f"SELECT k + 10 FROM delta.`{t}` WHERE 'delta.`x`' != ''")
     assert dt.toDF().count() == 4
+
+
+def test_create_table_ddl_full_column_clauses(spark, tmp_path):
+    """CREATE TABLE DDL supports the full column-spec surface: NOT NULL,
+    GENERATED ALWAYS AS (expr), IDENTITY, DEFAULT, COMMENT — plus RTAS
+    (CREATE OR REPLACE ... AS SELECT) replacing schema AND partitioning."""
+    p = str(tmp_path / "t")
+    delta_sql(spark, f"""CREATE TABLE delta.`{p}` (
+        id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+        price DOUBLE NOT NULL COMMENT 'unit price',
+        ts TIMESTAMP,
+        year INT GENERATED ALWAYS AS (year(ts)),
+        qty INT DEFAULT 1
+    ) USING delta PARTITIONED BY (year)""")
+    delta_sql(spark, f"INSERT INTO delta.`{p}` (price, ts) "
+                     f"VALUES (9.5, TIMESTAMP '2024-03-04 05:06:07')")
+    delta_sql(spark, f"INSERT INTO delta.`{p}` (price, ts) "
+                     f"VALUES (1.5, TIMESTAMP '2025-01-01 00:00:00')")
+    rows = sorted(tuple(r) for r in delta_sql(
+        spark, f"SELECT id, year, qty FROM delta.`{p}`").collect())
+    assert rows == [(10, 2024, 1), (15, 2025, 1)]
+    snap = DeltaLog.for_table(p).update()
+    assert snap.partition_columns == ["year"]
+    assert snap.schema["price"].metadata.get("comment") == "unit price"
+    # ADD COLUMNS with COMMENT
+    delta_sql(spark, f"ALTER TABLE delta.`{p}` ADD COLUMNS (note STRING COMMENT 'free')")
+    assert DeltaLog.for_table(p).update().schema["note"].metadata["comment"] == "free"
+    # RTAS: schema AND partitioning replaced
+    delta_sql(spark, f"CREATE OR REPLACE TABLE delta.`{p}` AS SELECT 1 AS x")
+    snap2 = DeltaLog.for_table(p).update()
+    assert [f.name for f in snap2.schema.fields] == ["x"]
+    assert snap2.partition_columns == []
+    # old versions still time travel
+    assert DeltaTable.forPath(spark, p).asOfVersion(1).count() == 1
