@@ -276,20 +276,40 @@ class DeltaTable:
             T.StructField("createdAt", T.TimestampType()),
             T.StructField("lastModified", T.TimestampType()),
             T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("clusteringColumns", T.ArrayType(T.StringType())),
             T.StructField("numFiles", T.LongType()),
             T.StructField("sizeInBytes", T.LongType()),
             T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
             T.StructField("minReaderVersion", T.IntegerType()),
             T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("tableFeatures", T.ArrayType(T.StringType())),
         ])
+        # DescribeDeltaDetailsCommand:163 — explicit features plus the
+        # legacy versions' implied ones, sorted
+        from delta_spark.actions import implied_legacy_features
+
+        impl_r, impl_w = implied_legacy_features(snap.protocol)
+        features = sorted(impl_r | impl_w
+                          | set(snap.protocol.readerFeatures or [])
+                          | set(snap.protocol.writerFeatures or []))
+        clustering = []
+        dm = snap.domain_metadata.get("delta.clustering")
+        if dm is not None:
+            try:
+                clustering = list(json.loads(dm.configuration)
+                                  .get("clusteringColumns", []))
+            except (ValueError, TypeError):
+                pass
         row = (
             "delta", m.id if m else None, m.name if m else None,
             m.description if m else None, self.log.table_path,
             _dt.datetime.utcfromtimestamp((m.createdTime or 0) / 1000.0) if m and m.createdTime else None,
             _dt.datetime.utcfromtimestamp(snap.timestamp / 1000.0) if snap.timestamp else None,
-            list(m.partitionColumns) if m else [], snap.num_files, snap.size_in_bytes,
+            list(m.partitionColumns) if m else [], clustering,
+            snap.num_files, snap.size_in_bytes,
             dict(m.configuration) if m else {},
             snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+            features,
         )
         return self.spark.createDataFrame([row], schema)
 
@@ -1133,7 +1153,19 @@ class DeltaTable:
             domain="delta.clustering",
             configuration=json.dumps({"clusteringColumns": list(cols or [])}),
             removed=False)
-        return txn.commit([dm], "CLUSTER BY",
+        actions: list = [dm]
+        if cols:
+            # converting a plain table to clustered requires the
+            # clustering + domainMetadata writer features
+            # (ClusteredTableUtils.isSupported gate)
+            from delta_spark.actions import merge_protocol
+
+            p = txn.snapshot.protocol or Protocol()
+            have = set(p.writerFeatures or [])
+            if not {"clustering", "domainMetadata"} <= have:
+                actions.insert(0, merge_protocol(
+                    p, writer_feats={"clustering", "domainMetadata"}))
+        return txn.commit(actions, "CLUSTER BY",
                           {"clusterBy": json.dumps(list(cols or []))})
 
     def _update_metadata(self, config_fn, op: str, params: dict) -> int:

@@ -712,3 +712,20 @@ def test_create_table_ddl_full_column_clauses(spark, tmp_path):
     assert snap2.partition_columns == []
     # old versions still time travel
     assert DeltaTable.forPath(spark, p).asOfVersion(1).count() == 1
+
+
+def test_detail_clustering_and_features(spark, tmp_table, sf_dir):
+    """DESCRIBE DETAIL carries clusteringColumns and tableFeatures
+    (DescribeDeltaDetailsCommand:160-188: explicit + legacy-implied)."""
+    from delta_spark.datasets import load_table
+
+    write_delta(load_table(spark, sf_dir, "supplier"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    row = dt.detail().collect()[0]
+    assert row["clusteringColumns"] == []
+    # (1,2) legacy protocol implies appendOnly + invariants
+    assert set(row["tableFeatures"]) == {"appendOnly", "invariants"}
+    dt.alterClusterBy(["s_nationkey", "s_acctbal"])
+    row2 = dt.detail().collect()[0]
+    assert row2["clusteringColumns"] == ["s_nationkey", "s_acctbal"]
+    assert "clustering" in row2["tableFeatures"]
