@@ -92,6 +92,11 @@ def _expected_rows(table):
     "variant-stats-no-checkpoint",
     "variant-stats-nested-no-checkpoint",
     "variant-stats-with-struct-no-checkpoint",
+    "variant-stats-state-reconstruction",  # variant stats via checkpoint
+    "dbr_8_0_non_generated_columns",       # DBR 8.0 writer, empty table
+    "dbr_8_1_generated_columns",           # generated-column metadata
+    "table-with-dv-large",                 # many multi-container 'u' DVs
+    "history/delta-0.2.0",                 # pre-protocol-v2 history log
 ])
 def test_reference_written_table_reads(spark, fixture):
     table = os.path.join(REF, fixture)
@@ -271,3 +276,24 @@ def test_golden_checkpoint_log_replay(spark):
     DeltaLog.clear_cache()
     snap = DeltaLog.for_table(table).update()
     assert len(snap.all_files) == len(_naive_state(table))
+
+
+def test_gigantic_dv_log_plans_beyond_2_31_rows(spark):
+    """table-with-dv-gigantic: a synthetic 2.15-BILLION-row add with a
+    'u' DV over row indexes beyond 2^31 (the reference's 64-bit row
+    index test; data/DV blobs are absent from the fixture by design).
+    The snapshot must still PLAN from the log alone: parse the
+    descriptor, decode the z85 path, keep 64-bit row counts exact, and
+    include the file in a pruned scan listing."""
+    table = os.path.join(REF, "table-with-dv-gigantic")
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    files = snap.all_files
+    assert len(files) == 1
+    dv = files[0].deletionVector
+    assert dv is not None and dv["cardinality"] == 2147484
+    assert files[0].num_records == 2147483658  # > 2^31, no truncation
+    assert len(snap.files_for_scan("value >= 0")) == 1
+    assert len(snap.files_for_scan("value > 100")) == 0  # max stat = 21
+    from delta_spark.dv import absolute_dv_path
+    assert absolute_dv_path(table, dv).endswith(".bin")
