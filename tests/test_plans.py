@@ -261,3 +261,45 @@ def test_merge_source_materialization_is_conditional(spark, tmp_table, sf_dir,
        .whenMatchedUpdate(set={"l_quantity": "source.r"})
        .execute())
     assert len(calls) == 1
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """chunk_documents is a narrow per-row expansion: the physical plan
+    must contain no Exchange — at 100 TB a shuffle here would move the
+    whole corpus."""
+    from delta_spark.ops.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    """Brute-force kNN must broadcast the small query side; the corpus
+    never shuffles (ops/similarity.knn_cosine scale contract)."""
+    from delta_spark.ops.similarity import knn_brute_force
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).withColumnRenamed("vec_id", "query_id")
+    plan = _plan(knn_brute_force(emb, queries, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_subset_append_stays_codegen(spark, tmp_path, sf_dir):
+    """The null-fill projection for subset appends is a plain Project
+    over the scan — JVM-side, inside WholeStageCodegen, no Python."""
+    p = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "x")], "a long, b string"), p)
+    from delta_spark.util import schema_from_json
+    from delta_spark.log import DeltaLog
+    from delta_spark.writer import normalize_df
+
+    schema = schema_from_json(DeltaLog.for_table(p).update().metadata.schemaString)
+    out = normalize_df(spark.createDataFrame([(2,)], "a long"), schema,
+                       allow_missing_nullable=True)
+    plan = _plan(out)
+    assert "Project" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
