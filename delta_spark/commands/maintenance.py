@@ -359,6 +359,13 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
     if restored_meta is not None and (current.metadata is None
                                       or restored_meta != current.metadata):
         actions.append(restored_meta)
+    # clustering domain: RECREATED from the restored snapshot, not
+    # copied blindly; stale current-domain entries without a restored
+    # equivalent are tombstoned
+    # (DomainMetadataUtils.handleDomainMetadataForRestoreTable)
+    actions += _domain_diff(current, {
+        k: v for k, v in target.domain_metadata.items()
+        if k in _CLONEABLE_DOMAINS and not v.removed})
     actions += adds + removes
     metrics = {
         "tableSizeAfterRestore": str(target.size_in_bytes),
@@ -370,6 +377,29 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
 
 
 # -------------------------------------------------------------- CLONE ----
+
+_CLONEABLE_DOMAINS = {"delta.clustering"}
+
+
+def _domain_diff(target_txn_snapshot, desired: dict) -> list:
+    """DomainMetadata actions that make the target carry exactly the
+    `desired` cloneable domains (DomainMetadataUtils
+    handleDomainMetadataForReplaceTable role): stale cloneable domains
+    on the target are tombstoned, desired ones (re)written."""
+    from dataclasses import replace as _dc_replace
+
+    out = []
+    have = getattr(target_txn_snapshot, "domain_metadata", {}) or {}
+    for name in _CLONEABLE_DOMAINS:
+        want = desired.get(name)
+        cur = have.get(name)
+        if want is not None:
+            if cur is None or cur.configuration != want.configuration:
+                out.append(_dc_replace(want, removed=False))
+        elif cur is not None and not cur.removed:
+            out.append(_dc_replace(cur, removed=True))
+    return out
+
 
 def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
                   version: Optional[int] = None, replace: bool = False,
@@ -431,7 +461,13 @@ def shallow_clone(spark: SparkSession, log: DeltaLog, target_path: str,
             for f in src.all_files]
     metrics = {"sourceTableSize": str(src.size_in_bytes), "numCopiedFiles": "0",
                "sourceNumOfFiles": str(src.num_files)}
-    v = txn.commit([meta] + adds + replaced, "CLONE",
+    # the clustering domain travels with the clone
+    # (DomainMetadataUtils.handleDomainMetadataForCloneTable,
+    # METADATA_DOMAIN_TO_COPY_FOR_CLONE_TABLE)
+    domains = _domain_diff(txn.snapshot, {
+        k: v for k, v in src.domain_metadata.items()
+        if k in _CLONEABLE_DOMAINS and not v.removed})
+    v = txn.commit([meta] + domains + adds + replaced, "CLONE",
                    {"source": log.table_path, "sourceVersion": str(src.version),
                     "isShallow": "true"}, metrics)
     return {"version": v, **metrics}

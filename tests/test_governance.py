@@ -878,3 +878,36 @@ def test_identity_by_default_builder_allows_explicit(spark, tmp_table):
     dt = DeltaTable.forPath(spark, tmp_table)
     assert sorted((r["k"], r["uid"]) for r in dt.toDF().collect()) == \
         [(1, 77), (2, 1)]
+
+
+def test_clustering_domain_travels_with_clone_and_restore(spark, tmp_table, tmp_path):
+    """The delta.clustering metadata domain is COPIED by CLONE
+    (DomainMetadataUtils.METADATA_DOMAIN_TO_COPY_FOR_CLONE_TABLE) and
+    RECREATED from the restored snapshot by RESTORE
+    (handleDomainMetadataForRestoreTable) — without this, a cloned or
+    restored clustered table silently stops clustering on OPTIMIZE."""
+    import json as _json
+
+    write_delta(spark.range(50).withColumnRenamed("id", "a")
+                .withColumn("b", F.col("a") % 5), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.alterClusterBy(["b"])
+
+    def cols_of(path):
+        dm = DeltaLog.for_table(path).update().domain_metadata.get("delta.clustering")
+        if dm is None or dm.removed:
+            return None
+        return _json.loads(dm.configuration)["clusteringColumns"]
+
+    clone_path = str(tmp_path / "clone")
+    dt.clone(clone_path)
+    assert cols_of(clone_path) == ["b"]
+
+    v_b = DeltaLog.for_table(tmp_table).update().version
+    dt.alterClusterBy(["a"])
+    assert cols_of(tmp_table) == ["a"]
+    dt.restoreToVersion(v_b)
+    assert cols_of(tmp_table) == ["b"]
+    # restoring to the pre-clustering version drops the domain
+    dt.restoreToVersion(0)
+    assert cols_of(tmp_table) is None
