@@ -68,6 +68,21 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             f"{ending_version} was invalid. End cannot be before start.")
 
     snapshot = log.update()
+    # CDF must have been recorded for the WHOLE range: the reference
+    # checks the metadata at the start version and errors when CDF was
+    # not enabled there (CDCReader.changesToDF:260
+    # DeltaErrors.changeDataNotRecordedException) — silently returning
+    # synthesized rows for a pre-enable range would fabricate history
+    try:
+        start_cfg = log.snapshot_at(starting_version).configuration
+    except Exception:
+        start_cfg = snapshot.configuration
+    if _cdf_disabled_versions(start_cfg or {}):
+        raise ValueError(
+            f"Error getting change data for range [{starting_version}, "
+            f"{ending_version}] as change data was not recorded for "
+            f"version [{starting_version}]. Set "
+            f"delta.enableChangeDataFeed=true before the range start.")
     schema = snapshot.schema
     dfs: list[DataFrame] = []
 

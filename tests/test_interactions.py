@@ -488,3 +488,17 @@ def test_cdf_bound_validation(spark, tmp_table):
     # everything from version 0
     assert dt.table_changes(
         starting_timestamp="2000-01-01 00:00:00").count() == 6
+
+
+def test_cdf_range_before_enablement_errors(spark, tmp_table):
+    """A CDF read whose start version predates delta.enableChangeDataFeed
+    raises (CDCReader DeltaErrors.changeDataNotRecordedException) —
+    change data was simply not recorded for those commits."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)  # v0
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.enableChangeDataFeed": "true"})             # v1
+    write_delta(spark.range(3, 6).withColumnRenamed("id", "a"), tmp_table,
+                mode="append")                                           # v2
+    with pytest.raises(ValueError, match="change data was not recorded"):
+        dt.table_changes(starting_version=0).count()
+    assert dt.table_changes(starting_version=2).count() == 3
