@@ -1514,6 +1514,30 @@ class DeltaLog:
                 break
         return out
 
+    def version_for_time_travel(self, ts_millis: int) -> int:
+        """Strict TIMESTAMP AS OF resolution for READS
+        (DeltaHistoryManager.getActiveCommitAtTime with
+        canReturnLastCommit=false): a timestamp after the last commit is
+        an error (DeltaErrors.timestampGreaterThanLatestCommit), never a
+        silent read of latest — the table may gain commits before that
+        wall-clock time arrives, so the result would not be stable.
+        RESTORE keeps the lenient version_at_timestamp resolution
+        (canReturnLastCommit=true there)."""
+        v = self.version_at_timestamp(ts_millis)
+        latest = self.latest_version()
+        if v == latest:
+            try:
+                cfg = self._light_meta().configuration
+            except Exception:
+                cfg = {}
+            last_ts = self._commit_timestamp(latest, cfg=cfg)
+            if ts_millis > last_ts:
+                raise ValueError(
+                    f"The provided timestamp ({ts_millis} ms) is after the "
+                    f"latest version available to this table ({last_ts} ms). "
+                    f"Please use a timestamp before or at {last_ts} ms.")
+        return v
+
     def version_at_timestamp(self, ts_millis: int, after: bool = False) -> int:
         """Latest commit with timestamp <= ts
         (DeltaHistoryManager.getActiveCommitAtTime). With ``after``,

@@ -196,7 +196,7 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
         if m.group("ts"):
             from delta_spark.util import to_millis
 
-            version = src.log.version_at_timestamp(to_millis(m.group("ts")))
+            version = src.log.version_for_time_travel(to_millis(m.group("ts")))
         props = None
         if m.group("props"):
             props = {}

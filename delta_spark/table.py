@@ -203,7 +203,7 @@ class DeltaTable:
     def asOfTimestamp(self, ts: Union[str, _dt.datetime, int]) -> DataFrame:
         """Time travel read (TIMESTAMP AS OF)."""
         ms = _to_millis(ts)
-        return self.asOfVersion(self.log.version_at_timestamp(ms))
+        return self.asOfVersion(self.log.version_for_time_travel(ms))
 
     def table_changes(self, starting_version: Optional[int] = None,
                       ending_version: Optional[int] = None,

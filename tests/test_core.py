@@ -700,3 +700,22 @@ def test_append_with_missing_nullable_columns(spark, tmp_table):
     write_delta(df, p2)
     with pytest.raises(Exception, match="b"):
         write_delta(spark.createDataFrame([(2,)], "a long"), p2, mode="append")
+
+
+def test_time_travel_future_timestamp_strict(spark, tmp_table):
+    """TIMESTAMP AS OF past the latest commit errors for READS
+    (DeltaHistoryManager canReturnLastCommit=false /
+    timestampGreaterThanLatestCommit) — a silent read of latest would
+    not be a stable result. RESTORE stays lenient."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="after the latest version"):
+        dt.asOfTimestamp("2035-01-01 00:00:00").count()
+    from delta_spark.sql import delta_sql
+    with pytest.raises(ValueError, match="after the latest version"):
+        delta_sql(spark,
+                  f"SELECT * FROM delta.`{tmp_table}` "
+                  f"TIMESTAMP AS OF '2035-01-01 00:00:00'").count()
+    # lenient: RESTORE to a future timestamp restores to latest
+    dt.restoreToTimestamp("2035-01-01 00:00:00")
+    assert dt.toDF().count() == 3
