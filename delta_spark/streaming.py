@@ -217,6 +217,11 @@ class DeltaStreamReader(DataSourceStreamReader):
             starting_version = self.log.version_at_timestamp(
                 _to_millis(options["startingtimestamp"]), after=True)
         if starting_version is not None:
+            # DeltaOptions STARTING_VERSION_OPTION: the literal
+            # "latest" means ONLY changes committed after the stream
+            # starts — seed past the current version
+            if str(starting_version).strip().lower() == "latest":
+                starting_version = snap.version + 1
             v = int(starting_version)
             # schema as of the FIRST version to be read, not the
             # current one — historical commits carry their own schema

@@ -859,3 +859,27 @@ def test_batch_writer_rejects_unsupported_options(spark, tmp_path, sf_dir):
         (li.write.format("delta_py").mode("append").option("path", p)
            .option("partitionBy", "l_linestatus").save())
     assert DeltaTable.forPath(spark, p).toDF().count() == 50
+
+
+def test_streaming_starting_version_latest(spark, tmp_table, sf_dir, tmp_path):
+    """startingVersion='latest' (DeltaOptions STARTING_VERSION_OPTION):
+    the stream carries ONLY commits made after it starts — the existing
+    snapshot is never emitted."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    write_delta(events.limit(40), tmp_table)
+
+    out_tbl = str(tmp_path / "sink_svl")
+    ck = str(tmp_path / "ck_svl")
+    stream = read_stream(spark, tmp_table, startingVersion="latest")
+    q = write_stream(stream, out_tbl, ck, query_id="svlq")
+    q.awaitTermination(120)
+    # the pre-existing 40-row snapshot is NOT emitted
+    assert not DeltaTable.isDeltaTable(spark, out_tbl) or \
+        DeltaTable.forPath(spark, out_tbl).toDF().count() == 0
+
+    write_delta(events.limit(7), tmp_table, mode="append")
+    stream2 = read_stream(spark, tmp_table, startingVersion="latest")
+    q2 = write_stream(stream2, out_tbl, ck, query_id="svlq")
+    q2.awaitTermination(120)
+    assert DeltaTable.forPath(spark, out_tbl).toDF().count() == 7
