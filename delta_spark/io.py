@@ -49,6 +49,9 @@ def write_delta(
     mode: str = "append",
     partition_by: Optional[list[str]] = None,
     replace_where: Optional[str] = None,
+    replace_on: Optional[str] = None,
+    replace_using: Optional[list[str]] = None,
+    target_alias: Optional[str] = None,
     merge_schema: bool = False,
     overwrite_schema: bool = False,
     partition_overwrite_mode: str = "static",
@@ -68,6 +71,22 @@ def write_delta(
     mode = mode.lower()
     if mode not in ("append", "overwrite", "ignore", "error", "errorifexists"):
         raise ValueError(f"unknown write mode {mode!r}")
+    if (replace_on or replace_using) and replace_where:
+        # WriteIntoDelta:258 — the three replacement criteria are
+        # mutually exclusive
+        raise ValueError("replaceWhere, replaceOn or replaceUsing cannot "
+                         "be specified at the same time.")
+    if replace_on and replace_using:
+        raise ValueError("replaceWhere, replaceOn or replaceUsing cannot "
+                         "be specified at the same time.")
+    if (replace_on or replace_using) and mode != "overwrite":
+        raise ValueError("replaceOn/replaceUsing require mode='overwrite'")
+    source_for_replace = None
+    if replace_on or replace_using:
+        # the source is scanned for matching AND written: materialize
+        # once (InsertReplaceOnMaterializeSource role)
+        df = df.localCheckpoint(eager=True)
+        source_for_replace = df
     log = DeltaLog.for_table(path)
     # blind appends to a huge table never touch file state — with the
     # distributed-planning route the log is not replayed on the driver
@@ -286,6 +305,32 @@ def write_delta(
 
                 cdc_actions = list(cdc_actions) + write_cdc_files(
                     out_df.withColumn("_change_type", F.lit("insert")), log.table_path)
+        elif replace_on or replace_using:
+            from delta_spark.commands.delete import cdf_enabled
+            from delta_spark.commands.replace_on import (
+                replace_on_core,
+                replace_using_condition,
+            )
+
+            cond = replace_on
+            ta = target_alias
+            if replace_using:
+                ta = ta or "__tgt"
+                cond = replace_using_condition(
+                    list(replace_using),
+                    [f.name for f in table_schema.fields],
+                    source_for_replace.columns, ta)
+            cdf_on = cdf_enabled(cfg) and data_change
+            removes, extra_adds, cdc_actions, _m = replace_on_core(
+                spark, txn, source_for_replace, cond, ta, cfg,
+                with_cdf=cdf_on)
+            adds += extra_adds
+            if cdf_on:
+                from delta_spark.writer import write_cdc_files
+
+                cdc_actions = list(cdc_actions) + write_cdc_files(
+                    out_df.withColumn("_change_type", F.lit("insert")),
+                    log.table_path)
         elif partition_overwrite_mode.lower() == "dynamic":
             written_parts = {tuple(sorted(a.partitionValues.items())) for a in adds}
             for f in txn.snapshot.all_files:
@@ -314,6 +359,10 @@ def write_delta(
     params = {"mode": mode.capitalize(), "partitionBy": json.dumps(part_cols)}
     if replace_where:
         params["predicate"] = replace_where
+    if replace_on:
+        params["replaceOn"] = replace_on
+    if replace_using:
+        params["replaceUsing"] = json.dumps(list(replace_using))
     version = txn.commit(actions, op, params, metrics, user_metadata=user_metadata)
     _maybe_auto_compact(spark, log, cfg)
     return version

@@ -730,7 +730,8 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         # dropping replaceWhere would turn a scoped overwrite into a
         # full-table wipe
         unsupported = [o for o in ("replacewhere", "mergeschema",
-                                   "overwriteschema")
+                                   "overwriteschema", "replaceon",
+                                   "replaceusing")
                        if options.get(o)]
         if str(options.get("partitionoverwritemode", "")).lower() == "dynamic":
             unsupported.append("partitionOverwriteMode=dynamic")

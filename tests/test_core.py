@@ -719,3 +719,46 @@ def test_time_travel_future_timestamp_strict(spark, tmp_table):
     # lenient: RESTORE to a future timestamp restores to latest
     dt.restoreToTimestamp("2035-01-01 00:00:00")
     assert dt.toDF().count() == 3
+
+
+def test_replace_on_and_replace_using(spark, tmp_table):
+    """replaceOn/replaceUsing overwrites (WriteIntoDelta:239,
+    DeltaInsertReplaceOnOrUsingCommand): delete EXACTLY the target rows
+    matching ANY inserted row, append all new rows, one atomic commit.
+    Unlike MERGE, duplicate source matches are legal and every source
+    row is inserted."""
+    write_delta(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"),
+        tmp_table, configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+
+    new = spark.createDataFrame([(2, "B", 99), (5, "E", 50)],
+                                "k long, s string, v long")
+    write_delta(new, tmp_table, mode="overwrite", replace_using=["k"])
+    assert sorted(tuple(r) for r in dt.toDF().collect()) == \
+        [(1, "a", 10), (2, "B", 99), (3, "c", 30), (5, "E", 50)]
+    # one atomic commit with the expected CDF rows
+    ch = dt.table_changes(starting_version=1, ending_version=1)
+    counts = {r["_change_type"]: r["count"]
+              for r in ch.groupBy("_change_type").count().collect()}
+    assert counts == {"delete": 1, "insert": 2}
+
+    # duplicate source matches: both rows insert, matched target deleted
+    dup = spark.createDataFrame([(3, "z1", 1), (3, "z2", 2)],
+                                "k long, s string, v long")
+    write_delta(dup, tmp_table, mode="overwrite", replace_using=["k"])
+    assert dt.toDF().filter("k = 3").count() == 2
+
+    # replaceOn with a target alias and a target-only condition
+    src = spark.createDataFrame([(9, "n", 0)], "k long, s string, v long")
+    write_delta(src, tmp_table, mode="overwrite",
+                replace_on="t.v < 5", target_alias="t")
+    assert dt.toDF().filter("v < 5").count() == 1  # only the new row
+    assert dt.toDF().filter("k = 9").count() == 1
+
+    # criteria are mutually exclusive
+    with pytest.raises(ValueError, match="cannot be specified"):
+        write_delta(src, tmp_table, mode="overwrite",
+                    replace_using=["k"], replace_where="k > 0")
+    with pytest.raises(ValueError, match="must exist in both"):
+        write_delta(src, tmp_table, mode="overwrite", replace_using=["zz"])
