@@ -338,6 +338,18 @@ def assign_physical_names(schema: T.StructType, start_id: int = 0,
     return T.StructType(fields), next_id
 
 
+def drop_column_mapping_metadata(schema: T.StructType) -> T.StructType:
+    """Strip per-field mapping metadata (physicalName / id) —
+    DeltaColumnMapping.dropColumnMappingMetadata, used by
+    RemoveColumnMappingCommand."""
+    out = []
+    for f in schema.fields:
+        md = {k: v for k, v in (f.metadata or {}).items()
+              if k not in (COLUMN_MAPPING_PHYSICAL_KEY, COLUMN_MAPPING_ID_KEY)}
+        out.append(T.StructField(f.name, f.dataType, f.nullable, md or None))
+    return T.StructType(out)
+
+
 def with_identity_watermark(schema: T.StructType, column: str, watermark: int) -> T.StructType:
     fields = []
     for f in schema.fields:

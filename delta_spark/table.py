@@ -640,6 +640,18 @@ class DeltaTable:
         if new_mode is not None:
             cur = column_mapping_mode(self.log.update().configuration)
             if new_mode != cur:
+                if cur != "none" and new_mode == "none":
+                    # RemoveColumnMappingCommand: rewrite with logical
+                    # names, then apply the remaining plain properties
+                    v = self.removeColumnMapping()
+                    rest = {k: v2 for k, v2 in props.items()
+                            if k != COLUMN_MAPPING_MODE_KEY}
+                    if not rest:
+                        return v
+                    return self._update_metadata(
+                        lambda m: {**m.configuration, **rest},
+                        "SET TBLPROPERTIES",
+                        {"properties": json.dumps(rest)})
                 if cur != "none":
                     raise ValueError(
                         f"changing delta.columnMapping.mode from {cur!r} to "
@@ -777,6 +789,50 @@ class DeltaTable:
                           {"properties": json.dumps(
                               {**(extra_props or {}),
                                COLUMN_MAPPING_MODE_KEY: mode})})
+
+    def removeColumnMapping(self) -> int:
+        """SET TBLPROPERTIES ('delta.columnMapping.mode'='none') on a
+        mapped table (RemoveColumnMappingCommand.scala): rewrite every
+        file with LOGICAL column names, strip the per-field mapping
+        metadata, and drop the mapping properties — one commit whose
+        file actions are dataChange=false (pure rearrangement; streams
+        skip it). Fails if any logical name is parquet-hostile (those
+        need mapping to exist at all)."""
+        from delta_spark.schema import (
+            COLUMN_MAPPING_MAX_ID_KEY,
+            COLUMN_MAPPING_MODE_KEY,
+            column_mapping_mode,
+            drop_column_mapping_metadata,
+        )
+        from delta_spark.stats import stats_columns
+        from delta_spark.writer import write_files
+
+        txn = OptimisticTransaction(self.log)
+        m = txn.metadata
+        if m is None:
+            raise ValueError("table does not exist")
+        if column_mapping_mode(m.configuration) == "none":
+            return self.log.update().version  # already unmapped: no-op
+        snap = txn.snapshot
+        txn.read_whole_table()
+        data = read_snapshot(self.spark, snap)  # logical names
+        new_schema = drop_column_mapping_metadata(
+            schema_from_json(m.schemaString))
+        cfg = {k: v for k, v in m.configuration.items()
+               if k not in (COLUMN_MAPPING_MODE_KEY,
+                            COLUMN_MAPPING_MAX_ID_KEY)}
+        new_meta = Metadata(
+            id=m.id, name=m.name, description=m.description,
+            format=m.format, schemaString=schema_to_json(new_schema),
+            partitionColumns=m.partitionColumns, configuration=cfg,
+            createdTime=m.createdTime)
+        adds = write_files(data, self.log.table_path,
+                           list(m.partitionColumns),
+                           indexed_cols=stats_columns(cfg),
+                           data_change=False)
+        removes = [f.remove(data_change=False) for f in snap.all_files]
+        return txn.commit([new_meta] + adds + removes,
+                          "REMOVE COLUMN MAPPING", {})
 
     def renameColumn(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column

@@ -250,9 +250,10 @@ def test_set_tblproperties_mapping_upgrade(spark, tmp_table):
     # old data stays readable through a subsequent schema change
     dt.renameColumn("b", "c")
     assert [r["c"] for r in dt.toDF().collect()] == ["x"]
-    # only none→name is a legal transition (allowMappingModeChange)
+    # name→none now routes through RemoveColumnMappingCommand (its own
+    # test below); name→id remains illegal
     with pytest.raises(ValueError, match="not supported"):
-        dt.setProperties({"delta.columnMapping.mode": "none"})
+        dt.setProperties({"delta.columnMapping.mode": "id"})
     # same-mode set is a no-op pass-through, other keys still land
     dt.setProperties({"delta.columnMapping.mode": "name", "k": "v"})
     assert DeltaLog.for_table(tmp_table).update().configuration["k"] == "v"
@@ -350,3 +351,44 @@ def test_checkpoint_interval_must_be_positive(spark, tmp_table):
         write_delta(spark.range(1), tmp_table + "_b",
                     configuration={"delta.checkpointInterval": "0"})
     dt.setProperties({"delta.checkpointInterval": "7"})  # valid passes
+
+
+def test_remove_column_mapping(spark, tmp_table):
+    """delta.columnMapping.mode name→none (RemoveColumnMappingCommand):
+    every file is rewritten with LOGICAL names (dataChange=false),
+    per-field mapping metadata and the mapping properties are dropped,
+    and time travel into the mapped era still works."""
+    import json as _json
+
+    write_delta(spark.range(10).withColumnRenamed("id", "a"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.renameColumn("a", "z")
+    write_delta(spark.range(10, 20).withColumnRenamed("id", "z"), tmp_table,
+                mode="append")
+    dt.setProperties({"delta.columnMapping.mode": "none"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert snap.configuration.get("delta.columnMapping.mode", "none") == "none"
+    assert "delta.columnMapping.maxColumnId" not in snap.configuration
+    assert dict(snap.schema["z"].metadata or {}) == {}
+    # stats + files carry logical names now; pruning engages
+    st = _json.loads(snap.all_files[0].stats)
+    assert list(st["minValues"]) == ["z"]
+    assert len(snap.files_for_scan("z >= 15")) < snap.num_files
+    assert sorted(r["z"] for r in dt.toDF().collect()) == list(range(20))
+    # rearrangement only: every file action is dataChange=false
+    import os
+    last = os.path.join(tmp_table, "_delta_log", "%020d.json" % snap.version)
+    for line in open(last):
+        d = _json.loads(line)
+        for k in ("add", "remove"):
+            if k in d:
+                assert d[k]["dataChange"] is False
+    # the mapped era stays time-travelable
+    assert dt.asOfVersion(1).count() == 10
+    # a parquet-hostile logical name blocks removal
+    t2 = tmp_table + "_hostile"
+    write_delta(spark.range(3).withColumnRenamed("id", "a b"), t2,
+                configuration={"delta.columnMapping.mode": "name"})
+    with pytest.raises(ValueError, match="column names not allowed"):
+        DeltaTable.forPath(spark, t2).removeColumnMapping()
