@@ -505,6 +505,21 @@ class DeltaTable:
                                  "still contains variant columns")
         elif name == "rowTracking":
             self.unsetProperties(["delta.enableRowTracking"])
+            # RowTrackingUnBackfillCommand: strip baseRowId /
+            # defaultRowCommitVersion from every AddFile so the
+            # downgraded table carries no row-tracking state
+            # (dataChange=false re-commits, the backfill in reverse)
+            from dataclasses import replace as _replace
+
+            txn0 = OptimisticTransaction(self.log)
+            unback = [
+                _replace(f, dataChange=False, baseRowId=None,
+                         defaultRowCommitVersion=None)
+                for f in txn0.snapshot.all_files
+                if f.baseRowId is not None
+                or f.defaultRowCommitVersion is not None]
+            if unback:
+                txn0.commit(unback, "UNBACKFILL", {})
         elif name == "inCommitTimestamp":
             self.unsetProperties(["delta.enableInCommitTimestamps"])
         elif name == "icebergCompatV2":

@@ -90,3 +90,23 @@ def test_drop_unknown_or_absent(spark, tmp_table):
     dt = DeltaTable.forPath(spark, tmp_table)
     with pytest.raises(ValueError, match="not enabled"):
         dt.dropFeature("deletionVectors")
+
+
+def test_drop_row_tracking_unbackfills(spark, tmp_table):
+    """DROP FEATURE rowTracking strips baseRowId/defaultRowCommitVersion
+    from every AddFile (RowTrackingUnBackfillCommand), leaving no
+    row-tracking state behind."""
+    write_delta(spark.range(20).withColumnRenamed("id", "a"), tmp_table,
+                configuration={"delta.enableRowTracking": "true"})
+    write_delta(spark.range(20, 40).withColumnRenamed("id", "a"), tmp_table,
+                mode="append")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert any(f.baseRowId is not None for f in snap.all_files)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.dropFeature("rowTracking")
+    DeltaLog.clear_cache()
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    assert all(f.baseRowId is None and f.defaultRowCommitVersion is None
+               for f in snap2.all_files)
+    assert "rowTracking" not in (snap2.protocol.writerFeatures or [])
+    assert dt.toDF().count() == 40
