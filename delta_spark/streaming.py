@@ -199,6 +199,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             options.get("failondataloss", "true")).lower() != "false"
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self.ignore_deletes = str(options.get("ignoredeletes", "false")).lower() == "true"
+        if str(options.get("ignorefiledeletion", "false")).lower() == "true":
+            # deprecated alias of ignoreDeletes (DeltaSource.scala:764)
+            self.ignore_deletes = True
         self.skip_change_commits = str(options.get("skipchangecommits", "false")).lower() == "true"
         starting_version = options.get("startingversion")
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"

@@ -883,3 +883,20 @@ def test_streaming_starting_version_latest(spark, tmp_table, sf_dir, tmp_path):
     q2 = write_stream(stream2, out_tbl, ck, query_id="svlq")
     q2.awaitTermination(120)
     assert DeltaTable.forPath(spark, out_tbl).toDF().count() == 7
+
+
+def test_ignore_file_deletion_alias(spark, tmp_table, sf_dir, tmp_path):
+    """The deprecated ignoreFileDeletion option aliases ignoreDeletes
+    (DeltaSource.scala:764)."""
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(30), tmp_table, partition_by=["event_type"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    etype = dt.toDF().select("event_type").first()[0]
+    dt.delete(f"event_type = '{etype}'")
+    stream = read_stream(spark, tmp_table, startingVersion="0",
+                         ignoreFileDeletion="true")
+    q = (stream.writeStream.format("memory").queryName("m_igfd")
+         .option("checkpointLocation", str(tmp_path / "ck_igfd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM m_igfd").collect()[0]["c"] == 30
