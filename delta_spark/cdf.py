@@ -143,6 +143,16 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             rolling = rolling.clone_state()
             rolling.apply_actions(actions)
             rolling.version = v
+        if (adds or removes or cdc_files) and \
+                _cdf_disabled_versions(rolling.configuration or {}):
+            # CDF was off when this commit happened: change data was
+            # never recorded — synthesizing rows would fabricate
+            # history (CDCReader per-commit
+            # changeDataNotRecordedException)
+            raise ValueError(
+                f"Error getting change data for range "
+                f"[{starting_version}, {ending_version}] as change data "
+                f"was not recorded for version [{v}].")
         if cdc_files:
             _check_compat(rolling)
             cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])

@@ -312,6 +312,13 @@ def write_delta(
                 replace_using_condition,
             )
 
+            # match against the rows ACTUALLY INSERTED (out_df: after
+            # defaults/generated/identity/null-fill), not the raw
+            # query — a replaceUsing on a generated column must see the
+            # computed values. Deterministic across the two scans: df
+            # was checkpointed above, and the identity path checkpoints
+            # out_df itself.
+            source_for_replace = out_df
             cond = replace_on
             ta = target_alias
             if replace_using:
@@ -320,6 +327,12 @@ def write_delta(
                     list(replace_using),
                     [f.name for f in table_schema.fields],
                     source_for_replace.columns, ta)
+            if not data_change:
+                # replaceOn/Using DELETES data by definition — it can
+                # never be a pure rearrangement
+                raise DeltaWriteError(
+                    "dataChange=false cannot be combined with "
+                    "replaceOn/replaceUsing (the write removes rows)")
             cdf_on = cdf_enabled(cfg) and data_change
             removes, extra_adds, cdc_actions, _m = replace_on_core(
                 spark, txn, source_for_replace, cond, ta, cfg,

@@ -532,6 +532,11 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                 else:
                     gen_default = ig
             elif cm.group("gexpr"):
+                if cm.group("gkind").upper() != "ALWAYS":
+                    # the grammar only permits BY DEFAULT for IDENTITY
+                    raise ValueError(
+                        f"GENERATED BY DEFAULT is only supported for "
+                        f"IDENTITY columns (column {cm.group('n')})")
                 gen_always = cm.group("gexpr")
             b = b.addColumn(
                 cm.group("n"), cm.group("t").strip(),

@@ -994,7 +994,9 @@ def _pinned_snapshot(log, options):
     if ts is not None:
         from delta_spark.util import to_millis
 
-        return log.snapshot_at(log.version_at_timestamp(to_millis(ts)))
+        # strict read-side resolution: a future timestamp errors
+        # (DeltaHistoryManager canReturnLastCommit=false)
+        return log.snapshot_at(log.version_for_time_travel(to_millis(ts)))
     return log.update()
 
 

@@ -370,8 +370,9 @@ class DeltaTable:
                          isShallow: bool = True, replace: bool = False,
                          properties: Optional[dict] = None) -> "DeltaTable":
         """Reference python tables.py:789 `cloneAtTimestamp` — the
-        source version is the last commit at/before the timestamp."""
-        v = self.log.version_at_timestamp(_to_millis(timestamp))
+        source version is the last commit at/before the timestamp;
+        future timestamps error (read-side strict resolution)."""
+        v = self.log.version_for_time_travel(_to_millis(timestamp))
         return self.clone(target_path, version=v, is_shallow=isShallow,
                           replace=replace, properties=properties)
 
@@ -829,10 +830,20 @@ class DeltaTable:
         if column_mapping_mode(m.configuration) == "none":
             return self.log.update().version  # already unmapped: no-op
         snap = txn.snapshot
-        txn.read_whole_table()
-        data = read_snapshot(self.spark, snap)  # logical names
         new_schema = drop_column_mapping_metadata(
             schema_from_json(m.schemaString))
+        # validate logical names BEFORE the full-table rewrite
+        # (verifySchemaFieldNames) — failing at commit time would waste
+        # the rewrite and strand uncommitted parquet files
+        from delta_spark.schema import nested_field_names
+        bad = [n for n in nested_field_names(new_schema)
+               if any(ch in n for ch in " ,;{}()\n\t=")]
+        if bad:
+            raise ValueError(
+                f"column names not allowed without column mapping "
+                f"(parquet-invalid characters): {sorted(set(bad))}")
+        txn.read_whole_table()
+        data = read_snapshot(self.spark, snap)  # logical names
         cfg = {k: v for k, v in m.configuration.items()
                if k not in (COLUMN_MAPPING_MODE_KEY,
                             COLUMN_MAPPING_MAX_ID_KEY)}

@@ -306,6 +306,30 @@ class OptimisticTransaction:
         if metadatas:
             self._consume_protocol_props(actions, metadatas[0])
             metadatas = [a for a in actions if isinstance(a, Metadata)]
+        # committing DomainMetadata requires the feature (PROTOCOL.md
+        # domainMetadata writer feature; clustering domains additionally
+        # need the clustering feature) — gate at THE seam so CLONE,
+        # RESTORE, CLUSTER BY, and future paths can't write a
+        # spec-invalid log
+        live_domains = [a for a in actions
+                        if isinstance(a, DomainMetadata) and not a.removed]
+        if live_domains:
+            from delta_spark.actions import merge_protocol
+
+            need = {"domainMetadata"}
+            if any(a.domain == "delta.clustering" for a in live_domains):
+                need.add("clustering")
+            cur = (next((a for a in actions if isinstance(a, Protocol)), None)
+                   or self.snapshot.protocol or Protocol())
+            if not need <= set(cur.writerFeatures or []):
+                new = merge_protocol(cur, writer_feats=need)
+                replaced = False
+                for i, a in enumerate(actions):
+                    if isinstance(a, Protocol):
+                        actions[i] = new
+                        replaced = True
+                if not replaced:
+                    actions.insert(0, new)
         if self.read_version < 0:
             # first commit must establish protocol+metadata (prepareCommit)
             if not metadatas:

@@ -762,3 +762,32 @@ def test_replace_on_and_replace_using(spark, tmp_table):
                     replace_using=["k"], replace_where="k > 0")
     with pytest.raises(ValueError, match="must exist in both"):
         write_delta(src, tmp_table, mode="overwrite", replace_using=["zz"])
+
+
+def test_replace_using_sees_generated_columns(spark, tmp_table):
+    """replaceUsing matches against the rows ACTUALLY inserted —
+    generated columns computed by the write path participate."""
+    from delta_spark.table import DeltaTable as DT
+
+    (DT.create(spark).location(tmp_table)
+     .addColumn("k", "bigint")
+     .addColumn("ts", "timestamp")
+     .addColumn("year", "int", generatedAlwaysAs="year(ts)")
+     .execute())
+    write_delta(spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2023, 5, 1)),
+         (2, __import__("datetime").datetime(2024, 5, 1))], "k long, ts timestamp"),
+        tmp_table, mode="append")
+    # new data for 2024 only — replaces the 2024 row, keeps 2023
+    write_delta(spark.createDataFrame(
+        [(9, __import__("datetime").datetime(2024, 1, 1))], "k long, ts timestamp"),
+        tmp_table, mode="overwrite", replace_using=["year"])
+    rows = sorted((r["k"], r["year"]) for r in
+                  DeltaTable.forPath(spark, tmp_table).toDF().collect())
+    assert rows == [(1, 2023), (9, 2024)]
+    # replaceOn + dataChange=false is rejected
+    with pytest.raises(Exception, match="dataChange=false"):
+        write_delta(spark.createDataFrame(
+            [(3, __import__("datetime").datetime(2024, 2, 2))], "k long, ts timestamp"),
+            tmp_table, mode="overwrite", replace_using=["year"],
+            data_change=False)

@@ -502,3 +502,22 @@ def test_cdf_range_before_enablement_errors(spark, tmp_table):
     with pytest.raises(ValueError, match="change data was not recorded"):
         dt.table_changes(starting_version=0).count()
     assert dt.table_changes(starting_version=2).count() == 3
+
+
+def test_cdf_mid_range_disablement_errors(spark, tmp_table):
+    """A data commit made while CDF was DISABLED mid-range raises
+    (per-commit changeDataNotRecordedException) instead of synthesizing
+    fabricated change rows."""
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})  # v0
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.enableChangeDataFeed": "false"})           # v1
+    write_delta(spark.range(3, 6).withColumnRenamed("id", "a"), tmp_table,
+                mode="append")                                          # v2
+    dt.setProperties({"delta.enableChangeDataFeed": "true"})            # v3
+    write_delta(spark.range(6, 9).withColumnRenamed("id", "a"), tmp_table,
+                mode="append")                                          # v4
+    with pytest.raises(ValueError, match="not recorded for version \\[2\\]"):
+        dt.table_changes(starting_version=0).count()
+    # a range avoiding the dark commit works
+    assert dt.table_changes(starting_version=4).count() == 3

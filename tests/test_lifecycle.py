@@ -729,3 +729,41 @@ def test_detail_clustering_and_features(spark, tmp_table, sf_dir):
     row2 = dt.detail().collect()[0]
     assert row2["clusteringColumns"] == ["s_nationkey", "s_acctbal"]
     assert "clustering" in row2["tableFeatures"]
+
+
+def test_clone_of_clustered_table_carries_features(spark, tmp_table, tmp_path):
+    """A commit carrying live DomainMetadata auto-enables the
+    domainMetadata (+clustering) writer features at the transaction
+    seam — a clone of a clustered table must not produce a legacy
+    protocol with domain actions (spec violation)."""
+    write_delta(spark.range(20).withColumnRenamed("id", "a"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.alterClusterBy(["a"])
+    clone_path = str(tmp_path / "cl")
+    dt.clone(clone_path)
+    pr = DeltaLog.for_table(clone_path).update().protocol
+    assert "domainMetadata" in (pr.writerFeatures or [])
+    assert "clustering" in (pr.writerFeatures or [])
+
+
+def test_ddl_rejects_generated_by_default_expression(spark, tmp_path):
+    """GENERATED BY DEFAULT is only legal for IDENTITY — an expression
+    variant must fail at CREATE, not silently become GENERATED ALWAYS."""
+    p = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="BY DEFAULT"):
+        delta_sql(spark, f"CREATE TABLE delta.`{p}` "
+                         f"(ts TIMESTAMP, y INT GENERATED BY DEFAULT AS (year(ts))) USING delta")
+
+
+def test_datasource_timestamp_as_of_strict(spark, tmp_path, sf_dir):
+    """The delta_py batch reader's timestampAsOf option uses the same
+    strict future-timestamp resolution as every other read path."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), p)
+    from delta_spark.streaming import register
+    register(spark)
+    with _pytest.raises(Exception, match="after the latest version"):
+        (spark.read.format("delta_py").option("path", p)
+         .option("timestampAsOf", "2035-01-01 00:00:00").load().count())
