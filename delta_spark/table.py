@@ -87,14 +87,28 @@ class DeltaTable:
     @classmethod
     def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
         """Path-addressed table. Supports the reference's time-travel
-        path suffix (DeltaDataSource / DeltaTimeTravelSpec.scala:88):
-        `p@v123` pins reads to version 123."""
+        path suffixes (DeltaTimeTravelSpec.scala:88,98): `p@v123`
+        (case-insensitive v) pins reads to version 123 and
+        `p@yyyyMMddHHmmssSSS` (exactly 17 digits) pins to the last
+        commit at/before that timestamp. A directory literally named
+        with the suffix wins over the time-travel reading."""
         import re as _re
 
-        m = _re.fullmatch(r"(.*)@v(\d+)", path)
         pinned = None
+        m = _re.fullmatch(r"(.*)@[vV](\d+)", path)
         if m and not DeltaLog.for_table(path).table_exists():
             path, pinned = m.group(1), int(m.group(2))
+        else:
+            mt = _re.fullmatch(r"(.*)@(\d{17})", path)
+            if mt and not DeltaLog.for_table(path).table_exists():
+                import datetime as _dt
+
+                s = mt.group(2)
+                ts = _dt.datetime.strptime(s[:14], "%Y%m%d%H%M%S").replace(
+                    microsecond=int(s[14:]) * 1000, tzinfo=_dt.timezone.utc)
+                path = mt.group(1)
+                pinned = DeltaLog.for_table(path).version_for_time_travel(
+                    int(ts.timestamp() * 1000))
         log = DeltaLog.for_table(path)
         if not log.table_exists():
             raise ValueError(f"{path} is not a delta table")

@@ -767,3 +767,28 @@ def test_datasource_timestamp_as_of_strict(spark, tmp_path, sf_dir):
     with _pytest.raises(Exception, match="after the latest version"):
         (spark.read.format("delta_py").option("path", p)
          .option("timestampAsOf", "2035-01-01 00:00:00").load().count())
+
+
+def test_at_syntax_time_travel_paths(spark, tmp_path):
+    """Reference DeltaTimeTravelSpec.scala:88,98 `@vN` (case-insensitive)
+    and `@yyyyMMddHHmmssSSS` path suffixes pin reads, including through
+    delta_sql relations."""
+    import datetime as dt
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), p)              # v0
+    write_delta(spark.range(5).withColumnRenamed("id", "a"), p, mode="append")  # v1
+    assert DeltaTable.forPath(spark, p + "@v0").toDF().count() == 3
+    assert DeltaTable.forPath(spark, p + "@V1").toDF().count() == 8
+    assert delta_sql(spark, f"SELECT count(*) AS c FROM delta.`{p}@v0`") \
+        .collect()[0]["c"] == 3
+    # timestamp form: the last commit's own timestamp resolves to latest
+    log = DeltaLog.for_table(p)
+    ts = dt.datetime.fromtimestamp(
+        log._commit_timestamp(1) / 1000.0, dt.timezone.utc)
+    suffix = ts.strftime("%Y%m%d%H%M%S") + f"{ts.microsecond // 1000:03d}"
+    assert DeltaTable.forPath(spark, p + "@" + suffix).toDF().count() == 8
+    # a future timestamp errors (strict read-side resolution)
+    fut = (ts + dt.timedelta(days=365)).strftime("%Y%m%d%H%M%S") + "000"
+    with pytest.raises(Exception, match="after the latest version"):
+        DeltaTable.forPath(spark, p + "@" + fut).toDF().count()
