@@ -347,7 +347,30 @@ class OptimisticTransaction:
             uniform_hudi.validate_hudi_config(metadatas[0].configuration)
             _validate_checkpoint_interval(metadatas[0].configuration)
             self._assert_metadata_names(metadatas[0])
+            self._check_cdc_columns(metadatas[0])
             self._auto_enable_features(actions, metadatas[0])
+
+    _CDC_RESERVED = ("_change_type", "_commit_version", "_commit_timestamp")
+
+    def _check_cdc_columns(self, meta: Metadata) -> None:
+        """CDCReader.checkMetadataChange (CDCReader.scala:700): a
+        CDF-enabled table must not have columns shadowing the CDC read
+        schema — reads would be ambiguous."""
+        from delta_spark.commands.delete import cdf_enabled
+        from delta_spark.util import schema_from_json
+
+        if not cdf_enabled(meta.configuration or {}):
+            return
+        names = {f.name for f in schema_from_json(meta.schemaString).fields}
+        used = sorted(names & set(self._CDC_RESERVED))
+        if used:
+            if not cdf_enabled(self.snapshot.configuration or {}):
+                raise ValueError(
+                    f"unable to enable Change Data Capture on the table: "
+                    f"it already contains reserved columns {used}")
+            raise ValueError(
+                f"columns {used} are reserved for the Change Data Feed; "
+                f"rename them or disable delta.enableChangeDataFeed")
 
     def _consume_protocol_props(self, actions: list[Any],
                                 meta: Metadata) -> None:

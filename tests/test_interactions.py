@@ -521,3 +521,30 @@ def test_cdf_mid_range_disablement_errors(spark, tmp_table):
         dt.table_changes(starting_version=0).count()
     # a range avoiding the dark commit works
     assert dt.table_changes(starting_version=4).count() == 3
+
+
+def test_cdf_reserved_column_names_rejected(spark, tmp_table, tmp_path):
+    """CDCReader.scala:700 checkMetadataChange: a CDF-enabled table must
+    not carry columns shadowing the CDC read schema (_change_type,
+    _commit_version, _commit_timestamp) — at create, at enablement, and
+    at rename-into-collision."""
+    df = spark.range(3).withColumnRenamed("id", "_change_type")
+    with pytest.raises(ValueError, match="reserved columns"):
+        write_delta(df, tmp_table,
+                    configuration={"delta.enableChangeDataFeed": "true"})
+    # table that already has the column: enabling CDF errors
+    write_delta(df, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="reserved columns"):
+        dt.setProperties({"delta.enableChangeDataFeed": "true"})
+    # CDF-enabled table: renaming a column into the reserved set errors
+    p2 = str(tmp_path / "cdf2")
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), p2,
+                configuration={
+                    "delta.enableChangeDataFeed": "true",
+                    "delta.columnMapping.mode": "name",
+                    "delta.minReaderVersion": "2",
+                    "delta.minWriterVersion": "5"})
+    dt2 = DeltaTable.forPath(spark, p2)
+    with pytest.raises(ValueError, match="reserved"):
+        dt2.renameColumn("a", "_commit_version")
