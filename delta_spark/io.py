@@ -62,6 +62,7 @@ def write_delta(
     operation: Optional[str] = None,
     data_change: bool = True,
     max_records_per_file: Optional[int] = None,
+    compression: Optional[str] = None,
 ) -> Optional[int]:
     """Run one transactional write; returns the committed version (None
     when skipped: mode=ignore on existing table, or replayed txn).
@@ -81,6 +82,23 @@ def write_delta(
                          "be specified at the same time.")
     if (replace_on or replace_using) and mode != "overwrite":
         raise ValueError("replaceOn/replaceUsing require mode='overwrite'")
+    if partition_overwrite_mode.lower() not in ("static", "dynamic"):
+        # DeltaOptions.PARTITION_OVERWRITE_MODE: anything else is a
+        # typo, not a mode — never silently treat it as static
+        raise ValueError(
+            f"invalid partitionOverwriteMode {partition_overwrite_mode!r}; "
+            f"must be 'static' or 'dynamic'")
+    if partition_overwrite_mode.lower() == "dynamic":
+        # WriteIntoDelta.scala:210,223 — both pairs specify which data
+        # to overwrite, so combining them is ambiguous
+        if replace_where:
+            raise ValueError(
+                "'replaceWhere' cannot be used with dynamic partition "
+                "overwrite")
+        if overwrite_schema:
+            raise ValueError(
+                "'overwriteSchema' cannot be used with dynamic partition "
+                "overwrite")
     source_for_replace = None
     if replace_on or replace_using:
         # the source is scanned for matching AND written: materialize
@@ -276,6 +294,7 @@ def write_delta(
                        num_indexed_cols=_num_indexed_cols(cfg),
                        data_change=data_change,
                        target_file_rows=max_records_per_file,
+                       compression=compression,
                        shred_variant=str(cfg.get(
                            "delta.enableVariantShredding", "false")).lower() == "true")
 

@@ -71,6 +71,7 @@ def write_files(
     data_change: bool = True,
     target_file_rows: Optional[int] = None,
     shred_variant: bool = False,
+    compression: Optional[str] = None,
 ) -> list[AddFile]:
     """Write df's rows as new Parquet files under table_path; return
     AddFile actions (not yet committed). With `shred_variant`, variant
@@ -89,6 +90,11 @@ def write_files(
     if target_file_rows:
         # DeltaOptions maxRecordsPerFile: per-write row cap per file
         writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+    if compression:
+        # DeltaOptions COMPRESSION: per-write parquet codec (Spark
+        # validates the name — invalid codecs error before any file
+        # lands)
+        writer = writer.option("compression", compression)
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
     shred_confs = {"spark.sql.variant.writeShredding.enabled": "true",

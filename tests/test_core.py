@@ -791,3 +791,25 @@ def test_replace_using_sees_generated_columns(spark, tmp_table):
             [(3, __import__("datetime").datetime(2024, 2, 2))], "k long, ts timestamp"),
             tmp_table, mode="overwrite", replace_using=["year"],
             data_change=False)
+
+
+def test_write_option_combinations_and_compression(spark, tmp_table):
+    """DeltaOptionSuite semantics: replaceWhere/overwriteSchema conflict
+    with dynamic partition overwrite (WriteIntoDelta.scala:210,223), the
+    mode value is validated, and a per-write parquet codec is honored."""
+    import glob
+
+    df = spark.range(10).selectExpr("id AS k", "id % 2 AS part")
+    with pytest.raises(ValueError, match="overwriteSchema.*dynamic"):
+        write_delta(df, tmp_table, mode="overwrite", partition_by=["part"],
+                    partition_overwrite_mode="dynamic", overwrite_schema=True)
+    with pytest.raises(ValueError, match="replaceWhere.*dynamic"):
+        write_delta(df, tmp_table, mode="overwrite",
+                    replace_where="part = 0",
+                    partition_overwrite_mode="dynamic")
+    with pytest.raises(ValueError, match="partitionOverwriteMode"):
+        write_delta(df, tmp_table, partition_overwrite_mode="bogus")
+    write_delta(df, tmp_table, compression="zstd")
+    files = glob.glob(tmp_table + "/**/*.parquet", recursive=True)
+    assert files and all("zstd" in f for f in files)
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 10
