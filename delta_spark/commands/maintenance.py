@@ -29,6 +29,19 @@ from delta_spark.util import (
 
 # ------------------------------------------------------------- VACUUM ----
 
+def _hidden_segment(name: str, partition_cols: list[str]) -> bool:
+    """DeltaTableUtils.isHiddenDirectory (DeltaTable.scala:289):
+    underscore/dot segments are invisible to VACUUM — except
+    `_change_data` (stale CDC files MUST be reclaimable or they leak
+    forever), `_delta_index`, and partition directories of a column
+    whose own name starts with `_` or `.`."""
+    if not name.startswith(("_", ".")):
+        return False
+    if name.startswith(("_change_data", "_delta_index")):
+        return False
+    return not any(name.startswith(c + "=") for c in partition_cols)
+
+
 def vacuum_lite(spark: SparkSession, log: DeltaLog,
                 retention_hours: Optional[float] = None,
                 dry_run: bool = False) -> list[str]:
@@ -55,6 +68,21 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
         if p in active or not os.path.exists(p):
             continue
         victims.append(p)
+    # CDC files of commits outside the retention window
+    # (VacuumCommand.scala:860 unions `cdc` actions into the lite
+    # candidate set — without this, _change_data grows forever)
+    for v in log.list_commit_versions():
+        try:
+            if log._commit_timestamp(v, cfg=snapshot.configuration) >= cutoff:
+                continue
+            acts = log.read_commit_actions(v)
+        except Exception:
+            continue
+        for kind, a in acts:
+            if kind == "cdc":
+                p = os.path.normpath(_abs(log.table_path, a.path))
+                if os.path.exists(p):
+                    victims.append(p)
     if dry_run:
         return victims
     for p in victims:
@@ -62,16 +90,19 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
             os.remove(p)
         except OSError:
             pass
-    _remove_empty_dirs(log.table_path)
+    _remove_empty_dirs(log.table_path, snapshot.partition_columns or [])
     return victims
 
 
 def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] = None,
            dry_run: bool = False, inventory=None) -> list[str]:
     """Delete unreferenced data files older than the retention window
-    (VacuumCommand.gc). Hidden dirs (`_delta_log`, `_change_data`,
-    staging) are protected by the underscore/dot rule, like the
-    reference. Returns the deleted (or would-delete) absolute paths.
+    (VacuumCommand.gc). Hidden dirs (`_delta_log`, staging) are
+    protected by the underscore/dot rule; `_change_data` and
+    underscore-named partition dirs are traversed like the reference
+    (DeltaTable.scala:289 isHiddenDirectory), so stale CDC files are
+    reclaimed once they age out of the retention window. Returns the
+    deleted (or would-delete) absolute paths.
 
     ``inventory``: optional DataFrame (path, length, isDir,
     modificationTime) — the reference's VACUUM ... USING INVENTORY.
@@ -127,14 +158,17 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
 
     candidates: list[str] = []
     if inventory is not None:
-        candidates = _inventory_candidates(spark, log, inventory, valid, cutoff)
+        candidates = _inventory_candidates(
+            spark, log, inventory, valid, cutoff,
+            snapshot.partition_columns or [])
     else:
         # partitioned tables with many top-level dirs list as a Spark
         # job (VacuumCommand.scala's parallel listing): each executor
         # walks one subtree; the unreferenced-file anti-join runs
         # distributed through the same inventory path
+        pcols = snapshot.partition_columns or []
         seeds = [n for n in os.listdir(log.table_path)
-                 if not n.startswith(("_", "."))]
+                 if not _hidden_segment(n, pcols)]
         try:
             par_threshold = int(spark.conf.get(
                 "delta_spark.vacuum.parallelListingThreshold", "64"))
@@ -144,13 +178,14 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
                      if os.path.isdir(os.path.join(log.table_path, n)))
         if n_dirs >= par_threshold:
             candidates = _inventory_candidates(
-                spark, log, _distributed_listing(spark, log.table_path, seeds),
-                valid, cutoff)
+                spark, log, _distributed_listing(spark, log.table_path,
+                                                 seeds, pcols),
+                valid, cutoff, pcols)
         else:
             for root, dirs, files in os.walk(log.table_path):
-                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                dirs[:] = [d for d in dirs if not _hidden_segment(d, pcols)]
                 for name in files:
-                    if name.startswith(("_", ".")):
+                    if _hidden_segment(name, pcols):
                         continue
                     p = os.path.normpath(os.path.join(root, name))
                     if p in valid:
@@ -197,14 +232,15 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
             deleted += 1
         except OSError:
             pass
-    _remove_empty_dirs(log.table_path)
+    _remove_empty_dirs(log.table_path, snapshot.partition_columns or [])
     txn2 = OptimisticTransaction(log)
     txn2.commit([], "VACUUM END", {"status": "COMPLETED"},
                 {"numDeletedFiles": str(deleted)})
     return candidates
 
 
-def _distributed_listing(spark: SparkSession, root: str, seeds: list[str]):
+def _distributed_listing(spark: SparkSession, root: str, seeds: list[str],
+                         partition_cols: Optional[list[str]] = None):
     """Recursive table listing as a Spark job: each top-level entry
     fans out to an executor that walks its subtree and emits inventory
     rows (path, length, isDir, modificationTime). Executors must see
@@ -212,6 +248,7 @@ def _distributed_listing(spark: SparkSession, root: str, seeds: list[str]):
     (and in local mode). At 100 TB this replaces the driver-sequential
     walk of ~10⁵ partition dirs with one parallel stage."""
     abs_seeds = [os.path.join(root, n) for n in seeds]
+    pcols = list(partition_cols or [])
 
     def walk(seed: str):
         import os as _os
@@ -223,7 +260,7 @@ def _distributed_listing(spark: SparkSession, root: str, seeds: list[str]):
         except OSError:
             return
         for r, dirs, files in _os.walk(seed):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            dirs[:] = [d for d in dirs if not _hidden_segment(d, pcols)]
             for n in files:
                 p = _os.path.join(r, n)
                 try:
@@ -240,7 +277,8 @@ def _distributed_listing(spark: SparkSession, root: str, seeds: list[str]):
 
 
 def _inventory_candidates(spark: SparkSession, log: DeltaLog, inventory,
-                          valid: set[str], cutoff: int) -> list[str]:
+                          valid: set[str], cutoff: int,
+                          partition_cols: Optional[list[str]] = None) -> list[str]:
     """Unreferenced-file selection from a user-supplied inventory
     (VacuumCommand USING INVENTORY): normalize paths, drop dirs and
     hidden (underscore/dot-segment) paths, anti-join the referenced set
@@ -261,10 +299,19 @@ def _inventory_candidates(spark: SparkSession, log: DeltaLog, inventory,
             .filter(~F.col("isDir"))
             .filter(F.col("modificationTime") < F.lit(cutoff))
             .select(abs_path.alias("p"))
-            .filter(F.col("p").startswith(root + os.sep))
-            # hidden rule: no path segment under the root starts with _ or .
-            .filter(~F.substring(F.col("p"), len(root) + 2, 10**6)
-                    .rlike(r"(^|/)[._]")))
+            .filter(F.col("p").startswith(root + os.sep)))
+    # hidden rule (isHiddenDirectory): no path segment under the root
+    # starts with _ or . — except _change_data / _delta_index and
+    # partition dirs of underscore-named partition columns (negative
+    # lookahead keeps the filter one vectorized rlike)
+    import re as _re
+
+    allowed = ["_change_data", "_delta_index"] + [
+        _re.escape(c) + "=" for c in (partition_cols or [])
+        if c.startswith(("_", "."))]
+    cand = cand.filter(
+        ~F.substring(F.col("p"), len(root) + 2, 10**6)
+        .rlike(r"(^|/)(?!" + "|".join(allowed) + r")[._]"))
     valid_df = spark.createDataFrame([(v,) for v in sorted(valid)] or [("",)],
                                      "p: string")
     victims = (cand.join(F.broadcast(valid_df) if len(valid) < 500_000
@@ -273,14 +320,16 @@ def _inventory_candidates(spark: SparkSession, log: DeltaLog, inventory,
     return [os.path.normpath(r["p"]) for r in victims]
 
 
-def _remove_empty_dirs(root: str) -> None:
+def _remove_empty_dirs(root: str, partition_cols: Optional[list[str]] = None) -> None:
     dv_root = os.path.join(root, "_deletion_vectors")
     for dirpath, dirs, files in os.walk(root, topdown=False):
         if dirpath == root:
             continue
         base = os.path.basename(dirpath)
         under_dv = dirpath.startswith(dv_root + os.sep)
-        if base.startswith(("_", ".")) and not under_dv:
+        if _hidden_segment(base, partition_cols or []) and not under_dv:
+            # (emptied _change_data and underscore-named partition dirs
+            # are NOT hidden, so they are removable)
             continue
         try:
             os.rmdir(dirpath)  # only succeeds when empty

@@ -792,3 +792,65 @@ def test_at_syntax_time_travel_paths(spark, tmp_path):
     fut = (ts + dt.timedelta(days=365)).strftime("%Y%m%d%H%M%S") + "000"
     with pytest.raises(Exception, match="after the latest version"):
         DeltaTable.forPath(spark, p + "@" + fut).toDF().count()
+
+
+def test_vacuum_reclaims_stale_cdc_and_underscore_partitions(spark, tmp_path):
+    """isHiddenDirectory (DeltaTable.scala:289): `_change_data` and
+    partition dirs of underscore-named columns are NOT hidden to
+    VACUUM — stale CDC files age out of the retention window
+    (DeltaVacuumSuite 'vacuum for cdc - delete tombstones'), and
+    underscore-partition files are GC'd normally."""
+    import glob
+
+    spark.conf.set("delta_spark.retentionDurationCheck.enabled", "false")
+    try:
+        p = str(tmp_path / "cdc")
+        write_delta(spark.range(10).selectExpr("id", "id % 2 AS part"), p,
+                    partition_by=["part"],
+                    configuration={"delta.enableChangeDataFeed": "true"})
+        dt = DeltaTable.forPath(spark, p)
+        dt.delete("id = 9")
+        cdc = lambda: glob.glob(p + "/_change_data/**/*.parquet", recursive=True)
+        assert len(cdc()) == 1
+        dt.vacuum(100)            # inside the window: kept
+        assert len(cdc()) == 1
+        dt.vacuum(0)              # outside: reclaimed
+        assert cdc() == []
+        assert dt.toDF().count() == 9
+
+        p2 = str(tmp_path / "und")
+        df2 = spark.range(10).selectExpr("id", "id % 2 AS _upart")
+        write_delta(df2, p2, partition_by=["_upart"])
+        dt2 = DeltaTable.forPath(spark, p2)
+        write_delta(df2.filter("id < 4"), p2, mode="overwrite")
+        dt2.vacuum(0)
+        live = {os.path.basename(f.path) for f
+                in DeltaLog.for_table(p2).update().all_files}
+        on_disk = {os.path.basename(f) for f in
+                   glob.glob(p2 + "/_upart=*/**/*.parquet", recursive=True)}
+        assert on_disk == live          # every stale file reclaimed
+        assert dt2.toDF().count() == 4
+    finally:
+        spark.conf.unset("delta_spark.retentionDurationCheck.enabled")
+
+
+def test_vacuum_lite_reclaims_expired_cdc(spark, tmp_path):
+    """Lite vacuum unions `cdc` actions of commits outside the window
+    into its candidate set (VacuumCommand.scala:860) — without a full
+    listing."""
+    import glob
+
+    from delta_spark.commands.maintenance import vacuum_lite
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10).withColumnRenamed("id", "a"), p,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, p)
+    dt.delete("a = 1")
+    assert glob.glob(p + "/_change_data/**/*.parquet", recursive=True)
+    victims = vacuum_lite(spark, DeltaLog.for_table(p),
+                          retention_hours=0, dry_run=True)
+    assert any("_change_data" in v for v in victims)
+    vacuum_lite(spark, DeltaLog.for_table(p), retention_hours=0)
+    assert glob.glob(p + "/_change_data/**/*.parquet", recursive=True) == []
+    assert dt.toDF().count() == 9
