@@ -988,7 +988,21 @@ class DeltaLog:
                 "defaultRowCommitVersion": f.defaultRowCommitVersion,
                 "clusteringProvider": f.clusteringProvider,
             }})
+        # InMemoryLogReplay minFileRetentionTimestamp: tombstones older
+        # than delta.deletedFileRetentionDuration drop out of the
+        # checkpoint (DeltaRetentionSuite "RemoveFiles get deleted
+        # during checkpoint") — otherwise checkpoints of churny tables
+        # carry every remove ever made
+        ret_ms = None
+        cfg_ret = snap.configuration.get("delta.deletedFileRetentionDuration")
+        if cfg_ret:
+            ret_ms = parse_interval_ms(cfg_ret)
+        if ret_ms is None:
+            ret_ms = DEFAULT_DELETED_FILE_RETENTION_MS
+        tomb_cutoff = current_time_millis() - ret_ms
         for r in snap.tombstones.values():
+            if (r.deletionTimestamp or 0) < tomb_cutoff:
+                continue
             rows.append({"remove": {
                 "path": r.path, "deletionTimestamp": r.deletionTimestamp,
                 "dataChange": bool(r.dataChange), "partitionValues": r.partitionValues or {},
@@ -1178,6 +1192,18 @@ class DeltaLog:
         fdf = (allacts.withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__rn") == 1)
                .select("add", "remove"))
+        # expire aged tombstones, same cutoff as the python writer
+        # (InMemoryLogReplay minFileRetentionTimestamp)
+        ret_ms = parse_interval_ms(
+            cfg.get("delta.deletedFileRetentionDuration") or "") \
+            if cfg.get("delta.deletedFileRetentionDuration") else None
+        if ret_ms is None:
+            ret_ms = DEFAULT_DELETED_FILE_RETENTION_MS
+        tomb_cutoff = current_time_millis() - ret_ms
+        fdf = fdf.filter(
+            F.col("remove.path").isNull()
+            | (F.coalesce(F.col("remove.deletionTimestamp"), F.lit(0))
+               >= F.lit(tomb_cutoff)))
         for f in target.fields:
             if f.name not in ("add", "remove"):
                 fdf = fdf.withColumn(f.name, F.lit(None).cast(f.dataType))

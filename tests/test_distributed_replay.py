@@ -5,6 +5,7 @@ stateReconstruction, DataSkippingReader.scala:656)."""
 
 import json
 import os
+import time as _time
 
 import pytest
 
@@ -43,8 +44,11 @@ def _synth_log(base: str, n_batches: int = 40, adds_per: int = 50):
                  for i in range(adds_per)]
         if b > 0 and b % 7 == 0:
             # tombstone an earlier file
+            # recent timestamp: checkpoint writers expire tombstones
+            # older than deletedFileRetentionDuration, and this fixture
+            # asserts reconciliation parity, not retention
             lines.append({"remove": {"path": f"p={(b - 1) % 5}/f_{b - 1}_0.parquet",
-                                     "deletionTimestamp": 2000 + v,
+                                     "deletionTimestamp": int(_time.time() * 1000),
                                      "dataChange": True}})
         _commit(ld, v, lines)
         v += 1

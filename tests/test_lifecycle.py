@@ -854,3 +854,29 @@ def test_vacuum_lite_reclaims_expired_cdc(spark, tmp_path):
     vacuum_lite(spark, DeltaLog.for_table(p), retention_hours=0)
     assert glob.glob(p + "/_change_data/**/*.parquet", recursive=True) == []
     assert dt.toDF().count() == 9
+
+
+def test_checkpoint_expires_aged_tombstones(spark, tmp_path):
+    """DeltaRetentionSuite 'RemoveFiles get deleted during checkpoint if
+    retention time has passed': both checkpoint writers drop tombstones
+    older than delta.deletedFileRetentionDuration; fresh ones survive."""
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10).withColumnRenamed("id", "a"), p,
+                configuration={
+                    "delta.deletedFileRetentionDuration": "interval 0 hours"})
+    write_delta(spark.range(4).withColumnRenamed("id", "a"), p,
+                mode="overwrite")
+    log = DeltaLog.for_table(p)
+    log.write_checkpoint()
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(p).update()
+    assert snap.tombstones == {}
+    assert DeltaTable.forPath(spark, p).toDF().count() == 4
+    # default retention: fresh tombstones are kept
+    p2 = str(tmp_path / "t2")
+    write_delta(spark.range(10).withColumnRenamed("id", "a"), p2)
+    write_delta(spark.range(4).withColumnRenamed("id", "a"), p2,
+                mode="overwrite")
+    DeltaLog.for_table(p2).write_checkpoint()
+    DeltaLog.clear_cache()
+    assert len(DeltaLog.for_table(p2).update().tombstones) > 0
