@@ -1640,6 +1640,15 @@ class DeltaLog:
                 if os.stat(path).st_mtime * 1000 < cutoff:
                     os.remove(path)
                     deleted += 1
+                    # the version's checksum goes with its commit
+                    # (DeltaRetentionSuite "the checkpoint and checksum
+                    # for version 0 should be cleaned")
+                    try:
+                        os.remove(os.path.join(
+                            self.log_path, "%020d.crc" % v))
+                        deleted += 1
+                    except OSError:
+                        pass
             except OSError:
                 pass
         for name in self.store.list_dir(self.log_path):

@@ -880,3 +880,33 @@ def test_checkpoint_expires_aged_tombstones(spark, tmp_path):
     DeltaLog.for_table(p2).write_checkpoint()
     DeltaLog.clear_cache()
     assert len(DeltaLog.for_table(p2).update().tombstones) > 0
+
+
+def test_log_cleanup_removes_crc_files(spark, tmp_path):
+    """Expired commits take their .crc checksums with them
+    (DeltaRetentionSuite 'the checkpoint and checksum for version 0
+    should be cleaned')."""
+    import glob as _glob
+
+    from delta_spark.util import current_time_millis
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(5).withColumnRenamed("id", "a"), p)
+    for i in range(3):
+        write_delta(spark.range(5).withColumnRenamed("id", "a"), p,
+                    mode="append")
+    log = DeltaLog.for_table(p)
+    log.write_checkpoint()
+    n_crc_before = len(_glob.glob(os.path.join(p, "_delta_log", "*.crc")))
+    assert n_crc_before >= 4
+    log.cleanup_expired_logs(
+        now_ms=current_time_millis() + log.log_retention_ms() + 60_000)
+    remaining_json = _glob.glob(os.path.join(p, "_delta_log", "*[0-9].json"))
+    remaining_crc = _glob.glob(os.path.join(p, "_delta_log", "*.crc"))
+    # every surviving crc belongs to a surviving commit or the tip
+    surviving = {os.path.basename(j)[:20] for j in remaining_json}
+    assert all(os.path.basename(c)[:20] in surviving or
+               os.path.basename(c)[:20] == "%020d" % log.latest_version()
+               for c in remaining_crc)
+    assert len(remaining_crc) < n_crc_before
+    assert DeltaTable.forPath(spark, p).toDF().count() == 20
