@@ -1509,6 +1509,10 @@ class DeltaLog:
             cfg = {}
         ict = str(cfg.get("delta.enableInCommitTimestamps",
                           "false")).lower() == "true"
+        # DESCRIBE HISTORY monotonizes too (getHistoryImpl:140) so its
+        # timestamps stay round-trippable through TIMESTAMP AS OF even
+        # under clock skew
+        mono = dict(self._monotonic_commit_timestamps())
         for v in reversed(self.list_commit_versions()):
             ci: Optional[CommitInfo] = None
             for kind, a in self.read_commit_actions(v):
@@ -1522,7 +1526,7 @@ class DeltaLog:
             if ict and ci is not None and ci.timestamp:
                 ts = ci.timestamp
             else:
-                ts = self._commit_timestamp(v, cfg={})
+                ts = mono.get(v, self._commit_timestamp(v, cfg={}))
             row = {
                 "version": v,
                 "timestamp": ts,
@@ -1552,11 +1556,8 @@ class DeltaLog:
         v = self.version_at_timestamp(ts_millis)
         latest = self.latest_version()
         if v == latest:
-            try:
-                cfg = self._light_meta().configuration
-            except Exception:
-                cfg = {}
-            last_ts = self._commit_timestamp(latest, cfg=cfg)
+            seq = self._monotonic_commit_timestamps()
+            last_ts = seq[-1][1] if seq else 0
             if ts_millis > last_ts:
                 raise ValueError(
                     f"The provided timestamp ({ts_millis} ms) is after the "
@@ -1564,25 +1565,41 @@ class DeltaLog:
                     f"Please use a timestamp before or at {last_ts} ms.")
         return v
 
+    def _monotonic_commit_timestamps(self) -> list[tuple[int, int]]:
+        """(version, timestamp) for every commit, oldest first, with
+        DeltaHistoryManager.monotonizeCommitTimestamps applied: clock
+        skew can give commit N+1 an mtime before commit N's; history
+        and time travel must agree on one monotonic sequence, so a
+        non-increasing timestamp becomes predecessor + 1 ms. A no-op
+        for in-commit-timestamp tables (ICT is monotonic by protocol)."""
+        try:
+            cfg = self._light_meta().configuration
+        except Exception:
+            cfg = {}
+        out: list[tuple[int, int]] = []
+        prev = None
+        for v in self.list_commit_versions():
+            ts = self._commit_timestamp(v, cfg=cfg)
+            if prev is not None and ts <= prev:
+                ts = prev + 1
+            out.append((v, ts))
+            prev = ts
+        return out
+
     def version_at_timestamp(self, ts_millis: int, after: bool = False) -> int:
         """Latest commit with timestamp <= ts
         (DeltaHistoryManager.getActiveCommitAtTime). With ``after``,
         the EARLIEST commit with timestamp >= ts instead — streaming's
         startingTimestamp semantics ("changes committed at or after")."""
-        # same clock history() reports: ICT detection must not depend on
-        # a hydrated snapshot (cold DeltaLog in a fresh process)
-        try:
-            cfg = self._light_meta().configuration
-        except Exception:
-            cfg = {}
+        seq = self._monotonic_commit_timestamps()
         if after:
-            for v in self.list_commit_versions():
-                if self._commit_timestamp(v, cfg=cfg) >= ts_millis:
+            for v, ts in seq:
+                if ts >= ts_millis:
                     return v
             raise ValueError(f"No commit at or after timestamp {ts_millis}")
         best = None
-        for v in self.list_commit_versions():
-            if self._commit_timestamp(v, cfg=cfg) <= ts_millis:
+        for v, ts in seq:
+            if ts <= ts_millis:
                 best = v
             else:
                 break

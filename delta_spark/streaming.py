@@ -208,6 +208,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._log = None
         self._meta_cache: dict[int, object] = {}
         snap = self.log.update()
+        self._table_id = snap.metadata.id if snap.metadata else None
         if starting_version is not None and options.get("startingtimestamp"):
             raise ValueError(
                 "Please either provide 'startingVersion' or "
@@ -296,7 +297,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         _trace("initialOffset")
         # only called for a brand-new query → a safe admission base
         self._pos = dict(self._initial)
-        return self._initial
+        off = dict(self._initial)
+        if self._table_id:
+            off["reservoirId"] = self._table_id
+        return off
 
     def _excluded(self, f: AddFile) -> bool:
         return bool(self.exclude_re and self.exclude_re.search(f.path))
@@ -403,6 +407,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                 yield (cv, idx, adds[idx].size or 0, False)
 
     def latestOffset(self) -> dict:
+        off = self._latest_offset()
+        if self._table_id:
+            # table identity rides in every offset so a restart against
+            # a replaced table fails instead of serving garbage
+            # (DeltaSourceOffset.reservoirId / "unmatched reservoir id")
+            off["reservoirId"] = self._table_id
+        return off
+
+    def _latest_offset(self) -> dict:
         """Report the next microbatch's end offset, capped by
         maxFilesPerTrigger / maxBytesPerTrigger relative to the last
         planned offset (the reference's ReadLimit admission control,
@@ -486,6 +499,15 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         _trace(f"partitions {start} -> {end}")
+        for off in (start, end):
+            rid = off.get("reservoirId")
+            if rid and self._table_id and rid != self._table_id:
+                raise RuntimeError(
+                    f"The checkpointed offsets belong to a different delta "
+                    f"table (id {rid}) than the one now at {self.path} "
+                    f"(id {self._table_id}) — the table was deleted and "
+                    f"recreated. Restart the stream with a new checkpoint "
+                    f"location.")
         # planned through `end` — the admission base for the next
         # latestOffset (also re-seeds it after a mid-stream restart,
         # where Spark replans from the checkpointed offsets)

@@ -910,3 +910,27 @@ def test_log_cleanup_removes_crc_files(spark, tmp_path):
                for c in remaining_crc)
     assert len(remaining_crc) < n_crc_before
     assert DeltaTable.forPath(spark, p).toDF().count() == 20
+
+
+def test_time_travel_with_adjusted_timestamps(spark, tmp_path):
+    """DeltaHistoryManager.monotonizeCommitTimestamps: when clock skew
+    gives commit N+1 an mtime before commit N's, history and timestamp
+    time travel agree on one adjusted monotonic sequence."""
+    p = str(tmp_path / "t")
+    write_delta(spark.range(1).withColumnRenamed("id", "a"), p)
+    write_delta(spark.range(2).withColumnRenamed("id", "a"), p, mode="append")
+    write_delta(spark.range(3).withColumnRenamed("id", "a"), p, mode="append")
+    log = DeltaLog.for_table(p)
+    t2 = os.stat(log.commit_file(2)).st_mtime
+    os.utime(log.commit_file(1), (t2 + 10, t2 + 10))  # v1 after v2
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(p)
+    seq = log._monotonic_commit_timestamps()
+    assert all(seq[i][1] < seq[i + 1][1] for i in range(len(seq) - 1))
+    dt = DeltaTable.forPath(spark, p)
+    hist = dt.history().collect()
+    hts = [r["timestamp"] for r in hist]
+    assert all(hts[i] > hts[i + 1] for i in range(len(hts) - 1))
+    for r in hist:  # each history timestamp resolves to its own version
+        assert dt.asOfTimestamp(r["timestamp"]).count() == \
+            dt.asOfVersion(r["version"]).count()

@@ -900,3 +900,35 @@ def test_ignore_file_deletion_alias(spark, tmp_table, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM m_igfd").collect()[0]["c"] == 30
+
+
+def test_restart_against_recreated_table_fails(spark, tmp_table, sf_dir, tmp_path):
+    """Offsets carry the table id (DeltaSourceOffset.reservoirId): a
+    restart from a checkpoint written against a table that was since
+    deleted and recreated must fail, not silently serve the new
+    table's commits ('unmatched reservoir id')."""
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10), tmp_table)
+    ck = str(tmp_path / "ck")
+    out_tbl = str(tmp_path / "out")
+    q = write_stream(read_stream(spark, tmp_table), out_tbl, ck,
+                     query_id="ridq")
+    q.awaitTermination(120)
+    assert DeltaTable.forPath(spark, out_tbl).toDF().count() == 10
+    # delete + recreate the source table (new metadata id)
+    shutil.rmtree(tmp_table)
+    DeltaLog.clear_cache()
+    write_delta(events.limit(7), tmp_table)
+    q2 = write_stream(read_stream(spark, tmp_table), out_tbl, ck,
+                      query_id="ridq")
+    failed = False
+    try:
+        q2.awaitTermination(120)
+        failed = q2.exception() is not None
+    except Exception:
+        failed = True
+    assert failed, "restart against a recreated table must fail"
+    err = str(q2.exception() or "")
+    assert "deleted and recreated" in err or "different delta table" in err
