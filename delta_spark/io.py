@@ -106,6 +106,19 @@ def write_delta(
         df = df.localCheckpoint(eager=True)
         source_for_replace = df
     log = DeltaLog.for_table(path)
+    if not log.table_exists():
+        # a literal `p@v3` / `p@yyyyMMddHHmmssSSS` path that is NOT a
+        # table but whose base IS one is a time-travel spec — writing
+        # would silently create a second table next to the real one
+        # (DeltaHistoryManagerSuite "cannot time travel target tables
+        # of insert/...")
+        import re as _re
+
+        m = _re.fullmatch(r"(.*)@(?:[vV]\d+|\d{17})", path)
+        if m and DeltaLog.for_table(m.group(1)).table_exists():
+            raise DeltaWriteError(
+                f"cannot write to a time-travelled table ({path!r}); "
+                f"writes must target the live table {m.group(1)!r}")
     # blind appends to a huge table never touch file state — with the
     # distributed-planning route the log is not replayed on the driver
     # at all (light snapshot; overwrite paths hydrate lazily)

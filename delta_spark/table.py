@@ -235,17 +235,29 @@ class DeltaTable:
 
     # ------------------------------------------------------------- DML ----
 
+    def _no_time_travel(self, op: str) -> None:
+        """DeltaHistoryManagerSuite 'cannot time travel target tables of
+        insert/delete/update/merge': a version-pinned handle (p@v /
+        VERSION AS OF) is a read, never a DML target."""
+        if getattr(self, "_pinned_version", None) is not None:
+            raise ValueError(
+                f"{op} on a time-travelled table is not allowed "
+                f"(the table is pinned to version {self._pinned_version})")
+
     def delete(self, condition: Union[str, Column, None] = None) -> int:
+        self._no_time_travel("DELETE")
         return execute_delete(self.spark, self.log, _cond_to_sql(condition))
 
     def update(self, set: Union[dict, str, Column, None] = None,
                condition: Union[str, Column, dict, None] = None) -> int:
+        self._no_time_travel("UPDATE")
         set, condition = _set_and_cond(set, condition)
         set_sql = {k: (v if isinstance(v, str) else _cond_to_sql(v)) for k, v in set.items()}
         return execute_update(self.spark, self.log, set_sql, _cond_to_sql(condition))
 
     def merge(self, source: DataFrame, condition: Union[str, Column],
               source_alias: str = "source", target_alias: str = "target") -> MergeBuilder:
+        self._no_time_travel("MERGE")
         if source_alias == "source":
             source_alias = _df_alias(source) or "source"
         return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),
@@ -343,6 +355,7 @@ class DeltaTable:
             [T.StructField(c, ptypes[c]) for c in pcols]))
 
     def optimize(self) -> OptimizeBuilder:
+        self._no_time_travel("OPTIMIZE")
         return OptimizeBuilder(self.spark, self.log)
 
     def vacuum(self, retention_hours: Optional[float] = None, dry_run: bool = False,
@@ -391,6 +404,7 @@ class DeltaTable:
                           replace=replace, properties=properties)
 
     def truncate(self) -> int:
+        self._no_time_travel("TRUNCATE")
         return truncate(self.spark, self.log)
 
     def reorgPurge(self) -> dict:

@@ -934,3 +934,28 @@ def test_time_travel_with_adjusted_timestamps(spark, tmp_path):
     for r in hist:  # each history timestamp resolves to its own version
         assert dt.asOfTimestamp(r["timestamp"]).count() == \
             dt.asOfVersion(r["version"]).count()
+
+
+def test_dml_rejects_time_travelled_targets(spark, tmp_path):
+    """DeltaHistoryManagerSuite 'cannot time travel target tables of
+    insert/delete/update/merge': @v-pinned handles and paths are
+    read-only."""
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10).withColumnRenamed("id", "a"), p)
+    write_delta(spark.range(5).withColumnRenamed("id", "a"), p,
+                mode="append")
+    for stmt in (f"DELETE FROM delta.`{p}@v0` WHERE a = 1",
+                 f"UPDATE delta.`{p}@v0` SET a = 9 WHERE a = 2",
+                 f"INSERT INTO delta.`{p}@v0` VALUES (99)",
+                 f"OPTIMIZE delta.`{p}@v0`"):
+        with pytest.raises(Exception, match="time-travelled"):
+            delta_sql(spark, stmt)
+    assert not os.path.exists(p + "@v0")   # no stray sibling table
+    dt = DeltaTable.forPath(spark, p + "@v1")
+    with pytest.raises(ValueError, match="time-travelled"):
+        dt.delete("a = 1")
+    with pytest.raises(ValueError, match="time-travelled"):
+        dt.merge(spark.range(1).withColumnRenamed("id", "a"), "1=1")
+    with pytest.raises(ValueError, match="time-travelled"):
+        dt.truncate()
+    assert DeltaTable.forPath(spark, p).toDF().count() == 15  # untouched
