@@ -70,14 +70,33 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
         victims.append(p)
     # CDC files of commits outside the retention window
     # (VacuumCommand.scala:860 unions `cdc` actions into the lite
-    # candidate set — without this, _change_data grows forever)
-    for v in log.list_commit_versions():
+    # candidate set — without this, _change_data grows forever).
+    # Skipped entirely when the table can never have produced CDC
+    # (no changeDataFeed feature, config off, legacy writer < 4).
+    cfg = snapshot.configuration or {}
+    proto = snapshot.protocol
+    cdf_possible = (
+        str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+        or "changeDataFeed" in (proto.writerFeatures or [])
+        or (proto.minWriterVersion or 1) >= 4
+            and not proto.writerFeatures)
+    ict = str(cfg.get("delta.enableInCommitTimestamps",
+                      "false")).lower() == "true"
+    for v in (log.list_commit_versions() if cdf_possible else []):
         try:
-            if log._commit_timestamp(v, cfg=snapshot.configuration) >= cutoff:
+            # mtime pre-filter for non-ICT tables avoids parsing live
+            # commits; ICT tables read the actions ONCE and take the
+            # timestamp from CommitInfo
+            if not ict and log._commit_timestamp(v, cfg={}) >= cutoff:
                 continue
             acts = log.read_commit_actions(v)
         except Exception:
             continue
+        if ict:
+            ts = next((a.timestamp for kind, a in acts
+                       if kind == "commitInfo" and a.timestamp), None)
+            if ts is None or ts >= cutoff:
+                continue
         for kind, a in acts:
             if kind == "cdc":
                 p = os.path.normpath(_abs(log.table_path, a.path))

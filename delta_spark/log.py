@@ -40,6 +40,7 @@ from delta_spark.snapshot import Snapshot
 from delta_spark.util import canonical_log_path, current_time_millis
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CRC_RE = re.compile(r"^(\d{20})\.crc$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 # classic multi-part checkpoints (Checkpoints.scala checkpointFileWithParts):
 # <v>.checkpoint.<part>.<parts>.parquet, 1-based part numbering
@@ -1553,10 +1554,18 @@ class DeltaLog:
         wall-clock time arrives, so the result would not be stable.
         RESTORE keeps the lenient version_at_timestamp resolution
         (canReturnLastCommit=true there)."""
-        v = self.version_at_timestamp(ts_millis)
+        seq = self._monotonic_commit_timestamps()
+        v = None
+        for cv, cts in seq:
+            if cts <= ts_millis:
+                v = cv
+            else:
+                break
+        if v is None:
+            raise ValueError(
+                f"No commit at or before timestamp {ts_millis}")
         latest = self.latest_version()
         if v == latest:
-            seq = self._monotonic_commit_timestamps()
             last_ts = seq[-1][1] if seq else 0
             if ts_millis > last_ts:
                 raise ValueError(
@@ -1657,15 +1666,22 @@ class DeltaLog:
                 if os.stat(path).st_mtime * 1000 < cutoff:
                     os.remove(path)
                     deleted += 1
-                    # the version's checksum goes with its commit
-                    # (DeltaRetentionSuite "the checkpoint and checksum
-                    # for version 0 should be cleaned")
-                    try:
-                        os.remove(os.path.join(
-                            self.log_path, "%020d.crc" % v))
-                        deleted += 1
-                    except OSError:
-                        pass
+            except OSError:
+                pass
+        # checksums below the ceiling go by filename, independent of
+        # whether the paired commit JSON still exists — orphans from
+        # interrupted or pre-feature cleanups must not survive forever
+        # (DeltaRetentionSuite "the checkpoint and checksum for version
+        # 0 should be cleaned")
+        for name in self.store.list_dir(self.log_path):
+            m = _CRC_RE.match(name)
+            if not m or int(m.group(1)) >= ceiling:
+                continue
+            path = os.path.join(self.log_path, name)
+            try:
+                if os.stat(path).st_mtime * 1000 < cutoff:
+                    os.remove(path)
+                    deleted += 1
             except OSError:
                 pass
         for name in self.store.list_dir(self.log_path):

@@ -751,6 +751,18 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_py writer requires a path")
+        if not DeltaLog.for_table(self.path).table_exists():
+            # same guard as delta_spark.io.write_delta: a literal
+            # `p@vN` / `p@<17 digits>` path whose base IS a table is a
+            # time-travel spec, never a create target
+            import re as _re
+
+            m = _re.fullmatch(r"(.*)@(?:[vV]\d+|\d{17})", self.path)
+            if m and DeltaLog.for_table(m.group(1)).table_exists():
+                raise ValueError(
+                    f"cannot write to a time-travelled table "
+                    f"({self.path!r}); writes must target the live "
+                    f"table {m.group(1)!r}")
         # fail loudly on write options this path cannot honor — silently
         # dropping replaceWhere would turn a scoped overwrite into a
         # full-table wipe

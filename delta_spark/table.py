@@ -100,7 +100,11 @@ class DeltaTable:
             path, pinned = m.group(1), int(m.group(2))
         else:
             mt = _re.fullmatch(r"(.*)@(\d{17})", path)
-            if mt and not DeltaLog.for_table(path).table_exists():
+            if mt and not DeltaLog.for_table(path).table_exists() \
+                    and DeltaLog.for_table(mt.group(1)).table_exists():
+                # resolve only when the base IS a table, so a missing
+                # table still reports "not a delta table" below rather
+                # than a timestamp-resolution error
                 import datetime as _dt
 
                 s = mt.group(2)
@@ -264,7 +268,10 @@ class DeltaTable:
                             source_alias, target_alias)
 
     def alias(self, alias: str) -> "AliasedDeltaTable":
-        return AliasedDeltaTable(self.spark, self.log, alias)
+        # the alias view keeps the time-travel pin (reads and the DML
+        # guard must survive `forPath(p@v).alias(...)`)
+        return AliasedDeltaTable(self.spark, self.log, alias,
+                                 getattr(self, "_pinned_version", None))
 
     # --------------------------------------------------------- utility ----
 
@@ -360,13 +367,16 @@ class DeltaTable:
 
     def vacuum(self, retention_hours: Optional[float] = None, dry_run: bool = False,
                inventory: Optional[DataFrame] = None) -> list[str]:
+        self._no_time_travel("VACUUM")
         return vacuum(self.spark, self.log, retention_hours, dry_run,
                       inventory=inventory)
 
     def restoreToVersion(self, version: int) -> dict:
+        self._no_time_travel("RESTORE")
         return restore(self.spark, self.log, version=version)
 
     def restoreToTimestamp(self, ts: Union[str, _dt.datetime, int]) -> dict:
+        self._no_time_travel("RESTORE")
         return restore(self.spark, self.log, timestamp_ms=_to_millis(ts))
 
     def clone(self, target_path: str, version: Optional[int] = None,
@@ -410,6 +420,7 @@ class DeltaTable:
     def reorgPurge(self) -> dict:
         """REORG TABLE ... APPLY (PURGE): materialize deletion vectors
         by rewriting the affected files."""
+        self._no_time_travel("REORG")
         from delta_spark.commands.delete import purge_deletion_vectors
 
         return purge_deletion_vectors(self.spark, self.log)
@@ -673,6 +684,7 @@ class DeltaTable:
         upgrade through enableColumnMapping (ids + physical names +
         protocol bump) and reject other transitions, mirroring
         DeltaColumnMapping.allowMappingModeChange (only none→name)."""
+        self._no_time_travel("SET TBLPROPERTIES")
         from delta_spark.schema import COLUMN_MAPPING_MODE_KEY, column_mapping_mode
 
         # protocol properties (delta.minReaderVersion/-WriterVersion,
@@ -1279,6 +1291,7 @@ class DeltaTable:
                           {"clusterBy": json.dumps(list(cols or []))})
 
     def _update_metadata(self, config_fn, op: str, params: dict) -> int:
+        self._no_time_travel(op)
         txn = OptimisticTransaction(self.log)
         m = txn.metadata
         if m is None:
@@ -1345,12 +1358,15 @@ class AliasedDeltaTable(DeltaTable):
     """`dt.alias("t").merge(src.alias-less, cond)` convenience matching
     the reference Python API's aliasing flow."""
 
-    def __init__(self, spark: SparkSession, log: DeltaLog, alias_name: str):
+    def __init__(self, spark: SparkSession, log: DeltaLog, alias_name: str,
+                 pinned_version: Optional[int] = None):
         super().__init__(spark, log)
         self._alias = alias_name
+        self._pinned_version = pinned_version
 
     def merge(self, source: DataFrame, condition: Union[str, Column],
               source_alias: str = "source", target_alias: Optional[str] = None) -> MergeBuilder:
+        self._no_time_travel("MERGE")
         if source_alias == "source":
             source_alias = _df_alias(source) or "source"
         return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),

@@ -361,7 +361,10 @@ class OptimisticTransaction:
 
         if not cdf_enabled(meta.configuration or {}):
             return
-        names = {f.name for f in schema_from_json(meta.schemaString).fields}
+        # case-insensitive: Spark resolves columns case-insensitively
+        # by default, so '_Change_Type' collides just the same
+        names = {f.name.lower() for f in
+                 schema_from_json(meta.schemaString).fields}
         used = sorted(names & set(self._CDC_RESERVED))
         if used:
             if not cdf_enabled(self.snapshot.configuration or {}):

@@ -799,39 +799,36 @@ def test_vacuum_reclaims_stale_cdc_and_underscore_partitions(spark, tmp_path):
     partition dirs of underscore-named columns are NOT hidden to
     VACUUM — stale CDC files age out of the retention window
     (DeltaVacuumSuite 'vacuum for cdc - delete tombstones'), and
-    underscore-partition files are GC'd normally."""
+    underscore-partition files are GC'd normally. (conftest already
+    disables the retention-duration check suite-wide.)"""
     import glob
 
-    spark.conf.set("delta_spark.retentionDurationCheck.enabled", "false")
-    try:
-        p = str(tmp_path / "cdc")
-        write_delta(spark.range(10).selectExpr("id", "id % 2 AS part"), p,
-                    partition_by=["part"],
-                    configuration={"delta.enableChangeDataFeed": "true"})
-        dt = DeltaTable.forPath(spark, p)
-        dt.delete("id = 9")
-        cdc = lambda: glob.glob(p + "/_change_data/**/*.parquet", recursive=True)
-        assert len(cdc()) == 1
-        dt.vacuum(100)            # inside the window: kept
-        assert len(cdc()) == 1
-        dt.vacuum(0)              # outside: reclaimed
-        assert cdc() == []
-        assert dt.toDF().count() == 9
+    p = str(tmp_path / "cdc")
+    write_delta(spark.range(10).selectExpr("id", "id % 2 AS part"), p,
+                partition_by=["part"],
+                configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, p)
+    dt.delete("id = 9")
+    cdc = lambda: glob.glob(p + "/_change_data/**/*.parquet", recursive=True)
+    assert len(cdc()) == 1
+    dt.vacuum(100)            # inside the window: kept
+    assert len(cdc()) == 1
+    dt.vacuum(0)              # outside: reclaimed
+    assert cdc() == []
+    assert dt.toDF().count() == 9
 
-        p2 = str(tmp_path / "und")
-        df2 = spark.range(10).selectExpr("id", "id % 2 AS _upart")
-        write_delta(df2, p2, partition_by=["_upart"])
-        dt2 = DeltaTable.forPath(spark, p2)
-        write_delta(df2.filter("id < 4"), p2, mode="overwrite")
-        dt2.vacuum(0)
-        live = {os.path.basename(f.path) for f
-                in DeltaLog.for_table(p2).update().all_files}
-        on_disk = {os.path.basename(f) for f in
-                   glob.glob(p2 + "/_upart=*/**/*.parquet", recursive=True)}
-        assert on_disk == live          # every stale file reclaimed
-        assert dt2.toDF().count() == 4
-    finally:
-        spark.conf.unset("delta_spark.retentionDurationCheck.enabled")
+    p2 = str(tmp_path / "und")
+    df2 = spark.range(10).selectExpr("id", "id % 2 AS _upart")
+    write_delta(df2, p2, partition_by=["_upart"])
+    dt2 = DeltaTable.forPath(spark, p2)
+    write_delta(df2.filter("id < 4"), p2, mode="overwrite")
+    dt2.vacuum(0)
+    live = {os.path.basename(f.path) for f
+            in DeltaLog.for_table(p2).update().all_files}
+    on_disk = {os.path.basename(f) for f in
+               glob.glob(p2 + "/_upart=*/**/*.parquet", recursive=True)}
+    assert on_disk == live          # every stale file reclaimed
+    assert dt2.toDF().count() == 4
 
 
 def test_vacuum_lite_reclaims_expired_cdc(spark, tmp_path):
@@ -959,3 +956,28 @@ def test_dml_rejects_time_travelled_targets(spark, tmp_path):
     with pytest.raises(ValueError, match="time-travelled"):
         dt.truncate()
     assert DeltaTable.forPath(spark, p).toDF().count() == 15  # untouched
+
+
+def test_time_travel_guard_covers_alias_and_maintenance(spark, tmp_path):
+    """Review follow-ups: the pin survives alias(), and maintenance /
+    metadata mutators (vacuum, restore, set-properties, constraints)
+    reject pinned handles; mixed-case CDC reserved names are caught."""
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10).withColumnRenamed("id", "a"), p)
+    write_delta(spark.range(5).withColumnRenamed("id", "a"), p,
+                mode="append")
+    dt = DeltaTable.forPath(spark, p + "@v0")
+    al = dt.alias("t")
+    assert al.toDF().count() == 10          # pin survives alias
+    with pytest.raises(ValueError, match="time-travelled"):
+        al.merge(spark.range(1).withColumnRenamed("id", "a"), "1=1")
+    for fn in (lambda: dt.vacuum(0, dry_run=True),
+               lambda: dt.restoreToVersion(0),
+               lambda: dt.setProperties({"x": "y"}),
+               lambda: dt.addCheckConstraint("c1", "a >= 0")):
+        with pytest.raises(ValueError, match="time-travelled"):
+            fn()
+    with pytest.raises(ValueError, match="reserved"):
+        write_delta(spark.range(3).withColumnRenamed("id", "_Change_Type"),
+                    str(tmp_path / "c"),
+                    configuration={"delta.enableChangeDataFeed": "true"})
