@@ -82,6 +82,13 @@ def write_delta(
                          "be specified at the same time.")
     if (replace_on or replace_using) and mode != "overwrite":
         raise ValueError("replaceOn/replaceUsing require mode='overwrite'")
+    if replace_where:
+        # a subquery could evaluate differently between the
+        # matched-data validation scan and the delete-selection scan
+        # (DeltaSuite "replaceWhere blocks subquery")
+        from delta_spark.predicates import reject_subquery
+
+        reject_subquery(replace_where, "replaceWhere")
     if partition_overwrite_mode.lower() not in ("static", "dynamic"):
         # DeltaOptions.PARTITION_OVERWRITE_MODE: anything else is a
         # typo, not a mode — never silently treat it as static

@@ -813,3 +813,17 @@ def test_write_option_combinations_and_compression(spark, tmp_table):
     files = glob.glob(tmp_table + "/**/*.parquet", recursive=True)
     assert files and all("zstd" in f for f in files)
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 10
+
+
+def test_replace_where_rejects_subquery(spark, tmp_table):
+    """DeltaSuite 'replaceWhere blocks subquery': a subquery can
+    evaluate differently between the validation and delete scans."""
+    df = spark.range(10).selectExpr("id AS a", "id % 2 AS part")
+    write_delta(df, tmp_table, partition_by=["part"])
+    with pytest.raises(ValueError, match="[Ss]ubquer"):
+        write_delta(df.filter("part = 0"), tmp_table, mode="overwrite",
+                    replace_where="part IN (SELECT 0)")
+    # rearrangeOnly replaceWhere stays allowed (dataChange=false)
+    write_delta(df.filter("part = 0"), tmp_table, mode="overwrite",
+                replace_where="part = 0", data_change=False)
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 10
