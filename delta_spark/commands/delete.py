@@ -363,6 +363,10 @@ def execute_delete(spark: SparkSession, log: DeltaLog, condition: Optional[str],
     from delta_spark.predicates import reject_subquery
 
     reject_subquery(condition, "DELETE")
+    from delta_spark.transaction import resolve_idempotent_txn
+
+    txn_app_id, txn_version = resolve_idempotent_txn(
+        spark, txn_app_id, txn_version)
     txn = dml_transaction(spark, log)
     if txn_app_id is not None and txn_version is not None:
         last = txn.txn_version(txn_app_id)

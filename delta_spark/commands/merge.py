@@ -287,7 +287,19 @@ class MergeBuilder:
         for cl in self.matched + self.not_matched + self.not_matched_by_source:
             reject_subquery(cl.condition,
                             f"MERGE ({cl.kind.upper()} condition)")
+        from delta_spark.transaction import resolve_idempotent_txn
+
+        app, ver = resolve_idempotent_txn(self.spark)
         txn = dml_transaction(self.spark, self.log)
+        if app is not None:
+            last = txn.txn_version(app)
+            if last is not None and last >= ver:
+                return None  # replayed idempotent MERGE
+            from delta_spark.actions import SetTransaction
+            from delta_spark.util import current_time_millis
+
+            txn._pending_set_transaction = SetTransaction(
+                app, ver, current_time_millis())
         snapshot = txn.snapshot
         if snapshot.metadata is None:
             raise MergeError("target delta table does not exist")

@@ -151,7 +151,19 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     from delta_spark.predicates import reject_subquery
 
     reject_subquery(condition, "UPDATE")
+    from delta_spark.transaction import resolve_idempotent_txn
+
+    app, ver = resolve_idempotent_txn(spark)
     txn = dml_transaction(spark, log)
+    if app is not None:
+        last = txn.txn_version(app)
+        if last is not None and last >= ver:
+            return None  # replayed idempotent DML
+        from delta_spark.actions import SetTransaction
+        from delta_spark.util import current_time_millis
+
+        txn._pending_set_transaction = SetTransaction(
+            app, ver, current_time_millis())
     snapshot = txn.snapshot
     cfg = snapshot.configuration
     num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))

@@ -137,7 +137,12 @@ def write_delta(
     if exists and mode in ("error", "errorifexists"):
         raise DeltaWriteError(f"delta table already exists at {path}")
 
-    # idempotent writes (DeltaOptions txnAppId/txnVersion)
+    # idempotent writes (DeltaOptions txnAppId/txnVersion, or the
+    # spark.databricks.delta.write.txnAppId/.txnVersion session confs)
+    from delta_spark.transaction import resolve_idempotent_txn
+
+    txn_app_id, txn_version = resolve_idempotent_txn(
+        df.sparkSession, txn_app_id, txn_version)
     if txn_app_id is not None and txn_version is not None:
         last = txn.txn_version(txn_app_id)
         if last is not None and last >= txn_version:

@@ -155,6 +155,14 @@ class OptimisticTransaction:
         Returns the committed version."""
         if self._committed:
             raise RuntimeError("transaction already committed")
+        pst = getattr(self, "_pending_set_transaction", None)
+        if pst is not None and not any(
+                isinstance(a, SetTransaction) and a.appId == pst.appId
+                for a in actions):
+            # idempotency marker attached by the DML entry point
+            # (resolve_idempotent_txn) — recorded with whichever commit
+            # the command ends up making, including 0-row commits
+            actions = list(actions) + [pst]
         from delta_spark.actions import check_write_protocol
 
         # writer gate (PROTOCOL.md Writer Requirements): never commit to
@@ -809,6 +817,59 @@ class OptimisticTransaction:
                 self.log.compact_log(version - interval + 1, version)
             except Exception:
                 pass  # best-effort, like checkpointing
+
+
+def resolve_idempotent_txn(spark, app: Optional[str] = None,
+                           ver: Optional[int] = None):
+    """Effective (txnAppId, txnVersion) for idempotent writes and DML
+    (DeltaSuite 'idempotent write'): explicit option values win; else
+    the session confs spark.databricks.delta.write.txnAppId /
+    .txnVersion apply to every write, INSERT, DELETE, UPDATE and MERGE.
+    With ...write.txnVersion.autoReset.enabled the version conf is
+    consumed on use, so a second command without a fresh version errors
+    instead of being silently skipped. Setting only one of the pair is
+    an error."""
+    if app is not None or ver is not None:
+        if app is None or ver is None:
+            raise ValueError(
+                "Invalid options for idempotent Delta writes: both "
+                "txnAppId and txnVersion must be specified")
+        return app, int(ver)
+
+    def _get(key):
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    app = _get("spark.databricks.delta.write.txnAppId") \
+        or _get("delta_spark.write.txnAppId")
+    ver = _get("spark.databricks.delta.write.txnVersion") \
+        or _get("delta_spark.write.txnVersion")
+    auto = str(_get("spark.databricks.delta.write.txnVersion.autoReset.enabled")
+               or "false").lower() == "true"
+    if auto and ver is not None:
+        for key in ("spark.databricks.delta.write.txnVersion",
+                    "delta_spark.write.txnVersion"):
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+    if app is not None and ver is None and auto:
+        # the version was consumed by the previous command: running
+        # another without setting a fresh one is the mistake autoReset
+        # exists to catch (DELTA_INVALID_IDEMPOTENT_WRITES_OPTIONS)
+        raise ValueError(
+            "Invalid options for idempotent Delta writes: both "
+            "spark.databricks.delta.write.txnAppId and "
+            "spark.databricks.delta.write.txnVersion must be specified "
+            "for idempotent Delta writes")
+    if app is None or ver is None:
+        # half-set session confs without autoReset simply don't engage
+        # idempotency (the reference's merge test sets txnAppId before
+        # CREATE with no version — the create succeeds)
+        return None, None
+    return app, int(ver)
 
 
 def dml_transaction(spark, log: DeltaLog) -> OptimisticTransaction:

@@ -548,3 +548,58 @@ def test_cdf_reserved_column_names_rejected(spark, tmp_table, tmp_path):
     dt2 = DeltaTable.forPath(spark, p2)
     with pytest.raises(ValueError, match="reserved"):
         dt2.renameColumn("a", "_commit_version")
+
+
+def test_session_conf_idempotent_dml(spark, tmp_table):
+    """DeltaSuite 'idempotent write: idempotent DeltaTable merge/update/
+    delete' + 'auto reset txnVersion': the
+    spark.databricks.delta.write.txnAppId/.txnVersion session confs make
+    every write and DML command replay-safe."""
+    spark.conf.set("spark.databricks.delta.write.txnAppId", "idemTest")
+    try:
+        write_delta(spark.createDataFrame([(0, 0)], "col1 int, col2 int")
+                    .limit(0), tmp_table)
+        dt = DeltaTable.forPath(spark, tmp_table)
+
+        def run_merge(c1, c2, ver):
+            spark.conf.set("spark.databricks.delta.write.txnVersion",
+                           str(ver))
+            (dt.alias("t")
+             .merge(spark.createDataFrame([(c1, c2)], "col1 int, col2 int")
+                    .alias("s"), "t.col1 = s.col1")
+             .whenMatchedUpdate({"col2": "t.col2 + s.col2"})
+             .whenNotMatchedInsertAll().execute())
+
+        def rows():
+            return [(r["col1"], r["col2"]) for r in dt.toDF().collect()]
+
+        run_merge(1, 0, 1)
+        assert rows() == [(1, 0)]
+        run_merge(1, 2, 2)
+        assert rows() == [(1, 2)]
+        run_merge(1, 2, 2)                      # replay: skipped
+        assert rows() == [(1, 2)]
+        run_merge(1, 3, 3)
+        assert rows() == [(1, 5)]
+        # idempotent update
+        spark.conf.set("spark.databricks.delta.write.txnVersion", "4")
+        dt.update({"col2": "99"}, "col1 = 1")
+        spark.conf.set("spark.databricks.delta.write.txnVersion", "4")
+        dt.update({"col2": "777"}, "col1 = 1")  # replay: skipped
+        assert rows() == [(1, 99)]
+        # autoReset: the version conf is consumed; reuse errors
+        spark.conf.set(
+            "spark.databricks.delta.write.txnVersion.autoReset.enabled",
+            "true")
+        spark.conf.set("spark.databricks.delta.write.txnVersion", "5")
+        dt.delete("col1 = 999")
+        with pytest.raises(ValueError, match="idempotent"):
+            dt.delete("col1 = 998")
+    finally:
+        for k in ("spark.databricks.delta.write.txnAppId",
+                  "spark.databricks.delta.write.txnVersion",
+                  "spark.databricks.delta.write.txnVersion.autoReset.enabled"):
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
