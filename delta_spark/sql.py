@@ -429,6 +429,8 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
     m = re.fullmatch(rf"(?is)\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:{_PATH})\s*"
                      rf"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
                      rf"(?:PARTITION\s*\((?P<pspec>[^)]*)\)\s+)?"
+                     rf"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+"
+                     rf"(?=SELECT\s|VALUES\s|WITH\s))?"
                      rf"(?P<q>(?:SELECT|VALUES|WITH)\s.+)", s)
     if m:
         from pyspark.sql import functions as F
@@ -472,6 +474,12 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
             df = df.toDF(*[f.name for f in tgt_schema.fields])
         overwrite = m.group("mode").upper() == "OVERWRITE"
         replace_where = None
+        if m.group("rw"):
+            # INSERT INTO t REPLACE WHERE cond SELECT ... — an
+            # overwrite scoped to the predicate (DeltaSuite
+            # "replaceWhere SQL", DeltaSqlParser REPLACE WHERE)
+            overwrite = True
+            replace_where = m.group("rw").strip()
         if m.group("pspec"):
             # static PARTITION (c=v, ...) spec: attach the partition
             # literals; an OVERWRITE scoped to the spec becomes a

@@ -981,3 +981,26 @@ def test_time_travel_guard_covers_alias_and_maintenance(spark, tmp_path):
         write_delta(spark.range(3).withColumnRenamed("id", "_Change_Type"),
                     str(tmp_path / "c"),
                     configuration={"delta.enableChangeDataFeed": "true"})
+
+
+def test_insert_replace_where_sql(spark, tmp_path):
+    """DeltaSuite 'replaceWhere SQL': INSERT INTO t REPLACE WHERE cond
+    SELECT ... is an overwrite scoped to the predicate — partition and
+    data-column predicates both work."""
+    p = str(tmp_path / "t")
+    write_delta(spark.range(100).withColumn("part", F.col("id") % 10), p,
+                partition_by=["part"])
+    spark.range(10).withColumn("part", F.lit(0)) \
+        .createOrReplaceTempView("rw_src")
+    delta_sql(spark, f"INSERT INTO delta.`{p}` REPLACE WHERE part >= 0 "
+                     f"SELECT * FROM rw_src")
+    dt = DeltaTable.forPath(spark, p)
+    assert dt.toDF().count() == 10
+    spark.range(5).withColumn("part", F.lit(0)) \
+        .createOrReplaceTempView("rw_src2")
+    delta_sql(spark, f"INSERT INTO delta.`{p}` REPLACE WHERE part = 0 "
+                     f"SELECT * FROM rw_src2")
+    assert dt.toDF().count() == 5
+    delta_sql(spark, f"INSERT INTO delta.`{p}` REPLACE WHERE id < 2 "
+                     f"SELECT id, 0 AS part FROM range(2)")
+    assert dt.toDF().count() == 5  # 2 new + 3 untouched (id >= 2)
