@@ -280,6 +280,42 @@ class MergeBuilder:
             out[parts[0].lower()] = sql
         return out
 
+    def _pin_clause_timestamps(self) -> None:
+        """Replace now()/current_timestamp()/current_date() in the merge
+        condition and every clause condition/value with literals pinned
+        at one instant. String literals are respected via masking.
+        (The source DataFrame's own plan is not rewritten — a deviation
+        from PreprocessTableMerge, which pins the full plan.)"""
+        import datetime as _dt
+        import re as _re
+
+        from delta_spark.predicates import mask_string_literals
+
+        now = _dt.datetime.now(_dt.timezone.utc)
+        ts_lit = "TIMESTAMP '" + now.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        d_lit = "DATE '" + now.strftime("%Y-%m-%d") + "'"
+        pat = _re.compile(
+            r"(?i)\b(current_timestamp|now|current_date)\s*\(\s*\)"
+            r"|\bcurrent_timestamp\b(?!\s*\()|\bcurrent_date\b(?!\s*\()")
+
+        def pin(s):
+            if not s or not pat.search(mask_string_literals(s)):
+                return s
+            masked = mask_string_literals(s)
+            out, last = [], 0
+            for m in pat.finditer(masked):
+                out.append(s[last:m.start()])
+                word = m.group(0).lower()
+                out.append(d_lit if "date" in word else ts_lit)
+                last = m.end()
+            out.append(s[last:])
+            return "".join(out)
+
+        self.condition = pin(self.condition)
+        for cl in self.matched + self.not_matched + self.not_matched_by_source:
+            cl.condition = pin(cl.condition)
+            cl.values = {k: pin(v) for k, v in cl.values.items()}
+
     def execute(self) -> int:
         from delta_spark.predicates import reject_subquery
 
@@ -287,6 +323,12 @@ class MergeBuilder:
         for cl in self.matched + self.not_matched + self.not_matched_by_source:
             reject_subquery(cl.condition,
                             f"MERGE ({cl.kind.upper()} condition)")
+        # pin current_timestamp()/now()/current_date() to ONE instant
+        # across every merge phase (PreprocessTableMerge.scala:261
+        # transformTimestamps): find-touched-files and the output
+        # projection run as separate Spark queries here, so an unpinned
+        # now() could match a row in phase 1 and miss it in phase 2
+        self._pin_clause_timestamps()
         from delta_spark.transaction import resolve_idempotent_txn
 
         app, ver = resolve_idempotent_txn(self.spark)

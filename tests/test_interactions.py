@@ -603,3 +603,21 @@ def test_session_conf_idempotent_dml(spark, tmp_table):
                 spark.conf.unset(k)
             except Exception:
                 pass
+
+
+def test_merge_pins_timestamps_across_phases(spark, tmp_table):
+    """PreprocessTableMerge.transformTimestamps: now()/
+    current_timestamp()/current_date() in merge clauses resolve to ONE
+    instant — every written row carries the same value, and phase-1
+    file finding agrees with the phase-2 projection."""
+    write_delta(spark.range(5).selectExpr(
+        "id", "CAST(NULL AS timestamp) AS ts"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    (dt.alias("t")
+     .merge(spark.range(8).selectExpr("id").alias("s"), "t.id = s.id")
+     .whenMatchedUpdate({"ts": "current_timestamp()"})
+     .whenNotMatchedInsert({"id": "s.id", "ts": "now()"})
+     .execute())
+    vals = dt.toDF().filter("ts IS NOT NULL").select("ts").distinct()
+    assert vals.count() == 1          # matched + inserted share one instant
+    assert dt.toDF().count() == 8
