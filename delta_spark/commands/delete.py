@@ -283,9 +283,22 @@ def mask_rows_with_dvs(spark: SparkSession, txn: OptimisticTransaction,
         # it, streams mistake the commit for a blind append and
         # incremental checksums double-count the path.
         removes.append(f.remove())
+        # the carried-over stats become WIDE bounds under a DV
+        # (PROTOCOL.md stats.tightBounds; reference
+        # DMLWithDeletionVectorsHelper updates the flag): min/max stay
+        # sound for skipping, numRecords stays the physical count
+        stats = f.stats
+        if stats:
+            try:
+                d = json.loads(stats)
+                if d.get("tightBounds", True):
+                    d["tightBounds"] = False
+                    stats = json.dumps(d)
+            except (ValueError, TypeError):
+                pass
         adds.append(AddFile(
             path=f.path, partitionValues=f.partitionValues, size=f.size,
-            modificationTime=f.modificationTime, dataChange=True, stats=f.stats,
+            modificationTime=f.modificationTime, dataChange=True, stats=stats,
             deletionVector=descriptor,
             # the data file is unchanged — surviving rows keep their
             # row-tracking identity (a fresh baseRowId here would

@@ -323,6 +323,9 @@ class Snapshot:
         total = 0
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
+        min_seen: dict[str, int] = {}
+        max_seen: dict[str, int] = {}
+        n_files = 0
         schema = self.data_schema
         for f in self.active.values():
             if f.deletionVector:
@@ -330,13 +333,34 @@ class Snapshot:
             st = self._logical_stats_view(f, schema)
             if st.num_records is None:
                 return None
+            n_files += 1
             total += st.num_records
+            all_null = {c for c, n in (st.null_count or {}).items()
+                        if n == st.num_records}
             for c, v in st.min_values.items():
+                min_seen[c] = min_seen.get(c, 0) + 1
+                if v is None:
+                    continue
                 if c not in mins or P.cmp_values(v, mins[c]) == -1:
                     mins[c] = v
             for c, v in st.max_values.items():
+                max_seen[c] = max_seen.get(c, 0) + 1
+                if v is None:
+                    continue
                 if c not in maxs or P.cmp_values(v, maxs[c]) == 1:
                     maxs[c] = v
+            for c in all_null:
+                # an all-null file legitimately contributes no extremum
+                if c not in st.min_values:
+                    min_seen[c] = min_seen.get(c, 0) + 1
+                if c not in st.max_values:
+                    max_seen[c] = max_seen.get(c, 0) + 1
+        # a column's MIN/MAX is only answerable when EVERY file
+        # contributed a value for it (a file with missing/degraded
+        # stats could hold the true extremum); files that are all-null
+        # for the column are the exception the reference also accepts
+        mins = {c: v for c, v in mins.items() if min_seen.get(c) == n_files}
+        maxs = {c: v for c, v in maxs.items() if max_seen.get(c) == n_files}
         out = {"numRecords": total, "minValues": mins, "maxValues": maxs}
         if columns:
             out["minValues"] = {c: mins.get(c) for c in columns}

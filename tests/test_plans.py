@@ -303,3 +303,33 @@ def test_subset_append_stays_codegen(spark, tmp_path, sf_dir):
     plan = _plan(out)
     assert "Project" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_metadata_aggregates_wide_and_partial_stats(spark, tmp_table):
+    """MIN/MAX from log stats is only answerable when every file
+    contributed a value (or is provably all-null for the column); DV
+    files disable the whole fast path; tightBounds=false rides on
+    DV-carrying adds."""
+    import json as _json
+
+    from delta_spark.log import DeltaLog
+
+    write_delta(spark.range(10).selectExpr(
+        "id AS a", "CAST(NULL AS long) AS b"), tmp_table)
+    write_delta(spark.range(10, 20).selectExpr(
+        "id AS a", "id AS b"), tmp_table, mode="append")
+    snap = DeltaLog.for_table(tmp_table).update()
+    aggs = snap.metadata_aggregates(["a", "b"])
+    assert aggs["numRecords"] == 20
+    assert aggs["minValues"]["a"] == 0 and aggs["maxValues"]["a"] == 19
+    # all-null first file is fine: b's extrema come from file 2
+    assert aggs["minValues"]["b"] == 10 and aggs["maxValues"]["b"] == 19
+    # DV delete: fast path off, and the add's stats turn wide
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.enableDeletionVectors": "true"})
+    dt.delete("a = 15")
+    snap2 = DeltaLog.for_table(tmp_table).update()
+    assert snap2.metadata_aggregates(["a"]) is None
+    dv_adds = [f for f in snap2.all_files if f.deletionVector]
+    assert dv_adds and all(
+        _json.loads(f.stats).get("tightBounds") is False for f in dv_adds)
