@@ -272,6 +272,12 @@ class Snapshot:
             for f in files:
                 picked.append(f)
                 n = f.num_records
+                if n is not None and f.deletionVector:
+                    # physical count − masked rows: counting the raw
+                    # numRecords would stop too early and return fewer
+                    # than `limit` rows even though more files exist
+                    n = max(0, n - int(f.deletionVector.get("cardinality")
+                                       or 0))
                 seen += n if n is not None else 0
                 if n is not None and seen >= limit:
                     break

@@ -333,3 +333,24 @@ def test_metadata_aggregates_wide_and_partial_stats(spark, tmp_table):
     dv_adds = [f for f in snap2.all_files if f.deletionVector]
     assert dv_adds and all(
         _json.loads(f.stats).get("tightBounds") is False for f in dv_adds)
+
+
+def test_limit_pushdown_accounts_for_dvs(spark, tmp_table):
+    """File selection under LIMIT counts valid rows (numRecords minus
+    DV cardinality), so a heavily-masked file cannot satisfy the limit
+    on paper while returning too few real rows."""
+    write_delta(spark.range(10).withColumnRenamed("id", "a").coalesce(1),
+                tmp_table,
+                configuration={"delta.enableDeletionVectors": "true"})
+    write_delta(spark.range(10, 20).withColumnRenamed("id", "a")
+                .coalesce(1), tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("a < 8")        # first file keeps only 2 valid rows
+    assert dt.toDF(limit=5).count() == 5
+    from delta_spark.log import DeltaLog
+
+    files = DeltaLog.for_table(tmp_table).update().files_for_scan(
+        None, limit=15)
+    # 15 valid rows require BOTH files (2 + 10 < 15 is false, but
+    # 10 alone < 15 and 2 alone < 15)
+    assert len(files) == 2
