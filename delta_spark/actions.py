@@ -64,6 +64,11 @@ SUPPORTED_READER_FEATURES = frozenset({
     # engine-local non-standard DV encoding (fail-closed marker for
     # external readers; we of course read it ourselves)
     "delta-spark.dvParquetSidecar",
+    # catalog-managed tables (PROTOCOL.md "Catalog-Managed Tables"):
+    # reads consult the managing catalog (catalog_managed.py implements
+    # the reader rules; snapshots fail closed if no catalog state is
+    # discoverable for the table)
+    "catalogManaged",
 })
 
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {

@@ -350,6 +350,10 @@ def purge_deletion_vectors(spark: SparkSession, log: DeltaLog) -> dict:
 
     txn = OptimisticTransaction(log)
     snapshot = txn.snapshot
+    from delta_spark import catalog_managed as CM
+
+    CM.check_maintenance_allowed(snapshot.configuration,
+                                 snapshot.protocol, "REORG PURGE")
     dv_files = [f for f in snapshot.all_files if f.deletionVector]
     if not dv_files:
         return {"numRewrittenFiles": "0"}

@@ -49,6 +49,7 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
     tombstones instead of listing the table tree — O(tombstones), for
     object stores where recursive listing is the dominant cost."""
     from delta_spark.actions import check_write_protocol
+    from delta_spark import catalog_managed as CM
 
     snapshot = log.update()
     if not dry_run:
@@ -56,6 +57,8 @@ def vacuum_lite(spark: SparkSession, log: DeltaLog,
         # of vacuumProtocolCheck): never reclaim on a table whose
         # writer features we don't implement
         check_write_protocol(snapshot.protocol)
+        CM.check_maintenance_allowed(snapshot.configuration,
+                                     snapshot.protocol, "VACUUM LITE")
     retention_ms = (int(retention_hours * 3600 * 1000)
                     if retention_hours is not None else log.deleted_file_retention_ms())
     cutoff = current_time_millis() - retention_ms
@@ -136,9 +139,12 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
         # writer gate up front (vacuumProtocolCheck's purpose): the
         # VACUUM START commit would refuse anyway, but only after the
         # full listing ran
+        from delta_spark import catalog_managed as CM
         from delta_spark.actions import check_write_protocol
 
         check_write_protocol(snapshot.protocol)
+        CM.check_maintenance_allowed(snapshot.configuration,
+                                     snapshot.protocol, "VACUUM")
     retention_ms = (int(retention_hours * 3600 * 1000)
                     if retention_hours is not None else log.deleted_file_retention_ms())
     if retention_hours is not None and retention_ms < 0:

@@ -182,6 +182,10 @@ def _compact(spark: SparkSession, log: DeltaLog, partition_filter: Optional[str]
              max_file_size: int, min_file_size: int) -> dict:
     txn = dml_transaction(spark, log)
     snapshot = txn.snapshot
+    from delta_spark import catalog_managed as CM
+
+    CM.check_maintenance_allowed(snapshot.configuration,
+                                 snapshot.protocol, "OPTIMIZE")
     try:
         max_dv_ratio = float(snapshot.configuration.get(
             "delta.optimize.maxDeletedRowsRatio", "0.05"))
@@ -359,6 +363,10 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
 
     txn = dml_transaction(spark, log)
     snapshot = txn.snapshot
+    from delta_spark import catalog_managed as CM
+
+    CM.check_maintenance_allowed(snapshot.configuration,
+                                 snapshot.protocol, "OPTIMIZE ZORDER/CLUSTER")
     if not cols:
         raise ValueError("ZORDER BY requires at least one column")
     part_cols = set(snapshot.partition_columns)

@@ -220,7 +220,15 @@ class DeltaLog:
         """Backfilled commit files merged with the coordinated-commit
         tail: a registered-but-not-backfilled commit (crash window, or
         backfill still in flight) is already table state — the
-        coordinator, not LIST, is authoritative for the tip."""
+        coordinator, not LIST, is authoritative for the tip.
+
+        Catalog-managed tables (catalog_managed.py, PROTOCOL.md:1260)
+        add two stronger rules: the catalog's latest ratified version is
+        a CEILING (published files beyond it are ignored — e.g. a
+        rejected writer published out-of-band), and for versions the
+        catalog returns, the catalog's copy wins over a published file
+        of the same version."""
+        from delta_spark import catalog_managed as CM
         from delta_spark import coordinator as C
 
         fs = set()
@@ -233,8 +241,41 @@ class DeltaLog:
             for c in coord.get_commits(self.log_path):
                 if c.version not in fs and os.path.exists(c.file_path):
                     tail[c.version] = c.file_path
+        ceiling = None
+        for cat in CM.CATALOGS.values():
+            latest, ratified = cat.ratified(self.log_path)
+            if latest < 0 and not ratified:
+                continue  # this catalog doesn't manage the table
+            ceiling = latest if ceiling is None else max(ceiling, latest)
+            for v, rc in ratified.items():
+                if rc.inline is not None:
+                    tail[v] = self._spill_inline_commit(v, rc.inline)
+                elif rc.file_path and os.path.exists(rc.file_path):
+                    tail[v] = rc.file_path
+        if ceiling is not None:
+            fs = {v for v in fs if v <= ceiling}
+            tail = {v: p for v, p in tail.items() if v <= ceiling}
         self._tail = tail
         return sorted(fs | set(tail))
+
+    def _spill_inline_commit(self, version: int, content: str) -> str:
+        """Materialize an inline catalog commit (content held by the
+        catalog, no staged file) into a process-local spill file so
+        every commit-reading path keeps operating on plain paths."""
+        import hashlib
+        import tempfile
+
+        d = os.path.join(tempfile.gettempdir(), "delta_spark_inline")
+        os.makedirs(d, exist_ok=True)
+        key = hashlib.md5(
+            f"{self.log_path}|{version}".encode()).hexdigest()
+        path = os.path.join(d, f"{key}.json")
+        if not os.path.exists(path):
+            tmp = path + ".tmp.%d" % os.getpid()
+            with open(tmp, "w") as f:
+                f.write(content)
+            os.replace(tmp, path)
+        return path
 
     def list_checkpoint_versions(self) -> list[int]:
         out = []
@@ -300,12 +341,18 @@ class DeltaLog:
 
     def commit_source(self, version: int) -> str:
         """Backing file for a version: the backfilled ``<v>.json`` or,
-        for an unbackfilled coordinated commit, its staged file."""
+        for an unbackfilled coordinated commit, its staged file. The
+        tail is consulted FIRST: for catalog-managed tables the
+        catalog-returned copy is authoritative even when a published
+        file of the same version exists (PROTOCOL.md:1269)."""
+        if version in self._tail:
+            src = self._tail[version]
+            if os.path.exists(src):
+                return src
         path = self.commit_file(version)
         if os.path.exists(path):
             return path
-        if version not in self._tail:
-            self.list_commit_versions()  # refresh the tail once
+        self.list_commit_versions()  # refresh the tail once
         return self._tail.get(version, path)
 
     def read_commit_actions(self, version: int):
@@ -438,6 +485,7 @@ class DeltaLog:
                     self._apply_commit_range(snap, snap.version + 1, latest)
                     snap.timestamp = self._commit_timestamp(latest)
                     check_read_protocol(snap.protocol)
+                    self._check_catalog_reachable(snap)
                     self._snapshot = snap
                     return snap
                 except ValueError:
@@ -446,8 +494,32 @@ class DeltaLog:
                     pass
             snap = self._build_snapshot(latest)
             check_read_protocol(snap.protocol)  # BEFORE caching
+            self._check_catalog_reachable(snap)
             self._snapshot = snap
             return self._snapshot
+
+    def _check_catalog_reachable(self, snap) -> None:
+        """Catalog-managed fail-closed read gate (PROTOCOL.md:1411):
+        the catalog, not the filesystem, is the source of truth for a
+        ``catalogManaged`` table — reading one without consulting its
+        managing catalog could miss ratified-but-unpublished commits or
+        read beyond the authoritative latest version. If no registered
+        catalog has state for this table, refuse the read."""
+        p = snap.protocol
+        if not p or "catalogManaged" not in (p.readerFeatures or []):
+            return
+        from delta_spark import catalog_managed as CM
+
+        for cat in CM.CATALOGS.values():
+            latest, ratified = cat.ratified(self.log_path)
+            if latest >= 0 or ratified:
+                return
+        raise IOError(
+            "this table is catalog-managed (catalogManaged table "
+            "feature) but no registered managing catalog has state for "
+            "it; reading through the filesystem alone could return a "
+            "stale or wrong snapshot (PROTOCOL.md catalog-managed "
+            "reader requirements)")
 
     @property
     def snapshot(self) -> Snapshot:
@@ -466,6 +538,7 @@ class DeltaLog:
         self.check_version_exists(version)
         snap = self._build_snapshot(version)
         check_read_protocol(snap.protocol)
+        self._check_catalog_reachable(snap)
         return snap
 
     def checkpointed_action_count(self) -> Optional[int]:

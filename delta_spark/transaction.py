@@ -192,9 +192,16 @@ class OptimisticTransaction:
         effective_cfg = (commit_meta.configuration if commit_meta is not None
                          else self.snapshot.configuration)
 
+        from delta_spark import catalog_managed as CM
         from delta_spark.coordinator import coordinator_for
 
         coordinator = coordinator_for(effective_cfg)
+        catalog = CM.client_for(effective_cfg)
+        if catalog is not None and coordinator is not None:
+            raise ValueError(
+                "a table cannot be both catalog-managed and use "
+                "coordinated commits: exactly one party may own the "
+                "commit protocol")
         attempt_version = self.read_version + 1
         # AddFiles whose baseRowId WE assigned: must be re-assigned on a
         # retry, because an absorbed winner may have claimed the range
@@ -240,7 +247,10 @@ class OptimisticTransaction:
             payload = "\n".join(action_to_json_line(a)
                                 for a in [commit_info] + actions) + "\n"
             try:
-                if coordinator is None:
+                if catalog is not None:
+                    self._catalog_managed_write(catalog, attempt_version,
+                                                payload, ts, effective_cfg)
+                elif coordinator is None:
                     self.log.store.write_atomic(self.log.commit_file(attempt_version), payload)
                 else:
                     self._coordinated_write(coordinator, attempt_version,
@@ -289,6 +299,40 @@ class OptimisticTransaction:
             coordinator.register_backfill(self.log.log_path, version)
         elif version % bs == 0:
             C.backfill_to(self.log, coordinator, version)
+
+    def _catalog_managed_write(self, catalog, version: int, payload: str,
+                               ts: int, cfg: Optional[dict] = None) -> None:
+        """Catalog-managed commit (PROTOCOL.md:1282 "Commit Protocol",
+        option 1): stage the payload under a uuid name, then have the
+        managing catalog RATIFY it — the linearization point (at most
+        once per version, in order). Losers re-enter the conflict-check
+        retry path. Writers never do filesystem put-if-absent against
+        the table (PROTOCOL.md:1404). Ratified commits are promptly
+        published unless autoPublish is off (readers then get them from
+        the catalog's unpublished tail)."""
+        import uuid as _uuid
+
+        from delta_spark import catalog_managed as CM
+
+        inline = str((cfg or {}).get(CM.INLINE_PROP, "false")).lower() == "true"
+        staged = None
+        if not inline:
+            staged = os.path.join(self.log.log_path, CM.STAGED_DIR,
+                                  f"{version:020d}.{_uuid.uuid4().hex}.json")
+            self.log.store.write_atomic(staged, payload)
+        try:
+            catalog.ratify(self.log.log_path, version, ts,
+                           staged_path=staged,
+                           inline=payload if inline else None)
+        except CM.CatalogCommitConflict as e:
+            if staged is not None:
+                try:
+                    os.unlink(staged)
+                except OSError:
+                    pass
+            raise ConcurrentModificationException(str(e))
+        if CM.auto_publish(cfg):
+            CM.publish(self.log, catalog, version)
 
     def _row_id_high_watermark(self) -> int:
         hwm = -1
@@ -559,6 +603,19 @@ class OptimisticTransaction:
                         meta.configuration[k] = f"{prefix}{_uuid.uuid4()}"
         if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
             writer_feats.add("inCommitTimestamp")
+        if cfg.get("delta_spark.catalogManaged.catalog"):
+            # catalog-managed tables (PROTOCOL.md:1388): reader+writer
+            # feature; writer requirements mandate ACTIVE in-commit
+            # timestamps (published-file mtimes are meaningless — the
+            # publish can happen any time after the commit), so enabling
+            # the catalog force-enables ICT in the same metadata
+            reader_feats.add("catalogManaged")
+            writer_feats.add("catalogManaged")
+            writer_feats.add("inCommitTimestamp")
+            if cfg.get("delta.enableInCommitTimestamps", "").lower() != "true":
+                meta.configuration = dict(cfg)
+                meta.configuration["delta.enableInCommitTimestamps"] = "true"
+                cfg = meta.configuration
         if cfg.get("delta.enableIcebergCompatV2", "").lower() == "true":
             writer_feats.add("icebergCompatV2")
         if cfg.get("delta.checkpointPolicy", "").lower() == "v2":
@@ -785,6 +842,15 @@ class OptimisticTransaction:
                 coord = C.coordinator_for(cfg)
                 if coord is not None:
                     C.backfill_to(self.log, coord, version)
+                # catalog-managed tables: a checkpoint may only cover
+                # PUBLISHED versions (PROTOCOL.md:1352), so publish the
+                # catalog's ratified tail first (publishing is always
+                # permitted; it's the cleanup below that needs a grant)
+                from delta_spark import catalog_managed as CM
+
+                cm_client = CM.client_for(cfg)
+                if cm_client is not None:
+                    CM.publish(self.log, cm_client, version)
                 wrote = False
                 if (self._spark is not None
                         and should_plan_distributed(self._spark, self.log)):
@@ -800,7 +866,13 @@ class OptimisticTransaction:
                 # delta.logRetentionDuration, unless opted out
                 if str(cfg.get("delta.enableExpiredLogCleanup",
                                "true")).lower() == "true":
-                    self.log.cleanup_expired_logs()
+                    try:
+                        CM.check_maintenance_allowed(
+                            cfg, None, "metadata cleanup")
+                    except PermissionError:
+                        pass  # catalog didn't grant cleanup — skip, not fail
+                    else:
+                        self.log.cleanup_expired_logs()
             except Exception:
                 # checkpointing is best-effort (CheckpointHook semantics)
                 pass

@@ -1,0 +1,232 @@
+"""Catalog-managed tables (PROTOCOL.md "Catalog-Managed Tables",
+catalog_managed.py): the catalog ratifies commits, its latest version
+is authoritative for readers, publishing is in-order, and maintenance
+needs the catalog's permission."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from delta_spark import DeltaLog, DeltaTable, write_delta
+from delta_spark import catalog_managed as CM
+
+FS_CONF = {CM.CATALOG_PROP: "filesystem"}
+
+
+def _li(spark, sf_dir, n=200):
+    from delta_spark.datasets import load_table
+
+    return load_table(spark, sf_dir, "lineitem").limit(n)
+
+
+def _log_path(tbl):
+    return os.path.join(tbl, "_delta_log")
+
+
+def test_create_enables_feature_and_ict(spark, tmp_table, sf_dir):
+    """Enabling the catalog adds the catalogManaged reader+writer
+    feature and force-activates in-commit timestamps (writer
+    requirements, PROTOCOL.md:1395); commitInfo carries txnId."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = dt.log.update()
+    assert "catalogManaged" in (snap.protocol.readerFeatures or [])
+    assert "catalogManaged" in (snap.protocol.writerFeatures or [])
+    assert "inCommitTimestamp" in (snap.protocol.writerFeatures or [])
+    assert snap.configuration.get("delta.enableInCommitTimestamps") == "true"
+    assert dt.toDF().count() == df.count()
+    # commitInfo.txnId is mandatory on catalog-managed tables
+    with open(os.path.join(_log_path(tmp_table), "%020d.json" % 0)) as f:
+        ci = json.loads(f.readline())["commitInfo"]
+    assert ci.get("txnId")
+
+
+def test_dml_and_time_travel(spark, tmp_table, sf_dir):
+    """Full DML lifecycle through the catalog commit protocol."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    dt.update({"l_discount": "l_discount + CAST(0.01 AS DOUBLE)"},
+              "l_quantity < 5")
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt.toDF().count() == want
+    assert dt.asOfVersion(0).count() == df.count()
+    assert dt.history().count() == 3
+    # every version was ratified by the catalog (records published →
+    # removed, but the watermark survives)
+    cat = CM.CATALOGS["filesystem"]
+    latest, ratified = cat.ratified(_log_path(tmp_table))
+    assert latest == 2 and ratified == {}
+
+
+def test_unpublished_tail_readable_and_publish(spark, tmp_table, sf_dir):
+    """autoPublish=false: ratified commits live only as staged files +
+    catalog records; readers still see them (catalog tail), and
+    publish() backfills the classic files in order."""
+    conf = {**FS_CONF, CM.AUTO_PUBLISH_PROP: "false"}
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    lp = _log_path(tmp_table)
+    assert glob.glob(os.path.join(lp, "0*.json")) == []  # nothing published
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt.toDF().count() == want  # served from the catalog tail
+
+    cat = CM.CATALOGS["filesystem"]
+    assert CM.publish(dt.log, cat) == 2
+    assert len(glob.glob(os.path.join(lp, "0*.json"))) == 2
+    # published content == ratified staged content
+    s1 = glob.glob(os.path.join(lp, CM.STAGED_DIR, "%020d.*.json" % 1))[0]
+    assert open(os.path.join(lp, "%020d.json" % 1)).read() == open(s1).read()
+    DeltaLog.clear_cache()
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == want
+
+
+def test_published_beyond_latest_ratified_ignored(spark, tmp_table, sf_dir):
+    """PROTOCOL.md:1271: files with versions greater than the latest
+    ratified commit must be ignored — e.g. a non-conformant writer did
+    a filesystem put-if-absent behind the catalog's back."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")  # v1, ratified
+    lp = _log_path(tmp_table)
+    # rogue v2: a copy of v1's content published without ratification
+    rogue = open(os.path.join(lp, "%020d.json" % 1)).read()
+    with open(os.path.join(lp, "%020d.json" % 2), "w") as f:
+        f.write(rogue)
+    DeltaLog.clear_cache()
+    dt2 = DeltaTable.forPath(spark, tmp_table)
+    assert dt2.log.update().version == 1  # rogue v2 invisible
+    assert dt2.history().count() == 2
+
+
+def test_catalog_copy_authoritative_for_same_version(spark, tmp_table, sf_dir):
+    """PROTOCOL.md:1269: when the catalog returns a ratified commit for
+    version v, readers must use it even if a published <v>.json exists
+    (the published copy here is corrupted/divergent)."""
+    conf = {**FS_CONF, CM.AUTO_PUBLISH_PROP: "false"}
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")  # v1 ratified, unpublished
+    lp = _log_path(tmp_table)
+    # divergent published v1: replays as a no-op commit
+    with open(os.path.join(lp, "%020d.json" % 1), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation":
+                                           "ROGUE", "txnId": "x"}}) + "\n")
+    DeltaLog.clear_cache()
+    dt2 = DeltaTable.forPath(spark, tmp_table)
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt2.toDF().count() == want  # delete applied ⇒ catalog copy won
+    assert dt2.history().filter("operation = 'ROGUE'").count() == 0
+
+
+def test_inline_commits(spark, tmp_table, sf_dir):
+    """Inline commits (PROTOCOL.md:1295 option 2): the content is held
+    by the catalog only — no staged file, nothing published — and
+    reads still work."""
+    conf = {CM.CATALOG_PROP: "in-memory", CM.AUTO_PUBLISH_PROP: "false",
+            CM.INLINE_PROP: "true"}
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    lp = _log_path(tmp_table)
+    assert glob.glob(os.path.join(lp, "0*.json")) == []
+    assert glob.glob(os.path.join(lp, CM.STAGED_DIR, "*.json")) == []
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt.toDF().count() == want
+    # publishing inline commits materializes them as classic files
+    assert CM.publish(dt.log, CM.CATALOGS["in-memory"]) == 2
+    assert len(glob.glob(os.path.join(lp, "0*.json"))) == 2
+    DeltaLog.clear_cache()
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == want
+
+
+def test_concurrent_writers_linearized(spark, tmp_table, sf_dir):
+    """Two writers racing on the same version: the catalog ratifies
+    exactly one; the loser re-enters the retry path and lands on the
+    next version."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    d1 = DeltaTable.forPath(spark, tmp_table)
+    snap_before = d1.log.update()  # both observe v0
+    d1.delete("l_quantity > 40")   # wins v1
+    # a second writer whose snapshot is stale retries through conflicts
+    DeltaLog.clear_cache()
+    d2 = DeltaTable.forPath(spark, tmp_table)
+    d2.delete("l_quantity < 2")    # v2 after an absorbed retry or clean
+    assert d2.log.update().version == 2
+    want = df.filter("NOT coalesce(l_quantity > 40, false)") \
+             .filter("NOT coalesce(l_quantity < 2, false)").count()
+    assert d2.toDF().count() == want
+
+
+def test_maintenance_requires_catalog_grant(spark, tmp_table, sf_dir):
+    """PROTOCOL.md:1352: VACUUM / OPTIMIZE / REORG are refused unless
+    the managing catalog permits them; checkpoints stay allowed."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    with pytest.raises(PermissionError):
+        dt.optimize().executeCompaction()
+    with pytest.raises(PermissionError):
+        dt.vacuum(retention_hours=0)
+    with pytest.raises(PermissionError):
+        dt.reorgPurge()
+    # the grant lifts the gate
+    dt.setProperties({CM.ALLOW_MAINTENANCE_PROP: "true"})
+    dt.optimize().executeCompaction()
+    dt.vacuum(retention_hours=0)
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt.toDF().count() == want
+
+
+def test_fail_closed_without_catalog_state(spark, tmp_table, sf_dir):
+    """A catalogManaged table whose managing catalog is unreachable
+    (state wiped) must refuse reads — the filesystem alone is not a
+    source of truth."""
+    import shutil
+
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == df.count()
+    shutil.rmtree(os.path.join(_log_path(tmp_table), CM.STATE_DIR))
+    DeltaLog.clear_cache()
+    with pytest.raises(IOError, match="catalog-managed"):
+        DeltaTable.forPath(spark, tmp_table).toDF()
+
+
+def test_coordinated_commits_mutually_exclusive(spark, tmp_table, sf_dir):
+    """Exactly one party may own the commit protocol."""
+    from delta_spark import coordinator as C
+
+    df = _li(spark, sf_dir)
+    with pytest.raises(ValueError, match="catalog-managed"):
+        write_delta(df, tmp_table, configuration={
+            **FS_CONF, C.COORDINATOR_PROP: "filesystem"})
+
+
+def test_checkpoint_publishes_tail_first(spark, tmp_table, sf_dir):
+    """A checkpoint may only cover published versions: the hook
+    publishes the ratified tail before writing it."""
+    conf = {**FS_CONF, CM.AUTO_PUBLISH_PROP: "false",
+            "delta.checkpointInterval": "4"}
+    df = _li(spark, sf_dir, 40)
+    write_delta(df, tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    for i in range(4):
+        dt.update({"l_discount": "l_discount"}, f"l_quantity > {40 + i}")
+    lp = _log_path(tmp_table)
+    assert os.path.exists(os.path.join(lp, "%020d.checkpoint.parquet" % 4))
+    # versions 0..4 were published by the hook before checkpointing
+    assert len(glob.glob(os.path.join(lp, "0*.json"))) == 5
+    DeltaLog.clear_cache()
+    assert DeltaTable.forPath(spark, tmp_table).log.update().version == 4
