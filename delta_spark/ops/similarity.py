@@ -145,13 +145,25 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
 # ------------------------------------------------- composed near-dups ----
 
 def lsh_params_for(threshold: float, target_miss: float = 1e-6,
-                   max_bits: int = 512) -> tuple[int, int]:
+                   max_bits: int = 512,
+                   n: Optional[int] = None) -> tuple[int, int]:
     """(bits_per_band, bands) for random-hyperplane LSH such that a
     pair AT the threshold collides in ≥1 band with probability
     ≥ 1 - target_miss. p_bit = 1 - θ/π (Goemans–Williamson); bands are
     sized from the residual miss probability. Low thresholds (broad
     neighborhoods) legitimately yield near-all-pairs candidates —
-    cosine LSH only prunes when τ is high."""
+    cosine LSH only prunes when τ is high.
+
+    With a corpus size ``n``, parameters instead minimize the modeled
+    end-to-end cost ``bands · (1 + n / 2^r)`` — the banding shuffle
+    (rows·bands) plus the expected FALSE candidates per row (random
+    signatures collide in a band with probability ~1/2^r, so each of
+    the `bands` buckets a row lands in holds ~n/2^r random
+    co-occupants). The optimum keeps bucket occupancy O(1): without it
+    a fixed bit budget degrades toward all-pairs as the corpus grows —
+    the term that dominates verify cost at 100 TB. The bit budget
+    expands to ≥4096 because more total bits only cost one wider numpy
+    matmul, while too few bits cost n²/2^r candidate verifications."""
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0 + 1e-9), 1.0 - 1e-9)) / math.pi
@@ -160,11 +172,24 @@ def lsh_params_for(threshold: float, target_miss: float = 1e-6,
         pb = p ** r
         return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
 
-    # among every (r, bands) meeting the recall bound within the bit
-    # budget, take the LARGEST r: more bits per band makes buckets
-    # exponentially more selective for NON-matching pairs (collision
-    # ~ bands/2^r for orthogonal vectors), so the same recall costs the
-    # fewest false candidates — the term that dominates verify cost
+    if n is not None and n > 0:
+        budget = max(max_bits, 4096)
+        best = (1, bands_for(1))
+        best_cost = None
+        for r in range(1, 65):
+            b = bands_for(r)
+            if r * b > budget and r > 1:
+                continue
+            cost = b * (1.0 + n / float(2 ** r))
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (r, b), cost
+        return best
+
+    # without a size hint: among every (r, bands) meeting the recall
+    # bound within the bit budget, take the LARGEST r — more bits per
+    # band makes buckets exponentially more selective for NON-matching
+    # pairs (collision ~ bands/2^r for orthogonal vectors), so the same
+    # recall costs the fewest false candidates
     best = (1, bands_for(1))
     for r in range(1, max_bits + 1):
         b = bands_for(r)
@@ -190,9 +215,15 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
     Arrow-batched numpy matmul computes every hyperplane sign bit per
     row, bands pack to compact bucket keys, and candidates are the
     distinct id pairs sharing a (band, bucket) — an equi-join on the
-    bucket, O(rows·bands) shuffle, never a cross join."""
+    bucket, O(rows·bands) shuffle, never a cross join.
+
+    When parameters aren't given, they are sized to the CORPUS (one
+    count() pass, trivial next to banding+verify): bits per band grow
+    with log2(n) so bucket occupancy — and with it the false-candidate
+    volume the verifier must grind through — stays O(1) per (row, band)
+    instead of degrading toward all-pairs as the corpus grows."""
     r, b = (bits_per_band, bands) if bits_per_band and bands \
-        else lsh_params_for(threshold)
+        else lsh_params_for(threshold, n=corpus.count())
     dim = corpus.select(F.size(F.col(vec_col))).first()[0]
     # the sign bits come from ONE Arrow-batched numpy matmul
     # (N×dim @ dim×(r·b)) — at tight thresholds r·b is ~100+ planes and

@@ -25,6 +25,21 @@ def test_lsh_params_meet_recall_within_budget(threshold, miss):
     assert (1.0 - p ** r) ** b <= miss * (1 + 1e-9)
 
 
+@given(st.floats(min_value=0.3, max_value=0.98),
+       st.integers(min_value=100, max_value=10**9))
+@settings(max_examples=200, deadline=None)
+def test_lsh_params_corpus_sized(threshold, n):
+    """n-aware parameters keep the recall contract, and bucket
+    occupancy never grows without bound: scaling the corpus 1000× must
+    not leave r unchanged (the cost model tracks log2(n))."""
+    r, b = lsh_params_for(threshold, n=n)
+    assert r >= 1 and b >= 1
+    p = 1.0 - math.acos(threshold) / math.pi
+    assert (1.0 - p ** r) ** b <= 1e-6 * (1 + 1e-9)
+    r2, _ = lsh_params_for(threshold, n=n * 1000)
+    assert r2 >= r
+
+
 @given(st.floats(min_value=0.3, max_value=0.98))
 @settings(max_examples=100, deadline=None)
 def test_lsh_params_prefer_selective_bands(threshold):
