@@ -75,6 +75,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "allowColumnDefaults", "changeDataFeed", "identityColumns",
     "rowTracking", "domainMetadata", "icebergCompatV1", "icebergCompatV2",
+    "icebergCompatV3",
     "inCommitTimestamp", "clustering", "checkpointProtection",
     "coordinatedCommits-preview", "coordinatedCommits",
 }

@@ -436,20 +436,25 @@ class DeltaTable:
         from delta_spark.uniform import UNIFORM_FORMATS_KEY
 
         keys = {1: "delta.enableIcebergCompatV1",
-                2: "delta.enableIcebergCompatV2"}
+                2: "delta.enableIcebergCompatV2",
+                3: "delta.enableIcebergCompatV3"}
         if iceberg_compat_version not in keys:
             raise ValueError(
                 f"unsupported ICEBERG_COMPAT_VERSION "
-                f"{iceberg_compat_version} (supported: 1, 2)")
-        metrics = purge_deletion_vectors(self.spark, self.log)
+                f"{iceberg_compat_version} (supported: 1, 2, 3)")
+        props = {keys[iceberg_compat_version]: "true"}
+        metrics: dict = {}
+        if iceberg_compat_version < 3:
+            # an Iceberg v2 reader cannot apply Delta DVs — purge them
+            # and keep DV creation off; V3 converts DVs to format-v3
+            # DeleteFiles instead, so they stay
+            metrics = purge_deletion_vectors(self.spark, self.log)
+            props["delta.enableDeletionVectors"] = "false"
         cfg = self.log.update().configuration
         fmts = {f for f in (cfg.get(UNIFORM_FORMATS_KEY) or "").split(",")
                 if f} | {"iceberg"}
-        self.setProperties({
-            keys[iceberg_compat_version]: "true",
-            "delta.enableDeletionVectors": "false",
-            UNIFORM_FORMATS_KEY: ",".join(sorted(fmts)),
-        })
+        props[UNIFORM_FORMATS_KEY] = ",".join(sorted(fmts))
+        self.setProperties(props)
         return metrics
 
     def generate(self, mode: str = "symlink_format_manifest") -> str:
@@ -1301,10 +1306,17 @@ class DeltaTable:
                        schemaString=m.schemaString, partitionColumns=m.partitionColumns,
                        configuration=new_cfg, createdTime=m.createdTime)
         actions: list = [new]
-        enabling_row_tracking = (
-            str(new_cfg.get("delta.enableRowTracking", "false")).lower() == "true"
-            and str((m.configuration or {}).get(
-                "delta.enableRowTracking", "false")).lower() != "true")
+        def _rt_on(cfg: dict) -> bool:
+            # icebergCompatV3 force-enables row tracking at the commit
+            # seam (RequireRowTracking autoSetValue), so enabling it IS
+            # enabling row tracking for backfill purposes
+            return (str(cfg.get("delta.enableRowTracking",
+                                "false")).lower() == "true"
+                    or str(cfg.get("delta.enableIcebergCompatV3",
+                                   "false")).lower() == "true")
+
+        enabling_row_tracking = (_rt_on(new_cfg)
+                                 and not _rt_on(m.configuration or {}))
         if enabling_row_tracking:
             # RowTrackingBackfillCommand role: enabling row tracking on
             # a populated table re-commits every AddFile lacking a

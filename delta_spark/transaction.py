@@ -395,7 +395,10 @@ class OptimisticTransaction:
             # before the commit becomes durable
             from . import uniform, uniform_hudi
 
-            uniform.validate_uniform_config(metadatas[0].configuration)
+            uniform.validate_uniform_config(
+                metadatas[0].configuration,
+                prev_configuration=(self.snapshot.configuration
+                                    if self.read_version >= 0 else None))
             uniform_hudi.validate_hudi_config(metadatas[0].configuration)
             _validate_checkpoint_interval(metadatas[0].configuration)
             self._assert_metadata_names(metadatas[0])
@@ -582,6 +585,16 @@ class OptimisticTransaction:
             # typed_value subcolumns readers must understand
             reader_feats.add("variantShredding")
             writer_feats.add("variantShredding")
+        if cfg.get("delta.enableIcebergCompatV3", "").lower() == "true":
+            # IcebergCompatV3 (IcebergCompat.scala:96): format-v3 output
+            # with DV DeleteFiles and row lineage — requires row
+            # tracking (RequireRowTracking autoSetValue="true"); the
+            # forced property flows into the rowTracking block below
+            writer_feats.add("icebergCompatV3")
+            if cfg.get("delta.enableRowTracking", "").lower() != "true":
+                meta.configuration = dict(cfg)
+                meta.configuration["delta.enableRowTracking"] = "true"
+                cfg = meta.configuration
         if cfg.get("delta.enableRowTracking", "").lower() == "true":
             writer_feats.add("rowTracking")
             # stable row ids need a materialized column name assigned at

@@ -61,6 +61,7 @@ from .schema import (
 
 UNIFORM_FORMATS_KEY = "delta.universalFormat.enabledFormats"
 ICEBERG_COMPAT_V2_KEY = "delta.enableIcebergCompatV2"
+ICEBERG_COMPAT_V3_KEY = "delta.enableIcebergCompatV3"
 DV_ENABLED_KEY = "delta.enableDeletionVectors"
 
 
@@ -518,6 +519,18 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # Iceberg format v3 additions: row lineage + DV
+                    # DeleteFiles that point into a blob of another file
+                    {"name": "first_row_id", "type": ["null", "long"],
+                     "default": None, "field-id": 142},
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"],
+                     "default": None, "field-id": 143},
+                    {"name": "content_offset", "type": ["null", "long"],
+                     "default": None, "field-id": 144},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"],
+                     "default": None, "field-id": 145},
                 ]}},
         ]}
 
@@ -550,14 +563,55 @@ def uniform_iceberg_enabled(configuration: dict[str, str]) -> bool:
     return "iceberg" in [f.strip() for f in formats.split(",")]
 
 
-def validate_uniform_config(configuration: dict[str, str]) -> None:
-    """IcebergCompat.scala checks: DVs are incompatible with UniForm."""
-    if not uniform_iceberg_enabled(configuration):
-        return
-    if (configuration.get(DV_ENABLED_KEY, "false").lower() == "true"):
+def compat_v3_enabled(configuration: dict[str, str]) -> bool:
+    return (configuration or {}).get(
+        ICEBERG_COMPAT_V3_KEY, "false").lower() == "true"
+
+
+def validate_uniform_config(configuration: dict[str, str],
+                            prev_configuration: Optional[dict] = None) -> None:
+    """IcebergCompat.scala checks. V2: DVs incompatible with UniForm
+    (CheckDeletionVectorDisabled). V3 (IcebergCompatV3): DVs allowed —
+    they convert to Iceberg format-v3 deletion vectors — but at most
+    one compat version may be enabled (CheckOnlySingleVersionEnabled),
+    V3 cannot be disabled once on (CheckCannotDisableCompat), and
+    ALTER-enabling V3 on a table that already has row tracking is
+    refused (CheckNoRowTrackingBeforeUpgradeV3 — pre-existing files
+    carry row ids assigned outside V3 conversion)."""
+    cfg = configuration or {}
+    v3 = compat_v3_enabled(cfg)
+    if v3 and cfg.get(ICEBERG_COMPAT_V2_KEY, "false").lower() == "true":
         raise UniFormValidationError(
-            "UniForm (iceberg) requires deletion vectors to be disabled "
-            "(IcebergCompat: icebergCompatDeletionVectorsShouldBeDisabled)")
+            "icebergCompatV2 and icebergCompatV3 cannot both be enabled "
+            "(IcebergCompat: CheckOnlySingleVersionEnabled)")
+    if prev_configuration is not None:
+        prev = prev_configuration
+        if compat_v3_enabled(prev) and not v3:
+            raise UniFormValidationError(
+                "icebergCompatV3 cannot be disabled once enabled "
+                "(IcebergCompat: CheckCannotDisableCompat)")
+        if (v3 and not compat_v3_enabled(prev)
+                and prev.get("delta.enableRowTracking",
+                             "false").lower() == "true"):
+            raise UniFormValidationError(
+                "enabling icebergCompatV3 on a table with row tracking "
+                "already enabled is not supported; disable row tracking "
+                "first (IcebergCompat: CheckNoRowTrackingBeforeUpgradeV3)")
+    if not uniform_iceberg_enabled(cfg):
+        return
+    if cfg.get(DV_ENABLED_KEY, "false").lower() == "true":
+        if not v3:
+            raise UniFormValidationError(
+                "UniForm (iceberg) requires deletion vectors to be disabled "
+                "(IcebergCompat: icebergCompatDeletionVectorsShouldBeDisabled)"
+                " — or enable delta.enableIcebergCompatV3, which converts "
+                "them to Iceberg format-v3 deletion vectors")
+        if cfg.get("delta_spark.dv.portable", "true").lower() == "false":
+            raise UniFormValidationError(
+                "icebergCompatV3 requires protocol-portable deletion "
+                "vectors (delta_spark.dv.portable): Iceberg DeleteFiles "
+                "point directly into the Delta DV blobs, so the legacy "
+                "parquet-sidecar encoding cannot be referenced")
 
 
 def metadata_dir(table_path: str) -> str:
@@ -652,21 +706,26 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
     seq = (prev.get("last-sequence-number", 0) + 1) if prev else 1
     now_ms = int(time.time() * 1000)
     entry_schema = _manifest_entry_schema(avro_part_fields)
+    v3 = compat_v3_enabled(config)
+    fmt_version = 3 if v3 else 2
+
+    def _partition_of(f: AddFile) -> dict:
+        return {c: _avro_partition_value(part_types[c],
+                                         (f.partitionValues or {}).get(c))
+                for c in part_cols}
 
     def write_manifest(files: list[AddFile], status: int) -> dict:
         mpath = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
         recs = []
         rows = 0
         for f in files:
-            if f.deletionVector is not None:
+            if f.deletionVector is not None and not v3:
                 raise UniFormValidationError(
                     "cannot convert a snapshot containing deletion vectors "
-                    "to Iceberg (IcebergCompat)")
+                    "to Iceberg (IcebergCompat) — enable "
+                    "delta.enableIcebergCompatV3 for format-v3 DVs")
             nrec = _num_records(f)
             rows += nrec
-            part = {c: _avro_partition_value(part_types[c],
-                                             (f.partitionValues or {}).get(c))
-                    for c in part_cols}
             recs.append({
                 "status": status,
                 "snapshot_id": snapshot_id,
@@ -677,16 +736,23 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
                     "file_path": os.path.join(table_path,
                                               decode_log_path(f.path)),
                     "file_format": "PARQUET",
-                    "partition": part,
+                    "partition": _partition_of(f),
                     "record_count": nrec,
                     "file_size_in_bytes": f.size,
+                    # Iceberg v3 row lineage: Delta row tracking assigns
+                    # every file a baseRowId — the same id space
+                    # (DeltaToIcebergConvert.RowTracking.setNextRowId)
+                    "first_row_id": f.baseRowId if v3 else None,
+                    "referenced_data_file": None,
+                    "content_offset": None,
+                    "content_size_in_bytes": None,
                 }})
         size = write_avro_file(
             mpath, entry_schema, recs,
             metadata={"schema": json.dumps(schema_json),
                       "partition-spec": json.dumps(spec_fields),
                       "partition-spec-id": "0",
-                      "format-version": "2",
+                      "format-version": str(fmt_version),
                       "content": "data"})
         return {
             "manifest_path": mpath, "manifest_length": size,
@@ -698,6 +764,72 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
             "deleted_files_count": 0,
             "added_rows_count": rows if status == 1 else 0,
             "existing_rows_count": rows if status == 0 else 0,
+            "deleted_rows_count": 0,
+        }
+
+    def write_delete_manifest(dv_files: list[AddFile]) -> dict:
+        """Iceberg format-v3 deletion vectors: each Delta DV blob is
+        referenced IN PLACE — a position-delete DeleteFile with
+        file_format PUFFIN whose content_offset/content_size point at
+        the blob inside the Delta `deletion_vector_*.bin` file. Delta's
+        on-disk framing (int32-BE size | portable RoaringBitmapArray |
+        int32-BE CRC, offset at the size field) is byte-identical to
+        the Iceberg v3 DV blob contract, so no data is rewritten
+        (DeltaToIcebergConvert.scala:108 dvToDeleteFile,
+        DeletionVectorStore.getTotalSizeOfDVFieldsInFile)."""
+        from delta_spark import dv as dv_mod
+
+        mpath = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+        recs = []
+        rows = 0
+        for f in dv_files:
+            d = f.deletionVector
+            st = d.get("storageType")
+            if st not in ("u", "p") or d.get("offset") is None:
+                raise UniFormValidationError(
+                    f"icebergCompatV3 can only reference on-disk "
+                    f"deletion vectors (storageType 'u'/'p' with an "
+                    f"offset); found {st!r}")
+            offset = int(d["offset"])
+            size = int(d["sizeInBytes"])
+            card = int(d.get("cardinality", 0))
+            content_size = 4 + size + 4  # size field + blob + CRC
+            rows += card
+            recs.append({
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": dv_mod.absolute_dv_path(table_path, d),
+                    "file_format": "PUFFIN",
+                    "partition": _partition_of(f),
+                    "record_count": card,
+                    "file_size_in_bytes": offset + content_size,
+                    "first_row_id": None,
+                    "referenced_data_file": os.path.join(
+                        table_path, decode_log_path(f.path)),
+                    "content_offset": offset,
+                    "content_size_in_bytes": content_size,
+                }})
+        size = write_avro_file(
+            mpath, entry_schema, recs,
+            metadata={"schema": json.dumps(schema_json),
+                      "partition-spec": json.dumps(spec_fields),
+                      "partition-spec-id": "0",
+                      "format-version": str(fmt_version),
+                      "content": "deletes"})
+        return {
+            "manifest_path": mpath, "manifest_length": size,
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(dv_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
 
@@ -729,6 +861,10 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
             manifests.append(write_manifest(live, status=1))
         added_files = total_files = len(live)
         added_rows = total_rows = sum(_num_records(f) for f in live)
+        if v3:
+            dv_files = [f for f in live if f.deletionVector is not None]
+            if dv_files:
+                manifests.append(write_delete_manifest(dv_files))
 
     mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
     write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, manifests,
@@ -737,7 +873,7 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
                               "parent-snapshot-id":
                                   str(prev["current-snapshot-id"])
                                   if prev else "null",
-                              "format-version": "2"})
+                              "format-version": str(fmt_version)})
 
     snapshot_entry = {
         "snapshot-id": snapshot_id,
@@ -753,6 +889,15 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
         },
         "schema-id": 0,
     }
+    if v3:
+        # row lineage (Iceberg v3): files carry explicit first_row_id
+        # from Delta's baseRowId space; the snapshot records the range
+        # base it consumed
+        added_first = [f.baseRowId for f in
+                       (incremental if incremental else snap.all_files)
+                       if f.baseRowId is not None]
+        snapshot_entry["first-row-id"] = min(added_first) if added_first else 0
+        snapshot_entry["added-rows"] = added_rows
     if prev:
         snapshot_entry["parent-snapshot-id"] = prev["current-snapshot-id"]
 
@@ -774,7 +919,7 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
         properties["base-delta-version"] = str(prev_delta_v)
 
     metadata_json = {
-        "format-version": 2,
+        "format-version": fmt_version,
         "table-uuid": table_uuid,
         "location": table_path,
         "last-sequence-number": seq,
@@ -798,6 +943,15 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
                                      ".metadata.json")}]
                          if prev else []),
     }
+    if v3:
+        # next-row-id: one past Delta's row-id high watermark, so
+        # engines appending through Iceberg would not collide with
+        # Delta-assigned ranges (setNextRowId role)
+        hwm = -1
+        for f in snap.all_files:
+            if f.baseRowId is not None:
+                hwm = max(hwm, f.baseRowId + max(_num_records(f), 1) - 1)
+        metadata_json["next-row-id"] = hwm + 1
     out_path = os.path.join(mdir, f"v{meta_version}.metadata.json")
     tmp = out_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -825,6 +979,27 @@ def read_iceberg_files(table_path: str) -> list[dict]:
     _, manifests = read_avro_file(cur["manifest-list"])
     out = []
     for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # delete manifests listed via read_iceberg_deletes
+        _, entries = read_avro_file(m["manifest_path"])
+        out.extend(e["data_file"] for e in entries
+                   if e["status"] in (0, 1))
+    return out
+
+
+def read_iceberg_deletes(table_path: str) -> list[dict]:
+    """All live DeleteFile entries (content=1 manifests) per the
+    current Iceberg metadata — format-v3 deletion vectors."""
+    meta = read_current_metadata(table_path)
+    if meta is None:
+        return []
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, manifests = read_avro_file(cur["manifest-list"])
+    out = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
         _, entries = read_avro_file(m["manifest_path"])
         out.extend(e["data_file"] for e in entries
                    if e["status"] in (0, 1))
@@ -937,6 +1112,26 @@ def convert_iceberg_to_delta(spark, iceberg_path: str,
     if log.table_exists():
         raise UniFormValidationError(f"delta table already exists at {target}")
     root = os.path.normpath(iceberg_path)
+    # Iceberg format-v3 deletion vectors convert back to Delta DV
+    # descriptors IN PLACE: the DeleteFile's (content_offset,
+    # content_size) window over the puffin/DV file is byte-identical to
+    # Delta's blob framing, so an absolute-path ('p') descriptor simply
+    # points at it
+    dv_by_data: dict[str, dict] = {}
+    for de in read_iceberg_deletes(iceberg_path):
+        if (de.get("file_format") or "").upper() != "PUFFIN" \
+                or de.get("referenced_data_file") is None:
+            raise UniFormValidationError(
+                "only deletion-vector DeleteFiles (PUFFIN, "
+                "referenced_data_file) can convert to Delta")
+        dv_by_data[os.path.normpath(de["referenced_data_file"])] = {
+            "storageType": "p",
+            "pathOrInlineDv": de["file_path"],
+            "offset": int(de["content_offset"]),
+            # content_size = 4-byte size field + blob + 4-byte CRC
+            "sizeInBytes": int(de["content_size_in_bytes"]) - 8,
+            "cardinality": int(de["record_count"]),
+        }
     adds = []
     for df_entry in read_iceberg_files(iceberg_path):
         p = df_entry["file_path"]
@@ -955,14 +1150,19 @@ def convert_iceberg_to_delta(spark, iceberg_path: str,
         adds.append(AddFile(
             path=rel, partitionValues=pvals, size=size,
             modificationTime=current_time_millis(), dataChange=True,
+            deletionVector=dv_by_data.get(ap),
             stats=json.dumps({"numRecords": int(df_entry["record_count"])})))
 
     metadata = Metadata(
         format=Format(), schemaString=schema_to_json(schema),
         partitionColumns=part_cols, configuration={},
         createdTime=current_time_millis())
+    proto = Protocol()
+    if dv_by_data:
+        proto = Protocol(3, 7, readerFeatures=["deletionVectors"],
+                         writerFeatures=["deletionVectors"])
     txn = OptimisticTransaction(log)
-    txn.commit([Protocol(), metadata] + adds, "CONVERT",
+    txn.commit([proto, metadata] + adds, "CONVERT",
                {"sourceFormat": "iceberg",
                 "numFiles": str(len(adds)),
                 "partitionedBy": json.dumps(part_cols)})
