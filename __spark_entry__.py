@@ -142,9 +142,12 @@ def q_delta_dv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_delta_coordinated_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DML through a commit coordinator (coordinated-commits preview):
-    commits are staged + registered + backfilled instead of relying on
-    filesystem put-if-absent (delta_spark/coordinator.py)."""
+    """DML with external commit ownership, both flavors: coordinated
+    commits (staged + registered + backfilled, coordinator.py) and
+    catalog-managed tables (the catalogManaged feature: the catalog
+    ratifies commits and is authoritative for reads,
+    catalog_managed.py). Identical DML through each must yield
+    identical results."""
     def b(spark, sf_dir, path):
         from delta_spark.coordinator import COORDINATOR_PROP
 
@@ -152,9 +155,22 @@ def q_delta_coordinated_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     configuration={COORDINATOR_PROP: "filesystem"})
         DeltaTable.forPath(spark, path).delete("l_quantity > 30")
     p = _table(spark, sf_dir, "li_coord", b)
-    return (_dt(spark, p).toDF().groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("qty")))
+
+    def b_cm(spark, sf_dir, path):
+        from delta_spark.catalog_managed import CATALOG_PROP
+
+        write_delta(load_table(spark, sf_dir, "lineitem"), path,
+                    configuration={CATALOG_PROP: "filesystem"})
+        DeltaTable.forPath(spark, path).delete("l_quantity > 30")
+    p_cm = _table(spark, sf_dir, "li_catmgd", b_cm)
+
+    def agg(path, src):
+        return (_dt(spark, path).toDF()
+                .groupBy(F.lit(src).alias("src"), "l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
+                            "AS DOUBLE)").alias("qty")))
+    return agg(p, "coordinated").unionAll(agg(p_cm, "catalog"))
 
 
 def q_delta_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +445,10 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniForm: Iceberg metadata generated on commit; record counts read
-    back through the Avro manifests must equal the table row count."""
+    back through the Avro manifests must equal the table row count.
+    Second leg: icebergCompatV3 — a DV DELETE converts to format-v3
+    DeleteFiles, and the Iceberg-side view (data record counts minus
+    delete-file cardinalities) must equal the post-delete row count."""
     def b(spark, sf_dir, path):
         src = load_table(spark, sf_dir, "supplier")
         write_delta(src.filter("s_acctbal >= 0"), path)
@@ -438,10 +457,23 @@ def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta.enableIcebergCompatV2": "true"})
         write_delta(src.filter("NOT s_acctbal >= 0"), path, mode="append")
     p = _table(spark, sf_dir, "supp_uniform", b)
+
+    def b3(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "supplier"), path,
+                    configuration={
+                        "delta.universalFormat.enabledFormats": "iceberg",
+                        "delta.enableIcebergCompatV3": "true",
+                        "delta.enableDeletionVectors": "true"})
+        DeltaTable.forPath(spark, path).delete("s_acctbal < 0")
+    p3 = _table(spark, sf_dir, "supp_uniform_v3", b3)
     from delta_spark import uniform as _uniform
-    files = _uniform.read_iceberg_files(p)
-    total = sum(e["record_count"] for e in files)
-    return spark.createDataFrame([(total,)], "total_records long")
+    total = sum(e["record_count"] for e in _uniform.read_iceberg_files(p))
+    v3_live = (sum(e["record_count"]
+                   for e in _uniform.read_iceberg_files(p3))
+               - sum(d["record_count"]
+                     for d in _uniform.read_iceberg_deletes(p3)))
+    return spark.createDataFrame([(total, v3_live)],
+                                 "total_records long, v3_live long")
 
 
 def q_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,10 +1296,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
             GROUP BY l_returnflag""",
         "delta_coordinated_commits": """
-            SELECT l_returnflag, count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-            FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
-            GROUP BY l_returnflag""",
+            WITH filtered AS (
+                SELECT l_returnflag, count(*) AS n,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                            AS DOUBLE) AS qty
+                FROM lineitem WHERE NOT coalesce(l_quantity > 30, false)
+                GROUP BY l_returnflag)
+            SELECT 'coordinated' AS src, l_returnflag, n, qty FROM filtered
+            UNION ALL
+            SELECT 'catalog' AS src, l_returnflag, n, qty FROM filtered""",
         "delta_delete_partition": """
             SELECT l_linestatus, count(*) AS n
             FROM lineitem WHERE l_returnflag <> 'A' GROUP BY l_linestatus""",
@@ -1376,8 +1413,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 13 <> 0
             GROUP BY o_orderstatus""",
         # delta_history: delta-specific — rows-only check (no oracle)
-        "delta_uniform":
-            "SELECT CAST(count(*) AS BIGINT) AS total_records FROM supplier",
+        "delta_uniform": """
+            SELECT CAST(count(*) AS BIGINT) AS total_records,
+                   CAST(sum(CASE WHEN NOT coalesce(s_acctbal < 0, false)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v3_live
+            FROM supplier""",
         "delta_variant": """
             SELECT o_orderpriority AS p, count(*) AS n,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
