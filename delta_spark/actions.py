@@ -75,7 +75,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "allowColumnDefaults", "changeDataFeed", "identityColumns",
     "rowTracking", "domainMetadata", "icebergCompatV1", "icebergCompatV2",
-    "icebergCompatV3",
+    "icebergCompatV3", "collations", "collations-preview",
     "inCommitTimestamp", "clustering", "checkpointProtection",
     "coordinatedCommits-preview", "coordinatedCommits",
 }

@@ -630,6 +630,20 @@ class DeltaLog:
         self._apply_commit_range(snap, start, version)
         snap.version = version
         snap.timestamp = self._commit_timestamp(version)
+        # Snapshot.validateState (DeltaErrors.actionNotFoundException):
+        # a snapshot of an existing table must have replayed BOTH a
+        # protocol and a metadata action — defaulting either would let
+        # this client misread a table (e.g. ignore a feature gate)
+        if not snap._saw_protocol:
+            raise ValueError(
+                f"the protocol of your Delta table could not be "
+                f"recovered while reconstructing version {version} "
+                f"(actionNotFound: protocol)")
+        if snap.metadata is None:
+            raise ValueError(
+                f"the metadata of your Delta table could not be "
+                f"recovered while reconstructing version {version} "
+                f"(actionNotFound: metadata)")
         return snap
 
     def _commit_timestamp(self, version: int,
@@ -1512,6 +1526,7 @@ class DeltaLog:
         for row in rows:
             if row.get("protocol"):
                 p = row["protocol"]
+                snap._saw_protocol = True
                 snap.protocol = Protocol(
                     minReaderVersion=p["minReaderVersion"] or 1,
                     minWriterVersion=p["minWriterVersion"] or 2,
@@ -1829,10 +1844,14 @@ def skipping_stats_schema(schema, part_cols: set, l2p: dict):
     writer (`delta.checkpoint.writeStatsAsStruct`)."""
     from pyspark.sql import types as T
 
+    from delta_spark.schema import collated_columns
+
     atomic = (T.NumericType, T.StringType, T.DateType,
               T.TimestampType, T.TimestampNTZType, T.BooleanType)
+    collated = collated_columns(schema)
     stat_fields = [f for f in schema.fields
-                   if f.name not in part_cols and isinstance(f.dataType, atomic)]
+                   if f.name not in part_cols and f.name not in collated
+                   and isinstance(f.dataType, atomic)]
     return stat_fields, T.StructType([
         T.StructField("numRecords", T.LongType()),
         T.StructField("minValues", T.StructType([

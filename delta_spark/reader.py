@@ -354,6 +354,12 @@ def read_snapshot(
 ) -> DataFrame:
     """Snapshot scan with log-level pruning; the predicate is ALSO
     re-applied by Spark on the rows (skipping is file-granular)."""
+    if not snapshot.schema.fields:
+        # DeltaErrors.schemaNotSetException: the log is readable (state,
+        # history) but data cannot be scanned without a schema
+        raise ValueError(
+            "Table schema is not set. Write data into it or use CREATE "
+            "TABLE to set the schema.")
     files = snapshot.files_for_scan(predicate, limit)
     df = read_files_df(spark, snapshot, files)
     if predicate:

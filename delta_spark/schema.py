@@ -200,6 +200,21 @@ def relax_nullability(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def collated_columns(schema: T.StructType) -> set[str]:
+    """Top-level columns carrying (possibly nested) non-default string
+    collations (the `collations` table feature, serialized as
+    `__COLLATIONS` field metadata — identically by Spark's StructType
+    JSON and Delta's protocol). Stats-based file skipping must not use
+    these columns: parquet footer MIN/MAX are BINARY-collation bounds,
+    and pruning a `c = 'AA'` predicate on a UTF8_LCASE column with
+    binary bounds over 'aa' would silently drop matching files
+    (StatisticsCollection skips collated columns for the same reason)."""
+    import json as _json
+
+    return {f.name for f in schema.fields
+            if "__COLLATIONS" in _json.dumps(f.jsonValue())}
+
+
 def nested_field_names(schema: T.StructType) -> list[str]:
     """Dotted logical paths of every struct field, nested levels
     included (SchemaMergingUtils.explodeNestedFieldNames)."""

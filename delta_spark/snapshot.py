@@ -40,6 +40,10 @@ class Snapshot:
         self.table_path = table_path
         self.version = version
         self.protocol: Protocol = Protocol()
+        # replay validation (Snapshot.validateState): a materialized
+        # snapshot of an existing table must have seen BOTH a protocol
+        # and a metadata action, else the log is unusable
+        self._saw_protocol: bool = False
         self.metadata: Optional[Metadata] = None
         self._active: dict[str, AddFile] = {}
         self._tombstones: dict[str, RemoveFile] = {}
@@ -120,6 +124,7 @@ class Snapshot:
                 self.metadata = a
             elif kind == "protocol":
                 self.protocol = a
+                self._saw_protocol = True
             elif kind == "txn":
                 self.set_transactions[a.appId] = a
             elif kind == "domainMetadata":
@@ -305,12 +310,19 @@ class Snapshot:
         from delta_spark.schema import physical_to_logical
 
         st = parse_stats_view(f.stats, self._physical_typed_schema(logical_schema))
-        if not self.column_mapping_enabled:
-            return st
-        p2l = physical_to_logical(self.schema)
-        st.min_values = {p2l.get(k, k): v for k, v in st.min_values.items()}
-        st.max_values = {p2l.get(k, k): v for k, v in st.max_values.items()}
-        st.null_count = {p2l.get(k, k): v for k, v in st.null_count.items()}
+        if self.column_mapping_enabled:
+            p2l = physical_to_logical(self.schema)
+            st.min_values = {p2l.get(k, k): v for k, v in st.min_values.items()}
+            st.max_values = {p2l.get(k, k): v for k, v in st.max_values.items()}
+            st.null_count = {p2l.get(k, k): v for k, v in st.null_count.items()}
+        # collated columns: binary-order MIN/MAX bounds are wrong under
+        # a non-default collation — never prune or answer MIN/MAX from
+        # them (schema.collated_columns)
+        from delta_spark.schema import collated_columns
+
+        for c in collated_columns(logical_schema):
+            st.min_values.pop(c, None)
+            st.max_values.pop(c, None)
         return st
 
     def _physical_typed_schema(self, logical_schema: T.StructType) -> T.StructType:
@@ -376,6 +388,7 @@ class Snapshot:
     def clone_state(self) -> "Snapshot":
         s = Snapshot(self.table_path, self.version)
         s.protocol = self.protocol
+        s._saw_protocol = self._saw_protocol
         s.metadata = self.metadata
         s.active = dict(self.active)
         s.tombstones = dict(self.tombstones)

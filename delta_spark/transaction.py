@@ -556,6 +556,12 @@ class OptimisticTransaction:
             # DEFAULT column expressions (writer-only feature: readers
             # see materialized values, only writers must apply defaults)
             writer_feats.add("allowColumnDefaults")
+        if '"__COLLATIONS"' in schema_str:
+            # non-default string collations (CollationsTableFeature,
+            # writer-only: readers see plain strings; writers must keep
+            # collation metadata through schema changes and must not
+            # collect binary-order stats for skipping)
+            writer_feats.add("collations")
         if geo.schema_string_may_have_geo(schema_str):
             # GeoSpatialTableFeature (TableFeature.scala:697): auto-added
             # on geo columns, preview-conf-gated, envelope validated

@@ -120,7 +120,15 @@ def schema_to_json(schema: T.StructType) -> str:
 def schema_from_json(s: str) -> T.StructType:
     import json
 
-    return T.StructType.fromJson(json.loads(s))
+    # a Metadata action may legally omit schemaString (log-only tables,
+    # e.g. the reference's deltalog-commit-info golden fixture): the
+    # schema is only required to READ DATA — log replay, history and
+    # snapshot state must still work (Spark's DeltaLog behaves the
+    # same; reads then fail with schemaNotSetException)
+    d = json.loads(s) if s else {}
+    if not d.get("fields"):
+        return T.StructType([])
+    return T.StructType.fromJson(d)
 
 
 def current_time_millis() -> int:
