@@ -1,0 +1,101 @@
+"""Model-based randomized DML: a seeded random sequence of
+append / DELETE / UPDATE / MERGE ops runs against both the engine and
+a pure-Python reference model; after every commit the model snapshot
+is recorded, and at the end the live table AND sampled time-travel
+versions must match the model exactly. Run across plain, partitioned,
+and deletion-vector table configurations — the three physically
+different DML paths (rewrite, partition-drop, DV mask)."""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from delta_spark.io import write_delta
+from delta_spark.table import DeltaTable
+
+CATS = ["a", "b", "c"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, cat=c) for k, v, c in rows],
+        "k int, v int, cat string")
+
+
+def _run_scenario(spark, path, seed, partitioned, dv):
+    rng = random.Random(seed)
+    conf = {"delta.enableDeletionVectors": "true"} if dv else {}
+    next_key = 0
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = list(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    # version 0: initial append
+    model = {}  # k -> (v, cat)
+    rows = [(k, rng.randrange(100), rng.choice(CATS))
+            for k in fresh_keys(8)]
+    model.update({k: (v, c) for k, v, c in rows})
+    write_delta(_df(spark, rows), path,
+                partition_by=["cat"] if partitioned else None,
+                configuration=conf)
+    dt = DeltaTable.forPath(spark, path)
+    history = [dict(model)]
+
+    for _ in range(8):
+        op = rng.choice(["append", "delete", "update", "merge"])
+        if op == "append":
+            rows = [(k, rng.randrange(100), rng.choice(CATS))
+                    for k in fresh_keys(rng.randrange(1, 5))]
+            model.update({k: (v, c) for k, v, c in rows})
+            write_delta(_df(spark, rows), path, mode="append")
+        elif op == "delete":
+            m, r = rng.randrange(2, 5), rng.randrange(0, 2)
+            dt.delete(f"v % {m} = {r}")
+            model = {k: (v, c) for k, (v, c) in model.items()
+                     if not (v % m == r)}
+        elif op == "update":
+            cat = rng.choice(CATS)
+            add = rng.randrange(1, 20)
+            dt.update({"v": f"v + {add}"}, f"cat = '{cat}'")
+            model = {k: (v + add if c == cat else v, c)
+                     for k, (v, c) in model.items()}
+        else:  # merge: update half the existing keys, insert new ones
+            existing = sorted(model)
+            upd = rng.sample(existing, min(3, len(existing)))
+            ins = fresh_keys(rng.randrange(1, 3))
+            src_rows = ([(k, rng.randrange(100, 200), rng.choice(CATS))
+                         for k in upd]
+                        + [(k, rng.randrange(200, 300), rng.choice(CATS))
+                           for k in ins])
+            (dt.merge(_df(spark, src_rows).alias("s"), "t.k = s.k",
+                      target_alias="t")
+             .whenMatchedUpdate(set={"v": "s.v", "cat": "s.cat"})
+             .whenNotMatchedInsertAll()
+             .execute())
+            model.update({k: (v, c) for k, v, c in src_rows})
+        history.append(dict(model))
+
+    def table_state(df):
+        return {r["k"]: (r["v"], r["cat"]) for r in df.collect()}
+
+    assert table_state(dt.toDF()) == model, f"seed={seed} final state"
+    # time travel: every recorded version must reproduce its model
+    for ver in rng.sample(range(len(history)), 3):
+        assert table_state(dt.asOfVersion(ver)) == history[ver], \
+            f"seed={seed} version={ver}"
+    assert dt.history().count() == len(history)
+
+
+@pytest.mark.parametrize("seed,partitioned,dv", [
+    (11, False, False),
+    (23, True, False),
+    (37, False, True),
+    (41, True, True),
+])
+def test_randomized_dml_matches_model(spark, tmp_table, seed,
+                                      partitioned, dv):
+    _run_scenario(spark, tmp_table, seed, partitioned, dv)
