@@ -306,11 +306,39 @@ class DeltaStreamReader(DataSourceStreamReader):
         return bool(self.exclude_re and self.exclude_re.search(f.path))
 
     def _snapshot_files(self, version: int) -> list[AddFile]:
+        # a version's file list is immutable — cache it so a rate-capped
+        # initial-snapshot drain doesn't REBUILD the full snapshot on
+        # every trigger (latestOffset + partitions each call this; at
+        # 10⁵ files × many microbatches the replay would dominate)
+        cached = getattr(self, "_snap_files_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
         snap = self.log.snapshot_at(version)
-        return sorted((f for f in snap.all_files if not self._excluded(f)),
-                      key=lambda f: f.path)
+        files = sorted((f for f in snap.all_files if not self._excluded(f)),
+                       key=lambda f: f.path)
+        self._snap_files_cache = (version, files)
+        return files
 
     def _commit_adds(self, version: int) -> list[AddFile]:
+        # commit JSONs are immutable per version: cache the parsed adds
+        # (each trigger reads a version ~3× — latestOffset admission,
+        # partitions planning, commit bookkeeping); bounded LRU keeps
+        # memory O(window), not O(history)
+        cache = getattr(self, "_adds_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._adds_cache = OrderedDict()
+        if version in cache:
+            cache.move_to_end(version)
+            return cache[version]
+        adds = self._commit_adds_uncached(version)
+        cache[version] = adds
+        while len(cache) > 64:
+            cache.popitem(last=False)
+        return adds
+
+    def _commit_adds_uncached(self, version: int) -> list[AddFile]:
         try:
             actions = self.log.read_commit_actions(version)
         except (OSError, ValueError):
