@@ -63,6 +63,19 @@ def test_skipping_never_prunes_collated_columns(spark, tmp_table):
     assert "c" not in aggs["minValues"] and "p" in aggs["minValues"]
 
 
+def test_no_stats_written_for_collated_columns(spark, tmp_table):
+    """Parity with StatisticsCollection: writers don't record binary
+    min/max for collated columns at all."""
+    import json
+
+    write_delta(_collated_df(spark, [("aa", "x"), ("Bb", "y")]), tmp_table)
+    snap = DeltaLog.for_table(tmp_table).update()
+    for f in snap.all_files:
+        st = json.loads(f.stats)
+        assert "c" not in st.get("minValues", {})
+        assert "p" in st.get("minValues", {})
+
+
 def test_collated_delete_correctness(spark, tmp_table):
     write_delta(_collated_df(spark, [("aa", "x"), ("zz", "y")]), tmp_table)
     dt = DeltaTable.forPath(spark, tmp_table)

@@ -126,6 +126,21 @@ def test_time_travel_versions(spark):
     assert dt.toDF().count() == 30
 
 
+def test_time_travel_partition_changes(spark):
+    """time-travel-partition-changes-b: v1 overwrote schema AND
+    repartitioned (part5 → part2); version 0 must read back with the
+    OLD schema, old partitioning, and old rows."""
+    dt = DeltaTable.forPath(spark, _t("time-travel-partition-changes-b"))
+    cur = dt.toDF()
+    assert set(cur.columns) == {"id", "part2"}
+    assert sorted(r["id"] for r in cur.collect()) == list(range(10, 20))
+    v0 = dt.asOfVersion(0)
+    assert set(v0.columns) == {"id", "part5"}
+    rows0 = v0.collect()
+    assert sorted(r["id"] for r in rows0) == list(range(10))
+    assert all(r["part5"] == r["id"] % 5 for r in rows0)
+
+
 def test_delete_re_add_same_file(spark):
     """Kernel LogReplaySuite:274 — the LAST add of a re-added path
     wins, carrying its new modificationTime."""
