@@ -193,6 +193,19 @@ def test_state_reconstruction_missing_actions_rejected(spark):
             _t("deltalog-state-reconstruction-without-protocol")).update()
 
 
+@pytest.mark.parametrize("action", ["metadata", "protocol"])
+def test_checkpoint_missing_action_rejected(spark, action):
+    """A checkpoint whose metadata (or protocol) row was lost must fail
+    state reconstruction, not silently default (the commits it
+    supersedes are not replayed)."""
+    with pytest.raises(ValueError, match=action.replace("metadata",
+                                                        "metadata")):
+        DeltaLog.clear_cache()
+        DeltaLog.for_table(_t(
+            f"deltalog-state-reconstruction-from-checkpoint-missing-"
+            f"{action}")).update()
+
+
 def test_parquet_all_types_roundtrip(spark):
     """parquet-all-types: 200 rows across every primitive type — spot
     checks on shape + a deterministic column."""
