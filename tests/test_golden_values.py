@@ -256,6 +256,29 @@ def test_get_changes_action_kinds(spark):
     assert (txn.appId, txn.version, txn.lastUpdated) == ("fakeAppId", 3, 200)
 
 
+@pytest.mark.parametrize("tz,utc_instant", [
+    ("UTC", "2020-01-01 08:09:10"),
+    ("JST", "2019-12-31 23:09:10"),  # +09:00, no DST
+    ("PST", "2020-01-01 16:09:10"),  # -08:00 on Jan 1
+])
+def test_date_types_across_timezones(spark, tz, utc_instant):
+    """data-reader-date-types-<tz>: the fixture stores the INSTANT of
+    local '2020-01-01 08:09:10' in <tz>; formatted under a UTC session
+    the instant must shift by exactly the zone offset, while the DATE
+    column (timezone-free) stays 2020-01-01."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = DeltaTable.forPath(
+            spark, _t(f"data-reader-date-types-{tz}")).toDF()
+        r = df.selectExpr("CAST(timestamp AS STRING) AS ts",
+                          "CAST(date AS STRING) AS d").collect()[0]
+        assert r["ts"] == utc_instant
+        assert r["d"] == "2020-01-01"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_kernel_timestamp_tables(spark):
     """INT96 and TIMESTAMP_MICROS physical encodings read identically."""
     a = DeltaTable.forPath(spark, _t("kernel-timestamp-INT96")).toDF()
