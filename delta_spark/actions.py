@@ -76,6 +76,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
     "allowColumnDefaults", "changeDataFeed", "identityColumns",
     "rowTracking", "domainMetadata", "icebergCompatV1", "icebergCompatV2",
     "icebergCompatV3", "collations", "collations-preview",
+    "materializePartitionColumns",
     "inCommitTimestamp", "clustering", "checkpointProtection",
     "coordinatedCommits-preview", "coordinatedCommits",
 }

@@ -335,7 +335,10 @@ def write_delta(
                        target_file_rows=max_records_per_file,
                        compression=compression,
                        shred_variant=str(cfg.get(
-                           "delta.enableVariantShredding", "false")).lower() == "true")
+                           "delta.enableVariantShredding", "false")).lower() == "true",
+                       materialize_partitions=str(cfg.get(
+                           "delta.enableMaterializePartitionColumnsFeature",
+                           "false")).lower() == "true")
 
     removes: list[RemoveFile] = []
     cdc_actions: list = []

@@ -556,6 +556,12 @@ class OptimisticTransaction:
             # DEFAULT column expressions (writer-only feature: readers
             # see materialized values, only writers must apply defaults)
             writer_feats.add("allowColumnDefaults")
+        if cfg.get("delta.enableMaterializePartitionColumnsFeature",
+                   "").lower() == "true":
+            # partition column values also stored physically in data
+            # files (MaterializePartitionColumnsTableFeature) — for
+            # external readers that require them in the parquet
+            writer_feats.add("materializePartitionColumns")
         if '"__COLLATIONS"' in schema_str:
             # non-default string collations (CollationsTableFeature,
             # writer-only: readers see plain strings; writers must keep

@@ -27,6 +27,7 @@ from delta_spark.actions import AddFile
 from delta_spark.stats import DEFAULT_NUM_INDEXED_COLS, collect_stats_parallel, file_mtime_ms
 from delta_spark.util import (
     HIVE_DEFAULT_PARTITION,
+    escape_partition_value,
     unescape_partition_value,
 )
 
@@ -72,19 +73,37 @@ def write_files(
     target_file_rows: Optional[int] = None,
     shred_variant: bool = False,
     compression: Optional[str] = None,
+    materialize_partitions: bool = False,
 ) -> list[AddFile]:
     """Write df's rows as new Parquet files under table_path; return
     AddFile actions (not yet committed). With `shred_variant`, variant
     columns are written SHREDDED (PROTOCOL.md:1934 variantShredding):
     Spark infers a typed_value schema per write and stores typed
     subcolumns alongside the binary value, so engines can project and
-    push predicates into variant paths without decoding."""
+    push predicates into variant paths without decoding.
+
+    With `materialize_partitions`
+    (MaterializePartitionColumnsTableFeature): partition column values
+    are ALSO stored physically in the data files — Spark's partitionBy
+    strips them, so the write partitions by temporary duplicate columns
+    and the relocation below renames the directory components back to
+    the real column names; external readers that require partition
+    columns in the parquet get them, the table layout is unchanged."""
     from delta_spark import geo as _geo
+    from pyspark.sql import functions as F
 
     # validate BEFORE the parquet job: nested geo / disabled preview
     # conf must fail with the domain error, not a codegen crash
     _geo.validate_schema(df.schema, partition_columns, spark=df.sparkSession)
     df = _geo.wkb_out(df)  # geo columns land in parquet as WKB binary
+    mat_map: dict[str, str] = {}
+    if materialize_partitions and partition_columns:
+        mat_map = {f"__mat_{i}": c for i, c in enumerate(partition_columns)}
+        for tmp, c in mat_map.items():
+            df = df.withColumn(tmp, F.col(f"`{c}`"))
+        partition_columns_for_write = list(mat_map)
+    else:
+        partition_columns_for_write = partition_columns
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if target_file_rows:
@@ -95,8 +114,8 @@ def write_files(
         # validates the name — invalid codecs error before any file
         # lands)
         writer = writer.option("compression", compression)
-    if partition_columns:
-        writer = writer.partitionBy(*partition_columns)
+    if partition_columns_for_write:
+        writer = writer.partitionBy(*partition_columns_for_write)
     shred_confs = {"spark.sql.variant.writeShredding.enabled": "true",
                    "spark.sql.variant.inferShreddingSchema": "true",
                    # the VARIANT parquet logical-type tag breaks
@@ -137,12 +156,22 @@ def write_files(
             rel_dir = "" if rel_dir == "." else rel_dir
             pvals: dict[str, Optional[str]] = {}
             if rel_dir:
+                comps = []
                 for comp in rel_dir.split(os.sep):
                     if "=" not in comp:
+                        comps.append(comp)
                         continue
                     k, v = comp.split("=", 1)
                     k = unescape_partition_value(k)
+                    if k in mat_map:
+                        # materialized write: dir comps carry the temp
+                        # duplicate's name — restore the real column in
+                        # both the final layout and partitionValues
+                        k = mat_map[k]
+                        comp = f"{escape_partition_value(k)}={v}"
+                    comps.append(comp)
                     pvals[k] = None if v == HIVE_DEFAULT_PARTITION else unescape_partition_value(v)
+                rel_dir = os.sep.join(comps)
             final_dir = os.path.join(table_path, rel_dir) if rel_dir else table_path
             os.makedirs(final_dir, exist_ok=True)
             dst = os.path.join(final_dir, name)
@@ -214,7 +243,10 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
                        indexed_cols=indexed_cols,
                        num_indexed_cols=num_indexed, data_change=data_change,
                        shred_variant=str(cfg.get(
-                           "delta.enableVariantShredding", "false")).lower() == "true")
+                           "delta.enableVariantShredding", "false")).lower() == "true",
+                       materialize_partitions=str(cfg.get(
+                           "delta.enableMaterializePartitionColumnsFeature",
+                           "false")).lower() == "true")
 
 
 def write_cdc_files(df: DataFrame, table_path: str) -> list:
