@@ -69,6 +69,11 @@ SUPPORTED_READER_FEATURES = frozenset({
     # the reader rules; snapshots fail closed if no catalog state is
     # discoverable for the table)
     "catalogManaged",
+    # table redirects (redirect.py, TableRedirect.scala): forPath on a
+    # REDIRECT-READY source resolves to the destination; the writer-only
+    # flavor (redirectWriterOnly-preview) is deliberately ABSENT from
+    # the writer list — we fail closed on writes, stay open for reads
+    "redirectReaderWriter-preview",
 })
 
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {

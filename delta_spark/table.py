@@ -116,6 +116,26 @@ class DeltaTable:
         log = DeltaLog.for_table(path)
         if not log.table_exists():
             raise ValueError(f"{path} is not a delta table")
+        # table redirect (redirect.py, TableRedirect.scala): a source in
+        # REDIRECT-READY resolves to its destination — reads AND writes
+        # route. One hop only: a destination that itself redirects is a
+        # forbidden chain.
+        if pinned is None:
+            from delta_spark import redirect as R
+
+            dest = R.resolve_read_path(log.table_path,
+                                       log.update().configuration)
+            if dest is not None:
+                dest_log = DeltaLog.for_table(dest)
+                if not dest_log.table_exists():
+                    raise ValueError(
+                        f"redirect destination {dest} is not a delta table")
+                if R.resolve_read_path(dest_log.table_path,
+                                       dest_log.update().configuration):
+                    raise R.RedirectStateError(
+                        f"redirect chains are not allowed: {dest} "
+                        f"redirects again")
+                log = dest_log
         dt = cls(spark, log)
         dt._pinned_version = pinned
         return dt

@@ -193,8 +193,15 @@ class OptimisticTransaction:
                          else self.snapshot.configuration)
 
         from delta_spark import catalog_managed as CM
+        from delta_spark import redirect as R
         from delta_spark.coordinator import coordinator_for
 
+        if self.read_version >= 0:
+            # table redirect state gate (redirect.check_commit): out of
+            # a quiescent redirect state only the transition commit and
+            # noRedirectRules-allowed operations may land on the source
+            R.check_commit(self.snapshot.configuration, effective_cfg,
+                           operation)
         coordinator = coordinator_for(effective_cfg)
         catalog = CM.client_for(effective_cfg)
         if catalog is not None and coordinator is not None:
@@ -556,6 +563,11 @@ class OptimisticTransaction:
             # DEFAULT column expressions (writer-only feature: readers
             # see materialized values, only writers must apply defaults)
             writer_feats.add("allowColumnDefaults")
+        if cfg.get("delta.redirectReaderWriter-preview"):
+            # table redirect configuration present (any state): readers
+            # must understand routing, so it's a reader+writer feature
+            reader_feats.add("redirectReaderWriter-preview")
+            writer_feats.add("redirectReaderWriter-preview")
         if cfg.get("delta.enableMaterializePartitionColumnsFeature",
                    "").lower() == "true":
             # partition column values also stored physically in data
