@@ -105,21 +105,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cents = centroids or fit_centroids_sample(corpus, vec_col, n_centroids)
     bucketed = corpus.withColumn("__bucket", _nearest_centroid(F.col(vec_col), cents))
 
-    # query → its nprobe nearest buckets (small side, computed the same way)
+    # query → its nprobe nearest buckets, computed EXECUTOR-side with
+    # the same Arrow-batched matmul as the corpus assignment — the
+    # query set never lands on the driver, so ivf_topk scales to
+    # corpus-sized query frames; AQE upgrades the probe join to a
+    # broadcast at runtime when the query side is small
     import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    qrows = queries.collect()
     C = np.array(cents)
-    probe_rows = []
-    for r in qrows:
-        qv = np.array(r[vec_col], dtype=np.float64)
-        sims = C @ (qv / max(np.linalg.norm(qv), 1e-12))
-        for b in (-sims).argsort()[:nprobe]:
-            probe_rows.append((r[query_id_col], int(b), [float(x) for x in qv]))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, f"{query_id_col} long, __bucket int, __qv array<double>")
 
-    joined = bucketed.join(F.broadcast(probes), "__bucket")
+    @pandas_udf("array<int>")
+    def _probe_buckets(vecs):
+        import pandas as pd
+
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = (M / norms) @ C.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([[int(b) for b in row] for row in top])
+
+    probes = (queries
+              .select(F.col(query_id_col),
+                      F.col(vec_col).cast("array<double>").alias("__qv"),
+                      F.explode(_probe_buckets(F.col(vec_col)))
+                      .alias("__bucket")))
+
+    joined = bucketed.join(probes, "__bucket")
     scored = joined.withColumn(
         "sim", F.round(cosine_similarity_col(F.col(vec_col), F.col("__qv")), 6))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
