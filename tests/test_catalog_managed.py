@@ -204,6 +204,53 @@ def test_fail_closed_without_catalog_state(spark, tmp_table, sf_dir):
         DeltaTable.forPath(spark, tmp_table).toDF()
 
 
+def test_unratified_staged_file_invisible(spark, tmp_table, sf_dir):
+    """A staged commit the catalog never ratified (writer crashed
+    before ratification, or the catalog rejected it) must not become
+    table state (PROTOCOL.md: 'not yet ratified' staged files are
+    ignored)."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")  # v1 ratified
+    lp = _log_path(tmp_table)
+    # rogue staged v2 (copy of v1's content under a fresh uuid name)
+    rogue = open(glob.glob(os.path.join(
+        lp, CM.STAGED_DIR, "%020d.*.json" % 1))[0]).read()
+    with open(os.path.join(lp, CM.STAGED_DIR,
+                           "%020d.deadbeef.json" % 2), "w") as f:
+        f.write(rogue)
+    DeltaLog.clear_cache()
+    dt2 = DeltaTable.forPath(spark, tmp_table)
+    assert dt2.log.update().version == 1  # staged-but-unratified ignored
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt2.toDF().count() == want
+
+
+def test_streaming_reads_unpublished_tail(spark, tmp_table, sf_dir):
+    """The streaming source reads through the log seam, so ratified but
+    UNPUBLISHED commits stream too."""
+    import tempfile
+
+    from delta_spark.streaming import register
+
+    conf = {**FS_CONF, CM.AUTO_PUBLISH_PROP: "false"}
+    df = _li(spark, sf_dir, 100)
+    write_delta(df, tmp_table, configuration=conf)
+    write_delta(df.limit(40), tmp_table, mode="append")
+    assert glob.glob(os.path.join(_log_path(tmp_table), "0*.json")) == []
+    register(spark)
+    out = tempfile.mkdtemp(prefix="cm_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cm_stream_ckpt_")
+    q = (spark.readStream.format("delta_py").option("path", tmp_table)
+         .load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 140
+
+
 def test_coordinated_commits_mutually_exclusive(spark, tmp_table, sf_dir):
     """Exactly one party may own the commit protocol."""
     from delta_spark import coordinator as C
