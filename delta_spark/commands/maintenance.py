@@ -383,12 +383,23 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
     current = txn.snapshot
     txn.read_whole_table()
 
-    target_paths = set(target.active.keys())
-    current_paths = set(current.active.keys())
+    def _dv_key(f):
+        dv = f.deletionVector
+        if not dv:
+            return None
+        return (dv.get("storageType"), dv.get("pathOrInlineDv"),
+                dv.get("offset"))
+
+    # the diff keys on (path, DV identity), not path alone: a DV DELETE
+    # masks rows IN PLACE without changing the file path, so restoring
+    # across it must re-add the file with its old (possibly absent) DV
+    # (RestoreTableCommand diffs on the full file action identity)
+    target_files = {(p, _dv_key(f)): f for p, f in target.active.items()}
+    current_files = {(p, _dv_key(f)): f for p, f in current.active.items()}
     adds = []
     missing = []
-    for p in target_paths - current_paths:
-        f = target.active[p]
+    for key in set(target_files) - set(current_files):
+        f = target_files[key]
         if not os.path.exists(_abs(log.table_path, f.path)):
             missing.append(f.path)
             continue
@@ -399,7 +410,13 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
         raise FileNotFoundError(
             f"{len(missing)} files of version {version} were vacuumed "
             f"(e.g. {missing[0]}); set spark.sql.files.ignoreMissingFiles=true to restore anyway")
-    removes = [current.active[p].remove() for p in current_paths - target_paths]
+    removes = [current_files[key].remove()
+               for key in set(current_files) - set(target_files)
+               # a path re-added with a different DV needs no tombstone:
+               # the add supersedes it in the same commit (and replay
+               # forbids the same logical file in both collections)
+               if key[0] not in {k2[0] for k2 in
+                                 set(target_files) - set(current_files)}]
     actions: list = []
     restored_meta = target.metadata
     if restored_meta is not None and current.metadata is not None:

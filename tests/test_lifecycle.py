@@ -1004,3 +1004,28 @@ def test_insert_replace_where_sql(spark, tmp_path):
     delta_sql(spark, f"INSERT INTO delta.`{p}` REPLACE WHERE id < 2 "
                      f"SELECT id, 0 AS part FROM range(2)")
     assert dt.toDF().count() == 5  # 2 new + 3 untouched (id >= 2)
+
+
+def test_restore_never_downgrades_protocol(spark, tmp_table, sf_dir):
+    """RESTORE to a version before a feature enable keeps the upgraded
+    protocol (RestoreTableCommand: protocol is not restored — a
+    downgrade would let old clients corrupt post-feature state)."""
+    from delta_spark.datasets import load_table
+    from delta_spark.io import write_delta
+    from delta_spark.table import DeltaTable
+
+    df = load_table(spark, sf_dir, "lineitem").limit(200)
+    write_delta(df, tmp_table)                       # v0: plain protocol
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.setProperties({"delta.enableDeletionVectors": "true"})  # v1
+    dt.delete("l_quantity > 40")                     # v2: DV delete
+    p_before = dt.log.update().protocol
+    assert "deletionVectors" in (p_before.readerFeatures or [])
+    dt.restoreToVersion(0)
+    snap = dt.log.update()
+    p_after = snap.protocol
+    assert p_after.minReaderVersion >= p_before.minReaderVersion
+    assert set(p_before.readerFeatures or []) <= set(p_after.readerFeatures or [])
+    # the restored metadata reverts the PROPERTY, not the protocol
+    assert snap.configuration.get("delta.enableDeletionVectors") is None
+    assert dt.toDF().count() == 200
