@@ -99,3 +99,71 @@ def _run_scenario(spark, path, seed, partitioned, dv):
 def test_randomized_dml_matches_model(spark, tmp_table, seed,
                                       partitioned, dv):
     _run_scenario(spark, tmp_table, seed, partitioned, dv)
+
+
+@pytest.mark.parametrize("seed,dv", [(53, False), (67, True)])
+def test_randomized_dml_cdf_matches_model_diffs(spark, tmp_table, seed, dv):
+    """With CDF enabled, the change feed of every version must equal
+    the model diff between consecutive snapshots: inserts for new keys,
+    delete rows for dropped keys, and update pre/post image pairs for
+    value changes."""
+    import random
+
+    from delta_spark.io import write_delta
+    from delta_spark.table import DeltaTable
+
+    rng = random.Random(seed)
+    conf = {"delta.enableChangeDataFeed": "true"}
+    if dv:
+        conf["delta.enableDeletionVectors"] = "true"
+    next_key = 0
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = list(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    rows = [(k, rng.randrange(100), rng.choice(CATS))
+            for k in fresh_keys(10)]
+    model = {k: (v, c) for k, v, c in rows}
+    write_delta(_df(spark, rows), tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    history = [dict(model)]
+    for _ in range(6):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            rows = [(k, rng.randrange(100), rng.choice(CATS))
+                    for k in fresh_keys(rng.randrange(1, 4))]
+            model.update({k: (v, c) for k, v, c in rows})
+            write_delta(_df(spark, rows), tmp_table, mode="append")
+        elif op == "delete":
+            m, r = rng.randrange(2, 5), rng.randrange(0, 2)
+            dt.delete(f"v % {m} = {r}")
+            model = {k: (v, c) for k, (v, c) in model.items()
+                     if not (v % m == r)}
+        else:
+            cat = rng.choice(CATS)
+            add = rng.randrange(1, 20)
+            dt.update({"v": f"v + {add}"}, f"cat = '{cat}'")
+            model = {k: (v + add if c == cat else v, c)
+                     for k, (v, c) in model.items()}
+        history.append(dict(model))
+
+    for ver in range(1, len(history)):
+        prev, cur = history[ver - 1], history[ver]
+        changes = dt.table_changes(ver, ver).collect()
+        got = {}
+        for r in changes:
+            got.setdefault(r["_change_type"], set()).add(
+                (r["k"], r["v"], r["cat"]))
+        ins = {(k, *cur[k]) for k in cur.keys() - prev.keys()}
+        dels = {(k, *prev[k]) for k in prev.keys() - cur.keys()}
+        pre = {(k, *prev[k]) for k in cur.keys() & prev.keys()
+               if prev[k] != cur[k]}
+        post = {(k, *cur[k]) for k in cur.keys() & prev.keys()
+                if prev[k] != cur[k]}
+        assert got.get("insert", set()) == ins, f"v{ver} inserts"
+        assert got.get("delete", set()) == dels, f"v{ver} deletes"
+        assert got.get("update_preimage", set()) == pre, f"v{ver} pre"
+        assert got.get("update_postimage", set()) == post, f"v{ver} post"
