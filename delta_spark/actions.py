@@ -454,6 +454,10 @@ class CommitInfo:
     userMetadata: Optional[str] = None
     engineInfo: str = "delta_spark/0.1.0"
     txnId: str = field(default_factory=lambda: str(uuid.uuid4()))
+    # PROTOCOL.md In-Commit Timestamps: when the ICT feature is active
+    # the authoritative commit time is THIS dedicated field (the plain
+    # `timestamp` stays the wall clock) — external readers look here
+    inCommitTimestamp: Optional[int] = None
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -475,6 +479,9 @@ class CommitInfo:
             userMetadata=d.get("userMetadata"),
             engineInfo=d.get("engineInfo", ""),
             txnId=d.get("txnId", ""),
+            inCommitTimestamp=(int(d["inCommitTimestamp"])
+                               if d.get("inCommitTimestamp") is not None
+                               else None),
         )
 
 

@@ -483,7 +483,8 @@ class DeltaLog:
                 try:
                     snap = self._snapshot.clone_state()
                     self._apply_commit_range(snap, snap.version + 1, latest)
-                    snap.timestamp = self._commit_timestamp(latest)
+                    snap.timestamp = self._commit_timestamp(
+                        latest, cfg=snap.configuration)
                     check_read_protocol(snap.protocol)
                     self._check_catalog_reachable(snap)
                     self._snapshot = snap
@@ -629,7 +630,12 @@ class DeltaLog:
             start = ck + 1
         self._apply_commit_range(snap, start, version)
         snap.version = version
-        snap.timestamp = self._commit_timestamp(version)
+        # decide ICT from the REPLAYED configuration, not the cached
+        # snapshot — on the first load of an ICT table in a fresh
+        # process the cache is empty and the timestamp would silently
+        # degrade to the file mtime (wrong time travel boundaries)
+        snap.timestamp = self._commit_timestamp(
+            version, cfg=snap.configuration)
         # Snapshot.validateState (DeltaErrors.actionNotFoundException):
         # a snapshot of an existing table must have replayed BOTH a
         # protocol and a metadata action — defaulting either would let
@@ -652,11 +658,17 @@ class DeltaLog:
                                    "false")).lower() == "true"
                if cfg is not None else self._ict_enabled())
         if ict:
-            # in-commit timestamps: CommitInfo.timestamp is authoritative
-            # and monotonic (PROTOCOL.md:1979)
+            # in-commit timestamps are authoritative and monotonic
+            # (PROTOCOL.md:1979); the protocol stores the value in the
+            # DEDICATED commitInfo.inCommitTimestamp field — fall back
+            # to `timestamp` only for our own pre-field legacy commits
             try:
                 for kind, a in self.read_commit_actions(version):
-                    if kind == "commitInfo" and a.timestamp:
+                    if kind != "commitInfo":
+                        continue
+                    if a.inCommitTimestamp:
+                        return a.inCommitTimestamp
+                    if a.timestamp:
                         return a.timestamp
             except OSError:
                 pass
@@ -1612,8 +1624,9 @@ class DeltaLog:
             # file's modificationTime (DeltaHistoryManager.getHistory)
             # unless in-commit timestamps govern, so history timestamps
             # round-trip through TIMESTAMP AS OF / cloneAtTimestamp
-            if ict and ci is not None and ci.timestamp:
-                ts = ci.timestamp
+            if ict and ci is not None and (ci.inCommitTimestamp
+                                           or ci.timestamp):
+                ts = ci.inCommitTimestamp or ci.timestamp
             else:
                 ts = mono.get(v, self._commit_timestamp(v, cfg={}))
             row = {

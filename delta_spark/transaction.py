@@ -220,10 +220,18 @@ class OptimisticTransaction:
             # history). Recomputed per attempt: an absorbed winner's
             # timestamp moves the floor.
             ts = current_time_millis()
-            if str(self.snapshot.configuration.get(
-                    "delta.enableInCommitTimestamps", "false")).lower() == "true":
+            ict_on = (str(self.snapshot.configuration.get(
+                "delta.enableInCommitTimestamps", "false")).lower() == "true"
+                or str((effective_cfg or {}).get(
+                    "delta.enableInCommitTimestamps",
+                    "false")).lower() == "true")
+            if ict_on:
                 ts = max(ts, (self.snapshot.timestamp or 0) + 1)
             commit_info = CommitInfo(
+                # PROTOCOL.md ICT: the monotonic commit time goes in the
+                # dedicated inCommitTimestamp field — external readers
+                # resolve time travel from it, not from `timestamp`
+                inCommitTimestamp=ts if ict_on else None,
                 timestamp=ts,
                 operation=operation,
                 operationParameters=operation_parameters or {},

@@ -261,6 +261,62 @@ def test_coordinated_commits_mutually_exclusive(spark, tmp_table, sf_dir):
             **FS_CONF, C.COORDINATOR_PROP: "filesystem"})
 
 
+REF_FIXTURE = ("/root/reference/kernel/kernel-defaults/src/test/resources/"
+               "catalog-owned-preview")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURE),
+                    reason="reference fixture absent")
+def test_reference_catalog_owned_fixture_reads(spark):
+    """REFERENCE-WRITTEN catalogManaged table (kernel
+    CatalogManagedE2EReadSuite fixture): v0 published, v1/v2 ratified
+    staged commits known only to the catalog. Registering them with the
+    in-memory catalog (the kernel test does the same via withLogData)
+    must yield the kernel suite's expectations: version 2, 200 rows of
+    (x div 100, x), the catalogManaged+ICT protocol, and the snapshot
+    timestamp from the dedicated inCommitTimestamp field
+    (1749830881799)."""
+    lp = os.path.join(REF_FIXTURE, "_delta_log")
+    cat = CM.CATALOGS["in-memory"]
+    latest, _ = cat.ratified(lp)
+    if latest < 0:  # idempotent across reruns in one process
+        cat.ratify(lp, 0, 1749830864000,
+                   staged_path=os.path.join(lp, "%020d.json" % 0))
+        for v in (1, 2):
+            staged = glob.glob(os.path.join(
+                lp, CM.STAGED_DIR, "%020d.*.json" % v))[0]
+            cat.ratify(lp, v, 1749830871085 if v == 1 else 1749830881799,
+                       staged_path=staged)
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, REF_FIXTURE)
+    snap = dt.log.update()
+    assert snap.version == 2
+    assert snap.timestamp == 1749830881799
+    assert "catalogManaged" in (snap.protocol.readerFeatures or [])
+    assert "catalogManaged" in (snap.protocol.writerFeatures or [])
+    assert "inCommitTimestamp" in (snap.protocol.writerFeatures or [])
+    got = {(r["part1"], r["col1"]) for r in dt.toDF().collect()}
+    assert got == {(x // 100, x) for x in range(200)}
+
+
+def test_ict_written_in_dedicated_field(spark, tmp_table, sf_dir):
+    """Our ICT commits must carry commitInfo.inCommitTimestamp (the
+    protocol's authoritative field) and history must surface it."""
+    df = _li(spark, sf_dir, 50)
+    write_delta(df, tmp_table, configuration={
+        "delta.enableInCommitTimestamps": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    for v in (0, 1):
+        with open(os.path.join(_log_path(tmp_table),
+                               "%020d.json" % v)) as f:
+            ci = json.loads(f.readline())["commitInfo"]
+        assert ci.get("inCommitTimestamp"), f"v{v} missing ICT field"
+    rows = {r["version"]: r["timestamp"] for r in dt.history().collect()}
+    snap = dt.log.update()
+    assert int(rows[1].timestamp() * 1000) == snap.timestamp
+
+
 def test_checkpoint_publishes_tail_first(spark, tmp_table, sf_dir):
     """A checkpoint may only cover published versions: the hook
     publishes the ratified tail before writing it."""
