@@ -279,6 +279,53 @@ def test_date_types_across_timezones(spark, tz, utc_instant):
         spark.conf.set("spark.sql.session.timeZone", old)
 
 
+KERNEL = "/root/reference/kernel/kernel-defaults/src/test/resources"
+
+
+@pytest.mark.skipif(not os.path.isdir(KERNEL), reason="kernel absent")
+def test_kernel_variant_scan_file_counts(spark):
+    """Kernel ScanSuite:2702 — per-version scan-file counts and
+    predicate pruning on variant tables with URL-encoded log paths
+    (data files renamed in the fixture, so this is log-level only)."""
+    p = os.path.join(KERNEL, "spark-variant-stable-feature-checkpoint")
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(p)
+    assert len(log.snapshot_at(0).files_for_scan()) == 2
+    assert len(log.update().files_for_scan()) == 4
+    assert len(log.snapshot_at(0).files_for_scan("id = 10")) == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(KERNEL), reason="kernel absent")
+def test_kernel_shredded_variant_values(spark):
+    """spark-shredded-variant-preview-delta: reference-written SHREDDED
+    variant files — variant_get must recover the original values."""
+    from pyspark.sql import functions as F
+
+    DeltaLog.clear_cache()
+    df = DeltaTable.forPath(
+        spark, os.path.join(KERNEL,
+                            "spark-shredded-variant-preview-delta")).toDF()
+    assert df.count() == 102
+    rows = (df.filter("id IS NOT NULL")
+              .select("id", F.variant_get("v", "$.key", "long")
+                      .alias("k")).collect())
+    assert rows and all(r["k"] == r["id"] for r in rows)
+    assert {r["id"] for r in rows} == set(range(100))
+
+
+@pytest.mark.skipif(not os.path.isdir(KERNEL), reason="kernel absent")
+def test_kernel_basic_dv_values(spark):
+    """basic-dv-no-checkpoint / -with-checkpoint: reference-written DV
+    tables round-trip through our anti-join read path."""
+    DeltaLog.clear_cache()
+    small = DeltaTable.forPath(
+        spark, os.path.join(KERNEL, "basic-dv-no-checkpoint")).toDF()
+    assert small.count() == 8
+    big = DeltaTable.forPath(
+        spark, os.path.join(KERNEL, "basic-dv-with-checkpoint")).toDF()
+    assert big.count() == 454
+
+
 def test_kernel_timestamp_tables(spark):
     """INT96 and TIMESTAMP_MICROS physical encodings read identically."""
     a = DeltaTable.forPath(spark, _t("kernel-timestamp-INT96")).toDF()
