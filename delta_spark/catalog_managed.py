@@ -99,6 +99,15 @@ class CatalogManagedClient:
         serving their content (the watermark is kept forever)."""
         raise NotImplementedError
 
+    def drop_table(self, log_path: str) -> None:
+        """Forget all state for the table (the catalog-side half of
+        DROP TABLE). Required before reusing the path for a NEW table:
+        a stale latest-ratified watermark would otherwise act as a
+        ceiling on the new table's versions. The filesystem catalog's
+        state lives inside `_delta_log` and dies with the table; this
+        matters for server-style catalogs (in-memory)."""
+        raise NotImplementedError
+
 
 class InMemoryCatalog(CatalogManagedClient):
     """Process-wide catalog modeling a catalog server: ratified commit
@@ -135,6 +144,11 @@ class InMemoryCatalog(CatalogManagedClient):
             table = self._commits.get(log_path, {})
             for v in [v for v in table if v <= version]:
                 del table[v]
+
+    def drop_table(self, log_path):
+        with self._lock:
+            self._commits.pop(log_path, None)
+            self._latest.pop(log_path, None)
 
 
 class FileSystemCatalog(CatalogManagedClient):
@@ -223,6 +237,20 @@ class FileSystemCatalog(CatalogManagedClient):
         return self.latest(log_path), out
 
     def mark_published(self, log_path, version):
+        # persist the watermark BEFORE unlinking records: ratify's
+        # watermark advance is best-effort, so without this a crash
+        # window could leave latest() covered only by a record we are
+        # about to delete — the ceiling would regress and a published
+        # version could be re-ratified with different content
+        if self._watermark(log_path) < version:
+            tmp = self._watermark_path(log_path) + ".tmp.%d" % os.getpid()
+            try:
+                os.makedirs(self._dir(log_path), exist_ok=True)
+                with open(tmp, "w") as f:
+                    f.write(str(version))
+                os.replace(tmp, self._watermark_path(log_path))
+            except OSError:
+                return  # keep the records; publishing can retry later
         d = self._dir(log_path)
         for v in self._record_versions(log_path):
             if v <= version:
@@ -230,6 +258,12 @@ class FileSystemCatalog(CatalogManagedClient):
                     os.unlink(os.path.join(d, "%020d.json" % v))
                 except OSError:
                     pass
+
+
+    def drop_table(self, log_path):
+        import shutil
+
+        shutil.rmtree(self._dir(log_path), ignore_errors=True)
 
 
 _IN_MEMORY = InMemoryCatalog()

@@ -410,13 +410,13 @@ def restore(spark: SparkSession, log: DeltaLog, version: Optional[int] = None,
         raise FileNotFoundError(
             f"{len(missing)} files of version {version} were vacuumed "
             f"(e.g. {missing[0]}); set spark.sql.files.ignoreMissingFiles=true to restore anyway")
+    # a path re-added with a different DV needs no tombstone: the add
+    # supersedes it in the same commit (and replay forbids the same
+    # logical file in both collections)
+    readded_paths = {k[0] for k in set(target_files) - set(current_files)}
     removes = [current_files[key].remove()
                for key in set(current_files) - set(target_files)
-               # a path re-added with a different DV needs no tombstone:
-               # the add supersedes it in the same commit (and replay
-               # forbids the same logical file in both collections)
-               if key[0] not in {k2[0] for k2 in
-                                 set(target_files) - set(current_files)}]
+               if key[0] not in readded_paths]
     actions: list = []
     restored_meta = target.metadata
     if restored_meta is not None and current.metadata is not None:

@@ -314,20 +314,11 @@ def write_delta(
         # one file per partition instead of one per task per partition
         out_df = out_df.repartition(*[F.col(c) for c in write_part_cols])
 
-    indexed_cols = stats_columns(cfg)
-    # collated columns: no binary-order min/max stats (see writer.py)
-    from delta_spark.schema import collated_columns as _collated
+    from delta_spark.stats import indexed_cols_for
 
-    coll = _collated(table_schema)
-    if coll:
-        if indexed_cols is None:
-            indexed_cols = [
-                f.name for f in table_schema.fields[:_num_indexed_cols(cfg)]
-                if f.name not in coll]
-        else:
-            indexed_cols = [c for c in indexed_cols if c not in coll]
-        if column_mapping_mode(cfg) in ("name", "id"):
-            indexed_cols = [l2p.get(c, c) for c in indexed_cols]
+    indexed_cols = indexed_cols_for(table_schema, cfg, _num_indexed_cols(cfg))
+    if indexed_cols is not None and column_mapping_mode(cfg) in ("name", "id"):
+        indexed_cols = [l2p.get(c, c) for c in indexed_cols]
     adds = write_files(out_df, log.table_path, write_part_cols,
                        indexed_cols=indexed_cols,
                        num_indexed_cols=_num_indexed_cols(cfg),

@@ -267,8 +267,12 @@ class DeltaLog:
 
         d = os.path.join(tempfile.gettempdir(), "delta_spark_inline")
         os.makedirs(d, exist_ok=True)
+        # keyed by CONTENT too: a table dropped and recreated at the
+        # same path must never be served a stale spill of the old
+        # table's same-numbered inline commit
         key = hashlib.md5(
-            f"{self.log_path}|{version}".encode()).hexdigest()
+            f"{self.log_path}|{version}|".encode()
+            + hashlib.md5(content.encode()).digest()).hexdigest()
         path = os.path.join(d, f"{key}.json")
         if not os.path.exists(path):
             tmp = path + ".tmp.%d" % os.getpid()

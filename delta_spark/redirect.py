@@ -95,6 +95,30 @@ def resolve_read_path(table_path: str,
     return None
 
 
+def resolve_table_path(path: str) -> str:
+    """Apply the single redirect hop for any table-resolution seam
+    (DeltaTable.forPath, the delta_py DataSource read/write legs):
+    returns the destination path when `path` is a REDIRECT-READY
+    source, else `path` unchanged. Chains are rejected."""
+    from delta_spark.log import DeltaLog
+
+    log = DeltaLog.for_table(path)
+    if not log.table_exists():
+        return path
+    dest = resolve_read_path(log.table_path, log.update().configuration)
+    if dest is None:
+        return path
+    dest_log = DeltaLog.for_table(dest)
+    if not dest_log.table_exists():
+        raise RedirectStateError(
+            f"redirect destination {dest} is not a delta table")
+    if resolve_read_path(dest_log.table_path,
+                         dest_log.update().configuration):
+        raise RedirectStateError(
+            f"redirect chains are not allowed: {dest} redirects again")
+    return dest_log.table_path
+
+
 def _rule_allows(rules: list, operation: str, app_name: Optional[str]) -> bool:
     for rule in rules:
         rule_app = rule.get("appName")

@@ -200,6 +200,20 @@ def relax_nullability(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _has_collations_key(node) -> bool:
+    """True when the parsed field JSON carries the protocol's
+    `__COLLATIONS` metadata KEY anywhere (a dict key, not a substring —
+    a user comment merely mentioning __COLLATIONS must not trip the
+    feature)."""
+    if isinstance(node, dict):
+        if "__COLLATIONS" in node:
+            return True
+        return any(_has_collations_key(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_collations_key(v) for v in node)
+    return False
+
+
 def collated_columns(schema: T.StructType) -> set[str]:
     """Top-level columns carrying (possibly nested) non-default string
     collations (the `collations` table feature, serialized as
@@ -209,10 +223,8 @@ def collated_columns(schema: T.StructType) -> set[str]:
     and pruning a `c = 'AA'` predicate on a UTF8_LCASE column with
     binary bounds over 'aa' would silently drop matching files
     (StatisticsCollection skips collated columns for the same reason)."""
-    import json as _json
-
     return {f.name for f in schema.fields
-            if "__COLLATIONS" in _json.dumps(f.jsonValue())}
+            if _has_collations_key(f.jsonValue())}
 
 
 def nested_field_names(schema: T.StructType) -> list[str]:

@@ -317,13 +317,23 @@ class Snapshot:
             st.null_count = {p2l.get(k, k): v for k, v in st.null_count.items()}
         # collated columns: binary-order MIN/MAX bounds are wrong under
         # a non-default collation — never prune or answer MIN/MAX from
-        # them (schema.collated_columns)
-        from delta_spark.schema import collated_columns
-
-        for c in collated_columns(logical_schema):
+        # them (schema.collated_columns; memoized per schema object,
+        # NOT recomputed per file — files_for_scan calls this in its
+        # per-file loop)
+        for c in self._collated_columns(logical_schema):
             st.min_values.pop(c, None)
             st.max_values.pop(c, None)
         return st
+
+    def _collated_columns(self, logical_schema) -> set:
+        cached = getattr(self, "_collated_memo", None)
+        if cached is not None and cached[0] is logical_schema:
+            return cached[1]
+        from delta_spark.schema import collated_columns
+
+        out = collated_columns(logical_schema)
+        self._collated_memo = (logical_schema, out)
+        return out
 
     def _physical_typed_schema(self, logical_schema: T.StructType) -> T.StructType:
         if not self.column_mapping_enabled:

@@ -190,6 +190,27 @@ def _footer_num_rows(file_path: str) -> int:
     raise ValueError(f"{file_path}: num_rows not found in footer")
 
 
+def indexed_cols_for(schema, cfg: dict,
+                     num_indexed: int) -> Optional[list[str]]:
+    """Effective stats-column list for a write: the explicit
+    `delta.dataSkippingStatsColumns` list or the first-N write-order
+    names, with collated columns excluded either way
+    (StatisticsCollection skips them — binary-order bounds are wrong
+    under a non-default collation). Returns None when no explicit list
+    and nothing to exclude (collect_file_stats applies first-N
+    itself). Shared by every write path so exclusions can't diverge."""
+    from delta_spark.schema import collated_columns
+
+    cols = stats_columns(cfg)
+    coll = collated_columns(schema)
+    if not coll:
+        return cols
+    if cols is None:
+        return [f.name for f in schema.fields[:num_indexed]
+                if f.name not in coll]
+    return [c for c in cols if c not in coll]
+
+
 def collect_file_stats(file_path: str, indexed_cols: Optional[list[str]] = None,
                        num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS) -> str:
     """Read one Parquet footer → stats JSON string."""

@@ -172,6 +172,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_py source requires a path")
+        # table redirects: a stream on a REDIRECT-READY source must
+        # follow the destination — the reader feature obliges EVERY
+        # read path to route, not just DeltaTable.forPath
+        from delta_spark.redirect import resolve_table_path
+
+        self.path = resolve_table_path(self.path)
         # Admission control (reference sources/limits.scala:25,
         # DeltaSource.scala:244). Deviation from the reference's
         # default maxFilesPerTrigger=1000: caps apply ONLY when the
@@ -714,7 +720,9 @@ class DeltaBatchReader(DataSourceReader):
     (mainly so format('delta_py') works for both read and readStream)."""
 
     def __init__(self, schema, options):
-        self.path = options.get("path")
+        from delta_spark.redirect import resolve_table_path
+
+        self.path = resolve_table_path(options.get("path"))
         log = DeltaLog.for_table(self.path)
         snap = _pinned_snapshot(log, options)
         self._schema_json = snap.metadata.schemaString
@@ -779,6 +787,9 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_py writer requires a path")
+        from delta_spark.redirect import resolve_table_path
+
+        self.path = resolve_table_path(self.path)
         if not DeltaLog.for_table(self.path).table_exists():
             # same guard as delta_spark.io.write_delta: a literal
             # `p@vN` / `p@<17 digits>` path whose base IS a table is a
@@ -1073,7 +1084,9 @@ class DeltaPyDataSource(DataSource):
     def schema(self):
         from pyspark.sql import types as T
 
-        log = DeltaLog.for_table(self.options["path"])
+        from delta_spark.redirect import resolve_table_path
+
+        log = DeltaLog.for_table(resolve_table_path(self.options["path"]))
         base = schema_from_json(
             _pinned_snapshot(log, self.options).metadata.schemaString)
         if str(self.options.get("readchangefeed", "false")).lower() == "true":

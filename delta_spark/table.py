@@ -920,7 +920,10 @@ class DeltaTable:
         adds = write_files(data, self.log.table_path,
                            list(m.partitionColumns),
                            indexed_cols=stats_columns(cfg),
-                           data_change=False)
+                           data_change=False,
+                           materialize_partitions=str(cfg.get(
+                               "delta.enableMaterializePartitionColumnsFeature",
+                               "false")).lower() == "true")
         removes = [f.remove(data_change=False) for f in snap.all_files]
         return txn.commit([new_meta] + adds + removes,
                           "REMOVE COLUMN MAPPING", {})

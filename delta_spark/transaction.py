@@ -583,11 +583,14 @@ class OptimisticTransaction:
             # external readers that require them in the parquet
             writer_feats.add("materializePartitionColumns")
         if '"__COLLATIONS"' in schema_str:
-            # non-default string collations (CollationsTableFeature,
-            # writer-only: readers see plain strings; writers must keep
-            # collation metadata through schema changes and must not
-            # collect binary-order stats for skipping)
-            writer_feats.add("collations")
+            # cheap substring pre-filter, then a PARSED check — a user
+            # comment mentioning __COLLATIONS must not permanently add
+            # the feature (CollationsTableFeature, writer-only)
+            from delta_spark.schema import collated_columns as _cc
+            from delta_spark.util import schema_from_json as _sfj2
+
+            if _cc(_sfj2(schema_str)):
+                writer_feats.add("collations")
         if geo.schema_string_may_have_geo(schema_str):
             # GeoSpatialTableFeature (TableFeature.scala:697): auto-added
             # on geo columns, preview-conf-gated, envelope validated
@@ -775,10 +778,15 @@ class OptimisticTransaction:
         # (snapshot-isolation violation).
         absorbed = self.snapshot.clone_state()
         absorbed.apply_actions(winning)
-        if win_commit_info and win_commit_info[0].timestamp:
-            # ICT monotonicity floor must include the absorbed winner
-            absorbed.timestamp = max(absorbed.timestamp or 0,
-                                     win_commit_info[0].timestamp)
+        if win_commit_info:
+            # ICT monotonicity floor must include the absorbed winner —
+            # the winner's authoritative time is the dedicated
+            # inCommitTimestamp field (an external writer's wall-clock
+            # `timestamp` may be far BEHIND its monotonic ICT)
+            ci = win_commit_info[0]
+            win_ts = ci.inCommitTimestamp or ci.timestamp
+            if win_ts:
+                absorbed.timestamp = max(absorbed.timestamp or 0, win_ts)
         self.snapshot = absorbed
 
     # -------------------------------------------------- post-commit ----

@@ -851,10 +851,13 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
             manifests.append(write_manifest(incremental, status=1))
         added_files, added_rows = (len(incremental),
                                    sum(_num_records(f) for f in incremental))
+        # totals count DATA manifests only: a carried-over V3 delete
+        # manifest's added_rows_count is a DV cardinality, not rows
+        data_manifests = [m for m in manifests if m.get("content", 0) == 0]
         total_files = sum(m["added_files_count"] + m["existing_files_count"]
-                          for m in manifests)
+                          for m in data_manifests)
         total_rows = sum(m["added_rows_count"] + m["existing_rows_count"]
-                         for m in manifests)
+                         for m in data_manifests)
     else:
         live = snap.all_files
         if live:

@@ -215,22 +215,9 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
         num_indexed = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
     except (TypeError, ValueError):
         num_indexed = DEFAULT_NUM_INDEXED_COLS
-    indexed_cols = stats_columns(cfg)
-    # collated columns never get min/max stats (StatisticsCollection
-    # skips them: parquet footer bounds are binary-order, wrong under a
-    # non-default collation; the read side also ignores any such stats)
-    from delta_spark.schema import collated_columns
+    from delta_spark.stats import indexed_cols_for
 
-    collated = collated_columns(snapshot.schema)
-    if collated:
-        if indexed_cols is None:
-            # preserve first-N semantics: N counts positions in write
-            # order, collated names inside the window just drop out
-            indexed_cols = [
-                f.name for f in snapshot.schema.fields[:num_indexed]
-                if f.name not in collated]
-        else:
-            indexed_cols = [c for c in indexed_cols if c not in collated]
+    indexed_cols = indexed_cols_for(snapshot.schema, cfg, num_indexed)
     part_cols = snapshot.partition_columns
     if snapshot.column_mapping_enabled:
         from delta_spark.schema import physical_projection
