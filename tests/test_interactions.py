@@ -621,3 +621,44 @@ def test_merge_pins_timestamps_across_phases(spark, tmp_table):
     vals = dt.toDF().filter("ts IS NOT NULL").select("ts").distinct()
     assert vals.count() == 1          # matched + inserted share one instant
     assert dt.toDF().count() == 8
+
+
+def test_merge_clause_order_first_match_wins(spark, tmp_table):
+    """Multiple WHEN MATCHED clauses evaluate in DECLARATION order —
+    the first whose condition holds consumes the row (protocol MERGE
+    semantics; DeltaMergeInto clause ordering)."""
+    from delta_spark.io import write_delta
+    from delta_spark.table import DeltaTable
+
+    write_delta(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    s = spark.createDataFrame([(1, 100), (2, 200), (3, 300)], "k int, v int")
+    (dt.merge(s.alias("s"), "t.k = s.k", target_alias="t")
+     .whenMatchedDelete(condition="t.v = 10")
+     .whenMatchedUpdate(set={"v": "s.v"})
+     .execute())
+    assert sorted((r.k, r.v) for r in dt.toDF().collect()) == \
+        [(2, 200), (3, 300)]
+
+
+def test_merge_insert_and_by_source_clause_order(spark, tmp_table):
+    """Conditional NOT MATCHED inserts pick the first matching clause;
+    NOT MATCHED BY SOURCE update/delete conditions partition the
+    untouched target rows."""
+    from delta_spark.io import write_delta
+    from delta_spark.table import DeltaTable
+
+    write_delta(spark.createDataFrame(
+        [(1, 10), (2, 20)], "k int, v int"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    s = spark.createDataFrame([(3, 300), (4, 400)], "k int, v int")
+    (dt.merge(s.alias("s"), "t.k = s.k", target_alias="t")
+     .whenNotMatchedInsert(condition="s.v > 350",
+                           values={"k": "s.k", "v": "s.v + 1"})
+     .whenNotMatchedInsert(values={"k": "s.k", "v": "0"})
+     .whenNotMatchedBySourceUpdate(condition="t.v = 10", set={"v": "-1"})
+     .whenNotMatchedBySourceDelete(condition="t.v = 20")
+     .execute())
+    assert sorted((r.k, r.v) for r in dt.toDF().collect()) == \
+        [(1, -1), (3, 0), (4, 401)]
