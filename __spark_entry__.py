@@ -433,14 +433,22 @@ def q_delta_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE HISTORY (delta-specific — rows-only check)."""
+    """DESCRIBE HISTORY, deterministic projection: timestamps and
+    metrics are run-dependent, but (version, operation, readVersion)
+    are fully pinned by the command sequence, so the row is
+    hash-checkable against a literal DuckDB oracle (reference:
+    DeltaHistoryManager.getHistory returns the same commitInfo
+    fields)."""
     def b(spark, sf_dir, path):
-        write_delta(load_table(spark, sf_dir, "supplier"), path)
+        write_delta(load_table(spark, sf_dir, "supplier").repartition(4),
+                    path)
         dt = DeltaTable.forPath(spark, path)
         dt.delete("s_acctbal < 0")
         dt.optimize().executeCompaction()
     p = _table(spark, sf_dir, "supp_hist", b)
-    return _dt(spark, p).history().select("version", "operation")
+    return (_dt(spark, p).history()
+            .select("version", "operation",
+                    F.col("readVersion").cast("long").alias("read_version")))
 
 
 def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,11 +993,30 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (approximate by design — rows-only check)."""
-    from delta_spark.ops.similarity import ivf_topk
+    """IVF approximate top-k, self-verifying: the result is approximate
+    by design, but under fixed seeds (fit_centroids_sample seed=42) it
+    is deterministic, so the gate row returns per-query
+    `recall >= 0.5` booleans against the exact brute-force top-k —
+    a recall regression flips the hash vs the constant oracle.
+    (Recall at sf0.01 measures 0.6–0.9 per query with nprobe/C = 0.5;
+    the pytest gate at tests/test_ops.py additionally asserts the
+    aggregate beats the random-scan baseline.)"""
+    from delta_spark.ops.similarity import ivf_topk, knn_brute_force
     emb = _emb(spark, sf_dir)
-    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, q, k=10, n_centroids=8, nprobe=4)
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"),
+                                        "embedding")
+    k = 10
+    approx = ivf_topk(emb, q, k=k, n_centroids=8, nprobe=4)
+    exact = knn_brute_force(emb, q, k=k)
+    hits = (approx.select("query_id", "vec_id")
+            .join(exact.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"]))
+    per_q = hits.groupBy("query_id").agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("__recall"))
+    return (q.select("query_id").join(per_q, "query_id", "left")
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    (F.coalesce("__recall", F.lit(0.0)) >= 0.5)
+                    .alias("recall_ok")))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,7 +1439,12 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM orders WHERE o_orderkey % 13 <> 0
             GROUP BY o_orderstatus""",
-        # delta_history: delta-specific — rows-only check (no oracle)
+        "delta_history": """
+            SELECT * FROM (VALUES
+                (CAST(2 AS BIGINT), 'OPTIMIZE',               CAST(1 AS BIGINT)),
+                (CAST(1 AS BIGINT), 'DELETE',                 CAST(0 AS BIGINT)),
+                (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT', CAST(NULL AS BIGINT))
+            ) t(version, operation, read_version)""",
         "delta_uniform": """
             SELECT CAST(count(*) AS BIGINT) AS total_records,
                    CAST(sum(CASE WHEN NOT coalesce(s_acctbal < 0, false)
@@ -1546,7 +1578,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS.format(a='a.e', b='b.e')} AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_QCOS.format(a='a.e', b='b.e')} >= 0.3""",
-        # ann_ivf: approximate by design — rows-only check (no oracle)
+        "ann_ivf": """
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(recall_ok AS BOOLEAN) AS recall_ok
+            FROM (VALUES (0, true), (1, true), (2, true),
+                         (3, true), (4, true)) t(query_id, recall_ok)""",
         "multimodal_features": """
             SELECT doc_id AS media_id, 'unknown' AS format,
                    octet_length(encode(text)) AS n_bytes,
