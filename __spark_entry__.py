@@ -471,7 +471,8 @@ def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
                     configuration={
                         "delta.universalFormat.enabledFormats": "iceberg",
                         "delta.enableIcebergCompatV3": "true",
-                        "delta.enableDeletionVectors": "true"})
+                        "delta.enableDeletionVectors": "true",
+                        "delta.columnMapping.mode": "name"})
         DeltaTable.forPath(spark, path).delete("s_acctbal < 0")
     p3 = _table(spark, sf_dir, "supp_uniform_v3", b3)
     from delta_spark import uniform as _uniform

@@ -230,6 +230,48 @@ def main() -> None:
                           .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()),
                setup=lambda i: fresh_dv_copy("orders", i))
 
+    # ---- MERGE matrix by matched fraction (reference MergeTestCases
+    # .scala:168-220: insert-only, delete-only, upsert at a sweep of
+    # matched fractions, so merge perf claims are calibrated the same
+    # way the reference's are). Source = 10% of target keys; `frac` of
+    # the source matches existing keys, the rest are new. Both the
+    # rewrite arm and the DV arm run the upsert sweep.
+    def merge_src_frac(frac: float):
+        pct = int(round(frac * 100))
+        return (load_table(spark, SF_DIR, "orders")
+                .filter("o_orderkey % 10 = 0")
+                .selectExpr(
+                    f"CASE WHEN (o_orderkey div 10) % 100 < {pct} "
+                    "THEN o_orderkey ELSE o_orderkey + 900000000 END "
+                    "AS o_orderkey",
+                    "o_custkey", "o_orderstatus",
+                    "o_totalprice * 2 AS o_totalprice",
+                    "o_orderdate", "o_orderpriority"))
+
+    def run_merge_case(name, src, copier, clauses):
+        run_median(timings, name,
+                   lambda d: clauses(
+                       d.merge(src, "target.o_orderkey = source.o_orderkey")
+                   ).execute(),
+                   setup=copier)
+
+    for frac, tag in ((0.01, "m001"), (0.5, "m050"), (0.99, "m099")):
+        src = merge_src_frac(frac)
+        run_merge_case(f"merge_upsert_{tag}", src,
+                       lambda i, t=tag: fresh_copy("orders", f"{t}{i}"),
+                       lambda m: m.whenMatchedUpdateAll()
+                                  .whenNotMatchedInsertAll())
+        run_merge_case(f"merge_upsert_dv_{tag}", src,
+                       lambda i, t=tag: fresh_dv_copy("orders", f"{t}{i}"),
+                       lambda m: m.whenMatchedUpdateAll()
+                                  .whenNotMatchedInsertAll())
+    run_merge_case("merge_insert_only", merge_src_frac(0.0),
+                   lambda i: fresh_copy("orders", f"ins{i}"),
+                   lambda m: m.whenNotMatchedInsertAll())
+    run_merge_case("merge_delete_only", merge_src_frac(1.0),
+                   lambda i: fresh_copy("orders", f"del{i}"),
+                   lambda m: m.whenMatchedDelete())
+
     zordered = {}
 
     def zorder_run(d):
@@ -284,8 +326,8 @@ def main() -> None:
     # (the binding constraint at 100 TB is planning, not scanning: the
     # distributed replay + typed-stats pruning must stay sub-second-ish
     # per 10⁵ files. Synthetic log only — no data files are opened.)
-    def plan_setup(i):
-        base_dir = os.path.join(scratch, "planlog")
+    def plan_setup(i, n_commits=40, tag="planlog"):
+        base_dir = os.path.join(scratch, tag)
         if not os.path.isdir(base_dir):
             ld = os.path.join(base_dir, "_delta_log")
             os.makedirs(ld)
@@ -299,7 +341,7 @@ def main() -> None:
                     "id": "plan", "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema, "partitionColumns": ["p"],
                     "configuration": {}, "createdTime": 1}}))
-            n_per, n_commits = 2500, 40      # 100k AddFiles
+            n_per = 2500                     # n_per * n_commits AddFiles
             for v in range(1, n_commits + 1):
                 with open(os.path.join(ld, "%020d.json" % v), "w") as f:
                     f.write("\n".join(json.dumps({"add": {
@@ -327,6 +369,15 @@ def main() -> None:
         assert 0 < len(rows) < 100
 
     run_median(timings, "plan_100k_files", plan_run, setup=plan_setup)
+
+    # 1M AddFiles: ABOVE the 500k-action auto-route threshold, so this
+    # measures the DISTRIBUTED replay/planning path (files_for_scan_df
+    # over the checkpoint parquet) end-to-end, not the driver loop —
+    # the regime a 100 TB table with ~10⁶ files actually lives in.
+    # Growth vs plan_100k_files should be strongly sub-linear: the
+    # survivors are pruned executor-side and only they reach the driver.
+    run_median(timings, "plan_1m_files", plan_run,
+               setup=lambda i: plan_setup(i, n_commits=400, tag="planlog1m"))
 
     # ---- streaming: drain a 10-commit backlog source→sink ----------------
     # (structured-streaming path: the delta_py source plans offsets over

@@ -331,16 +331,34 @@ def publish(log, catalog: CatalogManagedClient,
             break
         c = commits[v]
         target = log.commit_file(v)
+        try:
+            payload = (c.inline if c.inline is not None
+                       else open(c.file_path).read())
+        except OSError:
+            break  # staged file unreadable: stop (in-order requirement)
         if not os.path.exists(target):
             try:
-                payload = (c.inline if c.inline is not None
-                           else open(c.file_path).read())
                 log.store.write_atomic(target, payload)
                 written += 1
             except ConcurrentModificationException:
                 pass  # someone else published it — fine, content is immutable
+        else:
+            # A <v>.json already on the filesystem must BE the ratified
+            # content — anything else is a forked log (e.g. an orphaned
+            # put-if-absent commit that bypassed the catalog). Verify
+            # instead of silently skipping: mark_published below would
+            # otherwise delete the authoritative copy and let the
+            # divergent file win.
+            try:
+                existing = open(target).read()
             except OSError:
-                break  # staged file unreadable: stop (in-order requirement)
+                existing = None
+            if existing is not None and existing != payload:
+                raise RuntimeError(
+                    f"catalog-managed log divergence at version {v}: "
+                    f"{target} exists with content different from the "
+                    f"catalog-ratified commit; refusing to publish past "
+                    f"it")
         highest = v
     if highest is not None:
         catalog.mark_published(log.log_path, highest)

@@ -265,8 +265,20 @@ class DeltaLog:
         import hashlib
         import tempfile
 
-        d = os.path.join(tempfile.gettempdir(), "delta_spark_inline")
-        os.makedirs(d, exist_ok=True)
+        # per-user directory, created 0700: the spill dir must not be a
+        # world-shared /tmp name another local user can pre-create and
+        # then swap files under us (tmp-squatting)
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        d = os.path.join(tempfile.gettempdir(), f"delta_spark_inline_{uid}")
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        try:
+            st = os.stat(d)
+            if hasattr(os, "getuid") and st.st_uid != uid:
+                # squatted by another owner — fall back to a fresh
+                # private dir for this process
+                d = tempfile.mkdtemp(prefix="delta_spark_inline_")
+        except OSError:
+            pass
         # keyed by CONTENT too: a table dropped and recreated at the
         # same path must never be served a stale spill of the old
         # table's same-numbered inline commit
@@ -274,11 +286,19 @@ class DeltaLog:
             f"{self.log_path}|{version}|".encode()
             + hashlib.md5(content.encode()).digest()).hexdigest()
         path = os.path.join(d, f"{key}.json")
-        if not os.path.exists(path):
-            tmp = path + ".tmp.%d" % os.getpid()
-            with open(tmp, "w") as f:
-                f.write(content)
-            os.replace(tmp, path)
+        if os.path.exists(path):
+            # verify before reuse — the name encodes the content hash,
+            # so any mismatch means the file was tampered with/replaced
+            try:
+                with open(path) as f:
+                    if f.read() == content:
+                        return path
+            except OSError:
+                pass
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
         return path
 
     def list_checkpoint_versions(self) -> list[int]:

@@ -352,6 +352,79 @@ def _collect_stats_distributed(paths: list[str], indexed_cols: Optional[list[str
     return {r["path"]: r["stats"] for r in rows}
 
 
+def is_degraded_stats(stats_json: Optional[str]) -> bool:
+    """True for the numRecords-only fallback emitted when this
+    pyarrow cannot parse the footer (VARIANT-annotated shredded
+    files)."""
+    if not stats_json:
+        return False
+    try:
+        d = json.loads(stats_json)
+    except ValueError:
+        return False
+    return d.get("tightBounds") is False and "minValues" not in d
+
+
+def collect_stats_spark(spark, paths: list[str],
+                        indexed_cols: Optional[list[str]] = None,
+                        num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS
+                        ) -> dict[str, str]:
+    """Full stats via a Spark scan, for files whose footers the linked
+    pyarrow cannot parse (parquet VARIANT logical-type annotation,
+    PROTOCOL.md:1934): Spark's parquet reader understands the
+    annotation, so one per-file aggregation keeps data skipping at
+    full bounds instead of the numRecords-only degradation."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    if not paths:
+        return {}
+    df = spark.read.parquet(*paths)
+    statable = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+                T.DateType, T.TimestampType, T.TimestampNTZType,
+                T.BooleanType)
+    prim = {f.name for f in df.schema.fields
+            if isinstance(f.dataType, statable)}
+    names = [f.name for f in df.schema.fields]
+    pool = (indexed_cols if indexed_cols is not None
+            else names[:num_indexed_cols])
+    target = [n for n in pool if n in prim]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(target):
+        aggs += [F.min(F.col(f"`{c}`")).alias(f"__mn{i}"),
+                 F.max(F.col(f"`{c}`")).alias(f"__mx{i}"),
+                 F.sum(F.col(f"`{c}`").isNull().cast("long"))
+                 .alias(f"__nl{i}")]
+    rows = (df.groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs).collect())
+    out: dict[str, str] = {}
+    for r in rows:
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for i, c in enumerate(target):
+            nulls[c] = int(r[f"__nl{i}"] or 0)
+            raw_mn, raw_mx = r[f"__mn{i}"], r[f"__mx{i}"]
+            mn, mx = _json_safe(raw_mn), _json_safe(raw_mx)
+            if isinstance(mn, str):
+                mn = _truncate_min(mn)
+            if isinstance(mx, str):
+                mx = _truncate_max(mx)
+            if raw_mn is not None and mn is not None:
+                mins[c] = mn
+            if raw_mx is not None and mx is not None:
+                maxs[c] = mx
+        u = urlparse(r["__f"])
+        local = unquote(u.path) if u.scheme in ("file", "") else r["__f"]
+        out[os.path.normpath(local)] = json.dumps(
+            {"numRecords": int(r["__n"]), "minValues": mins,
+             "maxValues": maxs, "nullCount": nulls},
+            separators=(",", ":"), default=str)
+    return out
+
+
 def parse_stats_view(stats_json: Optional[str], schema: Optional[T.StructType] = None) -> FileStatsView:
     """Stats JSON blob → FileStatsView with values coerced for
     comparison (timestamps back to datetime)."""

@@ -72,6 +72,33 @@ def write_stream(df: DataFrame, path: str, checkpoint_location: str,
     return writer.start()
 
 
+def drain_available_now(df: DataFrame, path: str, checkpoint_location: str,
+                        query_id: Optional[str] = None,
+                        output_mode: str = "append",
+                        partition_by: Optional[list[str]] = None):
+    """Trigger.AvailableNow with rate limits, end to end: drain a
+    source built with ``.option("availableNow", "true")`` (which pins
+    the end version at query start and keeps maxFilesPerTrigger /
+    maxBytesPerTrigger engaged per batch) into a delta sink, then stop.
+
+    Spark's own ``trigger(availableNow=True)`` falls back to a SINGLE
+    batch for Python DataSources (no SupportsTriggerAvailableNow hook),
+    which would truncate a capped drain after one batch — so the drain
+    is driven as processingTime microbatches until the pinned end is
+    reached (reference: DeltaSource prepareForTriggerAvailableNow +
+    AvailableNowDataStreamWrapper)."""
+    qid = query_id or f"delta_sink_{os.path.basename(path)}"
+    q = (df.writeStream
+         .foreachBatch(delta_sink(path, qid, output_mode, partition_by))
+         .option("checkpointLocation", checkpoint_location)
+         .outputMode(output_mode)
+         .trigger(processingTime="0 seconds").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return q
+
+
 # --------------------------------------------------------- the source ----
 
 @dataclass
@@ -187,15 +214,19 @@ class DeltaStreamReader(DataSourceStreamReader):
         # the last planned offset; an implicit default cap would make
         # batch sizing depend on that bookkeeping surviving restarts,
         # so default-uncapped is the safe choice here.
-        # .option("availableNow", "true") lifts explicit caps too for
-        # drain-everything runs.
+        # .option("availableNow", "true") = Trigger.AvailableNow
+        # semantics AT THE SOURCE (DeltaSource
+        # prepareForTriggerAvailableNow): the end version is pinned at
+        # the first latestOffset() call, caps still apply per batch,
+        # and commits landing mid-drain are NOT consumed. Spark's own
+        # availableNow trigger single-batches Python sources, so a
+        # capped drain must be driven with drain_available_now().
         self.available_now = str(options.get("availablenow", "false")).lower() == "true"
+        self._an_end = None  # pinned latest version for availableNow
         mf = options.get("maxfilespertrigger")
-        self.max_files = None if (mf is None or self.available_now) \
-            else max(int(mf), 1)
+        self.max_files = None if mf is None else max(int(mf), 1)
         mb = options.get("maxbytespertrigger")
-        self.max_bytes = None if (mb is None or self.available_now) \
-            else max(_parse_byte_size(mb), 1)
+        self.max_bytes = None if mb is None else max(_parse_byte_size(mb), 1)
         self._pos = None  # last planned/committed end offset (admission base)
         import re as _re
 
@@ -463,6 +494,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         first microbatch too — the reference's backlog-drain shape."""
         _trace(f"latestOffset pos={self._pos}")
         latest = self.log.latest_version()
+        if self.available_now:
+            # AvailableNow contract: everything available AT QUERY
+            # START is drained (in capped batches), nothing after
+            if self._an_end is None:
+                self._an_end = latest
+            latest = min(latest, self._an_end)
         bound, pending_change = latest, None
         if self.schema_loc:
             basev = (self._pos or self._initial)["version"]

@@ -95,6 +95,7 @@ class DeltaTable:
         import re as _re
 
         pinned = None
+        pinned_ts = None
         m = _re.fullmatch(r"(.*)@[vV](\d+)", path)
         if m and not DeltaLog.for_table(path).table_exists():
             path, pinned = m.group(1), int(m.group(2))
@@ -111,31 +112,33 @@ class DeltaTable:
                 ts = _dt.datetime.strptime(s[:14], "%Y%m%d%H%M%S").replace(
                     microsecond=int(s[14:]) * 1000, tzinfo=_dt.timezone.utc)
                 path = mt.group(1)
-                pinned = DeltaLog.for_table(path).version_for_time_travel(
-                    int(ts.timestamp() * 1000))
+                pinned_ts = int(ts.timestamp() * 1000)
         log = DeltaLog.for_table(path)
         if not log.table_exists():
             raise ValueError(f"{path} is not a delta table")
         # table redirect (redirect.py, TableRedirect.scala): a source in
         # REDIRECT-READY resolves to its destination — reads AND writes
-        # route. One hop only: a destination that itself redirects is a
-        # forbidden chain.
-        if pinned is None:
-            from delta_spark import redirect as R
+        # route, INCLUDING time travel ("all types of queries would be
+        # redirected"): the redirect resolves first, then the pinned
+        # version/timestamp applies to the destination log — matching
+        # the streaming/DataSource paths, which always route.
+        from delta_spark import redirect as R
 
-            dest = R.resolve_read_path(log.table_path,
-                                       log.update().configuration)
-            if dest is not None:
-                dest_log = DeltaLog.for_table(dest)
-                if not dest_log.table_exists():
-                    raise ValueError(
-                        f"redirect destination {dest} is not a delta table")
-                if R.resolve_read_path(dest_log.table_path,
-                                       dest_log.update().configuration):
-                    raise R.RedirectStateError(
-                        f"redirect chains are not allowed: {dest} "
-                        f"redirects again")
-                log = dest_log
+        dest = R.resolve_read_path(log.table_path,
+                                   log.update().configuration)
+        if dest is not None:
+            dest_log = DeltaLog.for_table(dest)
+            if not dest_log.table_exists():
+                raise ValueError(
+                    f"redirect destination {dest} is not a delta table")
+            if R.resolve_read_path(dest_log.table_path,
+                                   dest_log.update().configuration):
+                raise R.RedirectStateError(
+                    f"redirect chains are not allowed: {dest} "
+                    f"redirects again")
+            log = dest_log
+        if pinned_ts is not None:
+            pinned = log.version_for_time_travel(pinned_ts)
         dt = cls(spark, log)
         dt._pinned_version = pinned
         return dt
@@ -464,6 +467,15 @@ class DeltaTable:
                 f"{iceberg_compat_version} (supported: 1, 2, 3)")
         props = {keys[iceberg_compat_version]: "true"}
         metrics: dict = {}
+        if iceberg_compat_version == 3:
+            # V3 writer requirements include column mapping (Iceberg
+            # field ids are the mapping ids); enable name mode first —
+            # a separate commit, because it rewrites the schema's field
+            # annotations
+            cur = self.log.update().configuration
+            if cur.get("delta.columnMapping.mode", "none") not in (
+                    "name", "id"):
+                self.enableColumnMapping("name")
         if iceberg_compat_version < 3:
             # an Iceberg v2 reader cannot apply Delta DVs — purge them
             # and keep DV creation off; V3 converts DVs to format-v3
@@ -500,7 +512,7 @@ class DeltaTable:
                                                       "minWriterVersion": new.minWriterVersion})})
 
     _DROPPABLE_READER_WRITER = {"deletionVectors", "typeWidening",
-                                "variantType"}
+                                "variantType", "catalogManaged"}
     _DROPPABLE_WRITER = {"rowTracking", "inCommitTimestamp",
                          "icebergCompatV2"}
 
@@ -589,6 +601,21 @@ class DeltaTable:
             self.unsetProperties(["delta.enableInCommitTimestamps"])
         elif name == "icebergCompatV2":
             self.unsetProperties(["delta.enableIcebergCompatV2"])
+        elif name == "catalogManaged":
+            # Handover flow (the ONLY legal way to un-manage a table —
+            # OptimisticTransaction.commit refuses property-level drops
+            # of the managing catalog): ONE commit, ratified by the
+            # catalog itself (the owner at commit time), removes both
+            # the management properties and the protocol feature —
+            # split commits would either trip the fail-closed reader
+            # gate (feature on protocol, catalog state gone) or land a
+            # filesystem commit beyond the catalog's ratification
+            # ceiling (invisible to readers). Then publish the entire
+            # ratified tail so the filesystem log is a complete source
+            # of truth, release the catalog's state, and truncate
+            # history (the feature is reader+writer: older versions
+            # still reference it).
+            return self._drop_catalog_managed(truncate_history)
         else:
             raise ValueError(f"dropping feature {name!r} is not supported")
 
@@ -642,6 +669,64 @@ class DeltaTable:
             # every pre-downgrade commit stays protected
             self.setProperties(
                 {"delta.requireCheckpointProtectionBeforeVersion": str(v)})
+        return v
+
+    def _drop_catalog_managed(self, truncate_history: bool) -> int:
+        """catalogManaged handover (see dropFeature): one catalog-
+        ratified commit removes the management properties AND the
+        protocol feature, the ratified tail is published, the catalog
+        record is released, and — the feature being reader+writer —
+        history is truncated behind a fresh checkpoint with the
+        checkpointProtection barrier recorded."""
+        import dataclasses as _dc
+
+        from delta_spark import catalog_managed as _CM
+        from delta_spark.util import current_time_millis as _now
+
+        if not truncate_history:
+            raise ValueError(
+                "dropping reader+writer feature 'catalogManaged' "
+                "requires truncate_history=True: historical versions "
+                "still reference it")
+        snap = self.log.update()
+        cat = _CM.client_for(snap.metadata.configuration)
+        txn = OptimisticTransaction(self.log)
+        txn._allow_catalog_handover = True
+        m = txn.metadata
+        p = txn.snapshot.protocol
+        barrier = txn.snapshot.version + 1  # the handover commit
+        rf = [f for f in (p.readerFeatures or [])
+              if f != "catalogManaged"] or None
+        wf = sorted(set(f for f in (p.writerFeatures or [])
+                        if f != "catalogManaged") | {"checkpointProtection"})
+        dropped = sorted(k for k in m.configuration
+                         if k.startswith("delta_spark.catalogManaged."))
+        newcfg = {k: v for k, v in m.configuration.items()
+                  if not k.startswith("delta_spark.catalogManaged.")}
+        newcfg["delta.requireCheckpointProtectionBeforeVersion"] = \
+            str(barrier)
+        mr = p.minReaderVersion if rf is not None \
+            else self._legacy_protocol_versions(txn.snapshot)[0]
+        v = txn.commit(
+            [_dc.replace(m, configuration=newcfg), Protocol(mr, 7, rf, wf)],
+            "DROP FEATURE",
+            {"featureName": "catalogManaged",
+             "droppedProperties": json.dumps(dropped)})
+        if cat is not None:
+            _CM.publish(self.log, cat, v)
+            cat.drop_table(self.log.log_path)
+        if v != barrier:
+            # conflict retries moved the handover — re-point the
+            # barrier at the actual version (now a plain fs commit)
+            self.setProperties(
+                {"delta.requireCheckpointProtectionBeforeVersion": str(v)})
+        # TRUNCATE HISTORY: checkpoint the downgraded state and expire
+        # everything behind it — pre-handover commits reference the
+        # catalogManaged reader feature
+        snap = self.log.update()
+        self.log.write_checkpoint(snap)
+        self.log.cleanup_expired_logs(
+            now_ms=_now() + self.log.log_retention_ms() + 60_000)
         return v
 
     def _legacy_protocol_versions(self, snap) -> tuple[int, int]:

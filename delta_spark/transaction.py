@@ -199,11 +199,41 @@ class OptimisticTransaction:
         if self.read_version >= 0:
             # table redirect state gate (redirect.check_commit): out of
             # a quiescent redirect state only the transition commit and
-            # noRedirectRules-allowed operations may land on the source
+            # noRedirectRules-allowed operations may land on the source.
+            # Evaluating once before the retry loop is sound because a
+            # concurrent winner that changes redirect state necessarily
+            # commits a Metadata action, and _check_conflicts raises
+            # MetadataChangedException on any winning metaData — stale
+            # redirect state is never absorbed into a retry.
             R.check_commit(self.snapshot.configuration, effective_cfg,
                            operation)
-        coordinator = coordinator_for(effective_cfg)
-        catalog = CM.client_for(effective_cfg)
+        # Commit OWNERSHIP is decided by the PRE-commit state: the table
+        # IS catalog-managed / coordinated at commit time, so even a
+        # commit that alters the management properties must go through
+        # the current owner. Routing from the post-commit config would
+        # let an UNSET-properties commit land via filesystem
+        # put-if-absent while the catalog's ratified ceiling stays
+        # behind — readers would ignore it, and a later ratified commit
+        # could reuse the same version with different content (a forked
+        # log). New tables (read_version < 0) take ownership from the
+        # commit's own metadata.
+        pre_cfg = self.snapshot.configuration if self.read_version >= 0 else {}
+        pre_catalog = CM.client_for(pre_cfg)
+        post_catalog = CM.client_for(effective_cfg)
+        if (pre_catalog is not None and commit_meta is not None
+                and (effective_cfg or {}).get(CM.CATALOG_PROP)
+                != pre_cfg.get(CM.CATALOG_PROP)
+                and not getattr(self, "_allow_catalog_handover", False)):
+            raise ValueError(
+                "cannot change or drop the managing catalog via table "
+                "properties: the commit would bypass the catalog's "
+                "ratification ceiling and fork the log. Use "
+                "DeltaTable.dropFeature('catalogManaged') for the "
+                "handover flow (publish + release).")
+        catalog = pre_catalog if pre_catalog is not None else post_catalog
+        pre_coord = coordinator_for(pre_cfg)
+        post_coord = coordinator_for(effective_cfg)
+        coordinator = pre_coord if pre_coord is not None else post_coord
         if catalog is not None and coordinator is not None:
             raise ValueError(
                 "a table cannot be both catalog-managed and use "
@@ -270,6 +300,14 @@ class OptimisticTransaction:
                 else:
                     self._coordinated_write(coordinator, attempt_version,
                                             payload, ts, effective_cfg)
+                    if post_coord is None and commit_meta is not None:
+                        # coordinator downgrade commit: force-complete
+                        # the filesystem log — after this version nobody
+                        # consults the coordinator, so every registered
+                        # commit must be backfilled NOW or it is lost
+                        from delta_spark import coordinator as C
+                        C.backfill_to(self.log, coordinator,
+                                      attempt_version)
                 self._committed = True
                 self._post_commit(attempt_version, actions)
                 return attempt_version
@@ -630,6 +668,18 @@ class OptimisticTransaction:
                 meta.configuration = dict(cfg)
                 meta.configuration["delta.enableRowTracking"] = "true"
                 cfg = meta.configuration
+            # iceberg-compat-v3 RFC writer requirements also mandate
+            # materialized partition column values in the data files
+            # (an Iceberg reader never re-derives them from paths);
+            # column mapping is REQUIRED rather than forced — enabling
+            # it needs schema rewriting, enforced in
+            # uniform.check_iceberg_compat
+            if cfg.get("delta.enableMaterializePartitionColumnsFeature",
+                       "").lower() != "true":
+                meta.configuration = dict(cfg)
+                meta.configuration[
+                    "delta.enableMaterializePartitionColumnsFeature"] = "true"
+                cfg = meta.configuration
         if cfg.get("delta.enableRowTracking", "").lower() == "true":
             writer_feats.add("rowTracking")
             # stable row ids need a materialized column name assigned at
@@ -738,6 +788,13 @@ class OptimisticTransaction:
             isolation_level == SNAPSHOT_ISOLATION
             or (isolation_level == WRITE_SERIALIZABLE and winner_blind)
         )
+        # only dataChange adds count as concurrent appends — a winning
+        # compaction's dataChange=false re-adds carry no new rows
+        # (WinningCommitSummary.changedDataAddedFiles: the reference
+        # excludes them, so OPTIMIZE stays invisible to concurrent
+        # readers; the rearranged files still conflict through the
+        # REMOVE checks below)
+        win_adds = [a for a in win_adds if a.dataChange]
         if check_appends and win_adds and (self.read_whole_table_flag or self.read_predicates):
             if self.read_whole_table_flag:
                 raise ConcurrentAppendException("files added by concurrent writer; whole table was read")

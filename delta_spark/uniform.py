@@ -597,6 +597,17 @@ def validate_uniform_config(configuration: dict[str, str],
                 "enabling icebergCompatV3 on a table with row tracking "
                 "already enabled is not supported; disable row tracking "
                 "first (IcebergCompat: CheckNoRowTrackingBeforeUpgradeV3)")
+    if v3 and cfg.get("delta.columnMapping.mode", "none") not in ("name",
+                                                                  "id"):
+        # iceberg-compat-v3 RFC writer requirements: Iceberg field ids
+        # must be stable across renames, which only column mapping
+        # provides — a V3 table without it can violate the spec
+        # external Iceberg engines rely on
+        raise UniFormValidationError(
+            "icebergCompatV3 requires column mapping (set "
+            "delta.columnMapping.mode=name or id): Iceberg field ids "
+            "are derived from the column mapping ids "
+            "(iceberg-compat-v3 RFC writer requirements)")
     if not uniform_iceberg_enabled(cfg):
         return
     if cfg.get(DV_ENABLED_KEY, "false").lower() == "true":
@@ -1156,14 +1167,42 @@ def convert_iceberg_to_delta(spark, iceberg_path: str,
             deletionVector=dv_by_data.get(ap),
             stats=json.dumps({"numRecords": int(df_entry["record_count"])})))
 
+    # Iceberg parquet files resolve columns by field id (mandatory in
+    # the Iceberg spec), so the converted Delta table uses ID column
+    # mapping with delta.columnMapping.id = the Iceberg field id —
+    # the reference's ConvertToDeltaCommand does the same. physicalName
+    # falls back to the Iceberg field name for files without ids.
+    from delta_spark.schema import (
+        COLUMN_MAPPING_ID_KEY,
+        COLUMN_MAPPING_PHYSICAL_KEY,
+    )
+
+    mapped_fields = []
+    max_fid = 0
+    for f in schema.fields:
+        ice = next((x for x in ice_schema["fields"]
+                    if x["name"] == f.name), None)
+        md = dict(f.metadata or {})
+        if ice is not None:
+            md[COLUMN_MAPPING_ID_KEY] = int(ice["id"])
+            md[COLUMN_MAPPING_PHYSICAL_KEY] = f.name
+            max_fid = max(max_fid, int(ice["id"]))
+        mapped_fields.append(
+            T.StructField(f.name, f.dataType, f.nullable, md))
+    schema = T.StructType(mapped_fields)
+
     metadata = Metadata(
         format=Format(), schemaString=schema_to_json(schema),
-        partitionColumns=part_cols, configuration={},
+        partitionColumns=part_cols,
+        configuration={"delta.columnMapping.mode": "id",
+                       "delta.columnMapping.maxColumnId": str(max_fid)},
         createdTime=current_time_millis())
-    proto = Protocol()
+    feats = ["columnMapping"]
     if dv_by_data:
-        proto = Protocol(3, 7, readerFeatures=["deletionVectors"],
-                         writerFeatures=["deletionVectors"])
+        feats = ["columnMapping", "deletionVectors"]
+        proto = Protocol(3, 7, readerFeatures=feats, writerFeatures=feats)
+    else:
+        proto = Protocol(2, 5)
     txn = OptimisticTransaction(log)
     txn.commit([proto, metadata] + adds, "CONVERT",
                {"sourceFormat": "iceberg",

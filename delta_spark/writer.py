@@ -118,12 +118,14 @@ def write_files(
         writer = writer.partitionBy(*partition_columns_for_write)
     shred_confs = {"spark.sql.variant.writeShredding.enabled": "true",
                    "spark.sql.variant.inferShreddingSchema": "true",
-                   # the VARIANT parquet logical-type tag breaks
-                   # pyarrow<18 footer parsing (stats pass, symlink
-                   # manifests); the shredded group layout is what
-                   # matters and Spark reads it from the requested
-                   # schema without the annotation
-                   "spark.sql.parquet.variant.annotateLogicalType.enabled": "false"}
+                   # the parquet VARIANT logical-type annotation
+                   # (PROTOCOL.md:1934) IS written — external
+                   # annotation-requiring readers see real shredded
+                   # variant. pyarrow<18 cannot parse such footers, so
+                   # the stats pass detects the degradation and
+                   # re-collects full bounds through a Spark scan
+                   # (stats.collect_stats_spark) below
+                   "spark.sql.parquet.variant.annotateLogicalType.enabled": "true"}
     saved: dict[str, Optional[str]] = {}
     conf = df.sparkSession.conf
     if shred_variant:
@@ -180,6 +182,20 @@ def write_files(
     shutil.rmtree(staging, ignore_errors=True)
 
     stats_map = collect_stats_parallel([p for p, _ in moved], indexed_cols, num_indexed_cols)
+    if shred_variant:
+        # VARIANT-annotated footers degrade the pyarrow pass to
+        # numRecords-only; re-collect full bounds via Spark, which
+        # understands the annotation
+        from delta_spark.stats import collect_stats_spark, is_degraded_stats
+
+        degraded = [p for p, _ in moved
+                    if is_degraded_stats(stats_map.get(p))]
+        if degraded:
+            upgraded = collect_stats_spark(
+                df.sparkSession, degraded, indexed_cols, num_indexed_cols)
+            for p in degraded:
+                stats_map[p] = upgraded.get(os.path.normpath(p),
+                                            stats_map[p])
     from delta_spark.util import encode_log_path
 
     for abs_path, pvals in moved:

@@ -220,3 +220,35 @@ def test_show_tblproperties(spark, warehouse, sf_dir, tmp_path):
     assert [(r["key"], r["value"]) for r in one] == [("team", "data-eng")]
     none = delta_sql(spark, f"SHOW TBLPROPERTIES delta.`{p}` ('missing')").collect()
     assert none == []
+
+
+def _register_worker(args):
+    """Module-level so multiprocessing can pickle it: registers one
+    name->path entry against a shared warehouse WITHOUT a Spark session
+    (register_table only touches the catalog file)."""
+    wh, i = args
+    os.environ["DELTA_SPARK_WAREHOUSE"] = wh
+    C.register_table(None, f"db.t{i}", f"/data/t{i}")
+    return i
+
+
+def test_concurrent_registration_loses_nothing(warehouse):
+    """putIfAbsent-grade metastore semantics: N processes registering
+    N distinct tables against the same warehouse concurrently — every
+    registration must survive (the flock'd read-modify-write; a bare
+    read-modify-write + rename would drop entries under this race)."""
+    import multiprocessing as mp
+
+    n = 24
+    os.environ["DELTA_SPARK_WAREHOUSE"] = warehouse
+    try:
+        with mp.get_context("spawn").Pool(8) as pool:
+            done = pool.map(_register_worker, [(warehouse, i)
+                                               for i in range(n)])
+        assert sorted(done) == list(range(n))
+        m = C.catalog_map(None)
+        for i in range(n):
+            assert m.get(f"db.t{i}") == f"/data/t{i}", \
+                f"registration of db.t{i} was lost"
+    finally:
+        os.environ.pop("DELTA_SPARK_WAREHOUSE", None)

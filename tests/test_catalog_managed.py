@@ -333,3 +333,60 @@ def test_checkpoint_publishes_tail_first(spark, tmp_table, sf_dir):
     assert len(glob.glob(os.path.join(lp, "0*.json"))) == 5
     DeltaLog.clear_cache()
     assert DeltaTable.forPath(spark, tmp_table).log.update().version == 4
+
+
+def test_unset_catalog_prop_refused(spark, tmp_table, sf_dir):
+    """Commit ownership is decided pre-commit: dropping (or changing)
+    the managing-catalog property via plain TBLPROPERTIES commits is
+    refused — it would land via filesystem put-if-absent while the
+    catalog's ratification ceiling stays behind, forking the log."""
+    write_delta(_li(spark, sf_dir), tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="managing catalog"):
+        dt.unsetProperties([CM.CATALOG_PROP])
+    with pytest.raises(ValueError, match="managing catalog"):
+        dt.setProperties({CM.CATALOG_PROP: "in-memory"})
+    # the table still works through the catalog
+    dt.delete("l_quantity > 45")
+    assert dt.history().count() == 2
+
+
+def test_drop_feature_handover(spark, tmp_table, sf_dir):
+    """DROP FEATURE catalogManaged = the sanctioned handover: the
+    property-removal commit is ratified by the catalog itself, the
+    ratified tail is fully published, catalog state is released, and
+    the table continues as a plain filesystem table."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=FS_CONF)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 45")
+    dt.dropFeature("catalogManaged", truncate_history=True)
+    snap = dt.log.update()
+    assert CM.CATALOG_PROP not in snap.configuration
+    assert "catalogManaged" not in (snap.protocol.readerFeatures or [])
+    # catalog released: no ceiling caps future fs commits
+    cat = CM.CATALOGS["filesystem"]
+    latest, ratified = cat.ratified(_log_path(tmp_table))
+    assert latest < 0 and not ratified
+    # plain filesystem DML works and is visible
+    dt2 = DeltaTable.forPath(spark, tmp_table)
+    dt2.update({"l_discount": "CAST(0 AS DOUBLE)"}, "l_quantity < 5")
+    want = df.filter("NOT coalesce(l_quantity > 45, false)").count()
+    assert dt2.toDF().count() == want
+
+
+def test_publish_divergence_detected(spark, tmp_table, sf_dir):
+    """publish() must verify an existing <v>.json against the ratified
+    content — an orphaned divergent file is a forked log, not a
+    benign already-published skip."""
+    conf = {**FS_CONF, CM.AUTO_PUBLISH_PROP: "false"}
+    write_delta(_li(spark, sf_dir), tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 45")  # ratified, unpublished
+    v1 = os.path.join(_log_path(tmp_table), "%020d.json" % 1)
+    assert not os.path.exists(v1)
+    with open(v1, "w") as f:
+        f.write('{"commitInfo": {"operation": "FORGED"}}\n')
+    cat = CM.CATALOGS["filesystem"]
+    with pytest.raises(RuntimeError, match="divergence"):
+        CM.publish(dt.log, cat)

@@ -1,0 +1,403 @@
+"""Phase-locked two-writer conflict fuzzing.
+
+Mirrors the reference's transaction-interleaving fuzzer
+(fuzzer/AtomicBarrier.scala,
+PhaseLockingTransactionExecutionObserver.scala and the conflict
+matrices in OptimisticTransactionSuite): real DML commands run in two
+threads, a barrier harness pauses each writer between its READ phase
+(transaction construction = snapshot pin) and its COMMIT phase, and a
+schedule forces the exact interleaving. The loser must either succeed
+through conflict-resolution retry (absorbing the winner) or raise the
+documented DeltaConcurrentException subclass — and whenever both
+succeed, the final table state must equal replaying the two commands
+serially in their commit order (serializability witness).
+"""
+
+import random
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_spark import transaction as TX
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.table import DeltaTable
+from delta_spark.transaction import (
+    ConcurrentAppendException,
+    ConcurrentDeleteDeleteException,
+    ConcurrentDeleteReadException,
+    ConcurrentTransactionException,
+    DeltaConcurrentException,
+    MetadataChangedException,
+    OptimisticTransaction,
+)
+
+# --------------------------------------------------------------- harness ----
+
+
+class PhaseLockedWriter(threading.Thread):
+    """Runs one command; pauses after its transaction pins a snapshot
+    (READ phase done) until the scheduler releases its COMMIT phase."""
+
+    def __init__(self, name, fn):
+        super().__init__(name=f"plw-{name}", daemon=True)
+        self.read_done = threading.Event()
+        self.commit_go = threading.Event()
+        self.fn = fn
+        self.error = None
+
+    def run(self):
+        try:
+            self.fn()
+        except BaseException as e:  # noqa: BLE001 — surfaced to the test
+            self.error = e
+        finally:
+            # a command that never opened a transaction (failed early)
+            # must not deadlock the scheduler
+            self.read_done.set()
+
+
+class _Hooks:
+    """Monkeypatch seam: OptimisticTransaction.__init__ marks the READ
+    phase complete for the owning PhaseLockedWriter thread; the first
+    commit() call per thread blocks until that writer's COMMIT phase is
+    released. Retry attempts inside commit() are NOT re-gated — the
+    interleaving under test is the first-attempt race."""
+
+    def __init__(self, monkeypatch):
+        self._by_thread = {}
+        orig_init = OptimisticTransaction.__init__
+        orig_commit = OptimisticTransaction.commit
+        hooks = self
+
+        def init(txn, *a, **kw):
+            orig_init(txn, *a, **kw)
+            w = hooks._writer()
+            if w is not None:
+                w.read_done.set()
+
+        def commit(txn, *a, **kw):
+            w = hooks._writer()
+            if w is not None:
+                if not w.commit_go.wait(timeout=60):
+                    raise TimeoutError("phase-lock scheduler never "
+                                       "released the commit phase")
+            return orig_commit(txn, *a, **kw)
+
+        monkeypatch.setattr(OptimisticTransaction, "__init__", init)
+        monkeypatch.setattr(OptimisticTransaction, "commit", commit)
+
+    def _writer(self):
+        t = threading.current_thread()
+        return t if isinstance(t, PhaseLockedWriter) else None
+
+
+def interleave(monkeypatch, fn1, fn2, schedule="read-read-c1-c2"):
+    """Run fn1/fn2 under a forced schedule. Returns (err1, err2).
+
+    Schedules:
+      read-read-c1-c2 — both pin the SAME pre-state snapshot, writer 1
+                        commits first, writer 2 hits the conflict path
+      read-read-c2-c1 — symmetric
+      serial-12       — writer 1 runs to completion before writer 2
+                        starts (baseline; no conflict possible)
+    """
+    _Hooks(monkeypatch)
+    w1, w2 = PhaseLockedWriter("1", fn1), PhaseLockedWriter("2", fn2)
+    if schedule == "serial-12":
+        w1.commit_go.set()
+        w1.start()
+        w1.join(120)
+        w2.commit_go.set()
+        w2.start()
+        w2.join(120)
+    else:
+        w1.start()
+        assert w1.read_done.wait(60)
+        w2.start()
+        assert w2.read_done.wait(60)
+        first, second = (w1, w2) if schedule == "read-read-c1-c2" else (w2, w1)
+        first.commit_go.set()
+        first.join(120)
+        second.commit_go.set()
+        second.join(120)
+    assert not w1.is_alive() and not w2.is_alive()
+    return w1.error, w2.error
+
+
+# ------------------------------------------------------------ table ops ----
+
+
+def _mk_table(spark, path, n=400):
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("pk"),
+        (F.col("id") * 10).alias("val"))
+    # several files per partition so OPTIMIZE has real work to commit
+    write_delta(df.repartition(8), path, partition_by=["pk"])
+
+
+def _rows(spark, path):
+    return sorted(tuple(r) for r in
+                  DeltaTable.forPath(spark, path).toDF()
+                  .select("id", "pk", "val").collect())
+
+
+def op_append(spark, path, pk, base=10_000):
+    def f():
+        df = spark.range(base + pk * 100, base + pk * 100 + 5).select(
+            F.col("id"), F.lit(pk).cast("int").alias("pk"),
+            F.lit(-1).cast("long").alias("val"))
+        write_delta(df, path, mode="append")
+    return f
+
+
+def op_delete(spark, path, pred):
+    return lambda: DeltaTable.forPath(spark, path).delete(pred)
+
+
+def op_update(spark, path, pred):
+    return lambda: DeltaTable.forPath(spark, path).update(
+        {"val": "val + 1"}, pred)
+
+
+def op_props(spark, path, k="fuzz.marker"):
+    return lambda: DeltaTable.forPath(spark, path).setProperties(
+        {k: "on"})
+
+
+def op_optimize(spark, path):
+    return lambda: DeltaTable.forPath(spark, path).optimize() \
+        .executeCompaction()
+
+
+# ------------------------------------------------------ conflict matrix ----
+
+# (name, mk_op1, mk_op2, expected-for-loser under read-read-c1-c2)
+# expected None = loser must succeed via retry absorption
+MATRIX = [
+    ("append-disjoint", lambda s, p: op_append(s, p, 1),
+     lambda s, p: op_append(s, p, 2), None),
+    ("delete-disjoint-partitions", lambda s, p: op_delete(s, p, "pk = 1"),
+     lambda s, p: op_delete(s, p, "pk = 2"), None),
+    # both deletes READ the files they remove, so the read-overlap
+    # check fires first (same order as ConflictChecker.scala: deleted-
+    # against-read before deleted-against-deleted)
+    ("delete-same-partition", lambda s, p: op_delete(s, p, "pk = 1"),
+     lambda s, p: op_delete(s, p, "pk = 1"),
+     ConcurrentDeleteReadException),
+    ("delete-vs-update-same-rows", lambda s, p: op_delete(s, p, "pk = 1"),
+     lambda s, p: op_update(s, p, "pk = 1 AND id < 100"),
+     ConcurrentDeleteReadException),
+    ("metadata-vs-delete", lambda s, p: op_props(s, p),
+     lambda s, p: op_delete(s, p, "pk = 3"), MetadataChangedException),
+    ("optimize-vs-delete", lambda s, p: op_optimize(s, p),
+     lambda s, p: op_delete(s, p, "pk = 0"),
+     ConcurrentDeleteReadException),
+]
+
+
+@pytest.mark.parametrize("name,mk1,mk2,expected",
+                         MATRIX, ids=[m[0] for m in MATRIX])
+def test_conflict_matrix(spark, tmp_path, monkeypatch, name, mk1, mk2,
+                         expected):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    err1, err2 = interleave(monkeypatch, mk1(spark, path),
+                            mk2(spark, path), "read-read-c1-c2")
+    assert err1 is None, f"winner must succeed, got {err1!r}"
+    if expected is None:
+        assert err2 is None, f"loser should retry-succeed, got {err2!r}"
+    else:
+        assert isinstance(err2, expected), \
+            f"expected {expected.__name__}, got {err2!r}"
+    # whatever happened, the log must replay to a readable snapshot
+    DeltaLog.clear_cache()
+    DeltaTable.forPath(spark, path).toDF().count()
+
+
+def test_blind_append_vs_delete_write_serializable(spark, tmp_path,
+                                                   monkeypatch):
+    """The reference's WriteSerializable anomaly, pinned: a winning
+    BLIND append does not invalidate a concurrent DELETE (ConflictChecker
+    skips the appends check), so the delete retry-succeeds against its
+    pinned snapshot and the appended rows survive the delete."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    err1, err2 = interleave(monkeypatch, op_append(spark, path, 1),
+                            op_delete(spark, path, "pk = 1"),
+                            "read-read-c1-c2")
+    assert err1 is None and err2 is None
+    DeltaLog.clear_cache()
+    rows = _rows(spark, path)
+    # pre-existing pk=1 rows are gone, the blind-append rows survive
+    assert all(r[2] == -1 for r in rows if r[1] == 1)
+    assert sum(1 for r in rows if r[1] == 1) == 5
+
+
+def test_serializable_rejects_blind_append(spark, tmp_path, monkeypatch):
+    """Under Serializable the same winning blind append DOES invalidate
+    a reader of the whole table (isolationLevels.scala matrix)."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    log = DeltaLog.for_table(path)
+
+    def strict_reader():
+        txn = OptimisticTransaction(log)
+        txn.read_whole_table()
+        txn.commit([], "MANUAL UPDATE", isolation_level="Serializable")
+
+    err1, err2 = interleave(monkeypatch, op_append(spark, path, 1),
+                            strict_reader, "read-read-c1-c2")
+    assert err1 is None
+    assert isinstance(err2, ConcurrentAppendException)
+
+
+def test_delete_delete_conflict_for_non_reading_remover(spark, tmp_path,
+                                                        monkeypatch):
+    """ConcurrentDeleteDelete needs a loser that removes files WITHOUT
+    reading them — the compaction shape: a manual dataChange=false
+    rewrite racing a DELETE that removed the same file."""
+    import dataclasses as _dc
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    log = DeltaLog.for_table(path)
+    victim = next(f for f in log.update().all_files
+                  if f.partitionValues.get("pk") == "1")
+
+    def compactor():
+        from delta_spark.actions import RemoveFile
+
+        txn = OptimisticTransaction(log)
+        # no read registration — compaction removes by file identity
+        txn.commit([
+            RemoveFile(path=victim.path, deletionTimestamp=0,
+                       dataChange=False,
+                       partitionValues=victim.partitionValues,
+                       size=victim.size),
+            _dc.replace(victim, dataChange=False)],
+            "OPTIMIZE")
+
+    err1, err2 = interleave(monkeypatch, op_delete(spark, path, "pk = 1"),
+                            compactor, "read-read-c1-c2")
+    assert err1 is None
+    assert isinstance(err2, ConcurrentDeleteDeleteException)
+
+
+def test_optimize_invisible_to_concurrent_append_readers(spark, tmp_path,
+                                                         monkeypatch):
+    """A winning OPTIMIZE must NOT trip the appends check of a reader
+    whose predicate matches the compacted files — its re-adds are
+    dataChange=false (reference WinningCommitSummary
+    .changedDataAddedFiles excludes them). The DELETE below still
+    conflicts, but through the REMOVE check, not ConcurrentAppend."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    err1, err2 = interleave(monkeypatch, op_optimize(spark, path),
+                            op_delete(spark, path, "pk = 0"),
+                            "read-read-c1-c2")
+    assert err1 is None
+    assert isinstance(err2, ConcurrentDeleteReadException)
+    assert not isinstance(err2, ConcurrentAppendException)
+
+
+def test_same_app_id_set_transaction_conflict(spark, tmp_path, monkeypatch):
+    """Two idempotent writers with the same appId racing: exactly one
+    SetTransaction lands, the loser gets ConcurrentTransaction."""
+    from delta_spark.actions import SetTransaction
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    log = DeltaLog.for_table(path)
+
+    def writer(ver):
+        def f():
+            txn = OptimisticTransaction(log)
+            txn.commit([SetTransaction("fuzz-app", ver, 0)],
+                       "MANUAL UPDATE")
+        return f
+
+    err1, err2 = interleave(monkeypatch, writer(1), writer(2),
+                            "read-read-c1-c2")
+    assert err1 is None
+    assert isinstance(err2, ConcurrentTransactionException)
+
+
+def test_matrix_reversed_schedule(spark, tmp_path, monkeypatch):
+    """metadata-vs-delete with the schedule flipped: when the DELETE
+    wins the race, the metadata commit does not read files and
+    retry-succeeds — conflict outcomes are direction-dependent, as in
+    the reference's matrix."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    err1, err2 = interleave(monkeypatch, op_props(spark, path),
+                            op_delete(spark, path, "pk = 3"),
+                            "read-read-c2-c1")
+    # writer 2 (delete) committed first and won; the metadata writer
+    # (writer 1) is the loser and absorbs the delete cleanly
+    assert err2 is None
+    assert err1 is None
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(path).update()
+    assert snap.configuration.get("fuzz.marker") == "on"
+    assert DeltaTable.forPath(spark, path).toDF() \
+        .filter("pk = 3").count() == 0
+
+
+# -------------------------------------------------------- randomized fuzz ----
+
+
+def _op_pool(spark, path):
+    return [
+        ("append-1", op_append(spark, path, 1)),
+        ("append-2", op_append(spark, path, 2, base=20_000)),
+        ("delete-p1", op_delete(spark, path, "pk = 1")),
+        ("delete-p2", op_delete(spark, path, "pk = 2")),
+        ("update-p3", op_update(spark, path, "pk = 3")),
+        ("props", op_props(spark, path)),
+    ]
+
+
+def _replay_serial(spark, path, names_in_commit_order):
+    """Independent serial replay: apply the same ops one after another
+    on a fresh copy of the base table."""
+    _mk_table(spark, path)
+    pool = dict(_op_pool(spark, path))
+    for n in names_in_commit_order:
+        pool[n]()
+    return _rows(spark, path)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_randomized_interleavings_serializable_equivalent(
+        spark, tmp_path, monkeypatch, seed):
+    """Random op pairs under the racing schedule: every loser outcome
+    must be a DeltaConcurrentException (never a wrong answer), and when
+    both writers succeed the final state must byte-match an independent
+    serial replay in commit order — the serializability oracle."""
+    rng = random.Random(seed)
+    for round_no in range(4):
+        path = str(tmp_path / f"t{round_no}")
+        _mk_table(spark, path)
+        pool = _op_pool(spark, path)
+        (n1, f1), (n2, f2) = rng.sample(pool, 2)
+        err1, err2 = interleave(monkeypatch, f1, f2, "read-read-c1-c2")
+        assert err1 is None, f"winner {n1} failed: {err1!r}"
+        DeltaLog.clear_cache()
+        if err2 is not None:
+            assert isinstance(err2, DeltaConcurrentException), \
+                f"{n1} vs {n2}: loser must fail cleanly, got {err2!r}"
+            continue
+        got = _rows(spark, path)
+        # WriteSerializable guarantees equivalence to SOME serial order
+        # of the two transactions — not necessarily the commit order
+        # (the pinned anomaly above: a winning blind append is ordered
+        # AFTER the losing delete's logical reads)
+        want_fwd = _replay_serial(spark, str(tmp_path / f"rf{round_no}"),
+                                  [n1, n2])
+        want_rev = _replay_serial(spark, str(tmp_path / f"rr{round_no}"),
+                                  [n2, n1])
+        assert got in (want_fwd, want_rev), \
+            f"{n1};{n2} diverged from BOTH serial orders"

@@ -202,3 +202,19 @@ def test_redundant_feature_request_no_protocol_action(spark, tmp_table):
     kinds = [next(iter(_json.loads(line))) for line in open(last)]
     assert "protocol" not in kinds
     assert snap.configuration.get("k") == "v"
+
+
+def test_adaptive_metadata_preview_fails_closed(spark, tmp_table, sf_dir):
+    """adaptiveMetadata-preview (TableFeature.scala): deliberately NOT
+    in SUPPORTED_READER_FEATURES — a table demanding it must fail
+    closed on read AND write, by name, not silently serve a snapshot
+    whose metadata layout we don't understand."""
+    write_delta(load_table(spark, sf_dir, "region"), tmp_table)
+    _raise_protocol(tmp_table, minReaderVersion=3, minWriterVersion=7,
+                    readerFeatures=["adaptiveMetadata-preview"],
+                    writerFeatures=["adaptiveMetadata-preview"])
+    with pytest.raises(UnsupportedTableFeatureException,
+                       match="adaptiveMetadata-preview"):
+        DeltaLog.for_table(tmp_table).update()
+    with pytest.raises(UnsupportedTableFeatureException):
+        DeltaTable.forPath(spark, tmp_table).delete("r_regionkey = 0")

@@ -107,3 +107,36 @@ def test_invalid_transition_rejected(spark, tmp_path):
     R.enable_redirect(src, dest)
     with pytest.raises(R.RedirectStateError):
         R.finish_drop_redirect(src)  # ENABLE -> NO via finish_drop: no
+
+
+def test_time_travel_routes_to_destination(spark, tmp_path):
+    """'All types of queries would be redirected' includes time travel:
+    a pinned version/timestamp on a REDIRECT-READY source resolves
+    against the DESTINATION log (matching the streaming/DataSource
+    paths), not the source tombstone."""
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    _mk(spark, src, 10, "old")
+    _mk(spark, dest, 25, "new")
+    dd = DeltaTable.forPath(spark, dest)
+    dd.delete("id >= 20")  # dest v1 has 20 rows, v0 has 25
+
+    R.enable_redirect(src, dest)
+    R.complete_redirect(src)
+    DeltaLog.clear_cache()
+
+    # @v pins against the destination's version space
+    assert DeltaTable.forPath(spark, src + "@v0").toDF().count() == 25
+    assert DeltaTable.forPath(spark, src + "@v1").toDF().count() == 20
+    assert DeltaTable.forPath(spark, src + "@v1").toDF() \
+        .select("src").distinct().collect()[0][0] == "new"
+
+    # timestamp pinning resolves on the destination log too (use the
+    # destination's own latest commit timestamp — future ts is a
+    # strict error)
+    import datetime as _dt
+    ts_ms = dict(DeltaLog.for_table(dest)
+                 ._monotonic_commit_timestamps())[1]
+    ts = _dt.datetime.fromtimestamp(ts_ms / 1000.0, _dt.timezone.utc)
+    suffix = ts.strftime("%Y%m%d%H%M%S") + "%03d" % (ts_ms % 1000)
+    assert DeltaTable.forPath(spark, src + "@" + suffix) \
+        .toDF().count() == 20

@@ -932,3 +932,71 @@ def test_restart_against_recreated_table_fails(spark, tmp_table, sf_dir, tmp_pat
     assert failed, "restart against a recreated table must fail"
     err = str(q2.exception() or "")
     assert "deleted and recreated" in err or "different delta table" in err
+
+
+def test_available_now_pins_end_and_respects_caps(spark, tmp_table, sf_dir):
+    """Trigger.AvailableNow semantics at the source (reference
+    DeltaSource prepareForTriggerAvailableNow): the end version is
+    pinned at the FIRST latestOffset call, per-batch caps stay
+    engaged, and commits landing mid-drain are not consumed."""
+    from delta_spark.streaming import DeltaStreamReader
+
+    events = load_table(spark, sf_dir, "events")
+    for mode in [None, "append", "append"]:  # v0..v2, one file each
+        write_delta(events.limit(10).coalesce(1), tmp_table,
+                    mode=mode or "error")
+    r = DeltaStreamReader(None, {
+        "path": tmp_table, "availablenow": "true",
+        "maxfilespertrigger": "1", "startingversion": "0"})
+    off = r.initialOffset()
+    seen_versions = []
+    for step in range(20):
+        nxt = r._latest_offset()
+        if nxt == off:
+            break
+        parts = list(r.partitions(off, nxt))
+        assert len(parts) <= 1, "cap of 1 file per trigger violated"
+        seen_versions.append(nxt["version"])
+        off = nxt
+        if step == 0:
+            # commits landing mid-drain must NOT extend the run
+            write_delta(events.limit(10).coalesce(1), tmp_table,
+                        mode="append")
+            write_delta(events.limit(10).coalesce(1), tmp_table,
+                        mode="append")
+            r._log = None  # force the reader to re-open the log
+    else:
+        pytest.fail("drain never converged")
+    assert max(seen_versions) == 2, \
+        f"drain must stop at the pinned version 2, saw {seen_versions}"
+    assert len(seen_versions) >= 3  # capped → one file per batch
+
+
+def test_available_now_drain_capped_end_to_end(spark, tmp_table, sf_dir,
+                                               tmp_path):
+    """drain_available_now: a capped 6-commit backlog drains in
+    multiple exactly-once microbatches and stops; a second drain from
+    the same checkpoint picks up only post-drain commits."""
+    from delta_spark.streaming import drain_available_now, read_stream
+
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    for _ in range(5):
+        write_delta(events.limit(10).coalesce(1), tmp_table, mode="append")
+
+    sink = str(tmp_path / "an_sink")
+    ck = str(tmp_path / "an_ck")
+    stream = read_stream(spark, tmp_table, startingVersion="0",
+                         maxFilesPerTrigger="2", availableNow="true")
+    drain_available_now(stream, sink, ck, query_id="anq")
+    out = DeltaTable.forPath(spark, sink)
+    assert out.toDF().count() == 60
+    # cap 2 files/batch over 6 single-file commits → ≥3 sink commits
+    assert out.history().count() >= 3
+
+    # post-drain commit: a fresh availableNow pass gets exactly it
+    write_delta(events.limit(7).coalesce(1), tmp_table, mode="append")
+    stream2 = read_stream(spark, tmp_table, startingVersion="0",
+                          maxFilesPerTrigger="2", availableNow="true")
+    drain_available_now(stream2, sink, ck, query_id="anq")
+    assert DeltaTable.forPath(spark, sink).toDF().count() == 67

@@ -25,6 +25,8 @@ V3_PROPS = {
     "delta.universalFormat.enabledFormats": "iceberg",
     "delta.enableIcebergCompatV3": "true",
     "delta.enableDeletionVectors": "true",
+    # RFC writer requirement: Iceberg field ids come from column mapping
+    "delta.columnMapping.mode": "name",
 }
 
 

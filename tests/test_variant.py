@@ -74,12 +74,14 @@ def test_variant_time_travel(spark, tmp_table):
 
 def test_variant_shredding(spark, tmp_table):
     """delta.enableVariantShredding=true: files store typed_value
-    subcolumns beside the binary value (PROTOCOL.md:1934), the
-    variantShredding feature is auto-enabled, and reads (incl.
-    variant_get paths) reproduce the unshredded values exactly."""
+    subcolumns beside the binary value WITH the parquet VARIANT
+    logical-type annotation (PROTOCOL.md:1934), the variantShredding
+    feature is auto-enabled, and reads (incl. variant_get paths)
+    reproduce the unshredded values exactly."""
     import os
 
     import pyarrow.parquet as pq
+    import pytest as _pytest
 
     write_delta(_variant_df(spark), tmp_table,
                 configuration={"delta.enableVariantShredding": "true"})
@@ -87,13 +89,32 @@ def test_variant_shredding(spark, tmp_table):
     p = snap.protocol
     assert "variantShredding" in (p.readerFeatures or [])
     assert "variantShredding" in (p.writerFeatures or [])
-    # physical layout: the variant group carries a typed_value subtree
-    shredded = False
-    for f in snap.all_files:
-        sch = pq.read_schema(os.path.join(tmp_table, f.path))
-        if "typed_value" in str(sch):
+    # physical layout + annotation: schema element names appear as
+    # plain strings in the thrift footer, so the typed_value subtree
+    # is byte-checkable; the VARIANT logical type itself makes this
+    # pyarrow (<18) refuse the footer — that refusal IS the witness
+    # that the annotation was written (annotation-free shredded files
+    # parse fine)
+    shredded = annotated = False
+    files = list(snap.all_files)
+    stats_have_bounds = False
+    for f in files:
+        fp = os.path.join(tmp_table, f.path)
+        with open(fp, "rb") as fh:
+            fh.seek(-min(1 << 20, os.path.getsize(fp)), os.SEEK_END)
+            footer = fh.read()
+        if b"typed_value" in footer:
             shredded = True
+        with _pytest.raises(OSError, match="LogicalType"):
+            pq.read_schema(fp)
+        annotated = True
+        # the stats pass must NOT degrade to numRecords-only: the
+        # Spark fallback re-collects real bounds for annotated files
+        if f.stats and '"minValues"' in f.stats and '"id"' in f.stats:
+            stats_have_bounds = True
     assert shredded, "no typed_value group found in written files"
+    assert annotated, "parquet VARIANT annotation missing"
+    assert stats_have_bounds, "annotated files lost data-skipping stats"
     # logical round-trip identical to the unshredded table
     df = DeltaTable.forPath(spark, tmp_table).toDF()
     assert df.schema["v"].dataType.typeName() == "variant"
