@@ -126,7 +126,11 @@ class InMemoryCatalog(CatalogManagedClient):
             if version <= latest:
                 raise CatalogCommitConflict(
                     f"version {version} already ratified (latest {latest})")
-            if version != latest + 1:
+            # latest == -1 means no state: the catalog ADOPTS the table
+            # at whatever version the upgrade commit lands (enabling
+            # catalogManaged on an existing filesystem table); with
+            # state, ratification is strictly in-order
+            if latest >= 0 and version != latest + 1:
                 raise CatalogCommitConflict(
                     f"cannot ratify {version}: {latest + 1} not ratified yet")
             c = RatifiedCommit(version, timestamp, staged_path, inline)
@@ -198,7 +202,9 @@ class FileSystemCatalog(CatalogManagedClient):
         if version <= latest:
             raise CatalogCommitConflict(
                 f"version {version} already ratified (latest {latest})")
-        if version != latest + 1:
+        # no state → adoption of an existing table at its upgrade
+        # commit; with state, strictly in-order (see InMemoryCatalog)
+        if latest >= 0 and version != latest + 1:
             raise CatalogCommitConflict(
                 f"cannot ratify {version}: {latest + 1} not ratified yet")
         rec = {"timestamp": timestamp}

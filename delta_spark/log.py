@@ -1455,8 +1455,19 @@ class DeltaLog:
             os.replace(path + ".tmp", path)
             last = {"version": version, "size": total}
         else:
-            n_parts = (-(-total // part_size)
-                       if part_size and total > part_size else 1)
+            if part_size and total > part_size:
+                n_parts = -(-total // part_size)
+            elif total > 200_000 and not part_size:
+                # auto multi-part for big states (the reference leaves
+                # this to delta.checkpoint.partSize; at 10⁶ actions a
+                # single-file checkpoint caps the replay read at its
+                # row-group count — ~7 tasks for 28 MB — so planning
+                # parallelism dies exactly where it matters most).
+                # ~100k actions per part keeps files big enough to
+                # amortize open cost while restoring full-width reads.
+                n_parts = min(64, -(-total // 100_000))
+            else:
+                n_parts = 1
             written = _spark_write(top_df.unionByName(fdf), n_parts)
             try:
                 if len(written) == 1:

@@ -27,8 +27,26 @@ def configure_spark(builder: "SparkSession.Builder", shuffle_partitions: int | N
         # local mode: workers fork from the driver-spawned JVM, which
         # inherits THIS process env — must be set before getOrCreate
         os.environ["PYTHONPATH"] = py_path
+    # local-mode note: driver and all executor threads share ONE JVM,
+    # and Spark's default driver heap is 1g — a silent GC tax (and OOM
+    # risk on wide shuffles) on machines with plenty of RAM. Sized here
+    # from the host (≈half of physical RAM, capped at 64g) unless the
+    # deployment overrides it; on a real cluster the submit config
+    # governs executor memory and this only affects the driver.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if not mem:
+        try:
+            import re as _re
+
+            with open("/proc/meminfo") as fh:
+                kb = int(_re.search(r"MemTotal:\s+(\d+)", fh.read()).group(1))
+            mem = f"{max(2, min(64, kb // (2 * 1024 * 1024)))}g"
+        except Exception:
+            mem = "4g"
     return (
         builder
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.executorEnv.PYTHONPATH", py_path)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")

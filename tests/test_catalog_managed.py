@@ -390,3 +390,28 @@ def test_publish_divergence_detected(spark, tmp_table, sf_dir):
     cat = CM.CATALOGS["filesystem"]
     with pytest.raises(RuntimeError, match="divergence"):
         CM.publish(dt.log, cat)
+
+
+def test_enable_on_existing_table_adopts(spark, tmp_table, sf_dir):
+    """Enabling catalogManaged on an EXISTING filesystem table: the
+    upgrade commit is ratified by the catalog, which ADOPTS the table
+    at that version (no state → first ratification may land at any
+    version); history stays readable and subsequent DML routes through
+    the catalog."""
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table)                       # v0, plain fs
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 45")                     # v1, plain fs
+    dt.setProperties(FS_CONF)                        # v2, upgrade commit
+    snap = dt.log.update()
+    assert "catalogManaged" in (snap.protocol.readerFeatures or [])
+    cat = CM.CATALOGS["filesystem"]
+    latest, _ = cat.ratified(_log_path(tmp_table))
+    assert latest == 2
+    # post-upgrade DML is catalog-ratified, pre-upgrade history intact
+    dt.update({"l_discount": "CAST(0 AS DOUBLE)"}, "l_quantity < 5")
+    latest, _ = cat.ratified(_log_path(tmp_table))
+    assert latest == 3
+    assert dt.asOfVersion(0).count() == df.count()
+    want = df.filter("NOT coalesce(l_quantity > 45, false)").count()
+    assert dt.toDF().count() == want
