@@ -171,11 +171,16 @@ def lsh_params_for(threshold: float, target_miss: float = 1e-6,
     (rows·bands) plus the expected FALSE candidates per row (random
     signatures collide in a band with probability ~1/2^r, so each of
     the `bands` buckets a row lands in holds ~n/2^r random
-    co-occupants). The optimum keeps bucket occupancy O(1): without it
-    a fixed bit budget degrades toward all-pairs as the corpus grows —
-    the term that dominates verify cost at 100 TB. The bit budget
-    expands to ≥4096 because more total bits only cost one wider numpy
-    matmul, while too few bits cost n²/2^r candidate verifications."""
+    co-occupants). Weighting the candidate term higher was MEASURED
+    slower end-to-end at small n (the extra bands inflate the shuffle
+    faster than the saved verifications pay back), and at large n the
+    bit budget binds first so the weight never changes the choice —
+    the unweighted model stands. The optimum keeps bucket occupancy
+    O(1): without it a fixed bit budget degrades toward all-pairs as
+    the corpus grows — the term that dominates verify cost at 100 TB.
+    The bit budget expands to ≥16384 (one wider numpy matmul) so the
+    max feasible selectivity keeps rising with n instead of clipping
+    at 4096 bits."""
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0 + 1e-9), 1.0 - 1e-9)) / math.pi
@@ -185,7 +190,7 @@ def lsh_params_for(threshold: float, target_miss: float = 1e-6,
         return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
 
     if n is not None and n > 0:
-        budget = max(max_bits, 4096)
+        budget = max(max_bits, 16384)
         best = (1, bands_for(1))
         best_cost = None
         for r in range(1, 65):
@@ -219,6 +224,38 @@ def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.randn(n, dim)]
 
 
+def _bucket_pairs(assigned: DataFrame, id_col: str,
+                  bucket_cols: list[str]) -> DataFrame:
+    """Distinct candidate id pairs per bucket: collect each bucket's id
+    list and explode its ordered pairs with JVM higher-order functions.
+    One shuffle (the groupBy) and ONE evaluation of the (Arrow-batched)
+    bucket assignment — the naive self-join recomputes the assignment
+    subtree for both sides and shuffles rows·bands twice. Bucket
+    occupancy is O(1) by parameter design, so the per-bucket |ids|²
+    pair expansion is bounded."""
+    # explicit width on the bucket shuffle: the exploded banding rows
+    # are bytes-small, so AQE's size-based coalescing would funnel a
+    # CPU-bound aggregation (collect_list + pair expansion) into one
+    # task; hash-partitioning on the grouping keys is reused by the
+    # aggregation, so this adds no extra exchange
+    spark = assigned.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    ids = (assigned.repartition(width, *bucket_cols)
+           .groupBy(*bucket_cols)
+           .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+           .filter(F.size("__ids") > 1))
+    pairs = ids.select(F.explode(F.filter(
+        F.flatten(F.transform(
+            "__ids",
+            lambda x: F.transform("__ids",
+                                  lambda y: F.struct(x.alias("id_a"),
+                                                     y.alias("id_b"))))),
+        lambda p: p["id_a"] < p["id_b"])).alias("__p"))
+    return (pairs.select(F.col("__p.id_a").alias("id_a"),
+                         F.col("__p.id_b").alias("id_b"))
+            .distinct())
+
+
 def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           bits_per_band: Optional[int] = None,
@@ -234,38 +271,44 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
     with log2(n) so bucket occupancy — and with it the false-candidate
     volume the verifier must grind through — stays O(1) per (row, band)
     instead of degrading toward all-pairs as the corpus grows."""
-    r, b = (bits_per_band, bands) if bits_per_band and bands \
-        else lsh_params_for(threshold, n=corpus.count())
-    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    if bits_per_band and bands:
+        r, b = bits_per_band, bands
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    else:
+        # corpus size (param sizing) and vector dim in ONE scan — these
+        # are pure-overhead jobs next to banding+verify
+        nrow = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col(vec_col))).alias("d")).first()
+        r, b = lsh_params_for(threshold, n=nrow["n"])
+        dim = nrow["d"]
     # the sign bits come from ONE Arrow-batched numpy matmul
     # (N×dim @ dim×(r·b)) — at tight thresholds r·b is ~100+ planes and
     # a literal-expression formulation would hand Catalyst r·b·dim
     # constants to fold into codegen (minutes of planning); this is the
-    # case Pandas UDFs exist for
+    # case Pandas UDFs exist for. Bucket keys are int64 (bits dotted
+    # with powers of two, vectorized): building per-band hex STRINGS in
+    # a Python loop was the measured hot spot at rows·bands scale.
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     Hmat = np.array(_hyperplanes(dim, r * b, seed)).T  # dim × (r·b)
 
-    @pandas_udf("array<string>")
+    @pandas_udf("array<long>")
     def band_buckets(vecs):
         import pandas as pd
 
         M = np.stack(vecs.to_numpy())                   # N × dim
-        bits = (M @ Hmat) >= 0                          # N × (r·b)
-        packed = np.packbits(bits.reshape(len(M), b, r), axis=2)
-        return pd.Series([[band.tobytes().hex() for band in row]
-                          for row in packed])
+        bits = ((M @ Hmat) >= 0).reshape(len(M), b, r)
+        w = np.uint64(1) << np.arange(r, dtype=np.uint64)  # r <= 64
+        keys = (bits.astype(np.uint64) * w).sum(axis=2, dtype=np.uint64)
+        return pd.Series([row.tolist() for row in keys.view(np.int64)])
 
     banded = (corpus
               .select(F.col(id_col),
                       F.posexplode(band_buckets(F.col(vec_col)))
                       .alias("band", "bucket")))
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (left.join(right, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    return _bucket_pairs(banded, id_col, ["band", "bucket"])
 
 
 def ivf_candidates(corpus: DataFrame, id_col: str = "vec_id",
@@ -305,11 +348,7 @@ def ivf_candidates(corpus: DataFrame, id_col: str = "vec_id",
 
     assigned = (corpus.select(
         F.col(id_col), F.explode(probe_buckets(F.col(vec_col))).alias("bucket")))
-    left = assigned.select(F.col(id_col).alias("id_a"), "bucket")
-    right = assigned.select(F.col(id_col).alias("id_b"), "bucket")
-    return (left.join(right, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    return _bucket_pairs(assigned, id_col, ["bucket"])
 
 
 def verify_pairs(corpus: DataFrame, pairs: DataFrame, threshold: float,
@@ -317,10 +356,20 @@ def verify_pairs(corpus: DataFrame, pairs: DataFrame, threshold: float,
     """Exact cosine over candidate pairs only: two equi-joins to fetch
     the vectors (shuffle on id, never a cross join), then the same
     rounded-double cosine as the all-pairs baseline."""
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # norms are per-VECTOR, not per-pair: computing them on the corpus
+    # side before the join does each one once instead of once per
+    # candidate (the fold is the same expression, so values — and the
+    # oracle hash — are bit-identical)
+    va = corpus.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("__va"),
+                       _norm(F.col(vec_col)).alias("__na"))
+    vb = corpus.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("__vb"),
+                       _norm(F.col(vec_col)).alias("__nb"))
     return (pairs.join(va, "id_a").join(vb, "id_b")
-            .withColumn("sim", F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6))
+            .withColumn("sim", F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 6))
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim"))
 
