@@ -401,3 +401,51 @@ def test_randomized_interleavings_serializable_equivalent(
                                   [n2, n1])
         assert got in (want_fwd, want_rev), \
             f"{n1};{n2} diverged from BOTH serial orders"
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_three_writer_chains_serializable_equivalent(
+        spark, tmp_path, monkeypatch, seed):
+    """Three writers pin the same snapshot; commits land one at a time
+    (second and third absorb one / two winners through the retry
+    path). Every loser must fail with a clean DeltaConcurrentException,
+    and the final state must equal SOME serial order of the writers
+    that succeeded."""
+    import itertools
+
+    rng = random.Random(seed)
+    for round_no in range(3):
+        path = str(tmp_path / f"t{round_no}")
+        _mk_table(spark, path)
+        pool = _op_pool(spark, path)
+        chosen = rng.sample(pool, 3)
+        _Hooks(monkeypatch)
+        writers = [PhaseLockedWriter(str(i), f)
+                   for i, (_, f) in enumerate(chosen)]
+        for w in writers:
+            w.start()
+            assert w.read_done.wait(60)
+        for w in writers:          # release commits one at a time
+            w.commit_go.set()
+            w.join(120)
+            assert not w.is_alive()
+        assert writers[0].error is None, f"winner failed: {writers[0].error!r}"
+        for w in writers[1:]:
+            if w.error is not None:
+                assert isinstance(w.error, DeltaConcurrentException), \
+                    f"unclean loser failure: {w.error!r}"
+        DeltaLog.clear_cache()
+        got = _rows(spark, path)
+        ok_names = [n for (n, _), w in zip(chosen, writers)
+                    if w.error is None]
+        matched = False
+        for k, perm in enumerate(itertools.permutations(ok_names)):
+            want = _replay_serial(spark,
+                                  str(tmp_path / f"r{round_no}_{k}"),
+                                  list(perm))
+            if got == want:
+                matched = True
+                break
+        assert matched, \
+            f"{ok_names} matched no serial order (losers: " \
+            f"{[repr(w.error) for w in writers if w.error]})"
