@@ -597,12 +597,17 @@ def validate_uniform_config(configuration: dict[str, str],
                 "enabling icebergCompatV3 on a table with row tracking "
                 "already enabled is not supported; disable row tracking "
                 "first (IcebergCompat: CheckNoRowTrackingBeforeUpgradeV3)")
-    if v3 and cfg.get("delta.columnMapping.mode", "none") not in ("name",
-                                                                  "id"):
+    v3_newly_on = v3 and (prev_configuration is None
+                          or not compat_v3_enabled(prev_configuration))
+    if v3_newly_on and cfg.get("delta.columnMapping.mode",
+                               "none") not in ("name", "id"):
         # iceberg-compat-v3 RFC writer requirements: Iceberg field ids
         # must be stable across renames, which only column mapping
         # provides — a V3 table without it can violate the spec
-        # external Iceberg engines rely on
+        # external Iceberg engines rely on. Enforced only at the
+        # ENABLEMENT transition: a pre-existing V3 table written before
+        # this requirement keeps committing (bricking it on upgrade
+        # would be worse than its already-shipped deviation).
         raise UniFormValidationError(
             "icebergCompatV3 requires column mapping (set "
             "delta.columnMapping.mode=name or id): Iceberg field ids "
@@ -684,7 +689,11 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
     the new ``vN.metadata.json`` (None if already up to date)."""
     snap = snap or log.update()
     config = snap.configuration
-    validate_uniform_config(config)
+    # steady-state validation (post-commit hook): the config is the
+    # committed state, not a transition — pass it as its own
+    # predecessor so transition-only checks (V3 enablement
+    # requirements) don't re-fire on every append of a legacy table
+    validate_uniform_config(config, prev_configuration=config)
     table_path = log.table_path
     mdir = metadata_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
