@@ -341,7 +341,17 @@ def publish(log, catalog: CatalogManagedClient,
             payload = (c.inline if c.inline is not None
                        else open(c.file_path).read())
         except OSError:
-            break  # staged file unreadable: stop (in-order requirement)
+            # Staged file unreadable. If the target is ALREADY in
+            # _delta_log this version is published (the catalog may
+            # retain ratified entries after staged files are cleaned
+            # up) — skip the divergence comparison and keep advancing,
+            # or mark_published would stall here forever. Only an
+            # UNPUBLISHED version with an unreadable payload stops the
+            # in-order loop.
+            if os.path.exists(target):
+                highest = v
+                continue
+            break
         if not os.path.exists(target):
             try:
                 log.store.write_atomic(target, payload)

@@ -1455,16 +1455,23 @@ class DeltaLog:
             os.replace(path + ".tmp", path)
             last = {"version": version, "size": total}
         else:
+            auto_mp = str(cfg.get(
+                "delta_spark.checkpoint.autoMultiPart", "true")).lower() != "false"
             if part_size and total > part_size:
                 n_parts = -(-total // part_size)
-            elif total > 200_000 and not part_size:
-                # auto multi-part for big states (the reference leaves
-                # this to delta.checkpoint.partSize; at 10⁶ actions a
-                # single-file checkpoint caps the replay read at its
-                # row-group count — ~7 tasks for 28 MB — so planning
-                # parallelism dies exactly where it matters most).
-                # ~100k actions per part keeps files big enough to
-                # amortize open cost while restoring full-width reads.
+            elif total > 200_000 and not part_size and auto_mp:
+                # auto multi-part for big states — a DEVIATION from the
+                # reference, which writes a single-file checkpoint
+                # unless delta.checkpoint.partSize is configured. At
+                # 10⁶ actions a single-file checkpoint caps the replay
+                # read at its row-group count — ~7 tasks for 28 MB — so
+                # planning parallelism dies exactly where it matters
+                # most. ~100k actions per part keeps files big enough
+                # to amortize open cost while restoring full-width
+                # reads. External readers with weak multi-part support
+                # can opt out with
+                # delta_spark.checkpoint.autoMultiPart=false (documented
+                # in README "Scope and known deviations").
                 n_parts = min(64, -(-total // 100_000))
             else:
                 n_parts = 1

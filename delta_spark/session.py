@@ -31,10 +31,14 @@ def configure_spark(builder: "SparkSession.Builder", shuffle_partitions: int | N
     # and Spark's default driver heap is 1g — a silent GC tax (and OOM
     # risk on wide shuffles) on machines with plenty of RAM. Sized here
     # from the host (≈half of physical RAM, capped at 64g) unless the
-    # deployment overrides it; on a real cluster the submit config
-    # governs executor memory and this only affects the driver.
+    # deployment overrides it. Auto-sizing applies ONLY when the master
+    # is local[*] — in client mode on a shared host a 64g default heap
+    # would starve co-tenants, so non-local masters keep Spark's own
+    # default unless SPARK_GRAFT_DRIVER_MEM says otherwise.
+    master = (getattr(builder, "_options", {}) or {}).get(
+        "spark.master", os.environ.get("SPARK_GRAFT_MASTER", "local"))
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if not mem:
+    if not mem and str(master).startswith("local"):
         try:
             import re as _re
 
@@ -43,9 +47,10 @@ def configure_spark(builder: "SparkSession.Builder", shuffle_partitions: int | N
             mem = f"{max(2, min(64, kb // (2 * 1024 * 1024)))}g"
         except Exception:
             mem = "4g"
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     return (
         builder
-        .config("spark.driver.memory", mem)
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.executorEnv.PYTHONPATH", py_path)
         .config("spark.sql.shuffle.partitions", str(sp))

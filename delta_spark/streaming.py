@@ -80,6 +80,10 @@ def drain_available_now(df: DataFrame, path: str, checkpoint_location: str,
     source built with ``.option("availableNow", "true")`` (which pins
     the end version at query start and keeps maxFilesPerTrigger /
     maxBytesPerTrigger engaged per batch) into a delta sink, then stop.
+    A capped availableNow source additionally requires
+    ``.option("cappedDrain", "true")`` — the source fails construction
+    otherwise, to keep Spark's native single-batch availableNow
+    fallback from silently truncating the drain.
 
     Spark's own ``trigger(availableNow=True)`` falls back to a SINGLE
     batch for Python DataSources (no SupportsTriggerAvailableNow hook),
@@ -227,6 +231,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_files = None if mf is None else max(int(mf), 1)
         mb = options.get("maxbytespertrigger")
         self.max_bytes = None if mb is None else max(_parse_byte_size(mb), 1)
+        # Fail loudly instead of truncating silently: Spark's native
+        # trigger(availableNow=True) runs a Python DataSource as a
+        # SINGLE microbatch, so a capped availableNow source would
+        # consume one capped batch and terminate with the backlog
+        # undrained. The source can't see which trigger drives it, so
+        # combining availableNow with rate limits requires the caller
+        # to acknowledge a multi-batch driver (drain_available_now)
+        # via .option("cappedDrain", "true").
+        if self.available_now and (self.max_files or self.max_bytes) and \
+                str(options.get("cappeddrain", "false")).lower() != "true":
+            raise ValueError(
+                "availableNow=true with maxFilesPerTrigger/maxBytesPerTrigger "
+                "would be silently truncated to one capped batch by Spark's "
+                "native trigger(availableNow=True) (Python DataSources get a "
+                "single-batch fallback). Either drop the rate limits, or "
+                "drive the drain with delta_spark.streaming."
+                "drain_available_now() and acknowledge with "
+                ".option('cappedDrain', 'true').")
         self._pos = None  # last planned/committed end offset (admission base)
         import re as _re
 

@@ -788,13 +788,22 @@ class OptimisticTransaction:
             isolation_level == SNAPSHOT_ISOLATION
             or (isolation_level == WRITE_SERIALIZABLE and winner_blind)
         )
-        # only dataChange adds count as concurrent appends — a winning
-        # compaction's dataChange=false re-adds carry no new rows
-        # (WinningCommitSummary.changedDataAddedFiles: the reference
-        # excludes them, so OPTIMIZE stays invisible to concurrent
-        # readers; the rearranged files still conflict through the
-        # REMOVE checks below)
-        win_adds = [a for a in win_adds if a.dataChange]
+        # The reference's changedDataAddedFiles is NOT dataChange-filtered
+        # (ConflictChecker.scala:182: all adds of a non-blind-append winner
+        # count).  We carve out only the OPTIMIZE shape — dataChange=false
+        # adds whose rows were already visible to us because the winner
+        # simultaneously REMOVEs files from our read snapshot (a pure
+        # rearrangement: same rows, new layout; the layout change still
+        # conflicts through the REMOVE checks below when we read those
+        # files).  A dataChange=false add at a brand-new path with no
+        # corresponding remove (e.g. a third-party backfill) carries rows
+        # we never saw and must conflict like any other append.
+        from delta_spark.util import canonical_log_path as _ck
+        _win_removed = {_ck(r.path) for r in win_removes}
+        win_adds = [
+            a for a in win_adds
+            if a.dataChange or not _win_removed
+        ]
         if check_appends and win_adds and (self.read_whole_table_flag or self.read_predicates):
             if self.read_whole_table_flag:
                 raise ConcurrentAppendException("files added by concurrent writer; whole table was read")

@@ -415,3 +415,46 @@ def test_enable_on_existing_table_adopts(spark, tmp_table, sf_dir):
     assert dt.asOfVersion(0).count() == df.count()
     want = df.filter("NOT coalesce(l_quantity > 45, false)").count()
     assert dt.toDF().count() == want
+
+
+def test_publish_skips_cleaned_staged_file_for_published_version(
+        spark, tmp_table, sf_dir):
+    """A ratified version whose staged payload was cleaned up but whose
+    <v>.json is already in _delta_log must not stall publish(): the
+    loop treats it as published and keeps advancing (ADVICE r5:
+    publish() previously broke at the first unreadable staged file even
+    for published versions, pinning mark_published below them). The
+    retained-record state arises when a prior mark_published failed
+    mid-way and publishing retries."""
+    import shutil
+
+    conf = {**FS_CONF, CM.AUTO_PUBLISH_PROP: "false"}
+    write_delta(_li(spark, sf_dir), tmp_table, configuration=conf)   # v0
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 45")                                     # v1
+    dt.update({"l_discount": "CAST(0 AS DOUBLE)"}, "l_quantity < 5")  # v2
+    cat = CM.CATALOGS["filesystem"]
+    lp = _log_path(tmp_table)
+    _, commits = cat.ratified(lp)
+    # hand-publish v0 and v1 (as a crashed publisher would have),
+    # then clean up v1's staged payload while the catalog still
+    # retains all three ratified records
+    for v in (0, 1):
+        tgt = os.path.join(lp, "%020d.json" % v)
+        if not os.path.exists(tgt):
+            shutil.copyfile(commits[v].file_path, tgt)
+    os.remove(commits[1].file_path)
+    v2 = os.path.join(lp, "%020d.json" % 2)
+    assert not os.path.exists(v2)
+    # publish must skip past the cleaned v1 and still write v2
+    wrote = CM.publish(dt.log, cat)
+    assert wrote == 1 and os.path.exists(v2)
+    # and an UNPUBLISHED version with an unreadable payload still stops
+    dt.delete("l_quantity < 2")                                      # v3
+    _, commits = cat.ratified(lp)
+    v3 = os.path.join(lp, "%020d.json" % 3)
+    if os.path.exists(v3):
+        os.remove(v3)
+    os.remove(commits[3].file_path)
+    assert CM.publish(dt.log, cat) == 0
+    assert not os.path.exists(v3)

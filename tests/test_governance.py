@@ -911,3 +911,47 @@ def test_clustering_domain_travels_with_clone_and_restore(spark, tmp_table, tmp_
     # restoring to the pre-clustering version drops the domain
     dt.restoreToVersion(0)
     assert cols_of(tmp_table) is None
+
+
+def test_datachange_false_backfill_still_conflicts(spark, tmp_table, sf_dir):
+    """A winner committing NEW-path AddFiles with dataChange=false and
+    no removes (a backfill-like op, not a rearrangement) must conflict
+    like any append: the reference's changedDataAddedFiles is NOT
+    dataChange-filtered (ConflictChecker.scala:182). Only the OPTIMIZE
+    shape — dataChange=false adds paired with removes — is exempt."""
+    from dataclasses import replace as _replace
+
+    from delta_spark.writer import write_files
+
+    orders = _orders(spark, sf_dir)
+    write_delta(orders.limit(100), tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+
+    t1 = OptimisticTransaction(log)
+    t1.read_whole_table()
+
+    # winner: brand-new files, dataChange=false, NO removes
+    w = OptimisticTransaction(log)
+    adds = [_replace(a, dataChange=False)
+            for a in write_files(orders.limit(5), log.table_path, [])]
+    w.commit(adds, "BACKFILL")
+
+    with pytest.raises(ConcurrentAppendException):
+        t1.commit([], "DELETE", isolation_level="Serializable")
+
+    # control: the OPTIMIZE shape (adds paired with removes of files we
+    # did not read) stays exempt from the APPEND check — it surfaces
+    # through the remove checks only when we read the removed files
+    t2 = OptimisticTransaction(log)
+    t2.files_for_scan("o_orderkey < 0")  # reads nothing
+    snap = log.update()
+    victim = snap.all_files[:1]
+    from delta_spark.reader import read_files_df
+    from delta_spark.writer import write_table_files
+    df = read_files_df(spark, snap, victim)
+    new = write_table_files(df.repartition(1), snap, data_change=False)
+    w2 = OptimisticTransaction(log)
+    w2.commit(list(new) + [f.remove(data_change=False) for f in victim],
+              "OPTIMIZE")
+    v = t2.commit([], "DELETE", isolation_level="Serializable")
+    assert v >= 2

@@ -946,7 +946,7 @@ def test_available_now_pins_end_and_respects_caps(spark, tmp_table, sf_dir):
         write_delta(events.limit(10).coalesce(1), tmp_table,
                     mode=mode or "error")
     r = DeltaStreamReader(None, {
-        "path": tmp_table, "availablenow": "true",
+        "path": tmp_table, "availablenow": "true", "cappeddrain": "true",
         "maxfilespertrigger": "1", "startingversion": "0"})
     off = r.initialOffset()
     seen_versions = []
@@ -987,7 +987,8 @@ def test_available_now_drain_capped_end_to_end(spark, tmp_table, sf_dir,
     sink = str(tmp_path / "an_sink")
     ck = str(tmp_path / "an_ck")
     stream = read_stream(spark, tmp_table, startingVersion="0",
-                         maxFilesPerTrigger="2", availableNow="true")
+                         maxFilesPerTrigger="2", availableNow="true",
+                         cappedDrain="true")
     drain_available_now(stream, sink, ck, query_id="anq")
     out = DeltaTable.forPath(spark, sink)
     assert out.toDF().count() == 60
@@ -997,6 +998,30 @@ def test_available_now_drain_capped_end_to_end(spark, tmp_table, sf_dir,
     # post-drain commit: a fresh availableNow pass gets exactly it
     write_delta(events.limit(7).coalesce(1), tmp_table, mode="append")
     stream2 = read_stream(spark, tmp_table, startingVersion="0",
-                          maxFilesPerTrigger="2", availableNow="true")
+                          maxFilesPerTrigger="2", availableNow="true",
+                          cappedDrain="true")
     drain_available_now(stream2, sink, ck, query_id="anq")
     assert DeltaTable.forPath(spark, sink).toDF().count() == 67
+
+
+def test_available_now_with_caps_requires_acknowledgment(spark, tmp_table,
+                                                          sf_dir):
+    """availableNow + rate limits without cappedDrain acknowledgment
+    fails construction loudly: Spark's native trigger(availableNow)
+    single-batches Python sources, which would silently truncate a
+    capped drain (ADVICE r5)."""
+    from delta_spark.streaming import DeltaStreamReader
+
+    events = load_table(spark, sf_dir, "events")
+    write_delta(events.limit(10).coalesce(1), tmp_table)
+    with pytest.raises(ValueError, match="cappedDrain"):
+        DeltaStreamReader(None, {
+            "path": tmp_table, "availablenow": "true",
+            "maxfilespertrigger": "1"})
+    with pytest.raises(ValueError, match="cappedDrain"):
+        DeltaStreamReader(None, {
+            "path": tmp_table, "availablenow": "true",
+            "maxbytespertrigger": "1g"})
+    # uncapped availableNow and capped non-availableNow remain fine
+    DeltaStreamReader(None, {"path": tmp_table, "availablenow": "true"})
+    DeltaStreamReader(None, {"path": tmp_table, "maxfilespertrigger": "1"})
