@@ -309,6 +309,24 @@ def main() -> None:
         emb = dt("embeddings").toDF()
         return near_duplicates(emb, threshold=0.8, method="lsh").count()
 
+    def near_dups_dupheavy():
+        # skew probe (r5 verdict): the sf corpus plus 10k copies of ONE
+        # embedding — the duplicate-heavy shape that used to
+        # concentrate every copy into a single collect_list row in all
+        # bands. Pre-grouping bands one representative per distinct
+        # vector; the 10k copies expand to C(10k,2) ≈ 5·10⁷ pairs via
+        # the chunked slice-pair path, so the measured cost is
+        # bounded-task-memory DISTRIBUTED quadratic output, not a
+        # single-task OOM.
+        from delta_spark.ops.similarity import near_duplicates
+        emb = dt("embeddings").toDF().select("vec_id", "embedding")
+        dup_vec = emb.select("embedding").first()["embedding"]
+        dups = spark.range(10_000).select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.lit(dup_vec).cast("array<float>").alias("embedding"))
+        corpus = emb.unionByName(dups)
+        return near_duplicates(corpus, threshold=0.95, method="lsh").count()
+
     def text():
         from delta_spark.ops.text import fingerprint, language_id, quality_score, text_stats
         d = dt("documents").toDF()
@@ -412,6 +430,7 @@ def main() -> None:
     run_median(timings, "dedup_minhash", mh)
     run_median(timings, "knn", knn)
     run_median(timings, "near_dups_lsh", near_dups)
+    run_median(timings, "near_dups_dupheavy", near_dups_dupheavy)
     run_median(timings, "text_pipeline", text)
     run_median(timings, "events_hourly", events)
 

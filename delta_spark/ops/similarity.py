@@ -225,14 +225,32 @@ def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
 
 
 def _bucket_pairs(assigned: DataFrame, id_col: str,
-                  bucket_cols: list[str]) -> DataFrame:
+                  bucket_cols: list[str], chunk: int = 1024,
+                  dedup: bool = True,
+                  keep: list[str] | None = None) -> DataFrame:
     """Distinct candidate id pairs per bucket: collect each bucket's id
     list and explode its ordered pairs with JVM higher-order functions.
     One shuffle (the groupBy) and ONE evaluation of the (Arrow-batched)
     bucket assignment — the naive self-join recomputes the assignment
-    subtree for both sides and shuffles rows·bands twice. Bucket
-    occupancy is O(1) by parameter design, so the per-bucket |ids|²
-    pair expansion is bounded."""
+    subtree for both sides and shuffles rows·bands twice.
+
+    Skew safety: bucket occupancy is O(1) by parameter design only for
+    vectors in general position — a duplicate-heavy corpus (the normal
+    input of a dedup job) puts every copy of a repeated vector in the
+    SAME bucket in every band, so a single bucket can hold 10⁵–10⁶ ids
+    and its |ids|²/2 in-task pair expansion would OOM. Buckets larger
+    than `chunk` therefore take a distributed path: the id list is cut
+    into `chunk`-sized slices, slices self-join on the bucket key with
+    i ≤ j (sort-merge, spillable), and each (slice_i, slice_j) row
+    expands at most chunk² pairs — bounded task memory, quadratic
+    OUTPUT streamed across tasks, zero recall loss. Callers that can
+    pre-collapse exact duplicates (near_duplicates) should still do so:
+    that shrinks the quadratic term itself.
+
+    `keep` names bucket columns to pass through to the output —
+    callers that precomputed a per-bucket value (e.g. near_duplicates'
+    group self-similarity) avoid re-joining it onto the quadratic pair
+    output, which costs another full shuffle of every pair."""
     # explicit width on the bucket shuffle: the exploded banding rows
     # are bytes-small, so AQE's size-based coalescing would funnel a
     # CPU-bound aggregation (collect_list + pair expansion) into one
@@ -244,16 +262,69 @@ def _bucket_pairs(assigned: DataFrame, id_col: str,
            .groupBy(*bucket_cols)
            .agg(F.collect_list(F.col(id_col)).alias("__ids"))
            .filter(F.size("__ids") > 1))
-    pairs = ids.select(F.explode(F.filter(
-        F.flatten(F.transform(
-            "__ids",
-            lambda x: F.transform("__ids",
-                                  lambda y: F.struct(x.alias("id_a"),
-                                                     y.alias("id_b"))))),
-        lambda p: p["id_a"] < p["id_b"])).alias("__p"))
-    return (pairs.select(F.col("__p.id_a").alias("id_a"),
-                         F.col("__p.id_b").alias("id_b"))
-            .distinct())
+
+    keep_cols = list(keep or [])
+
+    def _expand(df, a_col, b_col, same):
+        # two chained explodes generate the pair stream row-by-row
+        # inside one codegen pipeline — nothing ever materializes an
+        # array of structs (the flatten/transform formulation built
+        # the full |a|·|b| struct array per row before exploding, the
+        # measured hot spot on big buckets). `same` means a_col IS
+        # b_col: positions guarantee each unordered pair once
+        # (slice past the left element); distinct slices emit the full
+        # cross product with least/greatest normalizing orientation.
+        if same:
+            e1 = df.select(*keep_cols,
+                           F.posexplode(a_col).alias("__i", "__x"),
+                           a_col.alias("__b"))
+            return e1.select(
+                *keep_cols,
+                F.col("__x").alias("id_a"),
+                F.explode(F.slice(F.col("__b"), F.col("__i") + 2,
+                                  F.greatest(F.size("__b") - F.col("__i") - 1,
+                                             F.lit(0)))).alias("id_b")
+            ).select(*keep_cols, F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"))
+        e1 = df.select(*keep_cols, F.explode(a_col).alias("__x"),
+                       b_col.alias("__b"))
+        return e1.select(*keep_cols, F.col("__x"),
+                         F.explode(F.col("__b")).alias("__y")) \
+                 .select(*keep_cols,
+                         F.least("__x", "__y").alias("id_a"),
+                         F.greatest("__x", "__y").alias("id_b"))
+
+    small = _expand(ids.filter(F.size("__ids") <= chunk),
+                    F.col("__ids"), None, same=True)
+
+    big = ids.filter(F.size("__ids") > chunk)
+    nch = F.ceil(F.size("__ids") / F.lit(chunk)).cast("int")
+    slices = big.select(
+        *bucket_cols,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.slice(F.col("__ids"), i * chunk + 1, chunk)))
+        .alias("__ci", "__slice"))
+    a = slices.select(*bucket_cols, F.col("__ci").alias("__ca"),
+                      F.col("__slice").alias("__sa"))
+    b = slices.select(*bucket_cols, F.col("__ci").alias("__cb"),
+                      F.col("__slice").alias("__sb"))
+    joined = a.join(b, on=bucket_cols).filter(F.col("__ca") <= F.col("__cb"))
+    same = joined.filter(F.col("__ca") == F.col("__cb"))
+    cross = joined.filter(F.col("__ca") < F.col("__cb"))
+    # repartition the slice pairs before expansion: one giant bucket's
+    # (m/chunk)² slice pairs must spread across tasks, not stay in the
+    # join partition of its single bucket key
+    big_pairs = (_expand(same, F.col("__sa"), None, same=True)
+                 .unionByName(_expand(
+                     cross.repartition(width),
+                     F.col("__sa"), F.col("__sb"), same=False)))
+
+    out = small.unionByName(big_pairs).select("id_a", "id_b", *keep_cols)
+    # dedup=False skips the distinct shuffle for callers whose ids
+    # appear in exactly ONE bucket (pairs are then unique by
+    # construction); banding callers need it to merge across bands
+    return out.distinct() if dedup else out
 
 
 def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
@@ -376,7 +447,8 @@ def verify_pairs(corpus: DataFrame, pairs: DataFrame, threshold: float,
 
 def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
                     method: str = "lsh", id_col: str = "vec_id",
-                    vec_col: str = "embedding", **kwargs) -> DataFrame:
+                    vec_col: str = "embedding", pre_group: bool = True,
+                    **kwargs) -> DataFrame:
     """Embedding near-duplicates, candidates-first (the scale path):
     generate candidate pairs with `method` ('lsh' random-hyperplane
     banding, 'ivf' multi-probe centroid blocking, 'exact' all-pairs —
@@ -384,13 +456,93 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     cosine. LSH parameters default to recall ≥ 1 - 1e-6 at the given
     threshold (lsh_params_for), so at real dedup thresholds (τ ≥ 0.9)
     the candidate stage prunes hard while the verified output matches
-    the all-pairs baseline."""
+    the all-pairs baseline.
+
+    `pre_group` (default on) collapses EXACT-identical vectors before
+    banding — the skew source of a dedup corpus: m copies of one
+    boilerplate embedding land in the same bucket in every band, so
+    banding m representatives instead of m copies removes the m² term
+    from the candidate stage entirely. Membership is expanded back
+    afterwards: within-group pairs get the group's self-cosine
+    (identical arrays → identical arithmetic to the per-pair formula),
+    cross-group pairs inherit the verified representative similarity.
+    Both expansions are joins (spillable, streamed) — never a
+    per-group array. Output is exactly the non-grouped result."""
     if method == "exact":
         return embedding_near_dups(corpus, threshold, id_col, vec_col)
-    if method == "lsh":
-        cands = cosine_lsh_candidates(corpus, threshold, id_col, vec_col, **kwargs)
-    elif method == "ivf":
-        cands = ivf_candidates(corpus, id_col, vec_col, **kwargs)
-    else:
+    if method not in ("lsh", "ivf"):
         raise ValueError(f"unknown near-duplicates method {method!r}")
-    return verify_pairs(corpus, cands, threshold, id_col, vec_col)
+
+    def _cands(df):
+        if method == "lsh":
+            return cosine_lsh_candidates(df, threshold, id_col, vec_col, **kwargs)
+        return ivf_candidates(df, id_col, vec_col, **kwargs)
+
+    if not pre_group:
+        return verify_pairs(corpus, _cands(corpus), threshold, id_col, vec_col)
+
+    # duplicate probe: one narrow aggregate (64-bit vector hashes, never
+    # the vectors) decides whether grouping pays. d == n proves every
+    # vector distinct — run the direct path with zero extra shuffles; a
+    # hash collision can only LOWER d, sending us to the (safe, exact)
+    # grouped path.
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64(F.col(vec_col))).alias("d")).first()
+    if probe["d"] == probe["n"]:
+        return verify_pairs(corpus, _cands(corpus), threshold, id_col, vec_col)
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(vec_col)
+    mem = (corpus.select(id_col, vec_col)
+           .withColumn("__rep", F.min(id_col).over(w))
+           .withColumn("__gsz", F.count(F.lit(1)).over(w)))
+    # the membership frame feeds ~6 plan branches (param sizing,
+    # banding, two verify joins, two expansions) — without persist each
+    # branch would redo the vector-keyed window shuffle+sort. The cache
+    # entry is LRU-evicted once the result is consumed (a returned lazy
+    # DataFrame has no unpersist point; executors reclaim under
+    # pressure).
+    mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
+    reps = mem.filter(F.col(id_col) == F.col("__rep"))
+    rep_vecs = reps.select(id_col, vec_col)
+    ver = verify_pairs(rep_vecs, _cands(rep_vecs), threshold, id_col, vec_col)
+
+    # cross-group expansion: every member pair across two verified
+    # representative groups shares the representatives' similarity
+    # (identical arrays). Joins stream the (inherently quadratic)
+    # output; orientation re-normalized over member ids.
+    ma = mem.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
+    mb = mem.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
+    cross = (ver.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("__ma", "__mb").alias("id_a"),
+                     F.greatest("__ma", "__mb").alias("id_b"),
+                     "sim"))
+
+    # within-group pairs: the self-cosine computed ONCE per group with
+    # the same expression the pair formula would use on two copies of
+    # the same array (values — and the oracle hash — are identical);
+    # NaN (zero vectors) keeps flowing through the same ≥ filter
+    selfsim = (reps.filter(F.col("__gsz") > 1)
+               .select(F.col("__rep"),
+                       F.round(_dot(F.col(vec_col), F.col(vec_col))
+                               / (_norm(F.col(vec_col))
+                                  * _norm(F.col(vec_col))), 6).alias("sim"))
+               .filter(F.col("sim") >= threshold))
+    # a plain self-join on __rep would stream one giant group's pairs
+    # out of a SINGLE sort-merge task (bounded memory, but serial) —
+    # the chunked _bucket_pairs path slices the group and spreads the
+    # slice pairs across the cluster. Each id lives in exactly one
+    # group, so pairs are unique by construction (dedup=False skips
+    # the distinct shuffle over the quadratic output), and sim rides
+    # along as a grouping column (functionally dependent on __rep) so
+    # no join ever touches the quadratic pair set.
+    gm = (mem.filter(F.col("__gsz") > 1)
+          .join(selfsim, "__rep")          # linear; drops sub-tau groups
+          .select("__rep", "sim", id_col))
+    within = _bucket_pairs(gm, id_col, ["__rep", "sim"], dedup=False,
+                           keep=["sim"]).select("id_a", "id_b", "sim")
+
+    return cross.unionByName(within)
