@@ -645,14 +645,33 @@ class DeltaLog:
         return snap
 
     def _build_snapshot(self, version: int) -> Snapshot:
-        snap = Snapshot(self.table_path, version)
-        start = 0
+        # checkpoint fallback (SnapshotManagement
+        # createSnapshotFromGivenOrEquivalentLogSegment recovery rules):
+        # a checkpoint that fails to READ (torn external write, corrupt
+        # parquet) must not brick the table while an older checkpoint or
+        # the commit chain can still reconstruct the same state — try
+        # checkpoints newest-first, then pure commit replay. Recovery is
+        # only impossible when the needed commits were cleaned up, which
+        # surfaces as the named missing-commit/protocol error below.
         ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
-        if ckpts:
-            ck = ckpts[-1]
-            self._apply_checkpoint(snap, ck)
-            start = ck + 1
-        self._apply_commit_range(snap, start, version)
+        last_err: Optional[Exception] = None
+        for ck in [*reversed(ckpts), None]:
+            snap = Snapshot(self.table_path, version)
+            start = 0
+            try:
+                if ck is not None:
+                    self._apply_checkpoint(snap, ck)
+                    start = ck + 1
+                self._apply_commit_range(snap, start, version)
+            except Exception as e:  # corrupt checkpoint / cleaned commit
+                last_err = e
+                continue
+            break
+        else:
+            raise ValueError(
+                f"cannot reconstruct version {version}: every checkpoint "
+                f"at/below it failed to read and the commit chain is "
+                f"incomplete (last error: {last_err})")
         snap.version = version
         # decide ICT from the REPLAYED configuration, not the cached
         # snapshot — on the first load of an ICT table in a fresh
