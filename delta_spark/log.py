@@ -25,6 +25,16 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# LogStore seam: put-if-absent contract, local-FS impl, in-memory
+# conditional-write backend + contract checker (reference
+# LogStore.java:83-140). Exceptions re-exported here because
+# transaction.py and user code import them from this module.
+from delta_spark.logstore import (  # noqa: F401
+    ConcurrentModificationException,
+    DeltaConcurrentException,
+    LocalLogStore,
+    LogStore,
+)
 from delta_spark.actions import (
     AddFile,
     CommitInfo,
@@ -57,60 +67,6 @@ _COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 DEFAULT_CHECKPOINT_INTERVAL = 10
 DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta.deletedFileRetentionDuration
 DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
-
-
-class DeltaConcurrentException(Exception):
-    """Base of every concurrency conflict (delta.exceptions base role):
-    defined here, below transaction.py in the import graph, so the
-    low-level commit-file collision can share the hierarchy users
-    catch around conflicting transactions."""
-
-
-class ConcurrentModificationException(DeltaConcurrentException):
-    """A concurrent writer committed the version we tried to write."""
-
-
-# --------------------------------------------------------- LogStore ----
-
-class LocalLogStore:
-    """Atomic put-if-absent on a local/posix filesystem.
-
-    Contract is the reference's LogStore.java:100 `write(path,
-    overwrite=false)`: the commit file must appear atomically and
-    creation must fail if it already exists. Local FS: write a temp
-    file in the same directory, then `os.link` it into place —
-    hard-link creation is atomic and fails with EEXIST. Object stores
-    would plug in here with their conditional-put primitive.
-    """
-
-    def write_atomic(self, path: str, content: str) -> None:
-        d = os.path.dirname(path)
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_commit_")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write(content)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, path)
-            except FileExistsError:
-                raise ConcurrentModificationException(path)
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-
-    def read(self, path: str) -> str:
-        with open(path, "r") as f:
-            return f.read()
-
-    def list_dir(self, path: str) -> list[str]:
-        try:
-            return sorted(os.listdir(path))
-        except FileNotFoundError:
-            return []
 
 
 # -------------------------------------------------- checkpoint schema ----
@@ -183,11 +139,15 @@ class DeltaLog:
 
     _cache: dict[str, "DeltaLog"] = {}
     _cache_lock = threading.Lock()
+    # injectable conditional-write backend (the seam an S3/DynamoDB
+    # LogStore fills): set DeltaLog.store_factory = MyStore before
+    # for_table()/clear_cache(); every log built afterwards uses it
+    store_factory = LocalLogStore
 
     def __init__(self, table_path: str):
         self.table_path = os.path.abspath(table_path)
         self.log_path = os.path.join(self.table_path, "_delta_log")
-        self.store = LocalLogStore()
+        self.store = DeltaLog.store_factory()
         self._snapshot: Optional[Snapshot] = None
         self._lock = threading.Lock()
         self.checkpoint_interval = DEFAULT_CHECKPOINT_INTERVAL
@@ -1084,6 +1044,10 @@ class DeltaLog:
         snap = snap or self.update()
         if snap.version < 0:
             return
+        # with an external commit store nothing may have touched the
+        # local _delta_log yet — checkpoints/bulk bytes always land on
+        # the (object) store side of the seam
+        os.makedirs(self.log_path, exist_ok=True)
         rows: list[dict] = []
         rows.append({"protocol": {
             "minReaderVersion": snap.protocol.minReaderVersion,
@@ -1284,6 +1248,8 @@ class DeltaLog:
         needs the python writer (V2 checkpoint policy)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+
+        os.makedirs(self.log_path, exist_ok=True)
 
         if version is None:
             version = self.latest_version()
