@@ -449,3 +449,149 @@ def test_three_writer_chains_serializable_equivalent(
         assert matched, \
             f"{ok_names} matched no serial order (losers: " \
             f"{[repr(w.error) for w in writers if w.error]})"
+
+
+# ------------------------------------------------- VACUUM vs writers ----
+
+
+def _active_paths(path):
+    import os
+
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    return {os.path.normpath(os.path.join(path, f.path))
+            for f in snap.all_files}
+
+
+def _age_garbage(spark, path, seconds=3.0):
+    """Make some files reclaimable: tombstone them, then back-date
+    their physical mtimes so only the tombstone age gates them."""
+    import os
+    import time
+
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("pk = 3")                       # tombstones pk=3 files
+    dt.optimize().executeCompaction()         # tombstones the rest
+    # vacuum needs BOTH deletionTimestamp and mtime below the cutoff;
+    # mtime is back-dated here, the tombstone age comes from sleeping
+    # past the retention window in the caller
+    back = time.time() - 86400
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for n in files:
+            os.utime(os.path.join(root, n), (back, back))
+    time.sleep(seconds)
+
+
+def test_vacuum_stale_candidates_after_concurrent_optimize(
+        spark, tmp_path):
+    """The pin-to-delete window: a slow VACUUM computes its candidate
+    set, a concurrent OPTIMIZE commits (tombstoning files VACUUM saw as
+    active, adding fresh ones), and only then does VACUUM delete. The
+    stale candidate list must still be safe: files tombstoned after the
+    pin were active AT the pin (protected), fresh files postdate the
+    mtime cutoff (protected) — reads stay exact (DeltaVacuumSuite
+    retention-safety semantics under interleaving)."""
+    import os
+
+    from delta_spark.commands.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    _age_garbage(spark, path, seconds=3.0)
+    before = _rows(spark, path)
+    log = DeltaLog.for_table(path)
+
+    # slow vacuum: candidates pinned BEFORE the concurrent commit
+    retention_h = 2.0 / 3600  # 2s — garbage slept past it, writers not
+    stale_candidates = vacuum(spark, log, retention_hours=retention_h,
+                              dry_run=True)
+    assert stale_candidates, "fixture must produce reclaimable garbage"
+
+    # concurrent writer commits between pin and delete
+    DeltaTable.forPath(spark, path).optimize().executeCompaction()
+    write_delta(spark.range(5).selectExpr(
+        "id", "CAST(1 AS int) pk", "id*10 val"), path, mode="append")
+
+    for p in stale_candidates:                # the delayed delete phase
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+    active = _active_paths(path)
+    missing = [p for p in active if not os.path.exists(p)]
+    assert not missing, f"VACUUM deleted active files: {missing}"
+    got = _rows(spark, path)
+    want = sorted(before + [(i, 1, i * 10) for i in range(5)])
+    assert got == want
+
+
+def test_vacuum_racing_writers_fuzz(spark, tmp_path):
+    """Randomized VACUUM-vs-writer interleavings: vacuum (2s retention)
+    races append/DELETE/UPDATE/OPTIMIZE threads. Invariants after every
+    round: no file referenced by the final snapshot is missing from
+    disk, the table stays readable and writable, and losers only ever
+    fail with DeltaConcurrentException."""
+    import os
+
+    from delta_spark.commands.maintenance import vacuum
+
+    rng = random.Random(31337)
+    retention_h = 2.0 / 3600
+
+    for round_no in range(3):
+        path = str(tmp_path / f"t{round_no}")
+        _mk_table(spark, path)
+        _age_garbage(spark, path, seconds=3.0)
+        log = DeltaLog.for_table(path)
+        reclaimable = set(vacuum(spark, log, retention_hours=retention_h,
+                                 dry_run=True))
+        assert reclaimable
+
+        ops = [("vacuum", lambda: vacuum(
+                    spark, DeltaLog.for_table(path),
+                    retention_hours=retention_h))]
+        pool = [("append", op_append(spark, path, rng.randrange(4),
+                                     base=50_000 + 1000 * round_no)),
+                ("delete", op_delete(spark, path, "pk = 0 AND id % 7 = 1")),
+                ("update", op_update(spark, path, "pk = 2 AND id % 5 = 0")),
+                ("optimize", op_optimize(spark, path))]
+        ops += rng.sample(pool, rng.randrange(2, 4))
+        rng.shuffle(ops)
+
+        errs = {}
+
+        def run(name, fn, errs=errs):
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                errs[name] = e
+
+        ts = [threading.Thread(target=run, args=(n, f), daemon=True)
+              for n, f in ops]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(180)
+            assert not t.is_alive()
+        for name, e in errs.items():
+            assert isinstance(e, DeltaConcurrentException), \
+                f"round {round_no}: {name} failed uncleanly: {e!r}"
+
+        DeltaLog.clear_cache()
+        active = _active_paths(path)
+        missing = [p for p in active if not os.path.exists(p)]
+        assert not missing, \
+            f"round {round_no}: active files deleted: {missing}"
+        # table still reads and writes
+        n_before = DeltaTable.forPath(spark, path).toDF().count()
+        write_delta(spark.range(3).selectExpr(
+            "id + 90000 id", "CAST(0 AS int) pk", "id val"),
+            path, mode="append")
+        assert DeltaTable.forPath(spark, path).toDF().count() == n_before + 3
+        # pre-aged garbage that was reclaimable before the race must be
+        # gone if vacuum ran to completion without conflicting
+        if "vacuum" not in errs:
+            left = [p for p in reclaimable if os.path.exists(p)]
+            assert not left, f"round {round_no}: vacuum left garbage {left}"
