@@ -827,6 +827,88 @@ def q_text_langid_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lid.join(fp, "doc_id")
 
 
+def _tpch_suite_sql(prefix: str, rev: str) -> str:
+    """One SQL text for both engines (Spark runs it on `d_*` delta
+    views, DuckDB on the raw parquet views): heavier TPC-H shapes the
+    original q1/q3/q5/q6 gate rows don't cover, adapted to the fixture
+    columns (no partsupp/l_commitdate/o_comment in the testdata):
+
+    - q9_profit  — 5-way multi-join aggregate (lineitem ⋈ part ⋈
+      supplier ⋈ nation ⋈ orders), profit by supplier nation × order
+      year (TPC-H q9's shape without ps_supplycost).
+    - q10_returns — returned-item top 20 (4-way join, decimal-exact
+      revenue ranking, deterministic custkey tie-break).
+    - q13_distribution — customer order-count distribution via LEFT
+      OUTER join with an ON-clause filter + double aggregation.
+    - q18_large_orders — group-having IN-subquery feeding a 3-way join
+      (large-volume-customer shape, threshold fit to the fixture).
+    """
+    T = lambda t: prefix + t
+    return f"""
+        WITH q9 AS (
+          SELECT n_name AS k1, CAST(year(o_orderdate) AS STRING) AS k2,
+                 count(*) AS n, CAST(sum({rev}) AS DOUBLE) AS val
+          FROM {T('lineitem')}
+            JOIN {T('part')} ON l_partkey = p_partkey
+            JOIN {T('supplier')} ON l_suppkey = s_suppkey
+            JOIN {T('nation')} ON s_nationkey = n_nationkey
+            JOIN {T('orders')} ON l_orderkey = o_orderkey
+          WHERE p_name LIKE '%a%'
+          GROUP BY n_name, year(o_orderdate)
+        ), q10 AS (
+          SELECT CAST(c_custkey AS STRING) AS k1, n_name AS k2,
+                 CAST(NULL AS BIGINT) AS n, CAST(revenue AS DOUBLE) AS val
+          FROM (
+            SELECT c_custkey, n_name, sum({rev}) AS revenue
+            FROM {T('customer')}
+              JOIN {T('orders')} ON c_custkey = o_custkey
+              JOIN {T('lineitem')} ON l_orderkey = o_orderkey
+              JOIN {T('nation')} ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20) top20
+        ), q13 AS (
+          SELECT CAST(c_count AS STRING) AS k1, CAST(NULL AS STRING) AS k2,
+                 count(*) AS n, CAST(NULL AS DOUBLE) AS val
+          FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM {T('customer')}
+              LEFT JOIN {T('orders')}
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) dist
+          GROUP BY c_count
+        ), q18 AS (
+          SELECT CAST(c_custkey AS STRING) AS k1,
+                 CAST(o_orderkey AS STRING) AS k2, CAST(NULL AS BIGINT) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+          FROM {T('customer')}
+            JOIN {T('orders')} ON c_custkey = o_custkey
+            JOIN {T('lineitem')} ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM {T('lineitem')} GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+          GROUP BY c_custkey, o_orderkey
+        )
+        SELECT 'q9_profit' AS variant, k1, k2, n, val FROM q9
+        UNION ALL SELECT 'q10_returns', k1, k2, n, val FROM q10
+        UNION ALL SELECT 'q13_distribution', k1, k2, n, val FROM q13
+        UNION ALL SELECT 'q18_large_orders', k1, k2, n, val FROM q18"""
+
+
+def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavier TPC-H shapes as one composite gate row (variant
+    discriminator, like dedup_suite): q9-style 5-way multi-join agg,
+    q10 top-k returns, q13 outer-join count distribution, q18
+    group-having-in. Same SQL text runs on the delta views here and on
+    the raw parquet in DuckDB — decimal-exact aggregates, deterministic
+    tie-breaks."""
+    _register_tpch(spark, sf_dir)
+    return spark.sql(_tpch_suite_sql("d_", _REV))
+
+
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (over documents ∪ planted shifted-id duplicates),
     n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
@@ -1099,6 +1181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_suite": q_tpch_suite,
         "window_topk": q_window_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1479,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-03-15'
               AND l_shipdate > TIMESTAMP '1996-03-15'
             GROUP BY l_orderkey, o_orderdate""",
+        "tpch_suite": _tpch_suite_sql("", _REV_D),
         "tpch_q5": f"""
             SELECT n_name, CAST(sum({_REV_D}) AS DOUBLE) AS revenue
             FROM customer

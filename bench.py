@@ -195,12 +195,40 @@ def main() -> None:
         timings[name] = round(statistics.median(d_samples), 3)
         parquet_timings[name] = round(statistics.median(p_samples), 3)
 
+    def q9like():
+        # tpch_suite's heaviest leg: 5-way multi-join aggregate
+        return spark.sql(f"""
+            SELECT n_name, year(o_orderdate) AS yr, count(*) AS n,
+                   CAST(sum({_REV}) AS DOUBLE) AS profit
+            FROM d_lineitem
+              JOIN d_part ON l_partkey = p_partkey
+              JOIN d_supplier ON l_suppkey = s_suppkey
+              JOIN d_nation ON s_nationkey = n_nationkey
+              JOIN d_orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%a%'
+            GROUP BY n_name, year(o_orderdate)""").collect()
+
+    def q18like():
+        # group-having IN-subquery feeding a 3-way join
+        return spark.sql("""
+            SELECT c_custkey, o_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM d_customer
+              JOIN d_orders ON c_custkey = o_custkey
+              JOIN d_lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM d_lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+            GROUP BY c_custkey, o_orderkey""").collect()
+
     run_both("q1_agg", q1, q1)
     run_both("q3_join", q3, q3)
     run_both("q5_join5", q5, q5)
     run_both("q6_filter", q6, pq6)
     # restore the delta views for everything downstream
     delta_views()
+    run_median(timings, "q9_profit", q9like)
+    run_median(timings, "q18_large_orders", q18like)
 
     # ---- DML / layout (mutating: fresh table copy per iteration) -------
     merge_src = (load_table(spark, SF_DIR, "orders").filter("o_orderkey % 10 = 0")

@@ -516,11 +516,31 @@ class DeltaLog:
             raise ValueError(
                 f"Cannot time travel to version {version}; latest is {latest}")
 
+    def earliest_available_version(self) -> int:
+        """Oldest version still reconstructible after log cleanup: 0
+        while the commit chain is intact, else the oldest checkpoint
+        (DeltaHistoryManager.getEarliestReproducibleCommit role)."""
+        commits = self.list_commit_versions()
+        if commits and commits[0] == 0:
+            return 0
+        ckpts = self.list_checkpoint_versions()
+        cands = list(ckpts) + commits[:1]
+        return min(cands) if cands else 0
+
     def snapshot_at(self, version: int) -> Snapshot:
-        """Time travel (SnapshotManagement.getSnapshotAt)."""
+        """Time travel (SnapshotManagement.getSnapshotAt). A version
+        below the cleanup horizon raises the reference's
+        VersionNotFoundException shape (DeltaErrors
+        versionNotExistException: 'Cannot time travel...')."""
         from delta_spark.actions import check_read_protocol
 
         self.check_version_exists(version)
+        earliest = self.earliest_available_version()
+        if version < earliest:
+            raise ValueError(
+                f"Cannot time travel Delta table to version {version}. "
+                f"Available versions: [{earliest}, "
+                f"{self.latest_version()}].")
         snap = self._build_snapshot(version)
         check_read_protocol(snap.protocol)
         self._check_catalog_reachable(snap)

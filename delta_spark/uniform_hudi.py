@@ -371,6 +371,14 @@ def convert_snapshot(log, snap=None) -> Optional[str]:
     with open(tmp, "w") as fh:
         json.dump(commit_meta, fh, indent=2)
     os.replace(tmp, final)
+    # metadata table refresh is best-effort, AFTER the data commit —
+    # the reference wraps the same step in a non-fatal catch
+    # (HudiConversionTransaction.scala:161-172: "should not lead to
+    # data corruption"); listing-based readers never need it
+    try:
+        write_metadata_table(log, snap, instant)
+    except Exception:
+        pass
     return final
 
 
@@ -417,3 +425,137 @@ def read_hudi_files(table_path: str) -> list[str]:
                 latest[(part, s["fileId"])] = path
     out = [p for (part, fid), p in latest.items() if fid in live.get(part, ())]
     return sorted(out)
+
+
+# --------------------------------------------------------------------------
+# Hudi metadata table (.hoodie/metadata) — the files index
+# --------------------------------------------------------------------------
+#
+# The reference updates the metadata table through the Hudi client
+# (HudiConversionTransaction.scala:152-172) and explicitly treats a
+# metadata-table failure as non-fatal ("should not lead to data
+# corruption"). This engine writes the same STRUCTURE directly:
+#
+#   .hoodie/metadata/.hoodie/hoodie.properties    (MOR metadata table)
+#   .hoodie/metadata/.hoodie/<instant>.deltacommit[.requested|.inflight]
+#   .hoodie/metadata/files/files-0000_<instant>.parquet
+#
+# with HoodieMetadataRecord-shaped rows: key = partition path ('.' for
+# the table root, matching HoodieTableMetadataUtil's empty-partition
+# convention), type 1 = the __all_partitions__ record, type 2 =
+# per-partition filesystemMetadata (physical file name → size,
+# isDeleted). DEVIATION (documented in README): base files are parquet,
+# not HFile — the HFile writer lives in HBase client libs this engine
+# does not take. Readers that require HFile fall back to listing (the
+# default Hudi behavior when the metadata table is unreadable);
+# everything else (timeline, record schema, partition layout) matches.
+
+METADATA_DIR = os.path.join(HUDI_DIR, "metadata")
+ALL_PARTITIONS_KEY = "__all_partitions__"
+
+
+def _mdt_timeline_dir(table_path: str) -> str:
+    return os.path.join(table_path, METADATA_DIR, ".hoodie")
+
+
+def _init_metadata_table(table_path: str, name: str) -> None:
+    d = _mdt_timeline_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    props = os.path.join(d, "hoodie.properties")
+    if os.path.exists(props):
+        return
+    with open(props, "w") as fh:
+        fh.write(
+            "#Properties saved on metadata table init\n"
+            f"hoodie.table.name={name}_metadata\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.version=6\n"
+            "hoodie.table.base.file.format=PARQUET\n"   # deviation: HFile
+            "hoodie.table.recordkey.fields=key\n"
+            "hoodie.populate.meta.fields=false\n"
+            "hoodie.table.keygenerator.class="
+            "org.apache.hudi.keygen.NonpartitionedKeyGenerator\n")
+
+
+def write_metadata_table(log, snap, instant: str) -> Optional[str]:
+    """Refresh the files partition of the metadata table to `snap`'s
+    live file set under the given (data-table) instant. Returns the
+    completed deltacommit path. Full refresh per conversion — the
+    reference appends incremental deltacommits through the Hudi client;
+    a restatement is equivalent for readers and needs no MOR compaction
+    machinery."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_spark.util import decode_log_path as _dlp
+
+    table_path = log.table_path
+    name = (snap.metadata.name if getattr(snap.metadata, "name", None)
+            else os.path.basename(os.path.normpath(table_path)) or "table")
+    _init_metadata_table(table_path, name)
+
+    by_part: dict[str, dict[str, int]] = {}
+    for f in snap.all_files:
+        part = _partition_path(f.path, table_path) or "."
+        by_part.setdefault(part, {})[
+            os.path.basename(_dlp(f.path))] = int(f.size or 0)
+
+    keys = [ALL_PARTITIONS_KEY] + sorted(by_part)
+    types = [1] + [2] * len(by_part)
+    fsmeta = [[{"name": p, "size": 0, "isDeleted": False}
+               for p in sorted(by_part)]] + [
+        [{"name": n, "size": sz, "isDeleted": False}
+         for n, sz in sorted(by_part[p].items())]
+        for p in sorted(by_part)]
+    schema = pa.schema([
+        ("key", pa.string()), ("type", pa.int32()),
+        ("filesystemMetadata", pa.list_(pa.struct([
+            ("name", pa.string()), ("size", pa.int64()),
+            ("isDeleted", pa.bool_())])))])
+    files_dir = os.path.join(table_path, METADATA_DIR, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    base = os.path.join(files_dir, f"files-0000_{instant}.parquet")
+    pq.write_table(pa.Table.from_pydict(
+        {"key": keys, "type": types, "filesystemMetadata": fsmeta},
+        schema=schema), base + ".tmp")
+    os.replace(base + ".tmp", base)
+
+    d = _mdt_timeline_dir(table_path)
+    open(os.path.join(d, f"{instant}.deltacommit.requested"), "w").close()
+    open(os.path.join(d, f"{instant}.deltacommit.inflight"), "w").close()
+    final = os.path.join(d, f"{instant}.deltacommit")
+    with open(final + ".tmp", "w") as fh:
+        json.dump({"operationType": "UPSERT_PREPPED",
+                   "partitionToWriteStats": {
+                       "files": [{"fileId": "files-0000",
+                                  "path": os.path.basename(base)}]}}, fh)
+    os.replace(final + ".tmp", final)
+    return final
+
+
+def read_metadata_table_listing(table_path: str) -> dict[str, dict[str, int]]:
+    """File listings from the metadata table (what a Hudi reader with
+    hoodie.metadata.enable=true resolves instead of listing the
+    filesystem): partitionPath → {file name: size} at the latest
+    completed metadata deltacommit."""
+    import pyarrow.parquet as pq
+
+    d = _mdt_timeline_dir(table_path)
+    try:
+        instants = sorted(
+            n[:-len(".deltacommit")] for n in os.listdir(d)
+            if n.endswith(".deltacommit"))
+    except FileNotFoundError:
+        return {}
+    if not instants:
+        return {}
+    base = os.path.join(table_path, METADATA_DIR, "files",
+                        f"files-0000_{instants[-1]}.parquet")
+    out: dict[str, dict[str, int]] = {}
+    for row in pq.read_table(base).to_pylist():
+        if row["type"] != 2:
+            continue
+        out[row["key"]] = {e["name"]: e["size"]
+                           for e in row["filesystemMetadata"]
+                           if not e["isDeleted"]}
+    return out

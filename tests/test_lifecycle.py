@@ -1029,3 +1029,80 @@ def test_restore_never_downgrades_protocol(spark, tmp_table, sf_dir):
     # the restored metadata reverts the PROPERTY, not the protocol
     assert snap.configuration.get("delta.enableDeletionVectors") is None
     assert dt.toDF().count() == 200
+
+
+def test_log_retention_shorter_than_checkpoint_interval(spark, tmp_table,
+                                                        sf_dir):
+    """DeltaRetentionSuite edge: delta.logRetentionDuration far below
+    the checkpoint cadence. Cleanup may only delete commits BELOW the
+    newest checkpoint (the ceiling) no matter how aged the rest are —
+    otherwise the table would lose its only reconstruction path — and
+    in-retention commits below the ceiling survive too."""
+    from delta_spark.util import current_time_millis
+
+    li = load_table(spark, sf_dir, "lineitem").limit(20)
+    write_delta(li, tmp_table, configuration={
+        "delta.logRetentionDuration": "interval 1 second",
+        "delta.checkpointInterval": "100"})          # no auto checkpoint
+    for _ in range(4):
+        write_delta(li, tmp_table, mode="append")    # v1..v4
+    log = DeltaLog.for_table(tmp_table)
+    log.write_checkpoint(log.snapshot_at(2))         # ceiling = 2
+
+    # everything is aged past the 1s retention
+    deleted = log.cleanup_expired_logs(
+        now_ms=current_time_millis() + 5_000)
+    assert deleted >= 2
+    remaining = log.list_commit_versions()
+    assert remaining == [2, 3, 4], remaining         # ceiling held
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == 100
+    # versions at/after the ceiling stay time-travelable
+    assert dt.asOfVersion(2).count() == 60
+    assert dt.asOfVersion(4).count() == 100
+
+    # a fresh commit inside the retention window is NOT reclaimed even
+    # though it sits below a newer checkpoint
+    write_delta(li, tmp_table, mode="append")        # v5, fresh mtime
+    log2 = DeltaLog.for_table(tmp_table)
+    log2.write_checkpoint(log2.update())             # ceiling = 5
+    log2.cleanup_expired_logs(now_ms=current_time_millis())  # cutoff 1s ago
+    assert 5 in log2.list_commit_versions()   # fresh commit survives
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 120
+
+
+def test_time_travel_past_cleaned_log_fails_with_reference_shape(
+        spark, tmp_table, sf_dir):
+    """Time travel below the cleanup horizon raises the reference's
+    VersionNotFoundException shape ('Cannot time travel Delta table to
+    version X. Available versions: [earliest, latest].'), while the
+    horizon itself and everything after stay readable
+    (DeltaRetentionSuite + DeltaHistoryManager semantics)."""
+    from delta_spark.util import current_time_millis
+
+    li = load_table(spark, sf_dir, "lineitem").limit(20)
+    write_delta(li, tmp_table, configuration={
+        "delta.logRetentionDuration": "interval 1 second"})
+    for _ in range(4):
+        write_delta(li, tmp_table, mode="append")    # v1..v4
+    log = DeltaLog.for_table(tmp_table)
+    log.write_checkpoint(log.snapshot_at(3))
+    log.cleanup_expired_logs(now_ms=current_time_millis() + 5_000)
+    assert log.list_commit_versions() == [3, 4]
+    assert log.earliest_available_version() == 3
+
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError,
+                       match=r"Cannot time travel Delta table to version 1\. "
+                             r"Available versions: \[3, 4\]"):
+        dt.asOfVersion(1)
+    # beyond-latest keeps its own error shape
+    with pytest.raises(ValueError, match="Cannot time travel"):
+        dt.asOfVersion(9)
+    assert dt.asOfVersion(3).count() == 80
+    assert dt.toDF().count() == 100
+    # history only covers the surviving range
+    hist_versions = {r["version"] for r in dt.history().collect()}
+    assert hist_versions == {3, 4}

@@ -234,3 +234,68 @@ def test_lagged_conversion_reconciles_range(spark, tmp_table):
     log = DeltaLog.for_table(tmp_table)
     uniform_hudi.convert_snapshot(log, log.update())
     assert read_hudi_files(tmp_table) == _live_delta_paths(tmp_table)
+
+
+def test_metadata_table_files_listing(spark, tmp_table):
+    """The .hoodie/metadata files partition serves the file listing a
+    metadata-enabled Hudi reader resolves instead of listing the
+    filesystem — names AND sizes match the live Delta snapshot, and the
+    metadata timeline carries a completed deltacommit per conversion
+    (HudiConversionTransaction.scala:152; base-file-format deviation
+    documented in the module)."""
+    from delta_spark.uniform_hudi import read_metadata_table_listing
+
+    _mk_hudi_table(spark, tmp_table)
+    mdt = os.path.join(tmp_table, ".hoodie", "metadata")
+    assert os.path.isdir(os.path.join(mdt, ".hoodie"))
+    props = open(os.path.join(mdt, ".hoodie", "hoodie.properties")).read()
+    assert "hoodie.table.type=MERGE_ON_READ" in props
+
+    def _expect(path):
+        snap = DeltaLog.for_table(path).update()
+        out = {}
+        for f in snap.all_files:
+            part = os.path.dirname(f.path) or "."
+            out.setdefault(part, {})[os.path.basename(f.path)] = f.size
+        return out
+
+    listing = read_metadata_table_listing(tmp_table)
+    assert listing == _expect(tmp_table)
+    # every listed file exists physically with the recorded size
+    for part, files in listing.items():
+        for name, size in files.items():
+            p = os.path.join(tmp_table,
+                             "" if part == "." else part, name)
+            assert os.path.getsize(p) == size
+    # and the listing agrees with the timeline-replay reader
+    timeline_files = {os.path.basename(p) for p in read_hudi_files(tmp_table)}
+    mdt_files = {n for fs in listing.values() for n in fs}
+    assert mdt_files == timeline_files
+
+    # DML → next conversion refreshes the listing (removed files gone)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("id < 50")
+    listing2 = read_metadata_table_listing(tmp_table)
+    assert listing2 == _expect(tmp_table)
+    assert listing2 != listing
+    commits = [n for n in os.listdir(os.path.join(mdt, ".hoodie"))
+               if n.endswith(".deltacommit")]
+    assert len(commits) == 2
+
+
+def test_metadata_table_partitioned(spark, tmp_table):
+    """Hive-style partition paths appear as metadata-table keys; the
+    __all_partitions__ record enumerates them."""
+    import pyarrow.parquet as pq
+
+    from delta_spark.uniform_hudi import read_metadata_table_listing
+
+    _mk_hudi_table(spark, tmp_table, partitioned=True)
+    listing = read_metadata_table_listing(tmp_table)
+    assert set(listing) == {f"bucket={i}" for i in range(4)}
+    files_dir = os.path.join(tmp_table, ".hoodie", "metadata", "files")
+    newest = sorted(os.listdir(files_dir))[-1]
+    rows = pq.read_table(os.path.join(files_dir, newest)).to_pylist()
+    allp = [r for r in rows if r["type"] == 1]
+    assert len(allp) == 1 and allp[0]["key"] == "__all_partitions__"
+    assert {e["name"] for e in allp[0]["filesystemMetadata"]} == set(listing)
