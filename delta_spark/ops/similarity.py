@@ -330,7 +330,8 @@ def _bucket_pairs(assigned: DataFrame, id_col: str,
 def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           bits_per_band: Optional[int] = None,
-                          bands: Optional[int] = None, seed: int = 42) -> DataFrame:
+                          bands: Optional[int] = None, seed: int = 42,
+                          dim: Optional[int] = None) -> DataFrame:
     """Candidate pairs by random-hyperplane (sign) LSH: one
     Arrow-batched numpy matmul computes every hyperplane sign bit per
     row, bands pack to compact bucket keys, and candidates are the
@@ -344,7 +345,8 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
     instead of degrading toward all-pairs as the corpus grows."""
     if bits_per_band and bands:
         r, b = bits_per_band, bands
-        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        if dim is None:
+            dim = corpus.select(F.size(F.col(vec_col))).first()[0]
     else:
         # corpus size (param sizing) and vector dim in ONE scan — these
         # are pure-overhead jobs next to banding+verify
@@ -482,15 +484,28 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         return verify_pairs(corpus, _cands(corpus), threshold, id_col, vec_col)
 
     # duplicate probe: one narrow aggregate (64-bit vector hashes, never
-    # the vectors) decides whether grouping pays. d == n proves every
-    # vector distinct — run the direct path with zero extra shuffles; a
-    # hash collision can only LOWER d, sending us to the (safe, exact)
-    # grouped path.
+    # the vectors) decides whether grouping pays — and doubles as the
+    # LSH sizing pass (count + dim), so the direct path pays ZERO extra
+    # jobs vs the ungrouped formulation. nd == n proves every vector
+    # distinct (a hash collision can only LOWER nd, sending us to the
+    # safe, exact grouped path).
     probe = corpus.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.xxhash64(F.col(vec_col))).alias("d")).first()
-    if probe["d"] == probe["n"]:
-        return verify_pairs(corpus, _cands(corpus), threshold, id_col, vec_col)
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+        F.countDistinct(F.xxhash64(F.col(vec_col))).alias("nd")).first()
+
+    def _cands_sized(df, n):
+        if method == "lsh" and not kwargs.get("bits_per_band"):
+            r, b = lsh_params_for(threshold, n=n)
+            return cosine_lsh_candidates(
+                df, threshold, id_col, vec_col, bits_per_band=r, bands=b,
+                dim=probe["dim"], **{k: v for k, v in kwargs.items()
+                                     if k not in ("bits_per_band", "bands")})
+        return _cands(df)
+
+    if probe["nd"] == probe["n"]:
+        return verify_pairs(corpus, _cands_sized(corpus, probe["n"]),
+                            threshold, id_col, vec_col)
 
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -508,7 +523,8 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
     reps = mem.filter(F.col(id_col) == F.col("__rep"))
     rep_vecs = reps.select(id_col, vec_col)
-    ver = verify_pairs(rep_vecs, _cands(rep_vecs), threshold, id_col, vec_col)
+    ver = verify_pairs(rep_vecs, _cands_sized(rep_vecs, probe["nd"]),
+                       threshold, id_col, vec_col)
 
     # cross-group expansion: every member pair across two verified
     # representative groups shares the representatives' similarity

@@ -15,7 +15,10 @@ import glob
 import json
 import os
 import re
+import signal
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # play nice with `| head`
 
 
 def _load(path):
