@@ -909,6 +909,249 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tpch_suite_sql("d_", _REV))
 
 
+def q_stream_source_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming source drained to completion — offset
+    pinning (availableNow), admission caps (maxFilesPerTrigger=2),
+    partition planning, Arrow reads and commit bookkeeping — driven
+    driver-side through the exact DataSourceStreamReader surface Spark
+    calls (streaming.py DeltaStreamReader; the threaded/worker-process
+    end-to-end runs live in tests/test_streaming.py). Output is the
+    drained rows aggregated per event_type, oracle-checked against the
+    source parquet."""
+    import pyarrow as pa
+
+    from delta_spark.streaming import DeltaStreamReader
+
+    def b(spark, sf_dir, path):
+        ev = load_table(spark, sf_dir, "events")
+        for k in range(5):   # five deterministic single-file commits
+            write_delta(ev.filter(f"event_id % 5 = {k}").coalesce(1),
+                        path, mode="append" if k else "error")
+    p = _table(spark, sf_dir, "streamsrc", b)
+
+    r = DeltaStreamReader(None, {
+        "path": p, "startingversion": "0", "maxfilespertrigger": "2",
+        "availablenow": "true", "cappeddrain": "true"})
+    off = r.initialOffset()
+    batches = []
+    n_microbatches = 0
+    for _ in range(100):
+        nxt = r._latest_offset()
+        if nxt == off:
+            break
+        for part in r.partitions(off, nxt):
+            batches.extend(r.read(part))
+        r.commit(nxt)
+        off = nxt
+        n_microbatches += 1
+    else:
+        raise RuntimeError("stream drain did not converge")
+    assert n_microbatches >= 3, "cap of 2 files over 5 commits must split"
+    tbl = pa.Table.from_batches(batches).select(
+        ["event_id", "event_type", "value"])
+    out = spark.createDataFrame(tbl.to_pandas())
+    out.createOrReplaceTempView("drained_events")
+    return spark.sql("""
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT event_id) AS n_ids,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM drained_events GROUP BY event_type""")
+
+
+def q_table_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utility-operation composite gate row (variant discriminator):
+    TRUNCATE, idempotent writes (txn appId/version dedup), SHOW
+    PARTITIONS, DESCRIBE DETAIL invariants, metadata-only aggregates
+    (count/min/max from log stats, no scan), LIMIT file pushdown, and
+    VACUUM victim counting + post-vacuum reads — operators previously
+    covered by pytest only, now value-checked against the oracle."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from delta_spark.commands.maintenance import vacuum as _vacuum
+
+    rows: list[tuple] = []
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 7 = 0")
+
+    # --- truncate ---------------------------------------------------
+    tpath = _tf.mkdtemp(prefix="dsq_ops_tr_")
+    _sh.rmtree(tpath, ignore_errors=True)
+    write_delta(cust, tpath)
+    dt = _dt(spark, tpath)
+    dt.truncate()
+    rows.append(("truncate", "rows_after", dt.toDF().count()))
+    rows.append(("truncate", "history_ops",
+                 dt.history().filter("operation = 'TRUNCATE'").count()))
+
+    # --- idempotent writes -------------------------------------------
+    ipath = _tf.mkdtemp(prefix="dsq_ops_id_")
+    _sh.rmtree(ipath, ignore_errors=True)
+    write_delta(cust, ipath, txn_app_id="opsapp", txn_version=1)
+    write_delta(cust, ipath, mode="append", txn_app_id="opsapp",
+                txn_version=1)   # replay: must be skipped
+    write_delta(cust, ipath, mode="append", txn_app_id="opsapp",
+                txn_version=2)   # new version: lands
+    rows.append(("idempotent", "rows", _dt(spark, ipath).toDF().count()))
+
+    # --- show partitions / describe detail ---------------------------
+    ppath = _tf.mkdtemp(prefix="dsq_ops_pt_")
+    _sh.rmtree(ppath, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    write_delta(orders.repartition(3), ppath,
+                partition_by=["o_orderstatus"])
+    pdt = _dt(spark, ppath)
+    for r_ in pdt.show_partitions().collect():
+        rows.append(("show_partitions", r_["o_orderstatus"], None))
+    det = pdt.detail().collect()[0]
+    rows.append(("detail", "format:" + det["format"], None))
+    rows.append(("detail", "partitionColumns:"
+                 + ",".join(det["partitionColumns"]), None))
+
+    # --- metadata-only aggregates (no scan) ---------------------------
+    from delta_spark.log import DeltaLog
+    aggs = DeltaLog.for_table(ppath).update().metadata_aggregates(
+        ["o_orderkey"])
+    rows.append(("metadata_agg", "count", aggs["numRecords"]))
+    rows.append(("metadata_agg", "min_orderkey",
+                 int(aggs["minValues"]["o_orderkey"])))
+    rows.append(("metadata_agg", "max_orderkey",
+                 int(aggs["maxValues"]["o_orderkey"])))
+
+    # --- limit pushdown -----------------------------------------------
+    rows.append(("limit_pushdown", "rows", pdt.toDF(limit=7).count()))
+
+    # --- vacuum --------------------------------------------------------
+    vpath = _tf.mkdtemp(prefix="dsq_ops_vc_")
+    _sh.rmtree(vpath, ignore_errors=True)
+    write_delta(cust.repartition(4), vpath)
+    vdt = _dt(spark, vpath)
+    vdt.optimize().executeCompaction()     # tombstones the 4 files
+    import time as _time
+    _time.sleep(0.3)   # tombstone deletionTimestamp strictly < cutoff
+    prev = spark.conf.get("delta_spark.retentionDurationCheck.enabled",
+                          "true")
+    spark.conf.set("delta_spark.retentionDurationCheck.enabled", "false")
+    log = DeltaLog.for_table(vpath)
+    try:
+        victims = _vacuum(spark, log, retention_hours=0, dry_run=True)
+        rows.append(("vacuum", "reclaimable", len(victims)))
+        _vacuum(spark, log, retention_hours=0)
+    finally:
+        spark.conf.set("delta_spark.retentionDurationCheck.enabled", prev)
+    rows.append(("vacuum", "rows_after", vdt.toDF().count()))
+    rows.append(("vacuum", "victims_gone",
+                 sum(1 for v in victims if not os.path.exists(v))))
+
+    return spark.createDataFrame(
+        [(a, b, c) for a, b, c in rows],
+        "variant string, k string, n bigint")
+
+
+def q_stream_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF source drained the same way as
+    q_stream_source_drain (readChangeFeed=true): initial-snapshot rows
+    stream as synthesized inserts, a delete-only commit streams its
+    change rows, commit versions ride along — oracle-checked against a
+    recomputation of the same change feed from the raw parquet."""
+    import pyarrow as pa
+
+    from delta_spark.streaming import DeltaStreamReader
+
+    def b(spark, sf_dir, path):
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(ev, path, configuration={
+            "delta.enableChangeDataFeed": "true"})
+        _dt(spark, path).delete("value > 50")          # v1: delete rows
+    p = _table(spark, sf_dir, "streamcdf", b)
+
+    r = DeltaStreamReader(None, {
+        "path": p, "readchangefeed": "true", "startingversion": "0"})
+    off = r.initialOffset()
+    batches = []
+    for _ in range(100):
+        nxt = r._latest_offset()
+        if nxt == off:
+            break
+        for part in r.partitions(off, nxt):
+            batches.extend(r.read(part))
+        r.commit(nxt)
+        off = nxt
+    else:
+        raise RuntimeError("CDF stream drain did not converge")
+    tbl = pa.Table.from_batches(batches).select(
+        ["event_id", "value", "_change_type", "_commit_version"])
+    spark.createDataFrame(tbl.to_pandas()) \
+        .createOrReplaceTempView("drained_cdf")
+    return spark.sql("""
+        SELECT _change_type, CAST(_commit_version AS BIGINT) AS ver,
+               count(*) AS n, count(DISTINCT event_id) AS n_ids
+        FROM drained_cdf GROUP BY _change_type, _commit_version""")
+
+
+def q_layout_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-maintenance composite gate row: REORG PURGE (deletion
+    vectors materialized — rows preserved, zero DV descriptors left),
+    auto compaction (post-commit hook folds >16 small files), and
+    optimized write (partition-co-located tasks emit one file per
+    partition) — value-checked layout invariants over the customer /
+    orders fixtures."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from delta_spark.log import DeltaLog
+
+    rows: list[tuple] = []
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 3 = 0")
+
+    # --- REORG PURGE ---------------------------------------------------
+    rpath = _tf.mkdtemp(prefix="dsq_lo_rg_")
+    _sh.rmtree(rpath, ignore_errors=True)
+    write_delta(cust.coalesce(1), rpath, configuration={
+        "delta.enableDeletionVectors": "true"})
+    rdt = _dt(spark, rpath)
+    rdt.delete("c_custkey % 6 = 0")        # DV-masked delete
+    snap = DeltaLog.for_table(rpath).update()
+    rows.append(("reorg", "dv_files_before",
+                 sum(1 for f in snap.all_files if f.deletionVector)))
+    rdt.reorgPurge()
+    snap = DeltaLog.for_table(rpath).update()
+    rows.append(("reorg", "dv_files_after",
+                 sum(1 for f in snap.all_files if f.deletionVector)))
+    rows.append(("reorg", "rows_after", rdt.toDF().count()))
+
+    # --- auto compaction -----------------------------------------------
+    apath = _tf.mkdtemp(prefix="dsq_lo_ac_")
+    _sh.rmtree(apath, ignore_errors=True)
+    write_delta(cust.repartition(9), apath, configuration={
+        "delta.autoOptimize.autoCompact": "true"})
+    for _ in range(2):                      # 27 small files > threshold
+        write_delta(cust.repartition(9), apath, mode="append")
+    # hook fires once: write1 9 files (<16, no-op), write2 18 -> fold
+    # to 1, write3 1+9=10 (<16, no-op) — exact, deterministic layout
+    snap = DeltaLog.for_table(apath).update()
+    rows.append(("auto_compact", "files_after", snap.num_files))
+    rows.append(("auto_compact", "rows", _dt(spark, apath).toDF().count()))
+    rows.append(("auto_compact", "compacted_ops",
+                 _dt(spark, apath).history()
+                 .filter("operation = 'OPTIMIZE'").count()))
+
+    # --- optimized write ------------------------------------------------
+    opath = _tf.mkdtemp(prefix="dsq_lo_ow_")
+    _sh.rmtree(opath, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    write_delta(orders.repartition(8), opath,
+                partition_by=["o_orderstatus"],
+                configuration={"delta.autoOptimize.optimizeWrite": "true"})
+    snap = DeltaLog.for_table(opath).update()
+    n_parts = orders.select("o_orderstatus").distinct().count()
+    rows.append(("optimized_write", "one_file_per_partition",
+                 int(snap.num_files == n_parts)))
+    rows.append(("optimized_write", "rows", _dt(spark, opath).toDF().count()))
+
+    return spark.createDataFrame(
+        [(a, b, c) for a, b, c in rows], "variant string, k string, n bigint")
+
+
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (over documents ∪ planted shifted-id duplicates),
     n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
@@ -1182,6 +1425,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_suite": q_tpch_suite,
+        "stream_source_drain": q_stream_source_drain,
+        "table_ops_suite": q_table_ops_suite,
+        "stream_cdf_drain": q_stream_cdf_drain,
+        "layout_ops_suite": q_layout_ops_suite,
         "window_topk": q_window_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1563,6 +1810,56 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1996-03-15'
             GROUP BY l_orderkey, o_orderdate""",
         "tpch_suite": _tpch_suite_sql("", _REV_D),
+        "stream_cdf_drain": """
+            WITH src AS (SELECT * FROM events),
+            deleted AS (SELECT * FROM src WHERE value > 50)
+            SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS ver,
+                   count(*) AS n, count(DISTINCT event_id) AS n_ids
+            FROM src
+            UNION ALL
+            SELECT 'delete', 1, count(*), count(DISTINCT event_id)
+            FROM deleted""",
+        "layout_ops_suite": """
+            SELECT 'reorg' AS variant, 'dv_files_before' AS k,
+                   CAST(1 AS BIGINT) AS n
+            UNION ALL SELECT 'reorg', 'dv_files_after', 0
+            UNION ALL SELECT 'reorg', 'rows_after',
+              (SELECT count(*) FROM customer
+               WHERE c_custkey % 3 = 0 AND NOT c_custkey % 6 = 0)
+            UNION ALL SELECT 'auto_compact', 'files_after', 10
+            UNION ALL SELECT 'auto_compact', 'rows',
+              3 * (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0)
+            UNION ALL SELECT 'auto_compact', 'compacted_ops', 1
+            UNION ALL SELECT 'optimized_write', 'one_file_per_partition', 1
+            UNION ALL SELECT 'optimized_write', 'rows',
+              (SELECT count(*) FROM orders)""",
+        "stream_source_drain": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT event_id) AS n_ids,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY event_type""",
+        "table_ops_suite": """
+            SELECT 'truncate' AS variant, 'rows_after' AS k, 0 AS n
+            UNION ALL SELECT 'truncate', 'history_ops', 1
+            UNION ALL SELECT 'idempotent', 'rows',
+              2 * (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0)
+            UNION ALL SELECT 'show_partitions', o_orderstatus,
+              CAST(NULL AS BIGINT)
+              FROM (SELECT DISTINCT o_orderstatus FROM orders) sp
+            UNION ALL SELECT 'detail', 'format:delta', CAST(NULL AS BIGINT)
+            UNION ALL SELECT 'detail', 'partitionColumns:o_orderstatus',
+              CAST(NULL AS BIGINT)
+            UNION ALL SELECT 'metadata_agg', 'count',
+              (SELECT count(*) FROM orders)
+            UNION ALL SELECT 'metadata_agg', 'min_orderkey',
+              (SELECT min(o_orderkey) FROM orders)
+            UNION ALL SELECT 'metadata_agg', 'max_orderkey',
+              (SELECT max(o_orderkey) FROM orders)
+            UNION ALL SELECT 'limit_pushdown', 'rows', 7
+            UNION ALL SELECT 'vacuum', 'reclaimable', 4
+            UNION ALL SELECT 'vacuum', 'rows_after',
+              (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0)
+            UNION ALL SELECT 'vacuum', 'victims_gone', 4""",
         "tpch_q5": f"""
             SELECT n_name, CAST(sum({_REV_D}) AS DOUBLE) AS revenue
             FROM customer
