@@ -1152,6 +1152,56 @@ def q_layout_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b, c) for a, b, c in rows], "variant string, k string, n bigint")
 
 
+def q_delta_amt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adaptiveMetadata-preview end to end (delta_spark/amt.py): a
+    catalog-managed, row-tracked, DV-enabled table writes inline AMT
+    manifest trees (interval 2, leaves of 8 entries so the tree
+    actually spills), takes a DV delete whose RemoveFiles carry leaf
+    backReferences, then the commits BELOW the newest tree are cleaned
+    — the returned aggregate is served from a snapshot reconstructed
+    through the manifest tree alone plus the tail replay."""
+    from delta_spark import amt as AMT
+    from delta_spark.util import current_time_millis
+
+    def b(spark, sf_dir, path):
+        li = load_table(spark, sf_dir, "lineitem")
+        conf = {
+            "delta_spark.catalogManaged.catalog": "filesystem",
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+            "delta.columnMapping.mode": "id",
+            "delta.feature.domainMetadata": "supported",
+            "delta.feature.adaptiveMetadata-preview": "supported",
+            "delta.checkpointInterval": "2",
+            "delta.logRetentionDuration": "interval 1 second",
+            AMT.ENTRIES_PER_LEAF_PROP: "8",
+        }
+        write_delta(li.filter("l_orderkey % 3 = 0").repartition(4),
+                    path, configuration=conf)                      # v0+AMT
+        write_delta(li.filter("l_orderkey % 3 = 1").repartition(4),
+                    path, mode="append")                           # v1
+        write_delta(li.filter("l_orderkey % 3 = 2").repartition(4),
+                    path, mode="append")                           # v2+AMT
+        DeltaTable.forPath(spark, path).delete("l_quantity > 40")  # v3 (DV)
+        write_delta(li.filter("l_orderkey % 3 = 0").limit(0),
+                    path, mode="append")                           # v4+AMT
+        log = DeltaLog.for_table(path)
+        amt_v = AMT.find_latest_checkpoint(log, log.latest_version())[0]
+        assert amt_v >= 4, f"expected an AMT at v4, newest at {amt_v}"
+        log.cleanup_expired_logs(now_ms=current_time_millis() + 5_000)
+        assert log.list_commit_versions()[0] == amt_v
+        DeltaLog.clear_cache()
+    p = _table(spark, sf_dir, "amt", b)
+    dt = _dt(spark, p)
+    dt.toDF().createOrReplaceTempView("amt_t")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM amt_t GROUP BY l_returnflag""")
+
+
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (over documents ∪ planted shifted-id duplicates),
     n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
@@ -1429,6 +1479,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "table_ops_suite": q_table_ops_suite,
         "stream_cdf_drain": q_stream_cdf_drain,
         "layout_ops_suite": q_layout_ops_suite,
+        "delta_amt": q_delta_amt,
         "window_topk": q_window_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1810,6 +1861,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1996-03-15'
             GROUP BY l_orderkey, o_orderdate""",
         "tpch_suite": _tpch_suite_sql("", _REV_D),
+        "delta_amt": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem WHERE NOT coalesce(l_quantity > 40, false)
+            GROUP BY l_returnflag""",
         "stream_cdf_drain": """
             WITH src AS (SELECT * FROM events),
             deleted AS (SELECT * FROM src WHERE value > 50)

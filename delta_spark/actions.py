@@ -74,6 +74,13 @@ SUPPORTED_READER_FEATURES = frozenset({
     # flavor (redirectWriterOnly-preview) is deliberately ABSENT from
     # the writer list — we fail closed on writes, stay open for reads
     "redirectReaderWriter-preview",
+    # Adaptive Metadata Tree (TableFeature.scala:922 AdaptiveMetadata-
+    # TableFeature; amt/ module): the table's checkpoint state lives in
+    # an Iceberg-V4-style manifest tree committed INLINE as a
+    # `checkpoint` action (delta_spark/amt.py). Requires catalogManaged,
+    # rowTracking, domainMetadata, deletionVectors and columnMapping
+    # (id mode) — validated at enablement (amt.check_enablement).
+    "adaptiveMetadata-preview",
 })
 
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
@@ -296,6 +303,11 @@ class AddFile:
     baseRowId: Optional[int] = None
     defaultRowCommitVersion: Optional[int] = None
     clusteringProvider: Optional[str] = None
+    # AMT (adaptiveMetadata-preview, actions.scala:1143 BackReference):
+    # {"manifest": <leaf rel path>, "pos": <row index>} when this file's
+    # entry lives in an AMT leaf manifest — lets a later RemoveFile mask
+    # the leaf position via an MDV without re-reading the leaf
+    backReference: Optional[dict] = None
 
     def to_json(self) -> dict:
         d = _drop_none(asdict(self))
@@ -319,6 +331,7 @@ class AddFile:
             baseRowId=d.get("baseRowId"),
             defaultRowCommitVersion=d.get("defaultRowCommitVersion"),
             clusteringProvider=d.get("clusteringProvider"),
+            backReference=d.get("backReference"),
         )
 
     @property
@@ -332,6 +345,7 @@ class AddFile:
             dataChange=data_change,
             partitionValues=dict(self.partitionValues),
             size=self.size,
+            backReference=self.backReference,
         )
 
     @property
@@ -363,6 +377,7 @@ class RemoveFile:
     extendedFileMetadata: Optional[bool] = None
     partitionValues: Optional[dict[str, Optional[str]]] = None
     size: Optional[int] = None
+    backReference: Optional[dict] = None    # AMT leaf position (amt.py)
 
     def to_json(self) -> dict:
         return {"remove": _drop_none(asdict(self))}
@@ -376,6 +391,7 @@ class RemoveFile:
             extendedFileMetadata=d.get("extendedFileMetadata"),
             partitionValues=d.get("partitionValues"),
             size=d.get("size"),
+            backReference=d.get("backReference"),
         )
 
 
@@ -523,4 +539,10 @@ def parse_action_line(line: str) -> tuple[str, Any]:
         return "commitInfo", CommitInfo.from_json(d["commitInfo"])
     if "domainMetadata" in d:
         return "domainMetadata", DomainMetadata.from_json(d["domainMetadata"])
+    if "checkpoint" in d:
+        # inline AMT manifest-commit checkpoint (adaptiveMetadata-
+        # preview, actions.scala:1738). Redundant with the commit's own
+        # inline actions during linear replay (includeActionsInCommitJson
+        # is always true) — consumed only by the AMT bootstrap (amt.py)
+        return "checkpoint", d["checkpoint"]
     return "unknown", d

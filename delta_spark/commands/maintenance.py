@@ -181,6 +181,14 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
         if (r.deletionTimestamp or 0) >= cutoff:
             valid.add(os.path.normpath(_abs(log.table_path, r.path)))
 
+    # AMT manifest tree (amt.py): <table>/metadata is table state,
+    # not data — never a VACUUM candidate on adaptiveMetadata tables
+    # (old manifests are metadata-retention territory, like old
+    # checkpoints, not VACUUM's)
+    amt_on = "adaptiveMetadata-preview" in (
+        (snapshot.protocol.writerFeatures or [])
+        if snapshot.protocol else [])
+
     candidates: list[str] = []
     if inventory is not None:
         candidates = _inventory_candidates(
@@ -194,6 +202,8 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
         pcols = snapshot.partition_columns or []
         seeds = [n for n in os.listdir(log.table_path)
                  if not _hidden_segment(n, pcols)]
+        if amt_on:
+            seeds = [n for n in seeds if n != "metadata"]
         try:
             par_threshold = int(spark.conf.get(
                 "delta_spark.vacuum.parallelListingThreshold", "64"))
@@ -208,7 +218,9 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
                 valid, cutoff, pcols)
         else:
             for root, dirs, files in os.walk(log.table_path):
-                dirs[:] = [d for d in dirs if not _hidden_segment(d, pcols)]
+                dirs[:] = [d for d in dirs if not _hidden_segment(d, pcols)
+                           and not (amt_on and d == "metadata"
+                                    and os.path.samefile(root, log.table_path))]
                 for name in files:
                     if _hidden_segment(name, pcols):
                         continue
@@ -221,6 +233,11 @@ def vacuum(spark: SparkSession, log: DeltaLog, retention_hours: Optional[float] 
                         continue
                     if mtime < cutoff:
                         candidates.append(p)
+
+    if amt_on:
+        mdir = os.path.normpath(os.path.join(log.table_path, "metadata"))
+        candidates = [c for c in candidates
+                      if not os.path.normpath(c).startswith(mdir + os.sep)]
 
     # stale deletion-vector directories: reclaim DV dirs no active (or
     # retention-protected tombstoned) descriptor references

@@ -634,12 +634,47 @@ class DeltaLog:
         # only impossible when the needed commits were cleaned up, which
         # surfaces as the named missing-commit/protocol error below.
         ckpts = [c for c in self.list_checkpoint_versions() if c <= version]
+        # AMT bootstrap (adaptiveMetadata-preview, amt.py): when the
+        # table carries an inline manifest-tree checkpoint, it is
+        # preferred over any OLDER classic checkpoint — leaf-resident
+        # AddFiles must carry their backReferences for the next
+        # incremental tree, and the tree is the only state source once
+        # commits below it are cleaned. The <table>/metadata dir probe
+        # keeps non-AMT tables at zero extra reads.
+        amt_boot: Optional[tuple[int, dict]] = None
+        if os.path.isdir(os.path.join(self.table_path, "metadata")):
+            from delta_spark import amt as _amt
+
+            try:
+                amt_boot = _amt.find_latest_checkpoint(self, version)
+            except Exception:
+                amt_boot = None
+        candidates: list = list(reversed(ckpts))
+        if amt_boot is not None:
+            pos = 0
+            while pos < len(candidates) and candidates[pos] > amt_boot[0]:
+                pos += 1
+            candidates.insert(pos, ("amt", *amt_boot))
         last_err: Optional[Exception] = None
-        for ck in [*reversed(ckpts), None]:
+        for ck in [*candidates, None]:
             snap = Snapshot(self.table_path, version)
             start = 0
             try:
-                if ck is not None:
+                if isinstance(ck, tuple):
+                    from delta_spark import amt as _amt
+                    from delta_spark.util import canonical_log_path as _ckey
+
+                    _, amt_v, ckd = ck
+                    adds, proto, meta, domains, txns = _amt.load_state(
+                        self, ckd)
+                    snap.active = {_ckey(a.path): a for a in adds}
+                    snap.protocol = proto
+                    snap._saw_protocol = True
+                    snap.metadata = meta
+                    snap.domain_metadata = {d.domain: d for d in domains}
+                    snap.set_transactions = {t.appId: t for t in txns}
+                    start = amt_v + 1
+                elif ck is not None:
                     self._apply_checkpoint(snap, ck)
                     start = ck + 1
                 self._apply_commit_range(snap, start, version)
@@ -1780,9 +1815,23 @@ class DeltaLog:
         serve every remaining version. Returns #files deleted."""
         now = now_ms if now_ms is not None else current_time_millis()
         checkpoints = self.list_checkpoint_versions()
-        if not checkpoints:
+        # an AMT inline checkpoint (amt.py) serves as the reconstruction
+        # source exactly like a classic checkpoint: the newest one is a
+        # valid cleanup ceiling (the carrying commit itself survives)
+        amt_ceiling = -1
+        if os.path.isdir(os.path.join(self.table_path, "metadata")):
+            from delta_spark import amt as _amt
+
+            try:
+                found = _amt.find_latest_checkpoint(
+                    self, self.latest_version())
+                if found is not None:
+                    amt_ceiling = found[0]
+            except Exception:
+                pass
+        if not checkpoints and amt_ceiling < 0:
             return 0
-        ceiling = checkpoints[-1]  # never delete at/after the newest checkpoint
+        ceiling = max(checkpoints[-1] if checkpoints else -1, amt_ceiling)
         # one snapshot serves retention config, the protection barrier,
         # and (if needed) the barrier checkpoint
         snap = self.update()

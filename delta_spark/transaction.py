@@ -289,8 +289,12 @@ class OptimisticTransaction:
                         # per retry attempt alongside the id range
                         a.defaultRowCommitVersion = attempt_version
 
-            payload = "\n".join(action_to_json_line(a)
-                                for a in [commit_info] + actions) + "\n"
+            amt_ck = self._maybe_write_amt(attempt_version, actions,
+                                           effective_cfg)
+            payload = "\n".join(
+                action_to_json_line(a)
+                for a in [commit_info] + actions
+                + ([amt_ck] if amt_ck is not None else [])) + "\n"
             try:
                 if catalog is not None:
                     self._catalog_managed_write(catalog, attempt_version,
@@ -309,6 +313,10 @@ class OptimisticTransaction:
                         C.backfill_to(self.log, coordinator,
                                       attempt_version)
                 self._committed = True
+                if amt_ck is not None:
+                    # the next snapshot must come from the AMT bootstrap
+                    # so leaf-resident AddFiles carry backReferences
+                    self.log.invalidate()
                 self._post_commit(attempt_version, actions)
                 return attempt_version
             except ConcurrentModificationException:
@@ -755,6 +763,95 @@ class OptimisticTransaction:
         actions.insert(0, new)
 
     # ---------------------------------------------------- conflicts ----
+
+    def _maybe_write_amt(self, version: int, actions: list[Any],
+                         effective_cfg: Optional[dict]):
+        """AMT inline-checkpoint hook (amt.py; AMTWriterManager role).
+        Called per commit attempt (an absorbed winner changes the
+        post-commit state, so the tree is rebuilt on retry). Returns the
+        inline checkpoint action to append, or None.
+
+        Cadence: the enablement commit writes the first (full) tree;
+        afterwards a tree is written when checkpointInterval commits
+        accumulated since the last one, or inline with a large commit
+        (LARGE_COMMIT_ACTIONS). A full rewrite replaces the incremental
+        chain every interval x FULL_REWRITE_MULTIPLIER commits.
+        Deviation from the reference: full rewrites happen inline on the
+        triggering commit rather than via a deferred OPTIMIZE CHECKPOINT
+        maintenance commit."""
+        from delta_spark import amt as AMT
+        from delta_spark.util import canonical_log_path as _ck
+
+        proto = next((a for a in actions if isinstance(a, Protocol)), None)
+        post_proto = proto if proto is not None else self.snapshot.protocol
+        if not AMT.checkpoint_enabled(post_proto):
+            return None
+        newly = not AMT.checkpoint_enabled(self.snapshot.protocol)
+        if newly:
+            AMT.check_enablement(post_proto, effective_cfg or {})
+
+        # removes inherit the leaf residency of the file they tombstone
+        for a in actions:
+            if isinstance(a, RemoveFile) and a.backReference is None:
+                res = self.snapshot.active.get(_ck(a.path))
+                if res is not None and res.backReference:
+                    a.backReference = dict(res.backReference)
+
+        last = (None if newly
+                else AMT.find_latest_checkpoint(self.log,
+                                                self.snapshot.version))
+        interval = self.log.checkpoint_interval
+        try:
+            interval = int((effective_cfg or {}).get(
+                "delta.checkpointInterval", interval))
+        except (TypeError, ValueError):
+            pass
+        big = len(actions) >= AMT.LARGE_COMMIT_ACTIONS
+        if last is None:
+            if not newly and not big:
+                # feature on but no tree yet (e.g. cleaned log): rebuild
+                # at the normal cadence only
+                if version % max(interval, 1) != 0:
+                    return None
+            full = True
+            prev = None
+        else:
+            last_v, ck = last
+            prev = AMT.AMTCheckpoint(ck)
+            if version - last_v < interval and not big:
+                return None
+            last_full = int(ck["contentRoot"].get("tags", {}).get(
+                "lastManifestCommitWithFullRewrite", last_v))
+            full = version - last_full >= interval * AMT.FULL_REWRITE_MULTIPLIER
+
+        post = self.snapshot.clone_state()
+        post.apply_actions(self._as_kinds(actions))
+        post.version = version
+        if post.protocol is None or post.metadata is None:
+            return None   # initial commits without full state: skip
+        if full or prev is None:
+            ck_dict = AMT.write_full(self.log, post, version)
+        else:
+            commit_removes = [a for a in actions if isinstance(a, RemoveFile)]
+            window = AMT.removes_between(self.log, prev.version + 1,
+                                         version - 1)
+            ck_dict = AMT.write_incremental(
+                self.log, prev, post, version,
+                mdv_removes=window + commit_removes,
+                commit_removes=commit_removes)
+        return AMT.AMTCheckpoint(ck_dict)
+
+    @staticmethod
+    def _as_kinds(actions: list[Any]) -> list[tuple[str, Any]]:
+        kinds = {AddFile: "add", RemoveFile: "remove", Metadata: "metaData",
+                 Protocol: "protocol", SetTransaction: "txn",
+                 DomainMetadata: "domainMetadata"}
+        out = []
+        for a in actions:
+            k = kinds.get(type(a))
+            if k is not None:
+                out.append((k, a))
+        return out
 
     def _check_conflicts(self, winning: list[tuple[str, Any]], ours: list[Any],
                          isolation_level: str, is_blind_append: bool) -> None:

@@ -204,17 +204,15 @@ def test_redundant_feature_request_no_protocol_action(spark, tmp_table):
     assert snap.configuration.get("k") == "v"
 
 
-def test_adaptive_metadata_preview_fails_closed(spark, tmp_table, sf_dir):
-    """adaptiveMetadata-preview (TableFeature.scala): deliberately NOT
-    in SUPPORTED_READER_FEATURES — a table demanding it must fail
-    closed on read AND write, by name, not silently serve a snapshot
-    whose metadata layout we don't understand."""
+def test_adaptive_metadata_preview_supported_but_gated(spark, tmp_table,
+                                                        sf_dir):
+    """adaptiveMetadata-preview is implemented (delta_spark/amt.py) —
+    the feature is readable/writable, but ENABLEMENT is gated on its
+    required features (TableFeature.scala:925): enabling it without
+    catalogManaged/rowTracking/domainMetadata/deletionVectors/
+    columnMapping(id) must fail by name, not write a broken tree."""
     write_delta(load_table(spark, sf_dir, "region"), tmp_table)
-    _raise_protocol(tmp_table, minReaderVersion=3, minWriterVersion=7,
-                    readerFeatures=["adaptiveMetadata-preview"],
-                    writerFeatures=["adaptiveMetadata-preview"])
-    with pytest.raises(UnsupportedTableFeatureException,
-                       match="adaptiveMetadata-preview"):
-        DeltaLog.for_table(tmp_table).update()
-    with pytest.raises(UnsupportedTableFeatureException):
-        DeltaTable.forPath(spark, tmp_table).delete("r_regionkey = 0")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(ValueError, match="requires table features"):
+        dt.setProperties({
+            "delta.feature.adaptiveMetadata-preview": "supported"})
