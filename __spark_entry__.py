@@ -1202,6 +1202,78 @@ def q_delta_amt(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM amt_t GROUP BY l_returnflag""")
 
 
+def q_governance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol/metadata governance composite gate row: protocol
+    upgrade + table-feature add, DROP FEATURE, in-commit-timestamp
+    monotonicity, CREATE TABLE LIKE schema/partitioning copy, and SHOW
+    COLUMNS — value-checked invariants (previously pytest-only)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    rows: list[tuple] = []
+    orders = load_table(spark, sf_dir, "orders")
+
+    # --- protocol upgrade + feature add + drop -----------------------
+    ppath = _tf.mkdtemp(prefix="dsq_gov_pr_")
+    _sh.rmtree(ppath, ignore_errors=True)
+    write_delta(orders.limit(50).coalesce(1), ppath)
+    pdt = _dt(spark, ppath)
+    pdt.upgradeTableProtocol(3, 7)
+    pdt.addFeatureSupport("vacuumProtocolCheck")
+    snap = DeltaLog.for_table(ppath).update()
+    rows.append(("protocol", "writer_version",
+                 str(snap.protocol.minWriterVersion)))
+    rows.append(("protocol", "vacuumProtocolCheck",
+                 str(int("vacuumProtocolCheck"
+                         in (snap.protocol.writerFeatures or [])))))
+    pdt.addFeatureSupport("inCommitTimestamp")
+    pdt.dropFeature("inCommitTimestamp")
+    snap = DeltaLog.for_table(ppath).update()
+    rows.append(("protocol", "after_drop",
+                 str(int("inCommitTimestamp"
+                         in (snap.protocol.writerFeatures or [])))))
+
+    # --- in-commit timestamps: strictly monotonic ---------------------
+    ipath = _tf.mkdtemp(prefix="dsq_gov_ict_")
+    _sh.rmtree(ipath, ignore_errors=True)
+    write_delta(orders.limit(10).coalesce(1), ipath, configuration={
+        "delta.enableInCommitTimestamps": "true"})
+    for _ in range(3):
+        write_delta(orders.limit(10).coalesce(1), ipath, mode="append")
+    log = DeltaLog.for_table(ipath)
+    ts = [log._commit_timestamp(v, cfg=log.update().configuration)
+          for v in log.list_commit_versions()]
+    rows.append(("ict", "strictly_monotonic",
+                 str(int(all(a < b for a, b in zip(ts, ts[1:]))))))
+    rows.append(("ict", "n_commits", str(len(ts))))
+
+    # --- CREATE TABLE LIKE --------------------------------------------
+    spath = _tf.mkdtemp(prefix="dsq_gov_src_")
+    tpath = _tf.mkdtemp(prefix="dsq_gov_tgt_")
+    _sh.rmtree(spath, ignore_errors=True)
+    _sh.rmtree(tpath, ignore_errors=True)
+    write_delta(orders, spath, partition_by=["o_orderstatus"],
+                configuration={"gov.marker": "yes"})
+    like = DeltaTable.createLike(spark, spath, tpath)
+    lsnap = DeltaLog.for_table(tpath).update()
+    ssnap = DeltaLog.for_table(spath).update()
+    rows.append(("create_like", "schema_equal",
+                 str(int(lsnap.metadata.schemaString
+                         == ssnap.metadata.schemaString))))
+    rows.append(("create_like", "partitioning",
+                 ",".join(lsnap.metadata.partitionColumns)))
+    rows.append(("create_like", "props_copied",
+                 str(int(lsnap.configuration.get("gov.marker") == "yes"))))
+    rows.append(("create_like", "rows", str(like.toDF().count())))
+
+    # --- SHOW COLUMNS ---------------------------------------------------
+    for f in ssnap.schema.fields:
+        rows.append(("show_columns", f.name, f.dataType.simpleString()))
+
+    return spark.createDataFrame(
+        [(a, b, c) for a, b, c in rows], "variant string, k string, v string")
+
+
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (over documents ∪ planted shifted-id duplicates),
     n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
@@ -1480,6 +1552,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_cdf_drain": q_stream_cdf_drain,
         "layout_ops_suite": q_layout_ops_suite,
         "delta_amt": q_delta_amt,
+        "governance_suite": q_governance_suite,
         "window_topk": q_window_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1861,6 +1934,26 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1996-03-15'
             GROUP BY l_orderkey, o_orderdate""",
         "tpch_suite": _tpch_suite_sql("", _REV_D),
+        "governance_suite": """
+            SELECT 'protocol' AS variant, 'writer_version' AS k, '7' AS v
+            UNION ALL SELECT 'protocol', 'vacuumProtocolCheck', '1'
+            UNION ALL SELECT 'protocol', 'after_drop', '0'
+            UNION ALL SELECT 'ict', 'strictly_monotonic', '1'
+            UNION ALL SELECT 'ict', 'n_commits', '4'
+            UNION ALL SELECT 'create_like', 'schema_equal', '1'
+            UNION ALL SELECT 'create_like', 'partitioning', 'o_orderstatus'
+            UNION ALL SELECT 'create_like', 'props_copied', '1'
+            UNION ALL SELECT 'create_like', 'rows', '0'
+            UNION ALL SELECT 'show_columns', column_name,
+              CASE WHEN data_type = 'BIGINT' THEN 'bigint'
+                   WHEN data_type = 'INTEGER' THEN 'int'
+                   WHEN data_type = 'DOUBLE' THEN 'double'
+                   WHEN data_type = 'VARCHAR' THEN 'string'
+                   -- the fixture's TIMESTAMP is not UTC-adjusted:
+                   -- Spark reads it as TIMESTAMP_NTZ
+                   WHEN data_type = 'TIMESTAMP' THEN 'timestamp_ntz'
+                   ELSE lower(data_type) END
+            FROM information_schema.columns WHERE table_name = 'orders'""",
         "delta_amt": """
             SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -486,16 +486,34 @@ def load_state(log, ckpt: dict):
 
 def find_latest_checkpoint(log, upto: int) -> Optional[tuple[int, dict]]:
     """Newest commit ≤ `upto` carrying an inline checkpoint action.
-    Scans backward; on AMT tables the scan is bounded by the checkpoint
-    cadence (delta.checkpointInterval)."""
-    versions = [v for v in log.list_commit_versions() if v <= upto]
+
+    Scans backward — bounded by the checkpoint cadence on AMT tables —
+    with two cost guards for 100-TB-shaped logs: a memo on the DeltaLog
+    (`_amt_last`, maintained by the bootstrap and the commit hook)
+    truncates the scan at the last known tree, and each candidate
+    commit is substring-probed for the action key before paying a full
+    JSON parse (a large commit json holds 10⁵+ add lines; parsing them
+    all just to learn there is no checkpoint action would dominate the
+    commit path)."""
+    memo = getattr(log, "_amt_last", None)
+    if memo is not None and memo[0] > upto:
+        memo = None
+    floor = memo[0] if memo is not None else -1
+    versions = [v for v in log.list_commit_versions()
+                if floor < v <= upto]
     for v in reversed(versions):
         try:
-            for kind, a in log.read_commit_actions(v):
-                if kind == "checkpoint":
-                    return v, a
+            content = log.store.read(log.commit_source(v))
         except OSError:
             return None
+        if '"checkpoint"' not in content:
+            continue
+        for kind, a in log.read_commit_actions(v):
+            if kind == "checkpoint":
+                log._amt_last = (v, a)
+                return v, a
+    if memo is not None:
+        return memo
     return None
 
 

@@ -687,6 +687,8 @@ class DeltaLog:
                 f"cannot reconstruct version {version}: every checkpoint "
                 f"at/below it failed to read and the commit chain is "
                 f"incomplete (last error: {last_err})")
+        if isinstance(ck, tuple):       # AMT bootstrap succeeded: memoize
+            self._amt_last = (ck[1], ck[2])
         snap.version = version
         # decide ICT from the REPLAYED configuration, not the cached
         # snapshot — on the first load of an ICT table in a fresh

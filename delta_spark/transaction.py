@@ -316,6 +316,7 @@ class OptimisticTransaction:
                 if amt_ck is not None:
                     # the next snapshot must come from the AMT bootstrap
                     # so leaf-resident AddFiles carry backReferences
+                    self.log._amt_last = (attempt_version, amt_ck.d)
                     self.log.invalidate()
                 self._post_commit(attempt_version, actions)
                 return attempt_version
