@@ -836,6 +836,11 @@ def _tpch_suite_sql(prefix: str, rev: str) -> str:
     - q9_profit  — 5-way multi-join aggregate (lineitem ⋈ part ⋈
       supplier ⋈ nation ⋈ orders), profit by supplier nation × order
       year (TPC-H q9's shape without ps_supplycost).
+    - q7_two_nation_volume — the nation table joined TWICE (supplier's
+      and customer's nation) through a 6-way join, volume by nation
+      pair × ship year (q7's shape).
+    - q14_promo_share — promo revenue by ship month (conditional
+      decimal aggregate over a 2-way join, q14's shape).
     - q10_returns — returned-item top 20 (4-way join, decimal-exact
       revenue ranking, deterministic custkey tie-break).
     - q13_distribution — customer order-count distribution via LEFT
@@ -880,6 +885,27 @@ def _tpch_suite_sql(prefix: str, rev: str) -> str:
                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
             GROUP BY c_custkey) dist
           GROUP BY c_count
+        ), q7 AS (
+          SELECT n1.n_name AS k1,
+                 n2.n_name || '/' || CAST(year(l_shipdate) AS STRING) AS k2,
+                 count(*) AS n, CAST(sum({rev}) AS DOUBLE) AS val
+          FROM {T('supplier')}
+            JOIN {T('lineitem')} ON s_suppkey = l_suppkey
+            JOIN {T('orders')} ON o_orderkey = l_orderkey
+            JOIN {T('customer')} ON c_custkey = o_custkey
+            JOIN {T('nation')} n1 ON s_nationkey = n1.n_nationkey
+            JOIN {T('nation')} n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name < n2.n_name
+          GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        ), q14 AS (
+          SELECT CAST(year(l_shipdate) AS STRING) AS k1,
+                 CAST(month(l_shipdate) AS STRING) AS k2,
+                 count(*) AS n,
+                 CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {rev}
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS val
+          FROM {T('lineitem')} JOIN {T('part')} ON l_partkey = p_partkey
+          GROUP BY year(l_shipdate), month(l_shipdate)
         ), q18 AS (
           SELECT CAST(c_custkey AS STRING) AS k1,
                  CAST(o_orderkey AS STRING) AS k2, CAST(NULL AS BIGINT) AS n,
@@ -893,6 +919,8 @@ def _tpch_suite_sql(prefix: str, rev: str) -> str:
           GROUP BY c_custkey, o_orderkey
         )
         SELECT 'q9_profit' AS variant, k1, k2, n, val FROM q9
+        UNION ALL SELECT 'q7_two_nation_volume', k1, k2, n, val FROM q7
+        UNION ALL SELECT 'q14_promo_share', k1, k2, n, val FROM q14
         UNION ALL SELECT 'q10_returns', k1, k2, n, val FROM q10
         UNION ALL SELECT 'q13_distribution', k1, k2, n, val FROM q13
         UNION ALL SELECT 'q18_large_orders', k1, k2, n, val FROM q18"""

@@ -460,6 +460,40 @@ def main() -> None:
 
     run_median(timings, "stream_drain", stream_run, setup=stream_setup)
 
+    # ---- AMT: cold snapshot reconstruction through the manifest tree --
+    amt_tbl = os.path.join(scratch, "amt_bench")
+
+    def amt_setup(i):
+        if os.path.isdir(os.path.join(amt_tbl, "_delta_log")):
+            DeltaLog.clear_cache()
+            return None
+        from delta_spark import amt as AMT
+        li = load_table(spark, SF_DIR, "lineitem").limit(2000)
+        conf = {
+            "delta_spark.catalogManaged.catalog": "filesystem",
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+            "delta.columnMapping.mode": "id",
+            "delta.feature.domainMetadata": "supported",
+            "delta.feature.adaptiveMetadata-preview": "supported",
+            "delta.checkpointInterval": "8",
+            AMT.ENTRIES_PER_LEAF_PROP: "16",
+        }
+        write_delta(li.coalesce(2), amt_tbl, configuration=conf)
+        for _ in range(24):   # trees at v8/v16/v24, leaves spill
+            write_delta(li.limit(200).coalesce(2), amt_tbl, mode="append")
+        DeltaLog.clear_cache()
+        return None
+
+    def amt_bootstrap(_):
+        # cold rebuild: tree read + tail replay (amt.py bootstrap)
+        DeltaLog.clear_cache()
+        snap = DeltaLog.for_table(amt_tbl).update()
+        assert snap.num_files > 0
+        return snap.num_files
+
+    run_median(timings, "amt_bootstrap", amt_bootstrap, setup=amt_setup)
+
     run_median(timings, "dedup_minhash", mh, warmups=2)
     run_median(timings, "knn", knn, warmups=2)
     run_median(timings, "near_dups_lsh", near_dups, warmups=3)
