@@ -241,3 +241,45 @@ def test_full_rewrite_after_multiplier(spark, tmp_table, sf_dir):
     for v, inc, marker in flags:
         if inc == "true":
             assert int(marker) == (0 if v < second_full else second_full)
+
+
+def test_concurrent_appends_rebuild_tree_per_attempt(spark, tmp_table,
+                                                     sf_dir):
+    """Conflict retry on an AMT table: the losing writer's retry must
+    rebuild its manifest tree against the absorbed state (the reference
+    recomputes the AMT per commit attempt, AMTWriterManager.writeAMT).
+    After racing appends across an AMT boundary, every tree version
+    reconstructs exactly the linear-replay state."""
+    import threading
+
+    dt = _mk(spark, tmp_table, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").limit(10)
+    write_delta(li.coalesce(1), tmp_table, mode="append")   # v1
+    # race four appends across the v2/v3 interval boundary (interval=3)
+    from delta_spark.transaction import OptimisticTransaction
+    from delta_spark.writer import write_files
+
+    log = DeltaLog.for_table(tmp_table)
+    batches = [list(write_files(li, log.table_path, [])) for _ in range(4)]
+    errs = []
+
+    def worker(i):
+        try:
+            OptimisticTransaction(log).commit(batches[i], "WRITE")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    snap = log.update()
+    assert snap.version == 5
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 90
+    # every tree describes exactly the state of its version
+    for v, ck in _amt_commits(tmp_table):
+        adds, *_ = AMT.load_state(log, ck)
+        lin = log.snapshot_at(v)
+        assert {a.path for a in adds} == {f.path for f in lin.all_files}, v
