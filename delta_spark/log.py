@@ -642,7 +642,13 @@ class DeltaLog:
         # commits below it are cleaned. The <table>/metadata dir probe
         # keeps non-AMT tables at zero extra reads.
         amt_boot: Optional[tuple[int, dict]] = None
-        if os.path.isdir(os.path.join(self.table_path, "metadata")):
+        _mdir = os.path.join(self.table_path, "metadata")
+        if os.path.isdir(_mdir) and any(
+                n.startswith("manifest-") and n.endswith(".parquet")
+                for n in os.listdir(_mdir)):
+            # manifest-shaped files, not just the dir name: a user data
+            # directory called `metadata` must not trigger a full
+            # backward scan of the commit log
             from delta_spark import amt as _amt
 
             try:
@@ -1821,7 +1827,10 @@ class DeltaLog:
         # source exactly like a classic checkpoint: the newest one is a
         # valid cleanup ceiling (the carrying commit itself survives)
         amt_ceiling = -1
-        if os.path.isdir(os.path.join(self.table_path, "metadata")):
+        _mdir = os.path.join(self.table_path, "metadata")
+        if os.path.isdir(_mdir) and any(
+                n.startswith("manifest-") and n.endswith(".parquet")
+                for n in os.listdir(_mdir)):
             from delta_spark import amt as _amt
 
             try:
