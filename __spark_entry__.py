@@ -1048,6 +1048,21 @@ def q_table_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- limit pushdown -----------------------------------------------
     rows.append(("limit_pushdown", "rows", pdt.toDF(limit=7).count()))
 
+    # --- symlink manifest -----------------------------------------------
+    from delta_spark.commands.maintenance import generate_symlink_manifest
+
+    mpath = _tf.mkdtemp(prefix="dsq_ops_sm_")
+    _sh.rmtree(mpath, ignore_errors=True)
+    write_delta(cust.repartition(2), mpath)
+    mlog = DeltaLog.for_table(mpath)
+    generate_symlink_manifest(spark, mlog)
+    mf = os.path.join(mpath, "_symlink_format_manifest", "manifest")
+    entries = [ln.strip() for ln in open(mf) if ln.strip()]
+    rows.append(("symlink", "entries", len(entries)))
+    rows.append(("symlink", "paths_exist",
+                 sum(1 for e in entries
+                     if os.path.exists(e.removeprefix("file://")))))
+
     # --- vacuum --------------------------------------------------------
     vpath = _tf.mkdtemp(prefix="dsq_ops_vc_")
     _sh.rmtree(vpath, ignore_errors=True)
@@ -2034,6 +2049,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'metadata_agg', 'max_orderkey',
               (SELECT max(o_orderkey) FROM orders)
             UNION ALL SELECT 'limit_pushdown', 'rows', 7
+            UNION ALL SELECT 'symlink', 'entries', 2
+            UNION ALL SELECT 'symlink', 'paths_exist', 2
             UNION ALL SELECT 'vacuum', 'reclaimable', 4
             UNION ALL SELECT 'vacuum', 'rows_after',
               (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0)
