@@ -12,7 +12,9 @@ data load into the table format, scan-heavy analytics (Q1/Q3/Q5/Q6),
 DML (delete / merge-upsert), layout optimization (zorder + pruned
 read), plus the pipeline operators (minhash dedup, knn, text stats).
 
-Noise control: every query runs one unrecorded warm-up followed by
+Noise control: every query runs unrecorded warm-ups (1 by default;
+2-3 for the pandas-UDF-heavy queries, which need that many executions
+for whole-stage codegen + C2 JIT to settle) followed by
 $SPARK_GRAFT_BENCH_ITERS (default 3) timed iterations; the MEDIAN is
 reported, so round-over-round comparisons track code, not machine
 state. Mutating operations (merge/delete/zorder) get a fresh copy of
