@@ -697,101 +697,42 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name""")
 
 
-def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by price (window function surface)."""
+def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/streaming-shape composite gate row (variant
+    discriminator): top-3 orders per customer (`topk`, window
+    row_number), hourly event rollup (`hourly`, date_trunc + decimal
+    agg rendered as a UTC string key), and gap-based sessionization
+    (`sessions`, lag window + cumulative flag). Ex standalone
+    `window_topk` / `events_hourly` / `events_sessionize` gate rows,
+    folded so every registered family fits the driver's 50-row
+    recording cap (VERDICT r6 finding #1)."""
     _register_tpch(spark, sf_dir)
     return spark.sql("""
-        SELECT o_custkey, o_orderkey, rnk FROM (
-          SELECT o_custkey, o_orderkey,
-                 row_number() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-          FROM d_orders) WHERE rnk <= 3""")
-
-
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-style windowed aggregation run as batch over the
-    events delta table."""
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        SELECT date_trunc('HOUR', ts) AS hour, event_type,
-               count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM d_events GROUP BY 1, 2""")
-
-
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (lag window + cumulative flag)."""
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        WITH g AS (
-          SELECT user_id, ts,
-                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                           > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
-          FROM d_events)
-        SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
-        FROM g GROUP BY user_id""")
-
-
-def q_grouping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP + CUBE + year/month grouping in one composite result
-    (folded so every family fits the driver's 50-row recording cap;
-    the `variant` column discriminates)."""
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        SELECT 'rollup' AS variant, l_returnflag AS d1, l_linestatus AS d2,
-               count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
-        FROM d_lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        UNION ALL
-        SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        FROM d_orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        UNION ALL
-        SELECT 'dates', CAST(year(o_orderdate) AS STRING),
-               CAST(month(o_orderdate) AS STRING), count(*),
-               CAST(count(DISTINCT o_custkey) AS DOUBLE)
-        FROM d_orders
-        GROUP BY CAST(year(o_orderdate) AS STRING), CAST(month(o_orderdate) AS STRING)""")
-
-
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS / NOT EXISTS over delta tables."""
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        SELECT
-          (SELECT count(*) FROM d_customer c
-           WHERE EXISTS (SELECT 1 FROM d_orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
-          (SELECT count(*) FROM d_customer c
-           WHERE NOT EXISTS (SELECT 1 FROM d_orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""")
-
-
-def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date/math scalar function sampler over delta part+orders."""
-    _register_tpch(spark, sf_dir)
-    return spark.sql("""
-        SELECT p_partkey,
-               upper(p_brand) AS brand_u,
-               substring(p_name, 1, 5) AS name5,
-               length(p_type) AS type_len,
-               replace(p_type, ' ', '_') AS type_u,
-               round(p_retailprice * 1.1, 2) AS marked_up,
-               abs(p_size - 25) AS size_dev,
-               md5(p_name) AS name_hash
-        FROM d_part""")
-
-
-def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register_tpch(spark, sf_dir)
-    # CASTs pin the cross-engine types: Spark sum(int)->BIGINT vs DuckDB
-    # sum->HUGEINT, and the discount comparison is done in DECIMAL so the
-    # double literal 0.05 cannot straddle the boundary differently
-    return spark.sql("""
-        SELECT l_returnflag,
-               CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big,
-               CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(4,2)) >= 0.05
-                             THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
-               count(DISTINCT l_suppkey) AS supps
-        FROM d_lineitem GROUP BY l_returnflag""")
+        WITH topk AS (
+          SELECT CAST(o_custkey AS STRING) AS k1, CAST(o_orderkey AS STRING) AS k2,
+                 CAST(rnk AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+          FROM (SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM d_orders) WHERE rnk <= 3
+        ), hourly AS (
+          SELECT date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss') AS k1,
+                 event_type AS k2, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM d_events GROUP BY 1, 2
+        ), sess AS (
+          SELECT CAST(user_id AS STRING) AS k1, CAST(NULL AS STRING) AS k2,
+                 CAST(sum(new_s) + 1 AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS v
+          FROM (SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+                FROM d_events) g
+          GROUP BY user_id
+        )
+        SELECT 'topk' AS variant, k1, k2, n, v FROM topk
+        UNION ALL SELECT 'hourly', k1, k2, n, v FROM hourly
+        UNION ALL SELECT 'sessions', k1, k2, n, v FROM sess""")
 
 
 # ---- pipeline operators ----------------------------------------------------
@@ -804,27 +745,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _table(spark, sf_dir, "emb", _build_plain("embeddings"))
     return _dt(spark, p).toDF()
-
-
-def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token/char stats + quality score in one per-doc row (folded
-    text_stats+text_quality to fit the driver's 50-row cap)."""
-    from delta_spark.ops.text import quality_score, text_stats
-    docs = _docs(spark, sf_dir)
-    st = text_stats(docs).select(
-        "doc_id", "n_chars_calc", "n_words", "n_alpha", "n_digit", "n_punct", "n_tokens_bpe_ish")
-    q = quality_score(docs).select("doc_id", "quality")
-    return st.join(q, "doc_id")
-
-
-def q_text_langid_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID + document fingerprint in one per-doc row (folded
-    to fit the driver's 50-row cap)."""
-    from delta_spark.ops.text import fingerprint, language_id
-    docs = _docs(spark, sf_dir)
-    lid = language_id(docs).select("doc_id", "lang_pred")
-    fp = fingerprint(docs).select("doc_id", "fingerprint")
-    return lid.join(fp, "doc_id")
 
 
 def _tpch_suite_sql(prefix: str, rev: str) -> str:
@@ -847,6 +767,20 @@ def _tpch_suite_sql(prefix: str, rev: str) -> str:
       OUTER join with an ON-clause filter + double aggregation.
     - q18_large_orders — group-having IN-subquery feeding a 3-way join
       (large-volume-customer shape, threshold fit to the fixture).
+
+    Round 7 also folds four formerly-standalone relational gate rows in
+    as extra legs so every registered family fits the driver's 50-row
+    recording cap (they were r5-green but evicted from the recorded set
+    in r6 — VERDICT r6 finding #1):
+
+    - ga_rollup / ga_cube / ga_dates — GROUP BY ROLLUP / CUBE /
+      composite-key grouping (ex `grouping_agg`).
+    - semi_anti — EXISTS / NOT EXISTS semi- and anti-join counts
+      (ex `semi_anti_join`).
+    - scalar — string/date/math scalar sampler per part, folded into an
+      md5 witness column (ex `scalar_functions`).
+    - cond_agg — conditional aggregates + count distinct per returnflag
+      (ex `conditional_agg`).
     """
     T = lambda t: prefix + t
     return f"""
@@ -917,22 +851,72 @@ def _tpch_suite_sql(prefix: str, rev: str) -> str:
             SELECT l_orderkey FROM {T('lineitem')} GROUP BY l_orderkey
             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
           GROUP BY c_custkey, o_orderkey
+        ), ga_rollup AS (
+          SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+          FROM {T('lineitem')} GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ), ga_cube AS (
+          SELECT o_orderstatus AS k1, o_orderpriority AS k2, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+          FROM {T('orders')} GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ), ga_dates AS (
+          SELECT CAST(year(o_orderdate) AS STRING) AS k1,
+                 CAST(month(o_orderdate) AS STRING) AS k2, count(*) AS n,
+                 CAST(count(DISTINCT o_custkey) AS DOUBLE) AS val
+          FROM {T('orders')}
+          GROUP BY CAST(year(o_orderdate) AS STRING), CAST(month(o_orderdate) AS STRING)
+        ), semi_anti AS (
+          SELECT 'with_orders' AS k1, CAST(NULL AS STRING) AS k2,
+                 count(*) AS n, CAST(NULL AS DOUBLE) AS val
+          FROM {T('customer')} c
+          WHERE EXISTS (SELECT 1 FROM {T('orders')} o WHERE o.o_custkey = c.c_custkey)
+          UNION ALL
+          SELECT 'without_orders', CAST(NULL AS STRING), count(*), CAST(NULL AS DOUBLE)
+          FROM {T('customer')} c
+          WHERE NOT EXISTS (SELECT 1 FROM {T('orders')} o WHERE o.o_custkey = c.c_custkey)
+        ), scal AS (
+          SELECT CAST(p_partkey AS STRING) AS k1,
+                 md5(concat_ws('|', upper(p_brand), substring(p_name, 1, 5),
+                               replace(p_type, ' ', '_'), md5(p_name))) AS k2,
+                 CAST(length(p_type) AS BIGINT) AS n,
+                 round(p_retailprice * 1.1, 2) + abs(p_size - 25) AS val
+          FROM {T('part')}
+        ), cond AS (
+          SELECT l_returnflag,
+                 CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+                 CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(4,2)) >= 0.05
+                               THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
+                 count(DISTINCT l_suppkey) AS supps
+          FROM {T('lineitem')} GROUP BY l_returnflag
         )
         SELECT 'q9_profit' AS variant, k1, k2, n, val FROM q9
         UNION ALL SELECT 'q7_two_nation_volume', k1, k2, n, val FROM q7
         UNION ALL SELECT 'q14_promo_share', k1, k2, n, val FROM q14
         UNION ALL SELECT 'q10_returns', k1, k2, n, val FROM q10
         UNION ALL SELECT 'q13_distribution', k1, k2, n, val FROM q13
-        UNION ALL SELECT 'q18_large_orders', k1, k2, n, val FROM q18"""
+        UNION ALL SELECT 'q18_large_orders', k1, k2, n, val FROM q18
+        UNION ALL SELECT 'ga_rollup', k1, k2, n, val FROM ga_rollup
+        UNION ALL SELECT 'ga_cube', k1, k2, n, val FROM ga_cube
+        UNION ALL SELECT 'ga_dates', k1, k2, n, val FROM ga_dates
+        UNION ALL SELECT 'semi_anti', k1, k2, n, val FROM semi_anti
+        UNION ALL SELECT 'scalar', k1, k2, n, val FROM scal
+        UNION ALL SELECT 'cond_agg', l_returnflag, 'big', big,
+                         CAST(NULL AS DOUBLE) FROM cond
+        UNION ALL SELECT 'cond_agg', l_returnflag, 'discounted', discounted,
+                         CAST(NULL AS DOUBLE) FROM cond
+        UNION ALL SELECT 'cond_agg', l_returnflag, 'supps', supps,
+                         CAST(NULL AS DOUBLE) FROM cond"""
 
 
 def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavier TPC-H shapes as one composite gate row (variant
     discriminator, like dedup_suite): q9-style 5-way multi-join agg,
     q10 top-k returns, q13 outer-join count distribution, q18
-    group-having-in. Same SQL text runs on the delta views here and on
-    the raw parquet in DuckDB — decimal-exact aggregates, deterministic
-    tie-breaks."""
+    group-having-in, plus the folded relational legs (ROLLUP/CUBE,
+    EXISTS/NOT EXISTS, scalar-function sampler, conditional aggregates
+    — ex standalone gate rows, re-fit under the 50-row recording cap).
+    Same SQL text runs on the delta views here and on the raw parquet
+    in DuckDB — decimal-exact aggregates, deterministic tie-breaks."""
     _register_tpch(spark, sf_dir)
     return spark.sql(_tpch_suite_sql("d_", _REV))
 
@@ -1352,9 +1336,11 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-set assembly composite (ops/pipeline.py) under one
-    driver-gate row: deterministic md5-hash split counts, benchmark
-    decontamination victims, and sequence-packing invariants.
+    """Training-set assembly composite (ops/pipeline.py + ops/text.py)
+    under one driver-gate row: deterministic md5-hash split counts,
+    benchmark decontamination victims, sequence-packing invariants,
+    and (since round 7, re-fit under the driver's 50-row recording
+    cap) the per-doc text-analysis legs `text_stats` and `langid_fp`.
 
     - `split`: per-split (count, sum of ids) with the engine-portable
       md5 bucketing — DuckDB assigns the identical split per doc, so
@@ -1442,9 +1428,33 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                        " AS DOUBLE)")).alias("v"))
               .selectExpr("'chunk' AS variant", "CAST(doc_id AS STRING) AS k",
                           "n", "v"))
+    # `text_stats`: per-doc token/char/quality metrics folded into an
+    # md5 witness (ex `text_metrics` gate row — re-fit under the
+    # driver's 50-row recording cap, VERDICT r6 finding #1)
+    from delta_spark.ops.text import fingerprint, language_id, quality_score, text_stats
+    st = text_stats(docs).select(
+        "doc_id", "n_chars_calc", "n_words", "n_alpha", "n_digit",
+        "n_punct", "n_tokens_bpe_ish")
+    qual = quality_score(docs).select("doc_id", "quality")
+    tstats = (st.join(qual, "doc_id").selectExpr(
+        "'text_stats' AS variant",
+        "md5(concat_ws(':', CAST(n_chars_calc AS STRING),"
+        " CAST(n_words AS STRING), CAST(n_alpha AS STRING),"
+        " CAST(n_digit AS STRING), CAST(n_punct AS STRING),"
+        " CAST(n_tokens_bpe_ish AS STRING))) AS k",
+        "doc_id AS n", "quality AS v"))
+    # `langid_fp`: language-ID + rolling-hash fingerprint per doc
+    # (ex `text_langid_fingerprint` gate row)
+    lid = language_id(docs).select("doc_id", "lang_pred")
+    fp = fingerprint(docs).select("doc_id", "fingerprint")
+    langfp = (lid.join(fp, "doc_id").selectExpr(
+        "'langid_fp' AS variant",
+        "concat(lang_pred, ':', fingerprint) AS k",
+        "doc_id AS n", "CAST(NULL AS DOUBLE) AS v"))
     return (split.unionByName(removed).unionByName(pack_inv)
             .unionByName(quota).unionByName(norm).unionByName(red)
-            .unionByName(ws).unionByName(chunks))
+            .unionByName(ws).unionByName(chunks)
+            .unionByName(tstats).unionByName(langfp))
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -1596,17 +1606,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "layout_ops_suite": q_layout_ops_suite,
         "delta_amt": q_delta_amt,
         "governance_suite": q_governance_suite,
-        "window_topk": q_window_topk,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "grouping_agg": q_grouping_agg,
-        "semi_anti_join": q_semi_anti_join,
-        "scalar_functions": q_scalar_functions,
-        "conditional_agg": q_conditional_agg,
-        "text_metrics": q_text_metrics,
-        "text_langid_fingerprint": q_text_langid_fingerprint,
+        "events_suite": q_events_suite,
         "dedup_suite": q_dedup_suite,
 }
+# Registration-order contract: the driver records only the FIRST 50
+# entries of this dict. Round 7 re-fit every family under that cap
+# (49 registered): text_metrics/text_langid_fingerprint became
+# pipeline_suite legs, grouping_agg/semi_anti_join/scalar_functions/
+# conditional_agg became tpch_suite legs, and window_topk/
+# events_hourly/events_sessionize folded into events_suite — so
+# dedup_suite (evicted in r6) is oracle-recorded again. Any future
+# addition must keep len(_QUERIES) <= 50 (tests/test_golden_values.py
+# pins this).
+assert len(_QUERIES) <= 50, f"driver records only 50 rows, got {len(_QUERIES)}"
 
 
 # ---------------------------------------------------------------------------
@@ -1735,6 +1747,32 @@ FROM (SELECT doc_id,
                           / CAST(300 AS DOUBLE)) AS INT)))) AS i
             FROM documents) ce) ch
 GROUP BY doc_id
+"""
+
+
+def _pipeline_suite_oracle() -> str:
+    """Pipeline composite + the round-7 folded text-analysis legs
+    (`text_stats`, `langid_fp` — ex `text_metrics` /
+    `text_langid_fingerprint` standalone gate rows)."""
+    return _PIPELINE_SUITE_ORACLE + rf"""
+UNION ALL
+SELECT 'text_stats',
+       md5(concat_ws(':', CAST(n_chars_calc AS VARCHAR), CAST(n_words AS VARCHAR),
+                     CAST(n_alpha AS VARCHAR), CAST(n_digit AS VARCHAR),
+                     CAST(n_punct AS VARCHAR), CAST(n_tokens_bpe_ish AS VARCHAR))),
+       ts.doc_id, qq.quality
+FROM (SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe_ish
+      FROM documents) ts
+JOIN ({_quality_oracle()}) qq ON ts.doc_id = qq.doc_id
+UNION ALL
+SELECT 'langid_fp', lang_pred || ':' || fingerprint, doc_id, CAST(NULL AS DOUBLE)
+FROM ({_langid_fingerprint_oracle()}) lf
 """
 
 
@@ -2067,78 +2105,34 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name""",
-        "window_topk": """
-            SELECT o_custkey, o_orderkey, rnk FROM (
-              SELECT o_custkey, o_orderkey,
-                     row_number() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-              FROM orders) WHERE rnk <= 3""",
-        "events_hourly": """
-            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-                   count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-            FROM events GROUP BY 1, 2""",
-        "events_sessionize": """
-            WITH g AS (
-              SELECT user_id, ts,
-                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-              FROM events)
-            SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
-            FROM g GROUP BY user_id""",
-        "grouping_agg": """
-            SELECT 'rollup' AS variant, l_returnflag AS d1, l_linestatus AS d2,
-                   count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
-            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-            UNION ALL
-            SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-            UNION ALL
-            SELECT 'dates', CAST(year(o_orderdate) AS STRING),
-                   CAST(month(o_orderdate) AS STRING), count(*),
-                   CAST(count(DISTINCT o_custkey) AS DOUBLE)
-            FROM orders
-            GROUP BY CAST(year(o_orderdate) AS STRING), CAST(month(o_orderdate) AS STRING)""",
-        "semi_anti_join": """
-            SELECT
-              (SELECT count(*) FROM customer c
-               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
-              (SELECT count(*) FROM customer c
-               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""",
-        "scalar_functions": """
-            SELECT p_partkey,
-                   upper(p_brand) AS brand_u,
-                   substring(p_name, 1, 5) AS name5,
-                   length(p_type) AS type_len,
-                   replace(p_type, ' ', '_') AS type_u,
-                   round(p_retailprice * 1.1, 2) AS marked_up,
-                   abs(p_size - 25) AS size_dev,
-                   md5(p_name) AS name_hash
-            FROM part""",
-        "conditional_agg": """
-            SELECT l_returnflag,
-                   CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big,
-                   CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(4,2)) >= 0.05
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
-                   count(DISTINCT l_suppkey) AS supps
-            FROM lineitem GROUP BY l_returnflag""",
-        "text_metrics": rf"""
-            WITH s AS (
-              SELECT doc_id,
-                     length(text) AS n_chars_calc,
-                     len(string_split_regex(trim(text), '\s+')) AS n_words,
-                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-                     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe_ish
-              FROM documents),
-            q AS ({_quality_oracle()})
-            SELECT s.*, q.quality FROM s JOIN q ON s.doc_id = q.doc_id""",
-        "text_langid_fingerprint": _langid_fingerprint_oracle(),
+        "events_suite": """
+            WITH topk AS (
+              SELECT CAST(o_custkey AS STRING) AS k1, CAST(o_orderkey AS STRING) AS k2,
+                     CAST(rnk AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+              FROM (SELECT o_custkey, o_orderkey,
+                           row_number() OVER (PARTITION BY o_custkey
+                                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                    FROM orders) t WHERE rnk <= 3
+            ), hourly AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS k1,
+                     event_type AS k2, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2
+            ), sess AS (
+              SELECT CAST(user_id AS STRING) AS k1, CAST(NULL AS STRING) AS k2,
+                     CAST(sum(new_s) + 1 AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS v
+              FROM (SELECT user_id,
+                           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id)
+                                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                    FROM events) g
+              GROUP BY user_id
+            )
+            SELECT 'topk' AS variant, k1, k2, n, v FROM topk
+            UNION ALL SELECT 'hourly', k1, k2, n, v FROM hourly
+            UNION ALL SELECT 'sessions', k1, k2, n, v FROM sess""",
         "dedup_suite": _dedup_suite_oracle(32),
-        "pipeline_suite": _PIPELINE_SUITE_ORACLE,
+        "pipeline_suite": _pipeline_suite_oracle(),
         "knn_cosine": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
                        FROM embeddings),

@@ -334,3 +334,17 @@ def test_kernel_timestamp_tables(spark):
     va = sorted(str(r[0]) for r in a.collect())
     vb = sorted(str(r[0]) for r in b.collect())
     assert va == vb and len(va) == 5
+
+
+def test_gate_registry_fits_recording_cap():
+    """The driver records only the first 50 queries() entries
+    (VERDICT r6 finding #1: 7 registered rows were silently evicted).
+    Pin the invariant: every registered family fits the cap and every
+    query has a matching oracle (or is deliberately rows-only)."""
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    assert len(qs) <= 50, f"{len(qs)} registered queries exceed the 50-row cap"
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    missing = set(qs) - set(oracles)
+    assert not missing, f"queries without an oracle entry: {sorted(missing)}"
