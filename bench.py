@@ -46,6 +46,30 @@ from delta_spark.table import DeltaTable
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+
+# Contention canary (BENCH_r06 postmortem: the driver recorded a run
+# under heavy machine contention — knn 10x its true time — and the
+# artifact was archived as truth). A fixed pure-JVM CPU probe runs
+# FIRST and LAST; if either deviates >2x from the committed quiet-
+# machine reference, or they deviate >2x from each other, the JSON is
+# stamped {"noisy": true} so a polluted artifact self-identifies.
+# Reference measured on the quiet round-7 driver machine (local[32],
+# median of 3 after warm-up; repeated probes measured 0.19-0.32 s).
+CANARY_REF_SEC = 0.23
+
+
+def calibration_sec(spark) -> float:
+    """Pure-JVM CPU probe: codegen'd hash-sum over a 200M range — no
+    IO, no Python workers, no shuffle. One warm-up (codegen compile),
+    then the median of 3 timed runs."""
+    probe = "sum(id * 2654435761 % 1000003) AS s"
+    spark.range(200_000_000).selectExpr(probe).collect()
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr(probe).collect()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]
 
@@ -59,6 +83,7 @@ def main() -> None:
     scratch = tempfile.mkdtemp(prefix="ds_bench_mut_")
     timings: dict[str, float] = {}
     parquet_timings: dict[str, float] = {}
+    cal_first = calibration_sec(spark)
 
     def run_median(record: dict, name: str, fn, setup=None,
                    warmups: int = 1) -> None:
@@ -423,6 +448,31 @@ def main() -> None:
 
     run_median(timings, "plan_100k_files", plan_run, setup=plan_setup)
 
+    # ---- conflict retries against large winning commits ----------------
+    # (transaction.py WinningCommitSummary: each retry against a
+    # 2500-add winner must cost O(metadata-class lines) for the
+    # CLASSIFICATION — adds stream lazily and stats blobs are never
+    # parsed during checks; only the final no-conflict absorb parses
+    # the winner once. A txn pinned 10 versions behind retries through
+    # ten 2500-add winners before landing.)
+    def conflict_setup(i):
+        log = plan_setup(i)          # 40 commits x 2500 adds fixture
+        from delta_spark.transaction import OptimisticTransaction
+        latest = log.latest_version()
+        stale = log.snapshot_at(latest - 10)
+        return OptimisticTransaction(log, snapshot=stale), latest
+
+    def conflict_run(ctx):
+        from delta_spark.actions import AddFile
+        txn, latest = ctx
+        v = txn.commit([AddFile(path=f"bench/retry_{latest}.parquet",
+                                size=1, modificationTime=1)],
+                       "WRITE")
+        assert v == latest + 1
+
+    run_median(timings, "conflict_retry_2500add", conflict_run,
+               setup=conflict_setup)
+
     # 1M AddFiles: ABOVE the 500k-action auto-route threshold, so this
     # measures the DISTRIBUTED replay/planning path (files_for_scan_df
     # over the checkpoint parquet) end-to-end, not the driver loop —
@@ -496,6 +546,98 @@ def main() -> None:
 
     run_median(timings, "amt_bootstrap", amt_bootstrap, setup=amt_setup)
 
+    # ---- AMT at metadata scale: plan a scan over a 1M-entry tree ------
+    # (the r6 scale flag: the tree was read/written driver-side. Now
+    # planning goes through amt.tree_files_df — executors read the leaf
+    # manifests, parse delta_add_json, apply stats pruning — so this
+    # probe must stay in plan_1m_files territory per entry, NOT scale
+    # like the driver pyarrow loop. Synthetic tree only: no data files.)
+    def amt1m_setup(i, n_leaves=10, per_leaf=100_000, tag="amtlog1m"):
+        base_dir = os.path.join(scratch, tag)
+        if os.path.isdir(os.path.join(base_dir, "_delta_log")):
+            DeltaLog.clear_cache()
+            return DeltaLog.for_table(base_dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from delta_spark import amt as AMT
+        ld = os.path.join(base_dir, "_delta_log")
+        md = os.path.join(base_dir, "metadata")
+        os.makedirs(ld)
+        os.makedirs(md)
+        schema_str = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}}]})
+        tr = {"status": AMT.ST_EXISTING, "snapshot_id": None,
+              "sequence_number": None, "file_sequence_number": None,
+              "dv_snapshot_id": None, "first_row_id": None,
+              "deleted_positions": None, "replaced_positions": None}
+        pointers = []
+        for leaf in range(n_leaves):
+            paths, parts, adds, statss = [], [], [], []
+            for j in range(per_leaf):
+                fid = leaf * per_leaf + j
+                pv = str(fid % 10)
+                path = f"p={pv}/f_{fid}.parquet"
+                stats = (f'{{"numRecords":1000,"minValues":{{"k":{fid * 10}}},'
+                         f'"maxValues":{{"k":{fid * 10 + 9}}},"nullCount":{{"k":0}}}}')
+                paths.append(path)
+                parts.append({"values": [("p", pv)]})
+                statss.append(stats)
+                adds.append(json.dumps({
+                    "path": path, "partitionValues": {"p": pv},
+                    "size": 1 << 20, "modificationTime": fid,
+                    "dataChange": True}))
+            n = per_leaf
+            cols = {
+                "content_type": [AMT.DATA] * n,
+                "format_version": [AMT.FORMAT_VERSION_V4] * n,
+                "location": paths, "file_format": ["parquet"] * n,
+                "tracking": [tr] * n, "deletion_vector": [None] * n,
+                "spec_id": [None] * n, "partition": parts,
+                "sort_order_id": [None] * n, "record_count": [1000] * n,
+                "file_size_in_bytes": [1 << 20] * n,
+                "delta_add_json": adds, "delta_stats": statss,
+                "manifest_info": [None] * n,
+                "key_metadata": [None] * n, "split_offsets": [None] * n}
+            name = f"manifest-leaf{leaf}.parquet"
+            pq_.write_table(pa.Table.from_pydict(cols, schema=AMT._SCHEMA),
+                            os.path.join(md, name), row_group_size=32_768)
+            pointers.append(AMT._pointer_entry(
+                f"metadata/{name}", os.path.getsize(os.path.join(md, name)),
+                n, n * 1000, None, 0))
+        root_loc, root_size = AMT._write_manifest(base_dir, pointers)
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["adaptiveMetadata-preview"],
+                 "writerFeatures": ["adaptiveMetadata-preview"]}
+        meta = {"id": "amt1m", "format": {"provider": "parquet",
+                                          "options": {}},
+                "schemaString": schema_str, "partitionColumns": ["p"],
+                "configuration": {}, "createdTime": 1}
+        with open(os.path.join(ld, "%020d.json" % 0), "w") as f:
+            f.write(json.dumps({"protocol": proto}) + "\n")
+            f.write(json.dumps({"metaData": meta}))
+        ck = {"version": 1, "contentRoot": {
+                  "path": root_loc, "sizeInBytes": root_size,
+                  "tags": {"isIncremental": "false",
+                           "lastManifestCommitWithFullRewrite": "1"}},
+              "protocol": proto, "metaData": meta,
+              "domainMetadata": [], "txns": [], "sidecars": []}
+        with open(os.path.join(ld, "%020d.json" % 1), "w") as f:
+            f.write(json.dumps({"checkpoint": ck}))
+        DeltaLog.clear_cache()
+        return DeltaLog.for_table(base_dir)
+
+    def amt1m_run(log):
+        # selective predicate: ~10 of 10⁶ tree entries survive — the
+        # leaves are read and pruned by executors (tree_files_df), only
+        # the survivors reach the driver
+        rows = log.files_for_scan_df(
+            spark, "k >= 5000000 AND k < 5000100 AND p = '0'").collect()
+        assert 0 < len(rows) < 100
+
+    run_median(timings, "amt_bootstrap_1m", amt1m_run, setup=amt1m_setup)
+
     run_median(timings, "dedup_minhash", mh, warmups=2)
     run_median(timings, "knn", knn, warmups=2)
     run_median(timings, "near_dups_lsh", near_dups, warmups=3)
@@ -512,10 +654,18 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         pass
+    cal_last = calibration_sec(spark)
+    noisy = (cal_first > 2 * CANARY_REF_SEC
+             or cal_last > 2 * CANARY_REF_SEC
+             or max(cal_first, cal_last) > 2 * min(cal_first, cal_last))
     print(json.dumps({"metric": "total_wall_sec", "value": total, "unit": "sec",
                       "queries": timings, "sf": sf, "iters": ITERS,
                       "parquet_queries": parquet_timings,
-                      "bench_vs_parquet": ratio}))
+                      "bench_vs_parquet": ratio,
+                      "noisy": noisy,
+                      "canary": {"ref_sec": CANARY_REF_SEC,
+                                 "first_sec": cal_first,
+                                 "last_sec": cal_last}}))
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(scratch, ignore_errors=True)
 

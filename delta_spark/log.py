@@ -581,6 +581,20 @@ class DeltaLog:
             ck = ckpts[-1]
             self._apply_checkpoint(snap, ck, metadata_only=True)
             start = ck + 1
+        # AMT tables carry the metadata-class state INLINE in the
+        # checkpoint action, so a light snapshot needs neither the tree
+        # nor the (possibly cleaned-up) pre-tree commits
+        amt_boot = self._amt_checkpoint(version)
+        if amt_boot is not None and amt_boot[0] + 1 > start:
+            from delta_spark import amt as _amt
+
+            proto, meta, domains, txns = _amt.load_meta(amt_boot[1])
+            snap.protocol = proto
+            snap._saw_protocol = True
+            snap.metadata = meta
+            snap.domain_metadata = {d.domain: d for d in domains}
+            snap.set_transactions = {t.appId: t for t in txns}
+            start = amt_boot[0] + 1
         meta_kinds = ("metaData", "protocol", "txn", "domainMetadata")
         markers = tuple(f'"{k}"' for k in meta_kinds)
         for s, e, path in self._replay_plan(start, version):
@@ -624,6 +638,27 @@ class DeltaLog:
         self._light_meta_cache = (version, snap)
         return snap
 
+    def _amt_checkpoint(self, version: int) -> Optional[tuple[int, dict]]:
+        """(version, checkpoint dict) of the newest AMT inline manifest
+        tree at/below `version`, or None. Gated on manifest-shaped
+        files under <table>/metadata so non-AMT tables (including ones
+        with a user data directory named `metadata`) pay zero extra
+        log reads."""
+        _mdir = os.path.join(self.table_path, "metadata")
+        try:
+            names = os.listdir(_mdir)
+        except OSError:
+            return None
+        if not any(n.startswith("manifest-") and n.endswith(".parquet")
+                   for n in names):
+            return None
+        from delta_spark import amt as _amt
+
+        try:
+            return _amt.find_latest_checkpoint(self, version)
+        except Exception:
+            return None
+
     def _build_snapshot(self, version: int) -> Snapshot:
         # checkpoint fallback (SnapshotManagement
         # createSnapshotFromGivenOrEquivalentLogSegment recovery rules):
@@ -641,20 +676,7 @@ class DeltaLog:
         # incremental tree, and the tree is the only state source once
         # commits below it are cleaned. The <table>/metadata dir probe
         # keeps non-AMT tables at zero extra reads.
-        amt_boot: Optional[tuple[int, dict]] = None
-        _mdir = os.path.join(self.table_path, "metadata")
-        if os.path.isdir(_mdir) and any(
-                n.startswith("manifest-") and n.endswith(".parquet")
-                for n in os.listdir(_mdir)):
-            # manifest-shaped files, not just the dir name: a user data
-            # directory called `metadata` must not trigger a full
-            # backward scan of the commit log
-            from delta_spark import amt as _amt
-
-            try:
-                amt_boot = _amt.find_latest_checkpoint(self, version)
-            except Exception:
-                amt_boot = None
+        amt_boot = self._amt_checkpoint(version)
         candidates: list = list(reversed(ckpts))
         if amt_boot is not None:
             pos = 0
@@ -923,8 +945,26 @@ class DeltaLog:
                 .filter(F.col("is_file_action")))
 
         ck_df = None
-        ck, ck_paths, commit_paths = self._log_segment_paths(version)
-        if ck_paths:
+        # AMT tables: the manifest tree is the reconstruction base when
+        # it is at least as new as any classic checkpoint — leaves are
+        # read by executors (amt.tree_files_df) and the tree is the
+        # ONLY base once pre-tree commits are cleaned up
+        amt_boot = self._amt_checkpoint(version)
+        try:
+            ck, ck_paths, commit_paths = self._log_segment_paths(version)
+        except FileNotFoundError:
+            if amt_boot is None:
+                raise
+            ck, ck_paths, commit_paths = None, [], []
+        if amt_boot is not None and (ck is None or amt_boot[0] >= ck):
+            from delta_spark import amt as _amt
+
+            ck = amt_boot[0]
+            ck_df = _amt.tree_files_df(self, spark, amt_boot[1],
+                                       stats_struct=stats_struct)
+            commit_paths = [self.commit_source(v)
+                            for v in range(ck + 1, version + 1)]
+        elif ck_paths:
             top = spark.read.parquet(*ck_paths)
             ck_df = _norm(top, F.lit(ck).cast("long"))
         if commit_paths:
@@ -1013,12 +1053,13 @@ class DeltaLog:
         max_tail = int(spark.conf.get(
             "delta_spark.scan.tailBroadcastMaxBytes", str(256 << 20)))
         if tail_bytes > max_tail:
-            return reconcile(ck_live.unionByName(tail))
+            return reconcile(ck_live.unionByName(
+                tail, allowMissingColumns=True))
         touched = tail.select("__canon").distinct()
         return (ck_live
                 .join(F.broadcast(touched), "__canon", "left_anti")
                 .drop(*drop_cols)
-                .unionByName(reconcile(tail)))
+                .unionByName(reconcile(tail), allowMissingColumns=True))
 
     def files_for_scan_df(self, spark, predicate: Optional[str] = None,
                           version: Optional[int] = None,
@@ -1989,10 +2030,16 @@ def skipping_stats_schema(schema, part_cols: set, l2p: dict):
 def addfiles_from_state_rows(rows) -> list[AddFile]:
     """AddFile dataclasses from ``state_df``/``files_for_scan_df`` rows
     (the executor-parsed form of the live file set). The DV descriptor
-    travels as a JSON string; every other field maps 1:1."""
+    travels as a JSON string; every other field maps 1:1. Rows sourced
+    from an AMT manifest tree carry ``backref_manifest``/``backref_pos``
+    — preserved as the AddFile's backReference so a later remove can
+    MDV-mask the leaf position (amt.py)."""
     out: list[AddFile] = []
     for r in rows:
+        mloc = getattr(r, "backref_manifest", None)
         out.append(AddFile(
+            backReference=({"manifest": mloc, "pos": int(r.backref_pos)}
+                           if mloc is not None else None),
             path=r.path,
             partitionValues=dict(r.partitionValues or {}),
             size=r.size or 0,

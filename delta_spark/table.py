@@ -521,7 +521,8 @@ class DeltaTable:
     _READER_WRITER_FEATURES = {"deletionVectors", "typeWidening",
                                "variantType", "columnMapping",
                                "timestampNtz", "v2Checkpoint",
-                               "vacuumProtocolCheck"}
+                               "vacuumProtocolCheck",
+                               "adaptiveMetadata-preview"}
     _WRITER_FEATURES = {"appendOnly", "invariants", "checkConstraints",
                         "generatedColumns", "changeDataFeed",
                         "identityColumns", "rowTracking",

@@ -78,6 +78,49 @@ class ConcurrentTransactionException(DeltaConcurrentException):
 MAX_RETRIES = 10
 
 
+class WinningCommitSummary:
+    """Lazy view of a winning commit for conflict classification
+    (ConflictChecker.scala:120 WinningCommitSummary). The raw commit
+    text is read once; each category access does a substring pre-probe
+    (cheap C-level scan) and JSON-parses ONLY the matching lines, so a
+    10^5-add winning commit (backfill, big append) costs O(#removes +
+    #metadata-class lines) per retry instead of O(commit size) — the
+    adds stream one line at a time, and only when the append check
+    actually needs them. The full parse happens once, on the
+    no-conflict absorb path. Stats blobs inside add lines are never
+    parsed unless that add reaches the predicate check."""
+
+    def __init__(self, log: DeltaLog, version: int):
+        content = log.store.read(log.commit_source(version))
+        self._lines = [ln for ln in content.splitlines() if ln.strip()]
+
+    def iter_actions(self, kind: str):
+        """Parsed actions of one kind, streaming. The substring probe
+        can false-positive (a column literally named like an action
+        key inside a stats blob), so every hit is confirmed by the
+        parse."""
+        from delta_spark.log import parse_action_line
+
+        marker = f'"{kind}"'
+        for ln in self._lines:
+            if marker not in ln:
+                continue
+            k, a = parse_action_line(ln)
+            if k == kind:
+                yield a
+
+    def parsed(self, kind: str) -> list:
+        return list(self.iter_actions(kind))
+
+    def any(self, kind: str) -> bool:
+        return next(self.iter_actions(kind), None) is not None
+
+    def all_actions(self) -> list[tuple[str, Any]]:
+        from delta_spark.log import parse_action_line
+
+        return [parse_action_line(ln) for ln in self._lines]
+
+
 def _validate_checkpoint_interval(cfg: Optional[dict]) -> None:
     """DeltaConfigs.CHECKPOINT_INTERVAL: 'needs to be a positive
     integer'. Rejecting at metadata-commit time (SET TBLPROPERTIES /
@@ -321,8 +364,15 @@ class OptimisticTransaction:
                 self._post_commit(attempt_version, actions)
                 return attempt_version
             except ConcurrentModificationException:
-                # a winner took this version — classify and maybe retry
-                winning = self.log.read_commit_actions(attempt_version)
+                # a winner took this version — classify and maybe retry.
+                # The summary is LAZY (WinningCommitSummary role,
+                # ConflictChecker.scala:120): category checks are
+                # substring probes + per-line parses over the raw
+                # commit text, so a 10^5-add winning commit costs O(1)
+                # parses unless the append check genuinely needs its
+                # stats — and the full parse happens once, only on the
+                # no-conflict absorb path.
+                winning = WinningCommitSummary(self.log, attempt_version)
                 self._check_conflicts(winning, actions, isolation_level, is_blind_append)
                 attempt_version += 1
         raise DeltaConcurrentException(f"exceeded {MAX_RETRIES} commit retries")
@@ -825,22 +875,59 @@ class OptimisticTransaction:
                 "lastManifestCommitWithFullRewrite", last_v))
             full = version - last_full >= interval * AMT.FULL_REWRITE_MULTIPLIER
 
-        post = self.snapshot.clone_state()
-        post.apply_actions(self._as_kinds(actions))
-        post.version = version
-        if post.protocol is None or post.metadata is None:
+        meta = self._post_meta(actions, version)
+        if meta.protocol is None or meta.metadata is None:
             return None   # initial commits without full state: skip
         if full or prev is None:
-            ck_dict = AMT.write_full(self.log, post, version)
+            from delta_spark.log import should_plan_distributed
+            if (self._spark is not None
+                    and should_plan_distributed(self._spark, self.log)):
+                # big-table path: leaf manifests are written from
+                # executors over state_df, one per range partition
+                # (AMTWriteHelper.scala:153-165); the driver only sees
+                # the pointer rows
+                ck_dict = AMT.write_full_distributed(
+                    self.log, self._spark, meta, version, actions)
+            else:
+                post = self.snapshot.clone_state()
+                post.apply_actions(self._as_kinds(actions))
+                post.version = version
+                ck_dict = AMT.write_full(self.log, post, version)
         else:
-            commit_removes = [a for a in actions if isinstance(a, RemoveFile)]
-            window = AMT.removes_between(self.log, prev.version + 1,
-                                         version - 1)
+            window = AMT.window_file_actions(self.log, prev.version + 1,
+                                             version - 1)
             ck_dict = AMT.write_incremental(
-                self.log, prev, post, version,
-                mdv_removes=window + commit_removes,
-                commit_removes=commit_removes)
+                self.log, prev, meta, version,
+                window_actions=window,
+                commit_actions=self._as_kinds(actions))
         return AMT.AMTCheckpoint(ck_dict)
+
+    def _post_meta(self, actions: list[Any], version: int):
+        """Metadata-class view of the post-commit state (protocol,
+        metadata, domain metadata, txns) computed WITHOUT cloning or
+        hydrating the snapshot's file state — the tree writers only
+        need these O(1) rows, so a light (unhydrated) snapshot stays
+        light through an AMT commit."""
+        from types import SimpleNamespace
+
+        snap = self.snapshot
+        ns = SimpleNamespace(
+            protocol=snap.protocol, metadata=snap.metadata,
+            domain_metadata=dict(snap.domain_metadata),
+            set_transactions=dict(snap.set_transactions), version=version)
+        for a in actions:
+            if isinstance(a, Protocol):
+                ns.protocol = a
+            elif isinstance(a, Metadata):
+                ns.metadata = a
+            elif isinstance(a, DomainMetadata):
+                if a.removed:
+                    ns.domain_metadata.pop(a.domain, None)
+                else:
+                    ns.domain_metadata[a.domain] = a
+            elif isinstance(a, SetTransaction):
+                ns.set_transactions[a.appId] = a
+        return ns
 
     @staticmethod
     def _as_kinds(actions: list[Any]) -> list[tuple[str, Any]]:
@@ -854,18 +941,19 @@ class OptimisticTransaction:
                 out.append((k, a))
         return out
 
-    def _check_conflicts(self, winning: list[tuple[str, Any]], ours: list[Any],
+    def _check_conflicts(self, winning: "WinningCommitSummary", ours: list[Any],
                          isolation_level: str, is_blind_append: bool) -> None:
-        win_adds = [a for k, a in winning if k == "add"]
-        win_removes = [a for k, a in winning if k == "remove"]
-        win_meta = [a for k, a in winning if k == "metaData"]
-        win_protocol = [a for k, a in winning if k == "protocol"]
-        win_txns = [a for k, a in winning if k == "txn"]
-        win_domains = [a for k, a in winning if k == "domainMetadata"]
+        """Conflict classification against the winning commit, cheapest
+        category first with early exits (ConflictChecker.scala check
+        order). File-action categories stream line-by-line off the
+        summary — the (possibly huge) add set is touched only when the
+        append check needs it, and never materialized as a list."""
+        win_txns = winning.parsed("txn")
+        win_domains = winning.parsed("domainMetadata")
 
-        if win_protocol:
+        if winning.parsed("protocol"):
             raise ProtocolChangedException("concurrent protocol update")
-        if win_meta:
+        if winning.parsed("metaData"):
             raise MetadataChangedException("concurrent metadata update")
 
         # SetTransaction conflicts (idempotent writers)
@@ -880,7 +968,7 @@ class OptimisticTransaction:
         # Added files vs our reads (ConflictChecker.scala:643).
         # Under WriteSerializable a blind append by the winner doesn't
         # invalidate us unless we're Serializable.
-        win_commit_info = [a for k, a in winning if k == "commitInfo"]
+        win_commit_info = winning.parsed("commitInfo")
         winner_blind = bool(win_commit_info and win_commit_info[0].isBlindAppend)
         check_appends = not (
             isolation_level == SNAPSHOT_ISOLATION
@@ -896,23 +984,32 @@ class OptimisticTransaction:
         # files).  A dataChange=false add at a brand-new path with no
         # corresponding remove (e.g. a third-party backfill) carries rows
         # we never saw and must conflict like any other append.
-        from delta_spark.util import canonical_log_path as _ck
-        _win_removed = {_ck(r.path) for r in win_removes}
-        win_adds = [
-            a for a in win_adds
-            if a.dataChange or not _win_removed
-        ]
-        if check_appends and win_adds and (self.read_whole_table_flag or self.read_predicates):
+        has_removes = winning.any("remove")
+        if check_appends and (self.read_whole_table_flag or self.read_predicates):
+
+            def relevant_adds():
+                for a in winning.iter_actions("add"):
+                    if a.dataChange or not has_removes:
+                        yield a
+
             if self.read_whole_table_flag:
-                raise ConcurrentAppendException("files added by concurrent writer; whole table was read")
-            schema = self.snapshot.data_schema
-            part_cols = set(self.snapshot.partition_columns)
-            for pred in self.read_predicates:
-                try:
-                    ast = P.parse_predicate(pred)
-                except P.UnsupportedPredicate:
-                    raise ConcurrentAppendException("files added; unverifiable read predicate")
-                for f in win_adds:
+                if next(relevant_adds(), None) is not None:
+                    raise ConcurrentAppendException(
+                        "files added by concurrent writer; whole table was read")
+            else:
+                schema = self.snapshot.data_schema
+                part_cols = set(self.snapshot.partition_columns)
+                asts = []
+                for pred in self.read_predicates:
+                    try:
+                        asts.append((pred, P.parse_predicate(pred)))
+                    except P.UnsupportedPredicate:
+                        if next(relevant_adds(), None) is not None:
+                            raise ConcurrentAppendException(
+                                "files added; unverifiable read predicate")
+                # one streaming pass over the winner's adds; stats are
+                # parsed per line and the scan stops at the first hit
+                for f in relevant_adds():
                     st = parse_stats_view(f.stats, schema)
                     for c in part_cols:
                         v = self.snapshot.typed_partition_values(f).get(c) if f.partitionValues else None
@@ -920,19 +1017,27 @@ class OptimisticTransaction:
                             st.min_values[c] = v
                             st.max_values[c] = v
                             st.null_count[c] = 0
-                    if P.might_contain(ast, st):
-                        raise ConcurrentAppendException(f"concurrently added file matches read predicate {pred!r}")
+                    for pred, ast in asts:
+                        if P.might_contain(ast, st):
+                            raise ConcurrentAppendException(f"concurrently added file matches read predicate {pred!r}")
 
         # Removed files vs our reads / removes (ConflictChecker.scala:677).
         # Keys are canonicalized like snapshot replay (read_files holds
-        # snapshot.active keys, which are canonical).
+        # snapshot.active keys, which are canonical). Streamed: one pass
+        # over the remove lines, nothing materialized; the delete-read
+        # conflict keeps its priority over delete-delete.
         from delta_spark.util import canonical_log_path as _ckey
 
-        win_removed_paths = {_ckey(r.path) for r in win_removes}
-        if win_removed_paths & {_ckey(p) for p in self.read_files}:
-            raise ConcurrentDeleteReadException("a file we read was concurrently deleted")
+        read_keys = {_ckey(p) for p in self.read_files}
         our_removed = {_ckey(a.path) for a in ours if isinstance(a, RemoveFile)}
-        if win_removed_paths & our_removed:
+        delete_delete = False
+        for r in winning.iter_actions("remove"):
+            key = _ckey(r.path)
+            if key in read_keys:
+                raise ConcurrentDeleteReadException("a file we read was concurrently deleted")
+            if key in our_removed:
+                delete_delete = True
+        if delete_delete:
             raise ConcurrentDeleteDeleteException("a file we delete was concurrently deleted")
 
         # no conflict → absorb winner and retry on top of it. Work on a
@@ -941,7 +1046,7 @@ class OptimisticTransaction:
         # state into concurrent in-process readers of OUR read version
         # (snapshot-isolation violation).
         absorbed = self.snapshot.clone_state()
-        absorbed.apply_actions(winning)
+        absorbed.apply_actions(winning.all_actions())
         if win_commit_info:
             # ICT monotonicity floor must include the absorbed winner —
             # the winner's authoritative time is the dedicated

@@ -1,0 +1,185 @@
+"""Distributed AMT manifest IO (delta_spark/amt.py tree_files_df /
+write_full_distributed; reference amt/AMTWriteHelper.scala:153-165
+writes one leaf manifest per Spark partition from executors, and
+AMTCheckpointProvider serves reads through a distributed Dataset).
+
+Parity contract: the executor-side tree read must reproduce exactly
+what the driver-side load_state reconstructs (paths, DV descriptors,
+leaf backReferences, MDV masking), and an executor-written full tree
+must bootstrap to the same state as a driver-written one.
+"""
+
+import os
+
+import pytest
+
+from delta_spark import DeltaLog, DeltaTable, write_delta
+from delta_spark import amt as AMT
+from delta_spark.datasets import load_table
+from delta_spark.log import addfiles_from_state_rows
+
+from tests.test_amt import _amt_commits, _conf, _mk
+
+
+def _latest_tree(path):
+    cks = _amt_commits(path)
+    assert cks, "no AMT tree written"
+    return cks[-1]
+
+
+def _grow(spark, path, sf_dir, versions=6):
+    """Append single-file commits past the cadence so the tree holds
+    leaves (entriesPerLeaf=4) and at least one incremental rewrite."""
+    li = load_table(spark, sf_dir, "lineitem").limit(40)
+    for k in range(versions):
+        write_delta(li.filter(f"l_orderkey % {versions} = {k}").coalesce(1),
+                    path, mode="append")
+
+
+def test_tree_files_df_matches_load_state(spark, tmp_table, sf_dir):
+    """Executor tree read ≡ driver load_state: same file set, same DV
+    descriptors, same leaf backReferences (incl. MDV-masked deletes)."""
+    dt = _mk(spark, tmp_table, sf_dir)
+    _grow(spark, tmp_table, sf_dir)
+    # DV delete => MDV masking on the next incremental tree
+    dt.delete("l_quantity > 45")
+    _grow(spark, tmp_table, sf_dir, versions=3)
+
+    log = DeltaLog.for_table(tmp_table)
+    v, ck = _latest_tree(tmp_table)
+    adds, *_ = AMT.load_state(log, ck)
+    want = {a.path: (a.deletionVector or {}).get("pathOrInlineDv")
+            for a in adds}
+    want_br = {a.path: (a.backReference or {}).get("manifest")
+               for a in adds}
+
+    rows = AMT.tree_files_df(log, spark, ck).collect()
+    got = {}
+    got_br = {}
+    for r in rows:
+        import json as _json
+        dv = _json.loads(r.deletionVector) if r.deletionVector else {}
+        got[r.path] = dv.get("pathOrInlineDv")
+        got_br[r.path] = r.backref_manifest
+    assert got == want
+    assert got_br == want_br
+    # at entriesPerLeaf=4 with ~8+ live files the tree MUST hold leaves
+    assert any(m is not None for m in got_br.values()), \
+        "fixture did not exercise the leaf path"
+
+
+def test_state_df_uses_tree_base_and_survives_log_cleanup(
+        spark, tmp_table, sf_dir):
+    """state_df plans from the manifest tree: with every pre-tree
+    commit JSON deleted (simulated log cleanup), the distributed
+    reconstruction still produces the full live set — and it matches
+    the snapshot replay."""
+    _mk(spark, tmp_table, sf_dir)
+    _grow(spark, tmp_table, sf_dir)
+
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    want = {f.path for f in snap.all_files}
+
+    v, _ = _latest_tree(tmp_table)
+    # wipe everything below the tree (commit jsons + classic ckpts)
+    for name in os.listdir(log.log_path):
+        if name.endswith(".json") or ".checkpoint" in name:
+            try:
+                ver = int(name.split(".")[0])
+            except ValueError:
+                continue
+            if ver < v:
+                os.unlink(os.path.join(log.log_path, name))
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(tmp_table)
+    rows = log.state_df(spark).collect()
+    assert {r.path for r in rows} == want
+    # hydrated AddFiles keep their leaf residency through state_df
+    adds = addfiles_from_state_rows(rows)
+    assert any(a.backReference for a in adds)
+    # the python snapshot path also still reconstructs (tree bootstrap)
+    snap2 = log.update()
+    assert {f.path for f in snap2.all_files} == want
+
+
+def test_light_snapshot_meta_from_tree_after_cleanup(
+        spark, tmp_table, sf_dir):
+    """A light/planning snapshot reads protocol+metadata from the
+    INLINE checkpoint action — no tree read, no pre-tree commits."""
+    _mk(spark, tmp_table, sf_dir, extra={"gov.marker": "amt"})
+    _grow(spark, tmp_table, sf_dir)
+    v, _ = _latest_tree(tmp_table)
+    log = DeltaLog.for_table(tmp_table)
+    for name in os.listdir(log.log_path):
+        if name.endswith(".json") or ".checkpoint" in name:
+            try:
+                ver = int(name.split(".")[0])
+            except ValueError:
+                continue
+            if ver < v:
+                os.unlink(os.path.join(log.log_path, name))
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(tmp_table)
+    light = log.light_snapshot()
+    assert light.metadata is not None
+    assert light.configuration.get("gov.marker") == "amt"
+    assert AMT.FEATURE in (light.protocol.writerFeatures or [])
+
+
+def test_write_full_distributed_parity(spark, tmp_table, sf_dir):
+    """An executor-written full tree bootstraps to the same state as
+    the driver-written one, and subsequent incremental rewrites chain
+    off it correctly (delete + append below the distributed tree)."""
+    dt = _mk(spark, tmp_table, sf_dir)
+    _grow(spark, tmp_table, sf_dir)
+    log = DeltaLog.for_table(tmp_table)
+    want = {f.path for f in log.update().all_files}
+
+    # force the distributed route for the next full rewrite
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    try:
+        # drive to the next FULL rewrite (interval 3 x multiplier 4):
+        # cheaper: call the writer directly against the current state
+        from types import SimpleNamespace
+        snap = log.update()
+        meta = SimpleNamespace(
+            protocol=snap.protocol, metadata=snap.metadata,
+            domain_metadata=dict(snap.domain_metadata),
+            set_transactions=dict(snap.set_transactions))
+        ckd = AMT.write_full_distributed(
+            log, spark, meta, snap.version + 1, [])
+    finally:
+        spark.conf.set("delta_spark.scan.distributedPlanning", "auto")
+    adds, proto, md, _, _ = AMT.load_state(log, ckd)
+    assert {a.path for a in adds} == want
+    assert proto.writerFeatures == snap.protocol.writerFeatures
+    assert md.schemaString == snap.metadata.schemaString
+    # leaves were actually spilled (entriesPerLeaf=4 < live count)
+    assert any(a.backReference for a in adds)
+    # and the reconstructed adds round-trip losslessly (stats kept)
+    by_path = {f.path: f for f in snap.all_files}
+    for a in adds:
+        assert a.stats == by_path[a.path].stats
+        assert a.size == by_path[a.path].size
+
+
+def test_distributed_route_through_commit(spark, tmp_table, sf_dir):
+    """End-to-end: with distributedPlanning=always, the cadence commit
+    writes its tree through the executor path and the table keeps
+    reading identically (delete -> DV -> MDV masking on a later tree)."""
+    spark.conf.set("delta_spark.scan.distributedPlanning", "always")
+    try:
+        dt = _mk(spark, tmp_table, sf_dir)
+        _grow(spark, tmp_table, sf_dir)
+        dt.delete("l_quantity > 45")
+        _grow(spark, tmp_table, sf_dir, versions=3)
+        DeltaLog.clear_cache()
+        got = DeltaTable.forPath(spark, tmp_table).toDF().count()
+        # every lineitem row appears twice across create+appends
+        assert got > 0
+        snap = DeltaLog.for_table(tmp_table).update()
+        assert _amt_commits(tmp_table), "no tree written on cadence"
+    finally:
+        spark.conf.set("delta_spark.scan.distributedPlanning", "auto")
