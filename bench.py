@@ -482,6 +482,29 @@ def main() -> None:
     run_median(timings, "plan_1m_files", plan_run,
                setup=lambda i: plan_setup(i, n_commits=400, tag="planlog1m"))
 
+    # ---- streaming: first microbatch over a 1M-file initial snapshot ----
+    # (streaming.py _build_lazy_snapshot_index: the source plans the
+    # capped first batch from the column-pruned checkpoint index —
+    # never a driver list of 10⁶ AddFiles. Shares the plan_1m fixture.)
+    def stream_plan_setup(i):
+        log = plan_setup(i, n_commits=400, tag="planlog1m")
+        return log
+
+    def stream_plan_run(log):
+        from delta_spark.streaming import DeltaStreamReader
+        DeltaLog.clear_cache()
+        r = DeltaStreamReader(None, {"path": log.table_path,
+                                     "maxfilespertrigger": "1000"})
+        off0 = r.initialOffset()
+        off1 = r._latest_offset()
+        parts = list(r.partitions(off0, off1))
+        assert len(parts) == 1000
+        # the materialized-list fallback must never fire at this scale
+        assert getattr(r, "_snap_files_cache", None) is None
+
+    run_median(timings, "stream_plan_1m", stream_plan_run,
+               setup=stream_plan_setup)
+
     # ---- streaming: drain a 10-commit backlog source→sink ----------------
     # (structured-streaming path: the delta_py source plans offsets over
     # the log tail, reads the commit files, and the exactly-once delta

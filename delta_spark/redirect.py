@@ -105,7 +105,11 @@ def resolve_table_path(path: str) -> str:
     log = DeltaLog.for_table(path)
     if not log.table_exists():
         return path
-    dest = resolve_read_path(log.table_path, log.update().configuration)
+    # metadata-class only: resolving a redirect must not materialize
+    # the table's file state (a 10⁶-file table pays seconds of driver
+    # replay for a config lookup otherwise)
+    dest = resolve_read_path(log.table_path,
+                             log.light_snapshot().configuration)
     if dest is None:
         return path
     dest_log = DeltaLog.for_table(dest)
@@ -113,7 +117,7 @@ def resolve_table_path(path: str) -> str:
         raise RedirectStateError(
             f"redirect destination {dest} is not a delta table")
     if resolve_read_path(dest_log.table_path,
-                         dest_log.update().configuration):
+                         dest_log.light_snapshot().configuration):
         raise RedirectStateError(
             f"redirect chains are not allowed: {dest} redirects again")
     return dest_log.table_path

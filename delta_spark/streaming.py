@@ -191,6 +191,105 @@ def _is_additive_change(old_json: str, new_json: str) -> bool:
 
 
 
+class _SnapshotFileIndex:
+    """Index over the initial snapshot's path-ordered file list:
+    `count`, per-index sizes (admission caps), and on-demand slice
+    hydration — the only operations the streaming source needs, so a
+    lazy backend never has to materialize every AddFile."""
+
+    def __init__(self, count: int, size_at, files_slice):
+        self.count = count
+        self.size_at = size_at          # idx -> int
+        self.files_slice = files_slice  # (lo, hi) -> list[AddFile]  [lo,hi)
+
+
+def _build_lazy_snapshot_index(log, version: int) -> "_SnapshotFileIndex":
+    """Column-pruned index build over the classic checkpoint parquet
+    (+ the bounded commit tail): only (path, size, row-id) arrays are
+    read — stats and the rest of the add struct stay on disk until a
+    microbatch's slice takes exactly its own rows
+    (pyarrow.dataset take). Raises on any layout it can't prune
+    (caller falls back to the materialized list)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from delta_spark.actions import AddFile
+    from delta_spark.util import canonical_log_path as _ckey
+
+    ck, ck_paths, commit_paths = log._log_segment_paths(version)
+    if ck is None:
+        raise ValueError("no checkpoint to prune from")
+    dset = pads.dataset(ck_paths, format="parquet")
+    tbl = dset.to_table(columns={"path": pads.field("add", "path"),
+                                 "size": pads.field("add", "size")})
+    tbl = tbl.append_column(
+        "rowid", pa.array(range(len(tbl)), pa.int64()))
+    # checkpoint rows that are adds (others: removes/metadata → null)
+    tbl = tbl.filter(pc.is_valid(tbl["path"]))
+
+    # commit tail (bounded by the checkpoint cadence): python replay
+    tail_adds: dict[str, AddFile] = {}
+    removed: set = set()
+    for v in range(ck + 1, version + 1):
+        for kind, a in log.read_commit_actions(v):
+            if kind == "remove":
+                k = _ckey(a.path)
+                tail_adds.pop(k, None)
+                removed.add(k)
+            elif kind == "add":
+                k = _ckey(a.path)
+                removed.discard(k)
+                tail_adds[k] = a
+    drop = removed | set(tail_adds)
+    if drop:
+        # paths in checkpoints may be URL-encoded; canonical comparison
+        # needs python — but only when a tail actually touched files
+        keep = pa.array([_ckey(p) not in drop
+                         for p in tbl["path"].to_pylist()])
+        tbl = tbl.filter(keep)
+
+    # global path order (vectorized sort; tail adds merge in)
+    if tail_adds:
+        extra = pa.table({
+            "path": pa.array([a.path for a in tail_adds.values()]),
+            "size": pa.array(
+                [a.size or 0 for a in tail_adds.values()], pa.int64()),
+            "rowid": pa.array([-1 - i for i in range(len(tail_adds))],
+                              pa.int64())})
+        tail_list = list(tail_adds.values())
+        tbl = pa.concat_tables(
+            [tbl.set_column(1, "size", tbl["size"].cast(pa.int64())),
+             extra])
+    else:
+        tail_list = []
+    order = pc.sort_indices(tbl, sort_keys=[("path", "ascending")])
+    sizes = tbl["size"].take(order)
+    rowids = tbl["rowid"].take(order)
+    count = len(tbl)
+
+    def files_slice(lo: int, hi: int) -> list:
+        lo, hi = max(lo, 0), min(hi, count)
+        if lo >= hi:
+            return []
+        want = rowids.slice(lo, hi - lo).to_pylist()
+        row_ids = sorted(r for r in want if r >= 0)
+        hydrated: dict[int, AddFile] = {}
+        if row_ids:
+            taken = dset.take(row_ids, columns=["add"])
+            for rid, d in zip(row_ids, taken["add"].to_pylist()):
+                hydrated[rid] = AddFile.from_json(d)
+        return [hydrated[r] if r >= 0 else tail_list[-1 - r]
+                for r in want]
+
+    def size_at(i: int) -> int:
+        v = sizes[i].as_py()
+        return int(v or 0)
+
+    return _SnapshotFileIndex(count=count, size_at=size_at,
+                              files_slice=files_slice)
+
+
 def _trace(msg):
     import os as _os
     t = _os.environ.get("DELTA_SPARK_STREAM_TRACE")
@@ -254,6 +353,11 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         ex = options.get("excluderegex")
         self.exclude_re = _re.compile(ex) if ex else None
+        try:
+            self.lazy_snapshot_threshold = int(
+                options.get("lazysnapshotthreshold", 100_000))
+        except (TypeError, ValueError):
+            self.lazy_snapshot_threshold = 100_000
         self.fail_on_data_loss = str(
             options.get("failondataloss", "true")).lower() != "false"
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
@@ -266,7 +370,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self._log = None
         self._meta_cache: dict[int, object] = {}
-        snap = self.log.update()
+        # metadata-class only: a stream against a 10⁶-file table must
+        # not materialize the file state just to learn the schema/id
+        # (the file list is served lazily via _snapshot_index)
+        snap = self.log.light_snapshot()
         self._table_id = snap.metadata.id if snap.metadata else None
         if starting_version is not None and options.get("startingtimestamp"):
             raise ValueError(
@@ -378,6 +485,40 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._snap_files_cache = (version, files)
         return files
 
+    def _snapshot_index(self, version: int) -> "_SnapshotFileIndex":
+        """Initial-snapshot file list as a LAZY index. Past the
+        lazy-snapshot threshold (option lazySnapshotThreshold, default
+        100k actions, estimated from the free `_last_checkpoint` size),
+        the index is built COLUMN-PRUNED from the checkpoint parquet —
+        only (path, size) arrays ever materialize in the source
+        process; each microbatch's slice hydrates its own AddFiles via
+        a row-index take. This keeps latestOffset/partitions sub-second
+        on a 10⁶-file table where building 10⁶ AddFile objects in the
+        driver python worker would dominate (the reference keeps the
+        snapshot files in a Dataset for the same reason,
+        DeltaSourceSnapshot). Falls back to the materialized list on
+        any layout it can't prune (no checkpoint, V2 sidecar schema
+        mix, AMT tree, path-filter option)."""
+        cached = getattr(self, "_snap_index_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        idx = None
+        if self.exclude_re is None:
+            n = self.log.checkpointed_action_count()
+            if n is not None and n >= self.lazy_snapshot_threshold:
+                try:
+                    idx = _build_lazy_snapshot_index(self.log, version)
+                except Exception:
+                    idx = None
+        if idx is None:
+            files = self._snapshot_files(version)
+            idx = _SnapshotFileIndex(
+                count=len(files),
+                size_at=lambda i, fs=files: fs[i].size or 0,
+                files_slice=lambda lo, hi, fs=files: fs[lo:hi])
+        self._snap_index_cache = (version, idx)
+        return idx
+
     def _commit_adds(self, version: int) -> list[AddFile]:
         # commit JSONs are immutable per version: cache the parsed adds
         # (each trigger reads a version ~3× — latestOffset admission,
@@ -481,9 +622,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         after `pos`, in offset order."""
         v, i, snap = pos["version"], pos["index"], pos["isInitialSnapshot"]
         if snap:
-            sf = self._snapshot_files(v)
-            for idx in range(max(i + 1, 0), len(sf)):
-                yield (v, idx, sf[idx].size or 0, True)
+            sf = self._snapshot_index(v)
+            for idx in range(max(i + 1, 0), sf.count):
+                yield (v, idx, sf.size_at(idx), True)
         elif i < (1 << 62):
             adds = self._commit_adds(v)
             for idx in range(i + 1, len(adds)):
@@ -611,13 +752,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         ev, ei, esnap = end["version"], end["index"], end["isInitialSnapshot"]
         start_snapshot_v = sv if ssnap else -1
         if ssnap:
-            # files of the initial snapshot at sv, from index si+1
-            snap_files = self._snapshot_files(sv)
+            # files of the initial snapshot at sv, from index si+1 —
+            # hydrated as a SLICE off the index, so a rate-capped drain
+            # over a huge snapshot only materializes its own microbatch
+            sidx = self._snapshot_index(sv)
             hi = ei if (esnap and ev == sv) else (1 << 62)
-            for idx, f in enumerate(snap_files):
-                if si < idx <= hi:
-                    files.append(f)
-                    files_versions.append((f, sv))
+            sl = sidx.files_slice(si + 1, min(hi, sidx.count - 1) + 1)
+            files.extend(sl)
+            files_versions.extend((f, sv) for f in sl)
         commit_versions: list[int] = []
         if not ssnap and si < (1 << 62):
             # unfinished tail of commit sv
