@@ -34,14 +34,19 @@ Iceberg V4 field ids are stamped onto the manifest parquet schema
 (amt/actions.scala field-spec table) so an Iceberg-V4-aware reader can
 resolve columns by id.
 
-Deviations (documented): no deferred OPTIMIZE CHECKPOINT maintenance
-commits — full rewrites happen inline on the triggering commit (the
-tree still describes that commit's version); `content_stats`,
-`key_metadata` and `split_offsets` are carried as nulls (Delta stats
-stay in ``AddFile.stats``, which the tree preserves verbatim in
-``tracking``-adjacent columns is NOT needed since adds are rebuilt from
-the entries); manifests are read driver-side (they are metadata-scale:
-leaves are bounded by ``delta_spark.amt.entriesPerLeaf``).
+Deviations (documented in DEVIATIONS.md): no deferred OPTIMIZE
+CHECKPOINT maintenance commits — full rewrites happen inline on the
+triggering commit (the tree still describes that commit's version);
+`content_stats`, `key_metadata` and `split_offsets` are carried as
+nulls (the AddFile's stats ride in the dedicated ``delta_stats``
+column, everything else in ``delta_add_json``, so reconstruction is
+lossless).
+
+Distributed IO (round 7): ``tree_files_df`` reads leaves from
+executors (MDV masking via ``_metadata.row_index``) and
+``write_full_distributed`` flushes one leaf manifest per range
+partition from executors (AMTWriteHelper.scala:153-165); the driver
+paths below remain for small trees and single-process readers.
 """
 
 from __future__ import annotations

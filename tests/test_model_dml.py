@@ -167,3 +167,195 @@ def test_randomized_dml_cdf_matches_model_diffs(spark, tmp_table, seed, dv):
         assert got.get("delete", set()) == dels, f"v{ver} deletes"
         assert got.get("update_preimage", set()) == pre, f"v{ver} pre"
         assert got.get("update_postimage", set()) == post, f"v{ver} post"
+
+
+# ---------------------------------------------------------------------------
+# AMT interplay: the randomized DML schedule over an AMT-enabled table
+# (adaptiveMetadata-preview), with OPTIMIZE and RESTORE mixed in, and
+# bootstrap-vs-linear-replay equality checked after EVERY commit
+# (reference analogue: the amt/ suite's cadence/restore interactions).
+# ---------------------------------------------------------------------------
+
+_AMT_CONF = {
+    "delta_spark.catalogManaged.catalog": "filesystem",
+    "delta.enableRowTracking": "true",
+    "delta.enableDeletionVectors": "true",
+    "delta.columnMapping.mode": "id",
+    "delta.feature.domainMetadata": "supported",
+    "delta.feature.adaptiveMetadata-preview": "supported",
+    "delta.checkpointInterval": "2",      # a tree every 2 commits
+    "delta_spark.amt.entriesPerLeaf": "3",  # leaves + MDVs early
+    # the fuzz schedule runs OPTIMIZE; grant maintenance on this
+    # catalog-managed table (PROTOCOL.md maintenance rules)
+    "delta_spark.catalogManaged.allowMaintenanceOps": "true",
+}
+
+
+def _bootstrap_equals_replay(path, seed, step):
+    """The AMT tree bootstrap must reconstruct exactly the state the
+    pure linear commit replay produces — file set (with DV identity),
+    metadata, protocol, domains, txns."""
+    from delta_spark import DeltaLog
+    from delta_spark.snapshot import Snapshot
+    from delta_spark.util import canonical_log_path as _ckey
+
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(path)
+    v = log.latest_version()
+    boot = log.update()          # prefers the AMT tree when present
+
+    replay = Snapshot(log.table_path, v)
+    log._apply_commit_range(replay, 0, v)
+
+    def fp(snap):
+        return {
+            _ckey(f.path): ((f.deletionVector or {}).get("pathOrInlineDv"),
+                            f.size)
+            for f in snap.active.values()}
+
+    ctx = f"seed={seed} step={step} v={v}"
+    assert fp(boot) == fp(replay), f"{ctx}: file set diverged"
+    assert boot.metadata.schemaString == replay.metadata.schemaString, ctx
+    assert (sorted(boot.protocol.writerFeatures or [])
+            == sorted(replay.protocol.writerFeatures or [])), ctx
+    assert set(boot.domain_metadata) == set(replay.domain_metadata), ctx
+    assert set(boot.set_transactions) == set(replay.set_transactions), ctx
+
+
+def _run_amt_scenario(spark, path, seed):
+    rng = random.Random(seed)
+    next_key = 0
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = list(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    rows = [(k, rng.randrange(100), rng.choice(CATS))
+            for k in fresh_keys(8)]
+    model = {k: (v, c) for k, v, c in rows}
+    write_delta(_df(spark, rows), path, configuration=_AMT_CONF)
+    dt = DeltaTable.forPath(spark, path)
+    history = [dict(model)]
+    _bootstrap_equals_replay(path, seed, "init")
+
+    for step in range(10):
+        op = rng.choice(["append", "delete", "update", "merge",
+                         "optimize", "restore"])
+        if op == "append":
+            rows = [(k, rng.randrange(100), rng.choice(CATS))
+                    for k in fresh_keys(rng.randrange(1, 5))]
+            model.update({k: (v, c) for k, v, c in rows})
+            write_delta(_df(spark, rows), path, mode="append")
+        elif op == "delete":
+            m, r = rng.randrange(2, 5), rng.randrange(0, 2)
+            dt.delete(f"v % {m} = {r}")
+            model = {k: (v, c) for k, (v, c) in model.items()
+                     if not (v % m == r)}
+        elif op == "update":
+            cat = rng.choice(CATS)
+            add = rng.randrange(1, 20)
+            dt.update({"v": f"v + {add}"}, f"cat = '{cat}'")
+            model = {k: (v + add if c == cat else v, c)
+                     for k, (v, c) in model.items()}
+        elif op == "merge":
+            existing = sorted(model)
+            upd = rng.sample(existing, min(3, len(existing)))
+            ins = fresh_keys(rng.randrange(1, 3))
+            src_rows = ([(k, rng.randrange(100, 200), rng.choice(CATS))
+                         for k in upd]
+                        + [(k, rng.randrange(200, 300), rng.choice(CATS))
+                           for k in ins])
+            (dt.merge(_df(spark, src_rows).alias("s"), "t.k = s.k",
+                      target_alias="t")
+             .whenMatchedUpdate(set={"v": "s.v", "cat": "s.cat"})
+             .whenNotMatchedInsertAll()
+             .execute())
+            model.update({k: (v, c) for k, v, c in src_rows})
+        elif op == "optimize":
+            dt.optimize().executeCompaction()
+        else:  # restore to a random earlier version
+            ver = rng.randrange(len(history))
+            dt.restoreToVersion(ver)
+            model = dict(history[ver])
+        history.append(dict(model))
+        _bootstrap_equals_replay(path, seed, step)
+        assert {r["k"]: (r["v"], r["cat"])
+                for r in dt.toDF().collect()} == model, \
+            f"seed={seed} step={step} op={op}"
+
+    # time travel below the tree still reproduces the model
+    for ver in rng.sample(range(len(history)), 3):
+        got = {r["k"]: (r["v"], r["cat"])
+               for r in dt.asOfVersion(ver).collect()}
+        assert got == history[ver], f"seed={seed} version={ver}"
+
+
+@pytest.mark.parametrize("seed", [71, 83])
+def test_randomized_dml_over_amt_table(spark, tmp_table, seed):
+    _run_amt_scenario(spark, tmp_table, seed)
+
+
+@pytest.mark.parametrize("seed", [91])
+def test_cdf_diffs_below_the_tree(spark, tmp_table, seed):
+    """CDF reads of versions BELOW the latest AMT tree must still equal
+    the model diffs (the tree keeps root tombstones for CDF parity;
+    commits also carry their actions inline)."""
+    rng = random.Random(seed)
+    conf = dict(_AMT_CONF)
+    conf["delta.enableChangeDataFeed"] = "true"
+    next_key = 0
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = list(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    rows = [(k, rng.randrange(100), rng.choice(CATS))
+            for k in fresh_keys(10)]
+    model = {k: (v, c) for k, v, c in rows}
+    write_delta(_df(spark, rows), tmp_table, configuration=conf)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    history = [dict(model)]
+    for _ in range(6):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            rows = [(k, rng.randrange(100), rng.choice(CATS))
+                    for k in fresh_keys(rng.randrange(1, 4))]
+            model.update({k: (v, c) for k, v, c in rows})
+            write_delta(_df(spark, rows), tmp_table, mode="append")
+        elif op == "delete":
+            m, r = rng.randrange(2, 5), rng.randrange(0, 2)
+            dt.delete(f"v % {m} = {r}")
+            model = {k: (v, c) for k, (v, c) in model.items()
+                     if not (v % m == r)}
+        else:
+            cat = rng.choice(CATS)
+            add = rng.randrange(1, 20)
+            dt.update({"v": f"v + {add}"}, f"cat = '{cat}'")
+            model = {k: (v + add if c == cat else v, c)
+                     for k, (v, c) in model.items()}
+        history.append(dict(model))
+    # every version's change feed, all read through a fresh log whose
+    # snapshot bootstraps from the tree
+    from delta_spark import DeltaLog
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, tmp_table)
+    for ver in range(1, len(history)):
+        prev, cur = history[ver - 1], history[ver]
+        got = {}
+        for r in dt.table_changes(ver, ver).collect():
+            got.setdefault(r["_change_type"], set()).add(
+                (r["k"], r["v"], r["cat"]))
+        ins = {(k, *cur[k]) for k in cur.keys() - prev.keys()}
+        dels = {(k, *prev[k]) for k in prev.keys() - cur.keys()}
+        pre = {(k, *prev[k]) for k in cur.keys() & prev.keys()
+               if prev[k] != cur[k]}
+        post = {(k, *cur[k]) for k in cur.keys() & prev.keys()
+                if prev[k] != cur[k]}
+        assert got.get("insert", set()) == ins, f"v{ver} inserts"
+        assert got.get("delete", set()) == dels, f"v{ver} deletes"
+        assert got.get("update_preimage", set()) == pre, f"v{ver} pre"
+        assert got.get("update_postimage", set()) == post, f"v{ver} post"
