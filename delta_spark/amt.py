@@ -913,3 +913,64 @@ def write_full_distributed(log, spark, meta, version: int,
         protocol=meta.protocol, metadata=meta.metadata,
         domains=list(meta.domain_metadata.values()),
         txns=list(meta.set_transactions.values()))
+
+
+# -------------------------------------------------- manifest GC ----
+
+def referenced_manifests(log) -> set:
+    """Table-root-relative locations of every manifest reachable from
+    any inline checkpoint action still present in the log: the roots
+    named by retained `checkpoint` actions plus the leaves their
+    pointers reference. Bounded by the retention window (runs AFTER
+    commit cleanup)."""
+    refs: set = set()
+    for v in log.list_commit_versions():
+        try:
+            content = log.store.read(log.commit_source(v))
+        except OSError:
+            continue
+        if '"checkpoint"' not in content:
+            continue
+        for kind, a in log.read_commit_actions(v):
+            if kind != "checkpoint":
+                continue
+            root = a["contentRoot"]["path"]
+            refs.add(root)
+            try:
+                for row in _read_manifest(log.table_path, root):
+                    if row["content_type"] == DATA_MANIFEST:
+                        refs.add(row["location"])
+            except OSError:
+                continue
+    return refs
+
+
+def cleanup_unreferenced_manifests(log, cutoff_ms: int) -> int:
+    """GC manifests no longer reachable from any retained tree — old
+    full-rewrite generations and orphans of failed distributed writes.
+    The mtime cutoff (the log-retention cutoff) protects manifests an
+    in-flight commit wrote before its commit JSON landed. Returns the
+    number deleted. (Reference analogue: the amt/ module's maintenance
+    cleanup of superseded manifests.)"""
+    mdir = metadata_dir(log.table_path)
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        return 0
+    victims = [n for n in names
+               if n.startswith("manifest-") and n.endswith(".parquet")]
+    if not victims:
+        return 0
+    refs = {os.path.basename(r) for r in referenced_manifests(log)}
+    deleted = 0
+    for n in victims:
+        if n in refs:
+            continue
+        p = os.path.join(mdir, n)
+        try:
+            if os.stat(p).st_mtime * 1000 < cutoff_ms:
+                os.remove(p)
+                deleted += 1
+        except OSError:
+            pass
+    return deleted

@@ -1868,12 +1868,14 @@ class DeltaLog:
         # source exactly like a classic checkpoint: the newest one is a
         # valid cleanup ceiling (the carrying commit itself survives)
         amt_ceiling = -1
+        amt_table = False
         _mdir = os.path.join(self.table_path, "metadata")
         if os.path.isdir(_mdir) and any(
                 n.startswith("manifest-") and n.endswith(".parquet")
                 for n in os.listdir(_mdir)):
             from delta_spark import amt as _amt
 
+            amt_table = True
             try:
                 found = _amt.find_latest_checkpoint(
                     self, self.latest_version())
@@ -1966,6 +1968,19 @@ class DeltaLog:
                         deleted += 1
                 except OSError:
                     pass
+        # AMT manifest GC: manifests unreachable from any RETAINED
+        # inline checkpoint (superseded full-rewrite generations,
+        # orphans of failed distributed writes) go with the same
+        # cutoff; runs after commit deletion so the reference set is
+        # exactly what the surviving log can still bootstrap from
+        if amt_table:
+            from delta_spark import amt as _amt
+
+            try:
+                deleted += _amt.cleanup_unreferenced_manifests(
+                    self, cutoff)
+            except Exception:
+                pass
         if deleted:
             self.invalidate()
         return deleted

@@ -183,3 +183,46 @@ def test_distributed_route_through_commit(spark, tmp_table, sf_dir):
         assert _amt_commits(tmp_table), "no tree written on cadence"
     finally:
         spark.conf.set("delta_spark.scan.distributedPlanning", "auto")
+
+
+def test_manifest_gc_reclaims_superseded_trees(spark, tmp_table, sf_dir):
+    """Log cleanup also GCs manifests unreachable from any RETAINED
+    inline checkpoint: superseded full-rewrite generations and orphans
+    of failed writes go; everything the surviving log can bootstrap
+    from stays (amt.cleanup_unreferenced_manifests)."""
+    import glob
+
+    from delta_spark.util import current_time_millis
+
+    _mk(spark, tmp_table, sf_dir)
+    # many trees: interval 3 -> trees at ~every 3rd commit, plus an
+    # incremental chain and at least one full rewrite (3 x 4 = 12)
+    _grow(spark, tmp_table, sf_dir, versions=6)
+    _grow(spark, tmp_table, sf_dir, versions=6)
+    _grow(spark, tmp_table, sf_dir, versions=4)
+
+    mdir = os.path.join(tmp_table, "metadata")
+    before = set(glob.glob(os.path.join(mdir, "manifest-*.parquet")))
+    assert len(before) > 3
+    # plant an orphan (a failed distributed write's leftover leaf)
+    orphan = os.path.join(mdir, "manifest-orphan-dead.parquet")
+    import shutil as _sh
+    _sh.copy(sorted(before)[0], orphan)
+
+    log = DeltaLog.for_table(tmp_table)
+    want = {f.path for f in log.update().all_files}
+    deleted = log.cleanup_expired_logs(
+        now_ms=current_time_millis() + log.log_retention_ms() + 60_000)
+    assert deleted > 0
+    after = set(glob.glob(os.path.join(mdir, "manifest-*.parquet")))
+    assert orphan not in after, "orphan manifest survived GC"
+    assert len(after) < len(before) + 1, "no superseded manifest reclaimed"
+
+    # the table still bootstraps from the surviving tree alone
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(tmp_table)
+    snap = log.update()
+    assert {f.path for f in snap.all_files} == want
+    # and the distributed read leg agrees
+    rows = log.state_df(spark).collect()
+    assert {r.path for r in rows} == want
