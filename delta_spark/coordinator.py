@@ -38,6 +38,10 @@ from typing import Optional
 
 COORDINATOR_PROP = "delta.coordinatedCommits.commitCoordinator-preview"
 BATCH_SIZE_PROP = "delta.coordinatedCommits.batchSize-preview"
+# per-coordinator JSON conf (DeltaConfig.scala:959
+# COORDINATED_COMMITS_COORDINATOR_CONF); the 'external' coordinator
+# reads its file-backed table location from it: {"externalRoot": path}
+COORDINATOR_CONF_PROP = "delta.coordinatedCommits.commitCoordinatorConf-preview"
 STAGED_DIR = "_staged_commits"
 MARKER_DIR = "_commits"
 
@@ -171,11 +175,149 @@ class FileSystemCommitCoordinator(CommitCoordinatorClient):
                     pass
 
 
+class ExternalTableCommitCoordinator(CommitCoordinatorClient):
+    """The DynamoDB commit-coordinator scheme (reference
+    dynamodb-commit-coordinator/DynamoDBCommitCoordinatorClient.java)
+    over a file-backed external table OUTSIDE the table's filesystem,
+    durable across OS processes.
+
+    The coordinator owns the table's head pointer: version N is
+    accepted iff the exactly-one-winner conditional creation of N's
+    record succeeds AND N-1 is the accepted head — the reference's
+    conditional-update expression `latestVersion == attemptVersion - 1`
+    (DynamoDBCommitCoordinatorClient.java:186). Losing to an existing
+    record is RETRYABLE (someone committed first, :195); a continuity
+    gap is NOT (:197). The unbackfilled tail is served from the
+    records, and the table's path is pinned at onboarding (the
+    pathCheck role). Records are keyed per table under
+    ``external_root`` — the "DynamoDB table"; the conditional put is an
+    ``O_CREAT|O_EXCL`` create, atomic across processes."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, log_path: str) -> str:
+        import hashlib
+
+        key = hashlib.sha1(os.path.abspath(log_path).encode()).hexdigest()
+        return os.path.join(self.root, key)
+
+    def _rec(self, log_path: str, version: int) -> str:
+        return os.path.join(self._dir(log_path),
+                            "version-%020d.json" % version)
+
+    def _latest(self, log_path: str) -> Optional[int]:
+        try:
+            names = os.listdir(self._dir(log_path))
+        except FileNotFoundError:
+            return None
+        vs = [int(n[len("version-"):-len(".json")]) for n in names
+              if n.startswith("version-") and n.endswith(".json")]
+        return max(vs) if vs else None
+
+    def commit(self, log_path, version, staged_path, timestamp):
+        d = self._dir(log_path)
+        os.makedirs(d, exist_ok=True)
+        latest = self._latest(log_path)
+        if latest is not None:
+            if version <= latest:
+                # retryable: a winner already holds this (or a later)
+                # version — the writer rebases and retries
+                raise CommitConflictException(
+                    f"version {version} already accepted by the "
+                    f"coordinator (head {latest})")
+            if version != latest + 1:
+                raise ValueError(
+                    f"commit version {version} is not valid; the "
+                    f"coordinator's head is {latest} (expected "
+                    f"{latest + 1}) — unretryable gap")
+            with open(self._rec(log_path, latest)) as f:
+                head = json.load(f)
+            if os.path.abspath(head["logPath"]) != os.path.abspath(log_path):
+                raise ValueError(
+                    "coordinated-commits external record belongs to a "
+                    f"different table path {head['logPath']!r} "
+                    "(pathCheck)")
+        # else: onboarding (registerTable role) — the first coordinated
+        # commit pins the path and seeds the head pointer
+        payload = json.dumps({
+            "logPath": os.path.abspath(log_path),
+            "stagedFile": os.path.basename(staged_path),
+            "timestamp": int(timestamp), "backfilled": False})
+        try:
+            fd = os.open(self._rec(log_path, version),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictException(
+                f"version {version} registered by a concurrent writer")
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        return Commit(version, staged_path, int(timestamp))
+
+    def get_commits(self, log_path, start_version=0):
+        d = self._dir(log_path)
+        try:
+            names = sorted(os.listdir(d))
+        except FileNotFoundError:
+            return []
+        out = []
+        for name in names:
+            if not (name.startswith("version-") and name.endswith(".json")):
+                continue
+            v = int(name[len("version-"):-len(".json")])
+            if v < start_version:
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if rec.get("backfilled"):
+                continue
+            out.append(Commit(
+                v, os.path.join(log_path, STAGED_DIR, rec["stagedFile"]),
+                int(rec["timestamp"])))
+        return out
+
+    def register_backfill(self, log_path, version):
+        import uuid
+
+        d = self._dir(log_path)
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not (name.startswith("version-") and name.endswith(".json")):
+                continue
+            v = int(name[len("version-"):-len(".json")])
+            if v > version:
+                continue
+            p = os.path.join(d, name)
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+                if rec.get("backfilled"):
+                    continue
+                rec["backfilled"] = True
+                tmp = f"{p}.{uuid.uuid4().hex}.new"
+                with open(tmp, "w") as f:
+                    f.write(json.dumps(rec))
+                os.replace(tmp, p)
+            except (OSError, ValueError):
+                continue
+
+
 _IN_MEMORY = InMemoryCommitCoordinator()
 COORDINATORS: dict[str, CommitCoordinatorClient] = {
     "in-memory": _IN_MEMORY,
     "filesystem": FileSystemCommitCoordinator(),
 }
+# "external" coordinators are built per externalRoot from the
+# commitCoordinatorConf-preview JSON (DeltaConfig.scala:959) and cached
+_EXTERNAL_CACHE: dict[str, ExternalTableCommitCoordinator] = {}
 
 
 def batch_size(configuration: Optional[dict]) -> int:
@@ -224,8 +366,25 @@ def coordinator_for(configuration: Optional[dict]) -> Optional[CommitCoordinator
     name = (configuration or {}).get(COORDINATOR_PROP)
     if not name:
         return None
+    if str(name) == "external":
+        raw = (configuration or {}).get(COORDINATOR_CONF_PROP) or "{}"
+        try:
+            conf = json.loads(raw)
+        except ValueError:
+            raise ValueError(
+                f"{COORDINATOR_CONF_PROP} must be JSON, got {raw!r}")
+        root = conf.get("externalRoot")
+        if not root:
+            raise ValueError(
+                f"the 'external' commit coordinator requires "
+                f"{COORDINATOR_CONF_PROP} JSON with an 'externalRoot' "
+                f"(the file-backed external table's location)")
+        inst = _EXTERNAL_CACHE.get(root)
+        if inst is None:
+            inst = _EXTERNAL_CACHE[root] = ExternalTableCommitCoordinator(root)
+        return inst
     try:
         return COORDINATORS[str(name)]
     except KeyError:
         raise ValueError(f"unknown commit coordinator {name!r}; "
-                         f"known: {sorted(COORDINATORS)}")
+                         f"known: {sorted(COORDINATORS) + ['external']}")

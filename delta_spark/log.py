@@ -176,6 +176,45 @@ class DeltaLog:
 
     # ------------------------------------------------------- listing ----
 
+    def _candidate_coordinators(self) -> list:
+        """Coordinators whose tail may hold this table's unbackfilled
+        commits: the static registry (in-memory/filesystem — confless),
+        every already-built external coordinator, and — once per
+        DeltaLog — the config-driven external coordinator discovered
+        from the table's own (backfilled-prefix) metadata, so a FRESH
+        process can see a tail held by an external coordinator it has
+        never been handed explicitly. The probe is recursion-guarded
+        (the light snapshot it reads lists only filesystem-visible
+        commits) and memoized for the DeltaLog's lifetime — a commit
+        path that resolves the coordinator from live config fills
+        _EXTERNAL_CACHE, which IS consulted every listing, so the memo
+        staying stale only affects a pure reader in a process that
+        never touches the table's config after the coordinator was
+        enabled elsewhere (clear_cache() re-probes)."""
+        from delta_spark import coordinator as C
+
+        out = list(C.COORDINATORS.values())
+        out.extend(C._EXTERNAL_CACHE.values())
+        ext = getattr(self, "_ext_coord_probe", None)
+        if ext is None and not getattr(self, "_in_coord_probe", False):
+            self._in_coord_probe = True
+            try:
+                cfg = self.light_snapshot().configuration
+                c = C.coordinator_for(cfg)
+                self._ext_coord_probe = c if c is not None else False
+            except Exception:
+                self._ext_coord_probe = False
+            finally:
+                self._in_coord_probe = False
+            ext = self._ext_coord_probe
+        if ext:
+            out.append(ext)
+        uniq = []
+        for c in out:
+            if all(c is not s for s in uniq):
+                uniq.append(c)
+        return uniq
+
     def list_commit_versions(self) -> list[int]:
         """Backfilled commit files merged with the coordinated-commit
         tail: a registered-but-not-backfilled commit (crash window, or
@@ -197,7 +236,7 @@ class DeltaLog:
             if m:
                 fs.add(int(m.group(1)))
         tail: dict[int, str] = {}
-        for coord in C.COORDINATORS.values():
+        for coord in self._candidate_coordinators():
             for c in coord.get_commits(self.log_path):
                 if c.version not in fs and os.path.exists(c.file_path):
                     tail[c.version] = c.file_path

@@ -166,3 +166,147 @@ def test_checkpoint_drains_tail(spark, tmp_table, sf_dir):
     have = {os.path.basename(p) for p in glob.glob(os.path.join(log_path, "0*.json"))}
     assert {"%020d.json" % v for v in range(6)} <= have
     assert C.COORDINATORS["filesystem"].get_commits(log_path) == []
+
+
+# ---------------------------------------------------------------------------
+# ExternalTableCommitCoordinator: the DynamoDB scheme over a file-backed
+# external table (reference dynamodb-commit-coordinator/
+# DynamoDBCommitCoordinatorClient.java)
+# ---------------------------------------------------------------------------
+
+def _ext_conf(root):
+    return {C.COORDINATOR_PROP: "external",
+            C.COORDINATOR_CONF_PROP: json.dumps({"externalRoot": str(root)})}
+
+
+def test_external_coordinator_end_to_end(spark, tmp_table, sf_dir, tmp_path):
+    """Create → DELETE → UPDATE through the external coordinator; the
+    head-pointer records live OUTSIDE the table's filesystem and mark
+    backfilled after the classic file lands."""
+    root = tmp_path / "coord_table"
+    df = _li(spark, sf_dir)
+    write_delta(df, tmp_table, configuration=_ext_conf(root))
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("l_quantity > 40")
+    dt.update({"l_discount": "l_discount + CAST(0.01 AS DOUBLE)"},
+              "l_quantity < 5")
+    want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
+    assert dt.toDF().count() == want
+    assert dt.asOfVersion(0).count() == df.count()
+    assert dt.history().count() == 3
+    # records exist in the external table, all backfilled (batch 1)
+    recs = glob.glob(os.path.join(str(root), "*", "version-*.json"))
+    assert len(recs) == 3
+    for p in recs:
+        with open(p) as f:
+            assert json.load(f)["backfilled"] is True
+
+
+def test_external_coordinator_head_pointer_semantics(tmp_path):
+    """The conditional-update contract
+    (DynamoDBCommitCoordinatorClient.java:186-198): exactly one winner
+    per version (retryable loss), continuity gaps unretryable, path
+    pinned at onboarding."""
+    coord = C.ExternalTableCommitCoordinator(str(tmp_path / "ext"))
+    lp = str(tmp_path / "tbl" / "_delta_log")
+    coord.commit(lp, 5, os.path.join(lp, C.STAGED_DIR, "a.json"), 100)
+    # same version again -> retryable conflict
+    with pytest.raises(C.CommitConflictException):
+        coord.commit(lp, 5, os.path.join(lp, C.STAGED_DIR, "b.json"), 101)
+    # stale writer (head moved past it) -> retryable conflict
+    coord.commit(lp, 6, os.path.join(lp, C.STAGED_DIR, "c.json"), 102)
+    with pytest.raises(C.CommitConflictException):
+        coord.commit(lp, 6, os.path.join(lp, C.STAGED_DIR, "d.json"), 103)
+    # continuity gap -> unretryable
+    with pytest.raises(ValueError, match="gap"):
+        coord.commit(lp, 9, os.path.join(lp, C.STAGED_DIR, "e.json"), 104)
+    # unbackfilled tail served from the records
+    tail = coord.get_commits(lp)
+    assert [c.version for c in tail] == [5, 6]
+    coord.register_backfill(lp, 5)
+    assert [c.version for c in coord.get_commits(lp)] == [6]
+
+
+def test_external_coordinator_registration_linearizes(tmp_path):
+    """Thread race for one version: exactly one winner."""
+    import threading as th
+
+    coord = C.ExternalTableCommitCoordinator(str(tmp_path / "ext"))
+    lp = str(tmp_path / "tbl" / "_delta_log")
+    coord.commit(lp, 0, os.path.join(lp, C.STAGED_DIR, "seed.json"), 1)
+    winners, losers = [], []
+    barrier = th.Barrier(8)
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            coord.commit(lp, 1,
+                         os.path.join(lp, C.STAGED_DIR, f"w{i}.json"), 2)
+            winners.append(i)
+        except C.CommitConflictException:
+            losers.append(i)
+
+    ts = [th.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(winners) == 1 and len(losers) == 7
+
+
+_EXT_MP_WORKER = r"""
+import sys, json
+table, root, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+sys.path.insert(0, {repo!r})
+from delta_spark.actions import AddFile
+from delta_spark.log import DeltaLog
+from delta_spark.transaction import DeltaConcurrentException, OptimisticTransaction
+landed = []
+for k in range(n):
+    while True:
+        DeltaLog.clear_cache()
+        log = DeltaLog.for_table(table)
+        txn = OptimisticTransaction(log)
+        try:
+            v = txn.commit([AddFile(path=f"w{{wid}}_{{k}}.parquet", size=1,
+                                    modificationTime=1)], "WRITE")
+            landed.append(v)
+            break
+        except DeltaConcurrentException:
+            continue
+print(",".join(map(str, landed)))
+"""
+
+
+def test_external_coordinator_multiprocess_writers(spark, tmp_table, sf_dir,
+                                                   tmp_path):
+    """Four OS processes race through the external coordinator (the
+    coordinator comes from TABLE CONFIG, so workers pick it up from
+    the snapshot): contiguous versions, no lost updates."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path / "coord_table"
+    write_delta(_li(spark, sf_dir, 20), tmp_table,
+                configuration=_ext_conf(root))
+
+    n_workers, n_commits = 4, 5
+    script = _EXT_MP_WORKER.format(repo=repo)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, tmp_table, str(root),
+         str(w), str(n_commits)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for w in range(n_workers)]
+    landed = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        landed.extend(int(x) for x in out.strip().split(","))
+    assert sorted(landed) == list(range(1, n_workers * n_commits + 1))
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(tmp_table).update()
+    paths = {f.path for f in snap.all_files}
+    for w in range(n_workers):
+        for k in range(n_commits):
+            assert f"w{w}_{k}.parquet" in paths
