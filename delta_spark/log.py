@@ -1141,18 +1141,57 @@ class DeltaLog:
         stat_fields, stats_schema = skipping_stats_schema(
             schema, part_cols, l2p)
         column_types = {f.name: f.dataType.simpleString() for f in schema.fields}
-        cond = P.skipping_condition_sql(
-            ast, column_types, part_cols, l2p,
-            stat_cols={f.name for f in stat_fields})
+
+        # split top-level conjuncts: partition-only conditions compile
+        # to a filter over the native partitionValues map and run
+        # BEFORE the stats struct materializes, so from_json(stats) —
+        # the allocation-heavy part of pruning at 10⁶ files — touches
+        # only the partition survivors (conjunct-wise might_contain is
+        # exactly how an AND prunes, so the split changes no results)
+        def _conjuncts(n):
+            if isinstance(n, P.And):
+                yield from _conjuncts(n.left)
+                yield from _conjuncts(n.right)
+            else:
+                yield n
+
+        part_nodes, rest_nodes = [], []
+        for c in _conjuncts(ast):
+            refs = P.references(c)
+            (part_nodes if refs and refs <= part_cols
+             else rest_nodes).append(c)
+
+        def _fold(nodes):
+            out = nodes[0]
+            for n in nodes[1:]:
+                out = P.And(out, n)
+            return out
+
+        stat_names = {f.name for f in stat_fields}
         # typed checkpoint stats (stats_parsed) short-circuit the JSON
         # parse for the checkpointed bulk of the log; commit-JSON rows
         # (null __sp) fall back to from_json
         df = self.state_df(spark, version, stats_struct=stats_schema)
-        out = (df.withColumn(
-                   "__s", F.coalesce(F.col("__sp"),
-                                     F.from_json("stats", stats_schema)))
-               .filter(F.expr(cond))
-               .drop("__s", "__sp"))
+        if part_nodes:
+            pcond = P.skipping_condition_sql(
+                _fold(part_nodes), column_types, part_cols, l2p,
+                stat_cols=stat_names)
+            # the compiled condition's null-partition-value guards
+            # reference __s; serve them the TYPED __sp only (no JSON
+            # parse) — a null __s resolves to keep, which is sound
+            df = (df.withColumn("__s", F.col("__sp"))
+                  .filter(F.expr(pcond))
+                  .drop("__s"))
+        if rest_nodes:
+            cond = P.skipping_condition_sql(
+                _fold(rest_nodes), column_types, part_cols, l2p,
+                stat_cols=stat_names)
+            df = (df.withColumn(
+                      "__s", F.coalesce(F.col("__sp"),
+                                        F.from_json("stats", stats_schema)))
+                  .filter(F.expr(cond))
+                  .drop("__s"))
+        out = df.drop("__sp")
         return self._limit_files_df(out, limit)
 
     @staticmethod
