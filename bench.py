@@ -678,9 +678,14 @@ def main() -> None:
     except ValueError:
         pass
     cal_last = calibration_sec(spark)
+    # contention only ever INFLATES the pure-CPU probe; a probe that
+    # got faster over the run is the JIT warming up, not noise — so
+    # flag slower-than-reference and got-slower-during-the-run, never
+    # got-faster (a first bench run measured last=0.087s after full
+    # C2 warm-up on a provably quiet machine)
     noisy = (cal_first > 2 * CANARY_REF_SEC
              or cal_last > 2 * CANARY_REF_SEC
-             or max(cal_first, cal_last) > 2 * min(cal_first, cal_last))
+             or cal_last > 2 * cal_first)
     print(json.dumps({"metric": "total_wall_sec", "value": total, "unit": "sec",
                       "queries": timings, "sf": sf, "iters": ITERS,
                       "parquet_queries": parquet_timings,

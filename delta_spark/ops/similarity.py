@@ -314,8 +314,13 @@ def _bucket_pairs(assigned: DataFrame, id_col: str,
     cross = joined.filter(F.col("__ca") < F.col("__cb"))
     # repartition the slice pairs before expansion: one giant bucket's
     # (m/chunk)² slice pairs must spread across tasks, not stay in the
-    # join partition of its single bucket key
-    big_pairs = (_expand(same, F.col("__sa"), None, same=True)
+    # join partition of its single bucket key. The DIAGONAL pairs
+    # (__ca == __cb) need it too — without it all m/chunk diagonal
+    # slices of one bucket expand in a single task, a measured 10-20x
+    # straggler on the 10k-duplicate probe (the stage equals that one
+    # task; every other task finishes in media res)
+    big_pairs = (_expand(same.repartition(width), F.col("__sa"), None,
+                         same=True)
                  .unionByName(_expand(
                      cross.repartition(width),
                      F.col("__sa"), F.col("__sb"), same=False)))
