@@ -435,6 +435,11 @@ def main() -> None:
             DeltaLog.clear_cache()
             log = DeltaLog.for_table(base_dir)
             log.write_checkpoint_distributed(spark)   # typed stats_parsed
+            # flush the fixture's dirty pages INSIDE the untimed setup:
+            # ~1 GB of freshly written log otherwise drains in the
+            # background THROUGH the next timed queries (measured as a
+            # 2-6x inflation of the shuffle-heavy similarity probes)
+            os.sync()
         DeltaLog.clear_cache()
         return DeltaLog.for_table(base_dir)
 
@@ -648,6 +653,7 @@ def main() -> None:
               "domainMetadata": [], "txns": [], "sidecars": []}
         with open(os.path.join(ld, "%020d.json" % 1), "w") as f:
             f.write(json.dumps({"checkpoint": ck}))
+        os.sync()   # settle the fixture's writeback before timing
         DeltaLog.clear_cache()
         return DeltaLog.for_table(base_dir)
 
