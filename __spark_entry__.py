@@ -1232,8 +1232,10 @@ def q_delta_amt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_governance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protocol/metadata governance composite gate row: protocol
     upgrade + table-feature add, DROP FEATURE, in-commit-timestamp
-    monotonicity, CREATE TABLE LIKE schema/partitioning copy, and SHOW
-    COLUMNS — value-checked invariants (previously pytest-only)."""
+    monotonicity, CREATE TABLE LIKE schema/partitioning copy, SHOW
+    COLUMNS, NOT NULL invariants (violating write rejected, kept rows
+    data-derived) and default columns (omitted column filled, values
+    data-derived) — value-checked invariants (previously pytest-only)."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -1296,6 +1298,55 @@ def q_governance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- SHOW COLUMNS ---------------------------------------------------
     for f in ssnap.schema.fields:
         rows.append(("show_columns", f.name, f.dataType.simpleString()))
+
+    # --- NOT NULL invariants (Invariants.scala getFromSchema) ----------
+    # a violating write must FAIL and leave the table untouched; the
+    # kept rows are data-derived so the oracle checks real values
+    from pyspark.sql import types as T
+    npath = _tf.mkdtemp(prefix="dsq_gov_nn_")
+    _sh.rmtree(npath, ignore_errors=True)
+    nn_schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True)])
+    DeltaTable.create(spark).location(npath).addColumns(nn_schema).execute()
+    write_delta(orders.filter("o_orderkey % 7 = 0").selectExpr(
+        "CAST(o_orderkey AS LONG) AS k",
+        "CAST(o_totalprice AS DOUBLE) AS v"), npath, mode="append")
+    rejected = 0
+    try:
+        write_delta(spark.sql(
+            "SELECT CAST(NULL AS LONG) AS k, 1.0 AS v"),
+            npath, mode="append")
+    except Exception:
+        rejected = 1
+    ndf = _dt(spark, npath).toDF()
+    rows.append(("not_null", "rejected", str(rejected)))
+    rows.append(("not_null", "kept_rows", str(ndf.count())))
+    rows.append(("not_null", "key_sum",
+                 str(ndf.agg(F.sum("k")).collect()[0][0])))
+
+    # --- default columns (CURRENT_DEFAULT, allowColumnDefaults) --------
+    dpath = _tf.mkdtemp(prefix="dsq_gov_def_")
+    _sh.rmtree(dpath, ignore_errors=True)
+    from delta_spark.schema import DEFAULT_VALUE_KEY
+    dschema = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("src", T.StringType(), True,
+                      {DEFAULT_VALUE_KEY: "'backfill'"})])
+    DeltaTable.create(spark).location(dpath).addColumns(dschema).execute()
+    write_delta(orders.filter("o_orderkey % 11 = 0").selectExpr(
+        "CAST(o_orderkey AS LONG) AS k"), dpath, mode="append")
+    write_delta(orders.filter("o_orderkey % 13 = 0").selectExpr(
+        "CAST(o_orderkey AS LONG) AS k", "'explicit' AS src"),
+        dpath, mode="append")
+    ddf = _dt(spark, dpath).toDF()
+    rows.append(("defaults", "defaulted_rows",
+                 str(ddf.filter("src = 'backfill'").count())))
+    rows.append(("defaults", "explicit_rows",
+                 str(ddf.filter("src = 'explicit'").count())))
+    rows.append(("defaults", "defaulted_key_sum",
+                 str(ddf.filter("src = 'backfill'")
+                     .agg(F.sum("k")).collect()[0][0])))
 
     return spark.createDataFrame(
         [(a, b, c) for a, b, c in rows], "variant string, k string, v string")
@@ -2025,6 +2076,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'create_like', 'partitioning', 'o_orderstatus'
             UNION ALL SELECT 'create_like', 'props_copied', '1'
             UNION ALL SELECT 'create_like', 'rows', '0'
+            UNION ALL SELECT 'not_null', 'rejected', '1'
+            UNION ALL SELECT 'not_null', 'kept_rows',
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+                   AS VARCHAR)
+            UNION ALL SELECT 'not_null', 'key_sum',
+              CAST((SELECT sum(o_orderkey) FROM orders
+                    WHERE o_orderkey % 7 = 0) AS VARCHAR)
+            UNION ALL SELECT 'defaults', 'defaulted_rows',
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey % 11 = 0)
+                   AS VARCHAR)
+            UNION ALL SELECT 'defaults', 'explicit_rows',
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
+                   AS VARCHAR)
+            UNION ALL SELECT 'defaults', 'defaulted_key_sum',
+              CAST((SELECT sum(o_orderkey) FROM orders
+                    WHERE o_orderkey % 11 = 0) AS VARCHAR)
             UNION ALL SELECT 'show_columns', column_name,
               CASE WHEN data_type = 'BIGINT' THEN 'bigint'
                    WHEN data_type = 'INTEGER' THEN 'int'
