@@ -1348,6 +1348,85 @@ def q_governance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  str(ddf.filter("src = 'backfill'")
                      .agg(F.sum("k")).collect()[0][0])))
 
+    # --- conflict-checker classification matrix ------------------------
+    # (ConflictChecker.scala check order + the 3 isolation levels):
+    # a stale transaction races a committed winner; the recorded value
+    # is the exception class that classified the conflict — or
+    # 'committed' where the isolation level admits the interleaving
+    from delta_spark.actions import (
+        AddFile as _Add,
+        Metadata as _Meta,
+        RemoveFile as _Rem,
+        SetTransaction as _Txn,
+    )
+    from delta_spark.transaction import (
+        SERIALIZABLE,
+        SNAPSHOT_ISOLATION,
+        WRITE_SERIALIZABLE,
+        DeltaConcurrentException,
+        OptimisticTransaction,
+    )
+    cpath = _tf.mkdtemp(prefix="dsq_gov_cc_")
+    _sh.rmtree(cpath, ignore_errors=True)
+    write_delta(orders.limit(40).coalesce(2), cpath)
+
+    def _classify(name, winner, loser, read_paths=None,
+                  whole_table=False, isolation=None):
+        DeltaLog.clear_cache()
+        log = DeltaLog.for_table(cpath)
+        stale = OptimisticTransaction(log)
+        if whole_table:
+            stale.read_whole_table_flag = True
+            stale.read_files.update(stale.snapshot.active.keys())
+        if read_paths:
+            stale.read_files.update(read_paths)
+        win = OptimisticTransaction(log)
+        win.commit(list(winner), "WIN")
+        try:
+            stale.commit(list(loser), "LOSE", isolation_level=isolation)
+            out = "committed"
+        except DeltaConcurrentException as e:
+            out = type(e).__name__
+        rows.append(("conflict", name, out))
+
+    def _first_live():
+        DeltaLog.clear_cache()
+        snap = DeltaLog.for_table(cpath).update()
+        return sorted(f.path for f in snap.active.values())[0]
+
+    _classify("blind_append_vs_blind_append",
+              [_Add(path="w1.parquet", size=1)],
+              [_Add(path="l1.parquet", size=1)])
+    victim = _first_live()
+    _classify("delete_vs_read",
+              [_Rem(path=victim, dataChange=True)],
+              [_Add(path="l2.parquet", size=1)],
+              read_paths={victim})
+    victim2 = _first_live()
+    _classify("delete_vs_delete",
+              [_Rem(path=victim2, dataChange=True)],
+              [_Rem(path=victim2, dataChange=True)])
+    _classify("append_vs_whole_table_read_serializable",
+              [_Add(path="w3.parquet", size=1)],
+              [_Add(path="l3.parquet", size=1)],
+              whole_table=True, isolation=SERIALIZABLE)
+    _classify("blind_append_vs_reader_writeserializable",
+              [_Add(path="w4.parquet", size=1)],
+              [_Add(path="l4.parquet", size=1)],
+              whole_table=True, isolation=WRITE_SERIALIZABLE)
+    _classify("append_vs_reader_snapshot_isolation",
+              [_Add(path="w5.parquet", size=1)],
+              [_Add(path="l5.parquet", size=1)],
+              whole_table=True, isolation=SNAPSHOT_ISOLATION)
+    _classify("metadata_vs_any",
+              [_Meta(id="gov-cc", schemaString=ssnap.metadata.schemaString,
+                     partitionColumns=[], configuration={})],
+              [_Add(path="l6.parquet", size=1)])
+    _classify("txn_same_app",
+              [_Txn(appId="gov-app", version=1)],
+              [_Txn(appId="gov-app", version=2),
+               _Add(path="l7.parquet", size=1)])
+
     return spark.createDataFrame(
         [(a, b, c) for a, b, c in rows], "variant string, k string, v string")
 
@@ -2076,6 +2155,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'create_like', 'partitioning', 'o_orderstatus'
             UNION ALL SELECT 'create_like', 'props_copied', '1'
             UNION ALL SELECT 'create_like', 'rows', '0'
+            UNION ALL SELECT 'conflict', 'blind_append_vs_blind_append',
+                             'committed'
+            UNION ALL SELECT 'conflict', 'delete_vs_read',
+                             'ConcurrentDeleteReadException'
+            UNION ALL SELECT 'conflict', 'delete_vs_delete',
+                             'ConcurrentDeleteDeleteException'
+            UNION ALL SELECT 'conflict',
+                             'append_vs_whole_table_read_serializable',
+                             'ConcurrentAppendException'
+            UNION ALL SELECT 'conflict',
+                             'blind_append_vs_reader_writeserializable',
+                             'committed'
+            UNION ALL SELECT 'conflict',
+                             'append_vs_reader_snapshot_isolation',
+                             'committed'
+            UNION ALL SELECT 'conflict', 'metadata_vs_any',
+                             'MetadataChangedException'
+            UNION ALL SELECT 'conflict', 'txn_same_app',
+                             'ConcurrentTransactionException'
             UNION ALL SELECT 'not_null', 'rejected', '1'
             UNION ALL SELECT 'not_null', 'kept_rows',
               CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
