@@ -437,6 +437,10 @@ class ExternalTableLogStore(LogStore):
             raise ConcurrentModificationException(path)
 
         # Step 1: ensure N-1.json exists / recover it
+        # (BaseExternalLogStore.write step 1 — incomplete prev entries
+        # are completed; a prev missing from the FILESYSTEM is fatal
+        # whether or not the external table still remembers it, since
+        # the log would have a hole at the tip)
         if self._delta_re.match(name):
             version = int(name.split(".")[0])
             if version > 0:
@@ -445,12 +449,12 @@ class ExternalTableLogStore(LogStore):
                 prev_entry = self._get_entry(table, prev_rel)
                 if prev_entry and not prev_entry.get("complete"):
                     self._fix(table, prev_rel, prev_entry)
-                elif prev_entry and not os.path.exists(
-                        os.path.join(table, prev_rel)):
+                elif not os.path.exists(os.path.join(table, prev_rel)):
                     raise OSError(
                         f"previous commit {prev_rel} doesn't exist on "
-                        f"the file system but does in the external log "
-                        f"store")
+                        f"the file system"
+                        + (" but does in the external log store"
+                           if prev_entry else ""))
 
         # Step 2: PREPARE — temp object, then the conditional entry put
         tmp_dir = os.path.join(os.path.dirname(path), ".tmp")
