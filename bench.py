@@ -259,8 +259,30 @@ def main() -> None:
     run_both("q6_filter", q6, pq6)
     # restore the delta views for everything downstream
     delta_views()
+    def q21like():
+        # tpch_suite2's heaviest leg: EXISTS + NOT EXISTS self-joins on
+        # lineitem (last-to-ship supplier in multi-supplier 'F' orders)
+        return spark.sql("""
+            SELECT s_name, count(*) AS numwait
+            FROM d_supplier
+              JOIN d_lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN d_orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL '30' DAY
+              AND EXISTS (
+                SELECT 1 FROM d_lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM d_lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name""").collect()
+
     run_median(timings, "q9_profit", q9like)
     run_median(timings, "q18_large_orders", q18like)
+    run_median(timings, "q21_waiting_supp", q21like)
 
     # ---- DML / layout (mutating: fresh table copy per iteration) -------
     merge_src = (load_table(spark, SF_DIR, "orders").filter("o_orderkey % 10 = 0")
