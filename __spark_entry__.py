@@ -1664,15 +1664,18 @@ def q_governance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (over documents ∪ planted shifted-id duplicates),
-    n-gram Jaccard pairs (τ=0.2), and MinHash+LSH verified pairs
-    (τ=0.5) as one composite with a `variant` discriminator — three
-    dedup families under one driver-gate row. The LSH leg runs in its
+    n-gram Jaccard pairs (τ=0.2), MinHash+LSH verified pairs (τ=0.5),
+    SimHash, duplicate-cluster resolution, and ExactSubstr duplicate
+    spans (k=8 token windows, Lee et al. 2022) as one composite with a
+    `variant` discriminator — the dedup families under one driver-gate
+    row. The LSH leg runs in its
     recall-safe configuration (independent salted-md5 hashes,
     single-hash bands: miss probability ≤ (1-τ)^32 ≈ 2e-10 per pair),
     so the brute-force oracle matches at every scale — verified
     hash-equal at sf0.001/0.01/0.1."""
     from delta_spark.ops.dedup import (
-        connected_components, dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash)
+        connected_components, dedup_exact, duplicate_spans, jaccard_pairs,
+        minhash_lsh_pairs, simhash)
     docs = _docs(spark, sf_dir)
     planted = docs.filter("doc_id % 5 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
     exact = dedup_exact(docs.unionByName(planted)).selectExpr(
@@ -1692,8 +1695,16 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash(docs, bits=32).selectExpr(
         "'simhash' AS variant", "doc_id AS id_a",
         "CAST(NULL AS BIGINT) AS id_b", "CAST(simhash AS DOUBLE) AS score")
+    # ExactSubstr duplicate spans (Lee et al. 2022): id_b = span start
+    # (1-based token index), score packs span_end*1000 + n_windows
+    # (both < 1000 at any doc length the fixture holds — integer-exact
+    # in a double)
+    spans = duplicate_spans(docs, k=8).selectExpr(
+        "'exact_substr' AS variant", "id AS id_a",
+        "CAST(span_start AS BIGINT) AS id_b",
+        "CAST(span_end * 1000 + n_windows AS DOUBLE) AS score")
     return (exact.unionByName(jac).unionByName(mh).unionByName(sh)
-            .unionByName(clusters))
+            .unionByName(clusters).unionByName(spans))
 
 
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2013,7 +2024,23 @@ ccx AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
 simw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
          FROM documents),
 simh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM simw),
-sims AS (SELECT doc_id, {sums} FROM simh GROUP BY doc_id)
+sims AS (SELECT doc_id, {sums} FROM simh GROUP BY doc_id),
+esg AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents),
+             LATERAL unnest(range(1, len(w) - 8 + 2)) AS t(i)
+        WHERE len(w) >= 8),
+esdup AS (SELECT h FROM esg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+esw AS (SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM esg WHERE h IN (SELECT h FROM esdup)),
+esisl AS (SELECT doc_id, i,
+                 sum(CASE WHEN prev_i IS NULL OR i - prev_i > 8
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS island
+          FROM esw),
+esspan AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e, count(*) AS nw
+           FROM esisl GROUP BY doc_id, island)
 SELECT 'exact' AS variant, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
        CAST(n_chars AS DOUBLE) AS score
 FROM documents
@@ -2026,6 +2053,9 @@ UNION ALL
 SELECT 'simhash', doc_id, CAST(NULL AS BIGINT), CAST({assemble} AS DOUBLE) FROM sims
 UNION ALL
 SELECT 'clusters', id, cluster_id, CAST(NULL AS DOUBLE) FROM ccx
+UNION ALL
+SELECT 'exact_substr', doc_id, CAST(s AS BIGINT),
+       CAST(e * 1000 + nw AS DOUBLE) FROM esspan
 """
 
 

@@ -373,6 +373,10 @@ def main() -> None:
         from delta_spark.ops.dedup import minhash_lsh_pairs
         return minhash_lsh_pairs(dt("documents").toDF(), threshold=0.5).count()
 
+    def exact_substr():
+        from delta_spark.ops.dedup import duplicate_spans
+        return duplicate_spans(dt("documents").toDF(), k=8).count()
+
     def knn():
         from delta_spark.ops.similarity import knn_brute_force
         emb = dt("embeddings").toDF()
@@ -690,6 +694,7 @@ def main() -> None:
     run_median(timings, "amt_bootstrap_1m", amt1m_run, setup=amt1m_setup)
 
     run_median(timings, "dedup_minhash", mh, warmups=2)
+    run_median(timings, "exact_substr_spans", exact_substr, warmups=2)
     run_median(timings, "knn", knn, warmups=2)
     run_median(timings, "near_dups_lsh", near_dups, warmups=3)
     run_median(timings, "near_dups_dupheavy", near_dups_dupheavy, warmups=2)

@@ -13,6 +13,9 @@ Scale shapes:
     pipeline; join keys are band hashes, so the shuffle is O(docs·b).
   * simhash — per-word md5-derived 32-bit hashes; bit-majority sign
     aggregation in one groupBy, hamming-close pairs via band join.
+  * duplicate_spans — ExactSubstr (arXiv:2107.06499) as rolling k-gram
+    hashes → duplicate-gram semi-join → per-doc island merge; shuffle
+    ∝ corpus tokens, per-doc window state bounded.
 
 All hashes derive from md5 (first 15 hex chars → bigint) so results
 are engine-independent and DuckDB-checkable.
@@ -87,6 +90,62 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
     return out
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Exact duplicate substring spans — the ExactSubstr operator of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., arXiv:2107.06499), re-expressed for Spark: instead of a
+    monolithic suffix array, emit a rolling window of k-token grams per
+    document, find grams shared by ≥ `min_docs` distinct documents
+    (one hash-keyed groupBy with map-side partial aggregation), and
+    merge each document's overlapping/adjacent duplicated windows into
+    maximal spans with window-function island detection.
+
+    Returns (id, span_start, span_end, n_windows): 1-based token
+    indices, inclusive; every token in [span_start, span_end] is part
+    of some k-gram that also appears in another document.
+
+    Scale shape: the gram expansion is JVM-side (zip_with + posexplode,
+    no Python), the duplicate-gram filter is a semi-join on the gram
+    hash (shuffle ∝ corpus token count, partial-agg'd), and the island
+    merge windows by document id — per-partition state is bounded by
+    one document's duplicated-window count. No driver materialization
+    at any stage, so the plan holds at 100 TB with executors sized for
+    ordinary shuffle traffic."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # element j (0-based) of `acc` = the k-gram starting at token j+1;
+    # trailing partials become NULL via zip padding (same trick as
+    # shingles() above)
+    acc = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.size(w))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.posexplode(acc).alias("pos0", "gram"))
+               .filter(F.col("gram").isNotNull())
+               .select("id", (F.col("pos0") + 1).alias("i"),
+                       F.md5("gram").alias("h")))
+    duph = (grams.groupBy("h")
+            .agg(F.countDistinct("id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("h"))
+    dupw = grams.join(duph, "h", "left_semi").select("id", "i")
+    from pyspark.sql import Window
+    byid = Window.partitionBy("id").orderBy("i")
+    prev = F.lag("i").over(byid)
+    islands = (dupw
+               .withColumn("new_island",
+                           F.when(prev.isNull() | (F.col("i") - prev > k),
+                                  F.lit(1)).otherwise(F.lit(0)))
+               .withColumn("island", F.sum("new_island").over(byid)))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("i").alias("span_start"),
+                 (F.max("i") + k - 1).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .select("id", "span_start", "span_end", "n_windows"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

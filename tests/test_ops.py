@@ -100,6 +100,43 @@ def test_dedup_exact(spark, docs):
     assert out.count() == docs.count()
 
 
+def test_duplicate_spans_planted(spark):
+    from delta_spark.ops.dedup import duplicate_spans
+    shared = " ".join(f"tok{i}" for i in range(10))       # 10-token run
+    rows = [
+        (1, f"aa bb {shared} cc dd"),                      # span at 3..12
+        (2, f"{shared} xx yy zz"),                         # span at 1..10
+        (3, "unrelated words only here nothing repeats at all ever once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in duplicate_spans(df, k=4).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: duplicated 4-gram windows start at 3..9 → one maximal span
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_windows"]) == (3, 12, 7)
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_windows"]) == (1, 10, 7)
+
+
+def test_duplicate_spans_merges_islands_and_min_docs(spark):
+    from delta_spark.ops.dedup import duplicate_spans
+    a = " ".join(f"a{i}" for i in range(6))
+    b = " ".join(f"b{i}" for i in range(6))
+    rows = [
+        (1, f"{a} gapword1 gapword2 gapword3 gapword4 gapword5 {b}"),
+        (2, f"{a} other words {b} trailing"),
+        # a third doc repeating `a` only — min_docs=3 keeps just this one
+        (3, f"prefix {a} suffix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, k=6).collect()
+    # doc 1: two islands (gap of 5 filler tokens > k would be needed to
+    # split; here the gap between window starts is 6+5=11 > 6 → split)
+    d1 = sorted((r["span_start"], r["span_end"]) for r in out if r["id"] == 1)
+    assert d1 == [(1, 6), (12, 17)]
+    only_a = duplicate_spans(df, k=6, min_docs=3).collect()
+    assert {(r["id"], r["span_start"], r["span_end"]) for r in only_a} == {
+        (1, 1, 6), (2, 1, 6), (3, 2, 7)}
+
+
 def test_jaccard_pairs_vs_duckdb(spark, docs, sf_dir):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in jaccard_pairs(docs, threshold=0.2).collect()}
