@@ -128,10 +128,22 @@ def read_files_df(
     for d in dfs[1:]:
         out = out.unionByName(d)
     if mapped:
-        # physical → logical projection
-        out = out.select(*[
-            F.col(p.name).alias(l.name)
-            for p, l in zip(schema.fields, logical_schema.fields)])
+        # physical → logical projection. Nested struct fields are
+        # physically named too (reference contract), so a top-level
+        # alias isn't enough: CAST to the logical shape renames at
+        # every nesting level (struct casts are positional in Spark).
+        from delta_spark.schema import strip_nested_metadata_type
+
+        def back(p, l):
+            if isinstance(l.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                return F.col(p.name).cast(
+                    strip_nested_metadata_type(l.dataType)).alias(l.name)
+            # primitives (incl. geo read as WKB binary) keep the plain
+            # alias — a cast would fight the geo restore seam below
+            return F.col(p.name).alias(l.name)
+
+        out = out.select(*[back(p, l) for p, l in
+                           zip(schema.fields, logical_schema.fields)])
     return _geo.restore(out, logical_schema)
 
 

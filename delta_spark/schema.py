@@ -307,37 +307,129 @@ def field_id(field: T.StructField):
 
 
 def physical_projection(df, schema):
-    """Select df's columns under their PHYSICAL names, carrying
-    parquet.field.id metadata so files are written with parquet
-    field_ids (required by IdMapping readers, harmless in name mode).
-    Extra (non-schema) df columns pass through untouched — hidden
-    physical-only columns like materialized row ids ride along."""
+    """Select df's columns under their PHYSICAL names — at every
+    nesting level — carrying parquet.field.id metadata so files are
+    written with parquet field_ids (required by IdMapping readers,
+    harmless in name mode). Nested struct fields rename via a
+    positional CAST to the physical shape; nested field ids are then
+    re-applied with DataFrame.to() (alias metadata only reaches the
+    top level). Extra (non-schema) df columns pass through untouched —
+    hidden physical-only columns like materialized row ids ride
+    along."""
     from pyspark.sql import functions as F
 
     l2p = logical_to_physical(schema)
     fids = {f.name: field_id(f) for f in schema.fields}
-    return df.select(*[
-        (F.col(c).alias(l2p.get(c, c), metadata={"parquet.field.id": fids[c]})
-         if fids.get(c) is not None
-         else F.col(c).alias(l2p.get(c, c)))
-        for c in df.columns])
+    phys = physical_schema(schema, with_field_ids=True)
+    phys_by_name = {f.name: f for f in phys.fields}
+    by_logical = {f.name: f for f in schema.fields}
+
+    cols = []
+    has_nested = False
+    for c in df.columns:
+        if c not in by_logical:
+            cols.append(F.col(c))     # hidden physical-only passthrough
+            continue
+        pname = l2p.get(c, c)
+        expr = F.col(c)
+        if isinstance(by_logical[c].dataType,
+                      (T.StructType, T.ArrayType, T.MapType)):
+            has_nested = True
+            expr = expr.cast(
+                strip_nested_metadata_type(phys_by_name[pname].dataType))
+        if fids.get(c) is not None:
+            cols.append(expr.alias(pname,
+                                   metadata={"parquet.field.id": fids[c]}))
+        else:
+            cols.append(expr.alias(pname))
+    out = df.select(*cols)
+    if has_nested and any(fids.get(c) is not None for c in df.columns):
+        # nested parquet.field.id metadata: reconcile against the full
+        # physical schema (plus any hidden passthrough columns so .to()
+        # doesn't drop them). Nullability is relaxed — the rename cast
+        # above made fields nullable and .to() would reject the
+        # narrowing; NOT NULL enforcement is the invariant checker's
+        # job, not this projection's.
+        def relax(f: T.StructField) -> T.StructField:
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                dt = T.StructType([relax(x) for x in dt.fields])
+            elif isinstance(dt, T.ArrayType):
+                dt = T.ArrayType(
+                    relax(T.StructField("e", dt.elementType)).dataType, True)
+            elif isinstance(dt, T.MapType):
+                dt = T.MapType(
+                    relax(T.StructField("k", dt.keyType)).dataType,
+                    relax(T.StructField("v", dt.valueType)).dataType, True)
+            return T.StructField(f.name, dt, True, f.metadata)
+
+        extra = [f for f in out.schema.fields if f.name not in phys_by_name]
+        out = out.to(T.StructType([relax(f) for f in phys.fields] + extra))
+    return out
+
+
+def _physical_type(dt: T.DataType, with_field_ids: bool) -> T.DataType:
+    """Recursive physical rename for NESTED struct fields — the
+    reference assigns mapping metadata to every nested field
+    (DeltaColumnMapping.assignColumnIdAndPhysicalName recurses via
+    SchemaMergingUtils.transformColumns), so reference-written files
+    store col-<uuid> names at every nesting level, not just the top."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            fid = field_id(f)
+            if with_field_ids and fid is not None:
+                md["parquet.field.id"] = fid
+            fields.append(T.StructField(
+                physical_name(f), _physical_type(f.dataType, with_field_ids),
+                f.nullable, md))
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType, with_field_ids),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_physical_type(dt.keyType, with_field_ids),
+                         _physical_type(dt.valueType, with_field_ids),
+                         dt.valueContainsNull)
+    return dt
 
 
 def physical_schema(schema: T.StructType, with_field_ids: bool = False) -> T.StructType:
-    """Schema with physical field names (what Parquet files contain).
-    With `with_field_ids`, each field also carries `parquet.field.id`
-    (= delta.columnMapping.id) so Spark's parquet reader/writer
-    resolves columns BY ID — the IdMapping read contract
-    (DeltaColumnMapping.scala:107; PROTOCOL.md column mapping: id-mode
-    readers must match parquet field_ids, not names)."""
+    """Schema with physical field names (what Parquet files contain),
+    at EVERY nesting level — struct fields inside structs, arrays and
+    maps are renamed too. With `with_field_ids`, each field also
+    carries `parquet.field.id` (= delta.columnMapping.id) so Spark's
+    parquet reader/writer resolves columns BY ID — the IdMapping read
+    contract (DeltaColumnMapping.scala:107; PROTOCOL.md column mapping:
+    id-mode readers must match parquet field_ids, not names)."""
     fields = []
     for f in schema.fields:
         md = dict(f.metadata or {})
         fid = field_id(f)
         if with_field_ids and fid is not None:
             md["parquet.field.id"] = fid
-        fields.append(T.StructField(physical_name(f), f.dataType, f.nullable, md))
+        fields.append(T.StructField(
+            physical_name(f), _physical_type(f.dataType, with_field_ids),
+            f.nullable, md))
     return T.StructType(fields)
+
+
+def strip_nested_metadata_type(dt: T.DataType) -> T.DataType:
+    """The same shape with no field metadata anywhere and every field
+    nullable — a clean CAST target for positional physical↔logical
+    renames (Spark rejects casts INTO non-nullable struct fields, and
+    a rename cast can't change actual nullability anyway)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, strip_nested_metadata_type(f.dataType),
+                          True) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(strip_nested_metadata_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(strip_nested_metadata_type(dt.keyType),
+                         strip_nested_metadata_type(dt.valueType), True)
+    return dt
 
 
 def assign_physical_names(schema: T.StructType, start_id: int = 0,
@@ -351,30 +443,57 @@ def assign_physical_names(schema: T.StructType, start_id: int = 0,
     writable under mapping."""
     import uuid as _uuid
 
-    fields = []
     next_id = start_id
-    for f in schema.fields:
-        md = dict(f.metadata or {})
-        if COLUMN_MAPPING_PHYSICAL_KEY not in md:
-            md[COLUMN_MAPPING_PHYSICAL_KEY] = (
-                f.name if reuse_logical else f"col-{_uuid.uuid4()}")
-        if COLUMN_MAPPING_ID_KEY not in md:
-            next_id += 1
-            md[COLUMN_MAPPING_ID_KEY] = next_id
-        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
-    return T.StructType(fields), next_id
+
+    def assign_type(dt: T.DataType) -> T.DataType:
+        nonlocal next_id
+        if isinstance(dt, T.StructType):
+            out = []
+            for f in dt.fields:
+                md = dict(f.metadata or {})
+                if COLUMN_MAPPING_PHYSICAL_KEY not in md:
+                    md[COLUMN_MAPPING_PHYSICAL_KEY] = (
+                        f.name if reuse_logical else f"col-{_uuid.uuid4()}")
+                if COLUMN_MAPPING_ID_KEY not in md:
+                    next_id += 1
+                    md[COLUMN_MAPPING_ID_KEY] = next_id
+                out.append(T.StructField(
+                    f.name, assign_type(f.dataType), f.nullable, md))
+            return T.StructType(out)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(assign_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(assign_type(dt.keyType),
+                             assign_type(dt.valueType), dt.valueContainsNull)
+        return dt
+
+    # every NESTED struct field gets an id + physicalName too —
+    # reference-written column-mapped tables carry mapping metadata at
+    # every nesting level and their readers expect the same of ours
+    return assign_type(schema), next_id
 
 
 def drop_column_mapping_metadata(schema: T.StructType) -> T.StructType:
-    """Strip per-field mapping metadata (physicalName / id) —
-    DeltaColumnMapping.dropColumnMappingMetadata, used by
-    RemoveColumnMappingCommand."""
-    out = []
-    for f in schema.fields:
-        md = {k: v for k, v in (f.metadata or {}).items()
-              if k not in (COLUMN_MAPPING_PHYSICAL_KEY, COLUMN_MAPPING_ID_KEY)}
-        out.append(T.StructField(f.name, f.dataType, f.nullable, md or None))
-    return T.StructType(out)
+    """Strip per-field mapping metadata (physicalName / id) at every
+    nesting level — DeltaColumnMapping.dropColumnMappingMetadata, used
+    by RemoveColumnMappingCommand."""
+    def strip_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(
+                    f.name, strip_type(f.dataType), f.nullable,
+                    {k: v for k, v in (f.metadata or {}).items()
+                     if k not in (COLUMN_MAPPING_PHYSICAL_KEY,
+                                  COLUMN_MAPPING_ID_KEY)} or None)
+                for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(strip_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(strip_type(dt.keyType), strip_type(dt.valueType),
+                             dt.valueContainsNull)
+        return dt
+
+    return strip_type(schema)
 
 
 def with_identity_watermark(schema: T.StructType, column: str, watermark: int) -> T.StructType:

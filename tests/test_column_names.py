@@ -187,3 +187,54 @@ def test_sql_update_backquoted_nested(spark, tmp_table):
     delta_sql(spark, f"UPDATE delta.`{tmp_table}` SET `s`.`x` = 9")
     r = DeltaTable.forPath(spark, tmp_table).toDF().collect()[0]
     assert (r["s"]["x"], r["s"]["y"]) == (9, "a")
+
+
+def test_nested_fields_mapped_physically(spark, tmp_table):
+    """Nested struct fields get column-mapping metadata too
+    (DeltaColumnMapping assigns ids/physicalNames recursively): the
+    parquet on disk must carry PHYSICAL nested names + nested field
+    ids, and the read path must reassemble logical names at every
+    level. Caught by the golden-table parity suite against
+    reference-written tables; this pins our own write side."""
+    import os
+    import pyarrow.parquet as pq
+    from delta_spark.schema import field_id, physical_name
+
+    df = spark.sql("""
+        SELECT 1 AS id,
+               named_struct('aa', 'x', 'ac', named_struct('aca', 7)) AS s,
+               array(named_struct('ab', CAST(5 AS LONG))) AS arr,
+               map('k', named_struct('mv', 2)) AS m
+    """)
+    write_delta(df, tmp_table,
+                configuration={"delta.columnMapping.mode": "id"})
+    snap = DeltaLog.for_table(tmp_table).update()
+    # every nested struct field carries an id + physicalName
+    s_field = snap.schema["s"]
+    for f in s_field.dataType.fields:
+        assert field_id(f) is not None and physical_name(f)
+    aca = s_field.dataType["ac"].dataType["aca"]
+    assert field_id(aca) is not None
+    arr_el = snap.schema["arr"].dataType.elementType["ab"]
+    m_val = snap.schema["m"].dataType.valueType["mv"]
+    assert field_id(arr_el) is not None and field_id(m_val) is not None
+    # ids are unique across the whole tree
+    ids = [field_id(snap.schema["id"]), field_id(s_field),
+           field_id(s_field.dataType["aa"]), field_id(s_field.dataType["ac"]),
+           field_id(aca), field_id(snap.schema["arr"]), field_id(arr_el),
+           field_id(snap.schema["m"]), field_id(m_val)]
+    assert len(set(ids)) == len(ids)
+
+    # the parquet footer stores nested field ids
+    fpath = os.path.join(tmp_table, snap.all_files[0].path)
+    arrow_schema = pq.read_schema(fpath)
+    s_phys = physical_name(s_field)
+    s_arrow = arrow_schema.field(s_phys)
+    nested_meta = s_arrow.type.field(0).metadata or {}
+    assert b"PARQUET:field_id" in nested_meta
+
+    # logical names reassemble at every level on read
+    dt = DeltaTable.forPath(spark, tmp_table)
+    row = dt.toDF().selectExpr("s.aa", "s.ac.aca", "arr[0].ab",
+                               "m['k'].mv").collect()[0]
+    assert tuple(row) == ("x", 7, 5, 2)

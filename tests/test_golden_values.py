@@ -67,7 +67,11 @@ def test_columnmapping_mode_values(spark, mode):
     physical column-mapping indirection, 5 typed rows + null row."""
     df = DeltaTable.forPath(
         spark, _t(f"table-with-columnmapping-mode-{mode}")).toDF()
-    rows = {r["IntegerType"]: r for r in df.collect()}
+    # Arrow, not collect(): struct_of_arrays_maps_of_structs.ab is a
+    # map with ARRAY keys — unrepresentable as a python dict (and only
+    # readable at all since the nested-mapping fix; it silently decoded
+    # to null before)
+    rows = {d["IntegerType"]: d for d in df.toArrow().to_pylist()}
     assert set(rows) == set(range(5)) | {None}
     for i in range(5):
         r = rows[i]
@@ -77,8 +81,13 @@ def test_columnmapping_mode_values(spark, mode):
         assert bytes(r["BinaryType"]) == str(i).encode()
         assert r["decimal"] == Decimal(i)
         assert r["array_of_prims"] == [i, i + 1]
-        assert r["map_of_prims"] == {i: i + 1, i + 2: i + 3}
+        assert dict(r["map_of_prims"]) == {i: i + 1, i + 2: i + 3}
         assert r["array_of_arrays"] == [[i, i + 1], [i + 2, i + 3]]
+        # nested struct fields under physical names (nulls before the
+        # nested-mapping fix)
+        assert r["nested_struct"] == {"aa": str(i), "ac": {"aca": i}}
+        assert r["struct_of_arrays_maps_of_structs"] == {
+            "aa": [i, i + 1], "ab": [([i, i + 1], {"aca": i + 2})]}
     null_row = rows[None]
     assert null_row["StringType"] is None and null_row["decimal"] is None
 
