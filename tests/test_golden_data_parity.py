@@ -369,3 +369,100 @@ def test_primitives_known_values(spark):
         assert bytes(r["as_binary"]) == bytes([i, i])
         assert r["as_big_decimal"] == decimal.Decimal(i)
     assert all(v is None for k, v in rows[None].asDict().items())
+
+
+# ---------------------------------------------------------------------------
+# log-robustness behaviors (DeltaLogSuite / ReadOnlyLogStoreSuite fixtures)
+# ---------------------------------------------------------------------------
+
+def test_corrupted_last_checkpoint_ignored(spark):
+    """DeltaLogSuite 'handle corrupted _last_checkpoint': the hint file
+    is EMPTY in this fixture — the reader must fall back to listing,
+    find the real checkpoint, and serve the overwritten state (100
+    rows from the final spark.range(100) overwrite)."""
+    table = os.path.join(GOLDEN, "corrupted-last-checkpoint-kernel")
+    assert os.path.getsize(
+        os.path.join(table, "_delta_log", "_last_checkpoint")) == 0
+    DeltaLog.clear_cache()
+    df = DeltaTable.forPath(spark, table).toDF()
+    assert sorted(r["id"] for r in df.collect()) == list(range(100))
+
+
+def test_versions_not_contiguous_raises(spark):
+    """DeltaLogSuite 'error - versions not contiguous': commit 1 was
+    deleted from the log (0 and 2 remain, no checkpoint) — replay must
+    refuse rather than silently skip the gap."""
+    table = os.path.join(GOLDEN, "versions-not-contiguous")
+    DeltaLog.clear_cache()
+    with pytest.raises(Exception, match="contiguous|missing|gap|not found|Version"):
+        DeltaLog.for_table(table).update().all_files
+
+
+def test_no_delta_log_folder_raises(spark):
+    table = os.path.join(GOLDEN, "no-delta-log-folder")
+    DeltaLog.clear_cache()
+    with pytest.raises(Exception, match="[Dd]elta|_delta_log|not exist"):
+        DeltaTable.forPath(spark, table).toDF().count()
+
+
+@pytest.mark.parametrize("suffix", ["normal-a", "normal-b",
+                                    "special-a", "special-b"])
+def test_canonicalized_paths(spark, suffix):
+    """DeltaLogSuite 'paths should be canonicalized': the add uses an
+    unqualified absolute path and the remove the same path with a
+    file:/ or file:// scheme (percent-encoded special chars in the
+    -special variants) — replay must recognize them as the SAME file,
+    leaving an empty table."""
+    table = os.path.join(GOLDEN, f"canonicalized-paths-{suffix}")
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    assert len(snap.all_files) == 0
+
+
+def test_deltalog_get_changes(spark):
+    """DeltaLogSuite 'getChanges - no data loss': three manually
+    committed versions with known action mixes; read_commit_actions
+    must surface every action type at the right version."""
+    table = os.path.join(GOLDEN, "deltalog-getChanges")
+    DeltaLog.clear_cache()
+    log = DeltaLog.for_table(table)
+    v0 = [k for k, _ in log.read_commit_actions(0)]
+    v1 = [k for k, _ in log.read_commit_actions(1)]
+    v2 = [k for k, _ in log.read_commit_actions(2)]
+    assert "metaData" in v0 and "add" in v0
+    assert "cdc" in v1 and "remove" in v1
+    assert "protocol" in v2 and "txn" in v2
+    acts1 = dict(log.read_commit_actions(1))
+    assert acts1["cdc"].path == "fake/path/2"
+    assert acts1["cdc"].partitionValues == {"partition_foo": "partition_bar"}
+    assert acts1["remove"].path == "fake/path/1"
+
+
+def test_log_store_fixtures_read_and_list(spark):
+    """ReadOnlyLogStoreSuite fixtures: files 0/1 hold known lines
+    (read), files 1..3 exist of 0..4 (listFrom semantics)."""
+    from delta_spark.logstore import LocalLogStore
+
+    store = LocalLogStore()
+    t_read = os.path.join(GOLDEN, "log-store-read")
+    assert store.read(os.path.join(t_read, "0")).splitlines() == ["zero", "none"]
+    assert store.read(os.path.join(t_read, "1")).splitlines() == ["one"]
+
+    t_list = os.path.join(GOLDEN, "log-store-listFrom")
+    names = sorted(n for n in store.list_dir(t_list) if not n.startswith("_"))
+    assert names == ["1", "2", "3"]
+
+
+@pytest.mark.parametrize("missing", ["metadata", "protocol"])
+def test_state_reconstruction_from_checkpoint_missing_action(spark, missing):
+    """DeltaLogSuite 'checkpoint missing Protocol/Metadata should
+    fail': the checkpoint lacks the action and no commit supplies it —
+    snapshot construction must raise, not default."""
+    table = os.path.join(
+        GOLDEN, f"deltalog-state-reconstruction-from-checkpoint-missing-{missing}")
+    DeltaLog.clear_cache()
+    with pytest.raises(Exception, match="[Pp]rotocol|[Mm]etadata"):
+        snap = DeltaLog.for_table(table).update()
+        _ = snap.schema if missing == "metadata" else snap.all_files
+        from delta_spark.actions import check_read_protocol
+        check_read_protocol(snap)
