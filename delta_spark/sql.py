@@ -257,11 +257,11 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                     nullable=not cm.group("nn"), metadata=md))
             return dt.replaceColumns(fields)
 
-        am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?", rest)
+        am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>[\w.]+)`?\s+TO\s+`?(?P<b>[\w.]+)`?", rest)
         if am:
             return dt.renameColumn(am.group("a"), am.group("b"))
 
-        am = re.fullmatch(r"(?is)DROP\s+COLUMN\s+`?(?P<c>\w+)`?", rest)
+        am = re.fullmatch(r"(?is)DROP\s+COLUMN\s+`?(?P<c>[\w.]+)`?", rest)
         if am:
             return dt.dropColumn(am.group("c"))
 

@@ -1014,9 +1014,57 @@ class DeltaTable:
         return txn.commit([new_meta] + adds + removes,
                           "REMOVE COLUMN MAPPING", {})
 
+    @staticmethod
+    def _edit_field_at(schema: T.StructType, parts: list[str], repl):
+        """Rebuild `schema` with the StructField at the dotted path
+        `parts` replaced by repl(field) (None drops it). Raises when
+        the path is absent or traverses a non-struct. Matching is
+        case-insensitive, like Spark resolution."""
+        head, rest = parts[0], parts[1:]
+        out, found = [], False
+        for fl in schema.fields:
+            if fl.name.lower() == head.lower():
+                found = True
+                if rest:
+                    if not isinstance(fl.dataType, T.StructType):
+                        raise ValueError(
+                            f"column {head!r} is not a struct")
+                    inner = DeltaTable._edit_field_at(
+                        fl.dataType, rest, repl)
+                    if not inner.fields:
+                        raise ValueError(
+                            f"cannot drop the last field of struct {head!r}")
+                    out.append(T.StructField(
+                        fl.name, inner, fl.nullable, fl.metadata))
+                else:
+                    nf = repl(fl)
+                    if nf is not None:
+                        out.append(nf)
+            else:
+                out.append(fl)
+        if not found:
+            raise ValueError(f"no such column {head!r}")
+        return T.StructType(out)
+
+    @staticmethod
+    def _sibling_names(schema: T.StructType, parts: list[str]) -> list[str]:
+        node = schema
+        for p in parts[:-1]:
+            match = [fl for fl in node.fields if fl.name.lower() == p.lower()]
+            if not match:
+                raise ValueError(f"no such column {p!r}")
+            if not isinstance(match[0].dataType, T.StructType):
+                raise ValueError(f"column {p!r} is not a struct")
+            node = match[0].dataType
+        return [fl.name for fl in node.fields]
+
     def renameColumn(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column
-        mapping (auto-enabled on first use; id mode kept as-is)."""
+        mapping (auto-enabled on first use; id mode kept as-is).
+        Dotted paths rename NESTED struct fields (`s.aa` → field `aa`
+        inside struct `s`), matching the reference's nested RENAME
+        COLUMN support — the field keeps its physicalName/id metadata,
+        so no data rewrite at any level."""
         from delta_spark.schema import column_mapping_mode
 
         snap0 = self.log.update()
@@ -1027,39 +1075,40 @@ class DeltaTable:
             raise ValueError(
                 f"cannot rename column {old!r}: referenced by "
                 + "; ".join(deps))
-        names0 = [fl.name for fl in snap0.schema.fields]
+        parts = old.split(".")
+        new_leaf = new.split(".")[-1]
         # validate BEFORE the irreversible mapping upgrade: a rejected
         # rename must not leave the table protocol-bumped as a side
         # effect (the upgrade commits metadata + reader 2 / writer 5)
-        if old not in names0:
+        siblings0 = self._sibling_names(snap0.schema, parts)
+        if parts[-1].lower() not in (n.lower() for n in siblings0):
             raise ValueError(f"no such column {old!r}")
-        if new.lower() != old.lower() and \
-                new.lower() in (n.lower() for n in names0):
-            raise ValueError(f"column {new!r} already exists")
+        if new_leaf.lower() != parts[-1].lower() and \
+                new_leaf.lower() in (n.lower() for n in siblings0):
+            raise ValueError(f"column {new_leaf!r} already exists")
         if column_mapping_mode(snap0.configuration) not in ("name", "id"):
             self.enableColumnMapping()
 
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
-            names = [fl.name for fl in schema.fields]
-            if old not in names:
-                raise ValueError(f"no such column {old!r}")
+            siblings = self._sibling_names(schema, parts)
             # case-insensitive collision check (Spark resolution is
             # case-insensitive by default); a case-only rename of the
             # same column is allowed
-            if new.lower() != old.lower() and \
-                    new.lower() in (n.lower() for n in names):
-                raise ValueError(f"column {new!r} already exists")
-            return T.StructType([
-                T.StructField(new if fl.name == old else fl.name, fl.dataType,
-                              fl.nullable, fl.metadata)
-                for fl in schema.fields])
+            if new_leaf.lower() != parts[-1].lower() and \
+                    new_leaf.lower() in (n.lower() for n in siblings):
+                raise ValueError(f"column {new_leaf!r} already exists")
+            return self._edit_field_at(
+                schema, parts,
+                lambda fl: T.StructField(new_leaf, fl.dataType,
+                                         fl.nullable, fl.metadata))
         # metadata.partitionColumns hold LOGICAL names — a renamed
         # partition column must follow, or partition pruning under the
         # new name silently stops engaging
         return self._update_schema(
             f, "RENAME COLUMN", {"from": old, "to": new},
-            partition_fn=lambda pcs: [new if c == old else c for c in pcs])
+            partition_fn=lambda pcs: [new_leaf if c == old else c
+                                      for c in pcs])
 
     def changeColumnType(self, name: str, new_type) -> int:
         """ALTER TABLE CHANGE COLUMN ... TYPE — metadata-only type
@@ -1307,12 +1356,13 @@ class DeltaTable:
             raise ValueError(
                 f"cannot drop column {name!r}: referenced by "
                 + "; ".join(deps))
+        parts = name.split(".")
         # validate BEFORE the irreversible mapping upgrade (see
         # renameColumn): a rejected drop must not bump the protocol
-        names0 = [fl.name for fl in snap0.schema.fields]
-        if name not in names0:
+        siblings0 = self._sibling_names(snap0.schema, parts)
+        if parts[-1].lower() not in (n.lower() for n in siblings0):
             raise ValueError(f"no such column {name!r}")
-        if len(names0) == 1:
+        if len(siblings0) == 1:
             raise ValueError("cannot drop the last column")
         if name in snap0.partition_columns:
             raise ValueError("cannot drop a partition column")
@@ -1321,12 +1371,9 @@ class DeltaTable:
 
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
-            if name not in [fl.name for fl in schema.fields]:
-                raise ValueError(f"no such column {name!r}")
-            remaining = [fl for fl in schema.fields if fl.name != name]
-            if not remaining:
+            if len(self._sibling_names(schema, parts)) == 1:
                 raise ValueError("cannot drop the last column")
-            return T.StructType(remaining)
+            return self._edit_field_at(schema, parts, lambda fl: None)
         return self._update_schema(f, "DROP COLUMNS", {"columns": json.dumps([name])})
 
     def syncIdentity(self) -> int:

@@ -392,3 +392,67 @@ def test_remove_column_mapping(spark, tmp_table):
                 configuration={"delta.columnMapping.mode": "name"})
     with pytest.raises(ValueError, match="column names not allowed"):
         DeltaTable.forPath(spark, t2).removeColumnMapping()
+
+
+def test_nested_rename_and_drop_metadata_only(spark, tmp_table):
+    """Nested RENAME/DROP COLUMN (reference supports dotted paths,
+    metadata-only under column mapping): the nested field keeps its
+    physicalName/id so no file is rewritten and the data reads back
+    under the new logical name."""
+    df = spark.sql("""
+        SELECT 1 AS id,
+               named_struct('aa', 'x', 'ac', named_struct('aca', 7)) AS s
+        UNION ALL
+        SELECT 2, named_struct('aa', 'y', 'ac', named_struct('aca', 8))
+    """)
+    write_delta(df, tmp_table,
+                configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    files_before = {f.path for f in DeltaLog.for_table(tmp_table).update().all_files}
+
+    dt.renameColumn("s.aa", "a2")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema["s"].dataType.fields] == ["a2", "ac"]
+    # metadata-only: same files
+    assert {f.path for f in snap.all_files} == files_before
+    rows = sorted((r["id"], r["s"]["a2"], r["s"]["ac"]["aca"])
+                  for r in dt.toDF().selectExpr("id", "s").collect())
+    assert rows == [(1, "x", 7), (2, "y", 8)]
+
+    # deep path renames too
+    dt.renameColumn("s.ac.aca", "z")
+    got = dt.toDF().selectExpr("s.ac.z").collect()
+    assert sorted(r["z"] for r in got) == [7, 8]
+
+    # sibling collision rejected
+    with pytest.raises(ValueError, match="already exists"):
+        dt.renameColumn("s.a2", "ac")
+    # absent path rejected
+    with pytest.raises(ValueError, match="no such column"):
+        dt.renameColumn("s.nope", "x")
+    # non-struct traversal rejected
+    with pytest.raises(ValueError, match="not a struct"):
+        dt.renameColumn("id.x", "y")
+
+    # nested drop: metadata-only, data unreadable under dropped name
+    dt.dropColumn("s.a2")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema["s"].dataType.fields] == ["ac"]
+    assert {f.path for f in snap.all_files} == files_before
+    assert sorted(r["aca"] for r in
+                  dt.toDF().selectExpr("s.ac.z AS aca").collect()) == [7, 8]
+    # can't drop the struct's last field
+    with pytest.raises(ValueError, match="last"):
+        dt.dropColumn("s.ac")
+
+
+def test_nested_rename_via_sql(spark, tmp_table):
+    write_delta(
+        spark.sql("SELECT 1 AS id, named_struct('aa', 5, 'ab', 6) AS s"),
+        tmp_table, configuration={"delta.columnMapping.mode": "name"})
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` RENAME COLUMN s.aa TO bb")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().selectExpr("s.bb").collect()[0]["bb"] == 5
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` DROP COLUMN s.bb")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema["s"].dataType.fields] == ["ab"]
