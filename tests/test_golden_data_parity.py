@@ -466,3 +466,56 @@ def test_state_reconstruction_from_checkpoint_missing_action(spark, missing):
         _ = snap.schema if missing == "metadata" else snap.all_files
         from delta_spark.actions import check_read_protocol
         check_read_protocol(snap)
+
+
+HIVE = [
+    "hive/deltatbl-non-partitioned", "hive/deltatbl-partitioned",
+    "hive/deltatbl-deleted-path", "hive/deltatbl-incorrect-format-config",
+    "hive/deltatbl-not-allow-write", "hive/deltatbl-schema-match",
+    "hive/deltatbl-partition-prune",
+    "hive/deltatbl-special-chars-in-partition-column",
+    "hive/deltatbl-touch-files-needed-for-partitioned",
+    "hive/deltatbl-map-types-correctly",       # full type matrix
+    "hive/deltatbl-column-names-case-insensitive",
+]
+
+
+@pytest.mark.parametrize("name", HIVE)
+def test_hive_connector_fixture_parity(spark, name):
+    """The Hive-connector golden corpus (HiveConnectorSuite tables) —
+    same cell-level parity harness."""
+    _assert_table_parity(spark, name)
+
+
+def test_spark_variant_checkpoint_values(spark):
+    """spark-variant-checkpoint (kernel LastCheckpointHintSuite /
+    ScanSuite): variants nested inside arrays, maps and structs, state
+    served THROUGH a checkpoint (checkpointInterval=2 + two extra
+    appends). Expected JSON follows the generator in the fixture's
+    info.txt: row id carries {"key": id} everywhere, ids 0 and 1
+    appear twice (the appended duplicates)."""
+    table = os.path.join(GOLDEN, "spark-variant-checkpoint")
+    DeltaLog.clear_cache()
+    df = DeltaTable.forPath(spark, table).toDF()
+    rows = (df.selectExpr(
+        "id", "to_json(v) AS jv",
+        "transform(array_of_variants, x -> to_json(x)) AS av",
+        "to_json(struct_of_variants.v) AS sv",
+        "to_json(map_of_variants[cast(id AS STRING)]) AS mv",
+        "map_of_variants['nullKey'] IS NULL AS mnull",
+        "transform(array_of_struct_of_variants, x -> to_json(x.v)) AS asv",
+        "transform(struct_of_array_of_variants.v, x -> to_json(x)) AS sav")
+        .collect())
+    assert len(rows) == 102
+    from collections import Counter
+    counts = Counter(r["id"] for r in rows)
+    assert counts[0] == 2 and counts[1] == 2
+    assert sum(counts.values()) == 102 and set(counts) == set(range(100))
+    for r in rows:
+        want = '{"key":%d}' % r["id"]
+        assert r["jv"] == want
+        assert r["av"] == [want, None, want, None, want]
+        assert r["sv"] == want
+        assert r["mv"] == want and r["mnull"]
+        assert r["asv"] == [want, None, None, want, None, want]
+        assert r["sav"] == [None, want]
