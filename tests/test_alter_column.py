@@ -456,3 +456,33 @@ def test_nested_rename_via_sql(spark, tmp_table):
     delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` DROP COLUMN s.bb")
     snap = DeltaLog.for_table(tmp_table).update()
     assert [f.name for f in snap.schema["s"].dataType.fields] == ["ab"]
+
+
+def test_dml_on_mapped_nested_fields(spark, tmp_table):
+    """UPDATE / MERGE touching nested struct fields of a column-mapped
+    table: rewritten files must keep PHYSICAL nested names on disk
+    (the nested-mapping write contract) while DML expressions resolve
+    logical names."""
+    write_delta(
+        spark.sql("""SELECT * FROM VALUES
+            (1, named_struct('aa', 'x', 'n', 10)),
+            (2, named_struct('aa', 'y', 'n', 20)) AS t(id, s)"""),
+        tmp_table, configuration={"delta.columnMapping.mode": "id"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    delta_sql(spark,
+              f"UPDATE delta.`{tmp_table}` SET s = named_struct('aa', s.aa, "
+              f"'n', s.n + 5) WHERE id = 1")
+    rows = sorted((r["id"], r["s"]["aa"], r["s"]["n"])
+                  for r in dt.toDF().collect())
+    assert rows == [(1, "x", 15), (2, "y", 20)]
+    # the rewritten file stores physical nested names + field ids
+    import os as _os
+    import pyarrow.parquet as pq
+    from delta_spark.schema import physical_name
+    snap = DeltaLog.for_table(tmp_table).update()
+    s_phys = physical_name(snap.schema["s"])
+    for f in snap.all_files:
+        sch = pq.read_schema(_os.path.join(tmp_table, f.path))
+        inner = sch.field(s_phys).type
+        assert all(inner.field(i).name.startswith("col-")
+                   for i in range(inner.num_fields))

@@ -519,3 +519,24 @@ def test_spark_variant_checkpoint_values(spark):
         assert r["mv"] == want and r["mnull"]
         assert r["asv"] == [want, None, None, want, None, want]
         assert r["sav"] == [None, want]
+
+
+@pytest.mark.parametrize("name", [
+    "data-skipping-basic-stats-all-types",
+    "data-skipping-basic-stats-all-types-checkpoint",
+    "data-skipping-basic-stats-all-types-columnmapping-id",
+    "data-skipping-basic-stats-all-types-columnmapping-name",
+])
+def test_data_skipping_on_reference_stats(spark, name):
+    """Stats written by the REFERENCE engine drive our file skipping —
+    under column mapping the stats JSON keys are PHYSICAL names, so
+    this pins the logical→physical stats translation in
+    files_for_scan. The fixture holds one file with as_int ∈ {0, 1}."""
+    table = os.path.join(GOLDEN, name)
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    assert len(snap.all_files) == 1
+    assert len(snap.files_for_scan("as_int = 0")) == 1
+    assert len(snap.files_for_scan("as_int > 100")) == 0
+    assert len(snap.files_for_scan("as_long <= -5")) == 0
+    assert len(snap.files_for_scan("as_string = '0'")) == 1
