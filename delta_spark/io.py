@@ -281,9 +281,9 @@ def write_delta(
             # post-upgrade columns get engine-generated names, never the
             # logical name — reusing it would resurrect a dropped
             # column's data still stored under that physical name
-            ids = [f.metadata.get("delta.columnMapping.id", 0) for f in table_schema.fields
-                   if f.metadata]
-            start = max([int(cfg.get("delta.columnMapping.maxColumnId", 0))] + ids)
+            from delta_spark.schema import max_field_id
+            start = max(int(cfg.get("delta.columnMapping.maxColumnId", 0)),
+                        max_field_id(table_schema))
             mapped_schema, max_id = assign_physical_names(
                 table_schema, start_id=start, reuse_logical=False)
             if mapped_schema != table_schema:

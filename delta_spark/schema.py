@@ -306,6 +306,30 @@ def field_id(field: T.StructField):
     return int(v) if v is not None else None
 
 
+def max_field_id(schema: T.StructType) -> int:
+    """Largest delta.columnMapping.id anywhere in the schema tree —
+    nested struct fields carry ids too, so seeding a new-column id
+    counter from top-level ids alone could collide."""
+    best = 0
+
+    def walk(dt: T.DataType):
+        nonlocal best
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                fid = field_id(f)
+                if fid is not None:
+                    best = max(best, fid)
+                walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    walk(schema)
+    return best
+
+
 def physical_projection(df, schema):
     """Select df's columns under their PHYSICAL names — at every
     nesting level — carrying parquet.field.id metadata so files are

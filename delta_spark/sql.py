@@ -221,10 +221,10 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
             fields, positions = [], []
             for part in _split_top_level(am.group("cols"), angles=True):
                 cm = re.match(
-                    r"(?is)^\s*`?(?P<n>\w+)`?\s+(?P<t>.+?)"
+                    r"(?is)^\s*`?(?P<n>[\w.]+)`?\s+(?P<t>.+?)"
                     r"(?:\s+(?P<nn>NOT\s+NULL))?"
                     r"(?:\s+COMMENT\s+'(?P<cmt>(?:[^']|'')*)')?"
-                    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>\w+)`?)?\s*$",
+                    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>[\w.]+)`?)?\s*$",
                     part)
                 if cm is None:
                     raise ValueError(f"cannot parse column spec: {part.strip()!r}")

@@ -884,28 +884,48 @@ class DeltaTable:
                     "Operation not supported: NOT NULL in ALTER TABLE "
                     f"ADD COLUMNS (column {fl.name})")
 
+        def insert_into(fields_list, nf, pos):
+            out = list(fields_list)
+            if pos is None:
+                out.append(nf)
+            elif pos == "first":
+                out.insert(0, nf)
+            else:
+                anchor = pos[1].split(".")[-1].lower()
+                idx = next((i for i, x in enumerate(out)
+                            if x.name.lower() == anchor), None)
+                if idx is None:
+                    raise ValueError(
+                        f"AFTER column {pos[1]!r} does not exist")
+                out.insert(idx + 1, nf)
+            return out
+
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
-            names = {fl.name.lower() for fl in schema.fields}
-            for fl in fields:
-                if fl.name.lower() in names:
-                    raise ValueError(f"column {fl.name} already exists")
-            out = list(schema.fields)
             for fl, pos in zip(fields, positions):
-                nf = T.StructField(fl.name, fl.dataType, True, fl.metadata)
-                if pos is None:
-                    out.append(nf)
-                elif pos == "first":
-                    out.insert(0, nf)
+                parts = fl.name.split(".")
+                leaf = parts[-1]
+                siblings = self._sibling_names(schema, parts)
+                if leaf.lower() in (n.lower() for n in siblings):
+                    raise ValueError(f"column {fl.name} already exists")
+                nf = T.StructField(leaf, fl.dataType, True, fl.metadata)
+                if len(parts) == 1:
+                    schema = T.StructType(
+                        insert_into(schema.fields, nf, pos))
                 else:
-                    anchor = pos[1].lower()
-                    idx = next((i for i, x in enumerate(out)
-                                if x.name.lower() == anchor), None)
-                    if idx is None:
-                        raise ValueError(
-                            f"AFTER column {pos[1]!r} does not exist")
-                    out.insert(idx + 1, nf)
-            return T.StructType(out)
+                    # dotted path: add INSIDE the parent struct
+                    # (alterDeltaTableCommands nested ADD COLUMNS)
+                    def graft(parent):
+                        if not isinstance(parent.dataType, T.StructType):
+                            raise ValueError(
+                                f"column {parent.name!r} is not a struct")
+                        return T.StructField(
+                            parent.name,
+                            T.StructType(insert_into(
+                                parent.dataType.fields, nf, pos)),
+                            parent.nullable, parent.metadata)
+                    schema = self._edit_field_at(schema, parts[:-1], graft)
+            return schema
 
         return self._update_schema(f, "ADD COLUMNS",
                                    {"columns": json.dumps([fl.name for fl in fields])})
@@ -1508,8 +1528,9 @@ class DeltaTable:
             # assignColumnIdAndPhysicalName) — reusing the logical name
             # would resurrect a previously dropped column's data still
             # present under that physical name in old files
-            ids = [field_id(f) or 0 for f in new_schema.fields]
-            start = max([int(cfg.get(COLUMN_MAPPING_MAX_ID_KEY, 0))] + ids)
+            from delta_spark.schema import max_field_id
+            start = max(int(cfg.get(COLUMN_MAPPING_MAX_ID_KEY, 0)),
+                        max_field_id(new_schema))
             mapped, max_id = assign_physical_names(
                 new_schema, start_id=start, reuse_logical=False)
             if mapped != new_schema:

@@ -486,3 +486,40 @@ def test_dml_on_mapped_nested_fields(spark, tmp_table):
         inner = sch.field(s_phys).type
         assert all(inner.field(i).name.startswith("col-")
                    for i in range(inner.num_fields))
+
+
+def test_nested_add_columns(spark, tmp_table):
+    """Nested ADD COLUMNS (dotted path adds a field INSIDE a struct,
+    metadata-only; old files read it as null) — reference
+    alterDeltaTableCommands nested ADD support. Under mapping the new
+    nested field gets a fresh id past the tree-wide max."""
+    write_delta(
+        spark.sql("SELECT 1 AS id, named_struct('aa', 5) AS s"),
+        tmp_table, configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "ADD COLUMNS (s.bb STRING AFTER aa, s.cc INT FIRST)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    inner = [f.name for f in snap.schema["s"].dataType.fields]
+    assert inner == ["cc", "aa", "bb"]
+    from delta_spark.schema import field_id, max_field_id
+    ids = [field_id(f) for f in snap.schema["s"].dataType.fields]
+    assert None not in ids and len(set(ids)) == 3
+    assert max_field_id(snap.schema) == max(
+        x for x in ids + [field_id(snap.schema["id"]),
+                          field_id(snap.schema["s"])])
+    r = dt.toDF().selectExpr("s.aa", "s.bb", "s.cc").collect()[0]
+    assert (r["aa"], r["bb"], r["cc"]) == (5, None, None)
+    # collision + non-struct guards
+    with pytest.raises(ValueError, match="already exists"):
+        dt.addColumns([__import__("pyspark").sql.types.StructField(
+            "s.aa", __import__("pyspark").sql.types.IntegerType())])
+    with pytest.raises(ValueError, match="not a struct"):
+        dt.addColumns([__import__("pyspark").sql.types.StructField(
+            "id.x", __import__("pyspark").sql.types.IntegerType())])
+    # appended rows round-trip with the evolved nested schema
+    write_delta(
+        spark.sql("SELECT 2 AS id, named_struct('cc', 9, 'aa', 6, 'bb', 'z') AS s"),
+        tmp_table, mode="append")
+    rows = sorted((r["id"], tuple(r["s"])) for r in dt.toDF().collect())
+    assert rows == [(1, (None, 5, None)), (2, (9, 6, "z"))]
