@@ -540,3 +540,25 @@ def test_data_skipping_on_reference_stats(spark, name):
     assert len(snap.files_for_scan("as_int > 100")) == 0
     assert len(snap.files_for_scan("as_long <= -5")) == 0
     assert len(snap.files_for_scan("as_string = '0'")) == 1
+
+
+@pytest.mark.parametrize("name", ["collations-table",
+                                  "collations-preview-table"])
+def test_collations_fixture_metadata(spark, name):
+    """The collations golden tables (writer features `collations` /
+    `collations-preview`, __COLLATIONS field metadata, no data files):
+    protocol must be accepted for read AND write gating, and the
+    collation annotations must survive the schema round-trip."""
+    table = os.path.join(GOLDEN, name)
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    from delta_spark.actions import check_read_protocol, check_write_protocol
+    check_read_protocol(snap.protocol)
+    check_write_protocol(snap.protocol)
+    # __COLLATIONS metadata becomes Spark's NATIVE collated string type
+    assert str(snap.schema["utf8_lcase_col"].dataType) == \
+        "StringType('UTF8_LCASE')"
+    assert str(snap.schema["unicode_col"].dataType) == \
+        "StringType('UNICODE')"
+    assert str(snap.schema["utf8_binary_col"].dataType) == "StringType()"
+    assert DeltaTable.forPath(spark, table).toDF().count() == 0
