@@ -290,6 +290,41 @@ def _build_lazy_snapshot_index(log, version: int) -> "_SnapshotFileIndex":
                               files_slice=files_slice)
 
 
+def _arrow_view_names(col, tgt_type):
+    """Zero-copy rename of NESTED field names so a by-name cast can
+    follow. Column mapping gives nested struct fields physical
+    col-<uuid> names on disk while the logical schema carries the user
+    names; pyarrow casts match struct children BY NAME, so the rename
+    must happen structurally first (`Array.view` — same buffers, new
+    type). Works in both directions (read: physical→logical; write:
+    logical→physical)."""
+    import pyarrow as pa
+
+    def renamed(src, tgt):
+        if (pa.types.is_struct(src) and pa.types.is_struct(tgt)
+                and src.num_fields == tgt.num_fields):
+            return pa.struct([
+                pa.field(tgt.field(i).name,
+                         renamed(src.field(i).type, tgt.field(i).type),
+                         src.field(i).nullable)
+                for i in range(src.num_fields)])
+        if pa.types.is_list(src) and pa.types.is_list(tgt):
+            return pa.list_(renamed(src.value_type, tgt.value_type))
+        if pa.types.is_large_list(src) and pa.types.is_large_list(tgt):
+            return pa.large_list(renamed(src.value_type, tgt.value_type))
+        if pa.types.is_map(src) and pa.types.is_map(tgt):
+            return pa.map_(renamed(src.key_type, tgt.key_type),
+                           renamed(src.item_type, tgt.item_type))
+        return src
+
+    t = renamed(col.type, tgt_type)
+    if t == col.type:
+        return col
+    if isinstance(col, pa.ChunkedArray):
+        return pa.chunked_array([c.view(t) for c in col.chunks], type=t)
+    return col.view(t)
+
+
 def _trace(msg):
     import os as _os
     t = _os.environ.get("DELTA_SPARK_STREAM_TRACE")
@@ -907,7 +942,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                             pq_ids[int(v)] = af.name
                     want = _fid(schema[field.name]) if field.name in schema.names else None
                     src_name = pq_ids.get(want, field.name)
-                cols.append(table.column(src_name).cast(field.type))
+                col = _arrow_view_names(table.column(src_name), field.type)
+                cols.append(col.cast(field.type))
         out = pa.Table.from_arrays(cols, schema=target)
         yield from out.to_batches(max_chunksize=65536)
 
@@ -1078,11 +1114,43 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
         tschema = schema_from_json(self.table_schema_json)
         types = {f.name: f.dataType for f in tschema.fields}
         part_phys = [self.l2p.get(c, c) for c in self.part_cols]
+        # physical names at EVERY nesting level (nested struct fields
+        # carry col-<uuid> physical names under creation-time mapping),
+        # plus PARQUET:field_id metadata so pyarrow writes parquet
+        # field ids — id-mode JVM readers resolve columns BY ID and see
+        # nulls in files without them
+        import pyarrow as pa
+        from delta_spark.schema import physical_schema as _physchema
+
+        phys_fields = _physchema(tschema, with_field_ids=True).fields
         data_fields = [
-            T.StructField(self.l2p.get(f.name, f.name), f.dataType,
-                          f.nullable, f.metadata)
-            for f in tschema.fields if f.name not in set(self.part_cols)]
-        target = to_arrow_schema(T.StructType(data_fields))
+            pf for lf, pf in zip(tschema.fields, phys_fields)
+            if lf.name not in set(self.part_cols)]
+
+        def attach_ids(af: "pa.Field", sf: T.StructField) -> "pa.Field":
+            dt, at = sf.dataType, af.type
+            if isinstance(dt, T.StructType) and pa.types.is_struct(at):
+                at = pa.struct([attach_ids(at.field(i), dt.fields[i])
+                                for i in range(at.num_fields)])
+            elif isinstance(dt, T.ArrayType) and pa.types.is_list(at):
+                inner = attach_ids(
+                    pa.field("element", at.value_type),
+                    T.StructField("element", dt.elementType))
+                at = pa.list_(inner.type)
+            elif isinstance(dt, T.MapType) and pa.types.is_map(at):
+                kt = attach_ids(pa.field("key", at.key_type),
+                                T.StructField("key", dt.keyType)).type
+                vt = attach_ids(pa.field("value", at.item_type),
+                                T.StructField("value", dt.valueType)).type
+                at = pa.map_(kt, vt)
+            fid = (sf.metadata or {}).get("parquet.field.id")
+            md = ({b"PARQUET:field_id": str(fid).encode()}
+                  if fid is not None else None)
+            return pa.field(af.name, at, af.nullable, md)
+
+        plain = to_arrow_schema(T.StructType(data_fields))
+        target = pa.schema([attach_ids(plain.field(i), data_fields[i])
+                            for i in range(len(data_fields))])
         data_logical = [f.name for f in tschema.fields
                         if f.name not in set(self.part_cols)]
 
@@ -1128,7 +1196,13 @@ class DeltaArrowBatchWriter(DataSourceArrowWriter):
                 out = sub.select(data_logical)
                 out = out.rename_columns(
                     [self.l2p.get(c, c) for c in data_logical])
-                writer.write_table(out.cast(target))
+                arrays = [
+                    _arrow_view_names(out.column(i),
+                                      target.field(i).type)
+                    .cast(target.field(i).type)
+                    for i in range(out.num_columns)]
+                writer.write_table(pa.Table.from_arrays(
+                    arrays, schema=target))
 
         files = []
         idx_cols = stats_columns(self.cfg)

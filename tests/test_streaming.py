@@ -1025,3 +1025,45 @@ def test_available_now_with_caps_requires_acknowledgment(spark, tmp_table,
     # uncapped availableNow and capped non-availableNow remain fine
     DeltaStreamReader(None, {"path": tmp_table, "availablenow": "true"})
     DeltaStreamReader(None, {"path": tmp_table, "maxfilespertrigger": "1"})
+
+
+def test_datasource_nested_column_mapping_roundtrip(spark, tmp_path):
+    """format('delta_py') read AND write on an id-mode table with
+    nested structs: files store physical nested names + parquet field
+    ids at every level (pyarrow casts match struct children by name,
+    so the Arrow paths rename structurally via Array.view; the Arrow
+    writer stamps PARQUET:field_id metadata — id-mode JVM readers
+    resolve by id and read files without them as all-null, which is
+    exactly the bug this pins)."""
+    from delta_spark.io import write_delta
+    from delta_spark.table import DeltaTable
+
+    t = str(tmp_path / "nested_cm")
+    write_delta(spark.sql("SELECT 1 AS id, named_struct('aa', 5, 'ab', 'x') AS s"),
+                t, configuration={"delta.columnMapping.mode": "id"})
+    # Arrow batch writer append
+    (spark.sql("SELECT 2 AS id, named_struct('aa', 7, 'ab', 'y') AS s")
+     .write.format("delta_py").mode("append").save(t))
+    want = [(1, 5, "x"), (2, 7, "y")]
+    # JVM read path
+    got = sorted((r["id"], r["s"]["aa"], r["s"]["ab"])
+                 for r in DeltaTable.forPath(spark, t).toDF().collect())
+    assert got == want
+    # Python DataSource batch read path
+    got_ds = sorted((r["id"], r["s"]["aa"], r["s"]["ab"])
+                    for r in spark.read.format("delta_py").load(t).collect())
+    assert got_ds == want
+    # the Arrow-written file carries nested physical names + field ids
+    import os as _os
+    import pyarrow.parquet as pq
+    from delta_spark.log import DeltaLog
+    from delta_spark.schema import physical_name
+    snap = DeltaLog.for_table(t).update()
+    s_phys = physical_name(snap.schema["s"])
+    for f in snap.all_files:
+        sch = pq.read_schema(_os.path.join(t, f.path))
+        sf = sch.field(s_phys)
+        assert all(sf.type.field(i).name.startswith("col-")
+                   for i in range(sf.type.num_fields))
+        assert all(b"PARQUET:field_id" in (sf.type.field(i).metadata or {})
+                   for i in range(sf.type.num_fields))
