@@ -90,6 +90,23 @@ def table_changes(spark: SparkSession, log: DeltaLog,
 
     end_map = {physical_name(f): f.name for f in schema.fields}
 
+    def _shape(field) -> str:
+        """Logical+physical name tree of a field — differs iff some
+        nested field was renamed, dropped, added or retyped."""
+        from pyspark.sql import types as T
+
+        def walk(dt):
+            if isinstance(dt, T.StructType):
+                return [(f.name, physical_name(f), walk(f.dataType))
+                        for f in dt.fields]
+            if isinstance(dt, T.ArrayType):
+                return ("array", walk(dt.elementType))
+            if isinstance(dt, T.MapType):
+                return ("map", walk(dt.keyType), walk(dt.valueType))
+            return dt.simpleString()
+
+        return repr((field.name, physical_name(field), walk(field.dataType)))
+
     def _check_compat(ver_snapshot) -> None:
         """CDF ranges must be schema-compatible with the END schema
         (CDCReader / DeltaColumnMappingUnsupportedSchemaIncompatible):
@@ -110,6 +127,17 @@ def table_changes(spark: SparkSession, log: DeltaLog,
                     f"{ending_version}] spans a RENAME of column "
                     f"{f.name!r} -> {end_map[phys]!r}; narrow the range "
                     "to versions sharing a read-compatible schema")
+            # NESTED fields carry mapping metadata too: any nested
+            # rename/drop/add inside a shared column makes the range
+            # incompatible (the reference's column-mapping CDF gate
+            # blocks on any schema change across the range)
+            ef = next(x for x in schema.fields if physical_name(x) == phys)
+            if _shape(f) != _shape(ef):
+                raise ValueError(
+                    f"Change Data Feed range [{starting_version}, "
+                    f"{ending_version}] spans a nested schema change in "
+                    f"column {f.name!r}; narrow the range to versions "
+                    "sharing a read-compatible schema")
 
     def _check_and_align(df: DataFrame, ver_snapshot) -> DataFrame:
         _check_compat(ver_snapshot)

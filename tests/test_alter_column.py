@@ -523,3 +523,31 @@ def test_nested_add_columns(spark, tmp_table):
         tmp_table, mode="append")
     rows = sorted((r["id"], tuple(r["s"])) for r in dt.toDF().collect())
     assert rows == [(1, (None, 5, None)), (2, (9, 6, "z"))]
+
+
+def test_cdf_range_spanning_nested_rename_blocked(spark, tmp_table):
+    """A CDF range crossing a NESTED rename must fail with the clear
+    'narrow the range' error (reference column-mapping CDF gate), not
+    an obscure union mismatch; ranges on one side still work."""
+    write_delta(
+        spark.sql("SELECT 1 AS id, named_struct('aa', 5) AS s"),
+        tmp_table,
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.enableChangeDataFeed": "true"})
+    write_delta(spark.sql("SELECT 2 AS id, named_struct('aa', 6) AS s"),
+                tmp_table, mode="append")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.renameColumn("s.aa", "bb")                      # version 2
+    write_delta(spark.sql("SELECT 3 AS id, named_struct('bb', 7) AS s"),
+                tmp_table, mode="append")              # version 3
+    from delta_spark.cdf import table_changes
+    with pytest.raises(ValueError, match="nested schema change"):
+        table_changes(spark, DeltaLog.for_table(tmp_table), 0, 3).collect()
+    # batch CDF serves the LATEST schema, so even a pre-rename range is
+    # incompatible (same as the reference's column-mapping CDF gate)
+    with pytest.raises(ValueError, match="nested schema change"):
+        table_changes(spark, DeltaLog.for_table(tmp_table), 0, 1).collect()
+    # post-rename ranges are fine
+    post = table_changes(spark, DeltaLog.for_table(tmp_table), 3, 3)
+    assert post.count() == 1
+    assert post.selectExpr("s.bb").collect()[0]["bb"] == 7
