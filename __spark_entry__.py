@@ -1579,6 +1579,34 @@ def q_governance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  str(ddf.filter("src = 'backfill'")
                      .agg(F.sum("k")).collect()[0][0])))
 
+    # --- nested column mapping (round 7: recursive physical names) -----
+    # id-mode table with a two-level struct; nested RENAME + nested ADD
+    # COLUMNS + nested DROP, all metadata-only, then data-derived sums
+    # under the NEW logical names — a mapping bug (nested fields
+    # reading as null, wrong physical resolution) cannot produce the
+    # oracle's values
+    mpath = _tf.mkdtemp(prefix="dsq_gov_map_")
+    _sh.rmtree(mpath, ignore_errors=True)
+    write_delta(orders.filter("o_orderkey % 17 = 0").selectExpr(
+        "CAST(o_orderkey AS LONG) AS k",
+        "named_struct('price', CAST(o_totalprice AS DECIMAL(18,2)), "
+        "'meta', named_struct('prio', o_orderpriority)) AS s"),
+        mpath, configuration={"delta.columnMapping.mode": "id"})
+    mdt = _dt(spark, mpath)
+    mdt.renameColumn("s.price", "amount")
+    mdt.addColumns([T.StructField("s.note", T.StringType())])
+    mdf = mdt.toDF()
+    rows.append(("nested_mapping", "amount_sum",
+                 str(mdf.agg(F.sum("s.amount")).collect()[0][0])))
+    rows.append(("nested_mapping", "urgent_rows",
+                 str(mdf.filter("s.meta.prio = '1-URGENT'").count())))
+    rows.append(("nested_mapping", "note_nulls",
+                 str(mdf.filter("s.note IS NULL").count())))
+    mdt.dropColumn("s.meta")
+    rows.append(("nested_mapping", "fields_after_drop", ",".join(
+        f.name for f in DeltaLog.for_table(mpath).update()
+        .schema["s"].dataType.fields)))
+
     # --- conflict-checker classification matrix ------------------------
     # (ConflictChecker.scala check order + the 3 isolation levels):
     # a stale transaction races a committed winner; the recorded value
@@ -2453,6 +2481,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'defaults', 'defaulted_key_sum',
               CAST((SELECT sum(o_orderkey) FROM orders
                     WHERE o_orderkey % 11 = 0) AS VARCHAR)
+            UNION ALL SELECT 'nested_mapping', 'amount_sum',
+              CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FROM orders WHERE o_orderkey % 17 = 0) AS VARCHAR)
+            UNION ALL SELECT 'nested_mapping', 'urgent_rows',
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0
+                    AND o_orderpriority = '1-URGENT') AS VARCHAR)
+            UNION ALL SELECT 'nested_mapping', 'note_nulls',
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0)
+                   AS VARCHAR)
+            UNION ALL SELECT 'nested_mapping', 'fields_after_drop',
+              'amount,note'
             UNION ALL SELECT 'show_columns', column_name,
               CASE WHEN data_type = 'BIGINT' THEN 'bigint'
                    WHEN data_type = 'INTEGER' THEN 'int'
