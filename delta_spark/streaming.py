@@ -181,13 +181,21 @@ class SchemaTrackingLog:
 
 
 def _is_additive_change(old_json: str, new_json: str) -> bool:
-    """True when new schema only ADDS fields (safe to auto-evolve);
-    renames/drops/type changes are non-additive and need the
+    """True when new schema only ADDS fields — including fields added
+    INSIDE nested structs (safe to auto-evolve); renames/drops/type
+    changes at any depth are non-additive and need the
     allowSourceColumnRenameAndDrop opt-in (reference
     DeltaSourceMetadataEvolutionSupport)."""
-    old = {f.name: f.dataType for f in schema_from_json(old_json).fields}
-    new = {f.name: f.dataType for f in schema_from_json(new_json).fields}
-    return all(n in new and new[n] == t for n, t in old.items())
+    from pyspark.sql import types as T
+
+    def additive(old_dt, new_dt) -> bool:
+        if isinstance(old_dt, T.StructType) and isinstance(new_dt, T.StructType):
+            newf = {f.name: f.dataType for f in new_dt.fields}
+            return all(f.name in newf and additive(f.dataType, newf[f.name])
+                       for f in old_dt.fields)
+        return old_dt == new_dt
+
+    return additive(schema_from_json(old_json), schema_from_json(new_json))
 
 
 
