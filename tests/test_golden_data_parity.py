@@ -237,8 +237,11 @@ def _canon_rows(cols, rows):
         for r in rows)
 
 
+KERNEL = "/root/reference/kernel/kernel-defaults/src/test/resources"
+
+
 def _assert_table_parity(spark, name):
-    table = os.path.join(GOLDEN, name)
+    table = name if os.path.isabs(name) else os.path.join(GOLDEN, name)
     DeltaLog.clear_cache()
     df = DeltaTable.forPath(spark, table).toDF()
     got_cols = df.columns
@@ -562,3 +565,99 @@ def test_collations_fixture_metadata(spark, name):
         "StringType('UNICODE')"
     assert str(snap.schema["utf8_binary_col"].dataType) == "StringType()"
     assert DeltaTable.forPath(spark, table).toDF().count() == 0
+
+
+KERNEL_TABLES = [
+    "basic-with-checkpoint",                  # 30 files across a checkpoint
+    "column-mapping-id",
+    "data-reader-primitives-column-mapping-name",
+    # 11 partition columns of every type, partitionValues keyed by
+    # PHYSICAL name (name mapping)
+    "data-reader-partition-values-column-mapping-name",
+    "kernel-pagination-all-jsons",            # 15 commits, no checkpoint
+    "kernel-pagination-multi-part-checkpoints",
+    "kernel-pagination-single-checkpoint",
+    "kernel-pagination-v2-checkpoint-json",   # v2 checkpoint manifests
+    "kernel-pagination-v2-checkpoint-parquet",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(KERNEL), reason="kernel resources absent")
+@pytest.mark.parametrize("name", KERNEL_TABLES)
+def test_kernel_fixture_parity(spark, name):
+    """The kernel-defaults test corpus (written by the reference's
+    kernel suites) through the same cell-level parity harness —
+    notably the pagination family's log shapes (json-only,
+    multi-part, v2 json/parquet checkpoints)."""
+    _assert_table_parity(spark, os.path.join(KERNEL, name))
+
+
+def test_kernel_shredded_variant_preview_values(spark):
+    """spark-shredded-variant-preview-delta (kernel corpus): the same
+    generator as spark-variant-checkpoint but written with
+    variantShredding-PREVIEW feature + percent-encoded data-file
+    prefixes (test%file%prefix-...). Shredded typed_value subcolumns
+    must reassemble at every nesting level."""
+    table = os.path.join(KERNEL, "spark-shredded-variant-preview-delta")
+    if not os.path.isdir(table):
+        pytest.skip("kernel resources absent")
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    assert "variantShredding-preview" in (snap.protocol.readerFeatures or [])
+    df = DeltaTable.forPath(spark, table).toDF()
+    rows = (df.selectExpr(
+        "id", "to_json(v) AS jv", "to_json(struct_of_variants.v) AS sv",
+        "transform(struct_of_array_of_variants.v, x -> to_json(x)) AS sav")
+        .collect())
+    assert len(rows) == 102
+    for r in rows:
+        want = '{"key":%d}' % r["id"]
+        assert r["jv"] == want and r["sv"] == want
+        assert r["sav"] == [None, want]
+
+
+@pytest.mark.parametrize("name", ["basic-dv-no-checkpoint",
+                                  "basic-dv-with-checkpoint"])
+def test_kernel_dv_tables(spark, name):
+    """Kernel DV fixtures: a DV update commit REMOVES a path and
+    RE-ADDS it with the deletion vector in the SAME commit — within a
+    commit the add must win regardless of action order (the remove
+    refers to the previous file entry). Expected count = physical rows
+    of the live set minus DV cardinalities, from an in-test
+    independent replay honoring the add-wins rule."""
+    import pyarrow.parquet as pq
+
+    table = os.path.join(KERNEL, name)
+    if not os.path.isdir(table):
+        pytest.skip("kernel resources absent")
+    logdir = os.path.join(table, "_delta_log")
+    active = {}
+    for n in sorted(x for x in os.listdir(logdir)
+                    if x.endswith(".json") and x[:20].isdigit()):
+        adds, removes = {}, set()
+        with open(os.path.join(logdir, n)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                if "add" in d:
+                    adds[d["add"]["path"]] = d["add"]
+                elif "remove" in d:
+                    removes.add(d["remove"]["path"])
+        for p in removes:       # removes first, adds win within a commit
+            active.pop(p, None)
+        active.update(adds)
+    expected = 0
+    n_dv = 0
+    for p, a in active.items():
+        phys = pq.ParquetFile(os.path.join(table, unquote(p))).metadata.num_rows
+        dv = a.get("deletionVector")
+        if dv:
+            n_dv += 1
+            phys -= dv["cardinality"]
+        expected += phys
+    assert n_dv >= 1
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    assert {f.path for f in snap.all_files} == set(active)
+    assert DeltaTable.forPath(spark, table).toDF().count() == expected
