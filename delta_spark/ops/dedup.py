@@ -16,6 +16,10 @@ Scale shapes:
   * duplicate_spans — ExactSubstr (arXiv:2107.06499) as rolling k-gram
     hashes → duplicate-gram semi-join → per-doc island merge; shuffle
     ∝ corpus tokens, per-doc window state bounded.
+  * remove_duplicate_spans — the paper's remediation step: cut the
+    detected spans out of the text (JVM array ops, spans broadcast to
+    their docs by join; idempotent — re-detection on cleaned text
+    finds nothing).
 
 All hashes derive from md5 (first 15 hex chars → bigint) so results
 are engine-independent and DuckDB-checkable.
@@ -146,6 +150,48 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                  (F.max("i") + k - 1).alias("span_end"),
                  F.count("*").alias("n_windows"))
             .select("id", "span_start", "span_end", "n_windows"))
+
+
+def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The remediation half of ExactSubstr (arXiv:2107.06499 removes
+    one copy of every duplicated substring from the training text):
+    given `spans` from duplicate_spans() — (id, span_start, span_end)
+    in 1-based token indices — rebuild each document's text with the
+    spanned tokens cut out. Documents without spans pass through
+    untouched.
+
+    All JVM-side: spans aggregate to one array per doc (bounded by the
+    doc's own span count), a LEFT join brings them to the text, and a
+    filter-over-token-positions + array_join rebuilds the string —
+    O(tokens × spans) per row, no Python in the row path. Adds
+    `n_tokens_removed`; other columns pass through."""
+    agg = (spans.select(F.col("id").alias(id_col),
+                        F.col("span_start").cast("long").alias("span_start"),
+                        F.col("span_end").cast("long").alias("span_end"))
+           .groupBy(id_col)
+           .agg(F.collect_list(F.struct("span_start", "span_end"))
+                .alias("__spans")))
+    out = df.join(agg, id_col, "left")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    keep = F.filter(
+        F.zip_with(w,
+                   F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1))),
+                   lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("__spans"),
+                       F.expr("CAST(array() AS array<struct<"
+                              "span_start:long,span_end:long>>)")),
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] <= sp["span_end"])))
+    return (out
+            .withColumn("n_tokens_removed",
+                        F.size(w) - F.size(keep))
+            .withColumn(text_col,
+                        F.array_join(F.transform(keep, lambda s: s["t"]),
+                                     " "))
+            .drop("__spans"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -687,3 +687,25 @@ def test_bucket_pairs_chunked_path_exact(spark):
     b = {tuple(r) for r in chunked.collect()}
     assert a == b
     assert len(a) == 50 * 49 // 2 + 3
+
+
+def test_remove_duplicate_spans(spark):
+    from delta_spark.ops.dedup import duplicate_spans, remove_duplicate_spans
+    shared = " ".join(f"tok{i}" for i in range(10))
+    rows = [
+        (1, f"aa bb {shared} cc dd"),
+        (2, f"{shared} xx yy zz"),
+        (3, "totally unrelated words that repeat nowhere else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, k=4)
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, spans).collect()}
+    assert out[1]["text"] == "aa bb cc dd"
+    assert out[1]["n_tokens_removed"] == 10
+    assert out[2]["text"] == "xx yy zz"
+    assert out[2]["n_tokens_removed"] == 10
+    assert out[3]["text"] == rows[2][1] and out[3]["n_tokens_removed"] == 0
+    # removing again is a no-op: no duplicated 4-grams survive
+    cleaned = remove_duplicate_spans(df, spans).select("doc_id", "text")
+    respans = duplicate_spans(cleaned, k=4)
+    assert respans.count() == 0
