@@ -1727,12 +1727,25 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1-based token index), score packs span_end*1000 + n_windows
     # (both < 1000 at any doc length the fixture holds — integer-exact
     # in a double)
-    spans = duplicate_spans(docs, k=8).selectExpr(
+    spans_df = duplicate_spans(docs, k=8)
+    spans = spans_df.selectExpr(
         "'exact_substr' AS variant", "id AS id_a",
         "CAST(span_start AS BIGINT) AS id_b",
         "CAST(span_end * 1000 + n_windows AS DOUBLE) AS score")
+    # the remediation step (arXiv:2107.06499 cuts the duplicated spans
+    # out of the training text): id_b = tokens removed, score = 48-bit
+    # md5 of the CLEANED text (exact in a double) — a wrong cut
+    # position anywhere changes the hash
+    from delta_spark.ops.dedup import remove_duplicate_spans
+    cleaned = remove_duplicate_spans(docs, spans_df)
+    removed = cleaned.filter("n_tokens_removed > 0").selectExpr(
+        "'exact_substr_removed' AS variant", "doc_id AS id_a",
+        "CAST(n_tokens_removed AS BIGINT) AS id_b",
+        "CAST(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"
+        " AS DOUBLE) AS score")
     return (exact.unionByName(jac).unionByName(mh).unionByName(sh)
-            .unionByName(clusters).unionByName(spans))
+            .unionByName(clusters).unionByName(spans)
+            .unionByName(removed))
 
 
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2068,7 +2081,16 @@ esisl AS (SELECT doc_id, i,
                    OVER (PARTITION BY doc_id ORDER BY i) AS island
           FROM esw),
 esspan AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e, count(*) AS nw
-           FROM esisl GROUP BY doc_id, island)
+           FROM esisl GROUP BY doc_id, island),
+esrempos AS (SELECT doc_id, flatten(list(range(s, e + 1))) AS rem
+             FROM esspan GROUP BY doc_id),
+esclean AS (
+  SELECT d.doc_id,
+         list_filter(d.w, (t, i) -> NOT list_contains(p.rem, i)) AS kept,
+         len(d.w) AS n_w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents) d
+  JOIN esrempos p ON p.doc_id = d.doc_id)
 SELECT 'exact' AS variant, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
        CAST(n_chars AS DOUBLE) AS score
 FROM documents
@@ -2084,6 +2106,15 @@ SELECT 'clusters', id, cluster_id, CAST(NULL AS DOUBLE) FROM ccx
 UNION ALL
 SELECT 'exact_substr', doc_id, CAST(s AS BIGINT),
        CAST(e * 1000 + nw AS DOUBLE) FROM esspan
+UNION ALL
+SELECT 'exact_substr_removed', doc_id, CAST(n_w - len(kept) AS BIGINT),
+       -- coalesce: duckdb's array_to_string([]) is NULL, spark's
+       -- array_join([]) is '' — hash the empty string on both
+       CAST(CAST(concat('0x',
+                        substr(md5(coalesce(array_to_string(kept, ' '),
+                                            '')), 1, 12))
+                 AS BIGINT) AS DOUBLE)
+FROM esclean
 """
 
 
