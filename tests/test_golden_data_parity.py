@@ -661,3 +661,39 @@ def test_kernel_dv_tables(spark, name):
     snap = DeltaLog.for_table(table).update()
     assert {f.path for f in snap.all_files} == set(active)
     assert DeltaTable.forPath(spark, table).toDF().count() == expected
+
+
+def test_own_writes_decode_by_independent_stack(spark, tmp_path):
+    """The reverse direction of this module: a table WRITTEN BY THIS
+    ENGINE (id-mode column mapping, nested struct/array/map, decimals,
+    timestamps, typed partition columns) must be fully decodable by
+    the independent stack — naive log replay + DuckDB parquet decode +
+    PROTOCOL.md partition-value parsing + schemaString physical
+    renames. That is what a foreign Delta reader does, so cell-level
+    agreement here means our files and log are standard, not merely
+    self-consistent."""
+    from delta_spark.io import write_delta
+
+    t = str(tmp_path / "own_writes")
+    df = spark.sql("""
+        SELECT id,
+               CAST(id % 3 AS INT) AS part_i,
+               CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS part_s,
+               named_struct('aa', CAST(id AS STRING),
+                            'ac', named_struct('aca', CAST(id * 2 AS INT)))
+                 AS s,
+               array(CAST(id AS INT), NULL, CAST(id + 1 AS INT)) AS arr,
+               map(CAST(id AS INT), CAST(id * 10 AS LONG)) AS m,
+               CAST(id * 1.5 AS DECIMAL(10,2)) AS dec,
+               timestamp_millis(1600000000000 + id * 1000) AS ts,
+               CASE WHEN id % 7 = 0 THEN NULL
+                    ELSE CAST(id AS DOUBLE) END AS dbl
+        FROM range(0, 50)
+    """)
+    write_delta(df, t, partition_by=["part_i", "part_s"],
+                configuration={"delta.columnMapping.mode": "id"})
+    # a second commit so replay covers multi-commit state
+    write_delta(df.filter("id < 5").selectExpr(
+        "id + 100 AS id", "part_i", "part_s", "s", "arr", "m", "dec",
+        "ts", "dbl"), t, mode="append")
+    _assert_table_parity(spark, t)
