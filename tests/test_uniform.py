@@ -228,3 +228,56 @@ def test_reorg_upgrade_uniform_sql(spark, tmp_path):
     write_delta(df.limit(5), p, mode="append")
     assert os.path.isdir(os.path.join(p, "metadata"))
     assert dt.toDF().count() == 185
+
+
+def test_nested_field_ids_match_delta_mapping(spark, tmp_table):
+    """Nested struct/array/map fields carry delta.columnMapping.id at
+    every level (round-7 recursive assignment); the Iceberg schema
+    must reuse exactly those ids for the corresponding nested fields —
+    an Iceberg reader resolving by field-id then sees the same columns
+    a Delta reader does."""
+    from delta_spark.io import write_delta
+    from delta_spark.schema import field_id
+    from delta_spark.log import DeltaLog
+
+    write_delta(
+        spark.sql("""SELECT 1 AS id,
+                     named_struct('aa', 'x', 'ac',
+                                  named_struct('aca', 7)) AS s,
+                     array(named_struct('ab', CAST(5 AS LONG))) AS arr,
+                     map('k', named_struct('mv', 2)) AS m"""),
+        tmp_table,
+        configuration={"delta.columnMapping.mode": "id", **UNIFORM_PROPS})
+    snap = DeltaLog.for_table(tmp_table).update()
+    meta = read_current_metadata(tmp_table)
+    ice = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+
+    s_field = snap.schema["s"]
+    assert ice["s"]["id"] == field_id(s_field)
+    ice_s = {f["name"]: f for f in ice["s"]["type"]["fields"]}
+    assert ice_s["aa"]["id"] == field_id(s_field.dataType["aa"])
+    assert ice_s["ac"]["id"] == field_id(s_field.dataType["ac"])
+    ice_aca = ice_s["ac"]["type"]["fields"][0]
+    assert ice_aca["id"] == field_id(s_field.dataType["ac"].dataType["aca"])
+
+    arr_el = snap.schema["arr"].dataType.elementType["ab"]
+    ice_arr_struct = ice["arr"]["type"]["element"]
+    assert ice_arr_struct["fields"][0]["id"] == field_id(arr_el)
+
+    m_val = snap.schema["m"].dataType.valueType["mv"]
+    ice_m_value = ice["m"]["type"]["value"]
+    assert ice_m_value["fields"][0]["id"] == field_id(m_val)
+
+    # every id in the iceberg schema is unique
+    def walk(node, acc):
+        if isinstance(node, dict):
+            if "id" in node and isinstance(node.get("id"), int):
+                acc.append(node["id"])
+            for v in node.values():
+                walk(v, acc)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v, acc)
+    ids = []
+    walk(meta["schemas"][0]["fields"], ids)
+    assert len(ids) == len(set(ids))
