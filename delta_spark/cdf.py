@@ -90,28 +90,45 @@ def table_changes(spark: SparkSession, log: DeltaLog,
 
     end_map = {physical_name(f): f.name for f in schema.fields}
 
-    def _shape(field) -> str:
-        """Logical+physical name tree of a field — differs iff some
-        nested field was renamed, dropped, added or retyped."""
-        from pyspark.sql import types as T
-
-        def walk(dt):
-            if isinstance(dt, T.StructType):
-                return [(f.name, physical_name(f), walk(f.dataType))
-                        for f in dt.fields]
-            if isinstance(dt, T.ArrayType):
-                return ("array", walk(dt.elementType))
-            if isinstance(dt, T.MapType):
-                return ("map", walk(dt.keyType), walk(dt.valueType))
-            return dt.simpleString()
-
-        return repr((field.name, physical_name(field), walk(field.dataType)))
+    def _compat_reason(vdt, edt):
+        """None iff the END type tree is a read-compatible SUPERSET of
+        the version's tree (reference SchemaUtils.isReadCompatible via
+        CDCReader.checkBatchCdfReadSchemaIncompatibility: new nested
+        fields are fine — they null-fill — but a rename, drop or
+        retype anywhere in the tree blocks the range). Nested fields
+        match by PHYSICAL name; common fields must keep their logical
+        name and type."""
+        if isinstance(vdt, T.StructType) and isinstance(edt, T.StructType):
+            emap = {physical_name(f): f for f in edt.fields}
+            for f in vdt.fields:
+                ef = emap.get(physical_name(f))
+                if ef is None:
+                    return f"drop of nested field {f.name!r}"
+                if ef.name != f.name:
+                    return (f"rename of nested field {f.name!r} -> "
+                            f"{ef.name!r}")
+                r = _compat_reason(f.dataType, ef.dataType)
+                if r:
+                    return r
+            return None
+        if isinstance(vdt, T.ArrayType) and isinstance(edt, T.ArrayType):
+            return _compat_reason(vdt.elementType, edt.elementType)
+        if isinstance(vdt, T.MapType) and isinstance(edt, T.MapType):
+            return (_compat_reason(vdt.keyType, edt.keyType)
+                    or _compat_reason(vdt.valueType, edt.valueType))
+        if vdt.simpleString() != edt.simpleString():
+            return (f"retype {vdt.simpleString()} -> "
+                    f"{edt.simpleString()}")
+        return None
 
     def _check_compat(ver_snapshot) -> None:
         """CDF ranges must be schema-compatible with the END schema
         (CDCReader / DeltaColumnMappingUnsupportedSchemaIncompatible):
-        a rename or drop inside the range is blocked with a clear
-        error; purely ADDITIVE evolution aligns by null-filling."""
+        a rename, drop or retype inside the range — at ANY nesting
+        depth — is blocked with a clear error; purely ADDITIVE
+        evolution (top-level or nested ADD COLUMN) aligns by
+        null-filling, same as the reference's isReadCompatible
+        superset rule."""
         vs = ver_snapshot.schema
         for f in vs.fields:
             phys = physical_name(f)
@@ -127,23 +144,69 @@ def table_changes(spark: SparkSession, log: DeltaLog,
                     f"{ending_version}] spans a RENAME of column "
                     f"{f.name!r} -> {end_map[phys]!r}; narrow the range "
                     "to versions sharing a read-compatible schema")
-            # NESTED fields carry mapping metadata too: any nested
-            # rename/drop/add inside a shared column makes the range
-            # incompatible (the reference's column-mapping CDF gate
-            # blocks on any schema change across the range)
             ef = next(x for x in schema.fields if physical_name(x) == phys)
-            if _shape(f) != _shape(ef):
+            reason = _compat_reason(f.dataType, ef.dataType)
+            if reason:
                 raise ValueError(
                     f"Change Data Feed range [{starting_version}, "
                     f"{ending_version}] spans a nested schema change in "
-                    f"column {f.name!r}; narrow the range to versions "
-                    "sharing a read-compatible schema")
+                    f"column {f.name!r} ({reason}); narrow the range to "
+                    "versions sharing a read-compatible schema")
+
+    def _name_tree(dt):
+        """Logical name+type tree, metadata-insensitive — equal trees
+        need no alignment expression."""
+        if isinstance(dt, T.StructType):
+            return ("s",) + tuple(
+                (f.name, _name_tree(f.dataType)) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return ("a", _name_tree(dt.elementType))
+        if isinstance(dt, T.MapType):
+            return ("m", _name_tree(dt.keyType), _name_tree(dt.valueType))
+        return dt.simpleString()
+
+    def _align_col(col, vdt, edt):
+        """Rebuild `col` (typed vdt) as the END type edt, null-filling
+        nested fields added after this version. Compat is already
+        checked, so common fields share logical names."""
+        if _name_tree(vdt) == _name_tree(edt):
+            return col
+        if isinstance(edt, T.StructType):
+            vmap = {physical_name(f): f for f in vdt.fields}
+            kids = []
+            for ef in edt.fields:
+                vf = vmap.get(physical_name(ef))
+                if vf is None:
+                    kids.append(F.lit(None).cast(ef.dataType).alias(ef.name))
+                else:
+                    kids.append(
+                        _align_col(col.getField(vf.name), vf.dataType,
+                                   ef.dataType).alias(ef.name))
+            # F.struct of null children is a NON-null struct — preserve
+            # row-level struct nulls explicitly
+            return F.when(col.isNull(), F.lit(None).cast(edt)) \
+                    .otherwise(F.struct(*kids))
+        if isinstance(edt, T.ArrayType):
+            return F.transform(
+                col, lambda x: _align_col(x, vdt.elementType,
+                                          edt.elementType))
+        if isinstance(edt, T.MapType):
+            return F.map_from_arrays(
+                F.transform(F.map_keys(col),
+                            lambda k: _align_col(k, vdt.keyType,
+                                                 edt.keyType)),
+                F.transform(F.map_values(col),
+                            lambda v: _align_col(v, vdt.valueType,
+                                                 edt.valueType)))
+        return col
 
     def _check_and_align(df: DataFrame, ver_snapshot) -> DataFrame:
         _check_compat(ver_snapshot)
-        have = {f.name for f in ver_snapshot.schema.fields}
+        vmap = {physical_name(f): f for f in ver_snapshot.schema.fields}
         return df.select(*[
-            (F.col(f.name) if f.name in have
+            (_align_col(F.col(vmap[physical_name(f)].name),
+                        vmap[physical_name(f)].dataType, f.dataType)
+             if physical_name(f) in vmap
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields])
     # ONE replay to just before the range, then advance INCREMENTALLY

@@ -98,7 +98,8 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 8,
-                    min_docs: int = 2) -> DataFrame:
+                    min_docs: int = 2,
+                    keep_first: bool = False) -> DataFrame:
     """Exact duplicate substring spans — the ExactSubstr operator of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
     al., arXiv:2107.06499), re-expressed for Spark: instead of a
@@ -110,11 +111,17 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 
     Returns (id, span_start, span_end, n_windows): 1-based token
     indices, inclusive; every token in [span_start, span_end] is part
-    of some k-gram that also appears in another document.
+    of some k-gram that also appears in another document. With the
+    default `keep_first=False` every occurrence of duplicated text is
+    spanned (so feeding all spans to remove_duplicate_spans deletes
+    ALL copies); `keep_first=True` exempts the canonical occurrence of
+    each duplicated gram — the minimum (id, position) — so exactly one
+    copy survives remediation, the retention policy of the paper.
 
     Scale shape: the gram expansion is JVM-side (zip_with + posexplode,
-    no Python), the duplicate-gram filter is a semi-join on the gram
-    hash (shuffle ∝ corpus token count, partial-agg'd), and the island
+    no Python) and computed ONCE (cached, like minhash_lsh_pairs'
+    shingles); the duplicate-gram filter joins on the gram hash
+    (shuffle ∝ corpus token count, partial-agg'd), and the island
     merge windows by document id — per-partition state is bounded by
     one document's duplicated-window count. No driver materialization
     at any stage, so the plan holds at 100 TB with executors sized for
@@ -131,12 +138,22 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                        F.posexplode(acc).alias("pos0", "gram"))
                .filter(F.col("gram").isNotNull())
                .select("id", (F.col("pos0") + 1).alias("i"),
-                       F.md5("gram").alias("h")))
+                       F.md5("gram").alias("h"))
+               .cache())
     duph = (grams.groupBy("h")
-            .agg(F.countDistinct("id").alias("nd"))
+            .agg(F.countDistinct("id").alias("nd"),
+                 F.min(F.struct("id", "i")).alias("__keep"))
             .filter(F.col("nd") >= min_docs)
-            .select("h"))
-    dupw = grams.join(duph, "h", "left_semi").select("id", "i")
+            .select("h", "__keep"))
+    dupw = grams.join(duph, "h").select(
+        "id", "i",
+        ((F.col("id") == F.col("__keep.id"))
+         & (F.col("i") == F.col("__keep.i"))).alias("__is_keep"))
+    if keep_first:
+        dupw = dupw.filter(~F.col("__is_keep"))
+    # (id, i) is unique in `grams` and `h` is unique in `duph`, so the
+    # inner join preserves uniqueness — no distinct needed
+    dupw = dupw.select("id", "i")
     from pyspark.sql import Window
     byid = Window.partitionBy("id").orderBy("i")
     prev = F.lag("i").over(byid)
@@ -155,12 +172,14 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
                            text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
-    """The remediation half of ExactSubstr (arXiv:2107.06499 removes
-    one copy of every duplicated substring from the training text):
-    given `spans` from duplicate_spans() — (id, span_start, span_end)
-    in 1-based token indices — rebuild each document's text with the
+    """The remediation half of ExactSubstr (arXiv:2107.06499): given
+    `spans` from duplicate_spans() — (id, span_start, span_end) in
+    1-based token indices — rebuild each document's text with the
     spanned tokens cut out. Documents without spans pass through
-    untouched.
+    untouched. This removes EVERY span it is given: to retain one
+    copy of each duplicated substring (the paper's policy), build the
+    spans with duplicate_spans(..., keep_first=True), which exempts
+    the canonical occurrence per duplicated gram.
 
     All JVM-side: spans aggregate to one array per doc (bounded by the
     doc's own span count), a LEFT join brings them to the text, and a

@@ -19,6 +19,11 @@ from pyspark.sql import SparkSession
 from delta_spark.table import DeltaTable
 
 _PATH = r"delta\.`(?P<path>[^`]+)`|'(?P<qpath>[^']+)'|\"(?P<dpath>[^\"]+)\""
+# Dotted column path honoring backtick quoting: dots inside backticks
+# are part of a single name (`a.b` is ONE column; nested paths are
+# written `a`.`b` or unquoted a.b — Spark SQL identifier semantics).
+# Quotes are KEPT in the capture; util.split_column_path resolves them.
+_COLPATH = r"(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*"
 
 
 def _path_of(m: re.Match) -> str:
@@ -221,10 +226,10 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
             fields, positions = [], []
             for part in _split_top_level(am.group("cols"), angles=True):
                 cm = re.match(
-                    r"(?is)^\s*`?(?P<n>[\w.]+)`?\s+(?P<t>.+?)"
+                    rf"(?is)^\s*(?P<n>{_COLPATH})\s+(?P<t>.+?)"
                     r"(?:\s+(?P<nn>NOT\s+NULL))?"
                     r"(?:\s+COMMENT\s+'(?P<cmt>(?:[^']|'')*)')?"
-                    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>[\w.]+)`?)?\s*$",
+                    rf"(?:\s+(?P<first>FIRST)|\s+AFTER\s+(?P<after>{_COLPATH}))?\s*$",
                     part)
                 if cm is None:
                     raise ValueError(f"cannot parse column spec: {part.strip()!r}")
@@ -257,11 +262,11 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                     nullable=not cm.group("nn"), metadata=md))
             return dt.replaceColumns(fields)
 
-        am = re.fullmatch(r"(?is)RENAME\s+COLUMN\s+`?(?P<a>[\w.]+)`?\s+TO\s+`?(?P<b>[\w.]+)`?", rest)
+        am = re.fullmatch(rf"(?is)RENAME\s+COLUMN\s+(?P<a>{_COLPATH})\s+TO\s+(?P<b>{_COLPATH})", rest)
         if am:
             return dt.renameColumn(am.group("a"), am.group("b"))
 
-        am = re.fullmatch(r"(?is)DROP\s+COLUMN\s+`?(?P<c>[\w.]+)`?", rest)
+        am = re.fullmatch(rf"(?is)DROP\s+COLUMN\s+(?P<c>{_COLPATH})", rest)
         if am:
             return dt.dropColumn(am.group("c"))
 

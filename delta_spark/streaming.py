@@ -193,6 +193,14 @@ def _is_additive_change(old_json: str, new_json: str) -> bool:
             newf = {f.name: f.dataType for f in new_dt.fields}
             return all(f.name in newf and additive(f.dataType, newf[f.name])
                        for f in old_dt.fields)
+        # fields added inside array<struct<...>> / map values are still
+        # additive (reference isReadCompatible recurses through array
+        # element and map key/value types)
+        if isinstance(old_dt, T.ArrayType) and isinstance(new_dt, T.ArrayType):
+            return additive(old_dt.elementType, new_dt.elementType)
+        if isinstance(old_dt, T.MapType) and isinstance(new_dt, T.MapType):
+            return (additive(old_dt.keyType, new_dt.keyType)
+                    and additive(old_dt.valueType, new_dt.valueType))
         return old_dt == new_dt
 
     return additive(schema_from_json(old_json), schema_from_json(new_json))

@@ -891,7 +891,8 @@ class DeltaTable:
             elif pos == "first":
                 out.insert(0, nf)
             else:
-                anchor = pos[1].split(".")[-1].lower()
+                from delta_spark.util import split_column_path
+                anchor = split_column_path(pos[1])[-1].lower()
                 idx = next((i for i, x in enumerate(out)
                             if x.name.lower() == anchor), None)
                 if idx is None:
@@ -903,7 +904,8 @@ class DeltaTable:
         def f(m: Metadata):
             schema = schema_from_json(m.schemaString)
             for fl, pos in zip(fields, positions):
-                parts = fl.name.split(".")
+                from delta_spark.util import split_column_path
+                parts = split_column_path(fl.name)
                 leaf = parts[-1]
                 siblings = self._sibling_names(schema, parts)
                 if leaf.lower() in (n.lower() for n in siblings):
@@ -1095,8 +1097,9 @@ class DeltaTable:
             raise ValueError(
                 f"cannot rename column {old!r}: referenced by "
                 + "; ".join(deps))
-        parts = old.split(".")
-        new_leaf = new.split(".")[-1]
+        from delta_spark.util import split_column_path
+        parts = split_column_path(old)
+        new_leaf = split_column_path(new)[-1]
         # validate BEFORE the irreversible mapping upgrade: a rejected
         # rename must not leave the table protocol-bumped as a side
         # effect (the upgrade commits metadata + reader 2 / writer 5)
@@ -1376,7 +1379,8 @@ class DeltaTable:
             raise ValueError(
                 f"cannot drop column {name!r}: referenced by "
                 + "; ".join(deps))
-        parts = name.split(".")
+        from delta_spark.util import split_column_path
+        parts = split_column_path(name)
         # validate BEFORE the irreversible mapping upgrade (see
         # renameColumn): a rejected drop must not bump the protocol
         siblings0 = self._sibling_names(snap0.schema, parts)

@@ -209,3 +209,39 @@ def canonical_log_path(p: str) -> str:
     if "://" in d:
         return d
     return _os.path.normpath(d)
+
+
+def split_column_path(name: str) -> list[str]:
+    """Split a dotted column path into parts, honoring Spark SQL
+    backtick quoting: dots INSIDE backticks are part of the name
+    (``a.b`` -> ['a','b'] but ``\x60a.b\x60`` -> ['a.b'];
+    ``s.\x60a.b\x60`` -> ['s','a.b']); ``\x60\x60`` inside a quoted
+    segment is an escaped literal backtick. Mirrors Spark's
+    UnresolvedAttribute.parseAttributeName so a column literally named
+    'a.b' is addressable everywhere a nested path is accepted."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(name)
+    while i < n:
+        c = name[i]
+        if c == "`":
+            i += 1
+            while i < n:
+                if name[i] == "`":
+                    if i + 1 < n and name[i + 1] == "`":  # escaped `
+                        buf.append("`")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                buf.append(name[i])
+                i += 1
+        elif c == ".":
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    parts.append("".join(buf))
+    return parts

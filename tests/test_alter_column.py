@@ -551,3 +551,90 @@ def test_cdf_range_spanning_nested_rename_blocked(spark, tmp_table):
     post = table_changes(spark, DeltaLog.for_table(tmp_table), 3, 3)
     assert post.count() == 1
     assert post.selectExpr("s.bb").collect()[0]["bb"] == 7
+
+
+def test_cdf_range_spanning_nested_add_null_fills(spark, tmp_table):
+    """A CDF range crossing a purely ADDITIVE nested ADD COLUMN is
+    read-compatible (reference CDCReader via SchemaUtils.isReadCompatible:
+    the end schema may be a SUPERSET of any version's schema — new
+    nested fields null-fill). Only renames/drops/retypes block."""
+    write_delta(
+        spark.sql("SELECT 1 AS id, named_struct('aa', 5) AS s"),
+        tmp_table,
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.enableChangeDataFeed": "true"})
+    # a DELETE writes real CDC files under the v0 (pre-add) schema
+    dt = DeltaTable.forPath(spark, tmp_table)
+    write_delta(spark.sql("SELECT 2 AS id, named_struct('aa', 6) AS s"),
+                tmp_table, mode="append")               # v1
+    dt.delete("id = 2")                                 # v2 (cdc files)
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "ADD COLUMNS (s.bb STRING)")       # v3
+    write_delta(
+        spark.sql("SELECT 3 AS id, named_struct('aa', 7, 'bb', 'x') AS s"),
+        tmp_table, mode="append")                       # v4
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], r["_change_type"], tuple(r["s"]))
+            for r in table_changes(
+                spark, DeltaLog.for_table(tmp_table), 0, 4).collect()}
+    assert rows == {
+        (1, "insert", (5, None)),
+        (2, "insert", (6, None)),
+        (2, "delete", (6, None)),
+        (3, "insert", (7, "x")),
+    }
+
+
+def test_cdf_nested_add_inside_array_null_fills(spark, tmp_table):
+    """Additive evolution INSIDE array<struct<...>> also null-fills
+    across a CDF range (isReadCompatible recurses through array
+    element types) — no column mapping needed."""
+    from pyspark.sql import types as T
+
+    write_delta(
+        spark.sql("SELECT 1 AS id, array(named_struct('aa', 5)) AS xs"),
+        tmp_table,
+        configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    new = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("xs", T.ArrayType(T.StructType([
+            T.StructField("aa", T.IntegerType()),
+            T.StructField("bb", T.StringType())])))])
+    write_delta(
+        spark.createDataFrame([(2, [(6, "y")])], new),
+        tmp_table, mode="append", merge_schema=True)    # v1 (nested add)
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], tuple(tuple(x) for x in r["xs"]))
+            for r in table_changes(
+                spark, DeltaLog.for_table(tmp_table), 0, 1).collect()}
+    assert rows == {(1, ((5, None),)), (2, ((6, "y"),))}
+
+
+def test_sql_backticked_dotted_name_is_single_column(spark, tmp_table):
+    """`a.b` in backticks is ONE column literally named 'a.b' (Spark
+    identifier semantics: dots inside backticks are part of the name;
+    nested paths are `a`.`b` or unquoted a.b)."""
+    write_delta(spark.sql("SELECT 1 AS id, named_struct('aa', 5) AS s"),
+                tmp_table)
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "ADD COLUMNS (`a.b` INT)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    names = [f.name for f in snap.schema.fields]
+    assert "a.b" in names                      # one top-level column
+    assert [f.name for f in snap.schema["s"].dataType.fields] == ["aa"]
+    # unquoted a.b (and quoted-path `s`.`bb`) still mean NESTED paths
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "ADD COLUMNS (`s`.`bb` STRING)")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert [f.name for f in snap.schema["s"].dataType.fields] == ["aa", "bb"]
+    # rename / drop round-trip the quoted literal name
+    dt = DeltaTable.forPath(spark, tmp_table)
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` "
+                     "RENAME COLUMN `a.b` TO `c.d`")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert "c.d" in [f.name for f in snap.schema.fields]
+    delta_sql(spark, f"ALTER TABLE delta.`{tmp_table}` DROP COLUMN `c.d`")
+    snap = DeltaLog.for_table(tmp_table).update()
+    assert "c.d" not in [f.name for f in snap.schema.fields]
+    assert "s" in [f.name for f in snap.schema.fields]

@@ -709,3 +709,32 @@ def test_remove_duplicate_spans(spark):
     cleaned = remove_duplicate_spans(df, spans).select("doc_id", "text")
     respans = duplicate_spans(cleaned, k=4)
     assert respans.count() == 0
+
+
+def test_duplicate_spans_keep_first_retains_one_copy(spark):
+    """keep_first=True exempts the canonical occurrence — minimum
+    (doc_id, position) — of each duplicated gram, so after remediation
+    exactly ONE copy of the duplicated text survives (the retention
+    policy of Lee et al. 2022; default mode removes every copy)."""
+    from delta_spark.ops.dedup import duplicate_spans, remove_duplicate_spans
+    shared = " ".join(f"tok{i}" for i in range(10))
+    rows = [
+        (1, f"aa bb {shared} cc dd"),
+        (2, f"{shared} xx yy zz"),
+        (3, f"pp qq {shared}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, k=4, keep_first=True)
+    # doc 1 holds the canonical copy (min doc_id): no spans there
+    assert {r["id"] for r in spans.collect()} == {2, 3}
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, spans).collect()}
+    assert out[1]["text"] == rows[0][1]          # canonical copy intact
+    assert out[2]["text"] == "xx yy zz"
+    assert out[3]["text"] == "pp qq"
+    # exactly one copy of the shared run survives corpus-wide
+    survivors = sum(shared in out[i]["text"] for i in (1, 2, 3))
+    assert survivors == 1
+    # and the cleaned corpus is a fixpoint: nothing left to dedup
+    cleaned = remove_duplicate_spans(df, spans).select("doc_id", "text")
+    assert duplicate_spans(cleaned, k=4, keep_first=True).count() == 0

@@ -1067,3 +1067,37 @@ def test_datasource_nested_column_mapping_roundtrip(spark, tmp_path):
                    for i in range(sf.type.num_fields))
         assert all(b"PARQUET:field_id" in (sf.type.field(i).metadata or {})
                    for i in range(sf.type.num_fields))
+
+
+def test_additive_change_recurses_into_array_and_map():
+    """A field added inside array<struct<...>> or a map's struct value
+    is ADDITIVE (reference isReadCompatible recurses through array
+    element and map key/value types) — it must not demand the
+    allowSourceColumnRenameAndDrop opt-in."""
+    from pyspark.sql import types as T
+
+    from delta_spark.streaming import _is_additive_change
+
+    def j(*fields):
+        return T.StructType(list(fields)).json()
+
+    arr_old = j(T.StructField("xs", T.ArrayType(T.StructType([
+        T.StructField("aa", T.IntegerType())]))))
+    arr_new = j(T.StructField("xs", T.ArrayType(T.StructType([
+        T.StructField("aa", T.IntegerType()),
+        T.StructField("bb", T.StringType())]))))
+    assert _is_additive_change(arr_old, arr_new)
+    assert not _is_additive_change(arr_new, arr_old)          # drop
+
+    map_old = j(T.StructField("m", T.MapType(T.StringType(), T.StructType([
+        T.StructField("aa", T.IntegerType())]))))
+    map_new = j(T.StructField("m", T.MapType(T.StringType(), T.StructType([
+        T.StructField("aa", T.IntegerType()),
+        T.StructField("bb", T.StringType())]))))
+    assert _is_additive_change(map_old, map_new)
+    assert not _is_additive_change(map_new, map_old)
+
+    # retype inside the array element is still non-additive
+    arr_retype = j(T.StructField("xs", T.ArrayType(T.StructType([
+        T.StructField("aa", T.LongType())]))))
+    assert not _is_additive_change(arr_old, arr_retype)
