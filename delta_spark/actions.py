@@ -94,6 +94,24 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | {
 }
 
 
+# Preview/dev spellings that gate the SAME semantics as a GA feature.
+# The reference registers them as DISTINCT features with identical
+# behavior (TableFeature.scala:797 variantType-preview, :843
+# variantShredding-preview, :688 geospatial-dev, typeWidening-preview,
+# collations-preview): a table declaring only the preview name must
+# satisfy a metadata requirement for the GA name — force-adding the GA
+# feature on the next write would churn the protocol of every
+# reference-written preview table.
+FEATURE_ALIASES = {
+    "variantType": ("variantType-preview",),
+    "variantShredding": ("variantShredding-preview",),
+    "typeWidening": ("typeWidening-preview",),
+    "geospatial": ("geospatial-dev",),
+    "collations": ("collations-preview",),
+    "coordinatedCommits": ("coordinatedCommits-preview",),
+}
+
+
 # PROTOCOL.md legacy version → implied features. When a legacy
 # protocol is upgraded to the table-features form (writer 7 / reader
 # 3), these must be denormalized into the explicit lists or the

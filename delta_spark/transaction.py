@@ -798,9 +798,19 @@ class OptimisticTransaction:
             writer_feats.add("identityColumns")
         if not reader_feats and not writer_feats:
             return
-        from delta_spark.actions import merge_protocol
+        from delta_spark.actions import FEATURE_ALIASES, merge_protocol
         cur = (next((a for a in actions if isinstance(a, Protocol)), None)
                or self.snapshot.protocol or Protocol())
+        # a table already declaring a preview/dev spelling of a feature
+        # satisfies the GA requirement — don't force-add the GA name
+        # (the reference's preview features gate identical semantics)
+        have = set(cur.readerFeatures or []) | set(cur.writerFeatures or [])
+        for ga, aliases in FEATURE_ALIASES.items():
+            if any(a in have for a in aliases):
+                reader_feats.discard(ga)
+                writer_feats.discard(ga)
+        if not reader_feats and not writer_feats:
+            return
         new = merge_protocol(cur, reader_feats, writer_feats)
         if (new.minReaderVersion == cur.minReaderVersion
                 and new.minWriterVersion == cur.minWriterVersion

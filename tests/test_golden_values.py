@@ -357,3 +357,26 @@ def test_gate_registry_fits_recording_cap():
     assert set(oracles) <= set(qs)
     missing = set(qs) - set(oracles)
     assert not missing, f"queries without an oracle entry: {sorted(missing)}"
+
+
+def test_coverage_md_gate_pointers_exist():
+    """COVERAGE.md is the map future rounds navigate by: every gate
+    name its coverage tables cite must exist in the registered
+    `queries()` set — pointer drift after a query re-fit fails here
+    instead of silently misleading."""
+    import re
+
+    import __spark_entry__ as entry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = [l for l in open(os.path.join(repo, "COVERAGE.md"))
+            if l.startswith("|")]
+    cited = set()
+    for line in rows:
+        cells = line.split("|")
+        if len(cells) == 6:  # the operator-coverage tables (gate col 4)
+            cited |= set(re.findall(r"`([a-z][a-z0-9_]+)`", cells[4]))
+    registered = set(entry.queries())
+    missing = sorted(cited - registered)
+    assert not missing, (
+        f"COVERAGE.md cites gates not in queries(): {missing}")

@@ -216,3 +216,74 @@ def test_adaptive_metadata_preview_supported_but_gated(spark, tmp_table,
     with pytest.raises(ValueError, match="requires table features"):
         dt.setProperties({
             "delta.feature.adaptiveMetadata-preview": "supported"})
+
+
+@pytest.mark.parametrize("preview,ga,reader_leg", [
+    ("variantType-preview", "variantType", True),
+    ("variantShredding-preview", "variantShredding", True),
+    ("typeWidening-preview", "typeWidening", True),
+    ("geospatial-dev", "geospatial", True),
+    ("collations-preview", "collations", False),
+    ("coordinatedCommits-preview", "coordinatedCommits", False),
+])
+def test_preview_feature_names_read_write_without_ga_upgrade(
+        spark, tmp_table, sf_dir, preview, ga, reader_leg):
+    """Preview/dev spellings gate the SAME semantics as the GA name
+    (reference TableFeature.scala:797,843,688 — distinct features,
+    identical behavior): a reference-written table declaring only the
+    preview name must read AND write through the protocol gate, and the
+    write must NOT force-add the GA feature (protocol churn on every
+    preview table otherwise)."""
+    df = load_table(spark, sf_dir, "region")
+    write_delta(df, tmp_table)
+    rf = [preview] if reader_leg else None
+    _raise_protocol(tmp_table, minReaderVersion=3 if reader_leg else 1,
+                    minWriterVersion=7, readerFeatures=rf,
+                    writerFeatures=[preview])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == df.count()
+    write_delta(df, tmp_table, mode="append")
+    p = DeltaLog.for_table(tmp_table).update().protocol
+    feats = set(p.readerFeatures or []) | set(p.writerFeatures or [])
+    assert preview in feats
+    assert ga not in feats
+
+
+def test_iceberg_compat_v1_feature_accepted(spark, tmp_table, sf_dir):
+    """icebergCompatV1 (TableFeature.scala:1077 — legacy writer
+    feature) passes the write gate: a table written by an old UniForm
+    client keeps working."""
+    df = load_table(spark, sf_dir, "region")
+    write_delta(df, tmp_table)
+    _raise_protocol(tmp_table, minReaderVersion=1, minWriterVersion=7,
+                    writerFeatures=["icebergCompatV1"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.toDF().count() == df.count()
+    write_delta(df, tmp_table, mode="append")
+    assert dt.toDF().count() == 2 * df.count()
+
+
+def test_reference_preview_variant_fixture_reads_and_writes(spark, tmp_path):
+    """The reference-written variant-stats-no-checkpoint fixture
+    declares variantShredding-preview in its protocol: it must read,
+    accept an append, and keep its preview protocol un-churned."""
+    import shutil
+
+    src = ("/root/reference/spark/src/test/resources/delta/"
+           "variant-stats-no-checkpoint")
+    if not os.path.isdir(src):
+        pytest.skip("reference fixture not present")
+    p = str(tmp_path / "variant_preview")
+    shutil.copytree(src, p)
+    DeltaLog.clear_cache()
+    dt = DeltaTable.forPath(spark, p)
+    before = dt.toDF().count()
+    assert before > 0
+    proto0 = DeltaLog.for_table(p).update().protocol
+    assert "variantShredding-preview" in (proto0.readerFeatures or [])
+    write_delta(dt.toDF().limit(1), p, mode="append")
+    assert dt.toDF().count() == before + 1
+    proto1 = DeltaLog.for_table(p).update().protocol
+    feats = set(proto1.readerFeatures or []) | set(proto1.writerFeatures or [])
+    assert "variantShredding-preview" in feats
+    assert "variantShredding" not in feats
