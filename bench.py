@@ -354,6 +354,44 @@ def main() -> None:
                    lambda i: fresh_copy("orders", f"del{i}"),
                    lambda m: m.whenMatchedDelete())
 
+    # ---- MERGE matrix by FILE-matched fraction (reference
+    # MergeTestCases.scala:168-220 varies fileMatchedFraction and
+    # rowsMatchedFraction INDEPENDENTLY; the sweep above varies only
+    # rows). Target = orders range-partitioned into 32 files on
+    # o_orderkey; the source's keys all MATCH (100% row-match) but sit
+    # in a contiguous key range touching only `ff` of the files —
+    # exercising touched-file pruning (findTouchedFiles) that a
+    # row-matched sweep over a co-mingled key space cannot see. f005
+    # must beat f100 by roughly the untouched-file fraction or the
+    # rewrite set is not being pruned.
+    _N_RANGED_FILES = 32
+    _okb = load_table(spark, SF_DIR, "orders").agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+
+    def fresh_ranged_copy(i):
+        dest = os.path.join(scratch, f"orders_ranged_{i}")
+        shutil.rmtree(dest, ignore_errors=True)
+        write_delta(load_table(spark, SF_DIR, "orders")
+                    .repartitionByRange(_N_RANGED_FILES, "o_orderkey"),
+                    dest)
+        DeltaLog.clear_cache()
+        return DeltaTable.forPath(spark, dest)
+
+    def merge_src_filefrac(ff: float):
+        hi = int(_okb["lo"] + (_okb["hi"] - _okb["lo"]) * ff)
+        return (load_table(spark, SF_DIR, "orders")
+                .filter(f"o_orderkey <= {hi} AND o_orderkey % 10 = 0")
+                .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_totalprice * 2 AS o_totalprice",
+                            "o_orderdate", "o_orderpriority"))
+
+    for ff, tag in ((0.05, "f005"), (0.5, "f050"), (1.0, "f100")):
+        run_merge_case(f"merge_upsert_{tag}", merge_src_filefrac(ff),
+                       lambda i, t=tag: fresh_ranged_copy(f"{t}{i}"),
+                       lambda m: m.whenMatchedUpdateAll()
+                                  .whenNotMatchedInsertAll())
+
     zordered = {}
 
     def zorder_run(d):
@@ -376,6 +414,18 @@ def main() -> None:
     def exact_substr():
         from delta_spark.ops.dedup import duplicate_spans
         return duplicate_spans(dt("documents").toDF(), k=8).count()
+
+    def exact_substr_hotgram():
+        # skew probe: EVERY document shares one hot 8-gram (prefixed),
+        # so one gram hash holds the whole corpus. The duplicate-gram
+        # agg must partial-aggregate it map-side and the per-doc island
+        # merge must stay bounded by each doc's own window count — a
+        # straggler here means the hot key is being collected somewhere.
+        from delta_spark.ops.dedup import duplicate_spans
+        hot = " ".join(f"hotgram{i}" for i in range(8))
+        docs = dt("documents").toDF().withColumn(
+            "text", F.concat(F.lit(hot + " "), F.col("text")))
+        return duplicate_spans(docs, k=8).count()
 
     def knn():
         from delta_spark.ops.similarity import knn_brute_force
@@ -534,6 +584,27 @@ def main() -> None:
         assert getattr(r, "_snap_files_cache", None) is None
 
     run_median(timings, "stream_plan_1m", stream_plan_run,
+               setup=stream_plan_setup)
+
+    # ---- streaming CDF: first microbatch over the same 1M-file log ----
+    # (the readChangeFeed leg shares the lazy snapshot index: the
+    # initial snapshot synthesizes insert partitions from a column-
+    # pruned slice; per-commit tails parse one commit at a time. The
+    # materialized-list fallback must never fire here either.)
+    def stream_cdf_plan_run(log):
+        from delta_spark.streaming import DeltaStreamReader
+        DeltaLog.clear_cache()
+        r = DeltaStreamReader(None, {"path": log.table_path,
+                                     "maxfilespertrigger": "1000",
+                                     "readchangefeed": "true"})
+        off0 = r.initialOffset()
+        off1 = r._latest_offset()
+        parts = list(r.partitions(off0, off1))
+        assert len(parts) == 1000
+        assert all(p.is_cdf for p in parts)
+        assert getattr(r, "_snap_files_cache", None) is None
+
+    run_median(timings, "stream_cdf_plan_1m", stream_cdf_plan_run,
                setup=stream_plan_setup)
 
     # ---- streaming: drain a 10-commit backlog source→sink ----------------
@@ -695,6 +766,8 @@ def main() -> None:
 
     run_median(timings, "dedup_minhash", mh, warmups=2)
     run_median(timings, "exact_substr_spans", exact_substr, warmups=2)
+    run_median(timings, "exact_substr_hotgram", exact_substr_hotgram,
+               warmups=2)
     run_median(timings, "knn", knn, warmups=2)
     run_median(timings, "near_dups_lsh", near_dups, warmups=3)
     run_median(timings, "near_dups_dupheavy", near_dups_dupheavy, warmups=2)

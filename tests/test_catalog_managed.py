@@ -458,3 +458,84 @@ def test_publish_skips_cleaned_staged_file_for_published_version(
     os.remove(commits[3].file_path)
     assert CM.publish(dt.log, cat) == 0
     assert not os.path.exists(v3)
+
+
+_MP_CATALOG_WORKER = r"""
+import sys
+table, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+sys.path.insert(0, {repo!r})
+from delta_spark.actions import AddFile
+from delta_spark.catalog_managed import CatalogCommitConflict
+from delta_spark.log import DeltaLog
+from delta_spark.transaction import DeltaConcurrentException, OptimisticTransaction
+landed = []
+for k in range(n):
+    while True:
+        DeltaLog.clear_cache()
+        log = DeltaLog.for_table(table)
+        txn = OptimisticTransaction(log)
+        try:
+            v = txn.commit([AddFile(path=f"w{{wid}}_{{k}}.parquet", size=1,
+                                    modificationTime=1)], "WRITE")
+            landed.append(v)
+            break
+        except (DeltaConcurrentException, CatalogCommitConflict):
+            continue
+print(",".join(map(str, landed)))
+"""
+
+
+def test_multiprocess_writers_race_filesystem_catalog(spark, tmp_path, sf_dir):
+    """Four OS processes hammer a catalog-managed (filesystem catalog)
+    table: ratification is the only commit authority, every commit
+    lands exactly once on a contiguous version range, and READS DURING
+    THE RACE never run ahead of the catalog's ratified ceiling — the
+    cross-process leg of the in-process linearization test."""
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    table = str(tmp_path / "tbl")
+    write_delta(_li(spark, sf_dir, 20), table, configuration=FS_CONF)
+
+    n_workers, n_commits = 4, 5
+    script = _MP_CATALOG_WORKER.format(repo=repo)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, table, str(w), str(n_commits)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for w in range(n_workers)]
+
+    # ratified-ceiling reads DURING the race: the snapshot must never
+    # be newer than what the catalog has ratified at probe time
+    cat = CM.CATALOGS["filesystem"]
+    lp = _log_path(table)
+    probes = 0
+    while any(p.poll() is None for p in procs):
+        DeltaLog.clear_cache()
+        snap = DeltaLog.for_table(table).update()
+        ceiling = cat.latest(lp)
+        assert snap.version <= ceiling, (
+            f"read v{snap.version} beyond ratified ceiling {ceiling}")
+        # the snapshot's synthetic files all come from ratified commits
+        assert len([f for f in snap.all_files
+                    if f.path.startswith("w")]) <= snap.version
+        probes += 1
+        time.sleep(0.05)
+    assert probes > 0
+
+    landed: list[int] = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        landed.extend(int(x) for x in out.strip().split(","))
+    assert len(landed) == n_workers * n_commits
+    assert sorted(landed) == list(range(1, n_workers * n_commits + 1))
+    DeltaLog.clear_cache()
+    snap = DeltaLog.for_table(table).update()
+    paths = {f.path for f in snap.all_files}
+    for w in range(n_workers):
+        for k in range(n_commits):
+            assert f"w{w}_{k}.parquet" in paths
+    # the catalog's watermark survived the whole race
+    assert cat.latest(lp) == n_workers * n_commits

@@ -109,3 +109,43 @@ def test_lazy_index_respects_commit_tail(spark, tmp_path):
     assert victim not in all_paths
     assert "p=9/f_tail_readd.parquet" in all_paths
     assert all_paths == sorted(all_paths)
+
+
+def test_cdf_stream_plans_lazily_over_big_snapshot(spark, tmp_path):
+    """readChangeFeed streams plan their first microbatch from the
+    SAME lazy checkpoint index as the plain source: the initial
+    snapshot's synthesized-insert partitions hydrate only their own
+    slice, and the materialized-list fallback never fires (mirrors
+    stream_plan_1m's assertion for the CDF leg)."""
+    table = str(tmp_path / "bigcdf")
+    log = _synth_log(table)                       # 150k adds
+    log.write_checkpoint_distributed(spark)
+    DeltaLog.clear_cache()
+
+    t0 = time.time()
+    r = DeltaStreamReader(None, {"path": table,
+                                 "maxfilespertrigger": "100",
+                                 "readchangefeed": "true"})
+    off0 = r.initialOffset()
+    off1 = r._latest_offset()
+    parts = list(r.partitions(off0, off1))
+    first_batch = time.time() - t0
+
+    assert off0["isInitialSnapshot"] and off0["index"] == -1
+    assert len(parts) == 100                      # cap honored
+    # initial-snapshot CDF partitions are synthesized inserts stamped
+    # with the snapshot version
+    assert all(p.is_cdf and p.change_type == "insert" for p in parts)
+    # the lazy index served the batch — never the 10^6-AddFile driver
+    # materialization
+    assert getattr(r, "_snap_files_cache", None) is None
+    assert getattr(r, "_snap_index_cache", None) is not None
+    assert r._snap_index_cache[1].count == 60 * 2500
+    assert first_batch < 10.0, f"first CDF microbatch {first_batch}s"
+
+    # the next batch hydrates a DISJOINT slice
+    off2 = r._latest_offset()
+    parts2 = list(r.partitions(off1, off2))
+    assert len(parts2) == 100
+    assert {p.file_path for p in parts}.isdisjoint(
+        {p.file_path for p in parts2})
