@@ -118,12 +118,33 @@ def _parse_partition_value(s, ftype):
     return s  # string
 
 
+def _coerce_widened(v, ftype):
+    """Type widening (type-widening golden tables): files written
+    BEFORE a widen carry the narrow physical type; the end logical
+    schema governs what every engine serves. Coerce duck's narrow
+    decode to the logical type the same way a widening-aware reader
+    upcasts — int->decimal/double, date->timestamp — so value parity
+    is judged at the end schema."""
+    if isinstance(ftype, str):
+        if ftype.startswith("decimal") and isinstance(v, int) \
+                and not isinstance(v, bool):
+            return decimal.Decimal(v)
+        if ftype in ("double", "float") and isinstance(v, int) \
+                and not isinstance(v, bool):
+            return float(v)
+        if ftype in ("timestamp", "timestamp_ntz") \
+                and isinstance(v, datetime.date) \
+                and not isinstance(v, datetime.datetime):
+            return datetime.datetime(v.year, v.month, v.day)
+    return v
+
+
 def _rename_nested(v, ftype):
     """Recursively map PHYSICAL nested-field names (col-<uuid> under
     column mapping) back to logical ones in a duckdb-decoded value,
     guided by the logical schema type."""
     if v is None or not isinstance(ftype, dict):
-        return v
+        return _coerce_widened(v, ftype)
     t = ftype.get("type")
     if t == "struct":
         out = {}
@@ -270,6 +291,7 @@ ALL_TYPES_AND_DECIMALS = [
     # repo (its data file was never committed) — unreadable by any
     # engine, so excluded
     "parquet-decimal-dictionaries-v2",
+    "parquet-decimal-dictionaries",         # unsuffixed variant
 ]
 
 DATA_READER = [
@@ -314,6 +336,10 @@ SNAPSHOTS = [
 LOG_SHAPES = [
     "multi-part-checkpoint",          # checkpoint split into part files
     "only-checkpoint-files",          # no JSON commits after checkpoint
+    "log-replay-latest-metadata-protocol",  # later Metadata/Protocol win
+    "commit-info-containing-arbitrary-operationParams-types",
+    "type-widening",                  # files narrower than end schema
+    "type-widening-nested",
     "table-with-columnmapping-mode-id",
     "table-with-columnmapping-mode-name",
     "table-with-icebegCompatV2Enabled",
@@ -324,6 +350,8 @@ LOG_SHAPES = [
     "data-skipping-basic-stats-all-types-columnmapping-name",
     "data-skipping-change-stats-collected-across-versions",
     "data-skipping-partition-and-data-column",
+    "v2-checkpoint-json",             # v2 checkpoint manifest + sidecars
+    "v2-checkpoint-parquet",
 ]
 
 
