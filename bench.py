@@ -56,11 +56,20 @@ ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 # Reference measured on the quiet round-7 driver machine (local[32],
 # median of 3 after warm-up; repeated probes measured 0.19-0.32 s).
 CANARY_REF_SEC = 0.23
+# Second canary leg (round 8): the CPU probe is blind to DISK
+# interference — a co-tenant hammering the store inflates every
+# shuffle-heavy query while the pure-JVM probe reads clean (observed:
+# q18 1.6-3.7 s in quiet windows vs 25-44 s under interference, CPU
+# canary green both times). This probe shuffles ~230 MB through local
+# disk (repartition write+read). Quiet-machine reference: median 1.6 s
+# over repeated 3-run trials (spread 1.47-1.98).
+CANARY_SHUFFLE_REF_SEC = 1.6
 
 
-def calibration_sec(spark) -> float:
-    """Pure-JVM CPU probe: codegen'd hash-sum over a 200M range — no
-    IO, no Python workers, no shuffle. One warm-up (codegen compile),
+def calibration_sec(spark) -> tuple:
+    """(cpu_sec, shuffle_sec) canary probes: a codegen'd hash-sum over
+    a 200M range (pure JVM, no IO) and a 30M-row repartition
+    (real shuffle write+read through local disk). One warm-up each,
     then the median of 3 timed runs."""
     probe = "sum(id * 2654435761 % 1000003) AS s"
     spark.range(200_000_000).selectExpr(probe).collect()
@@ -69,7 +78,18 @@ def calibration_sec(spark) -> float:
         t0 = time.time()
         spark.range(200_000_000).selectExpr(probe).collect()
         samples.append(time.time() - t0)
-    return round(statistics.median(samples), 3)
+    cpu = round(statistics.median(samples), 3)
+
+    def shuffle_probe():
+        spark.range(30_000_000).repartition(48) \
+            .selectExpr("sum(id % 97) AS s").collect()
+    shuffle_probe()
+    sh = []
+    for _ in range(3):
+        t0 = time.time()
+        shuffle_probe()
+        sh.append(time.time() - t0)
+    return cpu, round(statistics.median(sh), 3)
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]
 
@@ -83,7 +103,7 @@ def main() -> None:
     scratch = tempfile.mkdtemp(prefix="ds_bench_mut_")
     timings: dict[str, float] = {}
     parquet_timings: dict[str, float] = {}
-    cal_first = calibration_sec(spark)
+    cal_first, cal_sh_first = calibration_sec(spark)
 
     def run_median(record: dict, name: str, fn, setup=None,
                    warmups: int = 1) -> None:
@@ -130,15 +150,22 @@ def main() -> None:
     run_median(timings, "load_delta", load_run, setup=load_setup)
     for i in range(ITERS):
         shutil.rmtree(os.path.join(scratch, f"load{i}"), ignore_errors=True)
+    # flush the load phase's dirty pages while UNTIMED: at sf>=1 the
+    # table loads leave 100s of MB dirty, and the writeback otherwise
+    # drains through the first shuffle-heavy query (measured: q18
+    # 5s isolated vs 25-44s mid-bench before this sync)
+    os.sync()
 
     def dt(t):
         return DeltaTable.forPath(spark, os.path.join(base, t))
 
     def fresh_copy(t, i):
-        """Untimed per-iteration copy for mutating ops."""
+        """Untimed per-iteration copy for mutating ops. The sync keeps
+        the copy's writeback out of the TIMED run that follows."""
         dest = os.path.join(scratch, f"{t}_i{i}")
         shutil.rmtree(dest, ignore_errors=True)
         shutil.copytree(os.path.join(base, t), dest)
+        os.sync()
         DeltaLog.clear_cache()
         return DeltaTable.forPath(spark, dest)
 
@@ -375,6 +402,7 @@ def main() -> None:
         write_delta(load_table(spark, SF_DIR, "orders")
                     .repartitionByRange(_N_RANGED_FILES, "o_orderkey"),
                     dest)
+        os.sync()
         DeltaLog.clear_cache()
         return DeltaTable.forPath(spark, dest)
 
@@ -764,6 +792,11 @@ def main() -> None:
 
     run_median(timings, "amt_bootstrap_1m", amt1m_run, setup=amt1m_setup)
 
+    # mid-run canary sample: bursty co-tenant interference shorter
+    # than the whole run slips past first/last-only probes (observed:
+    # endpoints clean, a 10x q18 inflation in between)
+    cal_mid, cal_sh_mid = calibration_sec(spark)
+
     run_median(timings, "dedup_minhash", mh, warmups=2)
     run_median(timings, "exact_substr_spans", exact_substr, warmups=2)
     run_median(timings, "exact_substr_hotgram", exact_substr_hotgram,
@@ -783,15 +816,22 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         pass
-    cal_last = calibration_sec(spark)
-    # contention only ever INFLATES the pure-CPU probe; a probe that
-    # got faster over the run is the JIT warming up, not noise — so
-    # flag slower-than-reference and got-slower-during-the-run, never
+    cal_last, cal_sh_last = calibration_sec(spark)
+    # contention only ever INFLATES the probes; a probe that got
+    # faster over the run is the JIT warming up, not noise — so flag
+    # slower-than-reference and got-slower-during-the-run, never
     # got-faster (a first bench run measured last=0.087s after full
-    # C2 warm-up on a provably quiet machine)
+    # C2 warm-up on a provably quiet machine). The shuffle leg gets a
+    # wider 2.5x band: its quiet-machine spread is larger than the CPU
+    # probe's.
     noisy = (cal_first > 2 * CANARY_REF_SEC
+             or cal_mid > 2 * CANARY_REF_SEC
              or cal_last > 2 * CANARY_REF_SEC
-             or cal_last > 2 * cal_first)
+             or cal_last > 2 * cal_first
+             or cal_sh_first > 2.5 * CANARY_SHUFFLE_REF_SEC
+             or cal_sh_mid > 2.5 * CANARY_SHUFFLE_REF_SEC
+             or cal_sh_last > 2.5 * CANARY_SHUFFLE_REF_SEC
+             or cal_sh_last > 2.5 * cal_sh_first)
     print(json.dumps({"metric": "total_wall_sec", "value": total, "unit": "sec",
                       "queries": timings, "sf": sf, "iters": ITERS,
                       "parquet_queries": parquet_timings,
@@ -799,7 +839,12 @@ def main() -> None:
                       "noisy": noisy,
                       "canary": {"ref_sec": CANARY_REF_SEC,
                                  "first_sec": cal_first,
-                                 "last_sec": cal_last}}))
+                                 "last_sec": cal_last,
+                                 "shuffle_ref_sec": CANARY_SHUFFLE_REF_SEC,
+                                 "shuffle_first_sec": cal_sh_first,
+                                 "mid_sec": cal_mid,
+                                 "shuffle_mid_sec": cal_sh_mid,
+                                 "shuffle_last_sec": cal_sh_last}}))
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(scratch, ignore_errors=True)
 

@@ -638,3 +638,35 @@ def test_sql_backticked_dotted_name_is_single_column(spark, tmp_table):
     snap = DeltaLog.for_table(tmp_table).update()
     assert "c.d" not in [f.name for f in snap.schema.fields]
     assert "s" in [f.name for f in snap.schema.fields]
+
+
+def test_cdf_nested_add_inside_map_value_null_fills(spark, tmp_table):
+    """Additive evolution inside a MAP's struct value, on a
+    column-mapped table: the CDF range alignment must rebuild map
+    values to the end schema (transform over map entries), null-fill
+    the new field, and keep physical-name matching at every level."""
+    from pyspark.sql import types as T
+
+    v0 = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StructType([
+            T.StructField("aa", T.IntegerType())])))])
+    write_delta(
+        spark.createDataFrame([(1, {"k1": (5,)})], v0),
+        tmp_table,
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.enableChangeDataFeed": "true"})
+    v1 = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StructType([
+            T.StructField("aa", T.IntegerType()),
+            T.StructField("bb", T.StringType())])))])
+    write_delta(
+        spark.createDataFrame([(2, {"k2": (6, "y")})], v1),
+        tmp_table, mode="append", merge_schema=True)
+    from delta_spark.cdf import table_changes
+    rows = {}
+    for r in table_changes(spark, DeltaLog.for_table(tmp_table),
+                           0, 1).collect():
+        rows[r["id"]] = {k: tuple(v) for k, v in r["m"].items()}
+    assert rows == {1: {"k1": (5, None)}, 2: {"k2": (6, "y")}}
