@@ -203,12 +203,15 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     def _check_and_align(df: DataFrame, ver_snapshot) -> DataFrame:
         _check_compat(ver_snapshot)
         vmap = {physical_name(f): f for f in ver_snapshot.schema.fields}
+        vnames = {f.name for f in ver_snapshot.schema.fields}
+        extras = [c for c in df.columns if c not in vnames]
         return df.select(*[
             (_align_col(F.col(vmap[physical_name(f)].name),
                         vmap[physical_name(f)].dataType, f.dataType)
              if physical_name(f) in vmap
              else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in schema.fields])
+            for f in schema.fields],
+            *[F.col(c) for c in extras])
     # ONE replay to just before the range, then advance INCREMENTALLY
     # per commit (CDCReader walks commits the same way) — per-version
     # snapshot_at here would replay the whole log O(range) times, the
@@ -246,18 +249,58 @@ def table_changes(spark: SparkSession, log: DeltaLog,
                 f"was not recorded for version [{v}].")
         if cdc_files:
             _check_compat(rolling)
-            cdc_schema = T.StructType(schema.fields + [T.StructField("_change_type", T.StringType())])
             from delta_spark import geo as _geo
             from delta_spark.util import decode_log_path
 
+            # CDC files follow the same schema rules as data files
+            # (PROTOCOL.md "Change Data Files"): under column mapping
+            # they carry PHYSICAL column names at every level, written
+            # with the schema of THEIR version — read physically with
+            # that version's schema, alias back, then align to the end
+            # schema like the synthesized-rows legs do
+            vschema = rolling.schema
+            ct = T.StructField("_change_type", T.StringType())
+            if rolling.column_mapping_enabled:
+                from delta_spark.schema import physical_schema as _phys
+                by_id = rolling.column_mapping_mode == "id"
+                if by_id:
+                    spark.conf.set(
+                        "spark.sql.parquet.fieldId.read.enabled", "true")
+                    spark.conf.set(
+                        "spark.sql.parquet.fieldId.read.ignoreMissing",
+                        "true")
+                read_schema = T.StructType(
+                    _phys(vschema, with_field_ids=by_id).fields + [ct])
+            else:
+                read_schema = T.StructType(vschema.fields + [ct])
+            cdc_schema = T.StructType(vschema.fields + [ct])
             _geo.assert_readable(spark, cdc_schema)
 
             paths = [os.path.join(log.table_path, decode_log_path(c.path))
                      for c in cdc_files]
             # CDC files store geo columns as WKB binary (writer seam)
-            df = _geo.restore(
-                spark.read.schema(_geo.binary_read_schema(cdc_schema))
-                .parquet(*paths), cdc_schema)
+            df = spark.read.schema(
+                _geo.binary_read_schema(read_schema)).parquet(*paths)
+            if rolling.column_mapping_enabled:
+                # physical → logical at every nesting level (positional
+                # struct CAST, same contract as read_files_df)
+                from delta_spark.schema import strip_nested_metadata_type
+
+                def back(p, l):
+                    if isinstance(l.dataType,
+                                  (T.StructType, T.ArrayType, T.MapType)):
+                        return F.col(p.name).cast(
+                            strip_nested_metadata_type(l.dataType)) \
+                            .alias(l.name)
+                    return F.col(p.name).alias(l.name)
+
+                df = df.select(*[back(p, l) for p, l in zip(
+                    read_schema.fields[:-1], vschema.fields)],
+                    F.col("_change_type"))
+            df = _geo.restore(df, cdc_schema)
+            # align to the end schema; _change_type rides through as an
+            # extra column
+            df = _check_and_align(df, rolling)
             dfs.append(_stamp(df, v, ts))
             continue
         if adds:

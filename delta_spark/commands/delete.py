@@ -98,7 +98,7 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
         cdc = []
         if with_cdf and removes:
             all_df = read_files_df(spark, snapshot).withColumn("_change_type", F.lit("delete"))
-            cdc = write_cdc_files(all_df, snapshot.table_path)
+            cdc = write_cdc_files(all_df, snapshot.table_path, snapshot)
         return removes, [], cdc, metrics
 
     # case 2: metadata-only partition delete
@@ -122,7 +122,7 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
 
             victims = [snapshot.active[_ckey(r.path)] for r in removes]
             df = read_files_df(spark, snapshot, victims).withColumn("_change_type", F.lit("delete"))
-            cdc = write_cdc_files(df, snapshot.table_path)
+            cdc = write_cdc_files(df, snapshot.table_path, snapshot)
         metrics = {"numRemovedFiles": str(len(removes))}
         return removes, [], cdc, metrics
 
@@ -154,7 +154,7 @@ def delete_core(spark: SparkSession, txn: OptimisticTransaction,
                       .select(*[f.name for f in snapshot.schema.fields])
                       .filter(condition)
                       .withColumn("_change_type", F.lit("delete")))
-        cdc = write_cdc_files(deleted_df, snapshot.table_path)
+        cdc = write_cdc_files(deleted_df, snapshot.table_path, snapshot)
     removed_rows = sum(f.num_records or 0 for f in touched)
     copied_rows = sum(a.num_records or 0 for a in adds)
     metrics = {
@@ -333,7 +333,7 @@ def _dv_delete(spark: SparkSession, txn: OptimisticTransaction, condition: str,
         schema_cols = [fl.name for fl in snapshot.schema.fields]
         deleted_df = (visible.filter(condition).select(*schema_cols)
                       .withColumn("_change_type", F.lit("delete")))
-        cdc = write_cdc_files(deleted_df, snapshot.table_path)
+        cdc = write_cdc_files(deleted_df, snapshot.table_path, snapshot)
     metrics = {
         "numRemovedFiles": str(len(removes)),
         "numDeletionVectorsAdded": str(len(adds)),

@@ -243,6 +243,18 @@ class MergeBuilder:
 
     # -- execution --------------------------------------------------------
 
+    def _out_snapshot(self, snapshot):
+        """Snapshot view carrying the EVOLVED metadata for OUTPUT paths
+        (data writes, CDC writes): an evolving MERGE's files must be
+        written under the post-commit schema — under column mapping the
+        evolved columns' engine-generated physical names, not their
+        logical names. Read paths keep the original snapshot."""
+        if self._evolution_meta is None:
+            return snapshot
+        s = snapshot.clone_state()
+        s.metadata = self._evolution_meta
+        return s
+
     def _expand_star(self, clause: _Clause, cols: list[str]) -> dict[str, str]:
         if clause.values.get("*") == "*":
             out = {c: f"{self.src}.{c}" for c in cols}
@@ -365,13 +377,32 @@ class MergeBuilder:
 
             merged = merge_schemas(snapshot.schema, source.schema)
             if not is_same_schema(merged, snapshot.schema):
-                self._schema = merged
                 m = snapshot.metadata
+                new_cfg = m.configuration
+                from delta_spark.schema import column_mapping_mode
+                if column_mapping_mode(cfg) in ("name", "id"):
+                    # evolved columns need physical identities BEFORE
+                    # the metadata commits (DeltaColumnMapping
+                    # assignColumnIdAndPhysicalName — a mapped field
+                    # without an id/physicalName is protocol-invalid);
+                    # engine-generated names, never the logical name
+                    # (resurrection hazard, same policy as write_delta)
+                    from delta_spark.schema import (assign_physical_names,
+                                                    max_field_id)
+                    start = max(
+                        int(cfg.get("delta.columnMapping.maxColumnId", 0)),
+                        max_field_id(snapshot.schema))
+                    merged, max_id = assign_physical_names(
+                        merged, start_id=start, reuse_logical=False)
+                    new_cfg = {**m.configuration,
+                               "delta.columnMapping.maxColumnId":
+                                   str(max_id)}
+                self._schema = merged
                 self._evolution_meta = _Metadata(
                     id=m.id, name=m.name, description=m.description, format=m.format,
                     schemaString=schema_to_json(merged),
                     partitionColumns=m.partitionColumns,
-                    configuration=m.configuration, createdTime=m.createdTime)
+                    configuration=new_cfg, createdTime=m.createdTime)
         cols = [f.name for f in self._schema.fields]
         # fail fast on SET/INSERT targets that resolve to no output
         # column — a typo'd or mis-aliased key must not silently no-op
@@ -518,10 +549,12 @@ class MergeBuilder:
         if with_cdf:
             # insert images come from the FINALIZED frame so allocated
             # identity values in the feed match the written rows
-            cdc_actions = self._write_cdf(joined, cols, snapshot,
-                                          insert_df=resultw)
+            cdc_actions = self._write_cdf(
+                joined, cols, self._out_snapshot(snapshot),
+                insert_df=resultw)
 
-        adds = write_table_files(resultw.drop("__action"), snapshot)
+        adds = write_table_files(resultw.drop("__action"),
+                                 self._out_snapshot(snapshot))
         removes = [f.remove() for f in touched]
         try:
             m = obs.get
@@ -615,9 +648,11 @@ class MergeBuilder:
 
             cdc_actions = []
             if cdf_enabled(cfg):
-                cdc_actions = self._write_cdf(changed, cols, snapshot,
-                                              insert_df=resultw)
-            adds = write_table_files(resultw.drop("__action"), snapshot)
+                cdc_actions = self._write_cdf(
+                    changed, cols, self._out_snapshot(snapshot),
+                    insert_df=resultw)
+            adds = write_table_files(resultw.drop("__action"),
+                                     self._out_snapshot(snapshot))
         finally:
             changed.unpersist()
         try:
@@ -770,9 +805,10 @@ class MergeBuilder:
         out = self._finalize_inserts(out, snapshot)
         cdc_actions = []
         if cdf_enabled(cfg):
-            cdc_actions = write_cdc_files(out.withColumn("_change_type", F.lit("insert")),
-                                          snapshot.table_path)
-        adds = write_table_files(out, snapshot)
+            cdc_actions = write_cdc_files(
+                out.withColumn("_change_type", F.lit("insert")),
+                snapshot.table_path, self._out_snapshot(snapshot))
+        adds = write_table_files(out, self._out_snapshot(snapshot))
         metrics = {"numTargetRowsInserted": str(sum(a.num_records or 0 for a in adds)),
                    "numTargetFilesAdded": str(len(adds))}
         evo = [getattr(self, "_evolution_meta", None)]
@@ -1012,8 +1048,19 @@ class MergeBuilder:
         ``insert_df`` (the finalized output frame, __action kept),
         insert images are taken from it verbatim — identity values
         allocated by _finalize_inserts land identically in the feed."""
+        def tgt_val(c):
+            # schema-evolved columns don't exist on the TARGET side of
+            # the join: preimage/delete rows show them as NULL
+            # (reference MergeOutputGeneration — the pre-merge rows
+            # never had a value)
+            if c in self._target_cols:
+                return F.expr(f"{self.tgt}.{c}")
+            dt = next(f.dataType for f in self._schema.fields
+                      if f.name == c)
+            return F.lit(None).cast(dt)
+
         pre = (joined.filter(F.col("__action").startswith("u"))
-               .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
+               .select(*[tgt_val(c).alias(c) for c in cols])
                .withColumn("_change_type", F.lit("update_preimage")))
         post = (self._apply_generated_merge(
                     joined.filter(F.col("__action").startswith("u"))
@@ -1021,7 +1068,7 @@ class MergeBuilder:
                             F.col("__action")), snapshot)
                 .withColumn("_change_type", F.lit("update_postimage")))
         dels = (joined.filter(F.col("__action").startswith("d"))
-                .select(*[F.expr(f"{self.tgt}.{c}").alias(c) for c in cols])
+                .select(*[tgt_val(c).alias(c) for c in cols])
                 .withColumn("_change_type", F.lit("delete")))
         if insert_df is not None:
             ins = (insert_df.filter(F.col("__action").startswith("i"))
@@ -1034,7 +1081,7 @@ class MergeBuilder:
                                F.col("__action")), snapshot)
                    .withColumn("_change_type", F.lit("insert")))
         cdf_df = pre.unionByName(post).unionByName(dels).unionByName(ins)
-        return write_cdc_files(cdf_df, snapshot.table_path)
+        return write_cdc_files(cdf_df, snapshot.table_path, snapshot)
 
     def _op_params(self) -> dict:
         return {

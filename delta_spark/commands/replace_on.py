@@ -98,7 +98,7 @@ def replace_on_core(spark: SparkSession, txn: OptimisticTransaction,
                             "left_semi")
                       .select(*[f.name for f in snapshot.schema.fields])
                       .withColumn("_change_type", F.lit("delete")))
-        cdc = write_cdc_files(deleted_df, snapshot.table_path)
+        cdc = write_cdc_files(deleted_df, snapshot.table_path, snapshot)
     kept = sum(a.num_records or 0 for a in adds)
     was = sum(f.num_records or 0 for f in touched)
     metrics = {"numRemovedFiles": str(len(removes)),

@@ -235,7 +235,7 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
                               if c in upd else F.col(c) for c in schema_cols]),
                     snapshot.schema, upd)
                 .withColumn("_change_type", F.lit("update_postimage")))
-        cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)
+        cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path, snapshot)
 
     metrics = {
         "numRemovedFiles": str(len(removes)),
@@ -312,7 +312,7 @@ def _dv_update(spark: SparkSession, log_txn, upd: dict,
                                          for c in schema_cols]),
                         snapshot.schema, upd)
                     .withColumn("_change_type", F.lit("update_postimage")))
-            cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path)
+            cdc = write_cdc_files(pre.unionByName(post), snapshot.table_path, snapshot)
     finally:
         matched.unpersist()
 

@@ -356,7 +356,8 @@ def write_delta(
                 from delta_spark.writer import write_cdc_files
 
                 cdc_actions = list(cdc_actions) + write_cdc_files(
-                    out_df.withColumn("_change_type", F.lit("insert")), log.table_path)
+                    out_df.withColumn("_change_type", F.lit("insert")),
+                    log.table_path, txn.snapshot, already_physical=True)
         elif replace_on or replace_using:
             from delta_spark.commands.delete import cdf_enabled
             from delta_spark.commands.replace_on import (
@@ -395,7 +396,7 @@ def write_delta(
 
                 cdc_actions = list(cdc_actions) + write_cdc_files(
                     out_df.withColumn("_change_type", F.lit("insert")),
-                    log.table_path)
+                    log.table_path, txn.snapshot, already_physical=True)
         elif partition_overwrite_mode.lower() == "dynamic":
             written_parts = {tuple(sorted(a.partitionValues.items())) for a in adds}
             for f in txn.snapshot.all_files:

@@ -108,9 +108,37 @@ def merge_schemas(current: T.StructType, incoming: T.StructType,
                                  f.nullable or inc.nullable, f.metadata))
     for f in incoming.fields:
         if f.name.lower() not in cur_by_name:
-            # evolved columns must be nullable (old files lack them)
-            out.append(T.StructField(f.name, f.dataType, True, f.metadata))
+            # evolved columns must be nullable (old files lack them);
+            # the TABLE owns column-mapping identity — a source field
+            # aliased from a mapped table column (SELECT x AS new_col)
+            # carries x's physicalName/id through Spark's alias
+            # metadata propagation, and trusting it would assign TWO
+            # logical columns the same physical name
+            out.append(T.StructField(f.name, _strip_mapping(f.dataType),
+                                     True, _strip_mapping_meta(f.metadata)))
     return T.StructType(out)
+
+
+def _strip_mapping_meta(md: Optional[dict]) -> Optional[dict]:
+    if not md:
+        return md
+    return {k: v for k, v in md.items()
+            if not k.startswith("delta.columnMapping.")
+            and k != "parquet.field.id"}
+
+
+def _strip_mapping(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _strip_mapping(f.dataType), f.nullable,
+                          _strip_mapping_meta(f.metadata))
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_mapping(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_strip_mapping(dt.keyType),
+                         _strip_mapping(dt.valueType), dt.valueContainsNull)
+    return dt
 
 
 def _find(schema: T.StructType, name: str) -> Optional[T.StructField]:

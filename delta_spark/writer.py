@@ -252,13 +252,26 @@ def write_table_files(df: DataFrame, snapshot, data_change: bool = True) -> list
                            "false")).lower() == "true")
 
 
-def write_cdc_files(df: DataFrame, table_path: str) -> list:
+def write_cdc_files(df: DataFrame, table_path: str, snapshot=None,
+                    already_physical: bool = False) -> list:
     """Write change-data rows (including the `_change_type` column) as
     CDC files under `_change_data/` (reference AddCDCFile; CDF files are
-    invisible to normal scans — commands/cdc/CDCReader.scala:59)."""
+    invisible to normal scans — commands/cdc/CDCReader.scala:59).
+
+    CDC files follow the SAME schema rules as data files (PROTOCOL.md
+    "Change Data Files"): under column mapping they must carry
+    physical column names at every nesting level, or an external CDF
+    reader resolves nothing. Pass the table `snapshot` so the
+    projection applies; `already_physical=True` skips it for callers
+    whose DataFrame was projected upstream (write path inserts)."""
     from delta_spark.actions import AddCDCFile
 
     from delta_spark import geo as _geo
+
+    if snapshot is not None and not already_physical \
+            and snapshot.column_mapping_enabled:
+        from delta_spark.schema import physical_projection
+        df = physical_projection(df, snapshot.schema)
 
     staging = os.path.join(table_path, f"_staging_cdc_{uuid.uuid4().hex}")
     _geo.wkb_out(df).write.mode("overwrite").parquet(staging)

@@ -238,3 +238,143 @@ def test_nested_fields_mapped_physically(spark, tmp_table):
     row = dt.toDF().selectExpr("s.aa", "s.ac.aca", "arr[0].ab",
                                "m['k'].mv").collect()[0]
     assert tuple(row) == ("x", 7, 5, 2)
+
+
+def test_cdc_files_carry_physical_names(spark, tmp_table):
+    """CDC files follow the SAME schema rules as data files
+    (PROTOCOL.md "Change Data Files"): under column mapping they store
+    PHYSICAL column names — an external CDF reader resolves by them —
+    and our own table_changes maps them back to logical."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    write_delta(spark.sql("SELECT 1 AS id, 'a' AS val"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name",
+                               "delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("id = 1")                                   # v1: cdc files
+    snap = DeltaLog.for_table(tmp_table).update()
+    from delta_spark.schema import physical_name
+    phys = {physical_name(f) for f in snap.schema.fields}
+    cdc = sorted(glob.glob(os.path.join(tmp_table, "_change_data",
+                                        "*.parquet")))
+    assert cdc, "delete under CDF must write change files"
+    cols = set(pq.read_schema(cdc[-1]).names)
+    assert phys <= cols and "_change_type" in cols
+    assert not any(c in cols for c in ("id", "val"))      # physical only
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], r["val"], r["_change_type"])
+            for r in table_changes(spark, DeltaLog.for_table(tmp_table),
+                                   1, 1).collect()}
+    assert rows == {(1, "a", "delete")}
+
+
+def test_replace_where_cdf_on_mapped_table(spark, tmp_table):
+    """replaceWhere's insert-leg CDC files ride the already-projected
+    write frame: on a mapped table the feed must still serve LOGICAL
+    names and real values (regression: ids read as NULL)."""
+    write_delta(spark.sql("SELECT 1 AS id, 'a' AS val"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name",
+                               "delta.enableChangeDataFeed": "true"})
+    write_delta(spark.sql("SELECT 1 AS id, 'b' AS val"), tmp_table,
+                mode="overwrite", replace_where="id = 1")
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], r["val"], r["_change_type"])
+            for r in table_changes(spark, DeltaLog.for_table(tmp_table),
+                                   1, 1).collect()}
+    assert rows == {(1, "a", "delete"), (1, "b", "insert")}
+
+
+def test_merge_evolution_assigns_mapping_identity(spark, tmp_table):
+    """MERGE schema evolution on a mapped table must assign the new
+    column an engine-generated physicalName + columnMapping id and
+    bump maxColumnId (reference DeltaColumnMapping assignment rules —
+    a mapped field without an id is protocol-invalid), and the data /
+    CDC files of the evolving commit are written under those physical
+    names."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    write_delta(spark.sql("SELECT 1 AS id, 'a' AS val"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name",
+                               "delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.sql("SELECT 1 AS id, 'A' AS val, 9 AS extra "
+                    "UNION ALL SELECT 2, 'b', 7")
+    (dt.merge(src, "target.id = source.id")
+       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+       .withSchemaEvolution().execute())
+    snap = DeltaLog.for_table(tmp_table).update()
+    from delta_spark.schema import field_id, physical_name
+    f = next(x for x in snap.schema.fields if x.name == "extra")
+    assert physical_name(f).startswith("col-")
+    assert field_id(f) == 3
+    assert snap.configuration.get("delta.columnMapping.maxColumnId") == "3"
+    assert sorted(tuple(r) for r in dt.toDF().collect()) == \
+        [(1, "A", 9), (2, "b", 7)]
+    cdc = sorted(glob.glob(os.path.join(tmp_table, "_change_data",
+                                        "*.parquet")))
+    cols = set(pq.read_schema(cdc[-1]).names)
+    assert physical_name(f) in cols and "extra" not in cols
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], r["val"], r["extra"], r["_change_type"])
+            for r in table_changes(spark, DeltaLog.for_table(tmp_table),
+                                   1, 1).collect()}
+    # preimage rows null-fill the evolved column (it had no value)
+    assert rows == {(1, "a", None, "update_preimage"),
+                    (1, "A", 9, "update_postimage"),
+                    (2, "b", 7, "insert")}
+
+
+def test_merge_evolution_cdf_preimage_nulls_plain(spark, tmp_table):
+    """Same preimage-null contract without column mapping (regression:
+    the CDF projection referenced target.<evolved-col> and failed
+    analysis)."""
+    write_delta(spark.sql("SELECT 1 AS id, 'a' AS val"), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.sql("SELECT 1 AS id, 'A' AS val, 9 AS extra")
+    (dt.merge(src, "target.id = source.id")
+       .whenMatchedUpdateAll().withSchemaEvolution().execute())
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], r["val"], r["extra"], r["_change_type"])
+            for r in table_changes(spark, DeltaLog.for_table(tmp_table),
+                                   1, 1).collect()}
+    assert rows == {(1, "a", None, "update_preimage"),
+                    (1, "A", 9, "update_postimage")}
+
+
+def test_evolution_ignores_stolen_alias_metadata(spark, tmp_table):
+    """Spark propagates StructField metadata through aliases, so
+    SELECT x AS new_col from a mapped table carries x's
+    columnMapping.physicalName. Schema evolution must IGNORE it — the
+    table owns identity — or two logical columns share one physical
+    column (COLUMN_ALREADY_EXISTS at write, or silent misreads)."""
+    from delta_spark.schema import field_id, physical_name
+
+    write_delta(spark.sql("SELECT 1 AS id, 10 AS x"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    # write-path evolution (merge_schema append)
+    write_delta(dt.toDF().selectExpr("id", "x", "x AS y"), tmp_table,
+                mode="append", merge_schema=True)
+    snap = DeltaLog.for_table(tmp_table).update()
+    phys = [physical_name(f) for f in snap.schema.fields]
+    assert len(phys) == len(set(phys)), phys
+    ids = [field_id(f) for f in snap.schema.fields]
+    assert None not in ids and len(set(ids)) == len(ids)
+    # MERGE-path evolution with an aliased source column
+    src = dt.toDF().limit(1).selectExpr("id + 100 AS id", "x", "y",
+                                        "x AS z")
+    (dt.merge(src, "target.id = source.id")
+       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+       .withSchemaEvolution().execute())
+    snap = DeltaLog.for_table(tmp_table).update()
+    phys = [physical_name(f) for f in snap.schema.fields]
+    assert len(phys) == len(set(phys)), phys
+    rows = {tuple(r) for r in dt.toDF().collect()}
+    assert (101, 10, 10, 10) in rows
