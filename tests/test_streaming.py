@@ -1101,3 +1101,30 @@ def test_additive_change_recurses_into_array_and_map():
     arr_retype = j(T.StructField("xs", T.ArrayType(T.StructType([
         T.StructField("aa", T.LongType())]))))
     assert not _is_additive_change(arr_old, arr_retype)
+
+
+def test_streaming_cdf_reads_mapped_cdc_files(spark, tmp_table, tmp_path):
+    """CDC files under column mapping carry PHYSICAL column names
+    (protocol contract, round 8): the streaming readChangeFeed source
+    must resolve them back to logical names — a delete's change rows
+    stream with real values, not NULLs."""
+    from delta_spark.streaming import register
+
+    write_delta(spark.sql("SELECT 1 AS id, 'a' AS val"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name",
+                               "delta.enableChangeDataFeed": "true"})
+    DeltaTable.forPath(spark, tmp_table).delete("id = 1")
+    register(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (spark.readStream.format("delta_py")
+         .option("readChangeFeed", "true").option("startingVersion", "0")
+         .option("path", tmp_table).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    rows = {(r["id"], r["val"], r["_change_type"])
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "a", "insert"), (1, "a", "delete")}
