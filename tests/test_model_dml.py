@@ -359,3 +359,172 @@ def test_cdf_diffs_below_the_tree(spark, tmp_table, seed):
         assert got.get("delete", set()) == dels, f"v{ver} deletes"
         assert got.get("update_preimage", set()) == pre, f"v{ver} pre"
         assert got.get("update_postimage", set()) == post, f"v{ver} post"
+
+
+def _run_evolving_scenario(spark, path, seed, mapped):
+    """Randomized SCHEMA-EVOLVING DML against a pure-Python model: the
+    op mix adds merge_schema appends, evolving MERGEs (source carries a
+    brand-new column — sometimes aliased from an existing one, the
+    metadata-smuggling shape), and nested RENAME on mapped tables.
+    After every op the mapping invariants must hold (unique physical
+    names, unique ids, maxColumnId watermark) and at the end the table,
+    sampled time-travel versions, and (when no rename happened) the
+    full CDF range must reproduce the model."""
+    import random as _random
+
+    from pyspark.sql import types as T
+
+    from delta_spark.log import DeltaLog
+    from delta_spark.schema import field_id, physical_name
+
+    rng = _random.Random(seed)
+    conf = {"delta.enableChangeDataFeed": "true"}
+    if mapped:
+        conf["delta.columnMapping.mode"] = "name"
+
+    cols = ["k", "v"]                   # current logical columns
+    model = {}                          # k -> {col: val}
+    hist = []                           # per version: (cols, model)
+
+    def df_for(rows, cs):
+        schema = T.StructType([T.StructField(c, T.IntegerType())
+                               for c in cs])
+        return spark.createDataFrame(
+            [tuple(r.get(c) for c in cs) for r in rows], schema)
+
+    def record():
+        hist.append((list(cols), {k: dict(v) for k, v in model.items()}))
+
+    def check_invariants():
+        snap = DeltaLog.for_table(path).update()
+        names = [f.name for f in snap.schema.fields]
+        assert sorted(names) == sorted(cols), (names, cols)
+        if mapped:
+            phys = [physical_name(f) for f in snap.schema.fields]
+            ids = [field_id(f) for f in snap.schema.fields]
+            assert len(set(phys)) == len(phys), phys
+            assert None not in ids and len(set(ids)) == len(ids), ids
+            assert int(snap.configuration.get(
+                "delta.columnMapping.maxColumnId", 0)) >= max(ids)
+
+    rows = [{"k": k, "v": rng.randrange(100)} for k in range(6)]
+    model.update({r["k"]: {c: r.get(c) for c in cols if c != "k"}
+                  for r in rows})
+    write_delta(df_for(rows, cols), path, configuration=conf)
+    dt = DeltaTable.forPath(spark, path)
+    record()
+
+    next_key, next_col, renamed = 6, 1, False
+    for _ in range(10):
+        op = rng.choice(["append", "evolve_append", "evolve_merge",
+                         "delete", "update"] + (["rename"] if mapped
+                                                else []))
+        if op == "append":
+            rows = [{"k": next_key + i, "v": rng.randrange(100)}
+                    for i in range(rng.randrange(1, 4))]
+            next_key += len(rows)
+            for r in rows:
+                model[r["k"]] = {c: r.get(c) for c in cols if c != "k"}
+            write_delta(df_for(rows, cols), path, mode="append")
+        elif op == "evolve_append":
+            nc = f"c{next_col}"
+            next_col += 1
+            rows = [{"k": next_key, "v": rng.randrange(100),
+                     nc: rng.randrange(1000)}]
+            next_key += 1
+            write_delta(df_for(rows, cols + [nc]), path, mode="append",
+                        merge_schema=True)
+            cols.append(nc)
+            for kv in model.values():
+                kv.setdefault(nc, None)
+            model[rows[0]["k"]] = {c: rows[0].get(c) for c in cols
+                                   if c != "k"}
+        elif op == "evolve_merge":
+            nc = f"c{next_col}"
+            next_col += 1
+            upd = rng.sample(sorted(model), min(2, len(model)))
+            src_rows = [{"k": k, "v": rng.randrange(100, 200),
+                         **{c: rng.randrange(1000) for c in cols
+                            if c not in ("k", "v")},
+                         nc: rng.randrange(1000)} for k in upd]
+            ins = {"k": next_key, "v": rng.randrange(200, 300),
+                   **{c: rng.randrange(1000) for c in cols
+                      if c not in ("k", "v")},
+                   nc: rng.randrange(1000)}
+            next_key += 1
+            src = df_for(src_rows + [ins], cols + [nc])
+            if rng.random() < 0.5:
+                # metadata-smuggling shape: the new column aliased off
+                # an existing one (alias propagates StructField
+                # metadata incl. any columnMapping identity)
+                src = df_for(src_rows + [ins], cols) \
+                    .selectExpr("*", f"v AS {nc}")
+                for r in src_rows + [ins]:
+                    r[nc] = r["v"]
+            (dt.merge(src.alias("s"), "t.k = s.k", target_alias="t")
+               .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+               .withSchemaEvolution().execute())
+            cols.append(nc)
+            for kv in model.values():
+                kv.setdefault(nc, None)
+            for r in src_rows + [ins]:
+                model[r["k"]] = {c: r.get(c) for c in cols if c != "k"}
+        elif op == "delete":
+            m, r0 = rng.randrange(2, 5), rng.randrange(0, 2)
+            dt.delete(f"v % {m} = {r0}")
+            model = {k: kv for k, kv in model.items()
+                     if not (kv["v"] % m == r0)}
+        elif op == "update":
+            add = rng.randrange(1, 20)
+            m = rng.randrange(2, 4)
+            dt.update({"v": f"v + {add}"}, f"k % {m} = 0")
+            for k, kv in model.items():
+                if k % m == 0:
+                    kv["v"] = kv["v"] + add
+        else:  # rename (mapped only) — evolved columns, so the fixed
+            # ops (UPDATE v, DELETE by v) keep resolving
+            cands = [c for c in cols if c not in ("k", "v")]
+            if not cands:
+                continue
+            old = rng.choice(cands)
+            new = f"{old}_r{next_col}"
+            next_col += 1
+            dt.renameColumn(old, new)
+            cols[cols.index(old)] = new
+            for kv in model.values():
+                kv[new] = kv.pop(old)
+            renamed = True
+        record()
+        check_invariants()
+
+    def table_state(df, cs):
+        return {r["k"]: {c: r[c] for c in cs if c != "k"}
+                for r in df.collect()}
+
+    assert table_state(dt.toDF(), cols) == model, f"seed={seed}"
+    for ver in rng.sample(range(len(hist)), 3):
+        vcols, vmodel = hist[ver]
+        assert table_state(dt.asOfVersion(ver), vcols) == vmodel, \
+            f"seed={seed} version={ver}"
+    if not renamed:
+        # additive-only history: the whole CDF range must be readable
+        # (nested-additive superset rule) and net out to the model
+        from delta_spark.cdf import table_changes
+        ch = table_changes(spark, DeltaLog.for_table(path), 0, len(hist) - 1)
+        net = {}
+        for r in sorted(ch.collect(),
+                        key=lambda r: (r["_commit_version"],
+                                       r["_change_type"])):
+            if r["_change_type"] in ("insert", "update_postimage"):
+                net[r["k"]] = {c: r[c] for c in cols if c != "k"}
+            elif r["_change_type"] == "delete":
+                net.pop(r["k"], None)
+        assert net == model, f"seed={seed} CDF net state"
+
+
+@pytest.mark.parametrize("seed,mapped", [
+    (101, False), (103, True), (107, True), (109, False), (113, True),
+])
+def test_randomized_evolving_dml_matches_model(spark, tmp_table, seed,
+                                               mapped):
+    _run_evolving_scenario(spark, tmp_table, seed, mapped)
