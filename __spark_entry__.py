@@ -1743,9 +1743,25 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_tokens_removed AS BIGINT) AS id_b",
         "CAST(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"
         " AS DOUBLE) AS score")
+    # keep_first mode (round 8): the canonical occurrence — minimum
+    # (doc_id, position) per duplicated gram — is exempt, so exactly
+    # one copy of each duplicated substring survives remediation (the
+    # paper's retention policy); oracle re-derives the same exemption
+    spans_keep_df = duplicate_spans(docs, k=8, keep_first=True)
+    spans_keep = spans_keep_df.selectExpr(
+        "'exact_substr_keepone' AS variant", "id AS id_a",
+        "CAST(span_start AS BIGINT) AS id_b",
+        "CAST(span_end * 1000 + n_windows AS DOUBLE) AS score")
+    cleaned_keep = remove_duplicate_spans(docs, spans_keep_df)
+    removed_keep = cleaned_keep.filter("n_tokens_removed > 0").selectExpr(
+        "'exact_substr_keepone_removed' AS variant", "doc_id AS id_a",
+        "CAST(n_tokens_removed AS BIGINT) AS id_b",
+        "CAST(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"
+        " AS DOUBLE) AS score")
     return (exact.unionByName(jac).unionByName(mh).unionByName(sh)
             .unionByName(clusters).unionByName(spans)
-            .unionByName(removed))
+            .unionByName(removed).unionByName(spans_keep)
+            .unionByName(removed_keep))
 
 
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2090,7 +2106,30 @@ esclean AS (
          len(d.w) AS n_w
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         FROM documents) d
-  JOIN esrempos p ON p.doc_id = d.doc_id)
+  JOIN esrempos p ON p.doc_id = d.doc_id),
+eskeep AS (SELECT h, min({{'d': doc_id, 'i': i}}) AS keep
+           FROM esg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+eswk AS (SELECT doc_id, i,
+                lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+         FROM (SELECT g.doc_id, g.i, k.keep
+               FROM esg g JOIN eskeep k ON g.h = k.h
+               WHERE NOT (g.doc_id = (k.keep).d AND g.i = (k.keep).i))),
+esislk AS (SELECT doc_id, i,
+                  sum(CASE WHEN prev_i IS NULL OR i - prev_i > 8
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY i) AS island
+           FROM eswk),
+esspank AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e, count(*) AS nw
+            FROM esislk GROUP BY doc_id, island),
+esremposk AS (SELECT doc_id, flatten(list(range(s, e + 1))) AS rem
+              FROM esspank GROUP BY doc_id),
+escleank AS (
+  SELECT d.doc_id,
+         list_filter(d.w, (t, i) -> NOT list_contains(p.rem, i)) AS kept,
+         len(d.w) AS n_w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents) d
+  JOIN esremposk p ON p.doc_id = d.doc_id)
 SELECT 'exact' AS variant, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
        CAST(n_chars AS DOUBLE) AS score
 FROM documents
@@ -2115,6 +2154,17 @@ SELECT 'exact_substr_removed', doc_id, CAST(n_w - len(kept) AS BIGINT),
                                             '')), 1, 12))
                  AS BIGINT) AS DOUBLE)
 FROM esclean
+UNION ALL
+SELECT 'exact_substr_keepone', doc_id, CAST(s AS BIGINT),
+       CAST(e * 1000 + nw AS DOUBLE) FROM esspank
+UNION ALL
+SELECT 'exact_substr_keepone_removed', doc_id,
+       CAST(n_w - len(kept) AS BIGINT),
+       CAST(CAST(concat('0x',
+                        substr(md5(coalesce(array_to_string(kept, ' '),
+                                            '')), 1, 12))
+                 AS BIGINT) AS DOUBLE)
+FROM escleank WHERE n_w > len(kept)
 """
 
 
