@@ -309,9 +309,14 @@ def table_changes(spark: SparkSession, log: DeltaLog,
                   .withColumn("_change_type", F.lit("insert")))
             dfs.append(_stamp(df, v, ts))
         if victims:
-            df = (_check_and_align(
-                      read_files_df(spark, prev_rolling, victims),
-                      prev_rolling)
+            # victims RESOLVE against the pre-commit state (the lookup
+            # above), but they READ under the commit's own snapshot —
+            # CDCReader builds every version's rows with that version's
+            # schema, so a commit that removes files AND reverts the
+            # schema (RESTORE across an evolution) serves delete rows
+            # in its own narrower schema instead of erroring
+            df = (_check_and_align(read_files_df(spark, rolling, victims),
+                                   rolling)
                   .withColumn("_change_type", F.lit("delete")))
             dfs.append(_stamp(df, v, ts))
     if not dfs:

@@ -670,3 +670,28 @@ def test_cdf_nested_add_inside_map_value_null_fills(spark, tmp_table):
                            0, 1).collect():
         rows[r["id"]] = {k: tuple(v) for k, v in r["m"].items()}
     assert rows == {1: {"k1": (5, None)}, 2: {"k2": (6, "y")}}
+
+
+def test_cdf_of_restore_that_reverts_schema(spark, tmp_table):
+    """A RESTORE that reverts a schema evolution removes files AND
+    narrows the schema in ONE commit: its delete rows must read under
+    the commit's own (post-commit) snapshot — CDCReader builds each
+    version's rows with that version's schema — not the pre-commit
+    schema, which would wrongly block the single-version range as a
+    DROP. Ranges spanning the evolved version itself stay blocked."""
+    write_delta(spark.sql("SELECT 1 AS id, 'a' AS val"), tmp_table,
+                configuration={"delta.columnMapping.mode": "name",
+                               "delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.sql("SELECT 2 AS id, 'b' AS val, 9 AS extra")
+    (dt.merge(src, "target.id = source.id")
+       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+       .withSchemaEvolution().execute())                   # v1 evolves
+    dt.restoreToVersion(0)                                 # v2 reverts
+    from delta_spark.cdf import table_changes
+    rows = {(r["id"], r["val"], r["_change_type"])
+            for r in table_changes(spark, DeltaLog.for_table(tmp_table),
+                                   2, 2).collect()}
+    assert rows == {(2, "b", "delete")}
+    with pytest.raises(ValueError, match="DROP of column 'extra'"):
+        table_changes(spark, DeltaLog.for_table(tmp_table), 0, 2).collect()
