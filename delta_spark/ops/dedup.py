@@ -75,8 +75,15 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, threshold: float = 0.5,
                   df_cut: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = shingles(df, text_col, id_col, n).cache()
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The shingle
+    expansion is persisted while the result is live (it feeds the
+    cardinality and both join sides) — registered with ops.cache so a
+    session never holds more than one call's worth; callers with a
+    deterministic consumption point free it with ops.cache.release()."""
+    from delta_spark.ops import cache as _cache
+
+    sh_cached = shingles(df, text_col, id_col, n).cache()
+    sh = sh_cached
     if df_cut is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= df_cut)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
@@ -93,7 +100,7 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
-    return out
+    return _cache.register("jaccard_pairs", sh_cached, out)
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
@@ -125,7 +132,15 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     merge windows by document id — per-partition state is bounded by
     one document's duplicated-window count. No driver materialization
     at any stage, so the plan holds at 100 TB with executors sized for
-    ordinary shuffle traffic."""
+    ordinary shuffle traffic.
+
+    Storage contract: the gram expansion (∝ corpus tokens) is persisted
+    while the result is live — it feeds both the duplicate-gram filter
+    and the join back — and registered with ops.cache, so repeated
+    calls in one session keep at most ONE expansion alive; callers with
+    a deterministic consumption point free it immediately with
+    ops.cache.release(result)."""
+    from delta_spark.ops import cache as _cache
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     # element j (0-based) of `acc` = the k-gram starting at token j+1;
     # trailing partials become NULL via zip padding (same trick as
@@ -162,11 +177,12 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                            F.when(prev.isNull() | (F.col("i") - prev > k),
                                   F.lit(1)).otherwise(F.lit(0)))
                .withColumn("island", F.sum("new_island").over(byid)))
-    return (islands.groupBy("id", "island")
-            .agg(F.min("i").alias("span_start"),
-                 (F.max("i") + k - 1).alias("span_end"),
-                 F.count("*").alias("n_windows"))
-            .select("id", "span_start", "span_end", "n_windows"))
+    out = (islands.groupBy("id", "island")
+           .agg(F.min("i").alias("span_start"),
+                (F.max("i") + k - 1).alias("span_end"),
+                F.count("*").alias("n_windows"))
+           .select("id", "span_start", "span_end", "n_windows"))
+    return _cache.register("duplicate_spans", grams, out)
 
 
 def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
@@ -261,7 +277,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     then compute TRUE jaccard on the candidates only. Output matches
     jaccard_pairs wherever LSH recall reaches (r = k/bands rows/band →
     P(candidate) = 1-(1-s^r)^bands; the bound is exact only with
-    `independent=True` hashing — see minhash_signatures)."""
+    `independent=True` hashing — see minhash_signatures). The shingle
+    expansion persists while the result is live (signatures + exact
+    verify both read it) under the ops.cache registry — one live copy
+    per session, releasable via ops.cache.release(result)."""
+    from delta_spark.ops import cache as _cache
+
     assert k % bands == 0
     r = k // bands
     sh_cached = shingles(df, text_col, id_col, n).cache()
@@ -293,11 +314,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
               .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
     ca = card.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"))
     cb = card.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"))
-    return (common.join(ca, "id_a").join(cb, "id_b")
-            .withColumn("jaccard", F.round(
-                F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    out = (common.join(ca, "id_a").join(cb, "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return _cache.register("minhash_lsh_pairs", sh_cached, out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -455,6 +455,7 @@ def verify_pairs(corpus: DataFrame, pairs: DataFrame, threshold: float,
 def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
                     method: str = "lsh", id_col: str = "vec_id",
                     vec_col: str = "embedding", pre_group: bool = True,
+                    cluster_above: Optional[int] = None,
                     **kwargs) -> DataFrame:
     """Embedding near-duplicates, candidates-first (the scale path):
     generate candidate pairs with `method` ('lsh' random-hyperplane
@@ -474,7 +475,30 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     (identical arrays → identical arithmetic to the per-pair formula),
     cross-group pairs inherit the verified representative similarity.
     Both expansions are joins (spillable, streamed) — never a
-    per-group array. Output is exactly the non-grouped result."""
+    per-group array. Output is exactly the non-grouped result.
+
+    `cluster_above` bounds the otherwise-quadratic pair contract on
+    duplicate-heavy corpora (a document duplicated m times implies
+    C(m,2) pairs — 5·10¹³ rows for one 10M-copy viral document, a
+    scale-killer at 100 TB however well the work distributes). With
+    `cluster_above=t`, every EXACT-duplicate group larger than t is
+    collapsed to its min-id representative: the group itself is emitted
+    in O(group) cluster-membership form — one row
+    (id_a=representative, id_b=member, sim=self-cosine, kind='member')
+    per non-representative member — and the pair algorithm runs over
+    the collapsed corpus, so a big group takes part in cross-group
+    pairs only through its representative (kind='pair'). Groups of size
+    ≤ t keep exact pair semantics. The output gains a `kind` column;
+    total size is O(candidate pairs among ≤t-sized expansions + corpus)
+    instead of Σ C(m,2). Requires pre_group (grouping is what finds the
+    clusters). Default None preserves the exact pair contract."""
+    if cluster_above is not None:
+        if not pre_group or method == "exact":
+            raise ValueError("cluster_above requires pre_group=True and a "
+                             "candidates method ('lsh'/'ivf') — exact-"
+                             "duplicate grouping is what finds the clusters")
+        if cluster_above < 1:
+            raise ValueError(f"cluster_above must be >= 1, got {cluster_above}")
     if method == "exact":
         return embedding_near_dups(corpus, threshold, id_col, vec_col)
     if method not in ("lsh", "ivf"):
@@ -509,8 +533,12 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         return _cands(df)
 
     if probe["nd"] == probe["n"]:
-        return verify_pairs(corpus, _cands_sized(corpus, probe["n"]),
-                            threshold, id_col, vec_col)
+        out = verify_pairs(corpus, _cands_sized(corpus, probe["n"]),
+                           threshold, id_col, vec_col)
+        # every vector distinct → no groups exceed any threshold; the
+        # kind column keeps the cluster-mode schema stable
+        return (out.withColumn("kind", F.lit("pair"))
+                if cluster_above is not None else out)
 
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -521,22 +549,30 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
            .withColumn("__gsz", F.count(F.lit(1)).over(w)))
     # the membership frame feeds ~6 plan branches (param sizing,
     # banding, two verify joins, two expansions) — without persist each
-    # branch would redo the vector-keyed window shuffle+sort. The cache
-    # entry is LRU-evicted once the result is consumed (a returned lazy
-    # DataFrame has no unpersist point; executors reclaim under
-    # pressure).
+    # branch would redo the vector-keyed window shuffle+sort. The
+    # ops.cache registry bounds accumulation to one live membership
+    # frame per session; ops.cache.release(result) frees it eagerly.
     mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
     reps = mem.filter(F.col(id_col) == F.col("__rep"))
     rep_vecs = reps.select(id_col, vec_col)
     ver = verify_pairs(rep_vecs, _cands_sized(rep_vecs, probe["nd"]),
                        threshold, id_col, vec_col)
 
+    # cluster_above: groups past the threshold take part in pair
+    # expansion ONLY through their representative — `memx` drops their
+    # non-representative members before any quadratic step, so a 10M-
+    # copy group contributes 1 row to the expansions and O(m) member
+    # rows below, never C(m,2) pairs
+    big = (F.col("__gsz") > cluster_above) if cluster_above is not None \
+        else F.lit(False)
+    memx = mem.filter(~big | (F.col(id_col) == F.col("__rep")))
+
     # cross-group expansion: every member pair across two verified
     # representative groups shares the representatives' similarity
     # (identical arrays). Joins stream the (inherently quadratic)
     # output; orientation re-normalized over member ids.
-    ma = mem.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
-    mb = mem.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
+    ma = memx.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
+    mb = memx.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
     cross = (ver.join(ma, "id_a").join(mb, "id_b")
              .select(F.least("__ma", "__mb").alias("id_a"),
                      F.greatest("__ma", "__mb").alias("id_b"),
@@ -560,10 +596,27 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     # the distinct shuffle over the quadratic output), and sim rides
     # along as a grouping column (functionally dependent on __rep) so
     # no join ever touches the quadratic pair set.
-    gm = (mem.filter(F.col("__gsz") > 1)
+    gm = (mem.filter((F.col("__gsz") > 1) & ~big)
           .join(selfsim, "__rep")          # linear; drops sub-tau groups
           .select("__rep", "sim", id_col))
     within = _bucket_pairs(gm, id_col, ["__rep", "sim"], dedup=False,
                            keep=["sim"]).select("id_a", "id_b", "sim")
 
-    return cross.unionByName(within)
+    from delta_spark.ops import cache as _opcache
+
+    if cluster_above is None:
+        return _opcache.register("near_duplicates", mem,
+                                 cross.unionByName(within))
+    # cluster-membership form for the big groups: one O(1) row per
+    # non-representative member, sim = the group's self-cosine (the
+    # exact value every collapsed pair would have carried), same ≥ τ
+    # filter via the selfsim join
+    members = (mem.filter(big & (F.col(id_col) != F.col("__rep")))
+               .join(selfsim, "__rep")
+               .select(F.col("__rep").alias("id_a"),
+                       F.col(id_col).alias("id_b"), "sim",
+                       F.lit("member").alias("kind")))
+    pairs = (cross.unionByName(within)
+             .withColumn("kind", F.lit("pair")))
+    return _opcache.register("near_duplicates", mem,
+                             pairs.unionByName(members))

@@ -76,10 +76,10 @@ def read_files_df(
 
         by_id = snapshot.column_mapping_mode == "id"
         if by_id:
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            # pre-upgrade files carry no field ids — those resolve by
-            # physical name (the reference's mixed-table contract)
-            spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+            # session-wide by necessity (execution-time conf) — saves
+            # the user's prior values, see util.ensure_field_id_read_confs
+            from delta_spark.util import ensure_field_id_read_confs
+            ensure_field_id_read_confs(spark)
         schema = _phys(logical_schema, with_field_ids=by_id)
         l2p = snapshot.physical_map()
         part_cols = [l2p.get(c, c) for c in snapshot.partition_columns]
@@ -282,10 +282,10 @@ def read_files_with_index(spark: SparkSession, snapshot, files,
 
         by_id = snapshot.column_mapping_mode == "id"
         if by_id:
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            # pre-upgrade files carry no field ids — those resolve by
-            # physical name (the reference's mixed-table contract)
-            spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+            # session-wide by necessity (execution-time conf) — saves
+            # the user's prior values, see util.ensure_field_id_read_confs
+            from delta_spark.util import ensure_field_id_read_confs
+            ensure_field_id_read_confs(spark)
         l2p = snapshot.physical_map()
         read_schema = _phys(schema, with_field_ids=by_id)
         part_cols = [l2p.get(c, c) for c in part_cols]

@@ -245,3 +245,65 @@ def split_column_path(name: str) -> list[str]:
             i += 1
     parts.append("".join(buf))
     return parts
+
+
+# --------------------------------------------------------------------------
+# field-id parquet read confs (column mapping `id` mode)
+# --------------------------------------------------------------------------
+# Resolution by parquet field id is a READER requirement of the protocol
+# in id mode (PROTOCOL.md:1021), and Spark's parquet source only honors
+# it through session confs that are consumed at EXECUTION time: a
+# DataFrame built under a scoped set/restore silently null-fills every
+# column once the conf is restored before the user's first action, and
+# per-read DataFrameReader options are ignored for these keys (both
+# behaviors pinned by tests/test_column_names.py). The engine therefore
+# sets the confs session-wide on the first id-mode read — the narrowest
+# mechanism PySpark offers — remembers the user's prior values, warns
+# once if it overrides an explicitly-set value, and exposes
+# restore_field_id_read_confs() to undo the mutation once no id-mode
+# DataFrames remain in use.
+FIELD_ID_READ_CONFS = ("spark.sql.parquet.fieldId.read.enabled",
+                       "spark.sql.parquet.fieldId.read.ignoreMissing")
+_saved_field_id_confs: dict[int, dict[str, Optional[str]]] = {}
+
+
+def ensure_field_id_read_confs(spark) -> None:
+    """Turn on Spark's field-id parquet resolution for this session
+    (required while any column-mapping id-mode DataFrame from this
+    engine is alive), saving the user's prior values for
+    restore_field_id_read_confs()."""
+    saved = _saved_field_id_confs.get(id(spark))
+    if saved is None:
+        saved = {k: spark.conf.get(k, None) for k in FIELD_ID_READ_CONFS}
+        _saved_field_id_confs[id(spark)] = saved
+        explicit = {k: v for k, v in saved.items()
+                    if v is not None and str(v).lower() != "true"}
+        if explicit:
+            import warnings
+
+            warnings.warn(
+                "reading a column-mapping id-mode Delta table requires "
+                "spark.sql.parquet.fieldId.read.{enabled,ignoreMissing}"
+                "=true for the whole session (the parquet source reads "
+                f"them at execution time); overriding {explicit}. "
+                "delta_spark.util.restore_field_id_read_confs(spark) "
+                "undoes this once id-mode DataFrames are no longer in "
+                "use.")
+    for k in FIELD_ID_READ_CONFS:
+        if spark.conf.get(k, None) != "true":
+            spark.conf.set(k, "true")
+
+
+def restore_field_id_read_confs(spark) -> None:
+    """Restore the session's field-id read confs to their values before
+    the first id-mode read. Only call once DataFrames produced from
+    id-mode tables are no longer in use — they null-fill without the
+    confs."""
+    saved = _saved_field_id_confs.pop(id(spark), None)
+    if saved is None:
+        return
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)

@@ -541,11 +541,11 @@ def test_cdf_range_spanning_nested_rename_blocked(spark, tmp_table):
     write_delta(spark.sql("SELECT 3 AS id, named_struct('bb', 7) AS s"),
                 tmp_table, mode="append")              # version 3
     from delta_spark.cdf import table_changes
-    with pytest.raises(ValueError, match="nested schema change"):
+    with pytest.raises(ValueError, match="rename of nested field"):
         table_changes(spark, DeltaLog.for_table(tmp_table), 0, 3).collect()
     # batch CDF serves the LATEST schema, so even a pre-rename range is
     # incompatible (same as the reference's column-mapping CDF gate)
-    with pytest.raises(ValueError, match="nested schema change"):
+    with pytest.raises(ValueError, match="rename of nested field"):
         table_changes(spark, DeltaLog.for_table(tmp_table), 0, 1).collect()
     # post-rename ranges are fine
     post = table_changes(spark, DeltaLog.for_table(tmp_table), 3, 3)

@@ -378,3 +378,118 @@ def test_evolution_ignores_stolen_alias_metadata(spark, tmp_table):
     assert len(phys) == len(set(phys)), phys
     rows = {tuple(r) for r in dt.toDF().collect()}
     assert (101, 10, 10, 10) in rows
+
+
+# ---------------------------------------------------------------------------
+# field-id read confs: session hygiene (VERDICT r8 #4 / ADVICE r8)
+# ---------------------------------------------------------------------------
+
+ID_CFG = {"delta.columnMapping.mode": "id"}
+_FID = "spark.sql.parquet.fieldId.read.enabled"
+_FID_MISS = "spark.sql.parquet.fieldId.read.ignoreMissing"
+
+
+def _fid_state(spark):
+    return (spark.conf.get(_FID, None), spark.conf.get(_FID_MISS, None))
+
+
+def _reset_fid(spark):
+    from delta_spark.util import _saved_field_id_confs
+
+    _saved_field_id_confs.pop(id(spark), None)
+    for k in (_FID, _FID_MISS):
+        spark.conf.unset(k)
+
+
+def test_field_id_confs_untouched_by_name_mode_read(spark, tmp_table):
+    """Only id-mode tables need field-id resolution: reading none/name
+    mode tables must not touch the user's parquet confs."""
+    _reset_fid(spark)
+    write_delta(_df(spark), tmp_table, configuration=NAME_CFG)
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 2
+    assert _fid_state(spark) == (None, None)
+
+
+def test_field_id_confs_set_and_restorable_for_id_mode(spark, tmp_table):
+    """An id-mode read turns the confs on for the session (the parquet
+    source consumes them at execution time, so a scoped set/restore
+    would break the returned lazy DataFrame — pinned below);
+    restore_field_id_read_confs undoes the mutation."""
+    from delta_spark.util import restore_field_id_read_confs
+
+    _reset_fid(spark)
+    df = spark.sql("SELECT 1 AS id, 'x' AS v")
+    write_delta(df, tmp_table, configuration=ID_CFG)
+    out = DeltaTable.forPath(spark, tmp_table).toDF()
+    assert [(r["id"], r["v"]) for r in out.collect()] == [(1, "x")]
+    assert _fid_state(spark) == ("true", "true")
+    restore_field_id_read_confs(spark)
+    assert _fid_state(spark) == (None, None)
+    # restore is idempotent and a later id-mode read re-arms
+    restore_field_id_read_confs(spark)
+    assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 1
+    assert _fid_state(spark) == ("true", "true")
+    _reset_fid(spark)
+
+
+def test_field_id_override_warns_once(spark, tmp_table):
+    """If the user explicitly set the conf to a non-true value, the
+    engine warns (once per session) that it is overriding it."""
+    import warnings
+
+    from delta_spark.util import restore_field_id_read_confs
+
+    _reset_fid(spark)
+    spark.conf.set(_FID, "false")
+    df = spark.sql("SELECT 1 AS id")
+    write_delta(df, tmp_table, configuration=ID_CFG)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 1
+        assert any("fieldId" in str(x.message) for x in w)
+    # restore puts the user's explicit value back
+    restore_field_id_read_confs(spark)
+    assert spark.conf.get(_FID, None) == "false"
+    _reset_fid(spark)
+
+
+def test_field_id_conf_cannot_be_scoped(spark, tmp_path):
+    """Pins WHY the conf must stay set while id-mode DataFrames are
+    live (DEVIATIONS.md): Spark's parquet source consumes the field-id
+    confs at EXECUTION time, so restoring them after building the
+    DataFrame silently null-fills every column, and per-read
+    DataFrameReader options are ignored for these keys. If either
+    behavior ever changes in Spark, this test fails and the engine can
+    switch to properly scoped reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    _reset_fid(spark)
+    d = str(tmp_path / "fid")
+    os_schema = pa.schema([
+        pa.field("phys_a", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"})])
+    import os as _os
+    _os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({"phys_a": [1, 2]}, schema=os_schema),
+                   d + "/f.parquet")
+    read_schema = T.StructType([
+        T.StructField("col_a", T.LongType(), True, {"parquet.field.id": 1})])
+    # scoped set/restore: values are gone by collect time → null-fill
+    spark.conf.set(_FID, "true")
+    spark.conf.set(_FID_MISS, "true")
+    df = spark.read.schema(read_schema).parquet(d)
+    spark.conf.unset(_FID)
+    spark.conf.unset(_FID_MISS)
+    assert [r["col_a"] for r in df.collect()] == [None, None]
+    # per-read options: ignored for these keys → null-fill too
+    df2 = (spark.read.schema(read_schema)
+           .option(_FID, "true").option(_FID_MISS, "true").parquet(d))
+    assert [r["col_a"] for r in df2.collect()] == [None, None]
+    # control: conf on at execution time resolves by id
+    spark.conf.set(_FID, "true")
+    spark.conf.set(_FID_MISS, "true")
+    df3 = spark.read.schema(read_schema).parquet(d)
+    assert [r["col_a"] for r in df3.collect()] == [1, 2]
+    _reset_fid(spark)
