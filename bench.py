@@ -3,8 +3,20 @@
 
 Prints ONE JSON line:
 {"metric": "total_wall_sec", "value": N, "unit": "sec",
- "queries": {name: sec, ...}, "sf": 0.1,
+ "queries": {name: median_sec, ...}, "queries_min": {name: min_sec},
+ "suspect_rows": [...], "sf": 0.1,
  "iters": 3, "parquet_queries": {...}, "bench_vs_parquet": ratio}
+
+`queries_min` is each row's min-of-iters — the floor evidence used for
+round-over-round trust: contention only ever inflates, so a floor that
+doubles between rounds means pollution (or a real regression), never
+luck. Rows whose floor exceeds the committed quiet-machine floor
+(BENCH_FLOOR.json, regenerated each round from a canary-clean run) by
+>2x are re-measured once automatically; rows still past the floor land
+in `suspect_rows` so a polluted artifact identifies its own bad rows
+(the r8 sf0.1 artifact recorded near_dups_lsh at 10.6 s — true value
+3.05 s — with every canary leg clean; a floor check would have caught
+it).
 
 Workload mix mirrors the reference's benchmark suites
 (benchmarks/TPCDSBenchmark.scala power run + MergeBenchmark cases):
@@ -46,6 +58,18 @@ from delta_spark.table import DeltaTable
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+# SPARK_GRAFT_BENCH_ONLY: comma-separated row-name prefixes — run only
+# matching rows (used by the sf3 heavy-row tier: scans/merge/zorder/
+# dedup scale with SF; metadata probes are SF-independent and would
+# just repeat their sf0.1 numbers). load_delta always runs (the scan
+# and DML rows read the tables it writes).
+ONLY = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if p]
+
+
+def _row_enabled(name: str) -> bool:
+    return (not ONLY or name == "load_delta"
+            or any(name.startswith(p) for p in ONLY))
 
 # Contention canary (BENCH_r06 postmortem: the driver recorded a run
 # under heavy machine contention — knn 10x its true time — and the
@@ -103,10 +127,22 @@ def main() -> None:
     scratch = tempfile.mkdtemp(prefix="ds_bench_mut_")
     timings: dict[str, float] = {}
     parquet_timings: dict[str, float] = {}
+    # per-row floor evidence (VERDICT r8 #1): the canary probes sample
+    # the machine at section boundaries, so a contention burst localized
+    # to ONE query can inflate its row while every probe reads clean
+    # (r8: near_dups_lsh recorded 10.6 s, true value 3.05 s). The
+    # min-of-iters is recorded per row beside the median, each row keeps
+    # a re-run closure, and any row whose min exceeds the committed
+    # quiet-machine floor (BENCH_FLOOR.json) by >2x gets ONE automatic
+    # targeted re-run; rows still past the floor after that are stamped
+    # into `suspect_rows` so a polluted artifact identifies its own bad
+    # rows instead of presenting them as truth.
+    mins: dict[str, float] = {}
+    reruns: dict[str, object] = {}
     cal_first, cal_sh_first = calibration_sec(spark)
 
     def run_median(record: dict, name: str, fn, setup=None,
-                   warmups: int = 1) -> None:
+                   warmups: int = 1, _rerun: bool = False) -> None:
         """`warmups` unrecorded warm-ups + ITERS timed runs → median.
         `setup(i)` (untimed) builds per-iteration context for mutating
         ops; its return value is passed to fn. UDF-heavy queries take
@@ -114,6 +150,8 @@ def main() -> None:
         near_dups 18s → 8s → 3s on a cold JVM), so they pass a larger
         warmups to measure the steady state the reference's JMH-style
         harnesses measure."""
+        if not _row_enabled(name):
+            return
         samples = []
         for i in range(ITERS + warmups):
             ctx = setup(i) if setup else None
@@ -122,7 +160,18 @@ def main() -> None:
             el = time.time() - t0
             if i >= warmups:
                 samples.append(el)
-        record[name] = round(statistics.median(samples), 3)
+        med = round(statistics.median(samples), 3)
+        low = round(min(samples), 3)
+        if _rerun:
+            # targeted re-measure: keep the BETTER evidence — contention
+            # only ever inflates
+            med = min(med, record.get(name, med))
+            low = min(low, mins.get(name, low))
+        record[name] = med
+        mins[name] = low
+        if record is timings:
+            reruns[name] = lambda: run_median(record, name, fn, setup=setup,
+                                              warmups=warmups, _rerun=True)
 
     # ---- data load: parquet → delta (the reference's DataLoad bench) ----
     # tables load concurrently (Spark's scheduler is thread-safe; this
@@ -238,6 +287,8 @@ def main() -> None:
         iteration so both see the identical JVM/GC/page-cache context —
         running the arms back-to-back as blocks skews the ratio by
         whatever the heap was doing between the blocks."""
+        if not _row_enabled(name):
+            return
         d_samples, p_samples = [], []
         for i in range(ITERS + 1):
             delta_views()
@@ -251,8 +302,18 @@ def main() -> None:
             if i > 0:
                 d_samples.append(d)
                 p_samples.append(p)
-        timings[name] = round(statistics.median(d_samples), 3)
-        parquet_timings[name] = round(statistics.median(p_samples), 3)
+        d_med = round(statistics.median(d_samples), 3)
+        d_low = round(min(d_samples), 3)
+        if name in timings:  # targeted re-run: keep the better evidence
+            d_med = min(d_med, timings[name])
+            d_low = min(d_low, mins.get(name, d_low))
+            parquet_timings[name] = min(parquet_timings[name],
+                                        round(statistics.median(p_samples), 3))
+        else:
+            parquet_timings[name] = round(statistics.median(p_samples), 3)
+        timings[name] = d_med
+        mins[name] = d_low
+        reruns[name] = lambda: run_both(name, delta_fn, pq_fn)
 
     def q9like():
         # tpch_suite's heaviest leg: 5-way multi-join aggregate
@@ -640,6 +701,57 @@ def main() -> None:
     run_median(timings, "stream_cdf_plan_1m", stream_cdf_plan_run,
                setup=stream_plan_setup)
 
+    # ---- batch CDF over a 1,000-version range (VERDICT r8 task 3) -------
+    # the coalesced walk groups contiguous same-schema versions into ONE
+    # scan per leg kind (version/timestamp joined back per file) — the
+    # pre-r9 one-DataFrame-per-version walk spent 78 s of driver time
+    # building a 1,000-leg union before the first task
+    def cdf_plan_setup(i):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        base_dir = os.path.join(scratch, "cdfplanlog")
+        if not os.path.isdir(base_dir):
+            ld = os.path.join(base_dir, "_delta_log")
+            os.makedirs(ld)
+            schema = json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]})
+            with open(os.path.join(ld, "%020d.json" % 0), "w") as f:
+                f.write(json.dumps({"protocol": {
+                    "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+                f.write(json.dumps({"metaData": {
+                    "id": "cdfplan",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema, "partitionColumns": [],
+                    "configuration": {
+                        "delta.enableChangeDataFeed": "true"},
+                    "createdTime": 1}}))
+            cdir = os.path.join(base_dir, "_change_data")
+            os.makedirs(cdir)
+            t = pa.table({"k": [1, 2, 3],
+                          "_change_type": ["insert", "insert", "delete"]})
+            pq.write_table(t, os.path.join(cdir, "c1.parquet"))
+            for v in range(1, 1001):
+                p = os.path.join(cdir, f"c{v}.parquet")
+                if v > 1:
+                    os.link(os.path.join(cdir, "c1.parquet"), p)
+                with open(os.path.join(ld, "%020d.json" % v), "w") as f:
+                    f.write(json.dumps({"cdc": {
+                        "path": f"_change_data/c{v}.parquet",
+                        "partitionValues": {}, "size": 500,
+                        "dataChange": False}}))
+            os.sync()
+        DeltaLog.clear_cache()
+        return DeltaLog.for_table(base_dir)
+
+    def cdf_plan_run(log):
+        from delta_spark.cdf import table_changes
+        df = table_changes(spark, log, 0, 1000)
+        assert df.count() == 3000
+
+    run_median(timings, "cdf_plan_1k_versions", cdf_plan_run,
+               setup=cdf_plan_setup)
+
     # ---- streaming: drain a 10-commit backlog source→sink ----------------
     # (structured-streaming path: the delta_py source plans offsets over
     # the log tail, reads the commit files, and the exactly-once delta
@@ -812,15 +924,39 @@ def main() -> None:
     run_median(timings, "text_pipeline", text)
     run_median(timings, "events_hourly", events)
 
-    total = round(sum(timings.values()), 3)
-    scan_delta = sum(timings[q] for q in ("q1_agg", "q3_join", "q5_join5", "q6_filter"))
-    scan_pq = sum(parquet_timings.values())
-    ratio = round(scan_delta / scan_pq, 3) if scan_pq > 0 else None
     sf = 0.1
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         pass
+
+    # ---- per-row floor check + targeted re-runs (VERDICT r8 #1) ------
+    floors = {}
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_FLOOR.json")
+    try:
+        with open(floor_path) as fh:
+            fl = json.load(fh)
+        if abs(float(fl.get("sf", -1)) - sf) < 1e-9:
+            floors = fl.get("floors", {})
+    except (OSError, ValueError):
+        floors = {}
+    suspect_rows = []
+    for name, fmin in sorted(floors.items()):
+        if name not in mins or not fmin or fmin <= 0:
+            continue
+        if mins[name] > 2 * fmin:
+            # one automatic re-measure: a burst that hit only this row
+            # has usually passed; the re-run keeps the better evidence
+            reruns[name]()
+            if mins[name] > 2 * fmin:
+                suspect_rows.append(name)
+
+    total = round(sum(timings.values()), 3)
+    scan_delta = sum(timings.get(q, 0.0)
+                     for q in ("q1_agg", "q3_join", "q5_join5", "q6_filter"))
+    scan_pq = sum(parquet_timings.values())
+    ratio = round(scan_delta / scan_pq, 3) if scan_pq > 0 else None
     cal_last, cal_sh_last = calibration_sec(spark)
     # contention only ever INFLATES the probes; a probe that got
     # faster over the run is the JIT warming up, not noise — so flag
@@ -839,6 +975,10 @@ def main() -> None:
              or cal_sh_last > 2.5 * cal_sh_first)
     print(json.dumps({"metric": "total_wall_sec", "value": total, "unit": "sec",
                       "queries": timings, "sf": sf, "iters": ITERS,
+                      "queries_min": mins,
+                      "suspect_rows": suspect_rows,
+                      "floor_rows_checked": len([n for n in floors
+                                                 if n in mins]),
                       "parquet_queries": parquet_timings,
                       "bench_vs_parquet": ratio,
                       "noisy": noisy,

@@ -215,7 +215,122 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     # ONE replay to just before the range, then advance INCREMENTALLY
     # per commit (CDCReader walks commits the same way) — per-version
     # snapshot_at here would replay the whole log O(range) times, the
-    # scale killer for long change feeds on big tables
+    # scale killer for long change feeds on big tables.
+    #
+    # Plan-cost shape (round 9): one DataFrame per version built a
+    # ~1,000-leg union for a 1,000-version range — measured 78 s of
+    # DRIVER time before the first task, super-linear in range length.
+    # Contiguous versions whose snapshots share a read fingerprint
+    # (schema + partitioning + mapping mode: every input of the read
+    # and alignment expressions) therefore COALESCE into one group,
+    # and each group becomes at most three scans — CDC files /
+    # synthesized inserts / synthesized deletes — over the union of the
+    # group's files; per-row _commit_version/_commit_timestamp come
+    # from a broadcast join on the file key (file_key_col ≡
+    # file_key_of, the identity the DV machinery already relies on).
+    # CDCReader.scala:230 groups file actions by version but loads the
+    # AddCDCFiles in one pass the same way. A path that reappears
+    # within a group and leg kind (e.g. RESTORE re-adding a file that
+    # an earlier grouped commit removed) would make the key ambiguous,
+    # so the group flushes first — ranges without such collisions
+    # coalesce fully.
+    from delta_spark.reader import file_key_of
+    from delta_spark.util import schema_to_json
+
+    def _fingerprint(snap):
+        return (schema_to_json(snap.schema),
+                tuple(snap.partition_columns or []),
+                snap.column_mapping_mode if snap.column_mapping_enabled
+                else None)
+
+    def _cdc_group_df(snap, cdc_actions) -> DataFrame:
+        from delta_spark import geo as _geo
+        from delta_spark.reader import file_key_col
+        from delta_spark.util import decode_log_path
+
+        # CDC files follow the same schema rules as data files
+        # (PROTOCOL.md "Change Data Files"): under column mapping they
+        # carry PHYSICAL column names at every level, written with the
+        # schema of THEIR version — read physically with that version's
+        # schema, alias back, then align to the end schema like the
+        # synthesized-rows legs do
+        vschema = snap.schema
+        ct = T.StructField("_change_type", T.StringType())
+        if snap.column_mapping_enabled:
+            from delta_spark.schema import physical_schema as _phys
+            by_id = snap.column_mapping_mode == "id"
+            if by_id:
+                # session-wide by necessity (execution-time conf),
+                # see util.ensure_field_id_read_confs
+                from delta_spark.util import ensure_field_id_read_confs
+                ensure_field_id_read_confs(spark)
+            read_schema = T.StructType(
+                _phys(vschema, with_field_ids=by_id).fields + [ct])
+        else:
+            read_schema = T.StructType(vschema.fields + [ct])
+        cdc_schema = T.StructType(vschema.fields + [ct])
+        _geo.assert_readable(spark, cdc_schema)
+
+        paths = [os.path.join(log.table_path, decode_log_path(c.path))
+                 for c in cdc_actions]
+        # CDC files store geo columns as WKB binary (writer seam)
+        df = (spark.read.schema(
+                  _geo.binary_read_schema(read_schema)).parquet(*paths)
+              .withColumn("__cdf_file_key", file_key_col()))
+        if snap.column_mapping_enabled:
+            # physical → logical at every nesting level (positional
+            # struct CAST, same contract as read_files_df)
+            from delta_spark.schema import strip_nested_metadata_type
+
+            def back(p, l):
+                if isinstance(l.dataType,
+                              (T.StructType, T.ArrayType, T.MapType)):
+                    return F.col(p.name).cast(
+                        strip_nested_metadata_type(l.dataType)) \
+                        .alias(l.name)
+                return F.col(p.name).alias(l.name)
+
+            df = df.select(*[back(p, l) for p, l in zip(
+                read_schema.fields[:-1], vschema.fields)],
+                F.col("_change_type"), F.col("__cdf_file_key"))
+        return _geo.restore(df, cdc_schema)
+
+    def _stamp_by_key(df: DataFrame, entries) -> DataFrame:
+        m = spark.createDataFrame(
+            [(k, int(ver), t) for k, ver, t in entries],
+            T.StructType([
+                T.StructField("__cdf_file_key", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType())]))
+        return df.join(F.broadcast(m), "__cdf_file_key") \
+                 .drop("__cdf_file_key")
+
+    group: Optional[dict] = None
+
+    def _flush():
+        nonlocal group
+        if group is None:
+            return
+        snap = group["snap"]
+        if group["cdc"]:
+            df = _check_and_align(
+                _cdc_group_df(snap, [a for _, _, a in group["cdc"]]), snap)
+            dfs.append(_stamp_by_key(df, [
+                (file_key_of(log.table_path, a), ver, t)
+                for ver, t, a in group["cdc"]]))
+        for kind, change in (("adds", "insert"), ("victims", "delete")):
+            if not group[kind]:
+                continue
+            df = (_check_and_align(
+                      read_files_df(spark, snap,
+                                    [a for _, _, a in group[kind]],
+                                    with_file_key=True), snap)
+                  .withColumn("_change_type", F.lit(change)))
+            dfs.append(_stamp_by_key(df, [
+                (file_key_of(log.table_path, a), ver, t)
+                for ver, t, a in group[kind]]))
+        group = None
+
     rolling = (log.snapshot_at(starting_version - 1)
                if starting_version > 0 else None)
     for v in range(starting_version, ending_version + 1):
@@ -246,78 +361,32 @@ def table_changes(spark: SparkSession, log: DeltaLog,
                 f"Error getting change data for range "
                 f"[{starting_version}, {ending_version}] as change data "
                 f"was not recorded for version [{v}].")
-        if cdc_files:
-            _check_compat(rolling)
-            from delta_spark import geo as _geo
-            from delta_spark.util import decode_log_path
-
-            # CDC files follow the same schema rules as data files
-            # (PROTOCOL.md "Change Data Files"): under column mapping
-            # they carry PHYSICAL column names at every level, written
-            # with the schema of THEIR version — read physically with
-            # that version's schema, alias back, then align to the end
-            # schema like the synthesized-rows legs do
-            vschema = rolling.schema
-            ct = T.StructField("_change_type", T.StringType())
-            if rolling.column_mapping_enabled:
-                from delta_spark.schema import physical_schema as _phys
-                by_id = rolling.column_mapping_mode == "id"
-                if by_id:
-                    # session-wide by necessity (execution-time conf),
-                    # see util.ensure_field_id_read_confs
-                    from delta_spark.util import \
-                        ensure_field_id_read_confs
-                    ensure_field_id_read_confs(spark)
-                read_schema = T.StructType(
-                    _phys(vschema, with_field_ids=by_id).fields + [ct])
-            else:
-                read_schema = T.StructType(vschema.fields + [ct])
-            cdc_schema = T.StructType(vschema.fields + [ct])
-            _geo.assert_readable(spark, cdc_schema)
-
-            paths = [os.path.join(log.table_path, decode_log_path(c.path))
-                     for c in cdc_files]
-            # CDC files store geo columns as WKB binary (writer seam)
-            df = spark.read.schema(
-                _geo.binary_read_schema(read_schema)).parquet(*paths)
-            if rolling.column_mapping_enabled:
-                # physical → logical at every nesting level (positional
-                # struct CAST, same contract as read_files_df)
-                from delta_spark.schema import strip_nested_metadata_type
-
-                def back(p, l):
-                    if isinstance(l.dataType,
-                                  (T.StructType, T.ArrayType, T.MapType)):
-                        return F.col(p.name).cast(
-                            strip_nested_metadata_type(l.dataType)) \
-                            .alias(l.name)
-                    return F.col(p.name).alias(l.name)
-
-                df = df.select(*[back(p, l) for p, l in zip(
-                    read_schema.fields[:-1], vschema.fields)],
-                    F.col("_change_type"))
-            df = _geo.restore(df, cdc_schema)
-            # align to the end schema; _change_type rides through as an
-            # extra column
-            df = _check_and_align(df, rolling)
-            dfs.append(_stamp(df, v, ts))
+        # when a commit carries AddCDCFiles they are authoritative —
+        # its adds/removes must NOT also be synthesized (CDCReader
+        # prefers cdc actions per commit)
+        entries = {
+            "cdc": [(v, ts, a) for a in cdc_files],
+            "adds": [(v, ts, a) for a in adds] if not cdc_files else [],
+            "victims": ([(v, ts, a) for a in victims]
+                        if not cdc_files else []),
+        }
+        if not any(entries.values()):
             continue
-        if adds:
-            df = (_check_and_align(read_files_df(spark, rolling, adds),
-                                   rolling)
-                  .withColumn("_change_type", F.lit("insert")))
-            dfs.append(_stamp(df, v, ts))
-        if victims:
-            # victims RESOLVE against the pre-commit state (the lookup
-            # above), but they READ under the commit's own snapshot —
-            # CDCReader builds every version's rows with that version's
-            # schema, so a commit that removes files AND reverts the
-            # schema (RESTORE across an evolution) serves delete rows
-            # in its own narrower schema instead of erroring
-            df = (_check_and_align(read_files_df(spark, rolling, victims),
-                                   rolling)
-                  .withColumn("_change_type", F.lit("delete")))
-            dfs.append(_stamp(df, v, ts))
+        keys = {kind: {file_key_of(log.table_path, a) for _, _, a in ents}
+                for kind, ents in entries.items()}
+        if group is not None and (
+                group["fp"] != _fingerprint(rolling)
+                or any(keys[k] & group["keys"][k] for k in keys)):
+            _flush()
+        if group is None:
+            group = {"fp": _fingerprint(rolling), "snap": rolling,
+                     "cdc": [], "adds": [], "victims": [],
+                     "keys": {"cdc": set(), "adds": set(),
+                              "victims": set()}}
+        for kind in ("cdc", "adds", "victims"):
+            group[kind].extend(entries[kind])
+            group["keys"][kind].update(keys[kind])
+    _flush()
     if not dfs:
         empty_schema = T.StructType(
             schema.fields + [
@@ -332,6 +401,3 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     return out
 
 
-def _stamp(df: DataFrame, version: int, ts) -> DataFrame:
-    return (df.withColumn("_commit_version", F.lit(version).cast("long"))
-              .withColumn("_commit_timestamp", F.lit(ts).cast("timestamp")))

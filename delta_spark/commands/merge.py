@@ -203,7 +203,7 @@ class MergeBuilder:
 
     # -- builder surface --------------------------------------------------
 
-    def whenMatchedUpdate(self, set=None, condition=None) -> "MergeBuilder":
+    def whenMatchedUpdate(self, condition=None, set=None) -> "MergeBuilder":
         set, condition = _set_and_cond(set, condition)
         self.matched.append(_Clause("update", condition, set))
         return self
@@ -216,7 +216,7 @@ class MergeBuilder:
         self.matched.append(_Clause("delete", _sqlify(condition), None))
         return self
 
-    def whenNotMatchedInsert(self, values=None, condition=None) -> "MergeBuilder":
+    def whenNotMatchedInsert(self, condition=None, values=None) -> "MergeBuilder":
         values, condition = _set_and_cond(values, condition)
         self.not_matched.append(_Clause("insert", condition, values))
         return self
@@ -225,7 +225,7 @@ class MergeBuilder:
         self.not_matched.append(_Clause("insert", _sqlify(condition), {"*": "*"}))
         return self
 
-    def whenNotMatchedBySourceUpdate(self, set=None, condition=None) -> "MergeBuilder":
+    def whenNotMatchedBySourceUpdate(self, condition=None, set=None) -> "MergeBuilder":
         set, condition = _set_and_cond(set, condition)
         self.not_matched_by_source.append(_Clause("update", condition, set))
         return self

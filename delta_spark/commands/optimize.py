@@ -55,8 +55,8 @@ class OptimizeBuilder:
         self.log = log
         self.partition_filter = partition_filter
 
-    def where(self, partition_filter: str) -> "OptimizeBuilder":
-        self.partition_filter = partition_filter
+    def where(self, partitionFilter: str) -> "OptimizeBuilder":
+        self.partition_filter = partitionFilter
         return self
 
     def executeCompaction(self, max_file_size: int = DEFAULT_MAX_FILE_SIZE,

@@ -35,13 +35,26 @@ _LIVE: dict[str, DataFrame] = {}
 def register(op: str, cached: DataFrame, result: DataFrame) -> DataFrame:
     """Track `cached` (already persisted) as operator `op`'s one live
     intermediate, evicting the previous call's frame, and attach it to
-    `result` for release()."""
+    `result` for release().
+
+    Spark's CacheManager keys entries by ANALYZED PLAN: a repeat call
+    over the same input produces a plan-identical frame that shares the
+    previous entry (so identical calls never accumulate storage), and
+    unpersisting the 'previous' frame would evict the entry the new
+    call just cached — the round-9 bench caught exactly that as a 3x
+    regression on exact_substr_spans. Eviction therefore only fires
+    when the plans differ (semanticHash)."""
     prev = _LIVE.pop(op, None)
     if prev is not None:
         try:
-            prev.unpersist(blocking=False)
+            same = prev.semanticHash() == cached.semanticHash()
         except Exception:
-            pass  # session already stopped — nothing to free
+            same = False
+        if not same:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped — nothing to free
     _LIVE[op] = cached
     deps = list(getattr(result, "_ds_cached_deps", []))
     result._ds_cached_deps = deps + [cached]

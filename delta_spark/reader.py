@@ -56,16 +56,28 @@ def read_files_df(
     spark: SparkSession,
     snapshot: Snapshot,
     files: Optional[list[AddFile]] = None,
+    with_file_key: bool = False,
 ) -> DataFrame:
     """Build a DataFrame over the given AddFiles (defaults to the whole
-    snapshot)."""
+    snapshot).
+
+    `with_file_key` appends a `__cdf_file_key` column (file_key_col():
+    the decoded absolute path, matching file_key_of) so callers that
+    coalesce MANY per-file-set reads into one scan — the batch CDF
+    long-range walk — can join per-file metadata (commit version /
+    timestamp) back on without one DataFrame per file set."""
     from delta_spark import geo as _geo
 
     files = snapshot.all_files if files is None else files
     logical_schema = snapshot.schema
     _geo.assert_readable(spark, logical_schema)
     if not files:
-        return spark.createDataFrame([], logical_schema)
+        out_schema = logical_schema
+        if with_file_key:
+            out_schema = T.StructType(
+                list(logical_schema.fields)
+                + [T.StructField("__cdf_file_key", T.StringType())])
+        return spark.createDataFrame([], out_schema)
     mapped = snapshot.column_mapping_enabled
     if mapped:
         # files store physical names: read physically, alias back.
@@ -96,6 +108,7 @@ def read_files_df(
                  if not _is_absolute_add(snapshot.table_path, f)]
     abs_files = [f for f in plain if _is_absolute_add(snapshot.table_path, f)]
 
+    fk = ([file_key_col().alias("__cdf_file_key")] if with_file_key else [])
     dfs = []
     if rel_files:
         paths = [_abs_path(snapshot.table_path, f) for f in rel_files]
@@ -104,9 +117,10 @@ def read_files_df(
                   .schema(schema).parquet(*paths))
         else:
             df = spark.read.schema(schema).parquet(*paths)
-        dfs.append(df.select(*[f.name for f in schema.fields]))
+        dfs.append(df.select(*[f.name for f in schema.fields], *fk))
     if dv_files:
-        dfs.append(_read_dv_files(spark, snapshot, dv_files, schema, part_cols))
+        dfs.append(_read_dv_files(spark, snapshot, dv_files, schema,
+                                  part_cols, with_file_key=with_file_key))
     if abs_files:
         # absolute paths (shallow clones): attach partition values as
         # typed literals per distinct partition tuple
@@ -123,7 +137,7 @@ def read_files_df(
                 raw = group[0].partitionValues.get(c)
                 val = deserialize_partition_value(raw, ptypes[c])
                 df = df.withColumn(c, F.lit(val).cast(ptypes[c]))
-            dfs.append(df.select(*[f.name for f in schema.fields]))
+            dfs.append(df.select(*[f.name for f in schema.fields], *fk))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -142,8 +156,10 @@ def read_files_df(
             # alias — a cast would fight the geo restore seam below
             return F.col(p.name).alias(l.name)
 
-        out = out.select(*[back(p, l) for p, l in
-                           zip(schema.fields, logical_schema.fields)])
+        out = out.select(*([back(p, l) for p, l in
+                            zip(schema.fields, logical_schema.fields)]
+                           + ([F.col("__cdf_file_key")] if with_file_key
+                              else [])))
     return _geo.restore(out, logical_schema)
 
 
@@ -203,7 +219,8 @@ def deleted_rows_df(spark: SparkSession, snapshot, files) -> Optional[DataFrame]
     return out
 
 
-def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -> DataFrame:
+def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema,
+                   part_cols, with_file_key: bool = False) -> DataFrame:
     """Scan files that carry deletion vectors: rows are dropped by a
     LEFT ANTI join on (file name, `_metadata.row_index`) against the DV
     row-index sets (the DataFrame analogue of
@@ -235,7 +252,9 @@ def _read_dv_files(spark: SparkSession, snapshot, dv_files, schema, part_cols) -
         F.broadcast(dv) if dv_total_small(dv_files) else dv,
         (df["__dv_file"] == dv["file_base"]) & (df["__dv_idx"] == dv["row_index"]),
         "left_anti")
-    return dropped.select(*[f.name for f in schema.fields])
+    fk = ([F.col("__dv_file").alias("__cdf_file_key")]
+          if with_file_key else [])
+    return dropped.select(*[f.name for f in schema.fields], *fk)
 
 
 def dv_total_small(dv_files, threshold: int = 2_000_000) -> bool:

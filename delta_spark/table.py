@@ -38,6 +38,22 @@ from delta_spark.schema import GENERATION_EXPRESSION_KEY
 from delta_spark.transaction import OptimisticTransaction
 from delta_spark.util import current_time_millis, schema_from_json, schema_to_json
 
+# reference class names (python/delta/tables.py:847,1251) — aliases so
+# `from delta.tables import DeltaMergeBuilder / DeltaOptimizeBuilder`
+# call sites migrate by swapping only the package name
+DeltaMergeBuilder = MergeBuilder
+DeltaOptimizeBuilder = OptimizeBuilder
+
+
+def _active_session(sparkSession: Optional[SparkSession]) -> SparkSession:
+    """Reference builder factories default to the active session
+    (python/delta/tables.py:508 create(cls, sparkSession=None))."""
+    s = sparkSession or SparkSession.getActiveSession()
+    if s is None:
+        raise ValueError("could not resolve a SparkSession: pass "
+                         "sparkSession explicitly or start one first")
+    return s
+
 
 def _cond_to_sql(condition: Union[str, Column, None]) -> Optional[str]:
     if condition is None or isinstance(condition, str):
@@ -83,16 +99,33 @@ class DeltaTable:
         self.log = log
 
     # ------------------------------------------------------ factories ----
+    # (parameter names mirror python/delta/tables.py so reference
+    # keyword call sites migrate unchanged — pinned by
+    # tests/test_api_parity.py)
 
     @classmethod
-    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+    def forPath(cls, sparkSession: SparkSession, path: str,
+                hadoopConf: Optional[dict] = None) -> "DeltaTable":
         """Path-addressed table. Supports the reference's time-travel
         path suffixes (DeltaTimeTravelSpec.scala:88,98): `p@v123`
         (case-insensitive v) pins reads to version 123 and
         `p@yyyyMMddHHmmssSSS` (exactly 17 digits) pins to the last
         commit at/before that timestamp. A directory literally named
-        with the suffix wins over the time-travel reading."""
+        with the suffix wins over the time-travel reading.
+
+        Parameter names mirror python/delta/tables.py:439 so keyword
+        call sites migrate unchanged. `hadoopConf` is accepted for
+        signature parity but carries per-table JVM FileSystem
+        credentials this engine has no seam for — passing a non-empty
+        dict raises (set the equivalent session confs instead)."""
         import re as _re
+
+        if hadoopConf:
+            raise ValueError(
+                "hadoopConf is not supported: per-table Hadoop options "
+                "have no JVM seam here — set the equivalent "
+                "spark.hadoop.* session confs instead (DEVIATIONS.md)")
+        spark = sparkSession
 
         pinned = None
         pinned_ts = None
@@ -144,13 +177,16 @@ class DeltaTable:
         return dt
 
     @classmethod
-    def forName(cls, spark: SparkSession, tableOrViewName: str) -> "DeltaTable":
+    def forName(cls, sparkSession: SparkSession,
+                tableOrViewName: str) -> "DeltaTable":
         """Resolve a registered table name (python/delta/tables.py:404;
         name->location resolution per AbstractDeltaCatalog.scala:81).
         Also accepts the delta.`path` spelling for symmetry."""
         import re as _re
 
         from delta_spark import catalog as C
+
+        spark = sparkSession
 
         m = _re.fullmatch(r"\s*delta\.`(.+)`\s*", tableOrViewName)
         if m:
@@ -163,31 +199,43 @@ class DeltaTable:
         return cls.forPath(spark, path)
 
     @classmethod
-    def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
-        return DeltaLog.for_table(path).table_exists()
+    def isDeltaTable(cls, sparkSession: SparkSession, identifier: str) -> bool:
+        return DeltaLog.for_table(identifier).table_exists()
+
+    # the builder factories default sparkSession to the active session,
+    # same contract as python/delta/tables.py:508 (create(cls,
+    # sparkSession=None))
+    @classmethod
+    def create(cls, sparkSession: Optional[SparkSession] = None
+               ) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(_active_session(sparkSession), mode="create")
 
     @classmethod
-    def create(cls, spark: SparkSession) -> "DeltaTableBuilder":
-        return DeltaTableBuilder(spark, mode="create")
+    def createIfNotExists(cls, sparkSession: Optional[SparkSession] = None
+                          ) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(_active_session(sparkSession),
+                                 mode="createIfNotExists")
 
     @classmethod
-    def createIfNotExists(cls, spark: SparkSession) -> "DeltaTableBuilder":
-        return DeltaTableBuilder(spark, mode="createIfNotExists")
+    def replace(cls, sparkSession: Optional[SparkSession] = None
+                ) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(_active_session(sparkSession),
+                                 mode="replace")
 
     @classmethod
-    def replace(cls, spark: SparkSession) -> "DeltaTableBuilder":
-        return DeltaTableBuilder(spark, mode="replace")
+    def createOrReplace(cls, sparkSession: Optional[SparkSession] = None
+                        ) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(_active_session(sparkSession),
+                                 mode="createOrReplace")
 
     @classmethod
-    def createOrReplace(cls, spark: SparkSession) -> "DeltaTableBuilder":
-        return DeltaTableBuilder(spark, mode="createOrReplace")
-
-    @classmethod
-    def convertToDelta(cls, spark: SparkSession, path: str,
-                       partition_schema: Optional[str] = None,
+    def convertToDelta(cls, sparkSession: SparkSession, identifier: str,
+                       partitionSchema: Optional[str] = None,
                        collect_stats: bool = True) -> "DeltaTable":
-        return cls(spark, convert_to_delta(spark, path, partition_schema,
-                                           collect_stats=collect_stats))
+        return cls(sparkSession,
+                   convert_to_delta(sparkSession, identifier,
+                                    partitionSchema,
+                                    collect_stats=collect_stats))
 
     @classmethod
     def createLike(cls, spark: SparkSession, source_path: str, target_path: str) -> "DeltaTable":
@@ -275,8 +323,8 @@ class DeltaTable:
         self._no_time_travel("DELETE")
         return execute_delete(self.spark, self.log, _cond_to_sql(condition))
 
-    def update(self, set: Union[dict, str, Column, None] = None,
-               condition: Union[str, Column, dict, None] = None) -> int:
+    def update(self, condition: Union[str, Column, dict, None] = None,
+               set: Union[dict, str, Column, None] = None) -> int:
         self._no_time_travel("UPDATE")
         set, condition = _set_and_cond(set, condition)
         set_sql = {k: (v if isinstance(v, str) else _cond_to_sql(v)) for k, v in set.items()}
@@ -290,10 +338,10 @@ class DeltaTable:
         return MergeBuilder(self.spark, self.log, source, _cond_to_sql(condition),
                             source_alias, target_alias)
 
-    def alias(self, alias: str) -> "AliasedDeltaTable":
+    def alias(self, aliasName: str) -> "AliasedDeltaTable":
         # the alias view keeps the time-travel pin (reads and the DML
         # guard must survive `forPath(p@v).alias(...)`)
-        return AliasedDeltaTable(self.spark, self.log, alias,
+        return AliasedDeltaTable(self.spark, self.log, aliasName,
                                  getattr(self, "_pinned_version", None))
 
     # --------------------------------------------------------- utility ----
@@ -388,52 +436,53 @@ class DeltaTable:
         self._no_time_travel("OPTIMIZE")
         return OptimizeBuilder(self.spark, self.log)
 
-    def vacuum(self, retention_hours: Optional[float] = None, dry_run: bool = False,
+    def vacuum(self, retentionHours: Optional[float] = None, dry_run: bool = False,
                inventory: Optional[DataFrame] = None) -> list[str]:
         self._no_time_travel("VACUUM")
-        return vacuum(self.spark, self.log, retention_hours, dry_run,
+        return vacuum(self.spark, self.log, retentionHours, dry_run,
                       inventory=inventory)
 
     def restoreToVersion(self, version: int) -> dict:
         self._no_time_travel("RESTORE")
         return restore(self.spark, self.log, version=version)
 
-    def restoreToTimestamp(self, ts: Union[str, _dt.datetime, int]) -> dict:
+    def restoreToTimestamp(self, timestamp: Union[str, _dt.datetime, int]) -> dict:
         self._no_time_travel("RESTORE")
-        return restore(self.spark, self.log, timestamp_ms=_to_millis(ts))
+        return restore(self.spark, self.log,
+                       timestamp_ms=_to_millis(timestamp))
 
-    def clone(self, target_path: str, version: Optional[int] = None,
-              is_shallow: bool = True, replace: bool = False,
-              properties: Optional[dict] = None) -> "DeltaTable":
+    def clone(self, target: str, isShallow: bool = True,
+              replace: bool = False, properties: Optional[dict] = None,
+              version: Optional[int] = None) -> "DeltaTable":
         """Clone this table (reference python tables.py:732 `clone`):
         shallow (AddFiles point at source files) or deep (target owns
         re-written data), optionally replacing an existing target, with
         property overrides."""
-        if is_shallow:
-            shallow_clone(self.spark, self.log, target_path, version,
+        if isShallow:
+            shallow_clone(self.spark, self.log, target, version,
                           replace=replace, properties=properties)
         else:
             from delta_spark.commands.maintenance import deep_clone
 
-            deep_clone(self.spark, self.log, target_path, version,
+            deep_clone(self.spark, self.log, target, version,
                        replace=replace, properties=properties)
-        return DeltaTable.forPath(self.spark, target_path)
+        return DeltaTable.forPath(self.spark, target)
 
-    def cloneAtVersion(self, version: int, target_path: str,
+    def cloneAtVersion(self, version: int, target: str,
                        isShallow: bool = True, replace: bool = False,
                        properties: Optional[dict] = None) -> "DeltaTable":
         """Reference python tables.py:759 `cloneAtVersion`."""
-        return self.clone(target_path, version=version, is_shallow=isShallow,
+        return self.clone(target, version=version, isShallow=isShallow,
                           replace=replace, properties=properties)
 
-    def cloneAtTimestamp(self, timestamp: str, target_path: str,
+    def cloneAtTimestamp(self, timestamp: str, target: str,
                          isShallow: bool = True, replace: bool = False,
                          properties: Optional[dict] = None) -> "DeltaTable":
         """Reference python tables.py:789 `cloneAtTimestamp` — the
         source version is the last commit at/before the timestamp;
         future timestamps error (read-side strict resolution)."""
         v = self.log.version_for_time_travel(_to_millis(timestamp))
-        return self.clone(target_path, version=v, is_shallow=isShallow,
+        return self.clone(target, version=v, isShallow=isShallow,
                           replace=replace, properties=properties)
 
     def truncate(self) -> int:
@@ -496,17 +545,17 @@ class DeltaTable:
 
     # --------------------------------------------------- table evolution ----
 
-    def upgradeTableProtocol(self, reader_version: int, writer_version: int) -> int:
+    def upgradeTableProtocol(self, readerVersion: int, writerVersion: int) -> int:
         from delta_spark.actions import merge_protocol
 
         txn = OptimisticTransaction(self.log)
         p = txn.snapshot.protocol
-        if reader_version < p.minReaderVersion or writer_version < p.minWriterVersion:
+        if readerVersion < p.minReaderVersion or writerVersion < p.minWriterVersion:
             raise ValueError("protocol cannot be downgraded")
         # crossing into writer 7 denormalizes the legacy versions'
         # implied features into explicit lists (Protocol.merge role)
-        new = merge_protocol(p, min_reader=reader_version,
-                             min_writer=writer_version)
+        new = merge_protocol(p, min_reader=readerVersion,
+                             min_writer=writerVersion)
         return txn.commit([new], "UPGRADE PROTOCOL",
                           {"newProtocol": json.dumps({"minReaderVersion": new.minReaderVersion,
                                                       "minWriterVersion": new.minWriterVersion})})
@@ -530,23 +579,23 @@ class DeltaTable:
                         "inCommitTimestamp", "clustering",
                         "checkpointProtection"}
 
-    def addFeatureSupport(self, feature_name: str) -> int:
+    def addFeatureSupport(self, featureName: str) -> int:
         """io.delta.tables addFeatureSupport (python tables.py:608):
         upgrade to the table-features protocol and mark the named
         feature supported. Metadata-only commit."""
-        if feature_name in self._READER_WRITER_FEATURES:
-            r_feats, w_feats = {feature_name}, {feature_name}
-        elif feature_name in self._WRITER_FEATURES:
-            r_feats, w_feats = set(), {feature_name}
+        if featureName in self._READER_WRITER_FEATURES:
+            r_feats, w_feats = {featureName}, {featureName}
+        elif featureName in self._WRITER_FEATURES:
+            r_feats, w_feats = set(), {featureName}
         else:
-            raise ValueError(f"unknown table feature {feature_name!r}")
+            raise ValueError(f"unknown table feature {featureName!r}")
         from delta_spark.actions import merge_protocol
 
         txn = OptimisticTransaction(self.log)
         p = txn.snapshot.protocol or Protocol()
         new = merge_protocol(p, r_feats, w_feats)
         return txn.commit([new], "ADD FEATURE SUPPORT",
-                          {"feature": feature_name})
+                          {"feature": featureName})
 
     def dropFeatureSupport(self, featureName: str,
                            truncateHistory: Optional[bool] = None) -> None:
@@ -1595,19 +1644,19 @@ class DeltaTableBuilder:
         self._cluster_cols: list[str] = []
         self._properties: dict[str, str] = {}
 
-    def tableName(self, name: str) -> "DeltaTableBuilder":
-        self._name = name
+    def tableName(self, identifier: str) -> "DeltaTableBuilder":
+        self._name = identifier
         return self
 
-    def location(self, path: str) -> "DeltaTableBuilder":
-        self._location = path
+    def location(self, location: str) -> "DeltaTableBuilder":
+        self._location = location
         return self
 
     def comment(self, comment: str) -> "DeltaTableBuilder":
         self._comment = comment
         return self
 
-    def addColumn(self, name: str, dataType: Union[str, T.DataType],
+    def addColumn(self, colName: str, dataType: Union[str, T.DataType],
                   nullable: bool = True,
                   generatedAlwaysAs: Union[str, "IdentityGenerator", None] = None,
                   generatedByDefaultAs: Optional["IdentityGenerator"] = None,
@@ -1643,7 +1692,7 @@ class DeltaTableBuilder:
             md[DEFAULT_VALUE_KEY] = default
         if comment is not None:
             md["comment"] = comment
-        self._fields.append(T.StructField(name, dataType, nullable, md))
+        self._fields.append(T.StructField(colName, dataType, nullable, md))
         return self
 
     def clusterBy(self, *cols: str) -> "DeltaTableBuilder":
@@ -1653,8 +1702,9 @@ class DeltaTableBuilder:
         self._cluster_cols = list(cols)
         return self
 
-    def addColumns(self, schema: T.StructType) -> "DeltaTableBuilder":
-        self._fields.extend(schema.fields)
+    def addColumns(self, cols: Union[T.StructType, list]) -> "DeltaTableBuilder":
+        fields = cols.fields if isinstance(cols, T.StructType) else list(cols)
+        self._fields.extend(fields)
         return self
 
     def partitionedBy(self, *cols: str) -> "DeltaTableBuilder":

@@ -1,0 +1,148 @@
+"""Python API signature parity vs the reference python/delta/tables.py
+(VERDICT r8 task 5).
+
+The reference's public Python surface is extracted by AST-parsing the
+reference file (never executed — it is a py4j bridge), and every public
+class/method/parameter is asserted to exist here with a compatible
+signature: every parameter a reference caller can pass must be accepted
+by our method (same name, or **kwargs), and any EXTRA parameter we add
+must carry a default so reference call sites keep working unchanged.
+Documented deviations are whitelisted explicitly below so the diff is
+reviewable rather than silent.
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+
+import pytest
+
+REF_TABLES = "/root/reference/python/delta/tables.py"
+
+# classes the reference exports from delta.tables
+REF_CLASSES = ["DeltaTable", "DeltaMergeBuilder", "DeltaTableBuilder",
+               "DeltaOptimizeBuilder", "IdentityGenerator"]
+
+# ---------------------------------------------------------------------------
+# documented deviations (each entry is a conscious, reviewed gap)
+# ---------------------------------------------------------------------------
+# method-level: reference methods we deliberately do not expose
+METHOD_DEVIATIONS = {
+    # none — the full method surface is implemented
+}
+# parameter-level: (Class.method) -> set of reference params we accept
+# only through a different spelling or not at all
+PARAM_DEVIATIONS = {
+    # hadoopConf passes per-table Hadoop credentials through py4j into
+    # the JVM FileSystem — our engine has no JVM seam; per-table fs
+    # options are session-level Spark confs instead (DEVIATIONS.md)
+    "DeltaTable.forPath": {"hadoopConf"},
+}
+
+
+def _ref_methods():
+    """{Class.method: [param names after self/cls]} from the reference
+    file, taking the IMPLEMENTATION def (not @overload stubs)."""
+    tree = ast.parse(open(REF_TABLES).read())
+    out = {}
+    for node in tree.body:
+        if not (isinstance(node, ast.ClassDef) and node.name in REF_CLASSES):
+            continue
+        for fn in node.body:
+            if not isinstance(fn, ast.FunctionDef):
+                continue
+            if fn.name.startswith("_"):
+                continue
+            decos = {d.id if isinstance(d, ast.Name)
+                     else getattr(d, "attr", None) for d in fn.decorator_list}
+            if "overload" in decos:
+                continue
+            args = fn.args
+            names = [a.arg for a in args.posonlyargs + args.args
+                     + args.kwonlyargs]
+            if names and names[0] in ("self", "cls"):
+                names = names[1:]
+            n_defaults = len(args.defaults) + sum(
+                1 for d in args.kw_defaults if d is not None)
+            required = names[:max(0, len(names) - n_defaults)] \
+                if not args.kw_defaults else None
+            out[f"{node.name}.{fn.name}"] = {
+                "params": names,
+                "has_varkw": args.kwarg is not None,
+                "required": required,
+            }
+    return out
+
+
+def _our_class(name):
+    import delta_spark.table as tbl
+
+    mod_candidates = [tbl]
+    import delta_spark as pkg
+
+    mod_candidates.append(pkg)
+    for m in mod_candidates:
+        if hasattr(m, name):
+            return getattr(m, name)
+    return None
+
+
+REF = _ref_methods()
+
+
+def test_reference_surface_nonempty():
+    # guards the parser itself: the reference file has a known-size API
+    assert len(REF) >= 47, sorted(REF)
+
+
+@pytest.mark.parametrize("key", sorted(REF))
+def test_api_signature_parity(key):
+    cls_name, meth_name = key.split(".")
+    if key in METHOD_DEVIATIONS:
+        pytest.skip(f"documented deviation: {METHOD_DEVIATIONS[key]}")
+    cls = _our_class(cls_name)
+    assert cls is not None, f"class {cls_name} missing from delta_spark"
+    meth = inspect.getattr_static(cls, meth_name, None)
+    assert meth is not None, f"{key} missing"
+    if isinstance(meth, (classmethod, staticmethod)):
+        meth = meth.__func__
+    sig = inspect.signature(meth)
+    ours = [p for p in sig.parameters.values()]
+    our_names = [p.name for p in ours if p.name not in ("self", "cls")]
+    has_varkw = any(p.kind is inspect.Parameter.VAR_KEYWORD for p in ours)
+    has_varpos = any(p.kind is inspect.Parameter.VAR_POSITIONAL
+                     for p in ours)
+    allowed_missing = PARAM_DEVIATIONS.get(key, set())
+    # every reference parameter must be passable here
+    for ref_p in REF[key]["params"]:
+        if ref_p in allowed_missing:
+            continue
+        assert (ref_p in our_names or has_varkw or has_varpos), \
+            (f"{key}: reference parameter {ref_p!r} not accepted "
+             f"(ours: {our_names})")
+    # every EXTRA parameter of ours must be optional, so reference
+    # call sites (positional or keyword) keep working unchanged
+    ref_set = set(REF[key]["params"])
+    for p in ours:
+        if p.name in ("self", "cls") or p.name in ref_set:
+            continue
+        if p.kind in (inspect.Parameter.VAR_KEYWORD,
+                      inspect.Parameter.VAR_POSITIONAL):
+            continue
+        assert p.default is not inspect.Parameter.empty, \
+            f"{key}: extra required parameter {p.name!r} breaks ref callers"
+    # POSITIONAL compatibility: the reference's parameters must appear
+    # here in the same relative order as a PREFIX of our positional
+    # parameters — an extra param slotted between reference params
+    # would silently re-bind positional call sites (e.g. clone(target,
+    # False) binding False to a new param instead of isShallow)
+    positional = [p.name for p in ours
+                  if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                                inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                  and p.name not in ("self", "cls")]
+    ref_positional = [p for p in REF[key]["params"]
+                      if p not in allowed_missing and p in positional]
+    assert positional[:len(ref_positional)] == ref_positional, \
+        (f"{key}: positional order diverges — ref {ref_positional} vs "
+         f"ours {positional}")

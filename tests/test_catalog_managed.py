@@ -178,13 +178,13 @@ def test_maintenance_requires_catalog_grant(spark, tmp_table, sf_dir):
     with pytest.raises(PermissionError):
         dt.optimize().executeCompaction()
     with pytest.raises(PermissionError):
-        dt.vacuum(retention_hours=0)
+        dt.vacuum(retentionHours=0)
     with pytest.raises(PermissionError):
         dt.reorgPurge()
     # the grant lifts the gate
     dt.setProperties({CM.ALLOW_MAINTENANCE_PROP: "true"})
     dt.optimize().executeCompaction()
-    dt.vacuum(retention_hours=0)
+    dt.vacuum(retentionHours=0)
     want = df.filter("NOT coalesce(l_quantity > 40, false)").count()
     assert dt.toDF().count() == want
 

@@ -827,3 +827,34 @@ def test_replace_where_rejects_subquery(spark, tmp_table):
     write_delta(df.filter("part = 0"), tmp_table, mode="overwrite",
                 replace_where="part = 0", data_change=False)
     assert DeltaTable.forPath(spark, tmp_table).toDF().count() == 10
+
+
+def test_cdf_coalesced_walk_collision_and_mixed_kinds(spark, tmp_table):
+    """Round-9 coalesced CDF walk: contiguous same-schema versions read
+    as ONE scan per leg kind with version/timestamp joined back per
+    file. Pins the two hazards of that design: (a) a path that is
+    re-added inside the range (RESTORE) must not be stamped ambiguously
+    — the group flushes on the key collision; (b) interleaved cdc-file
+    commits and synthesized add/remove commits keep per-version
+    attribution exact."""
+    spark.sql("SELECT 1 AS id, 'a' AS v UNION ALL SELECT 2, 'b'") \
+        .createOrReplaceTempView("src0")
+    write_delta(spark.table("src0").coalesce(1), tmp_table,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+    write_delta(spark.sql("SELECT 3 AS id, 'c' AS v").coalesce(1),
+                tmp_table, mode="append")                 # v1: insert
+    dt.delete("id = 3")                                   # v2: cdc delete
+    dt.restoreToVersion(1)                                # v3: re-adds v2's victim
+    ch = dt.table_changes(starting_version=0, ending_version=3)
+    got = {(r["id"], r["_change_type"], r["_commit_version"])
+           for r in ch.collect()}
+    want = {(1, "insert", 0), (2, "insert", 0),
+            (3, "insert", 1),
+            (3, "delete", 2),
+            (3, "insert", 3)}
+    assert got == want
+    # timestamps are per-version (joined, not per-leg constants)
+    ts = {r["_commit_version"]: r["_commit_timestamp"] for r in ch.collect()}
+    assert len(ts) == 4 and all(ts[v] is not None for v in ts)
+    assert ts[0] <= ts[1] <= ts[2] <= ts[3]

@@ -473,7 +473,7 @@ def test_deep_clone_self_contained(spark, tmp_table, tmp_path, sf_dir):
     dt = DeltaTable.forPath(spark, tmp_table)
     dt.delete("l_quantity > 40")
     want = dt.toDF().count()
-    deep = dt.clone(str(tmp_path / "deep"), is_shallow=False)
+    deep = dt.clone(str(tmp_path / "deep"), isShallow=False)
     assert deep.toDF().count() == want
     # clone has no DVs (masks materialized) and no source references
     from delta_spark.log import DeltaLog as _DL

@@ -837,20 +837,31 @@ def test_ops_cache_registry_bounds_live_caches(spark):
         [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
          (3, "z y x w v u t s r q")],
         "doc_id long, text string")
+    docs2 = spark.createDataFrame(
+        [(7, "p q r s t u v w x y"), (8, "p q r s t u v w x y")],
+        "doc_id long, text string")
     s1 = duplicate_spans(docs, k=4)
     dep1 = s1._ds_cached_deps[0]
     s1.count()
     assert dep1.storageLevel.useMemory          # live after first call
     assert opcache.live_ops() == ["duplicate_spans"]
 
-    s2 = duplicate_spans(docs, k=4)
+    # an IDENTICAL repeat call shares the same CacheManager entry (keyed
+    # by analyzed plan) — re-registering must NOT evict it, or the new
+    # call's own cache dies with it (the r9 bench regression)
+    s1b = duplicate_spans(docs, k=4)
+    s1b.count()
+    assert dep1.storageLevel.useMemory
+    assert opcache.live_ops() == ["duplicate_spans"]
+
+    # a DIFFERENT-input call evicts the previous cache; one live entry
+    s2 = duplicate_spans(docs2, k=4)
     s2.count()
-    # re-register evicted the first call's cache; still exactly one live
     assert not dep1.storageLevel.useMemory
     assert opcache.live_ops() == ["duplicate_spans"]
 
     opcache.release(s2)
     assert not s2._ds_cached_deps
     assert opcache.live_ops() == []
-    # released result still recomputes correctly
-    assert s2.count() == s1.count()
+    # released result still recomputes correctly (one span per doc)
+    assert s2.count() == 2
