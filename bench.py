@@ -957,6 +957,15 @@ def main() -> None:
                      for q in ("q1_agg", "q3_join", "q5_join5", "q6_filter"))
     scan_pq = sum(parquet_timings.values())
     ratio = round(scan_delta / scan_pq, 3) if scan_pq > 0 else None
+    # the final canary must measure the MACHINE, not the bench's own
+    # residue: the dedup/similarity rows leave bounded-but-live cached
+    # frames (storage memory pressure) and the last rows leave dirty
+    # pages — both inflate the shuffle probe (observed 1.8 → 4.8 s on
+    # an otherwise quiet run) and would mis-stamp the artifact noisy
+    from delta_spark.ops import cache as _opcache
+    _opcache.release_all()
+    spark.catalog.clearCache()
+    os.sync()
     cal_last, cal_sh_last = calibration_sec(spark)
     # contention only ever INFLATES the probes; a probe that got
     # faster over the run is the JIT warming up, not noise — so flag
