@@ -924,11 +924,14 @@ def main() -> None:
     run_median(timings, "text_pipeline", text)
     run_median(timings, "events_hourly", events)
 
+    import re as _re
     sf = 0.1
-    try:
-        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        pass
+    m_sf = _re.search(r"sf([0-9.]+)$", os.path.basename(SF_DIR.rstrip("/")))
+    if m_sf:
+        try:
+            sf = float(m_sf.group(1))
+        except ValueError:
+            pass
 
     # ---- per-row floor check + targeted re-runs (VERDICT r8 #1) ------
     floors = {}
@@ -945,10 +948,21 @@ def main() -> None:
     for name, fmin in sorted(floors.items()):
         if name not in mins or not fmin or fmin <= 0:
             continue
+        if name == "load_delta":
+            # its measured path rewrites the shared base tables on the
+            # final iteration — re-running it mid-loop would yank the
+            # files out from under every later row's temp views
+            continue
         if mins[name] > 2 * fmin:
             # one automatic re-measure: a burst that hit only this row
-            # has usually passed; the re-run keeps the better evidence
-            reruns[name]()
+            # has usually passed; the re-run keeps the better evidence.
+            # A rerun failure must not kill the artifact — the row just
+            # stays suspect.
+            try:
+                reruns[name]()
+            except Exception as e:
+                print(f"floor re-run of {name} failed: {e!r}",
+                      file=sys.stderr)
             if mins[name] > 2 * fmin:
                 suspect_rows.append(name)
 
