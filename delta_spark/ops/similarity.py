@@ -336,7 +336,8 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           bits_per_band: Optional[int] = None,
                           bands: Optional[int] = None, seed: int = 42,
-                          dim: Optional[int] = None) -> DataFrame:
+                          dim: Optional[int] = None,
+                          target_miss: float = 1e-6) -> DataFrame:
     """Candidate pairs by random-hyperplane (sign) LSH: one
     Arrow-batched numpy matmul computes every hyperplane sign bit per
     row, bands pack to compact bucket keys, and candidates are the
@@ -347,7 +348,15 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
     count() pass, trivial next to banding+verify): bits per band grow
     with log2(n) so bucket occupancy — and with it the false-candidate
     volume the verifier must grind through — stays O(1) per (row, band)
-    instead of degrading toward all-pairs as the corpus grows."""
+    instead of degrading toward all-pairs as the corpus grows.
+
+    `target_miss` is the per-true-pair miss probability the band count
+    is sized for. The 1e-6 default makes the output hash-equal to the
+    exact all-pairs baseline (the oracle-gate configuration), but at
+    low thresholds it is the dominant scale cost: bands ∝
+    log(target_miss)/log(1-τ^r), so τ=0.8 at n=60k needs 674 bands
+    (40M banded rows) for 1e-6 yet ~1/3 of that for a production-grade
+    1e-2 — pick the recall the pipeline actually needs."""
     if bits_per_band and bands:
         r, b = bits_per_band, bands
         if dim is None:
@@ -358,7 +367,8 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
         nrow = corpus.agg(
             F.count(F.lit(1)).alias("n"),
             F.first(F.size(F.col(vec_col))).alias("d")).first()
-        r, b = lsh_params_for(threshold, n=nrow["n"])
+        r, b = lsh_params_for(threshold, target_miss=target_miss,
+                              n=nrow["n"])
         dim = nrow["d"]
     # the sign bits come from ONE Arrow-batched numpy matmul
     # (N×dim @ dim×(r·b)) — at tight thresholds r·b is ~100+ planes and
@@ -525,11 +535,13 @@ def near_duplicates(corpus: DataFrame, threshold: float = 0.95,
 
     def _cands_sized(df, n):
         if method == "lsh" and not kwargs.get("bits_per_band"):
-            r, b = lsh_params_for(threshold, n=n)
+            r, b = lsh_params_for(
+                threshold, target_miss=kwargs.get("target_miss", 1e-6), n=n)
             return cosine_lsh_candidates(
                 df, threshold, id_col, vec_col, bits_per_band=r, bands=b,
                 dim=probe["dim"], **{k: v for k, v in kwargs.items()
-                                     if k not in ("bits_per_band", "bands")})
+                                     if k not in ("bits_per_band", "bands",
+                                                  "target_miss")})
         return _cands(df)
 
     if probe["nd"] == probe["n"]:

@@ -865,3 +865,33 @@ def test_ops_cache_registry_bounds_live_caches(spark):
     assert opcache.live_ops() == []
     # released result still recomputes correctly (one span per doc)
     assert s2.count() == 2
+
+
+def test_near_duplicates_target_miss_knob(spark):
+    """target_miss (r9): the recall bound is the dominant scale cost of
+    LSH at low thresholds (bands ∝ log(miss)); a looser bound must size
+    fewer bands while keeping the verified output a SUBSET of the exact
+    pairs (verification never admits false positives)."""
+    import numpy as np
+
+    from delta_spark.ops.similarity import (
+        embedding_near_dups, lsh_params_for, near_duplicates,
+    )
+
+    r6, b6 = lsh_params_for(0.8, target_miss=1e-6, n=60_000)
+    r2, b2 = lsh_params_for(0.8, target_miss=1e-2, n=60_000)
+    assert b2 < b6 / 2          # the knob actually cuts the band count
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(200, 16)
+    # plant 20 near-dup pairs (small perturbations)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    rows += [(1000 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dups(df, 0.95).collect()}
+    loose = {(r.id_a, r.id_b) for r in near_duplicates(
+        df, 0.95, method="lsh", target_miss=1e-2).collect()}
+    assert loose <= exact                      # no false positives, ever
+    assert len(loose) >= 0.9 * len(exact)      # ≥ 1-1e-2 expected recall
+    assert len(exact) >= 20
