@@ -51,6 +51,14 @@ SNAPSHOT_ISOLATION = "SnapshotIsolation"
 
 
 
+class ConcurrentWriteException(DeltaConcurrentException):
+    """Generic winning-write conflict (reference
+    python/delta/exceptions/base.py:30): raised when a concurrent
+    transaction wrote after this one read and no more specific
+    classification applies — retry exhaustion and same-domain
+    DomainMetadata races land here."""
+
+
 class ProtocolChangedException(DeltaConcurrentException):
     pass
 
@@ -375,7 +383,8 @@ class OptimisticTransaction:
                 winning = WinningCommitSummary(self.log, attempt_version)
                 self._check_conflicts(winning, actions, isolation_level, is_blind_append)
                 attempt_version += 1
-        raise DeltaConcurrentException(f"exceeded {MAX_RETRIES} commit retries")
+        raise ConcurrentWriteException(
+            f"exceeded {MAX_RETRIES} commit retries")
 
     def _coordinated_write(self, coordinator, version: int, payload: str,
                            ts: int, cfg: Optional[dict] = None) -> None:
@@ -973,7 +982,8 @@ class OptimisticTransaction:
 
         our_domains = {a.domain for a in ours if isinstance(a, DomainMetadata)}
         if our_domains & {d.domain for d in win_domains}:
-            raise DeltaConcurrentException("concurrent DomainMetadata for same domain")
+            raise ConcurrentWriteException(
+                "concurrent DomainMetadata for same domain")
 
         # Added files vs our reads (ConflictChecker.scala:643).
         # Under WriteSerializable a blind append by the winner doesn't

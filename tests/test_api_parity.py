@@ -146,3 +146,47 @@ def test_api_signature_parity(key):
     assert positional[:len(ref_positional)] == ref_positional, \
         (f"{key}: positional order diverges — ref {ref_positional} vs "
          f"ours {positional}")
+
+
+def test_delta_package_shim_end_to_end(spark, tmp_path):
+    """The `delta` compat package: a reference user's imports work
+    verbatim — `from delta.tables import DeltaTable`,
+    `configure_spark_with_delta_pip`, `delta.exceptions` — backed by
+    delta_spark, and drive a real table end-to-end."""
+    import delta
+    from delta.exceptions import (
+        ConcurrentAppendException,
+        ConcurrentWriteException,
+        DeltaConcurrentModificationException,
+    )
+    from delta.pip_utils import configure_spark_with_delta_pip
+    from delta.tables import DeltaMergeBuilder, DeltaTable
+
+    assert delta.__version__
+    assert delta.DeltaTable is DeltaTable
+    # reference exception hierarchy: every specific conflict is
+    # catchable via the reference base name
+    assert issubclass(ConcurrentAppendException,
+                      DeltaConcurrentModificationException)
+    assert issubclass(ConcurrentWriteException,
+                      DeltaConcurrentModificationException)
+    # configure_spark_with_delta_pip returns a usable builder
+    from pyspark.sql import SparkSession
+
+    b = configure_spark_with_delta_pip(SparkSession.builder,
+                                       extra_packages=["org.example:x:1.0"])
+    assert b is not None
+
+    p = str(tmp_path / "shimtbl")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.format("parquet") \
+        .save(p + "_src")
+    src = spark.read.parquet(p + "_src")
+    from delta_spark.io import write_delta
+
+    write_delta(src, p)
+    dt = DeltaTable.forPath(spark, p)
+    mb = dt.merge(src.selectExpr("id", "v + 1 AS v"),
+                  "target.id = source.id")
+    assert isinstance(mb, DeltaMergeBuilder)
+    mb.whenMatchedUpdateAll().execute()
+    assert dt.toDF().filter("v = id * 2 + 1").count() == 5
