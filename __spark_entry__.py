@@ -268,7 +268,7 @@ def q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = tempfile.mkdtemp(prefix="dsq_clone_src_")
         shutil.rmtree(src, ignore_errors=True)
         write_delta(load_table(spark, sf_dir, "customer"), src)
-        DeltaTable.forPath(spark, src).clone(path)
+        DeltaTable.forPath(spark, src).clone(path, isShallow=True)
     p = _table(spark, sf_dir, "cust_clone", b)
     return (_dt(spark, p).toDF().groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -336,16 +336,159 @@ def q_delta_clustered_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)").alias("price")))
 
 
-def q_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONVERT TO DELTA over a plain parquet directory."""
-    def b(spark, sf_dir, path):
-        os.makedirs(path, exist_ok=True)
-        load_table(spark, sf_dir, "supplier").write.mode("overwrite").parquet(path)
-        DeltaTable.convertToDelta(spark, path)
-    p = _table(spark, sf_dir, "supp_convert", b)
-    return (_dt(spark, p).toDF()
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.expr("CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("bal")))
+def _wkb_point_hex(x: float, y: float) -> str:
+    """Little-endian WKB hex for POINT(x y) — built arithmetically so
+    the oracle can carry the same constants."""
+    import struct as _struct
+
+    return ("0101000000" + _struct.pack("<d", float(x)).hex()
+            + _struct.pack("<d", float(y)).hex()).upper()
+
+
+# the geo oracle needs the same WKB constants the Spark leg round-trips
+_FEAT_GEO_POINTS = [(i, float(i), float(2 * i)) for i in range(1, 5)]
+
+
+def q_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-feature composite gate row (VERDICT r9 #5 — these were
+    pytest-only): GEOMETRY/GEOGRAPHY WKB round-trip + SRID + feature
+    bit (geo.py), UTF8_LCASE collations (case-insensitive filter and
+    DISTINCT against a binary-cased corpus), table redirects (query
+    routing across the state machine, redirect.py), materialized
+    partition columns (values physically in every parquet while
+    pruning stays file-exact), and catalog-managed UNPUBLISHED-tail
+    reads (ratified commits visible before publish,
+    catalog_managed.py)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    rows: list[tuple] = []
+    orders = load_table(spark, sf_dir, "orders")
+
+    # --- geo: WKB round-trip through write/read ------------------------
+    from delta_spark import geo as _geo
+
+    prev_g = spark.conf.get(_geo.GEO_PREVIEW_CONF, "false")
+    spark.conf.set(_geo.GEO_PREVIEW_CONF, "true")
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
+    try:
+        vals = ", ".join(f"({i}, '{_wkb_point_hex(x, y)}')"
+                         for i, x, y in _FEAT_GEO_POINTS)
+        gdf = spark.sql(
+            "SELECT id, st_setsrid(st_geomfromwkb(unhex(w)), 4326) AS geom,"
+            " st_geogfromwkb(unhex(w)) AS geog"
+            f" FROM VALUES {vals} AS t(id, w)")
+        gpath = _tf.mkdtemp(prefix="dsq_feat_geo_")
+        _sh.rmtree(gpath, ignore_errors=True)
+        write_delta(gdf, gpath)
+        out = _dt(spark, gpath).toDF().selectExpr(
+            "id", "hex(st_asbinary(geom)) AS gw",
+            "hex(st_asbinary(geog)) AS hw", "st_srid(geom) AS srid")
+        for r in out.collect():
+            rows.append(("geo", f"wkb:{r['id']}",
+                         r["gw"] if r["gw"] == r["hw"] else "DIVERGED"))
+        rows.append(("geo", "srid", str(
+            out.select("srid").distinct().collect()[0][0])))
+        snap = DeltaLog.for_table(gpath).update()
+        rows.append(("geo", "feature", str(int(
+            "geospatial" in (snap.protocol.writerFeatures or [])))))
+    finally:
+        spark.conf.set(_geo.GEO_PREVIEW_CONF, prev_g)
+
+    # --- collations: UTF8_LCASE semantics survive the log round-trip ---
+    cpath = _tf.mkdtemp(prefix="dsq_feat_col_")
+    _sh.rmtree(cpath, ignore_errors=True)
+    cdf = orders.selectExpr(
+        "o_orderkey",
+        "CAST(CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)"
+        " ELSE lower(o_orderpriority) END AS STRING COLLATE UTF8_LCASE)"
+        " AS prio")
+    write_delta(cdf, cpath)
+    csnap = DeltaLog.for_table(cpath).update()
+    cout = _dt(spark, cpath).toDF()
+    rows.append(("collations", "feature", str(int(
+        "collations" in (csnap.protocol.writerFeatures or [])))))
+    rows.append(("collations", "ci_urgent_rows",
+                 str(cout.filter("prio = '1-urgent'").count())))
+    rows.append(("collations", "distinct_ci",
+                 str(cout.select("prio").distinct().count())))
+
+    # --- table redirects: routing across the state machine -------------
+    from delta_spark import redirect as R
+
+    cust = load_table(spark, sf_dir, "customer")
+    rsrc = _tf.mkdtemp(prefix="dsq_feat_rsrc_")
+    rdst = _tf.mkdtemp(prefix="dsq_feat_rdst_")
+    _sh.rmtree(rsrc, ignore_errors=True)
+    _sh.rmtree(rdst, ignore_errors=True)
+    write_delta(cust.filter("c_custkey % 3 = 0"), rsrc)
+    write_delta(cust.filter("c_custkey % 3 = 1"), rdst)
+    R.enable_redirect(rsrc, rdst)
+    DeltaLog.clear_cache()
+    rows.append(("redirect", "in_progress_rows",
+                 str(_dt(spark, rsrc).toDF().count())))   # still source
+    R.complete_redirect(rsrc)
+    DeltaLog.clear_cache()
+    rows.append(("redirect", "ready_rows",
+                 str(_dt(spark, rsrc).toDF().count())))   # routed to dest
+    refused = 0
+    try:
+        _dt(spark, rsrc).delete("c_custkey < 0")
+        write_delta(cust.limit(1), rsrc, mode="append")
+    except R.RedirectStateError:
+        refused = 1
+    rows.append(("redirect", "direct_write_refused", str(refused)))
+    R.start_drop_redirect(rsrc)
+    R.finish_drop_redirect(rsrc)
+    DeltaLog.clear_cache()
+    rows.append(("redirect", "after_drop_rows",
+                 str(_dt(spark, rsrc).toDF().count())))   # source again
+
+    # --- materialized partition columns --------------------------------
+    import pyarrow.parquet as _pq
+
+    mpath = _tf.mkdtemp(prefix="dsq_feat_mp_")
+    _sh.rmtree(mpath, ignore_errors=True)
+    write_delta(orders, mpath, partition_by=["o_orderstatus"],
+                configuration={
+                    "delta.enableMaterializePartitionColumnsFeature":
+                        "true"})
+    msnap = DeltaLog.for_table(mpath).update()
+    mat = sum(1 for f in msnap.all_files
+              if "o_orderstatus" in _pq.read_schema(
+                  os.path.join(mpath, f.path)).names)
+    rows.append(("matpart", "feature", str(int(
+        "materializePartitionColumns"
+        in (msnap.protocol.writerFeatures or [])))))
+    rows.append(("matpart", "all_files_materialized",
+                 str(int(mat == len(msnap.all_files) and mat > 0))))
+    rows.append(("matpart", "rows", str(_dt(spark, mpath).toDF().count())))
+    pruned = len(msnap.files_for_scan("o_orderstatus = 'F'"))
+    rows.append(("matpart", "pruning_file_exact",
+                 str(int(0 < pruned < len(msnap.all_files)))))
+    rows.append(("matpart", "f_rows", str(
+        _dt(spark, mpath).toDF().filter("o_orderstatus = 'F'").count())))
+
+    # --- catalog-managed: unpublished tail is readable ------------------
+    from delta_spark import catalog_managed as CM
+
+    kpath = _tf.mkdtemp(prefix="dsq_feat_cm_")
+    _sh.rmtree(kpath, ignore_errors=True)
+    kconf = {CM.CATALOG_PROP: "filesystem",
+             CM.AUTO_PUBLISH_PROP: "false"}
+    write_delta(cust.filter("c_custkey % 5 = 0"), kpath,
+                configuration=kconf)
+    write_delta(cust.filter("c_custkey % 5 = 1"), kpath, mode="append")
+    DeltaLog.clear_cache()
+    klog = DeltaLog.for_table(kpath)
+    rows.append(("catalog_managed", "unpublished_rows",
+                 str(_dt(spark, kpath).toDF().count())))
+    published = sum(1 for n in klog.store.list_dir(klog.log_path)
+                    if n.endswith(".json") and n[0].isdigit())
+    rows.append(("catalog_managed", "published_lt_versions", str(int(
+        published < len(klog.list_commit_versions())))))
+
+    return spark.createDataFrame(rows, "variant string, k string, v string")
 
 
 def q_delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,6 +1443,19 @@ def q_table_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("vacuum", "victims_gone",
                  sum(1 for v in victims if not os.path.exists(v))))
 
+    # --- CONVERT TO DELTA (ex standalone delta_convert row, folded
+    # here r10 to free a registry slot for features_suite) ------------
+    cvpath = _tf.mkdtemp(prefix="dsq_ops_cv_")
+    os.makedirs(cvpath, exist_ok=True)
+    supp = load_table(spark, sf_dir, "supplier")
+    supp.write.mode("overwrite").parquet(cvpath)
+    DeltaTable.convertToDelta(spark, cvpath)
+    cvdf = _dt(spark, cvpath).toDF()
+    rows.append(("convert", "rows", cvdf.count()))
+    rows.append(("convert", "acctbal_cents", int(cvdf.agg(F.sum(
+        F.expr("CAST(round(CAST(s_acctbal AS DECIMAL(18,2)) * 100) "
+               "AS BIGINT)"))).collect()[0][0])))
+
     return spark.createDataFrame(
         [(a, b, c) for a, b, c in rows],
         "variant string, k string, n bigint")
@@ -2025,7 +2181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_time_travel": q_delta_time_travel,
         "delta_restore": q_delta_restore,
         "delta_clone": q_delta_clone,
-        "delta_convert": q_delta_convert,
+        "features_suite": q_features_suite,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "delta_log_compaction": q_delta_log_compaction,
         "delta_clustered_optimize": q_delta_clustered_optimize,
@@ -2423,9 +2579,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n,
                    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
             FROM customer GROUP BY c_mktsegment""",
-        "delta_convert": """
-            SELECT count(*) AS n, CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-            FROM supplier""",
+        "features_suite": "".join(
+            [f"""
+            SELECT 'geo' AS variant, 'wkb:{i}' AS k,
+                   '{_wkb_point_hex(x, y)}' AS v
+            UNION ALL""" for i, x, y in _FEAT_GEO_POINTS]) + """
+            SELECT 'geo', 'srid', '4326'
+            UNION ALL SELECT 'geo', 'feature', '1'
+            UNION ALL SELECT 'collations', 'feature', '1'
+            UNION ALL SELECT 'collations', 'ci_urgent_rows',
+              CAST((SELECT count(*) FROM orders
+                    WHERE o_orderpriority = '1-URGENT') AS VARCHAR)
+            UNION ALL SELECT 'collations', 'distinct_ci',
+              CAST((SELECT count(DISTINCT lower(o_orderpriority))
+                    FROM orders) AS VARCHAR)
+            UNION ALL SELECT 'redirect', 'in_progress_rows',
+              CAST((SELECT count(*) FROM customer WHERE c_custkey % 3 = 0)
+                   AS VARCHAR)
+            UNION ALL SELECT 'redirect', 'ready_rows',
+              CAST((SELECT count(*) FROM customer WHERE c_custkey % 3 = 1)
+                   AS VARCHAR)
+            UNION ALL SELECT 'redirect', 'direct_write_refused', '1'
+            UNION ALL SELECT 'redirect', 'after_drop_rows',
+              CAST((SELECT count(*) FROM customer WHERE c_custkey % 3 = 0)
+                   AS VARCHAR)
+            UNION ALL SELECT 'matpart', 'feature', '1'
+            UNION ALL SELECT 'matpart', 'all_files_materialized', '1'
+            UNION ALL SELECT 'matpart', 'rows',
+              CAST((SELECT count(*) FROM orders) AS VARCHAR)
+            UNION ALL SELECT 'matpart', 'pruning_file_exact', '1'
+            UNION ALL SELECT 'matpart', 'f_rows',
+              CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+                   AS VARCHAR)
+            UNION ALL SELECT 'catalog_managed', 'unpublished_rows',
+              CAST((SELECT count(*) FROM customer
+                    WHERE c_custkey % 5 IN (0, 1)) AS VARCHAR)
+            UNION ALL SELECT 'catalog_managed', 'published_lt_versions',
+              '1'""",
         "delta_v2_checkpoint": """
             SELECT s_nationkey % 5 AS g, count(*) AS n,
                    CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
@@ -2659,7 +2849,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'vacuum', 'reclaimable', 4
             UNION ALL SELECT 'vacuum', 'rows_after',
               (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0)
-            UNION ALL SELECT 'vacuum', 'victims_gone', 4""",
+            UNION ALL SELECT 'vacuum', 'victims_gone', 4
+            UNION ALL SELECT 'convert', 'rows',
+              (SELECT count(*) FROM supplier)
+            UNION ALL SELECT 'convert', 'acctbal_cents',
+              (SELECT CAST(sum(CAST(round(CAST(s_acctbal AS DECIMAL(18,2))
+                                          * 100) AS BIGINT)) AS BIGINT)
+               FROM supplier)""",
         "tpch_q5": f"""
             SELECT n_name, CAST(sum({_REV_D}) AS DOUBLE) AS revenue
             FROM customer

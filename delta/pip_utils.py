@@ -19,6 +19,14 @@ def configure_spark_with_delta_pip(spark_session_builder,
 
     builder = configure_spark(spark_session_builder)
     if extra_packages:
-        builder = builder.config("spark.jars.packages",
-                                 ",".join(extra_packages))
+        # MERGE with whatever the user already configured (the
+        # reference comma-joins its artifact list with extra_packages;
+        # overwriting would silently drop the user's connectors)
+        existing = ""
+        opts = getattr(builder, "_options", None)
+        if isinstance(opts, dict):
+            existing = opts.get("spark.jars.packages", "") or ""
+        merged = [p for p in existing.split(",") if p]
+        merged += [p for p in extra_packages if p not in merged]
+        builder = builder.config("spark.jars.packages", ",".join(merged))
     return builder

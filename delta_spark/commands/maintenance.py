@@ -311,6 +311,16 @@ def _distributed_listing(spark: SparkSession, root: str, seeds: list[str],
                     continue
                 yield (p, st.st_size, False, int(st.st_mtime * 1000))
 
+    from delta_spark.connect_compat import is_connect
+
+    if is_connect(spark):
+        # no SparkContext under Connect: the client walks the shared
+        # filesystem itself (same rows, sequential). VACUUM candidate
+        # selection still anti-joins distributed on the server.
+        rows = [r for seed in abs_seeds for r in walk(seed)]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, isDir boolean, modificationTime long")
     rdd = (spark.sparkContext
            .parallelize(abs_seeds, max(1, min(len(abs_seeds), 256)))
            .flatMap(walk))

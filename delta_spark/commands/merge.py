@@ -168,6 +168,12 @@ def _should_materialize_source(source: DataFrame) -> bool:
     analyzed-plan JSON; anything unrecognized materializes (fail-safe).
     At scale this is the difference between zero extra work and
     checkpointing a full copy of the source to executor disks."""
+    from delta_spark.connect_compat import is_connect
+
+    if is_connect(source):
+        # no analyzed-plan introspection over Connect — fail-safe:
+        # always pin the source (correct, costs one localCheckpoint)
+        return True
     try:
         js = source._jdf.queryExecution().analyzed().toJSON()
     except Exception:

@@ -344,7 +344,7 @@ def backfill_to(log, coordinator: CommitCoordinatorClient,
     highest = None
     for c in coordinator.get_commits(log.log_path):
         if upto is not None and c.version > upto:
-            continue
+            break  # ascending
         target = log.commit_file(c.version)
         if not os.path.exists(target):
             try:
@@ -355,8 +355,16 @@ def backfill_to(log, coordinator: CommitCoordinatorClient,
             except ConcurrentModificationException:
                 pass  # another writer backfilled it concurrently
             except OSError:
-                continue  # staged file unreadable — leave it tracked
-        highest = c.version if highest is None else max(highest, c.version)
+                pass  # staged file unreadable — handled below
+        if not os.path.exists(target):
+            # the watermark must NEVER advance past a hole:
+            # register_backfill(highest) tells the coordinator to drop
+            # everything <= highest, and a tracked-but-unbackfilled
+            # commit above a hole would become unreachable — the
+            # crash-window data loss the r10 fuzzer caught. Stop here;
+            # the hole's staged content is still tracked for retry.
+            break
+        highest = c.version
     if highest is not None:
         coordinator.register_backfill(log.log_path, highest)
     return written

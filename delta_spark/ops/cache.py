@@ -27,15 +27,39 @@ materializing either — costs time only.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_LIVE: dict[str, DataFrame] = {}
+# (session key, op) -> live frame. Keyed per-SESSION (r9 ADVICE: a
+# process-global name key made two sessions calling the same operator
+# evict each other's intermediate every call — never wrong, but
+# recompute thrash), and mutated only under the lock (register/release
+# can race from concurrent threads). The session key is a stable
+# per-SparkSession token, NOT id(spark): ids are reused after GC.
+_LIVE: dict[tuple[str, str], DataFrame] = {}
+_LOCK = threading.Lock()
+
+
+def _session_key(df: DataFrame) -> str:
+    try:
+        spark = df.sparkSession
+    except Exception:
+        return "<unknown-session>"
+    try:
+        token = spark.sparkContext.applicationId
+    except Exception:
+        # Connect sessions have no SparkContext; their client carries
+        # a per-session UUID
+        token = getattr(getattr(spark, "client", None), "_session_id",
+                        None) or "connect"
+    return f"{id(spark)}:{token}"
 
 
 def register(op: str, cached: DataFrame, result: DataFrame) -> DataFrame:
     """Track `cached` (already persisted) as operator `op`'s one live
-    intermediate, evicting the previous call's frame, and attach it to
-    `result` for release().
+    intermediate IN ITS SESSION, evicting the previous call's frame,
+    and attach it to `result` for release().
 
     Spark's CacheManager keys entries by ANALYZED PLAN: a repeat call
     over the same input produces a plan-identical frame that shares the
@@ -44,18 +68,20 @@ def register(op: str, cached: DataFrame, result: DataFrame) -> DataFrame:
     call just cached — the round-9 bench caught exactly that as a 3x
     regression on exact_substr_spans. Eviction therefore only fires
     when the plans differ (semanticHash)."""
-    prev = _LIVE.pop(op, None)
-    if prev is not None:
-        try:
-            same = prev.semanticHash() == cached.semanticHash()
-        except Exception:
-            same = False
-        if not same:
+    key = (_session_key(cached), op)
+    with _LOCK:
+        prev = _LIVE.pop(key, None)
+        if prev is not None:
             try:
-                prev.unpersist(blocking=False)
+                same = prev.semanticHash() == cached.semanticHash()
             except Exception:
-                pass  # session already stopped — nothing to free
-    _LIVE[op] = cached
+                same = False
+            if not same:
+                try:
+                    prev.unpersist(blocking=False)
+                except Exception:
+                    pass  # session already stopped — nothing to free
+        _LIVE[key] = cached
     deps = list(getattr(result, "_ds_cached_deps", []))
     result._ds_cached_deps = deps + [cached]
     return result
@@ -69,16 +95,19 @@ def release(result: DataFrame) -> None:
             df.unpersist(blocking=False)
         except Exception:
             pass
-        for op, live in list(_LIVE.items()):
-            if live is df:
-                _LIVE.pop(op, None)
+        with _LOCK:
+            for key, live in list(_LIVE.items()):
+                if live is df:
+                    _LIVE.pop(key, None)
     result._ds_cached_deps = []
 
 
 def release_all() -> None:
     """Unpersist every live operator cache (pipeline boundary)."""
-    for op in list(_LIVE):
-        df = _LIVE.pop(op)
+    with _LOCK:
+        frames = list(_LIVE.values())
+        _LIVE.clear()
+    for df in frames:
         try:
             df.unpersist(blocking=False)
         except Exception:
@@ -86,5 +115,7 @@ def release_all() -> None:
 
 
 def live_ops() -> list[str]:
-    """Operator names with a live cached intermediate (for tests)."""
-    return sorted(_LIVE)
+    """Operator names with a live cached intermediate (for tests;
+    session-agnostic view)."""
+    with _LOCK:
+        return sorted({op for (_, op) in _LIVE})

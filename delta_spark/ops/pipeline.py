@@ -121,7 +121,9 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         # one bucket per core: maximum parallelism without fragmenting
         # small corpora into many partial bins (each partition leaves
         # at most one under-filled bin open)
-        buckets = df.sparkSession.sparkContext.defaultParallelism
+        from delta_spark.connect_compat import default_parallelism
+
+        buckets = default_parallelism(df.sparkSession)
     src = (df.select(F.col(id_col).cast("string").alias("doc_id"),
                      F.col(tokens_col).cast("long").alias("n_tokens"))
            .filter(F.col("n_tokens").isNotNull())

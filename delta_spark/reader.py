@@ -208,7 +208,9 @@ def deleted_rows_df(spark: SparkSession, snapshot, files) -> Optional[DataFrame]
                     yield _pd.DataFrame({"file_base": r.file_base,
                                          "row_index": idx.astype("int64")})
 
-        n = min(len(proto), spark.sparkContext.defaultParallelism)
+        from delta_spark.connect_compat import default_parallelism
+
+        n = min(len(proto), default_parallelism(spark))
         dfs.append(desc_df.repartition(n).mapInPandas(
             _explode, "file_base string, row_index long"))
     if not dfs:

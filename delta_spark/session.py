@@ -75,5 +75,8 @@ def get_spark(app_name: str = "delta_spark", master: str | None = None) -> Spark
     builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
     builder = configure_spark(builder)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from delta_spark.connect_compat import is_connect
+
+    if not is_connect(spark):  # Connect sessions have no SparkContext
+        spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -209,8 +209,8 @@ def delta_sql(spark: SparkSession, statement: str) -> Any:
                 k, v = part.split("=", 1)
                 props[k.strip().strip("'\"` ")] = v.strip().strip("'\"` ")
         replace = bool(re.match(r"(?is)\s*(CREATE\s+OR\s+REPLACE|REPLACE)\b", s))
-        src.clone(m.group("dst"), version=version, replace=replace,
-                  properties=props)
+        src.clone(m.group("dst"), isShallow=True, version=version,
+                  replace=replace, properties=props)
         return spark.createDataFrame([(m.group("dst"),)], "path: string")
 
     # ------------------------------------------------ ALTER TABLE verbs ----

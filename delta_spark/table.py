@@ -83,7 +83,13 @@ def _set_and_cond(a, b):
 def _df_alias(df: DataFrame) -> Optional[str]:
     """Top-level alias of `df.alias("s")`, so
     `target.alias("t").merge(source.alias("s"), "t.k = s.k")` resolves
-    like the reference API, where aliases ride on the DataFrames."""
+    like the reference API, where aliases ride on the DataFrames.
+    Classic sessions read the analyzed plan via py4j; Connect frames
+    carry the alias on the client-side plan object."""
+    from delta_spark.connect_compat import connect_df_alias, is_connect
+
+    if is_connect(df):
+        return connect_df_alias(df)
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "SubqueryAlias":
@@ -451,13 +457,15 @@ class DeltaTable:
         return restore(self.spark, self.log,
                        timestamp_ms=_to_millis(timestamp))
 
-    def clone(self, target: str, isShallow: bool = True,
+    def clone(self, target: str, isShallow: bool = False,
               replace: bool = False, properties: Optional[dict] = None,
               version: Optional[int] = None) -> "DeltaTable":
         """Clone this table (reference python tables.py:732 `clone`):
         shallow (AddFiles point at source files) or deep (target owns
         re-written data), optionally replacing an existing target, with
-        property overrides."""
+        property overrides. Defaults to DEEP, matching the reference —
+        a caller who vacuums the source afterwards must not break the
+        clone unless they opted into isShallow=True."""
         if isShallow:
             shallow_clone(self.spark, self.log, target, version,
                           replace=replace, properties=properties)
@@ -469,14 +477,14 @@ class DeltaTable:
         return DeltaTable.forPath(self.spark, target)
 
     def cloneAtVersion(self, version: int, target: str,
-                       isShallow: bool = True, replace: bool = False,
+                       isShallow: bool = False, replace: bool = False,
                        properties: Optional[dict] = None) -> "DeltaTable":
         """Reference python tables.py:759 `cloneAtVersion`."""
         return self.clone(target, version=version, isShallow=isShallow,
                           replace=replace, properties=properties)
 
     def cloneAtTimestamp(self, timestamp: str, target: str,
-                         isShallow: bool = True, replace: bool = False,
+                         isShallow: bool = False, replace: bool = False,
                          properties: Optional[dict] = None) -> "DeltaTable":
         """Reference python tables.py:789 `cloneAtTimestamp` — the
         source version is the last commit at/before the timestamp;

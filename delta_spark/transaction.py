@@ -417,7 +417,14 @@ class OptimisticTransaction:
                 self.log.store.write_atomic(self.log.commit_file(version), payload)
             except ConcurrentModificationException:
                 pass  # a concurrent reader/writer already backfilled it
-            coordinator.register_backfill(self.log.log_path, version)
+            # backfill_to, NOT register_backfill(version): a PREDECESSOR
+            # registered by a writer that died before ITS backfill may
+            # still be marker-only, and advancing the watermark past it
+            # would drop the only pointer to that commit (data loss —
+            # caught by tests/test_recovery_fuzz.py crash-window fuzz).
+            # backfill_to fills every hole <= version first and never
+            # advances the watermark past one it cannot fill.
+            C.backfill_to(self.log, coordinator, version)
         elif version % bs == 0:
             C.backfill_to(self.log, coordinator, version)
 

@@ -264,7 +264,14 @@ def split_column_path(name: str) -> list[str]:
 # DataFrames remain in use.
 FIELD_ID_READ_CONFS = ("spark.sql.parquet.fieldId.read.enabled",
                        "spark.sql.parquet.fieldId.read.ignoreMissing")
-_saved_field_id_confs: dict[int, dict[str, Optional[str]]] = {}
+# WeakKeyDictionary on the SparkSession itself (r9 ADVICE): an id()
+# key can be REUSED by a new session after the old one is collected,
+# which would restore the dead session's saved values — and leaks one
+# entry per session besides. Weak keying drops the entry with the
+# session.
+import weakref as _weakref
+
+_saved_field_id_confs: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def ensure_field_id_read_confs(spark) -> None:
@@ -272,10 +279,10 @@ def ensure_field_id_read_confs(spark) -> None:
     (required while any column-mapping id-mode DataFrame from this
     engine is alive), saving the user's prior values for
     restore_field_id_read_confs()."""
-    saved = _saved_field_id_confs.get(id(spark))
+    saved = _saved_field_id_confs.get(spark)
     if saved is None:
         saved = {k: spark.conf.get(k, None) for k in FIELD_ID_READ_CONFS}
-        _saved_field_id_confs[id(spark)] = saved
+        _saved_field_id_confs[spark] = saved
         explicit = {k: v for k, v in saved.items()
                     if v is not None and str(v).lower() != "true"}
         if explicit:
@@ -299,7 +306,7 @@ def restore_field_id_read_confs(spark) -> None:
     the first id-mode read. Only call once DataFrames produced from
     id-mode tables are no longer in use — they null-fill without the
     confs."""
-    saved = _saved_field_id_confs.pop(id(spark), None)
+    saved = _saved_field_id_confs.pop(spark, None)
     if saved is None:
         return
     for k, v in saved.items():

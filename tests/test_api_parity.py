@@ -39,6 +39,13 @@ PARAM_DEVIATIONS = {
     # options are session-level Spark confs instead (DEVIATIONS.md)
     "DeltaTable.forPath": {"hadoopConf"},
 }
+# default-value-level: (Class.method, param) -> why our default differs
+# from the reference's. Empty = every shared default matches; a new
+# divergence fails test_api_default_value_parity until reviewed here.
+DEFAULT_DEVIATIONS = {
+    # none — r9 ADVICE: clone/cloneAtVersion/cloneAtTimestamp isShallow
+    # now defaults False (deep) exactly like the reference
+}
 
 
 def _ref_methods():
@@ -67,10 +74,30 @@ def _ref_methods():
                 1 for d in args.kw_defaults if d is not None)
             required = names[:max(0, len(names) - n_defaults)] \
                 if not args.kw_defaults else None
+            # literal default VALUES (r9 ADVICE: parameter-name parity
+            # alone let clone's isShallow default silently diverge).
+            # Non-literal defaults (calls, attributes) are skipped —
+            # they can't be compared without executing reference code.
+            defaults = {}
+            pos = args.posonlyargs + args.args
+            for a, d in zip(pos[len(pos) - len(args.defaults):],
+                            args.defaults):
+                try:
+                    defaults[a.arg] = ast.literal_eval(d)
+                except (ValueError, SyntaxError):
+                    pass
+            for a, d in zip(args.kwonlyargs, args.kw_defaults):
+                if d is None:
+                    continue
+                try:
+                    defaults[a.arg] = ast.literal_eval(d)
+                except (ValueError, SyntaxError):
+                    pass
             out[f"{node.name}.{fn.name}"] = {
                 "params": names,
                 "has_varkw": args.kwarg is not None,
                 "required": required,
+                "defaults": defaults,
             }
     return out
 
@@ -146,6 +173,34 @@ def test_api_signature_parity(key):
     assert positional[:len(ref_positional)] == ref_positional, \
         (f"{key}: positional order diverges — ref {ref_positional} vs "
          f"ours {positional}")
+
+
+@pytest.mark.parametrize("key", sorted(REF))
+def test_api_default_value_parity(key):
+    """Shared parameters must carry the SAME default value as the
+    reference (r9 ADVICE: clone's isShallow defaulted True here vs
+    False in the reference and the name-only parity gate passed it)."""
+    cls_name, meth_name = key.split(".")
+    if key in METHOD_DEVIATIONS:
+        pytest.skip(f"documented deviation: {METHOD_DEVIATIONS[key]}")
+    cls = _our_class(cls_name)
+    meth = inspect.getattr_static(cls, meth_name, None)
+    if meth is None:
+        pytest.skip("covered by test_api_signature_parity")
+    if isinstance(meth, (classmethod, staticmethod)):
+        meth = meth.__func__
+    ours = inspect.signature(meth).parameters
+    for name, ref_default in REF[key]["defaults"].items():
+        if (key, name) in DEFAULT_DEVIATIONS:
+            continue
+        p = ours.get(name)
+        if p is None or p.default is inspect.Parameter.empty:
+            continue  # name-level parity handles presence/optionality
+        same = (p.default is None if ref_default is None
+                else p.default == ref_default
+                and type(p.default) is type(ref_default))
+        assert same, (f"{key}: default for {name!r} diverges — ref "
+                      f"{ref_default!r} vs ours {p.default!r}")
 
 
 def test_delta_package_shim_end_to_end(spark, tmp_path):

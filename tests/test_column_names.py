@@ -396,7 +396,7 @@ def _fid_state(spark):
 def _reset_fid(spark):
     from delta_spark.util import _saved_field_id_confs
 
-    _saved_field_id_confs.pop(id(spark), None)
+    _saved_field_id_confs.pop(spark, None)
     for k in (_FID, _FID_MISS):
         spark.conf.unset(k)
 

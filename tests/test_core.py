@@ -618,7 +618,7 @@ def test_clone_and_restore_preserve_deletion_vectors(spark, tmp_table, tmp_path,
     dt = DeltaTable.forPath(spark, tmp_table)
     dt.delete("l_quantity > 40")
     want = dt.toDF().count()
-    clone = dt.clone(str(tmp_path / "dvclone"))
+    clone = dt.clone(str(tmp_path / "dvclone"), isShallow=True)
     assert clone.toDF().count() == want
     # restore back onto the DV version after an overwrite removed it
     write_delta(li.limit(5), tmp_table, mode="overwrite")

@@ -84,7 +84,7 @@ def test_portable_dv_clone_and_vacuum(spark, tmp_table, tmp_path, sf_dir):
 
     # shallow clone rewrites 'u' descriptors to absolute-path 'p'
     dst = str(tmp_path / "clone_dst")
-    dt.clone(dst)
+    dt.clone(dst, isShallow=True)
     csnap = DeltaLog.for_table(dst).update()
     cdescs = [f.deletionVector for f in csnap.all_files if f.deletionVector]
     assert cdescs and all(d["storageType"] == "p" for d in cdescs)

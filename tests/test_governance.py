@@ -900,7 +900,7 @@ def test_clustering_domain_travels_with_clone_and_restore(spark, tmp_table, tmp_
         return _json.loads(dm.configuration)["clusteringColumns"]
 
     clone_path = str(tmp_path / "clone")
-    dt.clone(clone_path)
+    dt.clone(clone_path, isShallow=True)
     assert cols_of(clone_path) == ["b"]
 
     v_b = DeltaLog.for_table(tmp_table).update().version

@@ -25,7 +25,7 @@ def test_shallow_clone_and_independence(spark, tmp_table, tmp_path, sf_dir):
     write_delta(load_table(spark, sf_dir, "customer"), tmp_table)
     dt = DeltaTable.forPath(spark, tmp_table)
     clone_path = str(tmp_path / "clone")
-    clone = dt.clone(clone_path)
+    clone = dt.clone(clone_path, isShallow=True)
     assert clone.toDF().count() == dt.toDF().count()
     # writes to the clone don't touch the source
     clone.delete("c_acctbal < 0")
@@ -443,21 +443,21 @@ def test_clone_api_parity(spark, tmp_table, tmp_path, sf_dir):
     write_delta(li.limit(50), tmp_table, mode="append")
 
     # cloneAtVersion pins the pre-append state
-    c1 = dt.cloneAtVersion(0, str(tmp_path / "v0"))
+    c1 = dt.cloneAtVersion(0, str(tmp_path / "v0"), isShallow=True)
     assert c1.toDF().count() == 300
     # cloneAtTimestamp resolves through commit timestamps
     ts = dt.history().filter("version = 1").collect()[0]["timestamp"]
-    c2 = dt.cloneAtTimestamp(str(ts), str(tmp_path / "ts"))
+    c2 = dt.cloneAtTimestamp(str(ts), str(tmp_path / "ts"), isShallow=True)
     assert c2.toDF().count() == 350
     # replace=True swaps an existing target in one commit
-    c3 = dt.clone(str(tmp_path / "v0"), replace=True,
+    c3 = dt.clone(str(tmp_path / "v0"), isShallow=True, replace=True,
                   properties={"delta.appendOnly": "false"})
     assert c3.toDF().count() == 350
     assert c3.detail().collect()[0]["properties"].get("delta.appendOnly") == "false"
     # replace=False on an existing target still refuses
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        dt.clone(str(tmp_path / "v0"))
+        dt.clone(str(tmp_path / "v0"), isShallow=True)
 
 
 def test_deep_clone_self_contained(spark, tmp_table, tmp_path, sf_dir):
@@ -740,7 +740,7 @@ def test_clone_of_clustered_table_carries_features(spark, tmp_table, tmp_path):
     dt = DeltaTable.forPath(spark, tmp_table)
     dt.alterClusterBy(["a"])
     clone_path = str(tmp_path / "cl")
-    dt.clone(clone_path)
+    dt.clone(clone_path, isShallow=True)
     pr = DeltaLog.for_table(clone_path).update().protocol
     assert "domainMetadata" in (pr.writerFeatures or [])
     assert "clustering" in (pr.writerFeatures or [])

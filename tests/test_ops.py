@@ -895,3 +895,75 @@ def test_near_duplicates_target_miss_knob(spark):
     assert loose <= exact                      # no false positives, ever
     assert len(loose) >= 0.9 * len(exact)      # ≥ 1-1e-2 expected recall
     assert len(exact) >= 20
+
+
+def test_target_miss_rejected_off_lsh_path(spark):
+    """r9 ADVICE: target_miss with method='ivf' (or any non-lsh method)
+    must raise a clear ValueError up front, not leak into
+    ivf_candidates as an unexpected kwarg (TypeError)."""
+    from delta_spark.ops.similarity import near_duplicates
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="target_miss.*method='lsh'"):
+        near_duplicates(df, 0.9, method="ivf", target_miss=1e-2)
+    # pre_group=False with lsh still accepts it (reaches the sizer)
+    near_duplicates(df, 0.9, method="lsh", pre_group=False,
+                    target_miss=1e-2).collect()
+
+
+def test_lsh_recall_presets_and_band_warning(spark):
+    """'gate'/'production' presets resolve to their documented miss
+    probabilities, unknown names error, and a gate-grade sizing that
+    crosses 128 bands warns the caller toward the production preset
+    (VERDICT r9 #1: the 1e-6 default exists for the oracle gate and
+    should not be inherited silently at 100 TB)."""
+    import warnings
+
+    from delta_spark.ops.similarity import (
+        LSH_RECALL_PRESETS, lsh_params_for,
+    )
+
+    assert LSH_RECALL_PRESETS == {"gate": 1e-6, "production": 1e-2}
+    assert lsh_params_for(0.8, target_miss="gate", n=60_000) == \
+        lsh_params_for(0.8, target_miss=1e-6, n=60_000)
+    assert lsh_params_for(0.8, target_miss="production", n=60_000) == \
+        lsh_params_for(0.8, target_miss=1e-2, n=60_000)
+    with pytest.raises(ValueError, match="unknown recall preset"):
+        lsh_params_for(0.8, target_miss="fast")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r, b = lsh_params_for(0.8, n=60_000)           # gate default
+    assert b > 128 and any("production" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lsh_params_for(0.8, target_miss="production", n=60_000)
+    assert not w                                        # preset is quiet
+
+
+def test_ivf_sizing_shared_between_apis(spark):
+    """VERDICT r9 #3: ivf_topk and ivf_candidates must default to the
+    SAME sqrt(n) centroid geometry for the same corpus."""
+    from unittest import mock
+
+    from delta_spark.ops import similarity as sim
+
+    assert sim.auto_n_centroids(60_000) == 244
+    assert sim.auto_n_centroids(10) == 16          # floor
+    assert sim.auto_n_centroids(10**9) == 4096     # cap
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 1.0, 1.0])],
+                              "query_id long, embedding array<double>")
+    seen = []
+    real_fit = sim.fit_centroids_sample
+
+    def spy(corpus, vec_col="embedding", n_centroids=16, **kw):
+        seen.append(n_centroids)
+        return real_fit(corpus, vec_col, n_centroids, **kw)
+
+    with mock.patch.object(sim, "fit_centroids_sample", side_effect=spy):
+        sim.ivf_topk(df, q, k=3).collect()
+        sim.ivf_candidates(df).count()
+    assert seen == [sim.auto_n_centroids(400)] * 2

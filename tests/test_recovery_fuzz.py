@@ -261,3 +261,182 @@ def test_randomized_fault_schedules(spark, tmp_table, sf_dir):
         # and the table stays WRITABLE after recovery
         write_delta(li.limit(5), path, mode="append")
         assert DeltaTable.forPath(spark, path).toDF().count() == want + 5
+
+
+# ---------------------------------------------------------------------------
+# coordinated-commit / catalog-managed crash-window fuzz (VERDICT r9 #4)
+# ---------------------------------------------------------------------------
+# A writer can die at any point of the stage -> register -> backfill
+# pipeline (coordinator.py) or the stage -> ratify -> publish pipeline
+# (catalog_managed.py). Every window must recover to a state
+# EQUIVALENT TO SERIAL REPLAY of the successfully-registered commits:
+#   - death BEFORE the linearization point (register/ratify): the
+#     commit never happened; the version is reusable by the next writer
+#   - death AFTER it: the commit is durable table state, visible to a
+#     fresh reader immediately and backfilled/published by whoever
+#     comes next — NEVER dropped when the watermark advances.
+# The third window (after backfill write, before the watermark call)
+# must converge identically. This fuzz found a real r10 bug: the
+# bs=1 path advanced the backfill watermark with register_backfill
+# (dropping a dead predecessor's marker-only commit); fixed by routing
+# through backfill_to, which never advances past a hole.
+
+class _KilledWriter(Exception):
+    """Simulated process death inside a commit pipeline."""
+
+
+def _install_crash(window, victim_version, coordinator):
+    """Arm ONE crash for `victim_version` at the given window; returns
+    an undo closure. Death is injected at the exact seams the real
+    pipeline calls, so everything before the window runs the
+    production code path."""
+    from delta_spark.log import LocalLogStore
+
+    undo = []
+
+    def _arm(obj, name):
+        orig = getattr(obj, name)
+        undo.append(lambda: setattr(obj, name, orig))
+        return orig
+
+    if window == "before_register":
+        orig = _arm(type(coordinator), "commit")
+
+        def die(self, *a, **k):
+            raise _KilledWriter("died between stage and register")
+        setattr(type(coordinator), "commit", die)
+    elif window == "before_backfill":
+        orig = _arm(LocalLogStore, "write_atomic")
+
+        def die(self, p, payload):
+            if (os.path.basename(p) == "%020d.json" % victim_version
+                    and os.path.basename(os.path.dirname(p)) == "_delta_log"):
+                raise _KilledWriter("died between register and backfill")
+            return orig(self, p, payload)
+        LocalLogStore.write_atomic = die
+    elif window == "before_watermark":
+        orig = _arm(type(coordinator), "register_backfill")
+
+        def die(self, *a, **k):
+            raise _KilledWriter("died between backfill and watermark")
+        setattr(type(coordinator), "register_backfill", die)
+    else:
+        raise AssertionError(window)
+
+    def _undo():
+        for u in undo:
+            u()
+    return _undo
+
+
+@pytest.mark.parametrize("coord_name", ["in-memory", "filesystem", "external"])
+def test_coordinated_commit_crash_windows(spark, tmp_table, tmp_path,
+                                          coord_name, sf_dir):
+    from delta_spark import coordinator as C
+
+    rng = random.Random(777)
+    df = load_table(spark, sf_dir, "lineitem").limit(25)
+    windows = ["before_register", "before_backfill", "before_watermark"]
+    for trial, window in enumerate(windows):
+        path = f"{tmp_table}_{coord_name.replace('-', '')}_{window}"
+        conf = {C.COORDINATOR_PROP: coord_name}
+        if coord_name == "external":
+            ext = str(tmp_path / f"ext_{trial}")
+            conf[C.COORDINATOR_CONF_PROP] = json.dumps({"externalRoot": ext})
+        write_delta(df, path, configuration=conf)            # v0
+        pre_commits = rng.randrange(1, 3)
+        for _ in range(pre_commits):
+            write_delta(df, path, mode="append")
+        DeltaLog.clear_cache()
+        log = DeltaLog.for_table(path)
+        victim = log.update().version + 1
+        coordinator = C.coordinator_for(
+            {**conf, **log.update().configuration})
+        assert coordinator is not None
+
+        undo = _install_crash(window, victim, coordinator)
+        try:
+            with pytest.raises(_KilledWriter):
+                write_delta(df, path, mode="append")         # dies mid-commit
+        finally:
+            undo()
+
+        # --- recovery read: a FRESH process replays to serial state --
+        committed = window != "before_register"   # registered => durable
+        want_version = victim if committed else victim - 1
+        want_rows = 25 * (1 + pre_commits + (1 if committed else 0))
+        DeltaLog.clear_cache()
+        got = DeltaLog.for_table(path).update()
+        assert got.version == want_version, (coord_name, window)
+        assert DeltaTable.forPath(spark, path).toDF().count() == want_rows
+
+        # --- a new writer commits; nothing is lost, holes are filled -
+        write_delta(df, path, mode="append")
+        DeltaLog.clear_cache()
+        log2 = DeltaLog.for_table(path)
+        got2 = log2.update()
+        assert got2.version == want_version + 1
+        assert DeltaTable.forPath(spark, path).toDF().count() == want_rows + 25
+        # convergence: the full chain is now backfilled classic files
+        ld = _logdir(path)
+        classic = sorted(int(n.split(".")[0]) for n in os.listdir(ld)
+                         if n.endswith(".json") and n[0].isdigit())
+        assert classic == list(range(want_version + 2)), (coord_name, window)
+        # and checkpointing (which requires a backfilled prefix) works
+        log2.write_checkpoint()
+        DeltaLog.clear_cache()
+        assert DeltaLog.for_table(path).update().version == want_version + 1
+
+
+@pytest.mark.parametrize("window", ["before_ratify", "before_publish"])
+def test_catalog_managed_crash_windows(spark, tmp_table, window, sf_dir):
+    from delta_spark import catalog_managed as CM
+
+    df = load_table(spark, sf_dir, "lineitem").limit(25)
+    path = f"{tmp_table}_cat_{window}"
+    conf = {CM.CATALOG_PROP: "filesystem"}
+    write_delta(df, path, configuration=conf)                # v0
+    write_delta(df, path, mode="append")                     # v1
+    DeltaLog.clear_cache()
+    catalog = CM.CATALOGS["filesystem"]
+
+    saved = None
+    if window == "before_ratify":
+        saved = type(catalog).ratify
+
+        def die(self, *a, **k):
+            raise _KilledWriter("died between stage and ratify")
+        type(catalog).ratify = die
+    else:
+        saved = CM.publish
+        import delta_spark.catalog_managed as _cm_mod
+
+        def die(*a, **k):
+            raise _KilledWriter("died between ratify and publish")
+        _cm_mod.publish = die
+    try:
+        with pytest.raises(_KilledWriter):
+            write_delta(df, path, mode="append")             # v2 dies
+    finally:
+        if window == "before_ratify":
+            type(catalog).ratify = saved
+        else:
+            import delta_spark.catalog_managed as _cm_mod
+            _cm_mod.publish = saved
+
+    committed = window == "before_publish"   # ratified => durable
+    want_version = 2 if committed else 1
+    want_rows = 25 * (want_version + 1)
+    DeltaLog.clear_cache()
+    assert DeltaLog.for_table(path).update().version == want_version
+    assert DeltaTable.forPath(spark, path).toDF().count() == want_rows
+
+    write_delta(df, path, mode="append")
+    DeltaLog.clear_cache()
+    assert DeltaLog.for_table(path).update().version == want_version + 1
+    assert DeltaTable.forPath(spark, path).toDF().count() == want_rows + 25
+    # publish converged: the full chain exists as published files
+    ld = _logdir(path)
+    classic = sorted(int(n.split(".")[0]) for n in os.listdir(ld)
+                     if n.endswith(".json") and n[0].isdigit())
+    assert classic == list(range(want_version + 2))
