@@ -369,6 +369,7 @@ def q_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_spark import geo as _geo
 
     prev_g = spark.conf.get(_geo.GEO_PREVIEW_CONF, "false")
+    prev_s = spark.conf.get("spark.sql.geospatial.enabled", "false")
     spark.conf.set(_geo.GEO_PREVIEW_CONF, "true")
     spark.conf.set("spark.sql.geospatial.enabled", "true")
     try:
@@ -394,6 +395,7 @@ def q_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "geospatial" in (snap.protocol.writerFeatures or [])))))
     finally:
         spark.conf.set(_geo.GEO_PREVIEW_CONF, prev_g)
+        spark.conf.set("spark.sql.geospatial.enabled", prev_s)
 
     # --- collations: UTF8_LCASE semantics survive the log round-trip ---
     cpath = _tf.mkdtemp(prefix="dsq_feat_col_")
