@@ -28,32 +28,46 @@ materializing either — costs time only.
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 
-# (session key, op) -> live frame. Keyed per-SESSION (r9 ADVICE: a
-# process-global name key made two sessions calling the same operator
-# evict each other's intermediate every call — never wrong, but
-# recompute thrash), and mutated only under the lock (register/release
-# can race from concurrent threads). The session key is a stable
-# per-SparkSession token, NOT id(spark): ids are reused after GC.
-_LIVE: dict[tuple[str, str], DataFrame] = {}
+# SparkSession (WEAKLY held) -> {op: live frame}. Keyed per-SESSION
+# (r9 ADVICE: a process-global name key made two sessions calling the
+# same operator evict each other's intermediate every call — never
+# wrong, but recompute thrash). Weak keying means a stopped-and-
+# collected session drops its whole entry instead of pinning the dead
+# session and its frames forever (same fix as util.py's saved-conf
+# map). Frames from a DataFrame whose session can't be read fall into
+# a per-process fallback dict that keeps the old one-per-op eviction.
+# Mutations happen under the lock (register/release can race across
+# threads); the lock is never held across semanticHash() — that is a
+# driver-side analysis call that can take seconds on wide plans.
+_LIVE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_LIVE_NOSESSION: dict[str, DataFrame] = {}
 _LOCK = threading.Lock()
 
 
-def _session_key(df: DataFrame) -> str:
+def _ops_map(df: DataFrame) -> dict[str, DataFrame]:
+    """The {op: frame} dict for df's session (created under _LOCK)."""
     try:
         spark = df.sparkSession
     except Exception:
-        return "<unknown-session>"
+        return _LIVE_NOSESSION
     try:
-        token = spark.sparkContext.applicationId
+        m = _LIVE.get(spark)
+        if m is None:
+            m = _LIVE[spark] = {}
+        return m
+    except TypeError:  # session not weak-referenceable
+        return _LIVE_NOSESSION
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return a.semanticHash() == b.semanticHash()
     except Exception:
-        # Connect sessions have no SparkContext; their client carries
-        # a per-session UUID
-        token = getattr(getattr(spark, "client", None), "_session_id",
-                        None) or "connect"
-    return f"{id(spark)}:{token}"
+        return False
 
 
 def register(op: str, cached: DataFrame, result: DataFrame) -> DataFrame:
@@ -67,21 +81,20 @@ def register(op: str, cached: DataFrame, result: DataFrame) -> DataFrame:
     unpersisting the 'previous' frame would evict the entry the new
     call just cached — the round-9 bench caught exactly that as a 3x
     regression on exact_substr_spans. Eviction therefore only fires
-    when the plans differ (semanticHash)."""
-    key = (_session_key(cached), op)
+    when the plans differ (semanticHash, computed OUTSIDE the lock)."""
     with _LOCK:
-        prev = _LIVE.pop(key, None)
-        if prev is not None:
+        m = _ops_map(cached)
+        prev = m.get(op)
+    evict = prev is not None and not _same_plan(prev, cached)  # no lock
+    with _LOCK:
+        # re-read: a racing register may have swapped the entry while
+        # the hash was computing; only evict the frame we compared
+        if evict and m.get(op) is prev:
             try:
-                same = prev.semanticHash() == cached.semanticHash()
+                prev.unpersist(blocking=False)
             except Exception:
-                same = False
-            if not same:
-                try:
-                    prev.unpersist(blocking=False)
-                except Exception:
-                    pass  # session already stopped — nothing to free
-        _LIVE[key] = cached
+                pass  # session already stopped — nothing to free
+        m[op] = cached
     deps = list(getattr(result, "_ds_cached_deps", []))
     result._ds_cached_deps = deps + [cached]
     return result
@@ -96,17 +109,21 @@ def release(result: DataFrame) -> None:
         except Exception:
             pass
         with _LOCK:
-            for key, live in list(_LIVE.items()):
-                if live is df:
-                    _LIVE.pop(key, None)
+            for m in list(_LIVE.values()) + [_LIVE_NOSESSION]:
+                for op, live in list(m.items()):
+                    if live is df:
+                        m.pop(op, None)
     result._ds_cached_deps = []
 
 
 def release_all() -> None:
     """Unpersist every live operator cache (pipeline boundary)."""
     with _LOCK:
-        frames = list(_LIVE.values())
-        _LIVE.clear()
+        frames = [df for m in list(_LIVE.values()) + [_LIVE_NOSESSION]
+                  for df in m.values()]
+        for m in list(_LIVE.values()):
+            m.clear()
+        _LIVE_NOSESSION.clear()
     for df in frames:
         try:
             df.unpersist(blocking=False)
@@ -118,4 +135,6 @@ def live_ops() -> list[str]:
     """Operator names with a live cached intermediate (for tests;
     session-agnostic view)."""
     with _LOCK:
-        return sorted({op for (_, op) in _LIVE})
+        return sorted({op
+                       for m in list(_LIVE.values()) + [_LIVE_NOSESSION]
+                       for op in m})

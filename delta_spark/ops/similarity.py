@@ -231,6 +231,10 @@ def lsh_params_for(threshold: float, target_miss=1e-6,
     (VERDICT r9 #1)."""
     import math
 
+    # a named preset is an EXPLICIT, informed choice — warning on it
+    # would train users to ignore the one case the warning exists for
+    # (the numeric default inherited unread)
+    explicit_preset = isinstance(target_miss, str)
     target_miss = _resolve_target_miss(target_miss)
     p = 1.0 - math.acos(min(max(threshold, -1.0 + 1e-9), 1.0 - 1e-9)) / math.pi
 
@@ -239,7 +243,8 @@ def lsh_params_for(threshold: float, target_miss=1e-6,
         return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
 
     def _warn_if_gate_heavy(r: int, b: int) -> None:
-        if b > 128 and target_miss <= LSH_RECALL_PRESETS["gate"]:
+        if (b > 128 and not explicit_preset
+                and target_miss <= LSH_RECALL_PRESETS["gate"]):
             import warnings
 
             warnings.warn(
@@ -276,6 +281,7 @@ def lsh_params_for(threshold: float, target_miss=1e-6,
             best = (r, b)
         elif r > 1 and best[0] > 1:
             break
+    _warn_if_gate_heavy(*best)
     return best
 
 

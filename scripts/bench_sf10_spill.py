@@ -80,7 +80,11 @@ def main() -> None:
                .config("spark.ui.enabled", "true")
                .config("spark.ui.port", "4049"))
     spark = builder.getOrCreate()
-    port = int(spark.conf.get("spark.ui.port", "4049"))
+    # the BOUND port, not the configured one: on a collision Spark
+    # binds 4050+ with only a log warning, and reading the configured
+    # port would attribute a FOREIGN app's spill counters to this bench
+    ui_url = spark.sparkContext.uiWebUrl
+    port = int(ui_url.rsplit(":", 1)[1]) if ui_url else 4049
 
     from delta_spark.io import write_delta
     from delta_spark.table import DeltaTable

@@ -84,6 +84,15 @@ def main(argv: list[str]) -> None:
         for row, v in load_clean_mins(p).items():
             fresh[row] = min(v, fresh.get(row, v))
 
+    # a typo'd row name would silently ratchet the real row (keeping a
+    # stale floor that flags it suspect forever) while the ledger
+    # claims the reset happened — refuse unknown names outright
+    unknown = changed - set(fresh)
+    if unknown:
+        raise SystemExit(
+            f"--semantics-changed rows not present in any input "
+            f"artifact: {sorted(unknown)} (known: {sorted(fresh)})")
+
     committed: dict[str, float] = {}
     sf = None
     try:

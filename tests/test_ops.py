@@ -937,8 +937,14 @@ def test_lsh_recall_presets_and_band_warning(spark):
     assert b > 128 and any("production" in str(x.message) for x in w)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        lsh_params_for(0.8, target_miss="production", n=60_000)
-    assert not w                                        # preset is quiet
+        _, b2 = lsh_params_for(0.55, max_bits=4096)    # no size hint
+    assert b2 > 128 and any("production" in str(x.message) for x in w)
+    for quiet in ({"target_miss": "production", "n": 60_000},
+                  {"target_miss": "gate", "n": 60_000}):  # explicit choice
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            lsh_params_for(0.8, **quiet)
+        assert not w, quiet
 
 
 def test_ivf_sizing_shared_between_apis(spark):

@@ -440,3 +440,96 @@ def test_catalog_managed_crash_windows(spark, tmp_table, window, sf_dir):
     classic = sorted(int(n.split(".")[0]) for n in os.listdir(ld)
                      if n.endswith(".json") and n[0].isdigit())
     assert classic == list(range(want_version + 2))
+
+
+def test_batch_backfill_crash_mid_batch(spark, tmp_table, sf_dir):
+    """batchSize > 1: commits accumulate with the coordinator and every
+    batchSize-th commit backfills the whole tail. A writer dying MID
+    batch-backfill (some classic files written, some not) must leave
+    the watermark BEHIND the hole — the next reader sees every commit
+    (tail merge) and the next backfill completes the chain."""
+    from delta_spark import coordinator as C
+    from delta_spark.log import LocalLogStore
+
+    df = load_table(spark, sf_dir, "lineitem").limit(25)
+    path = tmp_table + "_batch"
+    conf = {C.COORDINATOR_PROP: "filesystem",
+            C.BATCH_SIZE_PROP: "3"}
+    write_delta(df, path, configuration=conf)            # v0 (backfilled)
+    write_delta(df, path, mode="append")                 # v1 -> tail
+    write_delta(df, path, mode="append")                 # v2 -> tail
+
+    # v3 triggers the batch backfill (3 % 3 == 0); die while writing
+    # v2's classic file — v1 gets backfilled, v2/v3 do not
+    real_write = LocalLogStore.write_atomic
+
+    def dying(self, p, payload):
+        if (os.path.basename(p) == "%020d.json" % 2
+                and os.path.basename(os.path.dirname(p)) == "_delta_log"):
+            raise _KilledWriter("died mid batch backfill")
+        return real_write(self, p, payload)
+
+    LocalLogStore.write_atomic = dying
+    try:
+        with pytest.raises(_KilledWriter):
+            write_delta(df, path, mode="append")         # v3
+    finally:
+        LocalLogStore.write_atomic = real_write
+
+    # the commit REGISTRATION of v3 happened before its batch backfill
+    # died, so all 4 commits are table state
+    DeltaLog.clear_cache()
+    got = DeltaLog.for_table(path).update()
+    assert got.version == 3
+    assert DeltaTable.forPath(spark, path).toDF().count() == 100
+    # markers for the unbackfilled suffix must still exist (watermark
+    # did not advance past the hole at v2)
+    markers = sorted(int(n.split(".")[0]) for n in os.listdir(
+        os.path.join(_logdir(path), "_commits")) if n.endswith(".json"))
+    assert 2 in markers and 3 in markers
+
+    # recovery: more commits, then the next batch trigger (v6) fills
+    # every hole and drains the markers
+    write_delta(df, path, mode="append")                 # v4
+    write_delta(df, path, mode="append")                 # v5
+    write_delta(df, path, mode="append")                 # v6 -> backfill
+    DeltaLog.clear_cache()
+    assert DeltaLog.for_table(path).update().version == 6
+    assert DeltaTable.forPath(spark, path).toDF().count() == 175
+    classic = sorted(int(n.split(".")[0]) for n in os.listdir(_logdir(path))
+                     if n.endswith(".json") and n[0].isdigit())
+    assert classic == list(range(7))
+    assert os.listdir(os.path.join(_logdir(path), "_commits")) == []
+
+
+def test_inline_catalog_crash_between_ratify_and_publish(
+        spark, tmp_table, sf_dir):
+    """Inline catalog commits (content held BY the catalog, no staged
+    file): a ratified-but-unpublished inline commit must be readable
+    from the catalog's copy and publishable by a later writer."""
+    from delta_spark import catalog_managed as CM
+
+    df = load_table(spark, sf_dir, "lineitem").limit(25)
+    path = tmp_table + "_inline"
+    conf = {CM.CATALOG_PROP: "in-memory", CM.INLINE_PROP: "true"}
+    write_delta(df, path, configuration=conf)            # v0
+    import delta_spark.catalog_managed as _cm_mod
+    saved = _cm_mod.publish
+
+    def die(*a, **k):
+        raise _KilledWriter("died between ratify and publish")
+    _cm_mod.publish = die
+    try:
+        with pytest.raises(_KilledWriter):
+            write_delta(df, path, mode="append")         # v1 inline
+    finally:
+        _cm_mod.publish = saved
+
+    DeltaLog.clear_cache()
+    got = DeltaLog.for_table(path).update()
+    assert got.version == 1                              # catalog copy wins
+    assert DeltaTable.forPath(spark, path).toDF().count() == 50
+    write_delta(df, path, mode="append")                 # v2 publishes tail
+    DeltaLog.clear_cache()
+    assert DeltaLog.for_table(path).update().version == 2
+    assert DeltaTable.forPath(spark, path).toDF().count() == 75
