@@ -58,9 +58,6 @@ CLASSIC_ONLY_ALLOWLIST = {
     "delta_spark/table.py": {
         "_jdf.queryExecution",              # connect branch: client-plan alias
     },
-    "delta_spark/ops/cache.py": {
-        "sparkContext.applicationId",       # except-fallback to client session id
-    },
 }
 
 _PATTERNS = [
