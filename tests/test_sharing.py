@@ -1,0 +1,385 @@
+"""Delta Sharing tier: REST server + client end-to-end.
+
+Modeled on the reference suites
+sharing/src/test/scala/io/delta/sharing/spark/
+DeltaSharingDataSourceDeltaSuite.scala (batch/DV/CM reads),
+DeltaSharingCDFUtilsSuite.scala (CDF), and the delta-sharing python
+connector's rest-client tests: every read through the sharing server
+must equal the equivalent direct read of the source table.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as sf
+
+from delta_spark.cdf import table_changes
+from delta_spark.io import write_delta
+from delta_spark.log import DeltaLog
+from delta_spark.sharing import (
+    SharingClient,
+    SharingServer,
+    SharingServerConfig,
+    load_as_spark,
+    load_table_changes_as_spark,
+)
+from delta_spark.sharing import filters as F
+from delta_spark.sharing.client import RestClient
+from delta_spark.sharing.protocol import (
+    DeltaSharingError,
+    DeltaSharingProfile,
+    parse_table_path,
+)
+from delta_spark.table import DeltaTable
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.fixture()
+def served(tmp_path, spark):
+    """A server sharing three tables: plain partitioned, dv-deleted,
+    column-mapped — plus a profile file; yields (server, profile_path,
+    {name: source_path})."""
+    tables = {}
+
+    plain = str(tmp_path / "plain")
+    df = spark.range(0, 200).select(
+        sf.col("id"),
+        (sf.col("id") % 4).cast("int").alias("part"),
+        (sf.col("id") * 2).alias("val"))
+    write_delta(df, plain, partition_by=["part"],
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(df.filter("id >= 200"), plain, mode="append")  # no-op commit
+    tables["plain"] = plain
+
+    dvt = str(tmp_path / "dvt")
+    write_delta(spark.range(0, 100).select(
+        sf.col("id"), (sf.col("id") % 3).alias("m")), dvt,
+        configuration={"delta.enableDeletionVectors": "true"})
+    DeltaTable.forPath(spark, dvt).delete("id % 10 = 3")  # DV delete
+    tables["dvt"] = dvt
+
+    cmt = str(tmp_path / "cmt")
+    write_delta(spark.range(0, 50).select(
+        sf.col("id"), sf.concat(sf.lit("v"), sf.col("id")).alias("s")), cmt)
+    t = DeltaTable.forPath(spark, cmt)
+    t.upgradeTableProtocol(2, 5)
+    from delta_spark.sql import delta_sql
+
+    delta_sql(spark, f"ALTER TABLE delta.`{cmt}` SET TBLPROPERTIES "
+                     "('delta.columnMapping.mode' = 'name')")
+    delta_sql(spark, f"ALTER TABLE delta.`{cmt}` RENAME COLUMN s TO str2")
+    tables["cmt"] = cmt
+
+    cfg = SharingServerConfig()
+    for name, path in tables.items():
+        cfg.add_table("share1", "default", name, path)
+    cfg.add_table("share2", "other", "plain2", plain)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "profile.json"))
+        yield server, profile, tables
+    DeltaLog.clear_cache()
+
+
+# ------------------------------------------------------------ listing ----
+
+
+def test_listing_pagination_and_auth(served):
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    assert [s["name"] for s in client.list_shares()] == ["share1", "share2"]
+    assert client.get_share("share1") == {"name": "share1"}
+    assert [s["name"] for s in client.list_schemas("share1")] == ["default"]
+    names = [t["name"] for t in client.list_tables("share1", "default")]
+    assert names == ["cmt", "dvt", "plain"]
+    allt = client.list_all_tables("share2")
+    assert [(t["schema"], t["name"]) for t in allt] == [("other", "plain2")]
+
+    # pagination: 2-at-a-time still yields all three
+    _, body = client._request(
+        "GET", "/shares/share1/schemas/default/tables",
+        params={"maxResults": 2})
+    page1 = json.loads(body)
+    assert len(page1["items"]) == 2 and page1.get("nextPageToken")
+    _, body = client._request(
+        "GET", "/shares/share1/schemas/default/tables",
+        params={"maxResults": 2, "pageToken": page1["nextPageToken"]})
+    page2 = json.loads(body)
+    assert [t["name"] for t in page1["items"] + page2["items"]] == names
+
+    # bad token -> 401
+    bad = RestClient(DeltaSharingProfile(
+        endpoint=server.endpoint, bearer_token="wrong"))
+    with pytest.raises(DeltaSharingError) as ei:
+        bad.list_shares()
+    assert ei.value.status == 401
+
+    # unknown table -> 404 with provider-style message
+    with pytest.raises(DeltaSharingError) as ei:
+        client.query_table_version("share1", "default", "nope")
+    assert ei.value.status == 404
+
+    # SharingClient object surface
+    sc = SharingClient(profile)
+    shares = sc.list_shares()
+    assert [s.name for s in shares] == ["share1", "share2"]
+    schemas = sc.list_schemas(shares[0])
+    tabs = sc.list_tables(schemas[0])
+    assert {t.fqn for t in tabs} == {
+        "share1.default.cmt", "share1.default.dvt", "share1.default.plain"}
+    assert len(sc.list_all_tables()) == 4
+
+
+def test_profile_validation(tmp_path):
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump({"shareCredentialsVersion": 99, "endpoint": "x",
+                   "bearerToken": "y"}, f)
+    with pytest.raises(DeltaSharingError, match="version 1"):
+        DeltaSharingProfile.read_from_file(p)
+    with pytest.raises(DeltaSharingError, match="share.schema.table"):
+        parse_table_path("nohash")
+
+
+# -------------------------------------------------------- batch reads ----
+
+
+def test_parquet_format_snapshot_equals_direct(served, spark):
+    server, profile, tables = served
+    url = f"{profile}#share1.default.plain"
+    shared = load_as_spark(spark, url)
+    direct = DeltaTable.forPath(spark, tables["plain"]).toDF()
+    assert _rows(shared, "id") == _rows(direct, "id")
+    assert shared.schema == direct.schema
+
+
+def test_predicate_hints_prune_server_side(served, spark):
+    server, profile, tables = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    full = client.query_table("share1", "default", "plain")
+    hinted = client.query_table(
+        "share1", "default", "plain",
+        json_predicate_hints=json.dumps({
+            "op": "equal", "children": [
+                {"op": "column", "name": "part", "valueType": "int"},
+                {"op": "literal", "value": "2", "valueType": "int"}]}))
+    assert 0 < len(hinted.files) < len(full.files)
+
+    # end-to-end with a SQL predicate: pruned AND correct
+    shared = load_as_spark(spark, f"{profile}#share1.default.plain",
+                           predicate="part = 2")
+    direct = (DeltaTable.forPath(spark, tables["plain"]).toDF()
+              .filter("part = 2"))
+    assert _rows(shared, "id") == _rows(direct, "id")
+
+    # malformed hints degrade to full listing, never error
+    messy = client.query_table("share1", "default", "plain",
+                               json_predicate_hints="{not json")
+    assert len(messy.files) == len(full.files)
+
+
+def test_limit_hint(served, spark):
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    full = client.query_table("share1", "default", "plain")
+    limited = client.query_table("share1", "default", "plain", limit_hint=5)
+    assert len(limited.files) < len(full.files)
+    df = load_as_spark(spark, f"{profile}#share1.default.plain", limit=5)
+    assert df.count() == 5
+
+
+def test_time_travel(served, spark):
+    server, profile, tables = served
+    url = f"{profile}#share1.default.plain"
+    v0 = load_as_spark(spark, url, version=0)
+    direct_v0 = DeltaTable.forPath(spark, tables["plain"] + "@v0").toDF()
+    assert _rows(v0, "id") == _rows(direct_v0, "id")
+
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    log = DeltaLog.for_table(tables["plain"])
+    ts0 = log._commit_timestamp(0)
+    resp = client.query_table("share1", "default", "plain", timestamp=str(ts0))
+    assert resp.version == 0
+    with pytest.raises(DeltaSharingError) as ei:
+        client.query_table("share1", "default", "plain",
+                           timestamp=str(int(time.time() * 1000) + 10**7))
+    assert ei.value.status == 400
+    with pytest.raises(DeltaSharingError):
+        client.query_table("share1", "default", "plain", version=99)
+
+
+def test_version_endpoint(served):
+    server, profile, tables = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    latest = DeltaLog.for_table(tables["plain"]).latest_version()
+    assert client.query_table_version("share1", "default", "plain") == latest
+    # startingTimestamp before table creation -> earliest version
+    assert client.query_table_version(
+        "share1", "default", "plain", starting_timestamp="0") == 0
+
+
+# ------------------------------------------- delta-format (features) ----
+
+
+def test_dv_table_shared_in_delta_format(served, spark):
+    server, profile, tables = served
+    url = f"{profile}#share1.default.dvt"
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    resp = client.query_table("share1", "default", "dvt")
+    assert resp.format == "delta"
+    assert any(f.delta_action and
+               f.delta_action["add"].get("deletionVector")
+               for f in resp.files)
+    shared = load_as_spark(spark, url)
+    direct = DeltaTable.forPath(spark, tables["dvt"]).toDF()
+    assert _rows(shared, "id") == _rows(direct, "id")
+    assert shared.filter("id % 10 = 3").count() == 0
+
+
+def test_column_mapped_table_shared_in_delta_format(served, spark):
+    server, profile, tables = served
+    shared = load_as_spark(spark, f"{profile}#share1.default.cmt")
+    direct = DeltaTable.forPath(spark, tables["cmt"]).toDF()
+    assert shared.columns == ["id", "str2"]
+    assert _rows(shared, "id") == _rows(direct, "id")
+
+
+def test_parquet_only_client_rejected_for_feature_table(served, spark):
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile),
+                        response_format="parquet")
+    with pytest.raises(DeltaSharingError) as ei:
+        client.query_table("share1", "default", "dvt")
+    assert ei.value.status == 400
+    assert "responseformat=delta" in str(ei.value)
+
+
+def test_forced_delta_format_for_simple_table(served, spark):
+    server, profile, tables = served
+    shared = load_as_spark(spark, f"{profile}#share1.default.plain",
+                           response_format="delta")
+    direct = DeltaTable.forPath(spark, tables["plain"]).toDF()
+    assert _rows(shared, "id") == _rows(direct, "id")
+
+
+# ---------------------------------------------------------------- cdf ----
+
+
+def test_cdf_equals_direct(served, spark, tmp_path):
+    server, profile, tables = served
+    src = tables["plain"]
+    # make some changes so the feed is non-trivial
+    t = DeltaTable.forPath(spark, src)
+    t.update("id = 7", {"val": "val + 1000"})
+    t.delete("id = 8")
+    url = f"{profile}#share1.default.plain"
+    shared = load_table_changes_as_spark(spark, url, starting_version=0)
+    direct = table_changes(spark, DeltaLog.for_table(src),
+                           starting_version=0)
+    cols = ["id", "part", "val", "_change_type", "_commit_version"]
+    assert (_rows(shared.select(cols), "_commit_version", "id", "_change_type")
+            == _rows(direct.select(cols), "_commit_version", "id",
+                     "_change_type"))
+    # _commit_timestamp carried over from the source commits
+    sts = dict(shared.select("_commit_version", "_commit_timestamp")
+               .distinct().collect())
+    dts = dict(direct.select("_commit_version", "_commit_timestamp")
+               .distinct().collect())
+    assert sts == dts
+
+
+def test_cdf_range_and_errors(served, spark):
+    server, profile, tables = served
+    url = f"{profile}#share1.default.plain"
+    shared = load_table_changes_as_spark(
+        spark, url, starting_version=1, ending_version=1)
+    direct = table_changes(spark, DeltaLog.for_table(tables["plain"]),
+                           starting_version=1, ending_version=1)
+    assert shared.count() == direct.count()
+
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    with pytest.raises(DeltaSharingError, match="cdf is not enabled"):
+        client.query_table_changes("share1", "default", "dvt",
+                                   starting_version=0)
+    with pytest.raises(DeltaSharingError, match="must not be after"):
+        client.query_table_changes("share1", "default", "plain",
+                                   starting_version=2, ending_version=1)
+
+
+# ------------------------------------------------------ data plane ----
+
+
+def test_presigned_url_expiry_and_forgery(served):
+    server, profile, _ = served
+    url, _exp = server.presign("/etc/hostname", expiry_ms=1)
+    import urllib.error
+    import urllib.request
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(url)
+    assert ei.value.code == 403
+
+    url2, _ = server.presign("/etc/hostname")
+    tampered = url2[:-4] + ("aaaa" if not url2.endswith("aaaa") else "bbbb")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(tampered)
+    assert ei.value.code == 401
+
+
+def test_expired_profile_rejected(served, tmp_path):
+    server, _, _ = served
+    p = server.write_profile(str(tmp_path / "expired.json"),
+                             expiration_time="2020-01-01T00:00:00Z")
+    client = RestClient(DeltaSharingProfile.read_from_file(p))
+    with pytest.raises(DeltaSharingError, match="expired"):
+        client.list_shares()
+
+
+# ----------------------------------------------------- filters (unit) ----
+
+
+def test_hint_conversion_from_sql():
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("part", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ])
+    # partition-only conjunct converts; data conjunct dropped by default
+    h = F.hints_from_predicate("part = 2 AND id > 5", schema, ["part"])
+    tree = json.loads(h)
+    assert tree["op"] == "equal"
+    assert tree["children"][0] == {
+        "op": "column", "name": "part", "valueType": "int"}
+    # with the V2 gate both convert
+    h2 = F.hints_from_predicate("part = 2 AND id > 5", schema, ["part"],
+                                include_data_filters=True)
+    assert json.loads(h2)["op"] == "and"
+    # IN expands to or-of-equals
+    h3 = F.hints_from_predicate("part IN (1, 2)", schema, ["part"])
+    assert json.loads(h3)["op"] == "or"
+    # unconvertible-only predicate -> None
+    assert F.hints_from_predicate("s LIKE 'a%'", schema, ["part"]) is None
+
+
+def test_stats_skipping_three_valued():
+    stats = {"numRecords": 10, "minValues": {"id": 5}, "maxValues": {"id": 9},
+             "nullCount": {"id": 0}}
+    eq = {"op": "equal", "children": [
+        {"op": "column", "name": "id", "valueType": "long"},
+        {"op": "literal", "value": "3", "valueType": "long"}]}
+    assert F.eval_stats(eq, stats) is False          # outside [5,9] -> skip
+    eq["children"][1]["value"] = "7"
+    assert F.eval_stats(eq, stats) is None           # may match -> keep
+    isnull = {"op": "isNull", "children": [
+        {"op": "column", "name": "id", "valueType": "long"}]}
+    assert F.eval_stats(isnull, stats) is False      # nullCount 0 -> skip
+    # not() over interval logic is always unknown
+    assert F.eval_stats({"op": "not", "children": [eq]}, stats) is None
+    # missing stats keep the file
+    assert F.file_survives(eq, {}, None) is True
