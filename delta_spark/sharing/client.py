@@ -639,26 +639,33 @@ class Materializer:
         log_dir = os.path.join(table_dir, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
         path = os.path.join(log_dir, f"{version:020d}.json")
+        if os.path.exists(path):
+            return  # idempotent under concurrent materializations
         lines = []
         for a in actions:
             if isinstance(a, dict):
                 lines.append(json.dumps(a))
             else:
                 lines.append(action_to_json_line(a))
-        with open(path, "w", encoding="utf-8") as f:
+        # atomic publish: a tailing stream reader must never observe a
+        # torn commit file
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write("\n".join(lines) + "\n")
         if timestamp_ms is not None:
-            os.utime(path, (timestamp_ms / 1000.0, timestamp_ms / 1000.0))
+            os.utime(tmp, (timestamp_ms / 1000.0, timestamp_ms / 1000.0))
+        os.replace(tmp, path)
 
     # --------------------------------------------------- change query ----
 
     def changes_table(self, resp: SharingResponse, key: str,
-                      start: int, end: int) -> str:
+                      start: int, end: int,
+                      table_dir: Optional[str] = None) -> str:
         """Materialize a changes / version-range response as a delta
         table whose commit numbering mirrors the SOURCE table versions
         (empty filler commits up to `start`), so CDF and streaming
         reads over the faked table report the true _commit_version."""
-        table_dir = self._dir_for(key)
+        table_dir = table_dir or self._dir_for(key)
         self._part_cols = _dir_partition_columns(resp)
         marker = os.path.join(table_dir, "_delta_log", ".materialized")
         if os.path.exists(marker):
@@ -736,6 +743,83 @@ class Materializer:
         return AddCDCFile(path=rel,
                           partitionValues=dict(wf.partition_values),
                           size=wf.size)
+
+    # ----------------------------------------------------- streaming ----
+
+    def stream_init_snapshot(self, resp: SharingResponse, table_dir: str,
+                             remote_version: int) -> str:
+        """Initial materialization for a tailing stream without
+        startingVersion: the snapshot's files land in commit 0 and
+        filler commits carry the chain up to the source's current
+        version, so later appended commits keep SOURCE version numbers
+        (the contract streaming offsets/checkpoints depend on —
+        reference DeltaFormatSharingSource.scala:224 getStartingVersion
+        'fetch the snapshot at the fromVersion')."""
+        self._part_cols = _dir_partition_columns(resp)
+        marker = os.path.join(table_dir, "_delta_log", ".stream_init")
+        if os.path.exists(marker):
+            return table_dir
+        protocol = _response_protocol(resp)
+        meta = (_delta_metadata_to_action(resp.metadata)
+                if resp.format == RESPONSE_FORMAT_DELTA
+                else _classic_metadata_to_action(resp.metadata))
+        actions: list = [protocol, meta]
+        for wf in resp.files:
+            actions.append(self._add_action(table_dir, wf))
+        self._fetch_data(table_dir, resp.files)
+        self._write_commit(table_dir, 0, actions)
+        for v in range(1, remote_version + 1):
+            self._write_commit(
+                table_dir, v,
+                [{"commitInfo": {"operation": "SHARED-FILLER"}}])
+        with open(marker, "w", encoding="utf-8"):
+            pass
+        return table_dir
+
+    def append_range(self, resp: SharingResponse, table_dir: str,
+                     start: int, end: int) -> None:
+        """Append commits [start, end] from a version-range query to an
+        existing faked log. Data files are fetched BEFORE their commit
+        becomes visible, so a concurrently-planning stream reader never
+        plans a file that is still downloading."""
+        self._part_cols = _dir_partition_columns(resp)
+        by_version: dict[int, list] = {}
+        ts_by_version: dict[int, int] = {}
+        for wf in resp.files:
+            v = int(wf.version if wf.version is not None else start)
+            ts_by_version.setdefault(v, int(wf.timestamp or 0))
+            by_version.setdefault(v, []).append(
+                self._change_action(table_dir, wf))
+        for v, m in resp.historical_metadata:
+            if v < start:
+                continue
+            act = (_delta_metadata_to_action(m)
+                   if resp.format == RESPONSE_FORMAT_DELTA
+                   else _classic_metadata_to_action(m))
+            by_version.setdefault(v, []).insert(0, act)
+        # the response header restates metadata as of `start`; write it
+        # into the start commit only when it actually changed there,
+        # so the stream's schema tracking sees real changes only
+        head = (_delta_metadata_to_action(resp.metadata)
+                if resp.format == RESPONSE_FORMAT_DELTA
+                else _classic_metadata_to_action(resp.metadata))
+        try:
+            cur = DeltaLog.for_table(table_dir).update().metadata
+        except Exception:
+            cur = None
+        if cur is not None and (
+                cur.schemaString != head.schemaString
+                or cur.partitionColumns != head.partitionColumns):
+            acts = by_version.setdefault(start, [])
+            if not any(isinstance(a, Metadata) for a in acts):
+                acts.insert(0, head)
+        self._fetch_data(table_dir, resp.files)
+        for v in range(start, end + 1):
+            acts = by_version.pop(v, None)
+            if acts is None:
+                acts = [{"commitInfo": {"operation": "SHARED-FILLER"}}]
+            self._write_commit(table_dir, v, acts,
+                               timestamp_ms=ts_by_version.get(v))
 
 
 # --------------------------------------------------- spark loaders ----

@@ -383,3 +383,50 @@ def test_stats_skipping_three_valued():
     assert F.eval_stats({"op": "not", "children": [eq]}, stats) is None
     # missing stats keep the file
     assert F.file_survives(eq, {}, None) is True
+
+
+# ---------------------------------------------------------- streaming ----
+
+
+def test_stream_sharing_tails_new_commits(served, spark, tmp_path):
+    from delta_spark.sharing.stream import read_stream_sharing
+    from delta_spark.streaming import write_stream
+
+    server, profile, tables = served
+    url = f"{profile}#share1.default.dvt"
+    out_tbl = str(tmp_path / "sink_tbl")
+    cache = str(tmp_path / "stream_cache")
+    stream = read_stream_sharing(spark, url, sharingCacheDir=cache)
+    q = write_stream(stream, out_tbl, str(tmp_path / "ckpt"),
+                     query_id="shareq")
+    q.awaitTermination(120)
+    direct = DeltaTable.forPath(spark, tables["dvt"]).toDF()
+    dt = DeltaTable.forPath(spark, out_tbl)
+    assert dt.toDF().count() == direct.count()  # DV-filtered snapshot
+
+    # new source commit -> a second availableNow pass picks only it up
+    write_delta(spark.range(1000, 1010).select(
+        sf.col("id"), (sf.col("id") % 3).alias("m")), tables["dvt"],
+        mode="append")
+    stream2 = read_stream_sharing(spark, url, sharingCacheDir=cache)
+    q2 = write_stream(stream2, out_tbl, str(tmp_path / "ckpt"),
+                      query_id="shareq")
+    q2.awaitTermination(120)
+    assert dt.toDF().count() == direct.count() + 10
+
+
+def test_stream_sharing_starting_version(served, spark, tmp_path):
+    from delta_spark.sharing.stream import read_stream_sharing
+
+    server, profile, tables = served
+    url = f"{profile}#share1.default.plain"
+    cache = str(tmp_path / "stream_cache2")
+    stream = read_stream_sharing(spark, url, sharingCacheDir=cache,
+                                 startingVersion="1")
+    q = (stream.writeStream.format("memory").queryName("share_sv")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sv"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c FROM share_sv").collect()[0]["c"]
+    # version 1 of 'plain' was an empty append; nothing to stream
+    assert got == 0
