@@ -577,23 +577,84 @@ def q_delta_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total")))
 
 
-def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE HISTORY, deterministic projection: timestamps and
-    metrics are run-dependent, but (version, operation, readVersion)
-    are fully pinned by the command sequence, so the row is
-    hash-checkable against a literal DuckDB oracle (reference:
-    DeltaHistoryManager.getHistory returns the same commitInfo
-    fields)."""
-    def b(spark, sf_dir, path):
-        write_delta(load_table(spark, sf_dir, "supplier").repartition(4),
-                    path)
-        dt = DeltaTable.forPath(spark, path)
-        dt.delete("s_acctbal < 0")
-        dt.optimize().executeCompaction()
-    p = _table(spark, sf_dir, "supp_hist", b)
-    return (_dt(spark, p).history()
-            .select("version", "operation",
-                    F.col("readVersion").cast("long").alias("read_version")))
+def q_sharing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Sharing composite gate row (delta_spark/sharing/): a live
+    in-process sharing server over two delta tables built from sf
+    data, exercised through the REST client end-to-end — listing,
+    full + predicate-pruned batch reads (with server-side file
+    skipping observed), limitHint, version time travel, delta-format
+    negotiation for a DV table, and a CDF read — every count
+    re-derived by DuckDB from the raw parquet (reference
+    sharing/.../DeltaSharingDataSource.scala:52; the standalone
+    delta_history row folded into table_ops_suite to stay within the
+    50-row driver cap)."""
+    import tempfile as _tf
+
+    from delta_spark.sharing import (SharingServer, SharingServerConfig,
+                                     load_as_spark,
+                                     load_table_changes_as_spark)
+    from delta_spark.sharing.client import RestClient
+    from delta_spark.sharing.protocol import DeltaSharingProfile
+
+    rows: list[tuple] = []
+
+    def b_cust(spark, sf_dir, path):
+        cust = load_table(spark, sf_dir, "customer")
+        write_delta(cust.filter("c_custkey % 2 = 0"), path,
+                    partition_by=["c_mktsegment"],
+                    configuration={"delta.enableChangeDataFeed": "true"})
+        write_delta(cust.filter("c_custkey % 2 = 1"), path, mode="append")
+        DeltaTable.forPath(spark, path).delete("c_custkey % 97 = 0")
+
+    def b_nat(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "nation"), path,
+                    configuration={"delta.enableDeletionVectors": "true"})
+        DeltaTable.forPath(spark, path).delete("n_regionkey = 2")
+
+    cpath = _table(spark, sf_dir, "share_cust", b_cust)
+    npath = _table(spark, sf_dir, "share_nat", b_nat)
+    cfg = SharingServerConfig()
+    cfg.add_table("gate", "tpch", "customer", cpath)
+    cfg.add_table("gate", "tpch", "nation", npath)
+    cache = _tf.mkdtemp(prefix="dsq_share_cache_")
+    with SharingServer(cfg) as srv:
+        profile = srv.write_profile(os.path.join(cache, "profile.json"))
+        client = RestClient(DeltaSharingProfile.read_from_file(profile))
+        rows.append(("listing", "tables",
+                     len(client.list_tables("gate", "tpch"))))
+        curl = f"{profile}#gate.tpch.customer"
+        nurl = f"{profile}#gate.tpch.nation"
+        rows.append(("batch", "rows",
+                     load_as_spark(spark, curl, cache_dir=cache).count()))
+        full = client.query_table("gate", "tpch", "customer")
+        pruned = load_as_spark(spark, curl, cache_dir=cache,
+                               predicate="c_mktsegment = 'BUILDING'")
+        hinted = client.query_table(
+            "gate", "tpch", "customer",
+            json_predicate_hints='{"op":"equal","children":['
+            '{"op":"column","name":"c_mktsegment","valueType":"string"},'
+            '{"op":"literal","value":"BUILDING","valueType":"string"}]}')
+        rows.append(("batch", "pruned_rows", pruned.count()))
+        rows.append(("batch", "server_skipped",
+                     int(len(hinted.files) < len(full.files))))
+        rows.append(("limit", "rows",
+                     load_as_spark(spark, curl, cache_dir=cache,
+                                   limit=7).count()))
+        rows.append(("timetravel", "v0_rows",
+                     load_as_spark(spark, curl, cache_dir=cache,
+                                   version=0).count()))
+        nresp = client.query_table("gate", "tpch", "nation")
+        rows.append(("delta_fmt", "negotiated",
+                     int(nresp.format == "delta")))
+        rows.append(("dv", "rows",
+                     load_as_spark(spark, nurl, cache_dir=cache).count()))
+        changes = load_table_changes_as_spark(
+            spark, curl, starting_version=0, cache_dir=cache)
+        for ct, n in sorted((r[0], r[1]) for r in changes
+                            .groupBy("_change_type").count().collect()):
+            rows.append(("cdf", ct, n))
+    return spark.createDataFrame(
+        rows, "variant string, k string, n bigint")
 
 
 def q_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,6 +1519,23 @@ def q_table_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(CAST(s_acctbal AS DECIMAL(18,2)) * 100) "
                "AS BIGINT)"))).collect()[0][0])))
 
+    # --- DESCRIBE HISTORY (ex standalone delta_history row, folded
+    # here r10 to free a registry slot for sharing_suite): (version,
+    # operation, readVersion) are fully pinned by the command
+    # sequence (DeltaHistoryManager.getHistory) --------------------------
+    def bh(spark, sf_dir, path):
+        write_delta(load_table(spark, sf_dir, "supplier").repartition(4),
+                    path)
+        dt = DeltaTable.forPath(spark, path)
+        dt.delete("s_acctbal < 0")
+        dt.optimize().executeCompaction()
+    hp = _table(spark, sf_dir, "supp_hist", bh)
+    for r in (_dt(spark, hp).history()
+              .select("version", "operation", "readVersion").collect()):
+        rows.append(("history", f"{r['version']}:{r['operation']}",
+                     -1 if r["readVersion"] is None
+                     else int(r["readVersion"])))
+
     return spark.createDataFrame(
         [(a, b, c) for a, b, c in rows],
         "variant string, k string, n bigint")
@@ -2198,7 +2276,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delta_rename_column": q_delta_rename_column,
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_named_table": q_delta_named_table,
-        "delta_history": q_delta_history,
+        "sharing_suite": q_sharing_suite,
         "delta_uniform": q_delta_uniform,
         "delta_variant": q_delta_variant,
         "delta_type_widening": q_delta_type_widening,
@@ -2687,12 +2765,24 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM orders WHERE o_orderkey % 13 <> 0
             GROUP BY o_orderstatus""",
-        "delta_history": """
-            SELECT * FROM (VALUES
-                (CAST(2 AS BIGINT), 'OPTIMIZE',               CAST(1 AS BIGINT)),
-                (CAST(1 AS BIGINT), 'DELETE',                 CAST(0 AS BIGINT)),
-                (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT', CAST(NULL AS BIGINT))
-            ) t(version, operation, read_version)""",
+        "sharing_suite": """
+            SELECT 'listing' AS variant, 'tables' AS k, 2 AS n
+            UNION ALL SELECT 'batch', 'rows',
+              (SELECT count(*) FROM customer WHERE c_custkey % 97 <> 0)
+            UNION ALL SELECT 'batch', 'pruned_rows',
+              (SELECT count(*) FROM customer
+               WHERE c_mktsegment = 'BUILDING' AND c_custkey % 97 <> 0)
+            UNION ALL SELECT 'batch', 'server_skipped', 1
+            UNION ALL SELECT 'limit', 'rows', 7
+            UNION ALL SELECT 'timetravel', 'v0_rows',
+              (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+            UNION ALL SELECT 'delta_fmt', 'negotiated', 1
+            UNION ALL SELECT 'dv', 'rows',
+              (SELECT count(*) FROM nation WHERE n_regionkey <> 2)
+            UNION ALL SELECT 'cdf', 'delete',
+              (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+            UNION ALL SELECT 'cdf', 'insert',
+              (SELECT count(*) FROM customer)""",
         "delta_uniform": """
             SELECT CAST(count(*) AS BIGINT) AS total_records,
                    CAST(sum(CASE WHEN NOT coalesce(s_acctbal < 0, false)
@@ -2857,7 +2947,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'convert', 'acctbal_cents',
               (SELECT CAST(sum(CAST(round(CAST(s_acctbal AS DECIMAL(18,2))
                                           * 100) AS BIGINT)) AS BIGINT)
-               FROM supplier)""",
+               FROM supplier)
+            UNION ALL SELECT 'history', '0:CREATE TABLE AS SELECT', -1
+            UNION ALL SELECT 'history', '1:DELETE', 0
+            UNION ALL SELECT 'history', '2:OPTIMIZE', 1""",
         "tpch_q5": f"""
             SELECT n_name, CAST(sum({_REV_D}) AS DOUBLE) AS revenue
             FROM customer
