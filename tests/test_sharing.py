@@ -430,3 +430,84 @@ def test_stream_sharing_starting_version(served, spark, tmp_path):
     got = spark.sql("SELECT count(*) c FROM share_sv").collect()[0]["c"]
     # version 1 of 'plain' was an empty append; nothing to stream
     assert got == 0
+
+
+# ------------------------------------------- delta_sharing shim parity ----
+
+
+def test_delta_sharing_package_shim(served, spark):
+    """`import delta_sharing` call sites from the public connector work
+    verbatim (load_as_spark uses the ACTIVE session, pandas path needs
+    no Spark for classic tables)."""
+    import delta_sharing
+
+    server, profile, tables = served
+    url = f"{profile}#share1.default.plain"
+    assert delta_sharing.get_table_version(url) == \
+        DeltaLog.for_table(tables["plain"]).latest_version()
+    meta = delta_sharing.get_table_metadata(url)
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    assert delta_sharing.get_table_protocol(url)["minReaderVersion"] == 1
+
+    df = delta_sharing.load_as_spark(url)
+    direct = DeltaTable.forPath(spark, tables["plain"]).toDF()
+    assert df.count() == direct.count()
+
+    pdf = delta_sharing.load_as_pandas(url)
+    assert len(pdf) == direct.count()
+    assert list(pdf.columns) == direct.columns
+    # partition column values survive the pandas path
+    assert sorted(pdf["part"].unique().tolist()) == [0, 1, 2, 3]
+
+    # pandas path for a DV table routes through Spark and drops rows
+    dv_pdf = delta_sharing.load_as_pandas(f"{profile}#share1.default.dvt")
+    assert len(dv_pdf) == DeltaTable.forPath(
+        spark, tables["dvt"]).toDF().count()
+
+    ch = delta_sharing.load_table_changes_as_pandas(url, starting_version=0)
+    assert set(ch.columns) >= {"_change_type", "_commit_version"}
+
+    sc = delta_sharing.SharingClient(profile)
+    assert [s.name for s in sc.list_shares()] == ["share1", "share2"]
+
+
+def test_column_mapped_cdf_through_sharing(spark, tmp_path):
+    """The gnarliest interaction from r8's bug family: CDC files under
+    column mapping carry PHYSICAL names; a shared CDF read must decode
+    them exactly like a direct read."""
+    from delta_spark.sql import delta_sql
+
+    src = str(tmp_path / "cm_cdf")
+    write_delta(spark.range(0, 60).selectExpr("id", "id * 2 AS v"), src,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    t = DeltaTable.forPath(spark, src)
+    t.upgradeTableProtocol(2, 5)
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` SET TBLPROPERTIES "
+                     "('delta.columnMapping.mode' = 'name')")
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` RENAME COLUMN v TO val")
+    t.update("id % 5 = 0", {"val": "val + 100"})
+    t.delete("id = 7")
+
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        url = f"{profile}#s.d.t"
+        # the range must start after the RENAME (CDF refuses ranges
+        # spanning a rename, same as a direct read — cdf.py:142)
+        start = DeltaLog.for_table(src).latest_version() - 1
+        shared = load_table_changes_as_spark(spark, url,
+                                             starting_version=start)
+        direct = table_changes(spark, DeltaLog.for_table(src),
+                               starting_version=start)
+        cols = ["id", "val", "_change_type", "_commit_version"]
+        assert (_rows(shared.select(cols), "_commit_version", "id",
+                      "_change_type")
+                == _rows(direct.select(cols), "_commit_version", "id",
+                         "_change_type"))
+        # snapshot read too (mapped physical names + renamed column)
+        snap = load_as_spark(spark, url)
+        assert snap.columns == ["id", "val"]
+        assert _rows(snap, "id") == _rows(
+            DeltaTable.forPath(spark, src).toDF(), "id")
+    DeltaLog.clear_cache()
