@@ -243,8 +243,13 @@ class RestClient:
                     version: Optional[int] = None,
                     timestamp: Optional[str] = None,
                     starting_version: Optional[int] = None,
-                    ending_version: Optional[int] = None
+                    ending_version: Optional[int] = None,
+                    max_files: Optional[int] = None
                     ) -> "SharingResponse":
+        """Snapshot / version-range query. With ``max_files`` the
+        server paginates via endStreamAction cursors; pages are
+        drained transparently here (the page token pins the snapshot
+        version, so every page reads the same table state)."""
         body: dict = {}
         if predicate_hints:
             body["predicateHints"] = predicate_hints
@@ -260,10 +265,20 @@ class RestClient:
             body["startingVersion"] = starting_version
         if ending_version is not None:
             body["endingVersion"] = ending_version
-        headers, resp = self._request(
-            "POST", self._table_path(share, schema, table) + "/query",
-            body=body)
-        return SharingResponse.parse(headers, resp)
+        if max_files is not None:
+            body["maxFiles"] = max_files
+        path = self._table_path(share, schema, table) + "/query"
+        headers, resp = self._request("POST", path, body=body)
+        out = SharingResponse.parse(headers, resp)
+        while out.next_page_token:
+            body["pageToken"] = out.next_page_token
+            body.pop("version", None)
+            body.pop("timestamp", None)
+            headers, resp = self._request("POST", path, body=body)
+            page = SharingResponse.parse(headers, resp)
+            out.files.extend(page.files)
+            out.next_page_token = page.next_page_token
+        return out
 
     def query_table_changes(self, share: str, schema: str, table: str,
                             starting_version: Optional[int] = None,
@@ -323,6 +338,7 @@ class SharingResponse:
         self.historical_metadata: list[tuple[int, dict]] = []
         self.historical_protocols: list[tuple[int, dict]] = []
         self.files: list[WireFile] = []
+        self.next_page_token: Optional[str] = None
 
     @staticmethod
     def parse(headers: dict, body: bytes) -> "SharingResponse":
@@ -340,6 +356,8 @@ class SharingResponse:
                 r._take_protocol(d["protocol"])
             elif "metaData" in d:
                 r._take_metadata(d["metaData"])
+            elif "endStreamAction" in d:
+                r.next_page_token = d["endStreamAction"].get("nextPageToken")
             elif "file" in d and r.format == RESPONSE_FORMAT_DELTA:
                 r.files.append(_parse_delta_file(d["file"]))
             else:

@@ -554,8 +554,14 @@ def _make_handler(server: SharingServer):
         def _query(self, ref: _TableRef, body: dict) -> None:
             if body.get("startingVersion") is not None:
                 return self._query_range(ref, body)
-            v = self._resolve_version(
-                ref, body.get("version"), body.get("timestamp"))
+            page_token = body.get("pageToken")
+            if page_token:
+                v, start_idx = _decode_page_token(page_token)
+                ref.log.check_version_exists(v)
+            else:
+                v = self._resolve_version(
+                    ref, body.get("version"), body.get("timestamp"))
+                start_idx = 0
             snap = ref.log.snapshot_at(v)
             fmt = _pick_format(self._caps(), *_needs_delta_format(snap))
 
@@ -567,23 +573,39 @@ def _make_handler(server: SharingServer):
                 except F.PredicateHintError:
                     tree = None  # advisory: degrade to no skipping
             limit = body.get("limitHint")
+            max_files = body.get("maxFiles")
+            max_files = int(max_files) if max_files is not None else None
 
+            # deterministic order so page tokens (indexes into the
+            # surviving list) stay stable across page requests
+            survivors = [f for f in sorted(snap.all_files,
+                                           key=lambda f: f.path)
+                         if F.file_survives(tree, f.partitionValues,
+                                            f.parsed_stats)]
             files = []
             seen_records = 0
-            for f in snap.all_files:
-                if not F.file_survives(tree, f.partitionValues,
-                                       f.parsed_stats):
-                    continue
+            next_token = None
+            for idx in range(start_idx, len(survivors)):
+                f = survivors[idx]
                 files.append(f)
                 if limit is not None:
                     n = f.num_records
                     seen_records += n if n is not None else int(limit)
                     if seen_records >= int(limit):
                         break
+                if max_files is not None and len(files) >= max_files:
+                    if idx + 1 < len(survivors):
+                        next_token = _encode_page_token(v, idx + 1)
+                    break
 
             lines = self._header_lines(snap, v, fmt)
             for f in files:
                 lines.append(self._file_line(ref, f, fmt))
+            if next_token:
+                # EndStreamAction (delta-sharing PROTOCOL.md paginated
+                # queries): the last NDJSON line carries the cursor
+                lines.append(json.dumps(
+                    {"endStreamAction": {"nextPageToken": next_token}}))
             self._send_ndjson(lines, {
                 proto.TABLE_VERSION_HEADER: str(v),
                 proto.CAPABILITIES_HEADER: f"responseformat={fmt}",
@@ -748,6 +770,24 @@ def _make_handler(server: SharingServer):
 
 
 # ------------------------------------------------------------ helpers ----
+
+
+def _encode_page_token(version: int, idx: int) -> str:
+    """Opaque query-pagination cursor: pins the snapshot VERSION so
+    later pages read the same table state the first page did, plus the
+    index into the deterministic surviving-file order."""
+    payload = json.dumps({"v": version, "i": idx},
+                         separators=(",", ":")).encode()
+    return base64.urlsafe_b64encode(payload).decode().rstrip("=")
+
+
+def _decode_page_token(token: str) -> tuple[int, int]:
+    try:
+        d = json.loads(base64.urlsafe_b64decode(
+            token + "=" * (-len(token) % 4)))
+        return int(d["v"]), int(d["i"])
+    except Exception as e:
+        raise proto.DeltaSharingError(f"invalid pageToken: {e}", 400) from e
 
 
 def _abs_file_path(table_path: str, rel_or_abs: str) -> str:

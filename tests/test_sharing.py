@@ -511,3 +511,41 @@ def test_column_mapped_cdf_through_sharing(spark, tmp_path):
         assert _rows(snap, "id") == _rows(
             DeltaTable.forPath(spark, src).toDF(), "id")
     DeltaLog.clear_cache()
+
+
+def test_query_pagination(served, spark):
+    """maxFiles pages through endStreamAction cursors; the union of
+    pages equals the unpaginated listing and the version is pinned by
+    the cursor (PROTOCOL.md paginated queries)."""
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    full = client.query_table("share1", "default", "plain")
+    assert len(full.files) > 2
+
+    # transparent drain in the client
+    paged = client.query_table("share1", "default", "plain", max_files=2)
+    assert sorted(f.id for f in paged.files) == \
+        sorted(f.id for f in full.files)
+
+    # raw single page: at most maxFiles files + a cursor
+    _, body = client._request(
+        "POST", "/shares/share1/schemas/default/tables/plain/query",
+        body={"maxFiles": 2})
+    lines = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+    kinds = [next(iter(d)) for d in lines]
+    assert kinds.count("file") == 2
+    assert kinds[-1] == "endStreamAction"
+    token = lines[-1]["endStreamAction"]["nextPageToken"]
+    _, body2 = client._request(
+        "POST", "/shares/share1/schemas/default/tables/plain/query",
+        body={"maxFiles": 1000, "pageToken": token})
+    page2 = [json.loads(l) for l in body2.decode().splitlines() if l.strip()]
+    ids2 = {d["file"]["id"] for d in page2 if "file" in d}
+    ids1 = {d["file"]["id"] for d in lines if "file" in d}
+    assert ids1.isdisjoint(ids2)
+    assert len(ids1 | ids2) == len(full.files)
+
+    with pytest.raises(DeltaSharingError, match="pageToken"):
+        client._request(
+            "POST", "/shares/share1/schemas/default/tables/plain/query",
+            body={"pageToken": "garbage!!"})
