@@ -110,10 +110,13 @@ class SharingServer:
         return self
 
     def stop(self) -> None:
+        import shutil
+
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=10)
+        shutil.rmtree(self._spool, ignore_errors=True)
 
     def __enter__(self) -> "SharingServer":
         return self.start()
@@ -576,12 +579,33 @@ def _make_handler(server: SharingServer):
             max_files = body.get("maxFiles")
             max_files = int(max_files) if max_files is not None else None
 
+            # hints carry LOGICAL column names; under column mapping the
+            # file's partitionValues / stats keys are PHYSICAL — only
+            # the server knows the mapping, so translate before eval
+            # (a name miss would silently disable skipping, never
+            # wrongness, but the whole point of the hint is the skip)
+            p2l = {}
+            if snap.column_mapping_enabled:
+                p2l = {p: l for l, p in snap.physical_map().items()}
+
+            def _logical(d: Optional[dict]) -> Optional[dict]:
+                if not p2l or not d:
+                    return d
+                return {p2l.get(k, k): v for k, v in d.items()}
+
+            def _logical_stats(f: AddFile) -> Optional[dict]:
+                st = f.parsed_stats
+                if not p2l or not st:
+                    return st
+                return {k: (_logical(v) if isinstance(v, dict) else v)
+                        for k, v in st.items()}
+
             # deterministic order so page tokens (indexes into the
             # surviving list) stay stable across page requests
             survivors = [f for f in sorted(snap.all_files,
                                            key=lambda f: f.path)
-                         if F.file_survives(tree, f.partitionValues,
-                                            f.parsed_stats)]
+                         if F.file_survives(tree, _logical(f.partitionValues),
+                                            _logical_stats(f))]
             files = []
             seen_records = 0
             next_token = None

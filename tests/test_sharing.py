@@ -549,3 +549,48 @@ def test_query_pagination(served, spark):
         client._request(
             "POST", "/shares/share1/schemas/default/tables/plain/query",
             body={"pageToken": "garbage!!"})
+
+
+def test_hint_skipping_under_column_mapping(spark, tmp_path):
+    """Hints carry logical names; under column mapping the server
+    translates them to the physical partitionValues/stats keys so
+    skipping still fires (a silent name miss would only disable the
+    optimization — this pins that it actually works)."""
+    from delta_spark.sql import delta_sql
+
+    src = str(tmp_path / "cm_part")
+    write_delta(spark.range(0, 80).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS bucket"), src,
+        partition_by=["bucket"])
+    t = DeltaTable.forPath(spark, src)
+    t.upgradeTableProtocol(2, 5)
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` SET TBLPROPERTIES "
+                     "('delta.columnMapping.mode' = 'name')")
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` RENAME COLUMN bucket TO b")
+
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        client = RestClient(DeltaSharingProfile.read_from_file(profile))
+        full = client.query_table("s", "d", "t")
+        hinted = client.query_table(
+            "s", "d", "t",
+            json_predicate_hints=json.dumps({
+                "op": "equal", "children": [
+                    {"op": "column", "name": "b", "valueType": "int"},
+                    {"op": "literal", "value": "2", "valueType": "int"}]}))
+        assert 0 < len(hinted.files) < len(full.files)
+
+        # and stats-based skipping on a data column (logical name 'id')
+        v2 = client.query_table(
+            "s", "d", "t",
+            json_predicate_hints=json.dumps({
+                "op": "greaterThan", "children": [
+                    {"op": "column", "name": "id", "valueType": "long"},
+                    {"op": "literal", "value": "1000", "valueType": "long"}]}))
+        assert len(v2.files) == 0
+
+        shared = load_as_spark(spark, f"{profile}#s.d.t", predicate="b = 2")
+        assert shared.count() == 20
+    DeltaLog.clear_cache()
