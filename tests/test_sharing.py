@@ -594,3 +594,67 @@ def test_hint_skipping_under_column_mapping(spark, tmp_path):
         shared = load_as_spark(spark, f"{profile}#s.d.t", predicate="b = 2")
         assert shared.count() == 20
     DeltaLog.clear_cache()
+
+
+def test_partition_value_encoding_edges(spark, tmp_path):
+    """Special characters and NULLs in partition values survive the
+    wire + hive-layout materialization round trip (escape_partition_
+    value / encode_log_path interplay)."""
+    src = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x=y"), (3, "s/t"), (4, None), (5, "100%")],
+        "id int, k string")
+    write_delta(df, src, partition_by=["k"])
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        shared = load_as_spark(spark, f"{profile}#s.d.t")
+        direct = DeltaTable.forPath(spark, src).toDF()
+        assert _rows(shared, "id") == _rows(direct, "id")
+        # null-partition filter semantics intact
+        assert shared.filter("k IS NULL").count() == 1
+    DeltaLog.clear_cache()
+
+
+def test_empty_table_and_empty_prune(served, spark, tmp_path):
+    src = str(tmp_path / "empty")
+    write_delta(spark.range(0).selectExpr("id", "id*2 AS v"), src)
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        shared = load_as_spark(spark, f"{profile}#s.d.t")
+        assert shared.count() == 0
+        assert shared.columns == ["id", "v"]
+    # a predicate pruning every file of a non-empty table
+    _, profile2, _ = served
+    pruned = load_as_spark(spark, f"{profile2}#share1.default.plain",
+                           predicate="part = 99")
+    assert pruned.count() == 0
+    DeltaLog.clear_cache()
+
+
+def test_type_widened_table_through_sharing(spark, tmp_path):
+    """Type widening (delta format: typeWidening reader feature) —
+    narrow files must read back widened through the faked log."""
+    from delta_spark.sql import delta_sql
+
+    src = str(tmp_path / "wide")
+    write_delta(spark.range(0, 10).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS SMALLINT) AS v"), src,
+        configuration={"delta.enableTypeWidening": "true"})
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` "
+                     "ALTER COLUMN v TYPE INT")
+    write_delta(spark.range(10, 20).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS INT) AS v"), src,
+        mode="append")
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        shared = load_as_spark(spark, f"{profile}#s.d.t")
+        direct = DeltaTable.forPath(spark, src).toDF()
+        assert shared.schema == direct.schema
+        assert _rows(shared, "id") == _rows(direct, "id")
+    DeltaLog.clear_cache()
