@@ -793,6 +793,35 @@ def main() -> None:
 
     run_median(timings, "stream_drain", stream_run, setup=stream_setup)
 
+    # ---- sharing: full shared-table read through the REST tier ---------
+    # (server log replay + NDJSON + presigned-url downloads over
+    # loopback + faked-log read — the complete client path; the cache
+    # dir is FRESH each iteration so no download is ever skipped)
+    def sharing_setup(i):
+        from delta_spark.sharing import SharingServer, SharingServerConfig
+
+        cfg = SharingServerConfig()
+        cfg.add_table("bench", "tpch", "lineitem",
+                      os.path.join(base, "lineitem"))
+        srv = SharingServer(cfg).start()
+        prof = srv.write_profile(os.path.join(scratch, f"share_p{i}.json"))
+        cache = os.path.join(scratch, f"share_cache{i}")
+        shutil.rmtree(cache, ignore_errors=True)
+        return srv, prof, cache
+
+    def sharing_run(ctx):
+        from delta_spark.sharing import load_as_spark
+
+        srv, prof, cache = ctx
+        try:
+            n = load_as_spark(spark, f"{prof}#bench.tpch.lineitem",
+                              cache_dir=cache).count()
+            assert n > 0
+        finally:
+            srv.stop()
+
+    run_median(timings, "sharing_read", sharing_run, setup=sharing_setup)
+
     # ---- AMT: cold snapshot reconstruction through the manifest tree --
     amt_tbl = os.path.join(scratch, "amt_bench")
 

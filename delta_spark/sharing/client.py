@@ -714,6 +714,15 @@ class Materializer:
             if resp.format == RESPONSE_FORMAT_PARQUET:
                 act.configuration["delta.enableChangeDataFeed"] = "true"
             by_version.setdefault(v, []).insert(0, act)
+        for v, p in resp.historical_protocols:
+            # a mid-range protocol upgrade (say, DVs enabled) must land
+            # in the faked log before the first action that needs it
+            by_version.setdefault(v, []).insert(
+                0, Protocol(**{k: x for k, x in p["deltaProtocol"].items()
+                               if k in ("minReaderVersion",
+                                        "minWriterVersion",
+                                        "readerFeatures",
+                                        "writerFeatures")}))
 
         # version 0 carries protocol+metadata; fillers keep the chain
         # contiguous; real actions land at their true versions.
@@ -815,6 +824,15 @@ class Materializer:
                    if resp.format == RESPONSE_FORMAT_DELTA
                    else _classic_metadata_to_action(m))
             by_version.setdefault(v, []).insert(0, act)
+        for v, p in resp.historical_protocols:
+            if v < start:
+                continue
+            by_version.setdefault(v, []).insert(
+                0, Protocol(**{k: x for k, x in p["deltaProtocol"].items()
+                               if k in ("minReaderVersion",
+                                        "minWriterVersion",
+                                        "readerFeatures",
+                                        "writerFeatures")}))
         # the response header restates metadata as of `start`; write it
         # into the start commit only when it actually changed there,
         # so the stream's schema tracking sees real changes only

@@ -56,7 +56,19 @@ def _stable_cache_dir(override: Optional[str] = None) -> str:
 
 
 class SharingStreamSync:
-    """Keeps a faked local log in step with the shared table."""
+    """Keeps a faked local log in step with the shared table.
+
+    Durability caveat: the reconstructed log IS the stream's notion of
+    the table, and checkpointed offsets reference its version numbers
+    (which mirror the source's). Because the materialization is
+    content-addressed and idempotent, restarts on the same
+    ``sharingCacheDir`` resume exactly. If the cache dir is LOST while
+    a checkpoint still points into the initial snapshot (commit 0), a
+    re-init would snapshot the source at its CURRENT version — a
+    different commit-0 file set than the one the offset indexed — so
+    resume that checkpoint only with the original cache dir, or start
+    the query fresh (same rule the reference applies to its
+    constructed-log state, DeltaSharingLogFileSystem.scala)."""
 
     def __init__(self, url: str, cache_dir: Optional[str] = None,
                  starting_version: Optional[int] = None,

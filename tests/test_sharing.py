@@ -658,3 +658,32 @@ def test_type_widened_table_through_sharing(spark, tmp_path):
         assert shared.schema == direct.schema
         assert _rows(shared, "id") == _rows(direct, "id")
     DeltaLog.clear_cache()
+
+
+def test_mid_range_protocol_upgrade_materializes(spark, tmp_path):
+    """A protocol upgrade inside a changes range (DVs enabled at v1,
+    DV delete at v2) must land in the faked log before the DV-carrying
+    actions — historical protocol lines round-trip."""
+    from delta_spark.sql import delta_sql
+
+    src = str(tmp_path / "upg")
+    write_delta(spark.range(0, 50).selectExpr("id", "id*2 AS v"), src,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` SET TBLPROPERTIES "
+                     "('delta.enableDeletionVectors' = 'true')")
+    DeltaTable.forPath(spark, src).delete("id % 5 = 0")
+
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        url = f"{profile}#s.d.t"
+        shared = load_table_changes_as_spark(spark, url, starting_version=0)
+        direct = table_changes(spark, DeltaLog.for_table(src),
+                               starting_version=0)
+        cols = ["id", "v", "_change_type", "_commit_version"]
+        assert (_rows(shared.select(cols), "_commit_version", "id",
+                      "_change_type")
+                == _rows(direct.select(cols), "_commit_version", "id",
+                         "_change_type"))
+    DeltaLog.clear_cache()
