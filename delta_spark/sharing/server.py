@@ -249,6 +249,10 @@ def _paginate(items: list, qs: dict) -> dict:
     max_results = None
     if qs.get("maxResults"):
         max_results = int(qs["maxResults"][0])
+        if max_results <= 0:
+            # a 0-size page would hand back the same cursor forever
+            raise proto.DeltaSharingError(
+                "maxResults must be a positive integer", 400)
     start = 0
     if qs.get("pageToken"):
         try:
@@ -578,6 +582,9 @@ def _make_handler(server: SharingServer):
             limit = body.get("limitHint")
             max_files = body.get("maxFiles")
             max_files = int(max_files) if max_files is not None else None
+            if max_files is not None and max_files <= 0:
+                raise proto.DeltaSharingError(
+                    "maxFiles must be a positive integer", 400)
 
             # hints carry LOGICAL column names; under column mapping the
             # file's partitionValues / stats keys are PHYSICAL — only
