@@ -579,6 +579,19 @@ def _make_handler(server: SharingServer):
                     tree = F.parse_hints(hints)
                 except F.PredicateHintError:
                     tree = None  # advisory: degrade to no skipping
+            # legacy predicateHints: SQL condition strings over
+            # partition columns (PROTOCOL.md "SQL Expressions for
+            # Filtering") — evaluated through the engine's own
+            # data-skipping entry point, sound fallback to no skipping
+            sql_keep: Optional[set] = None
+            sql_hints = body.get("predicateHints")
+            if sql_hints:
+                try:
+                    cond = " AND ".join(f"({h})" for h in sql_hints)
+                    sql_keep = {f.path
+                                for f in snap.files_for_scan(cond)}
+                except Exception:
+                    sql_keep = None  # advisory
             limit = body.get("limitHint")
             max_files = body.get("maxFiles")
             max_files = int(max_files) if max_files is not None else None
@@ -612,7 +625,8 @@ def _make_handler(server: SharingServer):
             survivors = [f for f in sorted(snap.all_files,
                                            key=lambda f: f.path)
                          if F.file_survives(tree, _logical(f.partitionValues),
-                                            _logical_stats(f))]
+                                            _logical_stats(f))
+                         and (sql_keep is None or f.path in sql_keep)]
             files = []
             seen_records = 0
             next_token = None

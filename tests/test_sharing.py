@@ -687,3 +687,45 @@ def test_mid_range_protocol_upgrade_materializes(spark, tmp_path):
                 == _rows(direct.select(cols), "_commit_version", "id",
                          "_change_type"))
     DeltaLog.clear_cache()
+
+
+def test_legacy_predicate_hints(served):
+    """Classic predicateHints (SQL strings) prune through the engine's
+    own files_for_scan; malformed hints degrade to the full listing."""
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    full = client.query_table("share1", "default", "plain")
+    hinted = client.query_table("share1", "default", "plain",
+                                predicate_hints=["part = 1"])
+    assert 0 < len(hinted.files) < len(full.files)
+    junk = client.query_table("share1", "default", "plain",
+                              predicate_hints=["?? not sql ??"])
+    assert len(junk.files) == len(full.files)
+
+
+def test_streaming_cdf_through_sharing(served, spark, tmp_path):
+    """readChangeFeed=true on the sharing stream source: CDC actions in
+    appended faked commits drive the ordinary streaming-CDF path."""
+    from delta_spark.sharing.stream import read_stream_sharing
+
+    server, profile, tables = served
+    # fresh change on the CDF-enabled table
+    t = DeltaTable.forPath(spark, tables["plain"])
+    t.delete("id = 11")
+    url = f"{profile}#share1.default.plain"
+    cache = str(tmp_path / "cdf_stream_cache")
+    stream = read_stream_sharing(spark, url, sharingCacheDir=cache,
+                                 readChangeFeed="true",
+                                 startingVersion="0")
+    q = (stream.writeStream.format("memory").queryName("share_cdf")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cdf"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT _change_type, count(*) AS n FROM share_cdf "
+        "GROUP BY _change_type ORDER BY _change_type").collect()
+    direct = table_changes(spark, DeltaLog.for_table(tables["plain"]),
+                           starting_version=0)
+    want = sorted((r[0], r[1]) for r in direct
+                  .groupBy("_change_type").count().collect())
+    assert sorted((r[0], r[1]) for r in got) == want
