@@ -217,6 +217,32 @@ class FileSystemCatalog(CatalogManagedClient):
                                          json.dumps(rec))
         except ConcurrentModificationException as e:
             raise CatalogCommitConflict(str(e))
+        # TOCTOU guard (found by the r10 full-suite race): the latest()
+        # pre-check above can race a concurrent publisher's
+        # mark_published record GC — this writer reads latest()=v-1,
+        # the true winner of v ratifies+publishes+GCs its record, and
+        # THEN our put-if-absent lands on the RESURRECTED slot, forking
+        # v with different content. Discriminator: record GC only ever
+        # happens after v is published to _delta_log/<v>.json (and
+        # writers never put-if-absent classic files on a managed
+        # table), so a published v with content != our payload proves
+        # the slot is a ghost — withdraw and conflict. A successor
+        # ratifying v+1 concurrently does NOT trip this (it publishes
+        # nothing for v), so a legitimate ratification never withdraws.
+        published = os.path.join(log_path, "%020d.json" % version)
+        try:
+            existing = open(published).read()
+        except OSError:
+            existing = None
+        if existing is not None and existing != (
+                inline if inline is not None else open(staged_path).read()):
+            try:
+                os.unlink(self._record(log_path, version))
+            except OSError:
+                pass
+            raise CatalogCommitConflict(
+                f"version {version} was already ratified and published "
+                "(record reclaimed); refusing to re-ratify")
         # watermark advance is best-effort (latest() covers the gap)
         tmp = self._watermark_path(log_path) + ".tmp.%d" % os.getpid()
         try:
@@ -370,6 +396,23 @@ def publish(log, catalog: CatalogManagedClient,
             except OSError:
                 existing = None
             if existing is not None and existing != payload:
+                # Transient ghost window: a racing writer that landed on
+                # a GC-resurrected record slot withdraws it on its own
+                # post-check (FilesystemCatalog.ratify TOCTOU guard) —
+                # re-read the catalog, and only a record that is STILL
+                # ratified with different content is a genuine fork.
+                _, recheck = catalog.ratified(log.log_path)
+                cur = recheck.get(v)
+                cur_payload = None
+                if cur is not None:
+                    try:
+                        cur_payload = (cur.inline if cur.inline is not None
+                                       else open(cur.file_path).read())
+                    except OSError:
+                        cur_payload = None
+                if cur_payload is None or cur_payload == existing:
+                    highest = v
+                    continue
                 raise RuntimeError(
                     f"catalog-managed log divergence at version {v}: "
                     f"{target} exists with content different from the "

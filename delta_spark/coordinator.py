@@ -137,6 +137,31 @@ class FileSystemCommitCoordinator(CommitCoordinatorClient):
             LocalLogStore().write_atomic(self._marker(log_path, version), payload)
         except ConcurrentModificationException as e:
             raise CommitConflictException(str(e))
+        # TOCTOU guard (same hole class as FileSystemCatalog.ratify,
+        # r10): between the already-backfilled pre-check above and the
+        # marker put-if-absent, the true winner of this version can
+        # register, backfill <v>.json, and have register_backfill
+        # RECLAIM its marker — our put-if-absent then lands on the
+        # resurrected slot and the commit would be acknowledged without
+        # ever reaching the log (silent lost write). The classic file
+        # is the discriminator: if it exists with content other than
+        # our staged payload, withdraw the ghost marker and conflict
+        # (retryable — the writer rebases like any commit race loser).
+        classic = os.path.join(log_path, "%020d.json" % version)
+        if os.path.exists(classic):
+            try:
+                ours = open(staged_path).read()
+                theirs = open(classic).read()
+            except OSError:
+                ours = theirs = None
+            if ours is None or ours != theirs:
+                try:
+                    os.unlink(self._marker(log_path, version))
+                except OSError:
+                    pass
+                raise CommitConflictException(
+                    f"version {version} was backfilled by a concurrent "
+                    "writer while this registration was in flight")
         return Commit(version, staged_path, timestamp)
 
     def get_commits(self, log_path, start_version=0):

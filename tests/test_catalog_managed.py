@@ -539,3 +539,86 @@ def test_multiprocess_writers_race_filesystem_catalog(spark, tmp_path, sf_dir):
             assert f"w{w}_{k}.parquet" in paths
     # the catalog's watermark survived the whole race
     assert cat.latest(lp) == n_workers * n_commits
+
+
+def test_ratify_refuses_gc_resurrected_slot(tmp_path):
+    """TOCTOU fork found by the r10 full-suite race: a writer whose
+    latest() read predates the winner's ratify can land its
+    put-if-absent on the record slot mark_published just reclaimed,
+    ratifying a SECOND v with different content. The post-write ghost
+    check (published <v>.json with different content) must withdraw
+    it; idempotent re-ratification of identical content (crash-window
+    adoption) stays allowed."""
+    log_path = str(tmp_path / "_delta_log")
+    os.makedirs(log_path)
+    cat = CM.FileSystemCatalog()
+
+    # winner: ratify v0, publish it, GC the record
+    cat.ratify(log_path, 0, 111, inline='{"commitInfo":{"txnId":"win"}}')
+    with open(os.path.join(log_path, "%020d.json" % 0), "w") as f:
+        f.write('{"commitInfo":{"txnId":"win"}}')
+    cat.mark_published(log_path, 0)
+    assert cat.ratified(log_path)[1] == {}          # record reclaimed
+    assert cat.latest(log_path) == 0                # watermark holds
+
+    # loser with a stale view: force the pre-check past (the race makes
+    # latest() read -1 before the winner's record/watermark writes)
+    cat.latest = lambda p: -1
+    with pytest.raises(CM.CatalogCommitConflict, match="re-ratify"):
+        cat.ratify(log_path, 0, 222,
+                   inline='{"commitInfo":{"txnId":"lose"}}')
+    del cat.latest
+    # the ghost record was withdrawn — no fork, v0 content intact
+    assert cat.ratified(log_path)[1] == {}
+    with open(os.path.join(log_path, "%020d.json" % 0)) as f:
+        assert "win" in f.read()
+
+    # identical content re-ratification (adoption) is idempotent-safe
+    cat.latest = lambda p: -1
+    rc = cat.ratify(log_path, 0, 333,
+                    inline='{"commitInfo":{"txnId":"win"}}')
+    del cat.latest
+    assert rc.version == 0
+    assert 0 in cat.ratified(log_path)[1]
+
+
+def test_publish_transient_ghost_vs_genuine_fork(tmp_path):
+    """publish() tolerates the transient window where a ghost record is
+    visible before its writer withdraws it (record gone on re-read),
+    but still refuses a genuinely forked log (record persists with
+    different content)."""
+    table = str(tmp_path / "tbl")
+    log_path = os.path.join(table, "_delta_log")
+    os.makedirs(log_path)
+    cat = CM.FileSystemCatalog()
+    log = DeltaLog.for_table(table)
+
+    # published v0 with winner content, catalog record diverges.
+    # (ratify() itself now refuses to create this fork — its ghost
+    # guard — so plant the record directly, as a pre-fix writer or a
+    # corrupted catalog would have left it.)
+    with open(os.path.join(log_path, "%020d.json" % 0), "w") as f:
+        f.write('{"commitInfo":{"txnId":"win"}}')
+    os.makedirs(cat._dir(log_path), exist_ok=True)
+    with open(os.path.join(cat._dir(log_path), "%020d.json" % 0), "w") as f:
+        json.dump({"timestamp": 111,
+                   "inline": '{"commitInfo":{"txnId":"fork"}}'}, f)
+
+    with pytest.raises(RuntimeError, match="divergence"):
+        CM.publish(log, cat)
+
+    # same state but the record vanishes on re-read (withdrawn ghost):
+    # wrap ratified() so the SECOND call (the re-check) sees no record
+    calls = {"n": 0}
+    real = cat.ratified
+
+    def flaky(lp):
+        calls["n"] += 1
+        latest, commits = real(lp)
+        if calls["n"] > 1:
+            commits = {}
+        return latest, commits
+
+    cat.ratified = flaky
+    assert CM.publish(log, cat) == 0   # tolerated, nothing written
+    DeltaLog.clear_cache()

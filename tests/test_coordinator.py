@@ -310,3 +310,54 @@ def test_external_coordinator_multiprocess_writers(spark, tmp_table, sf_dir,
     for w in range(n_workers):
         for k in range(n_commits):
             assert f"w{w}_{k}.parquet" in paths
+
+
+def test_marker_slot_resurrection_is_refused(tmp_path, monkeypatch):
+    """TOCTOU lost-write (r10, same hole class as the catalog's ratify
+    guard): between the already-backfilled pre-check and the marker
+    put-if-absent, the version's true winner can register + backfill +
+    reclaim its marker — the stale writer's marker then lands on the
+    resurrected slot and its commit would be acknowledged without ever
+    reaching the log. The post-write classic-file check must withdraw
+    it as a retryable conflict."""
+    log_path = str(tmp_path / "_delta_log")
+    os.makedirs(os.path.join(log_path, C.STAGED_DIR))
+    co = C.FileSystemCommitCoordinator()
+    # the winner's durable end-state: classic file present, marker gone
+    classic = os.path.join(log_path, "%020d.json" % 0)
+    with open(classic, "w") as f:
+        f.write('{"commitInfo":{"txnId":"winner"}}')
+    staged = os.path.join(log_path, C.STAGED_DIR, "00.loser.json")
+    with open(staged, "w") as f:
+        f.write('{"commitInfo":{"txnId":"loser"}}')
+
+    # simulate the race window: the loser's pre-check ran before the
+    # winner's backfill became visible
+    real_exists = os.path.exists
+    window = {"open": True}
+
+    def stale_exists(p):
+        if (window["open"] and p == classic):
+            window["open"] = False
+            return False
+        return real_exists(p)
+
+    monkeypatch.setattr(C.os.path, "exists", stale_exists)
+    with pytest.raises(C.CommitConflictException, match="in flight"):
+        co.commit(log_path, 0, staged, 123)
+    monkeypatch.undo()
+    # ghost marker withdrawn; winner's log intact; tail merge clean
+    assert not real_exists(os.path.join(log_path, C.MARKER_DIR,
+                                        "%020d.json" % 0))
+    with open(classic) as f:
+        assert "winner" in f.read()
+    assert co.get_commits(log_path) == []
+
+    # identical content (our own backfill raced ahead) stays accepted
+    staged2 = os.path.join(log_path, C.STAGED_DIR, "00.same.json")
+    with open(staged2, "w") as f:
+        f.write('{"commitInfo":{"txnId":"winner"}}')
+    window["open"] = True
+    monkeypatch.setattr(C.os.path, "exists", stale_exists)
+    got = co.commit(log_path, 0, staged2, 124)
+    assert got.version == 0
