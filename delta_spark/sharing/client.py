@@ -899,17 +899,34 @@ def load_as_spark(spark: SparkSession, url: str, *,
         hints = F.hints_from_predicate(
             predicate, meta.spark_schema(), meta.partition_columns(),
             include_data_filters=v2_predicate_hints)
-    resp = client.query_table(
-        parsed.share, parsed.schema, parsed.table,
-        json_predicate_hints=hints, limit_hint=limit,
-        version=version, timestamp=timestamp)
+    def _query(pin_version=version, pin_timestamp=timestamp):
+        return client.query_table(
+            parsed.share, parsed.schema, parsed.table,
+            json_predicate_hints=hints, limit_hint=limit,
+            version=pin_version, timestamp=pin_timestamp)
+
+    resp = _query()
     key = "|".join([
         client.profile.endpoint, parsed.share, parsed.schema, parsed.table,
         "snap", str(resp.version), resp.format,
         hashlib.sha1(("\n".join(sorted(wf.id for wf in resp.files))
                       + (hints or "") + str(limit)).encode()).hexdigest(),
     ])
-    table_dir = Materializer(cache_dir).snapshot_table(resp, key)
+    try:
+        table_dir = Materializer(cache_dir).snapshot_table(resp, key)
+    except urllib.error.HTTPError as e:
+        if e.code != 403:
+            raise
+        # presigned urls expired mid-materialization (long multi-page
+        # drains, slow links — the reference refreshes via
+        # refreshToken); re-query for fresh urls and retry ONCE,
+        # PINNED to the first response's snapshot version so the file
+        # set still matches the partially-materialized key (a new
+        # commit between the queries must not drift the snapshot).
+        # Content-addressing makes the retry cheap: files already
+        # landed are not re-downloaded.
+        resp = _query(pin_version=resp.version, pin_timestamp=None)
+        table_dir = Materializer(cache_dir).snapshot_table(resp, key)
     log = DeltaLog.for_table(table_dir)
     df = read_snapshot(spark, log.snapshot, predicate=predicate)
     if limit is not None:

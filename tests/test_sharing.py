@@ -729,3 +729,55 @@ def test_streaming_cdf_through_sharing(served, spark, tmp_path):
     want = sorted((r[0], r[1]) for r in direct
                   .groupBy("_change_type").count().collect())
     assert sorted((r[0], r[1]) for r in got) == want
+
+
+def test_expired_urls_refresh_once(served, spark, tmp_path, monkeypatch):
+    """Presigned urls that expire before the download completes trigger
+    ONE pinned re-query for fresh urls (the refreshToken role)."""
+    server, profile, tables = served
+    # first query hands out already-expired urls; the re-query gets
+    # valid ones — flip the server's expiry after the first /query
+    server.config.url_expiration_ms = -1000
+    calls = {"n": 0}
+    real = RestClient.query_table
+
+    def flip(self, *a, **k):
+        calls["n"] += 1
+        resp = real(self, *a, **k)
+        server.config.url_expiration_ms = 3_600_000
+        return resp
+
+    monkeypatch.setattr(RestClient, "query_table", flip)
+    df = load_as_spark(spark, f"{profile}#share1.default.plain",
+                       cache_dir=str(tmp_path / "exp_cache"))
+    assert calls["n"] == 2  # original + one refresh
+    assert df.count() == DeltaTable.forPath(
+        spark, tables["plain"]).toDF().count()
+
+
+def test_pagination_pinned_across_concurrent_commit(served, spark):
+    """A commit landing between pages must NOT leak into the paginated
+    listing: the cursor pins the snapshot version."""
+    server, profile, tables = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    before = client.query_table("share1", "default", "dvt")
+    _, body = client._request(
+        "POST", "/shares/share1/schemas/default/tables/dvt/query",
+        body={"maxFiles": 1})
+    lines = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+    token = lines[-1]["endStreamAction"]["nextPageToken"]
+
+    # concurrent commit grows the table between pages
+    write_delta(spark.range(5000, 5020).select(
+        sf.col("id"), (sf.col("id") % 3).alias("m")), tables["dvt"],
+        mode="append")
+    after = client.query_table("share1", "default", "dvt")
+    assert len(after.files) > len(before.files)
+
+    _, body2 = client._request(
+        "POST", "/shares/share1/schemas/default/tables/dvt/query",
+        body={"maxFiles": 1000, "pageToken": token})
+    page2 = [json.loads(l) for l in body2.decode().splitlines() if l.strip()]
+    ids = ({d["file"]["id"] for d in lines if "file" in d}
+           | {d["file"]["id"] for d in page2 if "file" in d})
+    assert ids == {f.id for f in before.files}  # old snapshot, complete
