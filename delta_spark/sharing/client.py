@@ -106,8 +106,47 @@ class RestClient:
         self.profile = profile
         self.num_retries = num_retries
         self._response_format = response_format
+        # OAuth (version-2 profiles): cached access token + expiry ms
+        self._oauth_token: Optional[str] = None
+        self._oauth_token_exp_ms: int = 0
 
     # ------------------------------------------------------ plumbing ----
+
+    def _bearer(self) -> str:
+        """Current bearer: the static v1 token, or a cached OAuth
+        access token fetched via the client-credentials grant and
+        refreshed 60 s before expiry (the public connector's
+        OAuthClientCredentialsAuthProvider flow)."""
+        if self.profile.share_credentials_version != 2:
+            return self.profile.bearer_token
+        now = int(time.time() * 1000)
+        if self._oauth_token and now < self._oauth_token_exp_ms - 60_000:
+            return self._oauth_token
+        from urllib.parse import urlencode
+
+        form = {"grant_type": "client_credentials",
+                "client_id": self.profile.client_id,
+                "client_secret": self.profile.client_secret}
+        if self.profile.scope:
+            form["scope"] = self.profile.scope
+        req = urllib.request.Request(
+            self.profile.token_endpoint, data=urlencode(form).encode(),
+            method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                tok = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            raise DeltaSharingError(
+                f"oauth token request failed ({e.code}): "
+                f"{e.read().decode(errors='replace')[:200]}", e.code) from None
+        except urllib.error.URLError as e:
+            raise DeltaSharingError(
+                f"cannot reach token endpoint "
+                f"{self.profile.token_endpoint}: {e}", 503) from e
+        self._oauth_token = tok["access_token"]
+        self._oauth_token_exp_ms = now + int(tok.get("expires_in", 3600)) * 1000
+        return self._oauth_token
 
     def _check_expiration(self) -> None:
         exp = self.profile.expiration_time
@@ -149,8 +188,7 @@ class RestClient:
         last_err: Optional[Exception] = None
         for attempt in range(self.num_retries + 1):
             req = urllib.request.Request(url, data=data, method=method)
-            req.add_header("Authorization",
-                           f"Bearer {self.profile.bearer_token}")
+            req.add_header("Authorization", f"Bearer {self._bearer()}")
             req.add_header(proto.CAPABILITIES_HEADER,
                            self._capabilities_header())
             if data is not None:

@@ -73,21 +73,53 @@ class DeltaSharingError(Exception):
 class DeltaSharingProfile:
     """A share-provider credentials file
     (PROTOCOL.md "Profile File Format"; reference client
-    DeltaSharingProfile). ``endpoint`` includes any URL prefix."""
+    DeltaSharingProfile). ``endpoint`` includes any URL prefix.
+
+    Version 1 = static bearer token; version 2 = OAuth client
+    credentials (``type: oauth_client_credentials`` with
+    tokenEndpoint/clientId/clientSecret — the public connector's
+    OAuthClientCredentialsAuthProvider)."""
 
     endpoint: str
-    bearer_token: str
+    bearer_token: Optional[str] = None
     share_credentials_version: int = 1
     expiration_time: Optional[str] = None
+    type: Optional[str] = None
+    token_endpoint: Optional[str] = None
+    client_id: Optional[str] = None
+    client_secret: Optional[str] = None
+    scope: Optional[str] = None
 
     @staticmethod
     def from_json(d: dict) -> "DeltaSharingProfile":
         ver = int(d.get("shareCredentialsVersion", 1))
-        if ver > 1:
+        if ver > 2:
             raise DeltaSharingError(
                 f"shareCredentialsVersion {ver} is not supported; "
-                "this client supports version 1")
-        if "endpoint" not in d or "bearerToken" not in d:
+                "this client supports version 1 and 2")
+        if "endpoint" not in d:
+            raise DeltaSharingError("profile must carry 'endpoint'")
+        if ver == 2:
+            kind = d.get("type")
+            if kind != "oauth_client_credentials":
+                raise DeltaSharingError(
+                    f"unsupported version-2 profile type {kind!r}; this "
+                    "client supports 'oauth_client_credentials'")
+            missing = [k for k in ("tokenEndpoint", "clientId",
+                                   "clientSecret") if k not in d]
+            if missing:
+                raise DeltaSharingError(
+                    f"oauth profile is missing {missing}")
+            return DeltaSharingProfile(
+                endpoint=d["endpoint"].rstrip("/"),
+                share_credentials_version=2,
+                type=kind,
+                token_endpoint=d["tokenEndpoint"],
+                client_id=d["clientId"],
+                client_secret=d["clientSecret"],
+                scope=d.get("scope"),
+            )
+        if "bearerToken" not in d:
             raise DeltaSharingError(
                 "profile must carry 'endpoint' and 'bearerToken'")
         return DeltaSharingProfile(
@@ -106,8 +138,16 @@ class DeltaSharingProfile:
         d = {
             "shareCredentialsVersion": self.share_credentials_version,
             "endpoint": self.endpoint,
-            "bearerToken": self.bearer_token,
         }
+        if self.share_credentials_version == 2:
+            d.update({"type": self.type,
+                      "tokenEndpoint": self.token_endpoint,
+                      "clientId": self.client_id,
+                      "clientSecret": self.client_secret})
+            if self.scope:
+                d["scope"] = self.scope
+            return d
+        d["bearerToken"] = self.bearer_token
         if self.expiration_time:
             d["expirationTime"] = self.expiration_time
         return d

@@ -77,6 +77,10 @@ class SharingServerConfig:
     url_expiration_ms: int = 3_600_000
     # url prefix of the API (profile endpoints commonly carry one)
     prefix: str = "/delta-sharing"
+    # OAuth client-credentials (shareCredentialsVersion 2 profiles):
+    # client_id -> client_secret accepted by POST /oauth/token
+    oauth_clients: dict = field(default_factory=dict)
+    oauth_token_lifetime_ms: int = 3_600_000
 
     def add_table(self, share: str, schema: str, name: str, path: str) -> None:
         self.shares.setdefault(share, {}).setdefault(schema, {})[name] = path
@@ -146,6 +150,53 @@ class SharingServer:
         with open(path, "w", encoding="utf-8") as f:
             json.dump(prof, f)
         return path
+
+    def write_oauth_profile(self, path: str, client_id: str) -> str:
+        """Write a shareCredentialsVersion-2 (OAuth client credentials)
+        profile for a registered oauth client."""
+        prof = {
+            "shareCredentialsVersion": 2,
+            "type": "oauth_client_credentials",
+            "endpoint": self.endpoint,
+            "tokenEndpoint": (f"http://{self.config.host}:{self.port}"
+                              "/oauth/token"),
+            "clientId": client_id,
+            "clientSecret": self.config.oauth_clients[client_id],
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(prof, f)
+        return path
+
+    # ------------------------------------------------------ oauth ----
+
+    def issue_oauth_token(self, client_id: str, client_secret: str) -> dict:
+        want = self.config.oauth_clients.get(client_id)
+        if want is None or not hmac.compare_digest(want, client_secret):
+            raise proto.DeltaSharingError("invalid_client", 401)
+        lifetime = self.config.oauth_token_lifetime_ms
+        exp = int(time.time() * 1000) + lifetime
+        payload = json.dumps({"sub": client_id, "e": exp},
+                             separators=(",", ":")).encode()
+        tok = base64.urlsafe_b64encode(payload).decode().rstrip("=")
+        sig = hmac.new(self._signing_key, payload,
+                       hashlib.sha256).hexdigest()[:32]
+        return {"access_token": f"{tok}.{sig}",
+                "token_type": "bearer",
+                "expires_in": lifetime // 1000}
+
+    def check_oauth_token(self, token: str) -> bool:
+        try:
+            tok, _, sig = token.partition(".")
+            payload = base64.urlsafe_b64decode(tok + "=" * (-len(tok) % 4))
+            want = hmac.new(self._signing_key, payload,
+                            hashlib.sha256).hexdigest()[:32]
+            if not hmac.compare_digest(want, sig):
+                return False
+            d = json.loads(payload)
+            return ("sub" in d
+                    and int(d["e"]) >= int(time.time() * 1000))
+        except Exception:
+            return False
 
     # ------------------------------------------------- presigned urls ----
 
@@ -366,12 +417,15 @@ def _make_handler(server: SharingServer):
         def _authed(self) -> bool:
             auth = self.headers.get("Authorization", "")
             want = "Bearer " + server.config.bearer_token
-            if not hmac.compare_digest(auth, want):
-                self._send_json(
-                    {"errorCode": "401", "message": "unauthorized"},
-                    status=401)
-                return False
-            return True
+            if hmac.compare_digest(auth, want):
+                return True
+            if auth.startswith("Bearer ") and server.check_oauth_token(
+                    auth[len("Bearer "):]):
+                return True
+            self._send_json(
+                {"errorCode": "401", "message": "unauthorized"},
+                status=401)
+            return False
 
         def _caps(self) -> Capabilities:
             return Capabilities.parse(
@@ -401,6 +455,8 @@ def _make_handler(server: SharingServer):
         def do_POST(self) -> None:  # noqa: N802
             try:
                 url = urlparse(self.path)
+                if url.path == "/oauth/token":
+                    return self._oauth_token()
                 parts = self._strip_prefix(url.path)
                 if not self._authed():
                     return
@@ -419,6 +475,19 @@ def _make_handler(server: SharingServer):
                     self._error(e)
                 except BrokenPipeError:
                     pass
+
+        def _oauth_token(self) -> None:
+            """POST /oauth/token — the client-credentials grant
+            (RFC 6749 §4.4, form-encoded) backing
+            shareCredentialsVersion-2 profiles."""
+            n = int(self.headers.get("Content-Length", "0") or "0")
+            form = parse_qs(self.rfile.read(n).decode())
+            if form.get("grant_type", [""])[0] != "client_credentials":
+                raise proto.DeltaSharingError("unsupported_grant_type", 400)
+            tok = server.issue_oauth_token(
+                form.get("client_id", [""])[0],
+                form.get("client_secret", [""])[0])
+            self._send_json(tok)
 
         def _strip_prefix(self, path: str) -> list[str]:
             if prefix and path.startswith(prefix):

@@ -781,3 +781,47 @@ def test_pagination_pinned_across_concurrent_commit(served, spark):
     ids = ({d["file"]["id"] for d in lines if "file" in d}
            | {d["file"]["id"] for d in page2 if "file" in d})
     assert ids == {f.id for f in before.files}  # old snapshot, complete
+
+
+def test_oauth_client_credentials_profile(served, spark, tmp_path):
+    """shareCredentialsVersion-2 profiles: the client fetches an access
+    token via the client-credentials grant, caches it, and reads with
+    it; bad secrets and expired tokens are refused."""
+    server, _, tables = served
+    server.config.oauth_clients["svc-reader"] = "s3cr3t"
+    prof = server.write_oauth_profile(str(tmp_path / "oauth.json"),
+                                      "svc-reader")
+    client = RestClient(DeltaSharingProfile.read_from_file(prof))
+    assert [s["name"] for s in client.list_shares()] == ["share1", "share2"]
+    # token cached: a second call does not refetch (same token object)
+    t1 = client._oauth_token
+    client.list_shares()
+    assert client._oauth_token == t1
+
+    # full spark read through oauth auth
+    df = load_as_spark(spark, f"{prof}#share1.default.plain",
+                       cache_dir=str(tmp_path / "oauth_cache"))
+    assert df.count() == DeltaTable.forPath(
+        spark, tables["plain"]).toDF().count()
+
+    # wrong secret -> invalid_client
+    bad = DeltaSharingProfile.read_from_file(prof)
+    bad.client_secret = "wrong"
+    with pytest.raises(DeltaSharingError) as ei:
+        RestClient(bad).list_shares()
+    assert ei.value.status == 401
+
+    # expired oauth tokens are refused at the API
+    server.config.oauth_token_lifetime_ms = -1000
+    stale = RestClient(DeltaSharingProfile.read_from_file(prof))
+    with pytest.raises(DeltaSharingError) as ei:
+        stale.list_shares()
+    assert ei.value.status == 401
+    server.config.oauth_token_lifetime_ms = 3_600_000
+
+    # unsupported v2 type still rejected with a clear error
+    with open(str(tmp_path / "badv2.json"), "w") as f:
+        json.dump({"shareCredentialsVersion": 2, "type": "bearer_token",
+                   "endpoint": "x"}, f)
+    with pytest.raises(DeltaSharingError, match="oauth_client_credentials"):
+        DeltaSharingProfile.read_from_file(str(tmp_path / "badv2.json"))
