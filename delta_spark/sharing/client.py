@@ -906,6 +906,46 @@ def _client_for(url: str, response_format: Optional[str] = None
     return RestClient(profile, response_format=response_format), parsed
 
 
+def materialize_snapshot(client: RestClient, parsed,
+                         version: Optional[int] = None,
+                         timestamp: Optional[str] = None,
+                         hints: Optional[str] = None,
+                         limit: Optional[int] = None,
+                         cache_dir: Optional[str] = None) -> str:
+    """Query a table snapshot and materialize it as a local delta
+    table; returns the table dir. Shared by load_as_spark and the
+    delta_sharing_py batch DataSource reader."""
+
+    def _query(pin_version=version, pin_timestamp=timestamp):
+        return client.query_table(
+            parsed.share, parsed.schema, parsed.table,
+            json_predicate_hints=hints, limit_hint=limit,
+            version=pin_version, timestamp=pin_timestamp)
+
+    resp = _query()
+    key = "|".join([
+        client.profile.endpoint, parsed.share, parsed.schema, parsed.table,
+        "snap", str(resp.version), resp.format,
+        hashlib.sha1(("\n".join(sorted(wf.id for wf in resp.files))
+                      + (hints or "") + str(limit)).encode()).hexdigest(),
+    ])
+    try:
+        return Materializer(cache_dir).snapshot_table(resp, key)
+    except urllib.error.HTTPError as e:
+        if e.code != 403:
+            raise
+        # presigned urls expired mid-materialization (long multi-page
+        # drains, slow links — the reference refreshes via
+        # refreshToken); re-query for fresh urls and retry ONCE,
+        # PINNED to the first response's snapshot version so the file
+        # set still matches the partially-materialized key (a new
+        # commit between the queries must not drift the snapshot).
+        # Content-addressing makes the retry cheap: files already
+        # landed are not re-downloaded.
+        resp = _query(pin_version=resp.version, pin_timestamp=None)
+        return Materializer(cache_dir).snapshot_table(resp, key)
+
+
 ParsedPath = proto.ParsedTablePath
 
 
@@ -937,34 +977,9 @@ def load_as_spark(spark: SparkSession, url: str, *,
         hints = F.hints_from_predicate(
             predicate, meta.spark_schema(), meta.partition_columns(),
             include_data_filters=v2_predicate_hints)
-    def _query(pin_version=version, pin_timestamp=timestamp):
-        return client.query_table(
-            parsed.share, parsed.schema, parsed.table,
-            json_predicate_hints=hints, limit_hint=limit,
-            version=pin_version, timestamp=pin_timestamp)
-
-    resp = _query()
-    key = "|".join([
-        client.profile.endpoint, parsed.share, parsed.schema, parsed.table,
-        "snap", str(resp.version), resp.format,
-        hashlib.sha1(("\n".join(sorted(wf.id for wf in resp.files))
-                      + (hints or "") + str(limit)).encode()).hexdigest(),
-    ])
-    try:
-        table_dir = Materializer(cache_dir).snapshot_table(resp, key)
-    except urllib.error.HTTPError as e:
-        if e.code != 403:
-            raise
-        # presigned urls expired mid-materialization (long multi-page
-        # drains, slow links — the reference refreshes via
-        # refreshToken); re-query for fresh urls and retry ONCE,
-        # PINNED to the first response's snapshot version so the file
-        # set still matches the partially-materialized key (a new
-        # commit between the queries must not drift the snapshot).
-        # Content-addressing makes the retry cheap: files already
-        # landed are not re-downloaded.
-        resp = _query(pin_version=resp.version, pin_timestamp=None)
-        table_dir = Materializer(cache_dir).snapshot_table(resp, key)
+    table_dir = materialize_snapshot(
+        client, parsed, version=version, timestamp=timestamp,
+        hints=hints, limit=limit, cache_dir=cache_dir)
     log = DeltaLog.for_table(table_dir)
     df = read_snapshot(spark, log.snapshot, predicate=predicate)
     if limit is not None:

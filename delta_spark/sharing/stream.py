@@ -35,7 +35,11 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource
 
 from delta_spark.log import DeltaLog
-from delta_spark.sharing.client import Materializer, RestClient
+from delta_spark.sharing.client import (
+    Materializer,
+    RestClient,
+    materialize_snapshot,
+)
 from delta_spark.sharing.protocol import (
     DeltaSharingError,
     DeltaSharingProfile,
@@ -175,13 +179,24 @@ class DeltaSharingPyDataSource(DataSource):
     def name(cls) -> str:
         return "delta_sharing_py"
 
-    def _meta(self):
+    def _client(self):
         parsed = parse_table_path(self.options["path"])
         profile = DeltaSharingProfile.read_from_file(parsed.profile_file)
-        client = RestClient(
-            profile, response_format=self.options.get("responseformat"))
+        return RestClient(
+            profile,
+            response_format=self.options.get("responseformat")), parsed
+
+    def _pinned(self) -> tuple[Optional[int], Optional[str]]:
+        v = self.options.get("versionasof")
+        t = self.options.get("timestampasof")
+        return (int(v) if v is not None else None), t
+
+    def _meta(self):
+        client, parsed = self._client()
+        v, t = self._pinned()
         return client.query_table_metadata(
-            parsed.share, parsed.schema, parsed.table)
+            parsed.share, parsed.schema, parsed.table,
+            version=v, timestamp=t)
 
     def schema(self):
         base = schema_from_json(self._meta().schema_string())
@@ -197,9 +212,25 @@ class DeltaSharingPyDataSource(DataSource):
         return SharingStreamReader(schema, self.options)
 
     def reader(self, schema):
-        raise NotImplementedError(
-            "batch reads of a shared table go through "
-            "delta_spark.sharing.load_as_spark")
+        """``spark.read.format("delta_sharing_py")`` — materialize the
+        snapshot (honoring versionAsOf/timestampAsOf), then serve it
+        through the ordinary delta_py batch reader (the reference's
+        DeltaSharingDataSource batch relation role)."""
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            raise NotImplementedError(
+                "batch change-feed reads of a shared table go through "
+                "delta_spark.sharing.load_table_changes_as_spark")
+        from delta_spark.streaming import DeltaBatchReader
+
+        client, parsed = self._client()
+        v, t = self._pinned()
+        table_dir = materialize_snapshot(
+            client, parsed, version=v, timestamp=t,
+            cache_dir=self.options.get("sharingcachedir"))
+        inner = {k: val for k, val in self.options.items()
+                 if k not in ("versionasof", "timestampasof")}
+        inner["path"] = table_dir
+        return DeltaBatchReader(schema, inner)
 
 
 def register(spark: SparkSession) -> None:

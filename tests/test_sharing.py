@@ -825,3 +825,25 @@ def test_oauth_client_credentials_profile(served, spark, tmp_path):
                    "endpoint": "x"}, f)
     with pytest.raises(DeltaSharingError, match="oauth_client_credentials"):
         DeltaSharingProfile.read_from_file(str(tmp_path / "badv2.json"))
+
+
+def test_batch_format_read(served, spark, tmp_path):
+    """spark.read.format('delta_sharing_py') — batch format parity with
+    the reference's deltaSharing source, incl. versionAsOf."""
+    from delta_spark.sharing.stream import register
+
+    server, profile, tables = served
+    register(spark)
+    url = f"{profile}#share1.default.plain"
+    cache = str(tmp_path / "batch_cache")
+    df = (spark.read.format("delta_sharing_py").option("path", url)
+          .option("sharingCacheDir", cache).load())
+    direct = DeltaTable.forPath(spark, tables["plain"]).toDF()
+    assert df.count() == direct.count()
+    assert sorted(df.columns) == sorted(direct.columns)
+
+    v0 = (spark.read.format("delta_sharing_py").option("path", url)
+          .option("versionAsOf", "0")
+          .option("sharingCacheDir", cache).load())
+    assert v0.count() == DeltaTable.forPath(
+        spark, tables["plain"] + "@v0").toDF().count()
