@@ -847,3 +847,77 @@ def test_batch_format_read(served, spark, tmp_path):
           .option("sharingCacheDir", cache).load())
     assert v0.count() == DeltaTable.forPath(
         spark, tables["plain"] + "@v0").toDF().count()
+
+
+def test_server_fuzz_readers_race_writer(spark, tmp_path):
+    """Concurrency fuzz: 4 reader threads issue snapshot queries,
+    paginated drains, metadata and CDF reads while a writer commits to
+    the source. Every response must be a CONSISTENT snapshot of a real
+    version (file ids == that version's file ids), pagination must
+    stay pinned, and nothing may 500."""
+    import threading
+
+    src = str(tmp_path / "fuzz")
+    write_delta(spark.range(0, 40).selectExpr("id", "id % 4 AS b"), src,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        client_profile = DeltaSharingProfile.read_from_file(profile)
+        stop = threading.Event()
+        failures: list[str] = []
+
+        def expected_ids(version):
+            from delta_spark.sharing.server import _file_id
+
+            DeltaLog.clear_cache()
+            snap = DeltaLog.for_table(src).snapshot_at(version)
+            return {_file_id(src, f.path) for f in snap.all_files}
+
+        def reader(n):
+            client = RestClient(client_profile)
+            try:
+                while not stop.is_set():
+                    resp = client.query_table("s", "d", "t",
+                                              max_files=2 if n % 2 else None)
+                    got = {f.id for f in resp.files}
+                    want = expected_ids(resp.version)
+                    if got != want:
+                        failures.append(
+                            f"reader{n}: v{resp.version} files {len(got)} "
+                            f"!= snapshot {len(want)}")
+                        return
+                    if n == 0:
+                        client.query_table_metadata("s", "d", "t")
+                    if n == 1:
+                        ch = client.query_table_changes(
+                            "s", "d", "t", starting_version=0,
+                            ending_version=0)
+                        if not any(f.kind == "add" for f in ch.files):
+                            failures.append("reader1: empty v0 changes")
+                            return
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"reader{n}: {type(e).__name__}: {e}")
+
+        def writer():
+            for i in range(6):
+                write_delta(
+                    spark.range(100 * (i + 1), 100 * (i + 1) + 10)
+                    .selectExpr("id", "id % 4 AS b"), src, mode="append")
+            stop.set()
+
+        threads = [threading.Thread(target=reader, args=(i,))
+                   for i in range(4)] + [threading.Thread(target=writer)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not failures, failures
+
+        # after the dust settles: a fresh read equals the final table
+        DeltaLog.clear_cache()
+        final = load_as_spark(spark, f"{profile}#s.d.t",
+                              cache_dir=str(tmp_path / "fc"))
+        assert final.count() == DeltaTable.forPath(spark, src).toDF().count()
+    DeltaLog.clear_cache()
