@@ -921,3 +921,45 @@ def test_server_fuzz_readers_race_writer(spark, tmp_path):
                               cache_dir=str(tmp_path / "fc"))
         assert final.count() == DeltaTable.forPath(spark, src).toDF().count()
     DeltaLog.clear_cache()
+
+
+def test_typed_feature_tables_through_sharing(spark, tmp_path):
+    """timestampNtz and variant tables need their reader features
+    negotiated in delta format; values must round-trip exactly
+    (reference DeltaSharingDataSourceTypeWideningSuite siblings)."""
+    # timestamp_ntz
+    ntz = str(tmp_path / "ntz")
+    write_delta(spark.range(0, 12).selectExpr(
+        "id",
+        "CAST(timestamp'2024-05-01 10:30:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS TIMESTAMP_NTZ) AS ts"), ntz)
+    # variant
+    var = str(tmp_path / "var")
+    write_delta(spark.range(0, 12).selectExpr(
+        "id", "parse_json(concat('{\"a\": ', id, '}')) AS v"), var)
+
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "ntz", ntz)
+    cfg.add_table("s", "d", "var", var)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        client = RestClient(DeltaSharingProfile.read_from_file(profile))
+        assert client.query_table("s", "d", "ntz").format == "delta"
+
+        shared_ntz = load_as_spark(spark, f"{profile}#s.d.ntz")
+        direct_ntz = DeltaTable.forPath(spark, ntz).toDF()
+        assert shared_ntz.schema == direct_ntz.schema
+        assert _rows(shared_ntz, "id") == _rows(direct_ntz, "id")
+
+        shared_var = load_as_spark(spark, f"{profile}#s.d.var")
+        got = [tuple(r) for r in shared_var.selectExpr(
+            "id", "variant_get(v, '$.a', 'long') AS a")
+            .orderBy("id").collect()]
+        assert got == [(i, i) for i in range(12)]
+
+        # a parquet-only client is cleanly refused for both
+        pq_only = RestClient(DeltaSharingProfile.read_from_file(profile),
+                             response_format="parquet")
+        with pytest.raises(DeltaSharingError):
+            pq_only.query_table("s", "d", "ntz")
+    DeltaLog.clear_cache()
