@@ -83,10 +83,20 @@ class SharingStreamSync:
         self.starting_version = (int(starting_version)
                                  if starting_version is not None else None)
         self.materializer = Materializer(_stable_cache_dir(cache_dir))
+        # key by the table's immutable metadata id, NOT the endpoint: a
+        # provider moving hosts/ports (or a profile regenerated with a
+        # fresh token) must not reset the faked log a checkpointed
+        # stream's offsets point into (see the durability caveat above)
+        meta = self.client.query_table_metadata(
+            self.parsed.share, self.parsed.schema, self.parsed.table)
+        if meta.format == "delta":
+            table_id = meta.metadata["deltaMetadata"].get("id", "")
+        else:
+            table_id = meta.metadata.get("id", "")
         key = "|".join([
-            profile.endpoint, self.parsed.share, self.parsed.schema,
-            self.parsed.table, "stream",
-            str(self.starting_version), response_format or "auto",
+            "table", table_id or
+            f"{self.parsed.share}.{self.parsed.schema}.{self.parsed.table}",
+            "stream", str(self.starting_version), response_format or "auto",
         ])
         self.table_dir = self.materializer._dir_for(key)
 

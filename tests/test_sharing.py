@@ -963,3 +963,45 @@ def test_typed_feature_tables_through_sharing(spark, tmp_path):
         with pytest.raises(DeltaSharingError):
             pq_only.query_table("s", "d", "ntz")
     DeltaLog.clear_cache()
+
+
+def test_stream_resumes_across_server_restart(spark, tmp_path):
+    """A checkpointed sharing stream must resume when the provider
+    endpoint CHANGES (server restarted on a new port, profile
+    regenerated): the faked-log cache is keyed by the table's
+    immutable metadata id, not the endpoint."""
+    from delta_spark.sharing.stream import read_stream_sharing
+    from delta_spark.streaming import write_stream
+
+    src = str(tmp_path / "resrc")
+    write_delta(spark.range(0, 30).selectExpr("id", "id*2 AS v"), src)
+    cache = str(tmp_path / "restart_cache")
+    out = str(tmp_path / "resink")
+    ck = str(tmp_path / "reck")
+
+    cfg1 = SharingServerConfig()
+    cfg1.add_table("s", "d", "t", src)
+    with SharingServer(cfg1) as s1:
+        p1 = s1.write_profile(str(tmp_path / "p1.json"))
+        q = write_stream(
+            read_stream_sharing(spark, f"{p1}#s.d.t", sharingCacheDir=cache),
+            out, ck, query_id="restartq")
+        q.awaitTermination(120)
+    assert DeltaTable.forPath(spark, out).toDF().count() == 30
+
+    write_delta(spark.range(30, 45).selectExpr("id", "id*2 AS v"), src,
+                mode="append")
+
+    # brand-new server: new ephemeral port, new bearer token, new
+    # profile — same table
+    cfg2 = SharingServerConfig()
+    cfg2.add_table("s", "d", "t", src)
+    with SharingServer(cfg2) as s2:
+        p2 = s2.write_profile(str(tmp_path / "p2.json"))
+        assert s2.port != s1.port or cfg2.bearer_token != cfg1.bearer_token
+        q2 = write_stream(
+            read_stream_sharing(spark, f"{p2}#s.d.t", sharingCacheDir=cache),
+            out, ck, query_id="restartq")
+        q2.awaitTermination(120)
+    assert DeltaTable.forPath(spark, out).toDF().count() == 45
+    DeltaLog.clear_cache()
