@@ -1005,3 +1005,54 @@ def test_stream_resumes_across_server_restart(spark, tmp_path):
         q2.awaitTermination(120)
     assert DeltaTable.forPath(spark, out).toDF().count() == 45
     DeltaLog.clear_cache()
+
+
+def test_wire_shapes_for_foreign_clients(served):
+    """Exact NDJSON field shapes a FOREIGN (non-delta_spark) client
+    parses: classic protocol/metaData/file lines and the delta-format
+    envelope (PROTOCOL.md; sharing/.../model.scala:49)."""
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+
+    # classic format
+    headers, body = client._request(
+        "POST", "/shares/share1/schemas/default/tables/plain/query",
+        body={})
+    lines = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+    assert lines[0] == {"protocol": {"minReaderVersion": 1}}
+    md = lines[1]["metaData"]
+    assert md["format"] == {"provider": "parquet"}
+    assert isinstance(md["schemaString"], str)
+    assert md["partitionColumns"] == ["part"]
+    assert md["configuration"] == {"enableChangeDataFeed": "true"}
+    assert md["version"] >= 0 and md["numFiles"] == len(lines) - 2
+    for line in lines[2:]:
+        f = line["file"]
+        assert set(f) >= {"url", "id", "partitionValues", "size",
+                          "expirationTimestamp"}
+        assert f["url"].startswith("http://")
+        assert set(f["partitionValues"]) == {"part"}
+    hv = {k.lower(): v for k, v in headers.items()}
+    assert "delta-table-version" in hv
+    assert "responseformat=parquet" in hv["delta-sharing-capabilities"]
+
+    # delta format envelope
+    _, body = client._request(
+        "POST", "/shares/share1/schemas/default/tables/dvt/query",
+        body={})
+    lines = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+    assert set(lines[0]["protocol"]) == {"deltaProtocol"}
+    dm = lines[1]["metaData"]
+    assert set(dm) >= {"deltaMetadata", "version", "size", "numFiles"}
+    assert "schemaString" in dm["deltaMetadata"]
+    for line in lines[2:]:
+        f = line["file"]
+        assert set(f) >= {"id", "deltaSingleAction", "expirationTimestamp"}
+        add = f["deltaSingleAction"]["add"]
+        assert add["path"].startswith("http://")
+        if add.get("deletionVector"):
+            dv = add["deletionVector"]
+            assert dv["storageType"] in ("i", "p")
+            if dv["storageType"] == "p":
+                assert dv["pathOrInlineDv"].startswith("http://")
+                assert line["file"]["deletionVectorFileId"]
