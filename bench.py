@@ -797,30 +797,37 @@ def main() -> None:
     # (server log replay + NDJSON + presigned-url downloads over
     # loopback + faked-log read — the complete client path; the cache
     # dir is FRESH each iteration so no download is ever skipped)
+    _share_state: dict = {}
+
     def sharing_setup(i):
         from delta_spark.sharing import SharingServer, SharingServerConfig
 
-        cfg = SharingServerConfig()
-        cfg.add_table("bench", "tpch", "lineitem",
-                      os.path.join(base, "lineitem"))
-        srv = SharingServer(cfg).start()
-        prof = srv.write_profile(os.path.join(scratch, f"share_p{i}.json"))
+        if "srv" not in _share_state:
+            cfg = SharingServerConfig()
+            cfg.add_table("bench", "tpch", "lineitem",
+                          os.path.join(base, "lineitem"))
+            srv = SharingServer(cfg).start()
+            _share_state["srv"] = srv
+            _share_state["prof"] = srv.write_profile(
+                os.path.join(scratch, "share_profile.json"))
         cache = os.path.join(scratch, f"share_cache{i}")
         shutil.rmtree(cache, ignore_errors=True)
-        return srv, prof, cache
+        return _share_state["prof"], cache
 
     def sharing_run(ctx):
         from delta_spark.sharing import load_as_spark
 
-        srv, prof, cache = ctx
-        try:
-            n = load_as_spark(spark, f"{prof}#bench.tpch.lineitem",
-                              cache_dir=cache).count()
-            assert n > 0
-        finally:
-            srv.stop()
+        prof, cache = ctx
+        n = load_as_spark(spark, f"{prof}#bench.tpch.lineitem",
+                          cache_dir=cache).count()
+        assert n > 0
 
+    # server lifecycle stays OUTSIDE the timed section — stop() blocks
+    # on serve_forever's poll interval (~0.5 s) and would otherwise
+    # inflate every sample
     run_median(timings, "sharing_read", sharing_run, setup=sharing_setup)
+    if "srv" in _share_state:
+        _share_state["srv"].stop()
 
     # ---- AMT: cold snapshot reconstruction through the manifest tree --
     amt_tbl = os.path.join(scratch, "amt_bench")

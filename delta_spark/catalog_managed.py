@@ -398,19 +398,32 @@ def publish(log, catalog: CatalogManagedClient,
             if existing is not None and existing != payload:
                 # Transient ghost window: a racing writer that landed on
                 # a GC-resurrected record slot withdraws it on its own
-                # post-check (FilesystemCatalog.ratify TOCTOU guard) —
-                # re-read the catalog, and only a record that is STILL
-                # ratified with different content is a genuine fork.
-                _, recheck = catalog.ratified(log.log_path)
-                cur = recheck.get(v)
-                cur_payload = None
-                if cur is not None:
+                # post-check (FileSystemCatalog.ratify TOCTOU guard)
+                # microseconds later — re-read the catalog a few times,
+                # and only a record that is STILL ratified with
+                # readable, different content is a genuine fork. An
+                # unreadable record payload is NOT treated as a
+                # withdrawal (tolerating it would let mark_published
+                # cement the divergent published file).
+                import time as _time
+
+                resolved = False
+                for attempt in range(3):
+                    _, recheck = catalog.ratified(log.log_path)
+                    cur = recheck.get(v)
+                    if cur is None:
+                        resolved = True  # ghost withdrawn
+                        break
                     try:
                         cur_payload = (cur.inline if cur.inline is not None
                                        else open(cur.file_path).read())
                     except OSError:
                         cur_payload = None
-                if cur_payload is None or cur_payload == existing:
+                    if cur_payload == existing:
+                        resolved = True  # re-ratified identical content
+                        break
+                    _time.sleep(0.02)
+                if resolved:
                     highest = v
                     continue
                 raise RuntimeError(

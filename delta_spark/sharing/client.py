@@ -363,6 +363,7 @@ class WireFile:
     expiration_timestamp: Optional[int] = None
     delta_action: Optional[dict] = None   # delta format: the raw single action
     deletion_vector_url: Optional[str] = None
+    deletion_vector_file_id: Optional[str] = None
 
 
 class SharingResponse:
@@ -487,6 +488,7 @@ def _parse_delta_file(d: dict) -> WireFile:
         expiration_timestamp=d.get("expirationTimestamp"),
         delta_action=single,
         deletion_vector_url=dv_url,
+        deletion_vector_file_id=d.get("deletionVectorFileId"),
     )
 
 
@@ -675,7 +677,11 @@ class Materializer:
             raise DeltaSharingError(
                 "delta-format response carried a non-inline deletion "
                 "vector without a downloadable url", 500)
-        dv_name = hashlib.sha1(url.split("?", 1)[0].encode()).hexdigest()
+        # cache by the STABLE wire id, not the presigned url (whose
+        # embedded expiry changes per request — url-keying would
+        # re-download the same blob every query)
+        dv_name = wf.deletion_vector_file_id or hashlib.sha1(
+            url.split("?", 1)[0].encode()).hexdigest()
         local = os.path.join(table_dir, "deletion_vectors",
                              f"{dv_name}.bin")
         _download_many([(url, local)])
@@ -819,21 +825,47 @@ class Materializer:
         version, so later appended commits keep SOURCE version numbers
         (the contract streaming offsets/checkpoints depend on —
         reference DeltaFormatSharingSource.scala:224 getStartingVersion
-        'fetch the snapshot at the fromVersion')."""
+        'fetch the snapshot at the fromVersion').
+
+        Crash/concurrency safety: commit 0 RECORDS the snapshot version
+        it represents in its commitInfo, the filler chain is derived
+        from whatever commit 0 actually landed (so a racing initializer
+        whose snapshot was at a different version never writes a filler
+        that swallows a source commit), and the completion marker is
+        written last (a crashed half-init re-enters and heals — commit
+        writes are skip-if-exists, data fetches content-addressed)."""
         self._part_cols = _dir_partition_columns(resp)
         marker = os.path.join(table_dir, "_delta_log", ".stream_init")
         if os.path.exists(marker):
             return table_dir
-        protocol = _response_protocol(resp)
-        meta = (_delta_metadata_to_action(resp.metadata)
-                if resp.format == RESPONSE_FORMAT_DELTA
-                else _classic_metadata_to_action(resp.metadata))
-        actions: list = [protocol, meta]
-        for wf in resp.files:
-            actions.append(self._add_action(table_dir, wf))
-        self._fetch_data(table_dir, resp.files)
-        self._write_commit(table_dir, 0, actions)
-        for v in range(1, remote_version + 1):
+        commit0 = os.path.join(table_dir, "_delta_log",
+                               "%020d.json" % 0)
+        if not os.path.exists(commit0):
+            protocol = _response_protocol(resp)
+            meta = (_delta_metadata_to_action(resp.metadata)
+                    if resp.format == RESPONSE_FORMAT_DELTA
+                    else _classic_metadata_to_action(resp.metadata))
+            actions: list = [
+                {"commitInfo": {"operation": "SHARED-SNAPSHOT",
+                                "snapshotVersion": remote_version}},
+                protocol, meta]
+            for wf in resp.files:
+                actions.append(self._add_action(table_dir, wf))
+            self._fetch_data(table_dir, resp.files)
+            self._write_commit(table_dir, 0, actions)
+        # the WINNER's recorded snapshot version bounds the fillers
+        anchor = remote_version
+        try:
+            with open(commit0, "r", encoding="utf-8") as f:
+                for line in f:
+                    d = json.loads(line)
+                    if "commitInfo" in d:
+                        anchor = int(d["commitInfo"].get(
+                            "snapshotVersion", remote_version))
+                        break
+        except (OSError, ValueError):
+            pass
+        for v in range(1, anchor + 1):
             self._write_commit(
                 table_dir, v,
                 [{"commitInfo": {"operation": "SHARED-FILLER"}}])

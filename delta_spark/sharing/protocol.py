@@ -211,13 +211,6 @@ class Capabilities:
         return ";".join(parts)
 
 
-def client_capabilities_header(for_streaming: bool = False) -> str:
-    """The capabilities this client advertises: both formats, plus the
-    reader features delta_spark can actually process."""
-    feats = ",".join(f.lower() for f in CLIENT_READER_FEATURES)
-    return f"responseformat=delta,parquet;readerfeatures={feats}"
-
-
 # ------------------------------------------------------- NDJSON lines ----
 
 

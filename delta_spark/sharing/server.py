@@ -586,16 +586,7 @@ def _make_handler(server: SharingServer):
             else:
                 # earliest version at-or-after the timestamp (streaming
                 # start semantics, not time-travel's latest-at-or-before)
-                ts = _parse_ts_ms(st)
-                v = None
-                for cv, cts in ref.log._monotonic_commit_timestamps():
-                    if cts >= ts:
-                        v = cv
-                        break
-                if v is None:
-                    raise proto.DeltaSharingError(
-                        f"the provided timestamp ({st}) is after the "
-                        "latest version of the table", 400)
+                v = _version_at_or_after(ref.log, _parse_ts_ms(st))
             self._send_json({}, headers={proto.TABLE_VERSION_HEADER: str(v)})
 
         def _metadata(self, ref: _TableRef, qs: dict) -> None:
@@ -632,12 +623,12 @@ def _make_handler(server: SharingServer):
                 return self._query_range(ref, body)
             page_token = body.get("pageToken")
             if page_token:
-                v, start_idx = _decode_page_token(page_token)
+                v, start_idx, prior_records = _decode_page_token(page_token)
                 ref.log.check_version_exists(v)
             else:
                 v = self._resolve_version(
                     ref, body.get("version"), body.get("timestamp"))
-                start_idx = 0
+                start_idx, prior_records = 0, 0
             snap = ref.log.snapshot_at(v)
             fmt = _pick_format(self._caps(), *_needs_delta_format(snap))
 
@@ -697,9 +688,11 @@ def _make_handler(server: SharingServer):
                                             _logical_stats(f))
                          and (sql_keep is None or f.path in sql_keep)]
             files = []
-            seen_records = 0
+            seen_records = prior_records
             next_token = None
             for idx in range(start_idx, len(survivors)):
+                if limit is not None and seen_records >= int(limit):
+                    break
                 f = survivors[idx]
                 files.append(f)
                 if limit is not None:
@@ -709,7 +702,8 @@ def _make_handler(server: SharingServer):
                         break
                 if max_files is not None and len(files) >= max_files:
                     if idx + 1 < len(survivors):
-                        next_token = _encode_page_token(v, idx + 1)
+                        next_token = _encode_page_token(v, idx + 1,
+                                                        seen_records)
                     break
 
             lines = self._header_lines(snap, v, fmt)
@@ -757,9 +751,8 @@ def _make_handler(server: SharingServer):
                    else ref.log.latest_version())
             ref.log.check_version_exists(start)
             snap = ref.log.snapshot_at(start)
-            fmt = _pick_format(self._caps(), *_needs_delta_format(snap))
-            lines = self._emit_commit_range(
-                ref, snap, start, end, fmt, cdf=False,
+            lines, fmt = self._emit_commit_range(
+                ref, snap, start, end, cdf=False,
                 include_historical_metadata=True)
             self._send_ndjson(lines, {
                 proto.TABLE_VERSION_HEADER: str(start),
@@ -796,11 +789,10 @@ def _make_handler(server: SharingServer):
                 raise proto.DeltaSharingError(
                     "cdf is not enabled on table "
                     f"{ref.share}.{ref.schema}.{ref.name}", 400)
-            fmt = _pick_format(self._caps(), *_needs_delta_format(snap))
             inc_meta = (str(_one("includeHistoricalMetadata") or "")
                         .lower() == "true")
-            lines = self._emit_commit_range(
-                ref, snap, start, end, fmt, cdf=True,
+            lines, fmt = self._emit_commit_range(
+                ref, snap, start, end, cdf=True,
                 include_historical_metadata=inc_meta)
             self._send_ndjson(lines, {
                 proto.TABLE_VERSION_HEADER: str(start),
@@ -808,15 +800,27 @@ def _make_handler(server: SharingServer):
             })
 
         def _emit_commit_range(self, ref: _TableRef, start_snap, start: int,
-                               end: int, fmt: str, cdf: bool,
-                               include_historical_metadata: bool) -> list[str]:
-            """Shared emitter for version-range queries and CDF changes.
+                               end: int, cdf: bool,
+                               include_historical_metadata: bool
+                               ) -> tuple[list[str], str]:
+            """Shared emitter for version-range queries and CDF changes;
+            returns (lines, negotiated format).
+
+            The response format is negotiated against the WHOLE range,
+            not just the start snapshot: a mid-range protocol upgrade
+            (say, deletion vectors enabled after `start`) makes commits
+            the classic format cannot carry — a parquet emission would
+            silently drop the DV and resurrect deleted rows — so any
+            DV-carrying action or delta-requiring protocol in the range
+            forces the delta format (or a clear 400 for a parquet-only
+            client).
 
             Per commit: CDF mode uses ONLY the commit's cdc actions when
             any exist, else its dataChange add/removes — the same
             file-level selection CDCReader performs. Range (streaming)
             mode emits every file action."""
-            lines = self._header_lines(start_snap, start, fmt)
+            commits = []
+            needs_delta, feats = _needs_delta_format(start_snap)
             for v in range(start, end + 1):
                 ts = ref.log._commit_timestamp(v)
                 try:
@@ -824,6 +828,20 @@ def _make_handler(server: SharingServer):
                 except OSError as e:
                     raise proto.DeltaSharingError(
                         f"version {v} is not available: {e}", 400) from e
+                commits.append((v, ts, actions))
+                for k, a in actions:
+                    if k in ("add", "remove") and getattr(
+                            a, "deletionVector", None) is not None:
+                        needs_delta = True
+                    elif k == "protocol":
+                        rng_feats = set(a.readerFeatures or [])
+                        if (a.minReaderVersion or 1) > 1:
+                            needs_delta = True
+                        feats = feats | rng_feats
+            fmt = _pick_format(self._caps(), needs_delta, feats)
+
+            lines = self._header_lines(start_snap, start, fmt)
+            for v, ts, actions in commits:
                 adds = [a for k, a in actions if k == "add"]
                 removes = [a for k, a in actions if k == "remove"]
                 cdcs = [a for k, a in actions if k == "cdc"]
@@ -852,7 +870,7 @@ def _make_handler(server: SharingServer):
                     lines.append(self._change_line(ref, "cdf", c, fmt, v, ts))
                 for r in emit_removes:
                     lines.append(self._change_line(ref, "remove", r, fmt, v, ts))
-            return lines
+            return lines, fmt
 
         def _change_line(self, ref: _TableRef, kind: str, action, fmt: str,
                          version: int, timestamp: int) -> str:
@@ -886,20 +904,22 @@ def _make_handler(server: SharingServer):
 # ------------------------------------------------------------ helpers ----
 
 
-def _encode_page_token(version: int, idx: int) -> str:
+def _encode_page_token(version: int, idx: int, records: int = 0) -> str:
     """Opaque query-pagination cursor: pins the snapshot VERSION so
-    later pages read the same table state the first page did, plus the
-    index into the deterministic surviving-file order."""
-    payload = json.dumps({"v": version, "i": idx},
+    later pages read the same table state the first page did, the index
+    into the deterministic surviving-file order, and the cumulative
+    limitHint records already served (so the hint bounds the whole
+    query, not each page)."""
+    payload = json.dumps({"v": version, "i": idx, "r": records},
                          separators=(",", ":")).encode()
     return base64.urlsafe_b64encode(payload).decode().rstrip("=")
 
 
-def _decode_page_token(token: str) -> tuple[int, int]:
+def _decode_page_token(token: str) -> tuple[int, int, int]:
     try:
         d = json.loads(base64.urlsafe_b64decode(
             token + "=" * (-len(token) % 4)))
-        return int(d["v"]), int(d["i"])
+        return int(d["v"]), int(d["i"]), int(d.get("r", 0))
     except Exception as e:
         raise proto.DeltaSharingError(f"invalid pageToken: {e}", 400) from e
 

@@ -80,8 +80,15 @@ class SharingStreamSync:
         self.parsed = parse_table_path(url)
         profile = DeltaSharingProfile.read_from_file(self.parsed.profile_file)
         self.client = RestClient(profile, response_format=response_format)
-        self.starting_version = (int(starting_version)
-                                 if starting_version is not None else None)
+        # the literal 'latest' is part of the wrapped reader's option
+        # contract: tail only commits AFTER the current version
+        if starting_version is not None and str(
+                starting_version).lower() == "latest":
+            self.starting_version = "latest"
+        else:
+            self.starting_version = (int(starting_version)
+                                     if starting_version is not None
+                                     else None)
         self.materializer = Materializer(_stable_cache_dir(cache_dir))
         # key by the table's immutable metadata id, NOT the endpoint: a
         # provider moving hosts/ports (or a profile regenerated with a
@@ -113,13 +120,25 @@ class SharingStreamSync:
         return log.update().version
 
     def ensure_initialized(self) -> str:
-        if self._local_version() >= 0:
+        # gate on the COMPLETION markers, not on commit presence: a
+        # crashed half-init leaves commits behind and must re-enter to
+        # heal (every materialization step is idempotent)
+        log_dir = os.path.join(self.table_dir, "_delta_log")
+        if (os.path.exists(os.path.join(log_dir, ".stream_init"))
+                or os.path.exists(os.path.join(log_dir, ".materialized"))):
             return self.table_dir
-        if self.starting_version is None:
+        if self.starting_version is None or self.starting_version == "latest":
             v = self._remote_version()
-            resp = self.client.query_table(
-                self.parsed.share, self.parsed.schema, self.parsed.table,
-                version=v)
+            if self.starting_version == "latest":
+                # no initial snapshot: protocol+metadata only; the
+                # wrapped reader's own 'latest' handling seeds past v
+                resp = self.client.query_table_metadata(
+                    self.parsed.share, self.parsed.schema,
+                    self.parsed.table, version=v)
+            else:
+                resp = self.client.query_table(
+                    self.parsed.share, self.parsed.schema,
+                    self.parsed.table, version=v)
             self.materializer.stream_init_snapshot(resp, self.table_dir, v)
         else:
             sv = self.starting_version

@@ -1056,3 +1056,108 @@ def test_wire_shapes_for_foreign_clients(served):
             if dv["storageType"] == "p":
                 assert dv["pathOrInlineDv"].startswith("http://")
                 assert line["file"]["deletionVectorFileId"]
+
+
+def test_range_format_negotiated_against_whole_range(spark, tmp_path):
+    """Review fix: a DV-carrying action AFTER the range start must
+    force the delta format (a parquet emission would drop the DV and
+    resurrect deleted rows) — and a parquet-only client is refused."""
+    from delta_spark.sql import delta_sql
+
+    src = str(tmp_path / "dvrange")
+    write_delta(spark.range(0, 30).selectExpr("id", "id*2 AS v"), src)
+    delta_sql(spark, f"ALTER TABLE delta.`{src}` SET TBLPROPERTIES "
+                     "('delta.enableDeletionVectors' = 'true')")
+    DeltaTable.forPath(spark, src).delete("id % 3 = 0")  # DV delete
+
+    cfg = SharingServerConfig()
+    cfg.add_table("s", "d", "t", src)
+    with SharingServer(cfg) as server:
+        profile = server.write_profile(str(tmp_path / "p.json"))
+        client = RestClient(DeltaSharingProfile.read_from_file(profile))
+        resp = client.query_table("s", "d", "t", starting_version=0)
+        assert resp.format == "delta"
+        dv_adds = [f for f in resp.files
+                   if f.delta_action and "add" in f.delta_action
+                   and f.delta_action["add"].get("deletionVector")]
+        assert dv_adds, "the DV delete's add must carry its DV"
+        pq = RestClient(DeltaSharingProfile.read_from_file(profile),
+                        response_format="parquet")
+        with pytest.raises(DeltaSharingError):
+            pq.query_table("s", "d", "t", starting_version=0)
+    DeltaLog.clear_cache()
+
+
+def test_limit_hint_spans_pages(served):
+    """Review fix: limitHint bounds the whole paginated query, not each
+    page — the cursor carries the cumulative record count."""
+    server, profile, _ = served
+    client = RestClient(DeltaSharingProfile.read_from_file(profile))
+    unlimited = client.query_table("share1", "default", "plain",
+                                   max_files=1)
+    limited = client.query_table("share1", "default", "plain",
+                                 limit_hint=5, max_files=1)
+    total = sum(json.loads(f.stats)["numRecords"] for f in limited.files
+                if f.stats)
+    # enough records for the hint, far fewer files than the full drain
+    assert total >= 5
+    assert len(limited.files) < len(unlimited.files)
+
+
+def test_stream_starting_version_latest(served, spark, tmp_path):
+    """Review fix: startingVersion='latest' tails only NEW commits."""
+    from delta_spark.sharing.stream import read_stream_sharing
+    from delta_spark.streaming import write_stream
+
+    server, profile, tables = served
+    url = f"{profile}#share1.default.dvt"
+    cache = str(tmp_path / "latest_cache")
+    out = str(tmp_path / "latest_sink")
+    ck = str(tmp_path / "ck_latest")
+    s1 = read_stream_sharing(spark, url, sharingCacheDir=cache,
+                             startingVersion="latest")
+    q = write_stream(s1, out, ck, query_id="latestq")
+    q.awaitTermination(120)
+    assert DeltaTable.forPath(spark, out).toDF().count() == 0
+
+    write_delta(spark.range(9000, 9007).select(
+        sf.col("id"), (sf.col("id") % 3).alias("m")), tables["dvt"],
+        mode="append")
+    s2 = read_stream_sharing(spark, url, sharingCacheDir=cache,
+                             startingVersion="latest")
+    q2 = write_stream(s2, out, ck, query_id="latestq")
+    q2.awaitTermination(120)
+    assert DeltaTable.forPath(spark, out).toDF().count() == 7
+
+
+def test_stream_init_heals_after_partial_crash(served, spark, tmp_path):
+    """Review fix: a crash between commit 0 and the filler chain (or
+    the marker) re-enters and heals without double-emitting."""
+    from delta_spark.sharing.stream import SharingStreamSync
+
+    server, profile, tables = served
+    url = f"{profile}#share1.default.dvt"
+    cache = str(tmp_path / "heal_cache")
+    sync = SharingStreamSync(url, cache_dir=cache)
+    sync.ensure_initialized()
+    log_dir = os.path.join(sync.table_dir, "_delta_log")
+    # simulate the crash: completion marker + some fillers lost
+    os.remove(os.path.join(log_dir, ".stream_init"))
+    fillers = sorted(f for f in os.listdir(log_dir)
+                     if f.endswith(".json") and int(f.split(".")[0]) > 0)
+    if fillers:
+        os.remove(os.path.join(log_dir, fillers[-1]))
+    sync2 = SharingStreamSync(url, cache_dir=cache)
+    sync2.ensure_initialized()
+    assert os.path.exists(os.path.join(log_dir, ".stream_init"))
+    # snapshot-version anchor respected: local latest == source latest
+    assert sync2._local_version() == DeltaLog.for_table(
+        tables["dvt"]).latest_version()
+    # healed stream equals a DV-filtered direct read
+    from delta_spark.reader import read_snapshot
+
+    healed = read_snapshot(spark, DeltaLog.for_table(
+        sync2.table_dir).update())
+    assert healed.count() == DeltaTable.forPath(
+        spark, tables["dvt"]).toDF().count()
+    DeltaLog.clear_cache()
