@@ -1161,3 +1161,22 @@ def test_stream_init_heals_after_partial_crash(served, spark, tmp_path):
     assert healed.count() == DeltaTable.forPath(
         spark, tables["dvt"]).toDF().count()
     DeltaLog.clear_cache()
+
+
+def test_cdf_timestamp_bounds(served, spark):
+    """starting/ending_timestamp on the changes endpoint resolve to the
+    same versions a direct timestamp-bounded CDF read uses."""
+    server, profile, tables = served
+    log = DeltaLog.for_table(tables["plain"])
+    ts1 = log._commit_timestamp(1)
+    url = f"{profile}#share1.default.plain"
+    shared = load_table_changes_as_spark(
+        spark, url, starting_timestamp=str(ts1), ending_timestamp=str(ts1))
+    direct = table_changes(spark, log, starting_version=1,
+                           ending_version=1)
+    assert shared.count() == direct.count()
+    # a future starting timestamp is refused like the direct read
+    with pytest.raises(DeltaSharingError) as ei:
+        load_table_changes_as_spark(
+            spark, url, starting_timestamp=str(ts1 + 10**9))
+    assert ei.value.status == 400
