@@ -1180,3 +1180,26 @@ def test_cdf_timestamp_bounds(served, spark):
         load_table_changes_as_spark(
             spark, url, starting_timestamp=str(ts1 + 10**9))
     assert ei.value.status == 400
+
+
+def test_cross_process_client(served, tmp_path):
+    """A separate OS process (no Spark, pure-pyarrow pandas path) reads
+    through the live server — the data plane is genuinely cross-process
+    HTTP, not shared in-process state."""
+    import subprocess
+    import sys
+
+    server, profile, _ = served
+    script = tmp_path / "foreign_reader.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "import delta_sharing\n"
+        f"pdf = delta_sharing.load_as_pandas({profile!r} + '#share1.default.plain')\n"
+        "print('ROWS=' + str(len(pdf)))\n"
+        "print('PARTS=' + ','.join(str(x) for x in sorted(pdf['part'].unique())))\n")
+    out = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ROWS=200" in out.stdout
+    assert "PARTS=0,1,2,3" in out.stdout
