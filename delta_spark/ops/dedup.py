@@ -295,6 +295,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                                   F.md5(F.concat_ws("_", *parts)).alias("bucket")))
     banded = (sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")))
+    # the banded frame feeds BOTH sides of the candidate self-join, and
+    # self-join sides are not syntactically identical subtrees (the
+    # id_a/id_b alias projections differ), so ReusedExchange does not
+    # dedupe them: without this persist the k min-aggregations of the
+    # signature groupBy (and the band-hash projection) ran once PER
+    # SIDE (guide §2.4/§5 — measured as two duplicated aggregate
+    # stage pairs in the dedup_minhash profile)
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     l = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     rgt = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cands = (l.join(rgt, ["band", "bucket"])
@@ -319,6 +329,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
+    out = _cache.register("minhash_lsh_pairs.banded", banded, out)
     return _cache.register("minhash_lsh_pairs", sh_cached, out)
 
 
