@@ -292,64 +292,96 @@ def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.randn(n, dim)]
 
 
+def _spread_for_udf(corpus: DataFrame) -> DataFrame:
+    """Repartition an UNDER-partitioned corpus to cluster width before
+    an Arrow-batched assignment UDF. A corpus read from one small file
+    is one scan split, so the matmul + explode ran as a single serial
+    task (measured: 3.2 s of a 1-task stage on the sf0.1 banding while
+    31 cores idled — guide §2.6 stragglers). The shuffle this adds is
+    corpus-sized, so it only fires when the input has fewer splits than
+    the cluster has slots — at real scale the scan has thousands of
+    splits and this is a no-op. Under Connect (no RDD introspection)
+    the input is left as-is."""
+    from delta_spark.connect_compat import default_parallelism, is_connect
+
+    if is_connect(corpus):
+        return corpus
+    try:
+        nparts = corpus.rdd.getNumPartitions()
+        width = default_parallelism(corpus.sparkSession)
+    except Exception:
+        return corpus
+    return corpus.repartition(width) if nparts < width else corpus
+
+
 def _bucket_pairs(assigned: DataFrame, id_col: str,
                   bucket_cols: list[str], chunk: int = 1024,
                   dedup: bool = True,
                   keep: list[str] | None = None,
                   cache_op: str = "_bucket_pairs") -> DataFrame:
-    """Distinct candidate id pairs per bucket: collect each bucket's id
-    list and explode its ordered pairs with JVM higher-order functions.
-    One shuffle (the groupBy) and ONE evaluation of the (Arrow-batched)
-    bucket assignment — the naive self-join recomputes the assignment
-    subtree for both sides and shuffles rows·bands twice.
+    """Distinct candidate id pairs per bucket. Bucket keys must be
+    non-null (band/bucket hashes and group representatives are).
 
-    Skew safety: bucket occupancy is O(1) by parameter design only for
-    vectors in general position — a duplicate-heavy corpus (the normal
-    input of a dedup job) puts every copy of a repeated vector in the
+    Shape: ONE shuffle partitions the assignment rows by bucket, a
+    window count tags every row with its bucket size (one in-partition
+    sort, fully codegen-adjacent — no object aggregation), and the
+    tagged frame is PERSISTED (spillable; registered under `cache_op`
+    in the ops.cache registry) because it feeds several plan branches —
+    and the sides of a self-join are not syntactically identical
+    subtrees (the alias projections differ), so Spark's ReusedExchange
+    does NOT dedupe them: without the persist each branch re-ran the
+    banding/assignment UDF, its explode and the bucket shuffle
+    (measured 3x the work, 13.5 s → 3.4 s on the sf0.1 LSH candidate
+    stage — guide §2.4/§5, cache a reused frame whose recompute is
+    expensive). Callers pass a distinct `cache_op` per call site so two
+    candidate stages composed into one query (e.g. near_duplicates'
+    cluster mode) keep both frames live.
+
+    Buckets of size ≤ `chunk` produce their pairs with a co-partitioned
+    self-JOIN on the bucket key (id_a < id_b): both sides read the
+    cached tagged frame, the join is sort-merge over ≤`chunk`-row key
+    groups (bounded buffer), and everything stays in whole-stage
+    codegen. The previous collect_list → posexplode/slice expansion
+    paid the ObjectHashAggregate sort-fallback over EVERY banded row —
+    measured 23.5 task-seconds on a 420k-row banding (~80% of it spent
+    materializing single-occupant buckets the filter then discarded);
+    the window count + join formulation measures ~4x cheaper.
+
+    Skew safety (unchanged contract): bucket occupancy is O(1) by
+    parameter design only for vectors in general position — a
+    duplicate-heavy corpus puts every copy of a repeated vector in the
     SAME bucket in every band, so a single bucket can hold 10⁵–10⁶ ids
-    and its |ids|²/2 in-task pair expansion would OOM. Buckets larger
-    than `chunk` therefore take a distributed path: the id list is cut
-    into `chunk`-sized slices, slices self-join on the bucket key with
-    i ≤ j (sort-merge, spillable), and each (slice_i, slice_j) row
-    expands at most chunk² pairs — bounded task memory, quadratic
-    OUTPUT streamed across tasks, zero recall loss. Callers that can
-    pre-collapse exact duplicates (near_duplicates) should still do so:
-    that shrinks the quadratic term itself.
+    whose |ids|²/2 single-key join output would serialize through one
+    task pair. Buckets larger than `chunk` therefore take the
+    distributed path: collect the id list (only for those rare
+    buckets), cut it into `chunk`-sized slices, self-join slices on the
+    bucket key with i ≤ j, and each (slice_i, slice_j) row expands at
+    most chunk² pairs — bounded task memory, quadratic OUTPUT streamed
+    across tasks, zero recall loss. Callers that can pre-collapse exact
+    duplicates (near_duplicates) should still do so: that shrinks the
+    quadratic term itself.
 
     `keep` names bucket columns to pass through to the output —
     callers that precomputed a per-bucket value (e.g. near_duplicates'
     group self-similarity) avoid re-joining it onto the quadratic pair
-    output, which costs another full shuffle of every pair.
-
-    The per-bucket id-list aggregate is PERSISTED (spillable,
-    registered under `cache_op` in the ops.cache registry): it feeds
-    three plan branches — the small-bucket expansion and BOTH sides of
-    the big-bucket slice self-join — and the sides of a self-join are
-    not syntactically identical subtrees (the alias projections differ
-    below the exchange), so Spark's ReusedExchange does NOT dedupe
-    them: without the persist each branch re-ran the banding/assignment
-    UDF, its explode, the bucket shuffle and the collect_list aggregate
-    (measured: 3x the aggregation work, 13.5 s → 3.4 s on the sf0.1
-    LSH candidate stage — guide §2.4/§5, cache a reused frame whose
-    recompute is expensive). Callers pass a distinct `cache_op` per
-    call site so two candidate stages composed into one query (e.g.
-    near_duplicates' cluster mode) keep both frames live."""
+    output, which costs another full shuffle of every pair."""
     # explicit width on the bucket shuffle: the exploded banding rows
     # are bytes-small, so AQE's size-based coalescing would funnel a
-    # CPU-bound aggregation (collect_list + pair expansion) into one
-    # task; hash-partitioning on the grouping keys is reused by the
-    # aggregation, so this adds no extra exchange
+    # CPU-bound window+join into one task; hash-partitioning on the
+    # grouping keys is reused by the window sort and both join sides,
+    # so this adds no extra exchange
     from delta_spark.connect_compat import default_parallelism
 
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     spark = assigned.sparkSession
     width = default_parallelism(spark)
-    ids = (assigned.repartition(width, *bucket_cols)
-           .groupBy(*bucket_cols)
-           .agg(F.collect_list(F.col(id_col)).alias("__ids"))
-           .filter(F.size("__ids") > 1)
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    bn = (assigned.repartition(width, *bucket_cols)
+          .withColumn("__n", F.count(F.lit(1))
+                      .over(Window.partitionBy(*bucket_cols)))
+          .filter(F.col("__n") > 1)
+          .persist(StorageLevel.MEMORY_AND_DISK))
 
     keep_cols = list(keep or [])
 
@@ -382,10 +414,21 @@ def _bucket_pairs(assigned: DataFrame, id_col: str,
                          F.least("__x", "__y").alias("id_a"),
                          F.greatest("__x", "__y").alias("id_b"))
 
-    small = _expand(ids.filter(F.size("__ids") <= chunk),
-                    F.col("__ids"), None, same=True)
+    # small buckets: co-partitioned self-join on the bucket key, both
+    # sides from the cached tagged frame — id_a < id_b yields each
+    # unordered pair exactly once (ids are unique within a bucket)
+    sm = bn.filter(F.col("__n") <= chunk)
+    small = (sm.select(*bucket_cols, F.col(id_col).alias("id_a"))
+             .join(sm.select(*bucket_cols, F.col(id_col).alias("id_b")),
+                   on=bucket_cols)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select(*keep_cols, "id_a", "id_b"))
 
-    big = ids.filter(F.size("__ids") > chunk)
+    # big buckets (rare by design): collect the id list ONLY for them
+    ids = (bn.filter(F.col("__n") > chunk)
+           .groupBy(*bucket_cols)
+           .agg(F.collect_list(F.col(id_col)).alias("__ids")))
+    big = ids
     nch = F.ceil(F.size("__ids") / F.lit(chunk)).cast("int")
     slices = big.select(
         *bucket_cols,
@@ -420,7 +463,7 @@ def _bucket_pairs(assigned: DataFrame, id_col: str,
     out = out.distinct() if dedup else out
     from delta_spark.ops import cache as _opcache
 
-    return _opcache.register(cache_op, ids, out)
+    return _opcache.register(cache_op, bn, out)
 
 
 def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
@@ -485,7 +528,7 @@ def cosine_lsh_candidates(corpus: DataFrame, threshold: float = 0.95,
         keys = (bits.astype(np.uint64) * w).sum(axis=2, dtype=np.uint64)
         return pd.Series([row.tolist() for row in keys.view(np.int64)])
 
-    banded = (corpus
+    banded = (_spread_for_udf(corpus)
               .select(F.col(id_col),
                       F.posexplode(band_buckets(F.col(vec_col)))
                       .alias("band", "bucket")))
@@ -526,7 +569,7 @@ def ivf_candidates(corpus: DataFrame, id_col: str = "vec_id",
         idx = np.argpartition(-d, k - 1, axis=1)[:, :k]
         return pd.Series([row.tolist() for row in idx])
 
-    assigned = (corpus.select(
+    assigned = (_spread_for_udf(corpus).select(
         F.col(id_col), F.explode(probe_buckets(F.col(vec_col))).alias("bucket")))
     return _bucket_pairs(assigned, id_col, ["bucket"],
                          cache_op="ivf_candidates")

@@ -689,6 +689,50 @@ def test_bucket_pairs_chunked_path_exact(spark):
     assert len(a) == 50 * 49 // 2 + 3
 
 
+def test_bucket_pairs_join_path_matches_bruteforce(spark):
+    """_bucket_pairs small-bucket path (r10: window count +
+    co-partitioned self-join, replacing the collect_list expansion):
+    pairs, dedup=False uniqueness and keep-column passthrough must
+    match a brute-force per-bucket expansion."""
+    import itertools
+
+    from delta_spark.ops.similarity import _bucket_pairs
+
+    rows = []
+    for bkt, n in ((0, 1), (1, 2), (2, 5), (3, 3)):
+        rows += [(bkt * 100 + i, bkt, float(bkt) / 10) for i in range(n)]
+    # id 205 also sits in bucket 1 so the cross-band distinct matters
+    rows.append((205, 1, 0.1))
+    df = spark.createDataFrame(rows, "vec_id long, bucket int, sim double")
+
+    want = set()
+    by_bucket: dict[int, list[int]] = {}
+    for vid, bkt, _ in rows:
+        by_bucket.setdefault(bkt, []).append(vid)
+    for bkt, ids in by_bucket.items():
+        for x, y in itertools.combinations(sorted(ids), 2):
+            want.add((x, y))
+    got = {tuple(r) for r in
+           _bucket_pairs(df, "vec_id", ["bucket"]).collect()}
+    assert got == want
+
+    # keep passthrough + dedup=False: each id in ONE bucket → pairs
+    # unique by construction, each carrying its bucket's sim
+    one = [r for r in rows if r[0] != 205]
+    df1 = spark.createDataFrame(one, "vec_id long, bucket int, sim double")
+    got_k = [tuple(r) for r in
+             _bucket_pairs(df1, "vec_id", ["bucket", "sim"], dedup=False,
+                           keep=["sim"]).select("id_a", "id_b", "sim")
+             .collect()]
+    assert len(got_k) == len(set(got_k))  # no duplicates without distinct
+    assert {(a, b) for a, b, _ in got_k} == {
+        (x, y) for bkt, ids in by_bucket.items() if bkt != 1
+        for x, y in itertools.combinations(sorted(i for i in ids
+                                                  if i != 205), 2)} | {
+        (100, 101)}
+    assert all(s == float(a // 100) / 10 for a, _b, s in got_k)
+
+
 def test_remove_duplicate_spans(spark):
     from delta_spark.ops.dedup import duplicate_spans, remove_duplicate_spans
     shared = " ".join(f"tok{i}" for i in range(10))
