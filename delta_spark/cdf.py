@@ -237,11 +237,25 @@ def table_changes(spark: SparkSession, log: DeltaLog,
     from delta_spark.reader import file_key_of
     from delta_spark.util import schema_to_json
 
+    # memoized per metadata OBJECT: commits without a metaData action
+    # share their snapshot's metadata instance through clone_state, so
+    # a 1,000-version walk serialized the same schema 1,000 times
+    # (~0.13 s of driver time) before this cache. Scoped to this call.
+    # (the memo VALUE holds the metadata object itself so its id can
+    # never be recycled for a different metadata while cached)
+    _fp_memo: dict[int, tuple] = {}
+
     def _fingerprint(snap):
-        return (schema_to_json(snap.schema),
-                tuple(snap.partition_columns or []),
-                snap.column_mapping_mode if snap.column_mapping_enabled
-                else None)
+        m = snap.metadata
+        hit = _fp_memo.get(id(m))
+        if hit is not None and hit[0] is m:
+            return hit[1]
+        fp = (schema_to_json(snap.schema),
+              tuple(snap.partition_columns or []),
+              snap.column_mapping_mode if snap.column_mapping_enabled
+              else None)
+        _fp_memo[id(m)] = (m, fp)
+        return fp
 
     def _cdc_group_df(snap, cdc_actions) -> DataFrame:
         from delta_spark import geo as _geo
