@@ -280,13 +280,92 @@ def interleave_bits(range_ids: list[Column], bits_per_col: int) -> Column:
     return terms if terms is not None else F.lit(0)
 
 
+_SAMPLE_CAP_ROWS = 1_000_000
+
+
+def _np_zkeys(V, all_bounds, bits: int):
+    """numpy replica of range_id_column_from + interleave_bits over a
+    sample matrix V (N × k, NaN = null): rid = searchsorted(bounds,
+    side='right') with NaN→0 — exactly the WHEN-chain / Arrow
+    searchsorted semantics — and bit b of rid i lands at position
+    b·k + (k-1-i). Must stay in lockstep with the SQL expressions: the
+    file boundaries derived from these sample keys are quantiles of
+    the SAME distribution the full pass computes."""
+    import numpy as np
+
+    k = V.shape[1]
+    z = np.zeros(len(V), dtype=np.int64)
+    for i in range(k):
+        v = V[:, i]
+        bounds = np.asarray(all_bounds[i], dtype=np.float64)
+        rid = np.searchsorted(bounds, v, side="right")
+        rid[np.isnan(v)] = 0
+        rid = rid.astype(np.int64)
+        for b in range(bits):
+            z |= ((rid >> b) & 1) << (b * k + (k - 1 - i))
+    return z
+
+
+_PARTITION_REPS: dict[int, list[int]] = {}
+
+
+def _partition_reps(spark, n: int) -> list[int]:
+    """For each partition index p < n, a BIGINT v with
+    pmod(hash(v), n) == p — i.e. `repartition(n, col)` routes rows
+    carrying v exactly to partition p (DataFrame hash partitioning is
+    pmod(murmur3(cols), n), the same function F.hash exposes). Lets a
+    precomputed range id act as an EXACT range partitioner without
+    repartitionByRange's extra sampling pass over the full input. The
+    mapping is data-independent, so it is memoized per n for the
+    process lifetime. If Spark ever changed its partitioning hash the
+    result would be coarser output clustering (several ranges sharing
+    a file), never wrong rows — and the probe below computes the
+    mapping with Spark's own hash, so it tracks the engine."""
+    reps = _PARTITION_REPS.get(n)
+    if reps is not None:
+        return reps
+    found: dict[int, int] = {}
+    start, batch = 0, max(64, 8 * n)
+    while len(found) < n:
+        rows = (spark.range(start, start + batch)
+                .select("id", F.pmod(F.hash(F.col("id")), F.lit(n))
+                        .alias("p")).collect())
+        for r in rows:
+            found.setdefault(r["p"], r["id"])
+        start += batch
+    reps = [found[p] for p in range(n)]
+    _PARTITION_REPS[n] = reps
+    return reps
+
+
 def zorder_key(df: DataFrame, cols: list[str], num_ranges: int,
                n_out: Optional[int] = None,
                approx_rows: Optional[int] = None) -> tuple[DataFrame, str]:
-    """Attach a __zkey column; boundaries from ONE sampled distributed
-    quantile pass over every clustering column at once (approxQuantile
-    accepts a column list — N columns cost one scan, not N; relative
-    error 0.01 keeps the driver footprint tiny).
+    zdf, zcol, _ = _zorder_key_routed(df, cols, num_ranges, n_out,
+                                      approx_rows)
+    return zdf, zcol
+
+
+def _zorder_key_routed(df: DataFrame, cols: list[str], num_ranges: int,
+                       n_out: Optional[int] = None,
+                       approx_rows: Optional[int] = None):
+    """Attach a __zkey column; boundaries from ONE sampled quantile
+    pass over every clustering column at once.
+
+    When `approx_rows` is known (file stats), the quantile pass is a
+    DRIVER-side sample: the narrow numeric projections of a ≤1M-row
+    uniform sample are collected (Arrow), per-column range boundaries
+    AND the z-key FILE boundaries both come from that one sample, and
+    the third return value is the float64 file-boundary array — the
+    caller routes rows to output files with one searchsorted instead
+    of repartitionByRange, whose RangePartitioner pays an EXTRA
+    sampling execution of the full input including the z-key
+    computation (guide §2.4 remove shuffd passes: ZORDER drops from 3
+    full-input executions to 1 full + 1 narrow sample scan). Quantile
+    jitter at 1M samples moves range borders by O(1/√1M), far below
+    file granularity. Without `approx_rows` the previous distributed
+    approxQuantile path stands (no sample fraction can be derived
+    without a row estimate) and the third return value is None.
 
     Two scale knobs, both rationalized by the fact that clustering
     quality is FILE-granular (min/max skipping reads whole files):
@@ -324,10 +403,28 @@ def zorder_key(df: DataFrame, cols: list[str], num_ranges: int,
 
     nums = [_numeric(c) for c in cols]
     sample_src = df.select(*[n.alias(f"__v_{i}") for i, n in enumerate(nums)])
-    if approx_rows and approx_rows > 2_000_000:
-        sample_src = sample_src.sample(False, 2_000_000 / approx_rows, seed=42)
-    all_bounds = sample_src.approxQuantile(
-        [f"__v_{i}" for i in range(len(cols))], probs, 0.01)
+    file_bounds = None
+    if approx_rows:
+        import numpy as np
+
+        if approx_rows > _SAMPLE_CAP_ROWS:
+            sample_src = sample_src.sample(
+                False, _SAMPLE_CAP_ROWS / approx_rows, seed=42)
+        V = sample_src.toPandas().to_numpy(dtype="float64", na_value=float("nan"))
+        all_bounds = []
+        for i in range(len(cols)):
+            col_v = V[:, i] if len(V) else np.array([], dtype="float64")
+            valid = col_v[~np.isnan(col_v)]
+            all_bounds.append(
+                [float(x) for x in np.quantile(valid, probs)]
+                if len(valid) and probs else [])
+        if n_out is not None and n_out > 1 and len(V):
+            zs = _np_zkeys(V, all_bounds, bits)
+            file_bounds = np.quantile(
+                zs, [i / n_out for i in range(1, n_out)]).astype("float64")
+    else:
+        all_bounds = sample_src.approxQuantile(
+            [f"__v_{i}" for i in range(len(cols))], probs, 0.01)
     out = df
     rid_cols = []
     for idx, (num, bounds) in enumerate(zip(nums, all_bounds)):
@@ -335,7 +432,7 @@ def zorder_key(df: DataFrame, cols: list[str], num_ranges: int,
         out = out.withColumn(name, range_id_column_from(num, bounds))
         rid_cols.append(name)
     key = interleave_bits([F.col(n) for n in rid_cols], bits)
-    return out.withColumn("__zkey", key).drop(*rid_cols), "__zkey"
+    return out.withColumn("__zkey", key).drop(*rid_cols), "__zkey", file_bounds
 
 
 def range_id_column_from(value: Column, boundaries: list) -> Column:
@@ -388,14 +485,38 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
         n_out = max(1, math.ceil(total / max_file_size))
         df = _rewrite_input(spark, snapshot, files)
         approx_rows = sum(_file_rows(f) for f in files) or None
-        zdf, zcol = zorder_key(df, cols, num_ranges, n_out=n_out,
-                               approx_rows=approx_rows)
+        zdf, zcol, file_bounds = _zorder_key_routed(
+            df, cols, num_ranges, n_out=n_out, approx_rows=approx_rows)
         if n_out == 1:
             # one output file: range partitioning is vacuous, and
             # repartitionByRange would pay an extra full scan (its
             # RangePartitioner sampling pass) just to learn that
             clustered = (zdf.repartition(1)
                          .sortWithinPartitions(zcol).drop(zcol))
+        elif file_bounds is not None:
+            # route each row to its output range with one searchsorted
+            # over the sample-derived z-key file boundaries, carried by
+            # a representative value that hash-partitions to exactly
+            # that partition index — the z-ordered layout of
+            # repartitionByRange without its extra sampling execution
+            # of the full input (the z-key UDF ran TWICE before this)
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            reps = np.array(_partition_reps(spark, n_out), dtype="int64")
+            fb = file_bounds
+
+            def _route(s):
+                z = s.to_numpy(dtype="float64", na_value=float("nan"))
+                f = np.searchsorted(fb, z, side="right")
+                return pd.Series(reps[f])
+
+            route = pandas_udf(_route, "long")
+            clustered = (zdf.withColumn("__zroute", route(F.col(zcol)))
+                         .repartition(n_out, F.col("__zroute"))
+                         .sortWithinPartitions(zcol)
+                         .drop(zcol, "__zroute"))
         else:
             clustered = (zdf.repartitionByRange(n_out, F.col(zcol))
                          .sortWithinPartitions(zcol)
