@@ -199,7 +199,7 @@ class DeltaLog:
         if ext is None and not getattr(self, "_in_coord_probe", False):
             self._in_coord_probe = True
             try:
-                cfg = self.light_snapshot().configuration
+                cfg = self._light_meta().configuration
                 c = C.coordinator_for(cfg)
                 self._ext_coord_probe = c if c is not None else False
             except Exception:

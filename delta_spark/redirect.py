@@ -109,7 +109,7 @@ def resolve_table_path(path: str) -> str:
     # the table's file state (a 10⁶-file table pays seconds of driver
     # replay for a config lookup otherwise)
     dest = resolve_read_path(log.table_path,
-                             log.light_snapshot().configuration)
+                             log._light_meta().configuration)
     if dest is None:
         return path
     dest_log = DeltaLog.for_table(dest)
@@ -117,7 +117,7 @@ def resolve_table_path(path: str) -> str:
         raise RedirectStateError(
             f"redirect destination {dest} is not a delta table")
     if resolve_read_path(dest_log.table_path,
-                         dest_log.light_snapshot().configuration):
+                         dest_log._light_meta().configuration):
         raise RedirectStateError(
             f"redirect chains are not allowed: {dest} redirects again")
     return dest_log.table_path

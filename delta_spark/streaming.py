@@ -424,7 +424,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         # metadata-class only: a stream against a 10⁶-file table must
         # not materialize the file state just to learn the schema/id
         # (the file list is served lazily via _snapshot_index)
-        snap = self.log.light_snapshot()
+        snap = self.log._light_meta()
         self._table_id = snap.metadata.id if snap.metadata else None
         if starting_version is not None and options.get("startingtimestamp"):
             raise ValueError(
