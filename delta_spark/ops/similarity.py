@@ -293,25 +293,12 @@ def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
 
 
 def _spread_for_udf(corpus: DataFrame) -> DataFrame:
-    """Repartition an UNDER-partitioned corpus to cluster width before
-    an Arrow-batched assignment UDF. A corpus read from one small file
-    is one scan split, so the matmul + explode ran as a single serial
-    task (measured: 3.2 s of a 1-task stage on the sf0.1 banding while
-    31 cores idled — guide §2.6 stragglers). The shuffle this adds is
-    corpus-sized, so it only fires when the input has fewer splits than
-    the cluster has slots — at real scale the scan has thousands of
-    splits and this is a no-op. Under Connect (no RDD introspection)
-    the input is left as-is."""
-    from delta_spark.connect_compat import default_parallelism, is_connect
+    """See ops.util.spread_to_width — applied before the Arrow-batched
+    assignment UDFs (a one-split corpus ran the banding matmul as a
+    single serial task, measured 3.2 s while 31 cores idled)."""
+    from delta_spark.ops.util import spread_to_width
 
-    if is_connect(corpus):
-        return corpus
-    try:
-        nparts = corpus.rdd.getNumPartitions()
-        width = default_parallelism(corpus.sparkSession)
-    except Exception:
-        return corpus
-    return corpus.repartition(width) if nparts < width else corpus
+    return spread_to_width(corpus)
 
 
 def _bucket_pairs(assigned: DataFrame, id_col: str,
