@@ -45,8 +45,13 @@ def knn_brute_force(corpus: DataFrame, queries: DataFrame, k: int = 10,
     partition by query id (bounded cardinality → no skew)."""
     from pyspark.sql import Window
 
+    from delta_spark.ops.util import spread_to_width
+
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    # the per-row dot-product fold is the whole cost: a one-split
+    # corpus otherwise scores serially in a single task
+    joined = (spread_to_width(corpus.select(id_col, vec_col))
+              .crossJoin(F.broadcast(q)))
     scored = joined.withColumn(
         "sim", F.round(cosine_similarity_col(F.col(vec_col), F.col("__qv")), 6))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
