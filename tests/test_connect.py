@@ -58,6 +58,12 @@ CLASSIC_ONLY_ALLOWLIST = {
     "delta_spark/table.py": {
         "_jdf.queryExecution",              # connect branch: client-plan alias
     },
+    "delta_spark/ops/util.py": {
+        ".rdd",                             # guarded by is_connect(): input
+                                            # partition-count probe for the
+                                            # spread-to-width no-op-at-scale
+                                            # guard (r10 optimization)
+    },
 }
 
 _PATTERNS = [
