@@ -91,7 +91,11 @@ def apply_generated_after_update(df: DataFrame, schema: T.StructType,
 
 def resolve_set_exprs(set_exprs: dict[str, str],
                       schema: T.StructType) -> dict:
-    """{SET target: SQL expr} → {top-level column: new-value Column}.
+    """{SET target: SQL expr} → ({top-level column: new-value Column},
+    {column: equivalent SQL text} or None when any target is a nested
+    struct field — withField has no plain-SQL spelling). The SQL map
+    feeds the one-string selectExpr projection in execute_update (same
+    driver-overhead rationale as merge._value_column_sql).
     Targets resolve like Spark identifiers — optionally backquoted,
     case-insensitive — and dotted paths update ONE struct field in
     place, preserving its siblings (UpdateExpressionsSupport
@@ -119,13 +123,18 @@ def resolve_set_exprs(set_exprs: dict[str, str],
     from delta_spark.schema import relax_nullability
 
     out = {}
+    out_sql: dict[str, str] | None = {}
     for col, lst in assigns.items():
         whole = [a for a in lst if not a[0]]
         if whole and len(lst) > 1:
             raise ValueError(f"conflicting SET assignments to column {col!r}")
         if whole:
             out[col] = F.expr(whole[0][1]).cast(relax_nullability(whole[0][2]))
+            if out_sql is not None:
+                out_sql[col] = (f"CAST(({whole[0][1]}) AS "
+                                f"{relax_nullability(whole[0][2]).simpleString()})")
             continue
+        out_sql = None  # nested struct SET: withField has no SQL spelling
         seen: list = []
         e = F.col(col)
         for path, sql, dt in lst:
@@ -141,7 +150,7 @@ def resolve_set_exprs(set_exprs: dict[str, str],
             e = e.withField(".".join(f"`{p}`" for p in path),
                             F.expr(sql).cast(relax_nullability(dt)))
         out[col] = e
-    return out
+    return out, out_sql
 
 
 def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str],
@@ -170,7 +179,7 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     cond = condition if condition and condition.strip() else "true"
 
     schema_cols = [f.name for f in snapshot.schema.fields]
-    upd = resolve_set_exprs(set_exprs, snapshot.schema)
+    upd, upd_sqls = resolve_set_exprs(set_exprs, snapshot.schema)
     from delta_spark.schema import identity_info
 
     for c in set(upd) & set(identity_info(snapshot.schema)):
@@ -205,24 +214,53 @@ def execute_update(spark: SparkSession, log: DeltaLog, set_exprs: dict[str, str]
     else:
         touched_df = read_files_df(spark, snapshot, touched)
     cond_col = F.coalesce(F.expr(cond), F.lit(False))
-    out_cols = [
-        (F.when(cond_col, upd[c])
-          .otherwise(F.col(c))).alias(c) if c in upd else F.col(c)
-        for c in schema_cols
-    ]
+    mat = matv = None
     if row_tracked:
         # updated rows KEEP their stable row id but take the commit's
         # new row-commit-version (materialized column nulled → default)
         mat = materialized_row_id_col(snapshot)
         matv = materialized_row_commit_col(snapshot)
+    selected = None
+    if upd_sqls is not None:
+        # one-string fast path: the whole rewrite projection as ONE
+        # selectExpr call — text-identical CASE/CAST semantics to the
+        # Column chain below, minus ~5 py4j round trips per column of
+        # driver time (matters on wide tables; merge._value_column_sql
+        # is the same trade). Falls through on any DDL type text the
+        # parser rejects.
+        def bq(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        cond_sql = f"COALESCE(({cond}), FALSE)"
+        texts = [
+            (f"CASE WHEN {cond_sql} THEN {upd_sqls[c]} "
+             f"ELSE {bq(c)} END AS {bq(c)}") if c in upd_sqls else bq(c)
+            for c in schema_cols
+        ]
+        if mat is not None:
+            texts.append(bq(mat))
+        if matv is not None:
+            texts.append(f"CASE WHEN {cond_sql} THEN CAST(NULL AS BIGINT) "
+                         f"ELSE {bq(matv)} END AS {bq(matv)}")
+        try:
+            selected = touched_df.selectExpr(*texts)
+        except Exception:
+            selected = None
+    if selected is None:
+        out_cols = [
+            (F.when(cond_col, upd[c])
+              .otherwise(F.col(c))).alias(c) if c in upd else F.col(c)
+            for c in schema_cols
+        ]
         if mat is not None:
             out_cols.append(touched_df[mat])
         if matv is not None:
             out_cols.append(
                 F.when(cond_col, F.lit(None).cast("long"))
                 .otherwise(touched_df[matv]).alias(matv))
+        selected = touched_df.select(*out_cols)
     projected = apply_generated_after_update(
-        touched_df.select(*out_cols), snapshot.schema, upd)
+        selected, snapshot.schema, upd)
     adds = write_table_files(projected, snapshot)
     removes = [f.remove() for f in touched]
 

@@ -399,3 +399,35 @@ def test_cdf_across_rename_blocked_additive_allowed(spark, tmp_table):
     dt.dropColumn("c")                                                 # v5
     with pytest.raises(ValueError, match="DROP"):
         table_changes(spark, log, starting_version=3).collect()
+
+
+def test_invariant_fastpath_escaping_and_update_selectexpr(spark, tmp_table):
+    """The one-string enforcement/projection fast paths (r10 driver-
+    overhead fix) must survive SQL-hostile text: constraint expressions
+    and column names carrying quotes/backslashes, and UPDATE's
+    selectExpr projection must match the Column chain byte-for-byte."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("name's", T.StringType(), True),
+        T.StructField("path\\col", T.LongType(), True),
+    ])
+    rows = [(1, "O'Brien", 10), (2, "x\\y", 20), (3, None, 30)]
+    write_delta(spark.createDataFrame(rows, schema), tmp_table,
+                mode="overwrite")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    # CHECK constraint whose expr AND message carry a quoted literal
+    dt.addCheckConstraint("no_smith", "`name's` IS NULL OR `name's` != 'Smith'")
+    # fast-path UPDATE (whole-column SET) through the constraint
+    dt.update(condition="k = 2", set={"`path\\col`": "`path\\col` + 100"})
+    got = {r["k"]: (r["name's"], r["path\\col"]) for r in dt.toDF().collect()}
+    assert got == {1: ("O'Brien", 10), 2: ("x\\y", 120), 3: (None, 30)}
+    # violating UPDATE dies inside the write job with the check message
+    with pytest.raises(Exception, match="no_smith"):
+        dt.update(condition="k = 1", set={"`name's`": "'Smith'"})
+    # NOT NULL on the fast path: nulling k is rejected
+    with pytest.raises(Exception, match="NOT NULL"):
+        dt.update(condition="k = 3", set={"k": "CAST(NULL AS LONG)"})
+    # state unchanged after both rejections
+    assert {r["k"] for r in dt.toDF().collect()} == {1, 2, 3}
