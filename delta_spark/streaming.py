@@ -557,10 +557,25 @@ class DeltaStreamReader(DataSourceStreamReader):
         if self.exclude_re is None:
             n = self.log.checkpointed_action_count()
             if n is not None and n >= self.lazy_snapshot_threshold:
-                try:
-                    idx = _build_lazy_snapshot_index(self.log, version)
-                except Exception:
-                    idx = None
+                # the lazy index is a pure function of (log, version) —
+                # a version's file list is immutable — so it is cached
+                # on the DeltaLog instance like _light_meta: every
+                # reader CONSTRUCTION on a 10⁶-file table otherwise
+                # re-pays the ~0.7 s pyarrow path sort (stream restart,
+                # second stream on the same table). The per-reader
+                # cache above stays (it also covers the exclude_re /
+                # materialized fallback paths, which depend on reader
+                # options and must not be shared).
+                log_cached = getattr(self.log, "_stream_snap_index_cache",
+                                     None)
+                if log_cached is not None and log_cached[0] == version:
+                    idx = log_cached[1]
+                else:
+                    try:
+                        idx = _build_lazy_snapshot_index(self.log, version)
+                        self.log._stream_snap_index_cache = (version, idx)
+                    except Exception:
+                        idx = None
         if idx is None:
             files = self._snapshot_files(version)
             idx = _SnapshotFileIndex(

@@ -149,3 +149,40 @@ def test_cdf_stream_plans_lazily_over_big_snapshot(spark, tmp_path):
     assert len(parts2) == 100
     assert {p.file_path for p in parts}.isdisjoint(
         {p.file_path for p in parts2})
+
+
+def test_lazy_index_shared_across_reader_constructions(spark, tmp_path):
+    """r10: the lazy snapshot index is a pure function of
+    (log, version), so a SECOND reader construction in the same
+    process (stream restart, concurrent stream on the same table)
+    must reuse the instance cached on the DeltaLog instead of
+    re-paying the pyarrow checkpoint sort."""
+    table = str(tmp_path / "big2")
+    log = _synth_log(table)
+    log.write_checkpoint_distributed(spark)
+    DeltaLog.clear_cache()
+
+    opts = {"path": table, "maxfilespertrigger": "100"}
+    r1 = DeltaStreamReader(None, opts)
+    r1.initialOffset()
+    list(r1.partitions(r1.initialOffset(), r1._latest_offset()))
+    idx1 = r1._snap_index_cache[1]
+    assert DeltaLog.for_table(table)._stream_snap_index_cache[1] is idx1
+
+    r2 = DeltaStreamReader(None, opts)
+    list(r2.partitions(r2.initialOffset(), r2._latest_offset()))
+    assert r2._snap_index_cache[1] is idx1        # shared, not rebuilt
+
+    # an exclude-filtered reader must NOT consume the shared index
+    # (its file list depends on the option) nor poison the cache
+    r3 = DeltaStreamReader(None, {**opts,
+                                  "excluderegex": r"p=9/.*"})
+    parts3 = list(r3.partitions(r3.initialOffset(), r3._latest_offset()))
+    assert all("p=9/" not in p.file_path for p in parts3)
+    assert DeltaLog.for_table(table)._stream_snap_index_cache[1] is idx1
+
+    # cache dies with the log instance: a fresh process state rebuilds
+    DeltaLog.clear_cache()
+    r4 = DeltaStreamReader(None, opts)
+    list(r4.partitions(r4.initialOffset(), r4._latest_offset()))
+    assert r4._snap_index_cache[1] is not idx1
