@@ -183,12 +183,6 @@ def mask_rows_with_dvs(spark: SparkSession, txn: OptimisticTransaction,
     # union with existing DV rows of candidate files (per-file subsets)
     from delta_spark.reader import deleted_rows_df, file_key_of
 
-    old_rows = deleted_rows_df(
-        spark, snapshot, [f for f in candidates if f.deletionVector])
-    all_rows = matched
-    if old_rows is not None:
-        all_rows = all_rows.unionByName(old_rows).distinct()
-
     # Default is the PROTOCOL-conformant RoaringBitmapArray 'u' encoding
     # (PROTOCOL.md: valid storageTypes are u/i/p) so external readers
     # can consume the table. The legacy parquet-sidecar 'q' encoding is
@@ -197,6 +191,17 @@ def mask_rows_with_dvs(spark: SparkSession, txn: OptimisticTransaction,
     # foreign readers rather than misread).
     portable = str(snapshot.configuration.get(
         "delta_spark.dv.portable", "true")).lower() != "false"
+    old_rows = deleted_rows_df(
+        spark, snapshot, [f for f in candidates if f.deletionVector])
+    all_rows = matched
+    if old_rows is not None:
+        all_rows = all_rows.unionByName(old_rows)
+        if not portable:
+            # the sidecar parquet and its count() aggregation see raw
+            # rows — dedupe before both. The portable path instead
+            # dedupes for free inside the per-file bitmap (np.unique),
+            # skipping this extra exchange on repeat DV DML.
+            all_rows = all_rows.distinct()
     desc_by_base: dict[str, dict] = {}
     if portable:
         # protocol RoaringBitmapArray format: each file's bitmap is
@@ -207,15 +212,20 @@ def mask_rows_with_dvs(spark: SparkSession, txn: OptimisticTransaction,
         from delta_spark import dv as _dv
 
         def _ser(pdf):
+            import numpy as _np
             import pandas as _pd
 
             from delta_spark.dv import serialize_rbm_array
 
+            # unique BEFORE counting: the input may carry (matched ∪
+            # previous-DV) overlaps — the bitmap is a set either way,
+            # and cardinality/max must describe the set, not the rows
+            uniq = _np.unique(pdf["row_index"].to_numpy())
             return _pd.DataFrame({
                 "file_base": [pdf["file_base"].iloc[0]],
-                "data": [serialize_rbm_array(pdf["row_index"].to_numpy())],
-                "cardinality": [len(pdf)],
-                "max_row_index": [int(pdf["row_index"].max())]})
+                "data": [serialize_rbm_array(uniq)],
+                "cardinality": [len(uniq)],
+                "max_row_index": [int(uniq[-1])]})
 
         blobs = (all_rows.groupBy("file_base")
                  .applyInPandas(_ser, "file_base string, data binary, "

@@ -198,3 +198,34 @@ def test_legacy_q_encoding_is_opt_out_with_nonstandard_feature(spark, tmp_table,
     assert "deletionVectors" not in rf
     assert "delta-spark.dvParquetSidecar" in rf
     assert dt.toDF().filter("l_quantity > 40").count() == 0
+
+
+def test_dv_serialize_dedupes_overlapping_positions(spark, tmp_table):
+    """r10: the portable DV path no longer runs a distinct() exchange
+    before the per-file bitmap job — the bitmap is a set, and the
+    descriptor's cardinality/maxRowIndex must describe the SET even if
+    the position frame carries duplicates (matched ∪ previous-DV
+    overlap is the case the old distinct guarded)."""
+    from delta_spark.commands.delete import mask_rows_with_dvs
+    from delta_spark.transaction import dml_transaction
+
+    write_delta(spark.range(0, 1000).selectExpr("id AS k"), tmp_table,
+                configuration=CONF)
+    log = DeltaLog.for_table(tmp_table)
+    txn = dml_transaction(spark, log)
+    snap = txn.snapshot
+    f = snap.all_files[0]
+    from delta_spark.reader import file_key_of
+    base = file_key_of(snap.table_path, f)
+    # rows 0..9 of the first file, each listed TWICE
+    pos = spark.createDataFrame(
+        [(base, i) for i in range(10)] * 2, "file_base string, row_index long")
+    adds, removes, newly = mask_rows_with_dvs(spark, txn, [f], pos)
+    assert newly == 10                      # set size, not row count
+    dv_adds = [a for a in adds if a.deletionVector]
+    assert dv_adds and dv_adds[0].deletionVector["cardinality"] == 10
+    d0 = dv_adds[0].deletionVector
+    blob = dvmod.read_dv_blob(dvmod.absolute_dv_path(tmp_table, d0),
+                              int(d0["offset"]), int(d0["sizeInBytes"]))
+    got = dvmod.deserialize_rbm_array(blob)
+    assert list(got) == list(range(10))
