@@ -467,21 +467,34 @@ class MergeBuilder:
         else:
             txn.read_whole_table()
             candidates = snapshot.all_files
-        target_all = (read_files_with_index(self.spark, snapshot, candidates)
-                      .withColumnRenamed("__file_base", "__delta_file")
-                      .drop("__row_idx")
-                      .withColumn("__t_rowid", F.monotonically_increasing_id()))
+        target_all = read_files_with_index(
+            self.spark, snapshot, candidates).selectExpr(
+                *[f"`{f.name}`" for f in snapshot.schema.fields],
+                "`__file_base` AS `__delta_file`",
+                "monotonically_increasing_id() AS `__t_rowid`")
         joined1 = (target_all.alias(self.tgt)
                    .join(source.alias(self.src), F.expr(self.condition), "inner"))
-        per_row = (joined1.groupBy("__t_rowid")
-                   .agg(F.count(F.lit(1)).alias("__n"), F.first("__delta_file").alias("__f")))
-        summary = per_row.agg(
-            F.max("__n").alias("max_matches"),
-            F.collect_set("__f").alias("files"),
-        ).collect()[0]
+        summary_df = joined1.selectExpr(
+            "count(1) AS n_matches",
+            "count(DISTINCT __t_rowid) AS n_rows",
+            "collect_set(__delta_file) AS files")
+        # shuffle width ∝ bytes this command actually moves (guide
+        # §2.2), session width as the cap — a small merge stops paying
+        # core-count fan-out; None (no source size estimate) = no-op
+        from delta_spark.util import (plan_size_estimate,
+                                      scoped_dml_shuffle_width)
+
+        src_bytes = plan_size_estimate(source)
+        cand_bytes = (sum(f.size or 0 for f in candidates) + src_bytes
+                      if src_bytes is not None else None)
+        with scoped_dml_shuffle_width(self.spark, cand_bytes):
+            summary = summary_df.collect()[0]
         touched_names = list(summary["files"] or [])
-        max_matches = summary["max_matches"] or 0
-        if max_matches > 1 and self.matched:
+        # a target row matched by >1 source rows ⟺ more matches than
+        # distinct matched rows — one global aggregate instead of the
+        # former per-row groupBy + second aggregate (one less Exchange)
+        if (summary["n_matches"] or 0) > (summary["n_rows"] or 0) \
+                and self.matched:
             raise MergeError(
                 "MERGE cannot update/delete a target row matched by multiple source rows "
                 "(non-deterministic); deduplicate the source first")
@@ -501,10 +514,13 @@ class MergeBuilder:
         join_type = "full_outer" if self.not_matched else "left_outer"
         row_tracked = str(cfg.get("delta.enableRowTracking",
                                   "false")).lower() == "true"
+        touched_bytes = (sum(f.size or 0 for f in touched) + src_bytes
+                         if src_bytes is not None else None)
         if str(cfg.get("delta.enableDeletionVectors",
                        "false")).lower() == "true":
             return self._execute_phase2_dv(txn, source, touched, cols,
-                                           join_type, row_tracked, cfg)
+                                           join_type, row_tracked, cfg,
+                                           input_bytes=touched_bytes)
         if row_tracked:
             from delta_spark.reader import read_files_with_stable_ids
 
@@ -518,20 +534,16 @@ class MergeBuilder:
         joined = (touched_df.alias(self.tgt)
                   .join(src_df.alias(self.src), F.expr(self.condition), join_type))
 
-        is_matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
-        is_src_only = F.col("__t_exists").isNull()
-        action = self._action_column(is_matched, is_src_only)
         obs = Observation("merge_metrics")
-        joined = joined.withColumn("__action", action).observe(
-            obs,
-            F.sum(F.when(F.col("__action").startswith("u"), 1).otherwise(0)).alias("updated"),
-            F.sum(F.when(F.col("__action").startswith("d"), 1).otherwise(0)).alias("deleted"),
-            F.sum(F.when(F.col("__action").startswith("i"), 1).otherwise(0)).alias("inserted"),
-            F.sum(F.when(F.col("__action") == "copy", 1).otherwise(0)).alias("copied"),
-        )
+        joined = (joined.withColumn("__action", self._action_col())
+                  .observe(obs, *self._metric_cols()))
 
-        out_cols = [self._value_column(c, snapshot).alias(c) for c in cols]
-        if row_tracked:
+        kept = joined.filter(self._KEEP_SQL)
+        if not row_tracked:
+            projected = self._project_outputs(kept, cols, snapshot)
+        else:
+            out_cols = [self._value_column(c, snapshot).alias(c)
+                        for c in cols]
             # copied + updated target rows keep their stable row id;
             # updated rows take the new commit version (null → default);
             # inserted rows are brand new (null both → defaults)
@@ -551,22 +563,24 @@ class MergeBuilder:
                 out_cols.append(
                     F.when(F.col("__action") == "copy", touched_df[matv])
                     .otherwise(F.lit(None).cast("long")).alias(matv))
-        keep = ~F.col("__action").isin("drop") & ~F.col("__action").startswith("d")
+            projected = kept.select(*out_cols, F.col("__action"))
         resultw = self._finalize_inserts(self._apply_generated_merge(
-            joined.filter(keep).select(*out_cols, F.col("__action")), snapshot,
-            keep_action=True), snapshot)
+            projected, snapshot, keep_action=True), snapshot)
+        from delta_spark.util import scoped_dml_shuffle_width as _scoped_w
 
-        with_cdf = cdf_enabled(cfg)
-        cdc_actions = []
-        if with_cdf:
-            # insert images come from the FINALIZED frame so allocated
-            # identity values in the feed match the written rows
-            cdc_actions = self._write_cdf(
-                joined, cols, self._out_snapshot(snapshot),
-                insert_df=resultw)
+        with _scoped_w(self.spark, touched_bytes):
+            with_cdf = cdf_enabled(cfg)
+            cdc_actions = []
+            if with_cdf:
+                # insert images come from the FINALIZED frame so
+                # allocated identity values in the feed match the
+                # written rows
+                cdc_actions = self._write_cdf(
+                    joined, cols, self._out_snapshot(snapshot),
+                    insert_df=resultw)
 
-        adds = write_table_files(resultw.drop("__action"),
-                                 self._out_snapshot(snapshot))
+            adds = write_table_files(resultw.drop("__action"),
+                                     self._out_snapshot(snapshot))
         removes = [f.remove() for f in touched]
         try:
             m = obs.get
@@ -585,7 +599,8 @@ class MergeBuilder:
                           "MERGE", self._op_params(), metrics)
 
     def _execute_phase2_dv(self, txn, source: DataFrame, touched, cols,
-                           join_type: str, row_tracked: bool, cfg) -> int:
+                           join_type: str, row_tracked: bool, cfg,
+                           input_bytes: Optional[int] = None) -> int:
         """Phase 2 with deletion vectors (reference
         MergeIntoCommand.scala:136 shouldWriteDeletionVectors +
         DMLWithDeletionVectorsHelper): matched update/delete rows are
@@ -611,32 +626,35 @@ class MergeBuilder:
         src_df = source.withColumn("__s_exists", F.lit(True))
         joined = (touched_df.alias(self.tgt)
                   .join(src_df.alias(self.src), F.expr(self.condition), join_type))
-        is_matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
-        is_src_only = F.col("__t_exists").isNull()
         obs = Observation("merge_metrics")
         joined = (joined
-                  .withColumn("__action", self._action_column(is_matched, is_src_only))
-                  .observe(
-                      obs,
-                      F.sum(F.when(F.col("__action").startswith("u"), 1).otherwise(0)).alias("updated"),
-                      F.sum(F.when(F.col("__action").startswith("d"), 1).otherwise(0)).alias("deleted"),
-                      F.sum(F.when(F.col("__action").startswith("i"), 1).otherwise(0)).alias("inserted"),
-                      F.sum(F.when(F.col("__action") == "copy", 1).otherwise(0)).alias("copied"),
-                  ))
+                  .withColumn("__action", self._action_col())
+                  .observe(obs, *self._metric_cols()))
         # the observe node sees every joined row (copies included) even
         # though downstream only consumes the changed subset
         changed = joined.filter(
-            (F.col("__action") != "copy") & (F.col("__action") != "drop")).persist()
+            "__action <> 'copy' AND __action <> 'drop'").persist()
+        from contextlib import ExitStack
+
+        from delta_spark.util import scoped_dml_shuffle_width as _scoped_w
+
+        _stack = ExitStack()
+        _stack.enter_context(_scoped_w(self.spark, input_bytes))
         try:
             positions = (changed
-                         .filter(F.col("__t_exists").isNotNull())
-                         .select(F.col("__file_base").alias("file_base"),
-                                 F.col("__row_idx").alias("row_index")))
+                         .filter("__t_exists IS NOT NULL")
+                         .selectExpr("__file_base AS file_base",
+                                     "__row_idx AS row_index"))
             dv_adds, removes, _ = mask_rows_with_dvs(
                 self.spark, txn, touched, positions)
 
-            out_cols = [self._value_column(c, snapshot).alias(c) for c in cols]
-            if row_tracked:
+            written = changed.filter(
+                "__action LIKE 'u%' OR __action LIKE 'i%'")
+            if not row_tracked:
+                projected = self._project_outputs(written, cols, snapshot)
+            else:
+                out_cols = [self._value_column(c, snapshot).alias(c)
+                            for c in cols]
                 # updated rows keep their stable id (materialized value,
                 # else default baseRowId+position); inserts are brand new;
                 # every output row takes the new commit's version
@@ -651,12 +669,9 @@ class MergeBuilder:
                         .otherwise(F.coalesce(touched_df[mat], base)).alias(mat))
                 if matv is not None:
                     out_cols.append(F.lit(None).cast("long").alias(matv))
+                projected = written.select(*out_cols, F.col("__action"))
             resultw = self._finalize_inserts(self._apply_generated_merge(
-                changed
-                .filter(F.col("__action").startswith("u")
-                        | F.col("__action").startswith("i"))
-                .select(*out_cols, F.col("__action")), snapshot,
-                keep_action=True), snapshot)
+                projected, snapshot, keep_action=True), snapshot)
 
             cdc_actions = []
             if cdf_enabled(cfg):
@@ -666,6 +681,7 @@ class MergeBuilder:
             adds = write_table_files(resultw.drop("__action"),
                                      self._out_snapshot(snapshot))
         finally:
+            _stack.close()
             changed.unpersist()
         try:
             m = obs.get
@@ -774,6 +790,7 @@ class MergeBuilder:
             target = read_files_df(self.spark, snapshot, candidates)
         else:
             txn.read_whole_table()
+            candidates = snapshot.all_files
             target = read_files_df(self.spark, snapshot)
         new_rows = (source.alias(self.src)
                     .join(target.alias(self.tgt), F.expr(self.condition), "left_anti"))
@@ -815,12 +832,19 @@ class MergeBuilder:
         for p in parts[1:]:
             out = out.unionByName(p)
         out = self._finalize_inserts(out, snapshot)
-        cdc_actions = []
-        if cdf_enabled(cfg):
-            cdc_actions = write_cdc_files(
-                out.withColumn("_change_type", F.lit("insert")),
-                snapshot.table_path, self._out_snapshot(snapshot))
-        adds = write_table_files(out, self._out_snapshot(snapshot))
+        from delta_spark.util import (plan_size_estimate,
+                                      scoped_dml_shuffle_width)
+
+        src_bytes = plan_size_estimate(source)
+        in_bytes = (sum(f.size or 0 for f in candidates) + src_bytes
+                    if src_bytes is not None else None)
+        with scoped_dml_shuffle_width(self.spark, in_bytes):
+            cdc_actions = []
+            if cdf_enabled(cfg):
+                cdc_actions = write_cdc_files(
+                    out.withColumn("_change_type", F.lit("insert")),
+                    snapshot.table_path, self._out_snapshot(snapshot))
+            adds = write_table_files(out, self._out_snapshot(snapshot))
         metrics = {"numTargetRowsInserted": str(sum(a.num_records or 0 for a in adds)),
                    "numTargetFilesAdded": str(len(adds))}
         evo = [getattr(self, "_evolution_meta", None)]
@@ -861,6 +885,62 @@ class MergeBuilder:
             out.append(ch)
             i += 1
         return "".join(out)
+
+    # rows to keep in phase-2 output: neither source-only rows with no
+    # applicable insert clause ('drop') nor deleted rows ('d...' tags;
+    # 'drop' also matches the LIKE — harmless, kept for text parity
+    # with the old Column filter ~isin('drop') & ~startswith('d'))
+    _KEEP_SQL = "NOT (__action IN ('drop')) AND NOT (__action LIKE 'd%')"
+
+    def _action_sql(self) -> str:
+        """__action as ONE SQL CASE text (the F.when cascade costs ~10
+        py4j round trips per clause). CASE semantics match the Column
+        chain exactly: a NULL clause condition falls through to the
+        next WHEN, which is what coalesce(cond, false) produced."""
+        def cascade(clauses: list[_Clause], prefix: str, default: str) -> str:
+            whens = []
+            for i, cl in enumerate(clauses):
+                tag = f"{cl.kind[0]}{prefix}{i}"
+                cond = f"({cl.condition})" if cl.condition else "true"
+                whens.append(f"WHEN {cond} THEN '{tag}'")
+            if not whens:
+                return f"'{default}'"
+            return f"(CASE {' '.join(whens)} ELSE '{default}' END)"
+
+        m = cascade(self.matched, "m", "copy")
+        i = cascade(self.not_matched, "i", "drop")
+        s = cascade(self.not_matched_by_source, "s", "copy")
+        return ("CASE WHEN (__t_exists IS NOT NULL "
+                "AND __s_exists IS NOT NULL) "
+                f"THEN {m} WHEN (__t_exists IS NULL) THEN {i} "
+                f"ELSE {s} END")
+
+    def _action_col(self):
+        """The __action Column: one parsed CASE; Column-cascade
+        fallback if the composed text fails to parse."""
+        try:
+            return F.expr(self._action_sql())
+        except Exception:
+            is_matched = (F.col("__t_exists").isNotNull()
+                          & F.col("__s_exists").isNotNull())
+            return self._action_column(is_matched,
+                                       F.col("__t_exists").isNull())
+
+    def _metric_cols(self):
+        """The 4 observe() aggregates as parsed SQL (was 4 × ~50 py4j
+        round trips of F.sum(F.when(...)) construction). LIKE 'x%' ==
+        startswith for these wildcard-free tags; 'drop' counting under
+        'd%' matches the old startswith('d') behavior exactly."""
+        return [
+            F.expr("sum(CASE WHEN __action LIKE 'u%' THEN 1 ELSE 0 END)"
+                   ).alias("updated"),
+            F.expr("sum(CASE WHEN __action LIKE 'd%' THEN 1 ELSE 0 END)"
+                   ).alias("deleted"),
+            F.expr("sum(CASE WHEN __action LIKE 'i%' THEN 1 ELSE 0 END)"
+                   ).alias("inserted"),
+            F.expr("sum(CASE WHEN __action = 'copy' THEN 1 ELSE 0 END)"
+                   ).alias("copied"),
+        ]
 
     def _action_column(self, is_matched, is_src_only):
         """First-matching-clause resolution within each row category."""
@@ -1014,11 +1094,37 @@ class MergeBuilder:
         plain-SQL spelling here) or any type whose DDL text fails to
         parse."""
         try:
-            return self._value_column_sql(col, snapshot)
+            sql = self._value_sql(col, snapshot)
         except _ValueColumnFallback:
             return self._value_column_cols(col, snapshot)
+        try:
+            return F.expr(sql)
+        except Exception:
+            return self._value_column_cols(col, snapshot)
 
-    def _value_column_sql(self, col: str, snapshot):
+    def _project_outputs(self, kept: DataFrame, cols: list[str],
+                         snapshot) -> DataFrame:
+        """All output-column CASEs in ONE selectExpr parse (one py4j
+        round trip) instead of one F.expr + alias pair per column.
+        Falls back to the per-Column path when any column has no
+        plain-SQL spelling (nested struct SET, unparseable DDL) or the
+        combined statement fails to parse/analyze."""
+        sel = None
+        try:
+            sel = [f"({self._value_sql(c, snapshot)}) AS "
+                   f"`{c.replace('`', '``')}`" for c in cols]
+        except _ValueColumnFallback:
+            pass
+        if sel is not None:
+            try:
+                return kept.selectExpr(*sel, "`__action`")
+            except Exception:
+                pass
+        return kept.select(
+            *[self._value_column(c, snapshot).alias(c) for c in cols],
+            F.col("__action"))
+
+    def _value_sql(self, col: str, snapshot) -> str:
         schema = getattr(self, "_schema", None) or snapshot.schema
         dt = self._relax_nullability(schema[col].dataType)
         dts = dt.simpleString()
@@ -1062,17 +1168,12 @@ class MergeBuilder:
             whens.append(f"WHEN __action = '{tag}' "
                          f"THEN CAST(({v}) AS {dts})")
         if not whens:
-            sql = f"CAST(({base}) AS {dts})"
-        else:
-            # the Column chain nests later clauses OUTERMOST; tags are
-            # disjoint so WHEN order is semantically irrelevant — keep
-            # declaration order for readability
-            sql = (f"CAST((CASE {' '.join(whens)} ELSE ({base}) END) "
-                   f"AS {dts})")
-        try:
-            return F.expr(sql)
-        except Exception:
-            raise _ValueColumnFallback
+            return f"CAST(({base}) AS {dts})"
+        # the Column chain nests later clauses OUTERMOST; tags are
+        # disjoint so WHEN order is semantically irrelevant — keep
+        # declaration order for readability
+        return (f"CAST((CASE {' '.join(whens)} ELSE ({base}) END) "
+                f"AS {dts})")
 
     def _value_column_cols(self, col: str, snapshot):
         schema = getattr(self, "_schema", None) or snapshot.schema

@@ -314,3 +314,69 @@ def restore_field_id_read_confs(spark) -> None:
             spark.conf.unset(k)
         else:
             spark.conf.set(k, v)
+
+
+# ---- DML shuffle width (guide §2.2: size shuffle partitions to the
+# bytes the job moves, not the core count) ---------------------------
+
+# target bytes per shuffle partition for DML rewrites; overridable per
+# deployment (a cluster with bigger executors can raise it)
+DML_TARGET_PARTITION_BYTES_CONF = \
+    "delta_spark.dml.targetShufflePartitionBytes"
+_DML_TARGET_PARTITION_BYTES_DEFAULT = 64 * 1024 * 1024
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def scoped_dml_shuffle_width(spark, input_bytes: Optional[int]):
+    """Scope ``spark.sql.shuffle.partitions`` for one DML command to
+    the width its INPUT SIZE justifies: ceil(bytes / target), with the
+    session's configured value as the CAP — large inputs keep the
+    deployment's width, only small commands stop fanning tiny rows
+    across every core (measured: a 32-core merge touching 5% of a
+    32-file table ran FASTER on 8 cores before this; the fan-out was
+    pure scheduling overhead). ``input_bytes=None`` (size unknown, e.g.
+    a source whose plan has no size estimate) is a no-op — adaptation
+    only ever narrows a provably small job, never guesses. The conf is
+    restored on exit even on error; commands are driver-sequential per
+    session, matching every other session-scoped conf in this engine."""
+    n = None
+    saved = None
+    if input_bytes is not None:
+        try:
+            target = int(
+                spark.conf.get(DML_TARGET_PARTITION_BYTES_CONF, None)
+                or _DML_TARGET_PARTITION_BYTES_DEFAULT)
+            cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            want = max(1, math.ceil(int(input_bytes) / max(1, target)))
+            if want < cur:
+                n, saved = want, cur
+        except Exception:
+            n = None
+    if n is None:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(saved))
+        except Exception:
+            pass
+
+
+def plan_size_estimate(df) -> Optional[int]:
+    """Catalyst's optimized-plan sizeInBytes estimate for a DataFrame
+    (one py4j call), or None when unavailable (Connect, analysis
+    failure) or plainly a not-an-estimate default (>= 2^60: Spark's
+    'unknown' stats default is Long.Max-ish — treating it as a real
+    size would defeat the cap semantics of the caller)."""
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan().stats()
+                 .sizeInBytes())
+        return sz if 0 <= sz < (1 << 60) else None
+    except Exception:
+        return None
