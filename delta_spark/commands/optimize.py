@@ -306,10 +306,24 @@ def _np_zkeys(V, all_bounds, bits: int):
     return z
 
 
-_PARTITION_REPS: dict[int, list[int]] = {}
+_PARTITION_REPS: dict[int, Optional[list[int]]] = {}
 
 
-def _partition_reps(spark, n: int) -> list[int]:
+def _reps_route_correctly(spark, reps: list[int], n: int) -> bool:
+    """True iff `repartition(n, col)` actually sends a row carrying
+    reps[p] to partition p, verified end-to-end with
+    spark_partition_id() on a tiny n-row probe — the contract the
+    routed ZORDER path depends on, asserted against the engine instead
+    of assumed from its current implementation."""
+    probe = spark.createDataFrame(
+        [(int(v), p) for p, v in enumerate(reps)], "v long, p int")
+    bad = (probe.repartition(n, F.col("v"))
+           .select(F.spark_partition_id().alias("actual"), "p")
+           .filter("actual <> p").count())
+    return bad == 0
+
+
+def _partition_reps(spark, n: int) -> Optional[list[int]]:
     """For each partition index p < n, a BIGINT v with
     pmod(hash(v), n) == p — i.e. `repartition(n, col)` routes rows
     carrying v exactly to partition p (DataFrame hash partitioning is
@@ -317,13 +331,14 @@ def _partition_reps(spark, n: int) -> list[int]:
     precomputed range id act as an EXACT range partitioner without
     repartitionByRange's extra sampling pass over the full input. The
     mapping is data-independent, so it is memoized per n for the
-    process lifetime. If Spark ever changed its partitioning hash the
-    result would be coarser output clustering (several ranges sharing
-    a file), never wrong rows — and the probe below computes the
-    mapping with Spark's own hash, so it tracks the engine."""
-    reps = _PARTITION_REPS.get(n)
-    if reps is not None:
-        return reps
+    process lifetime. The found set is then VALIDATED against a real
+    `repartition(n, col)` probe (spark_partition_id() == p for all n
+    rows); on mismatch — a Spark whose DataFrame hash partitioning is
+    not pmod(F.hash, n) — this returns None (memoized) and the caller
+    keeps the repartitionByRange path, trading the extra sampling pass
+    for guaranteed layout rather than silently coarsening clustering."""
+    if n in _PARTITION_REPS:
+        return _PARTITION_REPS[n]
     found: dict[int, int] = {}
     start, batch = 0, max(64, 8 * n)
     while len(found) < n:
@@ -333,7 +348,9 @@ def _partition_reps(spark, n: int) -> list[int]:
         for r in rows:
             found.setdefault(r["p"], r["id"])
         start += batch
-    reps = [found[p] for p in range(n)]
+    reps: Optional[list[int]] = [found[p] for p in range(n)]
+    if not _reps_route_correctly(spark, reps, n):
+        reps = None
     _PARTITION_REPS[n] = reps
     return reps
 
@@ -487,24 +504,27 @@ def _zorder(spark: SparkSession, log: DeltaLog, cols: list[str],
         approx_rows = sum(_file_rows(f) for f in files) or None
         zdf, zcol, file_bounds = _zorder_key_routed(
             df, cols, num_ranges, n_out=n_out, approx_rows=approx_rows)
+        reps_list = (_partition_reps(spark, n_out)
+                     if n_out > 1 and file_bounds is not None else None)
         if n_out == 1:
             # one output file: range partitioning is vacuous, and
             # repartitionByRange would pay an extra full scan (its
             # RangePartitioner sampling pass) just to learn that
             clustered = (zdf.repartition(1)
                          .sortWithinPartitions(zcol).drop(zcol))
-        elif file_bounds is not None:
+        elif reps_list is not None:
             # route each row to its output range with one searchsorted
             # over the sample-derived z-key file boundaries, carried by
             # a representative value that hash-partitions to exactly
-            # that partition index — the z-ordered layout of
+            # that partition index (probe-VERIFIED per n_out in
+            # _partition_reps) — the z-ordered layout of
             # repartitionByRange without its extra sampling execution
             # of the full input (the z-key UDF ran TWICE before this)
             import numpy as np
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
-            reps = np.array(_partition_reps(spark, n_out), dtype="int64")
+            reps = np.array(reps_list, dtype="int64")
             fb = file_bounds
 
             def _route(s):
