@@ -972,6 +972,29 @@ def main() -> None:
     run_median(timings, "text_pipeline", text)
     run_median(timings, "events_hourly", events)
 
+    # ---- cold variants (VERDICT r10 #3): the rows above deliberately
+    # keep the ops.cache intermediates alive across iterations (that IS
+    # the steady-state repeat shape), so their floors measure a warm
+    # operator cache. These rows release every operator cache AND the
+    # Spark relation cache in the untimed setup of EACH iteration, so
+    # every timed run recomputes the signature/banding/gram expansion
+    # from the parquet input — the per-execution cost a first call
+    # pays. Additions-only: the warm rows above keep their names and
+    # methodology.
+    def cold_setup(i):
+        from delta_spark.ops import cache as _opc
+        _opc.release_all()
+        spark.catalog.clearCache()
+
+    run_median(timings, "dedup_minhash_cold", lambda _: mh(),
+               setup=cold_setup)
+    run_median(timings, "exact_substr_spans_cold", lambda _: exact_substr(),
+               setup=cold_setup)
+    run_median(timings, "near_dups_lsh_cold", lambda _: near_dups(),
+               setup=cold_setup)
+    run_median(timings, "near_dups_dupheavy_cold",
+               lambda _: near_dups_dupheavy(), setup=cold_setup)
+
     import re as _re
     sf = 0.1
     m_sf = _re.search(r"sf([0-9.]+)$", os.path.basename(SF_DIR.rstrip("/")))

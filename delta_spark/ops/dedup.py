@@ -39,6 +39,14 @@ def md5_hash64(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+# Input bytes per expansion slot for the size-aware spread ahead of
+# the shingle/gram explodes: chosen so a tiny corpus gets 2-4 slots
+# (no 32-task scheduling tax on its cached reads) while anything past
+# ~256 MB reaches full cluster width. Overridable per call pattern by
+# deployments with unusually heavy per-byte expansion cost.
+EXPANSION_BYTES_PER_SLOT = 8 * 1024 * 1024
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative row per identical text: a
     single hash-groupBy with min_by (map-side partial agg, no window,
@@ -81,8 +89,11 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     session never holds more than one call's worth; callers with a
     deterministic consumption point free it with ops.cache.release()."""
     from delta_spark.ops import cache as _cache
+    from delta_spark.ops.util import spread_to_width
 
-    sh_cached = shingles(df, text_col, id_col, n).cache()
+    # same cold-expansion spread as minhash_lsh_pairs (guide §2.6)
+    sh_cached = shingles(spread_to_width(df, EXPANSION_BYTES_PER_SLOT),
+                        text_col, id_col, n).cache()
     sh = sh_cached
     if df_cut is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= df_cut)
@@ -141,6 +152,13 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     a deterministic consumption point free it immediately with
     ops.cache.release(result)."""
     from delta_spark.ops import cache as _cache
+    from delta_spark.ops.util import spread_to_width
+
+    # a one-split corpus runs the gram expansion as a single serial
+    # task (measured 2.8 s vs 1.4 s at sf0.1 cold); the spread sits
+    # INSIDE the cached subtree, so repeat calls are plan-identical
+    # cache hits and pay nothing (guide §2.6; warm A/B: no delta)
+    df = spread_to_width(df, EXPANSION_BYTES_PER_SLOT)
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     # element j (0-based) of `acc` = the k-gram starting at token j+1;
     # trailing partials become NULL via zip padding (same trick as
@@ -245,8 +263,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     instead (k md5s per shingle): the textbook recall bound holds, for
     ~k/2× the hashing cost — the right trade when downstream asserts
     exact parity with a brute-force oracle."""
+    from delta_spark.ops.util import spread_to_width
+
     m31 = (1 << 31) - 1
-    base = _shingles if _shingles is not None else shingles(df, text_col, id_col, n)
+    base = (_shingles if _shingles is not None
+            else shingles(spread_to_width(df, EXPANSION_BYTES_PER_SLOT),
+                        text_col, id_col, n))
     if independent:
         sh = base.select(
             F.col(id_col),
@@ -282,10 +304,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     verify both read it) under the ops.cache registry — one live copy
     per session, releasable via ops.cache.release(result)."""
     from delta_spark.ops import cache as _cache
+    from delta_spark.ops.util import spread_to_width
 
     assert k % bands == 0
     r = k // bands
-    sh_cached = shingles(df, text_col, id_col, n).cache()
+    # parallelize the cold shingle expansion of a one-split corpus;
+    # inside the cached subtree → warm calls unchanged (guide §2.6)
+    sh_cached = shingles(spread_to_width(df, EXPANSION_BYTES_PER_SLOT),
+                        text_col, id_col, n).cache()
     sig = minhash_signatures(df, text_col, id_col, n, k, _shingles=sh_cached,
                              independent=independent)
     band_cols = []
