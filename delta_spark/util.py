@@ -319,11 +319,21 @@ def restore_field_id_read_confs(spark) -> None:
 # ---- DML shuffle width (guide §2.2: size shuffle partitions to the
 # bytes the job moves, not the core count) ---------------------------
 
-# target bytes per shuffle partition for DML rewrites; overridable per
-# deployment (a cluster with bigger executors can raise it)
+# Target COMPRESSED-INPUT bytes per shuffle partition for DML
+# rewrites. This is a FLOOR-breaker for tiny commands, not a
+# steady-state shuffle sizer (AQE's advisoryPartitionSizeInBytes still
+# governs coalescing above it): the scoped width never exceeds the
+# session width, so it only narrows commands whose whole input is
+# smaller than target × session-width. 2 MB/task was measured, not
+# guessed — interleaved A/B on this machine: a ~64 MB sf3 merge ran
+# 4.4 s at 32-wide (~2 MB/task) vs 6.2-7.3 s narrowed to 1-2 wide by a
+# 64 MB target, while a ~2 MB sf0.1 merge ran best at width 2 (1.15 s
+# min) vs full 32-wide fan-out (1.27 s) — both land on ~2 MB of
+# compressed input per task for the CPU-bound join+rewrite.
+# Overridable per deployment.
 DML_TARGET_PARTITION_BYTES_CONF = \
     "delta_spark.dml.targetShufflePartitionBytes"
-_DML_TARGET_PARTITION_BYTES_DEFAULT = 64 * 1024 * 1024
+_DML_TARGET_PARTITION_BYTES_DEFAULT = 2 * 1024 * 1024
 
 
 import contextlib as _contextlib
