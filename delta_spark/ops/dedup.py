@@ -40,11 +40,15 @@ def md5_hash64(col: Column, salt: str = "") -> Column:
 
 
 # Input bytes per expansion slot for the size-aware spread ahead of
-# the shingle/gram explodes: chosen so a tiny corpus gets 2-4 slots
-# (no 32-task scheduling tax on its cached reads) while anything past
-# ~256 MB reaches full cluster width. Overridable per call pattern by
-# deployments with unusually heavy per-byte expansion cost.
-EXPANSION_BYTES_PER_SLOT = 8 * 1024 * 1024
+# the shingle/gram explodes. The expansion is CPU-DENSE per input byte
+# (~0.3 s/MB serial: k zip_with passes + md5 per gram), so slots are
+# small: a single-file 18 MB / 150k-doc corpus ran duplicate_spans
+# cold in 55-62 s unspread vs 7-14 s spread to cluster width
+# (interleaved A/B; an 8 MB/slot gate produced width 3 and did NOT
+# rescue it), while a 584 KB corpus spread to all 32 cores paid ~0.5 s
+# of per-task scheduling on every cached read — 512 KB/slot gives that
+# tiny corpus width 2 (no tax) and anything past ~16 MB full width.
+EXPANSION_BYTES_PER_SLOT = 512 * 1024
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
