@@ -76,6 +76,23 @@ def require_classic(spark, feature: str, reason: str) -> None:
             "identical.")
 
 
+def plan_size_estimate(df) -> int | None:
+    """Catalyst's optimized-plan sizeInBytes estimate for a DataFrame
+    (one py4j call), or None when unavailable (Connect — the client
+    has no ``_jdf`` — analysis failure) or plainly a not-an-estimate
+    default (>= 2^60: Spark's 'unknown' stats default is Long.Max-ish
+    — treating it as a real size would defeat the cap semantics of
+    the caller)."""
+    if is_connect(df):
+        return None
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan().stats()
+                 .sizeInBytes())
+        return sz if 0 <= sz < (1 << 60) else None
+    except Exception:
+        return None
+
+
 def connect_df_alias(df) -> str | None:
     """Top-level SubqueryAlias name of a Connect DataFrame, from the
     client-side plan (pyspark/sql/connect/plan.py SubqueryAlias keeps

@@ -379,14 +379,8 @@ def scoped_dml_shuffle_width(spark, input_bytes: Optional[int]):
 
 
 def plan_size_estimate(df) -> Optional[int]:
-    """Catalyst's optimized-plan sizeInBytes estimate for a DataFrame
-    (one py4j call), or None when unavailable (Connect, analysis
-    failure) or plainly a not-an-estimate default (>= 2^60: Spark's
-    'unknown' stats default is Long.Max-ish — treating it as a real
-    size would defeat the cap semantics of the caller)."""
-    try:
-        sz = int(df._jdf.queryExecution().optimizedPlan().stats()
-                 .sizeInBytes())
-        return sz if 0 <= sz < (1 << 60) else None
-    except Exception:
-        return None
+    """Catalyst's optimized-plan sizeInBytes estimate for a DataFrame,
+    or None when unavailable. Routed through connect_compat — the
+    probe reads the JVM query execution, a classic-only seam."""
+    from delta_spark.connect_compat import plan_size_estimate as _pse
+    return _pse(df)
