@@ -640,13 +640,29 @@ class MergeBuilder:
 
         _stack = ExitStack()
         _stack.enter_context(_scoped_w(self.spark, input_bytes))
+        dv_thread = None
+        dv_result: dict = {}
         try:
             positions = (changed
                          .filter("__t_exists IS NOT NULL")
                          .selectExpr("__file_base AS file_base",
                                      "__row_idx AS row_index"))
-            dv_adds, removes, _ = mask_rows_with_dvs(
-                self.spark, txn, touched, positions)
+            # The DV bitmap job and the new-file write are independent
+            # once `changed` is persisted (concurrent first computation
+            # of a cached partition is deduped by the block manager), so
+            # run the DV job on a driver thread and let the write's
+            # tasks back-fill its tail instead of waiting for it.
+            from pyspark import InheritableThread
+
+            def _dv_job():
+                try:
+                    dv_result["val"] = mask_rows_with_dvs(
+                        self.spark, txn, touched, positions)
+                except BaseException as e:  # re-raised on join
+                    dv_result["err"] = e
+
+            dv_thread = InheritableThread(target=_dv_job)
+            dv_thread.start()
 
             written = changed.filter(
                 "__action LIKE 'u%' OR __action LIKE 'i%'")
@@ -681,8 +697,13 @@ class MergeBuilder:
             adds = write_table_files(resultw.drop("__action"),
                                      self._out_snapshot(snapshot))
         finally:
+            if dv_thread is not None:
+                dv_thread.join()
             _stack.close()
             changed.unpersist()
+        if "err" in dv_result:
+            raise dv_result["err"]
+        dv_adds, removes, _ = dv_result["val"]
         try:
             m = obs.get
             metrics = {
